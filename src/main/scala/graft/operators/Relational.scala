@@ -1,0 +1,437 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2 Part B).
+  *
+  * The reference (`xzchaoo/batchprocessor`) has no relational operators at
+  * all — its surface is ingestion-only (SURVEY.md §2 Part A, verified
+  * exhaustive read of `batchprocessor-core/src/main/java`). The north-star
+  * contract still requires a full analytics surface over the batched data,
+  * so every standard operator category is exposed here as an idiomatic
+  * Spark DataFrame plan: Catalyst gets a declarative plan and does
+  * pushdown / pruning / join selection / whole-stage codegen on its own.
+  *
+  * Oracle-parity conventions (each query here is hash-compared by the
+  * driver against DuckDB running `SparkEntry.oracleSql` on the same
+  * parquet):
+  *  - double aggregates are `round(_, 2)` (money) or `round(_, 4)`
+  *    (ratios/averages) so cross-engine summation-order noise in the last
+  *    ulps cannot flip the hash;
+  *  - no raw TIMESTAMP output columns (parquet tz annotation differs
+  *    between engines) — emit DATE or `unix_millis` BIGINT instead;
+  *  - derived integer columns are cast to BIGINT (DuckDB's row_number /
+  *    length return BIGINT, Spark's return int);
+  *  - every query ends in a total ORDER BY with a unique tie-break.
+  *
+  * Scale notes (100 TB design intent, tested at sf0.1):
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    explicitly `broadcast()` when joined against fact tables, so the
+  *    fact side never shuffles for the join;
+  *  - aggregations are plain `groupBy().agg()` → Spark plans partial
+  *    (map-side) + final hash aggregation automatically;
+  *  - filters and projections sit directly on the scan so they reach
+  *    parquet as PushedFilters/ReadSchema.
+  */
+object Relational {
+
+  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
+
+  /** Cross-engine-exact 2-decimal rounding for PER-ROW arithmetic.
+    * Spark's `round()` goes through BigDecimal(double.toString) (decimal
+    * HALF_UP), DuckDB rounds the binary double — on values whose decimal
+    * expansion lands on x.xx5 (common for price*(1-disc) products) the two
+    * disagree by one cent. `floor(x*100 + 0.5)/100` is the same IEEE op
+    * sequence in both engines, so given identical inputs the outputs are
+    * bit-identical. (Aggregate outputs keep plain `round`: their inputs
+    * already differ in final ulps between engines, and sums land on exact
+    * boundaries rarely.) Non-negative inputs only. */
+  private def round2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
+
+  /** Q1-style pricing summary: scan → pushed filter → hash agg (partial+final). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-02 00:00:00"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Projection + selective filter; both must reach the parquet scan
+    * (ReadSchema = 5 cols, PushedFilters on shipdate/discount/quantity). */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1995-01-01 00:00:00") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_discount"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Fact⋈dim with an explicit broadcast of the dim side: no shuffle of
+    * orders, no shuffle of customer — only the final agg exchanges. */
+  def q03JoinBroadcast(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val c = Tables.customer(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Snowflake join region⋈nation⋈customer⋈orders; all three dims
+    * broadcast, so the single fact table streams through map-side joins. */
+  def q04MultiJoinRegion(s: SparkSession, dir: String): DataFrame = {
+    val r = Tables.region(s, dir)
+    val n = Tables.nation(s, dir)
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** EXISTS → left_semi join; the orders filter is applied before the
+    * join so the build side is minimal (and broadcastable). */
+  def q05SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 100000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** NOT EXISTS → left_anti join. */
+  def q06AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+    c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** Left outer join preserving customers with zero orders;
+    * count(col) skips the null-extended rows in both engines. */
+  def q07OuterJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("revenue"))
+      .orderBy("c_custkey")
+  }
+
+  /** Top-N per group via row_number window (deterministic tie-break). */
+  def q08WindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running sum over a bounded frame. (l_orderkey, l_linenumber) is NOT
+    * unique in this data, so the window order lists every remaining column
+    * — full rows are distinct, making the order total and the per-row
+    * running sums deterministic in both engines. */
+  def q09WindowRunning(s: SparkSession, dir: String): DataFrame = {
+    val tieBreak = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate").map(col)
+    val w = Window.partitionBy(col("l_orderkey")).orderBy(tieBreak: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("running_qty"))
+  }
+
+  /** Global top-k: orderBy+limit plans TakeOrderedAndProject — per
+    * partition heaps of k, no global sort of the fact table. */
+  def q10TopKOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Exact distinct count (shuffle on group key) + plain sum. */
+  def q11DistinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("users"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy("event_type")
+
+  /** INTERSECT (distinct semantics in both engines). */
+  def q12Intersect(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    f.intersect(p).orderBy("custkey")
+  }
+
+  /** EXCEPT (distinct semantics in both engines). */
+  def q13Except(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    p.except(f).orderBy("custkey")
+  }
+
+  /** Date bucketing: month truncation emitted as DATE (tz-free in both
+    * engines' parquet output). */
+  def q14MonthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(to_date(date_trunc("month", col("o_orderdate"))).as("month"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("month")
+
+  /** Scalar string-function battery (all codegen'd builtins). */
+  def q15StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).cast("long").as("name_len"),
+        concat(col("p_brand"), lit("-"), col("p_type")).as("brand_type"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"))
+      .orderBy("p_partkey")
+
+  /** CASE WHEN + per-row arithmetic (identical IEEE op order in both
+    * engines, so exact). */
+  def q16CaseArith(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") > 0.05, "HI")
+          .when(col("l_discount") > 0.02, "MID")
+          .otherwise("LO").as("disc_band"),
+        round2(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
+          .as("charge"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** ROLLUP grouping sets with explicit null ordering. */
+  def q17Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** GROUP BY + HAVING (post-aggregation filter). */
+  def q18Having(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"),
+        count(lit(1)).as("n"))
+      .filter(col("total_qty") > 100.0)
+      .orderBy("l_suppkey")
+
+  /** Scalar subquery: orders 50% above the global average price. The
+    * 1-row aggregate is broadcast, so the fact side streams. */
+  def q19SubqueryAvg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val a = o.agg(avg(col("o_totalprice")).as("avg_price"))
+    o.join(broadcast(a))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Tumbling 1-hour event-time window (batch analogue of the streaming
+    * windowed agg); bucket emitted as epoch millis to stay tz-free. */
+  def q20EventsTumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"), col("event_type"),
+        col("n"), col("total_value"))
+      .orderBy("bucket_ms", "event_type")
+
+  /** JSON extraction from the events.props payload column. */
+  def q21JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** UNION ALL of two heterogeneous selections, re-aggregated. */
+  def q22UnionAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .select(lit("order").as("src"), col("o_orderkey").as("key"))
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_linenumber") === 1)
+      .select(lit("line").as("src"), col("l_orderkey").as("key"))
+    o.unionAll(l)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("key")).as("n_keys"))
+      .orderBy("src")
+  }
+
+  /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project"  -> (q02FilterProject _),
+    "q03_join_broadcast"  -> (q03JoinBroadcast _),
+    "q04_multijoin_region" -> (q04MultiJoinRegion _),
+    "q05_semi_join"       -> (q05SemiJoin _),
+    "q06_anti_join"       -> (q06AntiJoin _),
+    "q07_outer_join_agg"  -> (q07OuterJoinAgg _),
+    "q08_window_topn"     -> (q08WindowTopN _),
+    "q09_window_running"  -> (q09WindowRunning _),
+    "q10_topk_orders"     -> (q10TopKOrders _),
+    "q11_distinct_agg"    -> (q11DistinctAgg _),
+    "q12_intersect"       -> (q12Intersect _),
+    "q13_except"          -> (q13Except _),
+    "q14_monthly_revenue" -> (q14MonthlyRevenue _),
+    "q15_string_funcs"    -> (q15StringFuncs _),
+    "q16_case_arith"      -> (q16CaseArith _),
+    "q17_rollup"          -> (q17Rollup _),
+    "q18_having"          -> (q18Having _),
+    "q19_subquery_avg"    -> (q19SubqueryAvg _),
+    "q20_events_tumbling" -> (q20EventsTumbling _),
+    "q21_json_extract"    -> (q21JsonExtract _),
+    "q22_union_all"       -> (q22UnionAll _),
+  )
+
+  /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
+    * above (the driver sorts columns by name before hashing). */
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q04_multijoin_region" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q05_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_outer_join_agg" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0), 2) AS revenue
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "q08_window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q09_window_running" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_orderkey
+        |   ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |     l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, running_qty""".stripMargin,
+    "q10_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q11_distinct_agg" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(*) AS n_events,
+        | round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q12_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY custkey""".stripMargin,
+    "q13_except" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY custkey""".stripMargin,
+    "q14_monthly_revenue" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        | round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY month""".stripMargin,
+    "q15_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        | substring(p_name, 1, 8) AS name_prefix,
+        | CAST(length(p_name) AS BIGINT) AS name_len,
+        | p_brand || '-' || p_type AS brand_type,
+        | regexp_extract(p_type, '^(\w+)', 1) AS type_head
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q16_case_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CASE WHEN l_discount > 0.05 THEN 'HI'
+        |      WHEN l_discount > 0.02 THEN 'MID' ELSE 'LO' END AS disc_band,
+        | floor(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 100.0 + 0.5) / 100.0 AS charge
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q17_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        | count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q18_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING round(sum(l_quantity), 2) > 100.0
+        |ORDER BY l_suppkey""".stripMargin,
+    "q19_subquery_avg" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q20_events_tumbling" ->
+      """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
+        | count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "q21_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q22_union_all" ->
+      """SELECT src, count(*) AS n, count(DISTINCT key) AS n_keys FROM (
+        |  SELECT 'order' AS src, o_orderkey AS key FROM orders
+        |  UNION ALL
+        |  SELECT 'line' AS src, l_orderkey AS key FROM lineitem WHERE l_linenumber = 1
+        |) t GROUP BY src ORDER BY src""".stripMargin,
+  )
+}
