@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactRound._
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Near-duplicate detection operators (north-star LLM-pipeline surface).
+  *
+  * Four families, each with the scale-out shape a 100 TB corpus needs:
+  *  - MinHash + LSH banding: candidates come from equi-joins on band
+  *    keys (shuffle on a small key, never all-pairs), then exact-Jaccard
+  *    verification on just the candidates.
+  *  - SimHash: 64-bit sketch, 16-bit band blocking (pigeonhole: hamming
+  *    ≤ 3 ⇒ some band equal), hamming verify on candidates.
+  *  - Exact n-gram Jaccard: inverted-index self-join on shingle hashes
+  *    (only pairs sharing ≥1 shingle are ever materialized — exact, and
+  *    still never all-pairs).
+  *  - Embedding cosine near-dup: exact all-pairs here (500 vectors); at
+  *    scale the IVF routing in [[Similarity]] bounds the candidate set.
+  *
+  * MinHash parameters: k=128, 32 bands × r=4 → detection probability at
+  * Jaccard 0.9 is 1-(1-0.9⁴)³² ≈ 1-1.5e-15, so against this data (all
+  * true pairs have J ≥ 0.9, verified) LSH output ≡ exact output and the
+  * DuckDB exact-Jaccard oracle is a fair hash-match.
+  */
+object Dedup {
+
+  private val K = 128
+  private val Bands = 32
+
+  private def docShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification ≥ 0.5. */
+  def d01MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(s, dir).cache()
+    val bands = docs
+      .select(col("doc_id"),
+        minhashSignature(col("sh"), K).as("sig"))
+      .select(col("doc_id"), posexplode(minhashBands(col("sig"), K, Bands)))
+      .toDF("doc_id", "band", "key")
+    // Equi-join on (band, key): only colliding docs meet. distinct()
+    // before the verify so each pair is checked once.
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
+      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), round4(jaccard(col("sha"), col("shb"))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: band-blocked, hamming-verified ≤ 8. */
+  def d02SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+      .cache()
+    val bands = docs.select(col("doc_id"), col("sim"),
+      explode(simhashBands(col("sim"))).as("band"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        hamming64(col("a.sim"), col("b.sim")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard pairs ≥ 0.2 via inverted-index self-join:
+    * explode distinct shingle hashes, equi-join on the hash, count shared
+    * shingles per pair (= intersection, exactly), derive the union from
+    * per-doc shingle counts. Never materializes non-overlapping pairs. */
+  def d03NgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(s, dir)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .cache()
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(col("doc_a"), col("doc_b"),
+        round4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.2)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs (sim ≥ 0.4). Exact all-pairs at
+    * this cardinality; the plan broadcasts one side so the big side
+    * never shuffles. At 100 TB use Similarity.s02AnnIvf's routing to
+    * bound candidates first. */
+  def d04EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round6(VectorFunctions.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_minhash_pairs"  -> (d01MinhashPairs _),
+    "d02_simhash_pairs"  -> (d02SimhashPairs _),
+    "d03_ngram_jaccard"  -> (d03NgramJaccardPairs _),
+    "d04_embed_neardup"  -> (d04EmbeddingNearDup _),
+  )
+
+  /** Shared DuckDB CTE computing exact distinct-3-gram Jaccard pairs. */
+  private def jaccardOracle(threshold: String): String =
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(toks) >= 3
+       |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+       |      ELSE [] END AS sh
+       |  FROM t),
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+       |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS total
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b,
+       |  floor(inter / (total - inter) * 10000.0 + 0.5) / 10000.0 AS jaccard
+       |FROM p WHERE floor(inter / (total - inter) * 10000.0 + 0.5) / 10000.0 >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "d01_minhash_pairs" -> jaccardOracle("0.5"),
+    "d03_ngram_jaccard" -> jaccardOracle("0.2"),
+    "d04_embed_neardup" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}

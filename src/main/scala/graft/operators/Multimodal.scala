@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column plumbing: image/audio/video as opaque BinaryType
+  * payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample operators.
+  *
+  * STUB NOTICE — the *decoders* are deterministic fakes (no image/audio
+  * libraries in this environment): `decodeMeta` derives dimensions from
+  * xxhash64 of the payload instead of parsing a real JPEG/WAV header, and
+  * `features` hashes byte ranges instead of running a model. Everything
+  * around them — BinaryType schema, column plumbing, frame slicing, batch
+  * shape, partition-parallel execution — is real Spark and is what the
+  * tests cover. Swapping in a real decoder means replacing only the
+  * bodies of `decodeMeta`/`features` (e.g. with a mapPartitions over a
+  * JNI codec, reusing one decoder instance per partition).
+  */
+object Multimodal {
+
+  /** Synthesize a media table from documents: payload = UTF-8 bytes of
+    * the text (a stand-in for real image bytes), format round-robin. */
+  def mediaTable(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id").as("media_id"),
+        element_at(typedlit(Seq("png", "jpeg", "wav")), (col("doc_id") % 3).cast("int") + 1).as("format"),
+        encode(col("text"), "UTF-8").as("payload"))
+
+  /** [STUB] "Decode" typed metadata from the payload: deterministic
+    * pseudo-dimensions from the content hash, real byte length. */
+  def decodeMeta(payload: Column): Column =
+    struct(
+      length(payload).cast("long").as("n_bytes"),
+      (pmod(xxhash64(payload), lit(1920L)) + 1L).as("width"),
+      (pmod(xxhash64(payload, lit(1L)), lit(1080L)) + 1L).as("height"))
+
+  /** [STUB] Fixed-width float feature vector from the payload (hash-mixed;
+    * a real model would replace the per-element expression). */
+  def features(payload: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)),
+      i => (pmod(xxhash64(payload, i), lit(1000L)).cast("double") / 1000.0).cast("float"))
+
+  /** Frame sampling for "video" payloads: every `stride` bytes take a
+    * `frameSize`-byte slice. Real Spark slicing over BinaryType; frames
+    * explode into one row each so downstream feature extraction
+    * parallelizes per frame, not per video. */
+  def sampleFrames(payload: Column, frameSize: Int, stride: Int): Column =
+    when(length(payload) >= frameSize,
+      transform(sequence(lit(0), floor((length(payload) - frameSize) / stride).cast("int")),
+        i => substring(payload, (i * stride + 1).cast("int"), lit(frameSize))))
+      .otherwise(array().cast("array<binary>"))
+
+  /** Media metadata extraction (rows-only check: hash-derived dims have
+    * no DuckDB counterpart; plumbing is covered by MultimodalSpec). */
+  def m01MediaMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .withColumn("meta", decodeMeta(col("payload")))
+      .select(col("media_id"), col("format"),
+        col("meta.n_bytes").as("n_bytes"),
+        col("meta.width").as("width"),
+        col("meta.height").as("height"))
+      .orderBy("media_id")
+
+  /** Frame sampling + per-frame features over the synthesized "videos". */
+  def m02FrameFeatures(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir)
+      .filter(col("format") === "wav")
+      .select(col("media_id"), posexplode(sampleFrames(col("payload"), 64, 48)))
+      .toDF("media_id", "frame_no", "frame")
+      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        round(element_at(features(col("frame"), 8), 1).cast("double"), 3).as("f0"))
+      .orderBy("media_id", "frame_no")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m01_media_meta"     -> (m01MediaMeta _),
+    "m02_frame_features" -> (m02FrameFeatures _),
+  )
+
+  val oracleSql: Map[String, String] = Map.empty
+}

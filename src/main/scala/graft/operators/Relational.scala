@@ -116,7 +116,7 @@ object Relational {
   /** NOT EXISTS → left_anti join. */
   def q06AntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = Tables.customer(s, dir)
-    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 150000.0)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 300000.0)
     c.join(big, c("c_custkey") === big("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .orderBy("c_custkey")
@@ -351,7 +351,7 @@ object Relational {
     "q06_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 300000.0)
         |ORDER BY c_custkey""".stripMargin,
     "q07_outer_join_agg" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders,

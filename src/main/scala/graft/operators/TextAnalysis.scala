@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactRound._
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table: exact dedup,
+  * token counting, quality scoring, language ID, fingerprinting.
+  * (North-star LLM-pipeline surface; the reference has no text handling
+  * at all — its records are opaque `T`, see SURVEY.md §1.1.)
+  *
+  * All per-row scores are built from codegen'd builtins (TextFunctions),
+  * so each operator is a single narrow scan + projection: no shuffle
+  * except where an aggregation/join genuinely requires one. That makes
+  * every operator here embarrassingly parallel at 100 TB.
+  */
+object TextAnalysis {
+
+  /** Exact deduplication, keep-first: one row per distinct text with the
+    * smallest doc_id and the copy count. Hash-aggregate on the text
+    * itself; at scale you'd group on xxhash64(text) first and only
+    * compare full texts within colliding buckets — same plan shape. */
+  def t01DedupExact(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy("doc_id")
+
+  /** Whitespace + BPE-ish token counts and char length per document. */
+  def t02TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy("doc_id")
+
+  /** Quality gates: punctuation ratio, stopword ratio, composite score. */
+  def t03Quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        round4(punctRatio(col("text"))).as("punct_ratio"),
+        round4(stopwordRatio(tokens(col("text")), EnStopwords)).as("stop_ratio"),
+        round4(qualityScore(col("text"))).as("quality"))
+      .orderBy("doc_id")
+
+  /** Stopword-profile language identification. */
+  def t04LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Winnowing fingerprint (rows-only check: xxhash64 has no DuckDB
+    * counterpart; correctness is covered by FingerprintSpec). */
+  def t05Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t01_dedup_exact" -> (t01DedupExact _),
+    "t02_token_count" -> (t02TokenCount _),
+    "t03_quality"     -> (t03Quality _),
+    "t04_langid"      -> (t04LangId _),
+    "t05_fingerprint" -> (t05Fingerprint _),
+  )
+
+  private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val deList = DeStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val frList = FrStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private val esList = EsStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracleSql: Map[String, String] = Map(
+    "t01_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "t02_token_count" ->
+      s"""SELECT doc_id,
+         | CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens,
+         | CAST(len(regexp_extract_all(text, '$BpeTokenPattern')) AS BIGINT) AS n_bpe_tokens,
+         | CAST(length(text) AS BIGINT) AS n_chars_calc
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t03_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) > 0 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS shape_score
+         |  FROM t)
+         |SELECT doc_id,
+         |  floor(punct_ratio * 10000.0 + 0.5) / 10000.0 AS punct_ratio,
+         |  floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
+         |  floor((len_score * 0.4 + shape_score * 0.2 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality
+         |FROM r ORDER BY doc_id""".stripMargin,
+    "t04_langid" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_transform(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0), x -> lower(x)) AS toks
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) > 0 THEN CAST(len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS DOUBLE) / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS cjk,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_en,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($deList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_de,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($frList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_fr,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($esList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS s_es
+         |  FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN cjk > 0.25 THEN 'zh'
+         |       WHEN greatest(s_en, s_de, s_fr, s_es) = 0.0 THEN 'und'
+         |       WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         |       WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+         |       WHEN s_fr >= s_es THEN 'fr'
+         |       ELSE 'es' END AS lang_pred
+         |FROM r ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  test("minhash-LSH pairs == exact jaccard pairs at its threshold") {
+    val lsh = Dedup.d01MinhashPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.d03NgramJaccardPairs(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("exact ngram-jaccard agrees with brute-force all-pairs") {
+    // Independent path: cross join + array_intersect, no inverted index.
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+    val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))).cast("double")).as("j"))
+      .filter(col("j") >= 0.2)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inv = Dedup.d03NgramJaccardPairs(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inv == brute, s"missed=${brute -- inv} extra=${inv -- brute}")
+  }
+
+  test("simhash pairs: canonical ordering, hamming bound, pigeonhole guarantee") {
+    val rows = Dedup.d02SimhashPairs(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) <= 8)
+    }
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Brute-force check of the banding contract: every pair with hamming
+    // ≤ 3 MUST appear (pigeonhole over 4×16-bit bands); everything
+    // reported must verify ≤ 8 against independently computed hashes.
+    val sims = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.functions.TextFunctions.simhash64(
+        graft.functions.TextFunctions.tokens(col("text"))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ida, sa) <- sims; (idb, sb) <- sims if ida < idb
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ida, idb)).toSet
+    assert(brute.subsetOf(got), s"banding broke pigeonhole: ${brute -- got}")
+    val hamOf = sims.toMap
+    rows.foreach { r =>
+      val h = java.lang.Long.bitCount(hamOf(r.getLong(0)) ^ hamOf(r.getLong(1)))
+      assert(h == r.getLong(2))
+    }
+  }
+
+  test("embedding near-dup: thresholds and canonical ordering hold") {
+    val rows = Dedup.d04EmbeddingNearDup(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0)
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Multimodal
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("media meta: deterministic, plausible ranges, byte-accurate length") {
+    val rows = Multimodal.m01MediaMeta(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      assert(Seq("png", "jpeg", "wav").contains(r.getString(1)))
+      assert(r.getLong(2) > 0)                       // n_bytes
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 1920)
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 1080)
+    }
+    // re-run → identical (decode stub is deterministic)
+    val again = Multimodal.m01MediaMeta(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("frame sampling: count formula and frame width hold") {
+    val payload = Array.fill[Byte](200)(7)
+    val df = Seq(Tuple1(payload)).toDF("payload")
+      .select(Multimodal.sampleFrames(col("payload"), 64, 48).as("frames"))
+    val frames = df.collect().head.getSeq[Array[Byte]](0)
+    // offsets 0,48,96,136? -> floor((200-64)/48)=2 → starts 0,48,96 → 3 frames
+    assert(frames.length == 3)
+    assert(frames.forall(_.length == 64))
+    // payload shorter than a frame → no frames
+    val none = Seq(Tuple1(Array.fill[Byte](10)(1))).toDF("payload")
+      .select(Multimodal.sampleFrames(col("payload"), 64, 48).as("f"))
+      .collect().head.getSeq[Array[Byte]](0)
+    assert(none.isEmpty)
+  }
+
+  test("feature vectors: fixed dim, values in [0,1), deterministic") {
+    val df = Seq("x", "y").toDF("t")
+      .select(Multimodal.features(encode(col("t"), "UTF-8"), 16).as("f"))
+    val vs = df.collect().map(_.getSeq[Float](0))
+    assert(vs.forall(_.length == 16))
+    assert(vs.flatten.forall(v => v >= 0f && v < 1f))
+    assert(vs(0) != vs(1))
+  }
+}

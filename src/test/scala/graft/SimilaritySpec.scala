@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val exact = Similarity.s01CosineTopK(spark, sf).collect()
+  private lazy val approx = Similarity.s02AnnIvf(spark, sf).collect()
+
+  test("exact top-k: 5 ranked neighbors per query, sims non-increasing") {
+    val byQuery = exact.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to 5L))
+      val sims = sorted.map(_.getDouble(2)).toSeq
+      assert(sims == sims.sorted.reverse, s"sims not sorted: $sims")
+    }
+  }
+
+  test("IVF recall@5 vs exact baseline is high") {
+    val e = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (e & a).size.toDouble / e.size
+    assert(recall >= 0.5, s"recall@5=$recall")
+  }
+
+  test("IVF never returns a better-than-exact neighbor (sanity)") {
+    val bestExact = exact.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    approx.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getDouble(2) <= bestExact(r.getLong(0)) + 1e-9)
+    }
+  }
+}
