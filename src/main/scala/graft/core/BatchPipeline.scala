@@ -1,0 +1,222 @@
+package graft.core
+
+import java.util.concurrent.atomic.AtomicLong
+
+import scala.concurrent.duration._
+
+import org.apache.spark.sql.{Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
+import org.apache.spark.util.LongAccumulator
+
+/** Spark-native micro-batching pipeline — the engine's answer to the
+  * reference's `BatchProcessor<T>`/`DisruptorBatchProcessor` (SURVEY.md
+  * §2 Part A, all 22 operators):
+  *
+  *  - put / tryPut / putAll / tryPutAll (A1-A4): driver-side admission
+  *    into a [[MemoryStream]], bounded by `maxPendingRows` — the ring
+  *    buffer's capacity check. Bulk puts chunk at `maxBatchSize` (A3);
+  *    `tryPutAll` is all-or-nothing (A4, the semantics v1's buggy
+  *    chunked put *intended*, per the author's own TODO at
+  *    core/DisruptorBatchProcessor.java:184-200).
+  *  - worker sharding (A5): each micro-batch is repartitioned to
+  *    `numWorkers`; a partition task is a "worker".
+  *  - size-based cut (A6): partition iterators re-grouped into runs of
+  *    ≤ `maxBatchSize` before the sink sees them.
+  *  - time-based cut (A7): `Trigger.ProcessingTime(flushInterval)` —
+  *    whatever arrived in the interval flushes, exactly the reference's
+  *    forced time-flush. A trailing partial batch below `minBatchSize`
+  *    (A8) still flushes because, by construction, `flushInterval` has
+  *    elapsed when the trigger fires — the second arm of v1's flush
+  *    predicate (core/InnerEventHandler.java:56-58).
+  *  - async sink dispatch + factory (A11, A19): [[FlusherFactory]]
+  *    creates one [[Flusher]] per worker, with open → flushes → close lifecycle.
+  *  - admission control (A12-A14): per-JVM [[Limiters]] — concurrency
+  *    semaphore + TPS/IPS buckets around every sink call.
+  *  - bounded retry (A15): throw-to-retry, `maxRetryCount` attempts
+  *    `retryDelay` apart, then drop-and-warn. At-least-once, like the
+  *    reference.
+  *  - lifecycle (A16-A17): `start()` spins the streaming query;
+  *    `stop()` drains (`processAllAvailable`) before stopping — the
+  *    reference's semaphore-reacquisition drain trick is subsumed by
+  *    foreachBatch's synchronous completion.
+  *  - flush (A10): `flush()` = `processAllAvailable`, a strictly
+  *    stronger barrier than the reference's in-band flush event
+  *    (SURVEY.md §7.4.5).
+  *  - stats (A18): accumulator-backed [[PipelineStats]].
+  *
+  * Error isolation (A20): a flush failure never kills the query — the
+  * retry loop absorbs it and accounts the drop.
+  */
+final class BatchPipeline[T: Encoder](
+    spark: SparkSession,
+    val config: PipelineConfig,
+    factory: FlusherFactory[T]) {
+
+  private implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  private val source = MemoryStream[T]
+
+  private val itemsIn = new AtomicLong(0)
+  private val pending = new AtomicLong(0)
+  private val pendingLock = new Object
+  private val itemsFlushed: LongAccumulator = spark.sparkContext.longAccumulator(s"${config.name}.itemsFlushed")
+  private val batchesFlushed: LongAccumulator = spark.sparkContext.longAccumulator(s"${config.name}.batchesFlushed")
+  private val retries: LongAccumulator = spark.sparkContext.longAccumulator(s"${config.name}.retries")
+  private val itemsDropped: LongAccumulator = spark.sparkContext.longAccumulator(s"${config.name}.itemsDropped")
+
+  @volatile private var query: StreamingQuery = _
+  @volatile private var state: String = "NEW"
+
+  private val listener = new StreamingQueryListener {
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = {}
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {}
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      if (query != null && e.progress.id == query.id) {
+        pendingLock.synchronized {
+          pending.addAndGet(-e.progress.numInputRows)
+          pendingLock.notifyAll()
+        }
+      }
+    }
+  }
+
+  // ------------------------------------------------------------- lifecycle
+
+  /** A16: start workers; returns when the streaming query is live. */
+  def start(): this.type = synchronized {
+    require(state == "NEW", s"cannot start from $state")
+    spark.streams.addListener(listener)
+    val cfg = config // avoid closing over `this`
+    val fac = factory
+    val flushed = itemsFlushed; val nBatches = batchesFlushed
+    val nRetries = retries; val nDropped = itemsDropped
+    query = source.toDS()
+      .writeStream
+      .queryName(cfg.name)
+      .trigger(Trigger.ProcessingTime(cfg.flushInterval.toMillis.millis))
+      .foreachBatch { (ds: Dataset[T], _: Long) =>
+        // A5: shard the micro-batch across workers. numWorkers=1 must be
+        // ONE sequential task in arrival order (per-worker FIFO, the
+        // reference's ordering contract) — coalesce(1) concatenates the
+        // source blocks in index order without a shuffle. numWorkers>1
+        // round-robins like the reference, which already forfeits global
+        // order (core/DisruptorBatchProcessor.java:112-114).
+        val sharded =
+          if (cfg.numWorkers > 1) ds.repartition(cfg.numWorkers)
+          else ds.coalesce(1)
+        sharded.foreachPartition { (it: Iterator[T]) =>
+          if (it.hasNext) {
+            val workerIndex = org.apache.spark.TaskContext.getPartitionId()
+            val limiters = Limiters.forPipeline(
+              cfg.name, cfg.maxConcurrency, cfg.maxBatchesPerSecond, cfg.maxItemsPerSecond)
+            val flusher = fac.create()
+            flusher.open(workerIndex)
+            try {
+              it.grouped(cfg.maxBatchSize).foreach { group =>
+                val batch = group.toSeq
+                var attempt = 0
+                var done = false
+                while (!done) {
+                  limiters.acquireRate(batch.size)   // A13/A14
+                  limiters.concurrency.acquire()     // A12
+                  val ok =
+                    try { flusher.flush(batch, BatchPipeline.ctx(workerIndex, attempt)); true }
+                    catch { case scala.util.control.NonFatal(_) => false }
+                    finally limiters.concurrency.release()
+                  if (ok) {
+                    flushed.add(batch.size); nBatches.add(1); done = true
+                  } else if (attempt >= cfg.maxRetryCount) {
+                    // A15 exhaustion: discard and warn (v2 Worker.java:290-291)
+                    nDropped.add(batch.size); done = true
+                  } else {
+                    attempt += 1; nRetries.add(1)
+                    Thread.sleep(cfg.retryDelay.toMillis)
+                  }
+                }
+              }
+            } finally flusher.close()
+          }
+        }
+      }
+      .start()
+    state = "STARTED"
+    this
+  }
+
+  /** A10: barrier-flush everything admitted so far. */
+  def flush(): Unit = {
+    require(state == "STARTED", s"not started: $state")
+    query.processAllAvailable()
+  }
+
+  /** A17: graceful drain-then-stop. `waitForCompletion=false` ≅ v3's
+    * stop(false): stop the trigger without draining. */
+  def stop(waitForCompletion: Boolean = true): Unit = synchronized {
+    if (state == "STARTED") {
+      state = "STOPPED" // reject new puts first, like the CAS in v1 stop()
+      if (waitForCompletion) query.processAllAvailable()
+      query.stop()
+      query.awaitTermination(config.stopTimeout.toMillis)
+      spark.streams.removeListener(listener)
+      Limiters.remove(config.name)
+    }
+  }
+
+  // ------------------------------------------------------------- admission
+
+  private def admit(n: Int, block: Boolean): Boolean = {
+    require(state == "STARTED", s"not started: $state") // ensureStarted
+    pendingLock.synchronized {
+      while (pending.get() + n > config.maxPendingRows) {
+        if (!block) return false
+        pendingLock.wait(50)
+      }
+      pending.addAndGet(n)
+      true
+    }
+  }
+
+  /** A1: blocking single put. */
+  def put(t: T): Unit = { admit(1, block = config.blockOnFull); source.addData(t); itemsIn.addAndGet(1) }
+
+  /** A2: non-blocking single put — false when the buffer is full (the
+    * contract v3's tryPut violates by always returning false,
+    * v3 Worker.java:60-73; we implement the intent). */
+  def tryPut(t: T): Boolean =
+    admit(1, block = false) && { source.addData(t); itemsIn.addAndGet(1); true }
+
+  /** A3: bulk put, chunked at maxBatchSize like v1's put(Collection). */
+  def putAll(ts: Seq[T]): Unit =
+    ts.grouped(config.maxBatchSize).foreach { chunk =>
+      admit(chunk.size, block = config.blockOnFull)
+      source.addData(chunk)
+      itemsIn.addAndGet(chunk.size)
+    }
+
+  /** A4: all-or-nothing bulk admit ("不可分割" — indivisible, per
+    * v2 DisruptorBatchProcessor.java:105). */
+  def tryPutAll(ts: Seq[T]): Boolean =
+    admit(ts.size, block = false) && { source.addData(ts); itemsIn.addAndGet(ts.size); true }
+
+  // ----------------------------------------------------------------- stats
+
+  /** A18: runtime stats. */
+  def stat(): PipelineStats = PipelineStats(
+    itemsIn = itemsIn.get(),
+    itemsFlushed = itemsFlushed.value,
+    batchesFlushed = batchesFlushed.value,
+    retries = retries.value,
+    itemsDropped = itemsDropped.value,
+    pending = pending.get())
+}
+
+object BatchPipeline {
+  private def ctx(worker: Int, attempt: Int): FlushContext = new FlushContext {
+    val workerIndex: Int = worker
+    val retryCount: Int = attempt
+  }
+
+  def apply[T: Encoder](spark: SparkSession, config: PipelineConfig,
+      factory: FlusherFactory[T]): BatchPipeline[T] =
+    new BatchPipeline[T](spark, config, factory)
+}

@@ -1,0 +1,56 @@
+package graft.core
+
+import java.util.concurrent.{ConcurrentHashMap, Semaphore}
+
+/** Admission control — ≅ the reference's `MixedLimiter`
+  * (core/MixedLimiter.java:11-43): a concurrency semaphore around
+  * in-flight sink calls plus TPS (batches/sec) and IPS (items/sec)
+  * token buckets.
+  *
+  * Scope note for cluster mode: instances live in a per-JVM registry, so
+  * the limits bound each EXECUTOR — the same per-process semantics the
+  * reference has (it is a single-process library). Cluster-global rate
+  * limiting belongs at the source (`maxOffsetsPerTrigger`-style
+  * admission), which `PipelineConfig.maxPendingRows` provides.
+  */
+final class Limiters(maxConcurrency: Int, tps: Double, ips: Double) {
+  val concurrency = new Semaphore(maxConcurrency)
+  private val tpsBucket = new TokenBucket(tps)
+  private val ipsBucket = new TokenBucket(ips)
+
+  /** Acquire rate permits for one batch of `n` items (blocking) —
+    * ≅ MixedLimiter.acquire (core/MixedLimiter.java:36-43). */
+  def acquireRate(n: Int): Unit = {
+    tpsBucket.acquire(1.0)
+    ipsBucket.acquire(n.toDouble)
+  }
+}
+
+/** Minimal blocking token bucket (burst capacity = 1 second of rate).
+  * rate ≤ 0 disables limiting. `wait(ms)` releases the monitor while
+  * sleeping so producers don't convoy. */
+final class TokenBucket(ratePerSec: Double) {
+  private var tokens = math.max(ratePerSec, 0.0)
+  private var lastNanos = System.nanoTime()
+
+  def acquire(n: Double): Unit = if (ratePerSec > 0) synchronized {
+    var granted = false
+    while (!granted) {
+      val now = System.nanoTime()
+      tokens = math.min(ratePerSec, tokens + (now - lastNanos) * 1e-9 * ratePerSec)
+      lastNanos = now
+      if (tokens >= n) { tokens -= n; granted = true }
+      else wait(math.max(1L, ((n - tokens) / ratePerSec * 1000).toLong))
+    }
+  }
+}
+
+/** Per-JVM registry so every task in an executor shares one limiter set
+  * per pipeline (tasks are the "workers"; the semaphore spans them). */
+object Limiters {
+  private val registry = new ConcurrentHashMap[String, Limiters]()
+  def forPipeline(name: String, maxConcurrency: Int, tps: Double, ips: Double): Limiters =
+    registry.computeIfAbsent(name, _ => new Limiters(maxConcurrency, tps, ips))
+  /** Test hook: drop a pipeline's limiters (fresh semaphore state). */
+  def remove(name: String): Unit = registry.remove(name)
+}

@@ -1,0 +1,48 @@
+package graft.core
+
+import scala.concurrent.duration._
+
+/** Pipeline configuration — the engine's analogue of the reference's
+  * config surface (union of all three generations, v3 names winning):
+  *
+  *  - `numWorkers`        ≅ workerCount (v3 BatchProcessorConfig.java:17)
+  *  - `maxPendingRows`    ≅ ringBufferSize=65536 (v3 BatchProcessorConfig.java:19)
+  *  - `maxBatchSize`      ≅ maxBatchSize=1024 (v3 BatchProcessorConfig.java:20)
+  *  - `minBatchSize`      ≅ v1 minBatchSize (core/BatchProcessorProperties.java:17)
+  *  - `maxConcurrency`    ≅ maxConcurrency=16 (v3 BatchProcessorConfig.java:21)
+  *  - `flushInterval`     ≅ flushInterval=1s (v3 BatchProcessorConfig.java:24)
+  *  - `maxRetryCount`     ≅ maxRetryCount=3 (v3 BatchProcessorConfig.java:23)
+  *  - `retryDelay`        ≅ the delayMills arg of context.retry (v2 Flusher.java:57)
+  *  - `maxBatchesPerSecond` ≅ v1 tps (core/BatchProcessorProperties.java:29)
+  *  - `maxItemsPerSecond` ≅ v1 ips (core/BatchProcessorProperties.java:33)
+  *  - `blockOnFull`       ≅ v1 blockOnInsufficientCapacity
+  *  - `stopTimeout`       ≅ closeWaitTimeoutMills=5s (v3 BatchProcessorConfig.java:26)
+  *
+  * Rates ≤ 0 mean unlimited.
+  */
+final case class PipelineConfig(
+    name: String = "graft",
+    numWorkers: Int = 1,
+    maxPendingRows: Long = 65536,
+    maxBatchSize: Int = 1024,
+    minBatchSize: Int = 1,
+    maxConcurrency: Int = 16,
+    flushInterval: FiniteDuration = 1.second,
+    maxRetryCount: Int = 3,
+    retryDelay: FiniteDuration = 100.millis,
+    maxBatchesPerSecond: Double = 0.0,
+    maxItemsPerSecond: Double = 0.0,
+    blockOnFull: Boolean = true,
+    stopTimeout: FiniteDuration = 5.seconds) {
+  require(numWorkers > 0 && maxBatchSize > 0 && maxConcurrency > 0)
+  require(minBatchSize >= 0 && minBatchSize <= maxBatchSize)
+}
+
+/** Runtime statistics — ≅ v2 `stat()` (core/v2/Stat.java:11-135). */
+final case class PipelineStats(
+    itemsIn: Long,
+    itemsFlushed: Long,
+    batchesFlushed: Long,
+    retries: Long,
+    itemsDropped: Long,
+    pending: Long)

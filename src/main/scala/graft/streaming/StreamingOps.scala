@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Streaming analytics the reference never had (its only time notion is
+  * processing-time force-flush, SURVEY.md §2 Part B): event-time
+  * watermarks, tumbling/sliding/session windows, streaming dedup.
+  * Each op takes a streaming Dataset and returns a streaming DataFrame —
+  * source/sink wiring stays with the caller ([[graft.core.BatchPipeline]]
+  * or a file/Kafka stream in production).
+  *
+  * Scale notes: windowed aggregations shuffle on (window, key) with
+  * partial aggregation map-side; watermarks bound state size, which is
+  * what makes any of this viable on an unbounded 100 TB/day stream —
+  * every operator here requires one.
+  */
+object StreamingOps {
+
+  /** Tumbling event-time window counts with late-data drop. */
+  def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+
+  /** Sliding window aggregate. */
+  def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
+      window_ : String, slide: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_, slide), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Session windows: gap-based grouping per key. */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+      gap: String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+
+  /** Streaming exact dedup on key columns; the watermark bounds how long
+    * a key is remembered (state GC) — unbounded memory otherwise. */
+  def dedupStream(events: DataFrame, tsCol: String, watermark: String,
+      keys: Seq[String]): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates(keys :+ tsCol)
+
+  /** Running per-key counters via typed stateful processing — the
+    * mapGroupsWithState surface (≅ what the reference's per-worker
+    * mutable buffer state would become on Spark). */
+  def runningCounts[K: org.apache.spark.sql.Encoder](
+      ds: Dataset[(K, Long)]): Dataset[(K, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
+      org.apache.spark.sql.Encoders.scalaLong
+    implicit val tupleEnc: org.apache.spark.sql.Encoder[(K, Long)] =
+      org.apache.spark.sql.Encoders.tuple(
+        implicitly[org.apache.spark.sql.Encoder[K]], longEnc)
+    ds.groupByKey(_._1)
+      .mapGroupsWithState[Long, (K, Long)](GroupStateTimeout.NoTimeout) {
+        (key: K, rows: Iterator[(K, Long)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+          state.update(next)
+          (key, next)
+      }
+  }
+}

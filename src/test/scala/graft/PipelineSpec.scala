@@ -1,0 +1,170 @@
+package graft
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import graft.core._
+
+/** Parity tests for the reference's three test scenarios (SURVEY.md §5.2)
+  * with logical assertions instead of wall-clock ones, plus the admission
+  * and atomicity contracts. Sinks record into JVM-static state — valid in
+  * local mode where executors share the JVM.
+  */
+object PipelineSpec {
+  val delivered = new ConcurrentLinkedQueue[String]()
+  val batchSizes = new ConcurrentLinkedQueue[Int]()
+  val attempts = new AtomicInteger(0)
+  val opened = new AtomicInteger(0)
+  val closed = new AtomicInteger(0)
+  val inFlight = new AtomicInteger(0)
+  val maxInFlight = new AtomicInteger(0)
+
+  def reset(): Unit = {
+    delivered.clear(); batchSizes.clear(); attempts.set(0)
+    opened.set(0); closed.set(0); inFlight.set(0); maxInFlight.set(0)
+  }
+
+  class RecordingFlusher(failFirst: Int = 0, sleepMs: Long = 0) extends Flusher[String] {
+    override def open(workerIndex: Int): Unit = opened.incrementAndGet()
+    override def close(): Unit = closed.incrementAndGet()
+    override def flush(batch: Seq[String], ctx: FlushContext): Unit = {
+      val cur = inFlight.incrementAndGet()
+      maxInFlight.updateAndGet(m => math.max(m, cur))
+      try {
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+        if (attempts.incrementAndGet() <= failFirst) throw new RuntimeException("injected failure")
+        batch.foreach(delivered.add)
+        batchSizes.add(batch.size)
+      } finally inFlight.decrementAndGet()
+    }
+  }
+}
+
+class PipelineSpec extends SparkSpec {
+  import PipelineSpec._
+
+  private var n = 0
+  private def freshName(): String = { n += 1; s"pipe-spec-$n" }
+
+  private def pipeline(cfg: PipelineConfig, failFirst: Int = 0, sleepMs: Long = 0) = {
+    import spark.implicits._
+    reset()
+    BatchPipeline[String](spark, cfg,
+      FlusherFactory(() => new RecordingFlusher(failFirst, sleepMs)))
+  }
+
+  test("completeness: every item delivered exactly once, batches bounded (ref test #1)") {
+    val cfg = PipelineConfig(name = freshName(), maxBatchSize = 256, maxConcurrency = 4,
+      numWorkers = 2, flushInterval = 100.millis)
+    val p = pipeline(cfg).start()
+    val items = (1 to 10000).map(i => s"item-$i")
+    p.putAll(items)
+    p.flush()
+    p.stop()
+    assert(delivered.asScala.toSet == items.toSet)
+    assert(delivered.size == items.size) // no duplicates without retries
+    assert(batchSizes.asScala.forall(_ <= 256))
+    val st = p.stat()
+    assert(st.itemsIn == 10000 && st.itemsFlushed == 10000 && st.itemsDropped == 0)
+    assert(st.pending == 0)
+  }
+
+  test("time-based flush: stragglers below maxBatchSize are delivered (ref test #2)") {
+    val cfg = PipelineConfig(name = freshName(), maxBatchSize = 1024, flushInterval = 100.millis)
+    val p = pipeline(cfg).start()
+    p.put("a"); p.put("b"); p.put("c")
+    p.flush()
+    assert(delivered.asScala.toSet == Set("a", "b", "c"))
+    p.stop()
+  }
+
+  test("bounded retry then success: at-least-once, retries counted (ref v2 test)") {
+    val cfg = PipelineConfig(name = freshName(), maxRetryCount = 3, retryDelay = 10.millis,
+      flushInterval = 100.millis)
+    val p = pipeline(cfg, failFirst = 2).start()
+    p.putAll((1 to 10).map(_.toString))
+    p.flush()
+    p.stop()
+    val st = p.stat()
+    assert(st.retries == 2)
+    assert(delivered.asScala.toSet == (1 to 10).map(_.toString).toSet)
+    assert(st.itemsFlushed == 10 && st.itemsDropped == 0)
+  }
+
+  test("retry exhaustion: batch dropped with accounting, pipeline survives (ref discard-and-warn)") {
+    val cfg = PipelineConfig(name = freshName(), maxRetryCount = 2, retryDelay = 10.millis,
+      flushInterval = 100.millis)
+    val p = pipeline(cfg, failFirst = Int.MaxValue).start()
+    p.putAll((1 to 5).map(_.toString))
+    p.flush()
+    val st = p.stat()
+    assert(st.itemsDropped == 5 && st.itemsFlushed == 0)
+    assert(st.retries == 2) // maxRetryCount attempts after the first
+    // pipeline still alive: later data flows (flusher keeps failing, but
+    // the query must not have died)
+    p.put("x")
+    p.flush()
+    assert(p.stat().itemsDropped == 6)
+    p.stop()
+  }
+
+  test("concurrency limiter: in-flight flushes never exceed maxConcurrency (A12)") {
+    val cfg = PipelineConfig(name = freshName(), maxBatchSize = 100, maxConcurrency = 2,
+      numWorkers = 4, flushInterval = 100.millis)
+    val p = pipeline(cfg, sleepMs = 50).start()
+    p.putAll((1 to 2000).map(i => s"i$i"))
+    p.flush()
+    p.stop()
+    assert(maxInFlight.get() <= 2, s"observed ${maxInFlight.get()} concurrent flushes")
+    assert(delivered.size == 2000)
+  }
+
+  test("tryPut honors capacity; tryPutAll is all-or-nothing (A2/A4)") {
+    val cfg = PipelineConfig(name = freshName(), maxPendingRows = 10,
+      flushInterval = 50.millis, blockOnFull = false)
+    val p = pipeline(cfg).start()
+    assert(p.tryPutAll((1 to 10).map(_.toString))) // exactly at capacity
+    // buffer full now (until the trigger drains it): both forms must refuse
+    val refused = !p.tryPut("overflow")
+    val refusedBulk = !p.tryPutAll(Seq("o1", "o2"))
+    // after a drain, capacity is back
+    p.flush()
+    val acceptedAfterDrain = p.tryPut("late")
+    p.flush()
+    p.stop()
+    assert(refused && refusedBulk && acceptedAfterDrain)
+    assert(delivered.asScala.toSet == ((1 to 10).map(_.toString).toSet + "late"))
+  }
+
+  test("worker lifecycle: open/close per worker per micro-batch (A19)") {
+    val cfg = PipelineConfig(name = freshName(), flushInterval = 100.millis)
+    val p = pipeline(cfg).start()
+    p.putAll((1 to 50).map(_.toString))
+    p.flush()
+    p.stop()
+    assert(opened.get() > 0 && opened.get() == closed.get())
+  }
+
+  test("stop rejects new puts (A17 drain contract)") {
+    val cfg = PipelineConfig(name = freshName(), flushInterval = 100.millis)
+    val p = pipeline(cfg).start()
+    p.put("a")
+    p.stop()
+    intercept[IllegalArgumentException] { p.put("b") }
+    assert(delivered.asScala.toSet == Set("a")) // drained before stop
+  }
+
+  test("single worker preserves arrival order (per-worker FIFO)") {
+    val cfg = PipelineConfig(name = freshName(), numWorkers = 1, maxConcurrency = 1,
+      maxBatchSize = 64, flushInterval = 100.millis)
+    val p = pipeline(cfg).start()
+    val items = (1 to 500).map(i => f"o$i%05d")
+    p.putAll(items)
+    p.flush()
+    p.stop()
+    assert(delivered.asScala.toList == items.toList)
+  }
+}

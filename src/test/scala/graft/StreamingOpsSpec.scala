@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = new Timestamp(3600_000L + min * 60_000L)
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
+  test("tumbling window with watermark drops late rows and counts per key") {
+    val in = MemoryStream[(Timestamp, String, Double)](spark)
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.tumblingAgg(df, "ts", "event_type", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("tumbling").start()
+    in.addData((ts(0), "a", 1.0), (ts(1), "a", 2.0), (ts(6), "b", 3.0))
+    q.processAllAvailable()
+    in.addData((ts(40), "a", 4.0)) // advances watermark to minute 30
+    q.processAllAvailable()
+    in.addData((ts(2), "a", 99.0)) // late beyond watermark → dropped
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("tumbling")
+      .selectExpr("event_type", "n", "total_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows.contains(("a", 2L, 3.0)))  // window [0,5) closed without the late row
+    assert(rows.contains(("b", 1L, 3.0)))
+  }
+
+  test("session window merges events within gap") {
+    val in = MemoryStream[(Timestamp, String)](spark)
+    val df = in.toDF().toDF("ts", "user")
+    val agg = StreamingOps.sessionAgg(df, "ts", "user", "5 minutes", "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("sessions").start()
+    in.addData((ts(0), "u"), (ts(2), "u"), (ts(3), "u"), (ts(20), "u"))
+    q.processAllAvailable()
+    in.addData((ts(60), "u")) // push watermark far enough to close both sessions
+    q.processAllAvailable()
+    q.stop()
+    val ns = spark.table("sessions").selectExpr("n").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ns.take(2) == Seq(1L, 3L), s"got $ns") // one 3-event session, one singleton
+  }
+
+  test("streaming dedup emits each key once") {
+    val in = MemoryStream[(Timestamp, Long)](spark)
+    val df = in.toDF().toDF("ts", "k")
+    val out = StreamingOps.dedupStream(df, "ts", "10 minutes", Seq("k"))
+    val q = out.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("dedup").start()
+    in.addData((ts(0), 1L), (ts(0), 1L), (ts(0), 2L))
+    q.processAllAvailable()
+    in.addData((ts(0), 1L), (ts(1), 3L)) // same (k,ts) again → dropped
+    q.processAllAvailable()
+    q.stop()
+    val ks = spark.table("dedup").selectExpr("k").collect().map(_.getLong(0)).toSeq
+    assert(ks.sorted == Seq(1L, 2L, 3L))
+  }
+
+  test("mapGroupsWithState running counts accumulate across batches") {
+    val in = MemoryStream[(String, Long)](spark)
+    val out = StreamingOps.runningCounts(in.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Update).format("memory")
+      .queryName("running").start()
+    in.addData(("a", 2L), ("b", 1L))
+    q.processAllAvailable()
+    in.addData(("a", 3L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("running").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last == Map("a" -> 5L, "b" -> 1L))
+  }
+}
