@@ -5,16 +5,31 @@ import org.apache.spark.sql.functions._
 
 /** Column-level text-analysis primitives for LLM-data-pipeline operators.
   *
-  * Everything here is composed from codegen'd built-in functions (split /
-  * higher-order array functions / xxhash64) — no Scala UDFs — so the
-  * expressions stay inside whole-stage codegen and scale linearly with
-  * input size on a cluster. All constants are deterministic: same input
-  * row → same output on any partitioning.
+  * Everything here is composed from built-in functions (split /
+  * higher-order array functions / xxhash64) — no Scala UDFs. All
+  * constants are deterministic: same input row → same output on any
+  * partitioning.
   *
-  * ANSI-safety note: Spark 4 runs with spark.sql.ansi.enabled=true by
-  * default, where Long arithmetic overflow THROWS. The MinHash
-  * permutations therefore mask hashes to 32 bits and use coefficients
-  * < 2^30 so `a*h + b < 2^62 + 2^30` never overflows.
+  * PERFORMANCE CONTRACT — two rules keep per-row work linear:
+  *
+  * 1. Spark's higher-order functions re-evaluate any non-attribute
+  *    expression referenced inside a lambda on EVERY lambda invocation
+  *    (and they run interpreted — `SimpleHigherOrderFunction` is
+  *    CodegenFallback). Nesting pipelines inside lambdas (fingerprint
+  *    windows over shingles over tokens) turns a linear scan into
+  *    O(windows × shingles × tokens) regex work per row — measured as a
+  *    single 400 s task at sf0.1. Operators therefore stage each level
+  *    as a projected column (`select` chains — free, no shuffle).
+  *
+  * 2. Staged projections only survive if Catalyst's CollapseProject
+  *    cannot inline them: it inlines a projected column referenced ONCE
+  *    by the consumer (lambda bodies count as one reference), undoing
+  *    the staging — including during `.cache()` materialization.
+  *    Functions below are therefore written so expensive staged inputs
+  *    appear either ≥2 times textually (e.g. `when(size(c)>0, ...c...)`
+  *    blocks collapsing) or as the direct INPUT of an HoF (evaluated
+  *    once regardless of inlining — the zip_with/aggregate-input
+  *    pattern). When adding functions, keep one of the two properties.
   */
 object TextFunctions {
 
@@ -28,17 +43,18 @@ object TextFunctions {
   def bpeTokenCount(text: Column): Column =
     call_function("regexp_count", text, lit(BpeTokenPattern)).cast("long")
 
-  /** Word n-gram shingles as strings ("w1 w2 w3"). */
+  /** Word n-gram shingles as strings ("w1 w2 w3"). `toks` MUST be an
+    * attribute — it is referenced inside the lambda. */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct xxhash64 values of the n-gram shingle set — the universe
-    * for Jaccard similarity and the MinHash input. */
-  def shingleHashes(text: Column, n: Int): Column =
-    array_distinct(transform(shingles(tokens(text), n), s => xxhash64(s)))
+  /** Distinct xxhash64 values of a shingle column (attribute or not —
+    * the array is the lambda input itself, evaluated once). */
+  def hashedDistinct(sgl: Column): Column =
+    array_distinct(transform(sgl, s => xxhash64(s)))
 
   // ---------------------------------------------------------------- MinHash
 
@@ -48,12 +64,13 @@ object TextFunctions {
     * p ≥ the product range is a trap here: it wraps at most once, stays
     * order-preserving, and collapses every slot onto the same minimum —
     * measured detection probability degraded to ≈ Jaccard itself.)
-    * Empty docs get a MaxValue signature so they never collide. */
+    * Empty docs get a MaxValue signature so they never collide.
+    * Backed by the native [[graft.plans.MinHashSignature]] codegen
+    * expression (the HoF formulation was the sf0.1 bench bottleneck). */
   def minhashSignature(hashes: Column, k: Int): Column =
-    when(size(hashes) > 0,
-      transform(sequence(lit(0), lit(k - 1)), j =>
-        array_min(transform(hashes, h => xxhash64(h, j)))))
-      .otherwise(array_repeat(lit(Long.MaxValue), k))
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.MinHashSignature(
+        org.apache.spark.sql.graft.bridge.expression(hashes), k))
 
   /** LSH band keys: the signature split into `bands` rows-of-r, each band
     * hashed to one long. Docs sharing any band key are candidate pairs. */
@@ -66,22 +83,33 @@ object TextFunctions {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over whitespace tokens: bit i is set iff the sum over
-    * tokens of ±1 (per bit i of xxhash64(token)) is positive. Built from
-    * one hash per token plus shift/mask folds; low-bits-first summation
-    * never overflows. */
-  def simhash64(toks: Column): Column = {
-    val hashes = transform(toks, t => xxhash64(t))
-    val counts = aggregate(hashes,
+  /** Per-token xxhash64 array (stage 1 of SimHash). */
+  def tokenHashes(toks: Column): Column = transform(toks, t => xxhash64(t))
+
+  /** Per-bit ±1 vote counts over a token-hash array (stage 2; the hash
+    * array is the aggregate input, evaluated once). */
+  def simhashCounts(hashes: Column): Column =
+    aggregate(hashes,
       array_repeat(lit(0L), 64),
       (acc, h) => zip_with(acc,
         transform(sequence(lit(0), lit(63)), i =>
           when(call_function("shiftrightunsigned", h, i.cast("int")).bitwiseAND(lit(1L)) === 1L, 1L)
             .otherwise(-1L)),
         (a, c) => a + c))
-    aggregate(sequence(lit(0), lit(63)), lit(0L),
-      (acc, i) => acc + when(element_at(counts, i.cast("int") + 1) > 0,
-        call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(0L))
+
+  /** Fold the vote counts into the 64-bit SimHash (stage 3).
+    * COLLAPSE-PROOF by construction: `counts` is the zip_with INPUT
+    * (evaluated exactly once) rather than a column referenced inside a
+    * fold lambda — Catalyst's CollapseProject inlines single-reference
+    * projected columns into consumers, and a lambda-body reference would
+    * then re-evaluate the whole vote aggregate per bit (measured 64×
+    * blowup, 150 s at sf0.1). Low-to-high summation of bit weights never
+    * overflows (partial sums are valid longs). */
+  def simhashFromCounts(counts: Column): Column = {
+    val powers = typedlit((0 until 64).map(i => 1L << i))
+    aggregate(
+      zip_with(counts, powers, (c, p) => when(c > 0, p).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** Hamming distance between two 64-bit SimHashes. */
@@ -107,7 +135,8 @@ object TextFunctions {
   val EsStopwords: Seq[String] = Seq("el", "los", "las", "y", "es", "un",
     "una", "para", "con", "del", "se", "no", "por", "como", "más")
 
-  /** Fraction of tokens found in `words` (counts duplicates). */
+  /** Fraction of tokens found in `words` (counts duplicates). `toks`
+    * should be an attribute (read inside the filter lambda). */
   def stopwordRatio(toks: Column, words: Seq[String]): Column = {
     val hits = size(filter(toks, t => array_contains(typedlit(words), t)))
     when(size(toks) > 0, hits.cast("double") / size(toks).cast("double"))
@@ -123,9 +152,9 @@ object TextFunctions {
 
   /** Heuristic document quality in [0,1]: length saturation × word shape
     * × low punctuation × stopword presence (the usual pre-training
-    * quality gates, cf. C4/Gopher-style rules — public recipes). */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+    * quality gates, cf. C4/Gopher-style rules — public recipes).
+    * `toks` must be the materialized tokens attribute for `text`. */
+  def qualityScore(text: Column, toks: Column): Column = {
     val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
     val meanTokLen = when(size(toks) > 0,
       aggregate(toks, lit(0L), (s, t) => s + length(t)).cast("double") /
@@ -146,9 +175,10 @@ object TextFunctions {
       .otherwise(lit(0.0))
 
   /** Stopword-profile language guess over {en,de,fr,es,zh,und}.
-    * Deterministic tie-break order en > de > fr > es. */
-  def langId(text: Column): Column = {
-    val toks = transform(tokens(text), t => lower(t))
+    * Deterministic tie-break order en > de > fr > es. `lowerToks` must
+    * be the materialized lower-cased tokens attribute for `text`. */
+  def langId(text: Column, lowerToks: Column): Column = {
+    val toks = lowerToks
     val en = stopwordRatio(toks, EnStopwords)
     val de = stopwordRatio(toks, DeStopwords)
     val fr = stopwordRatio(toks, FrStopwords)
@@ -166,9 +196,10 @@ object TextFunctions {
   /** Winnowing-style document fingerprint (Schleimer et al., SIGMOD'03 —
     * public algorithm): minima of each w-window over the ordered shingle
     * hash sequence, deduplicated and hashed to one 64-bit value. Robust
-    * to small local edits; equal fingerprints ⇒ near-identical docs. */
-  def fingerprint(text: Column, n: Int = 3, w: Int = 4): Column = {
-    val hs = transform(shingles(tokens(text), n), s => xxhash64(s))
+    * to small local edits; equal fingerprints ⇒ near-identical docs.
+    * `hs` (ordered, NON-distinct shingle hashes) MUST be an attribute —
+    * it is sliced inside the window lambda. */
+  def fingerprintFromHashes(hs: Column, w: Int = 4): Column = {
     val minima =
       when(size(hs) >= w,
         transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + 1, lit(w)))))

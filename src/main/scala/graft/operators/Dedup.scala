@@ -32,13 +32,13 @@ object Dedup {
   private val K = 128
   private val Bands = 32
 
+  /** Staged tokens → shingles → distinct hashes (each stage a projected
+    * attribute, per the TextFunctions performance contract). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
-
-  private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sgl"))
+      .select(col("doc_id"), hashedDistinct(col("sgl")).as("sh"))
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification ≥ 0.5. */
   def d01MinhashPairs(s: SparkSession, dir: String): DataFrame = {
@@ -58,15 +58,24 @@ object Dedup {
     cand
       .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
       .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"), round4(jaccard(col("sha"), col("shb"))).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sha"), col("shb"))).as("inter"),
+        size(col("sha")).as("na"), size(col("shb")).as("nb"))
+      .select(col("doc_a"), col("doc_b"),
+        round4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash near-dup pairs: band-blocked, hamming-verified ≤ 8. */
+  /** SimHash near-dup pairs: band-blocked, hamming-verified ≤ 8.
+    * SimHash is computed in three staged projections (hashes → vote
+    * counts → fold) so the 64-slot fold reads attributes. */
   def d02SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), simhash64(tokens(col("text"))).as("sim"))
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), simhashCounts(col("th")).as("counts"))
+      .select(col("doc_id"), simhashFromCounts(col("counts")).as("sim"))
       .cache()
     val bands = docs.select(col("doc_id"), col("sim"),
       explode(simhashBands(col("sim"))).as("band"))
@@ -74,8 +83,13 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         hamming64(col("a.sim"), col("b.sim")).as("hamming"))
-      .distinct()
+      // verify-then-distinct: the hamming filter is a codegen'd xor+popcount
+      // on the join output stream, so the (potentially huge) band-collision
+      // candidate set never reaches the distinct's shuffle — only verified
+      // near-dup pairs do. Ordering matters at scale: distinct-then-filter
+      // shuffles every candidate pair.
       .filter(col("hamming") <= 8)
+      .distinct()
       .orderBy("doc_a", "doc_b")
   }
 

@@ -39,26 +39,36 @@ object TextAnalysis {
         length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy("doc_id")
 
-  /** Quality gates: punctuation ratio, stopword ratio, composite score. */
+  /** Quality gates: punctuation ratio, stopword ratio, composite score.
+    * Tokens are materialized once per row (see TextFunctions perf
+    * contract) — the three scores then share the attribute. */
   def t03Quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         round4(punctRatio(col("text"))).as("punct_ratio"),
-        round4(stopwordRatio(tokens(col("text")), EnStopwords)).as("stop_ratio"),
-        round4(qualityScore(col("text"))).as("quality"))
+        round4(stopwordRatio(col("toks"), EnStopwords)).as("stop_ratio"),
+        round4(qualityScore(col("text"), col("toks"))).as("quality"))
       .orderBy("doc_id")
 
-  /** Stopword-profile language identification. */
+  /** Stopword-profile language identification (tokens staged once). */
   def t04LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), langId(col("text")).as("lang_pred"))
+      .select(col("doc_id"), col("text"),
+        transform(tokens(col("text")), t => lower(t)).as("ltoks"))
+      .select(col("doc_id"), langId(col("text"), col("ltoks")).as("lang_pred"))
       .orderBy("doc_id")
 
-  /** Winnowing fingerprint (rows-only check: xxhash64 has no DuckDB
-    * counterpart; correctness is covered by FingerprintSpec). */
+  /** Winnowing fingerprint, staged tokens → shingles → hashes → fp so
+    * the window lambda slices an attribute, not a recomputed pipeline
+    * (rows-only check: xxhash64 has no DuckDB counterpart; covered by
+    * TextFunctionsSpec). */
   def t05Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sgl"))
+      .select(col("doc_id"), transform(col("sgl"), s => xxhash64(s)).as("hs"))
+      .select(col("doc_id"), fingerprintFromHashes(col("hs")).as("fp"))
       .orderBy("doc_id")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -19,7 +19,9 @@ class DedupSpec extends SparkSpec {
   test("exact ngram-jaccard agrees with brute-force all-pairs") {
     // Independent path: cross join + array_intersect, no inverted index.
     val docs = Tables.documents(spark, sf)
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sgl"))
+      .select(col("doc_id"), hashedDistinct(col("sgl")).as("sh"))
     val brute = docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
@@ -42,9 +44,11 @@ class DedupSpec extends SparkSpec {
     // Brute-force check of the banding contract: every pair with hamming
     // ≤ 3 MUST appear (pigeonhole over 4×16-bit bands); everything
     // reported must verify ≤ 8 against independently computed hashes.
+    import graft.functions.TextFunctions._
     val sims = Tables.documents(spark, sf)
-      .select(col("doc_id"), graft.functions.TextFunctions.simhash64(
-        graft.functions.TextFunctions.tokens(col("text"))).as("s"))
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), simhashCounts(col("th")).as("c"))
+      .select(col("doc_id"), simhashFromCounts(col("c")).as("s"))
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     val brute = (for {
       (ida, sa) <- sims; (idb, sb) <- sims if ida < idb

@@ -24,6 +24,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(oneSeq(shingles(tokens($"t"), 3), "a b") == Nil)
   }
 
+  // staged helpers mirroring the operators' select pipelines
+  private def langOf(text: String): String =
+    Seq(text).toDF("t")
+      .select($"t", transform(tokens($"t"), x => lower(x)).as("ltoks"))
+      .select(langId($"t", $"ltoks").as("r"))
+      .collect().head.getString(0)
+
+  private def simhashOf(texts: Seq[(String, String)]): Map[String, Long] =
+    texts.toDF("id", "t")
+      .select($"id", tokenHashes(tokens($"t")).as("th"))
+      .select($"id", simhashCounts($"th").as("c"))
+      .select($"id", simhashFromCounts($"c").as("s"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  private def fingerprintOf(text: String): Long =
+    Seq(text).toDF("t")
+      .select(tokens($"t").as("toks"))
+      .select(shingles($"toks", 3).as("sgl"))
+      .select(transform($"sgl", s => xxhash64(s)).as("hs"))
+      .select(fingerprintFromHashes($"hs").as("fp"))
+      .collect().head.getLong(0)
+
   test("langId identifies crafted sentences") {
     val cases = Seq(
       "the cat is on the mat and it is happy that the sun is out" -> "en",
@@ -33,7 +55,7 @@ class TextFunctionsSpec extends SparkSpec {
       "这是一个中文句子用来测试语言识别功能" -> "zh",
       "zzz qqq xxx" -> "und")
     cases.foreach { case (text, expect) =>
-      assert(one[String](langId($"t"), text) == expect, s"for: $text")
+      assert(langOf(text) == expect, s"for: $text")
     }
   }
 
@@ -41,9 +63,7 @@ class TextFunctionsSpec extends SparkSpec {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val near = base.replace("tok30", "other")
     val far = (1 to 60).map(i => s"zzz$i").mkString(" ")
-    val df = Seq(("a", base), ("b", base), ("c", near), ("d", far)).toDF("id", "t")
-      .select($"id", simhash64(tokens($"t")).as("s"))
-    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val m = simhashOf(Seq(("a", base), ("b", base), ("c", near), ("d", far)))
     assert(m("a") == m("b"))
     assert(java.lang.Long.bitCount(m("a") ^ m("c")) <= 16)
     assert(java.lang.Long.bitCount(m("a") ^ m("d")) >= 16)
@@ -53,7 +73,10 @@ class TextFunctionsSpec extends SparkSpec {
     val a = (1 to 100).map(i => s"w$i").mkString(" ")
     val b = ((1 to 80).map(i => s"w$i") ++ (1 to 20).map(i => s"x$i")).mkString(" ")
     val df = Seq(("a", a), ("b", b)).toDF("id", "t")
-      .select($"id", minhashSignature(shingleHashes($"t", 3), 128).as("sig"))
+      .select($"id", tokens($"t").as("toks"))
+      .select($"id", shingles($"toks", 3).as("sgl"))
+      .select($"id", hashedDistinct($"sgl").as("sh"))
+      .select($"id", minhashSignature($"sh", 128).as("sig"))
     val rows = df.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
     val est = rows("a").zip(rows("b")).count { case (x, y) => x == y } / 128.0
     // true jaccard of 3-shingles: shared = 78 of (98 + 98 - 78)
@@ -64,16 +87,18 @@ class TextFunctionsSpec extends SparkSpec {
   test("fingerprint: deterministic, input-sensitive") {
     val t1 = (1 to 50).map(i => s"w$i").mkString(" ")
     val t2 = (1 to 50).map(i => s"v$i").mkString(" ")
-    assert(one[Long](fingerprint($"t"), t1) == one[Long](fingerprint($"t"), t1))
-    assert(one[Long](fingerprint($"t"), t1) != one[Long](fingerprint($"t"), t2))
-    assert(one[Long](fingerprint($"t"), "") != 0L) // empty doc defined
+    assert(fingerprintOf(t1) == fingerprintOf(t1))
+    assert(fingerprintOf(t1) != fingerprintOf(t2))
+    assert(fingerprintOf("") != 0L) // empty doc defined
   }
 
   test("quality score in [0,1] and orders garbage below text") {
     val good = "the quick brown fox jumps over the lazy dog and it is a fine day for that"
     val bad = "!!! ??? ### $$$ %%%"
-    val qg = one[Double](qualityScore($"t"), good)
-    val qb = one[Double](qualityScore($"t"), bad)
+    def q(text: String): Double =
+      Seq(text).toDF("t").select($"t", tokens($"t").as("toks"))
+        .select(qualityScore($"t", $"toks").as("q")).collect().head.getDouble(0)
+    val qg = q(good); val qb = q(bad)
     assert(qg >= 0.0 && qg <= 1.0 && qb >= 0.0 && qb <= 1.0)
     assert(qg > qb)
   }
