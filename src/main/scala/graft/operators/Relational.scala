@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.ExactRound.round4
 
 /** Relational operator surface (SURVEY.md §2 Part B).
   *
@@ -285,6 +286,80 @@ object Relational {
       .orderBy("src")
   }
 
+  /** As-of join: each event picks up the user's most recent order date
+    * (union+window formulation — one shuffle, see [[AsofJoin]]). Only
+    * (key, rightTs)-determined columns are projected so equal-timestamp
+    * right ties cannot differ across engines. */
+  def q23AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts"))
+    val o = Tables.orders(s, dir)
+    AsofJoin.asofJoin(
+      left = ev, leftTs = "ts", leftKey = "user_id",
+      right = o, rightTs = "o_orderdate", rightKey = "o_custkey",
+      payload = Seq("o_orderdate"), tieBreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"),
+        to_date(col("asof_o_orderdate")).as("last_order_date"))
+      .orderBy("event_id")
+  }
+
+  /** lag/lead over per-customer order history. */
+  def q24LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** CUBE grouping sets (all four combinations). */
+  def q25Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  /** Math scalar battery. sqrt is IEEE-correctly-rounded in both engines
+    * (exact); ln is not guaranteed to the last ulp → floor-rounded. */
+  def q26MathFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        sqrt(col("l_quantity")).as("sqrt_qty"),
+        round4(log(col("l_extendedprice"))).as("log_price"),
+        ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
+        floor(col("l_extendedprice")).cast("long").as("floor_price"),
+        abs(col("l_discount") - 0.05).as("abs_disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Array aggregation: ordered list of line numbers per order, emitted
+    * as a joined string (cross-engine array rendering differs). */
+  def q27ArrayAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(array_join(sort_array(collect_list(col("l_linenumber"))), ",").as("lines"),
+        count(lit(1)).as("n"))
+      .orderBy("l_orderkey")
+
+  /** IN-subquery (semi join against a filtered subquery). */
+  def q28InSubquery(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val big = Tables.orders(s, dir).filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    li.join(big, li("l_orderkey") === big("o_orderkey"), "left_semi")
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Exact interpolated percentiles per group. */
+  def q29Percentile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round4(expr("percentile(l_quantity, 0.5)")).as("p50"),
+        round4(expr("percentile(l_quantity, 0.9)")).as("p90"))
+      .orderBy("l_returnflag")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -309,6 +384,13 @@ object Relational {
     "q20_events_tumbling" -> (q20EventsTumbling _),
     "q21_json_extract"    -> (q21JsonExtract _),
     "q22_union_all"       -> (q22UnionAll _),
+    "q23_asof_join"       -> (q23AsofJoin _),
+    "q24_lag_lead"        -> (q24LagLead _),
+    "q25_cube"            -> (q25Cube _),
+    "q26_math_funcs"      -> (q26MathFuncs _),
+    "q27_array_agg"       -> (q27ArrayAgg _),
+    "q28_in_subquery"     -> (q28InSubquery _),
+    "q29_percentile"      -> (q29Percentile _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -433,5 +515,45 @@ object Relational {
         |  UNION ALL
         |  SELECT 'line' AS src, l_orderkey AS key FROM lineitem WHERE l_linenumber = 1
         |) t GROUP BY src ORDER BY src""".stripMargin,
+    "q23_asof_join" ->
+      """SELECT e.event_id, e.user_id, CAST(o.o_orderdate AS DATE) AS last_order_date
+        |FROM events e ASOF JOIN orders o
+        |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        |ORDER BY e.event_id""".stripMargin,
+    "q24_lag_lead" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        | lag(o_totalprice, 1) OVER w AS prev_price,
+        | lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q25_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_extendedprice), 2) AS sum_price,
+        | count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q26_math_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        | sqrt(l_quantity) AS sqrt_qty,
+        | floor(ln(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS log_price,
+        | CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_price,
+        | CAST(floor(l_extendedprice) AS BIGINT) AS floor_price,
+        | abs(l_discount - 0.05) AS abs_disc
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q27_array_agg" ->
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list(l_linenumber)), ',') AS lines,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+    "q28_in_subquery" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q29_percentile" ->
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
+        | floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
