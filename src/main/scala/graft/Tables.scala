@@ -14,7 +14,11 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Generic loader; routes `events` through its nanos-aware reader. */
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else raw(spark, dir, name)
+
+  private def raw(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
@@ -32,7 +36,7 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
+    raw(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))
   }

@@ -1,0 +1,56 @@
+package graft
+
+import graft.operators.Relational
+
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("SQL over registered views matches the DataFrame plan (q01)") {
+    GraftSql.register(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val viaDf = Relational.q01PricingSummary(spark, sf)
+      .selectExpr("l_returnflag", "l_linestatus", "sum_qty")
+      .collect().map(_.toString).toSeq
+    assert(viaSql == viaDf)
+  }
+
+  test("native vector_dot callable from SQL, agrees with DataFrame API") {
+    GraftSql.register(spark, sf)
+    val sql = spark.sql(
+      "SELECT vec_id, vector_dot(embedding, embedding) AS d FROM embeddings ORDER BY vec_id LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    import org.apache.spark.sql.functions.col
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.functions.VectorFunctions.dot(col("embedding"), col("embedding")).as("d"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(sql.sameElements(df))
+    assert(sql.forall(_._2 > 0.0))
+  }
+
+  test("native minhash_signature callable from SQL") {
+    GraftSql.register(spark, sf)
+    val rows = spark.sql(
+      """SELECT doc_id, minhash_signature(
+        |  array_distinct(transform(split(text, '\\s+'), t -> xxhash64(t))), 16) AS sig
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin).collect()
+    assert(rows.length == 3)
+    rows.foreach(r => assert(r.getSeq[Long](1).length == 16))
+  }
+
+  test("SQL join + window over views") {
+    GraftSql.register(spark, sf)
+    val n = spark.sql(
+      """SELECT * FROM (
+        |  SELECT c_name, o_orderkey,
+        |    row_number() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC) AS rn
+        |  FROM customer JOIN orders ON c_custkey = o_custkey) t
+        |WHERE rn <= 2""".stripMargin).count()
+    assert(n > 0)
+  }
+}
