@@ -1,0 +1,90 @@
+package graft
+
+import scala.concurrent.duration._
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.core._
+import graft.functions.TextFunctions._
+
+/** Property-style invariants over generated inputs (SURVEY.md §5.2 #4).
+  * Deterministic: every Gen is sampled from a fixed seed.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("shingle count = max(0, tokens - n + 1) for arbitrary docs") {
+    val doc = Gen.listOfN(30, Gen.oneOf(Gen.alphaLowerStr.map(_.take(5)), Gen.const("")))
+      .map(_.mkString(" "))
+    val docs = samples(doc, 20)
+    val rows = docs.toDF("t")
+      .select(tokens($"t").as("toks"))
+      .select(size($"toks").as("nt"), size(shingles($"toks", 3)).as("ns"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == math.max(0, r.getInt(0) - 2),
+        s"tokens=${r.getInt(0)} shingles=${r.getInt(1)}")
+    }
+  }
+
+  test("minhash collision fraction estimates jaccard for random overlap levels") {
+    val base = (1 to 120).map(i => s"w$i")
+    val overlaps = Seq(20, 60, 100)
+    val pairs = overlaps.map { k =>
+      val a = base.mkString(" ")
+      val b = (base.take(k) ++ (1 to (120 - k)).map(i => s"z$i")).mkString(" ")
+      (k, a, b)
+    }
+    pairs.foreach { case (k, a, b) =>
+      val sigs = Seq(("a", a), ("b", b)).toDF("id", "t")
+        .select($"id", tokens($"t").as("toks"))
+        .select($"id", shingles($"toks", 3).as("sgl"))
+        .select($"id", hashedDistinct($"sgl").as("sh"))
+        .select($"id", minhashSignature($"sh", 256).as("sig"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+      val est = sigs("a").zip(sigs("b")).count { case (x, y) => x == y } / 256.0
+      // true jaccard of 3-shingles for prefix overlap k of 120 tokens:
+      // shared shingles = k-2, each side has 118
+      val truth = (k - 2).toDouble / (2 * 118 - (k - 2)).toDouble
+      assert(math.abs(est - truth) < 0.12, s"overlap=$k est=$est truth=$truth")
+    }
+  }
+
+  test("pipeline: no loss, no duplication, batch bound for generated workloads") {
+    val sizesGen = Gen.chooseNum(1, 700)
+    val workloads = samples(sizesGen, 3)
+    workloads.zipWithIndex.foreach { case (n, i) =>
+      PipelineSpec.reset()
+      val cfg = PipelineConfig(name = s"prop-pipe-$i-$n", maxBatchSize = 97,
+        numWorkers = 2, flushInterval = 100.millis)
+      val p = BatchPipeline[String](spark, cfg,
+        FlusherFactory(() => new PipelineSpec.RecordingFlusher()))
+      p.start()
+      val items = (1 to n).map(x => s"w$i-$x")
+      p.putAll(items)
+      p.flush()
+      p.stop()
+      assert(PipelineSpec.delivered.asScala.toSet == items.toSet, s"loss/dup at n=$n")
+      assert(PipelineSpec.delivered.size == n, s"duplicates at n=$n")
+      assert(PipelineSpec.batchSizes.asScala.forall(_ <= 97))
+    }
+  }
+
+  test("exact dedup keeps exactly one row per distinct key for generated tables") {
+    val g = Gen.listOfN(300, Gen.chooseNum(0, 40))
+    samples(g, 3).foreach { keys =>
+      val df = keys.zipWithIndex.toDF("k", "id")
+      val deduped = df.groupBy($"k").agg(min($"id").as("id"))
+      assert(deduped.count() == keys.distinct.size)
+      // keep-first: every kept id is the minimum for its key
+      val kept = deduped.collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      keys.zipWithIndex.foreach { case (k, id) => assert(kept(k) <= id) }
+    }
+  }
+}
