@@ -56,6 +56,15 @@ object TextFunctions {
   def hashedDistinct(sgl: Column): Column =
     array_distinct(transform(sgl, s => xxhash64(s)))
 
+  /** Native n-gram shingle hashing straight from a token-hash array
+    * (ordered, non-distinct) — see [[graft.plans.ShingleHashes]]. The
+    * fast path for dedup/fingerprint pipelines: skips shingle-string
+    * materialization entirely. */
+  def shingleHashesNative(tokenHashCol: Column, n: Int): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.ShingleHashes(
+        org.apache.spark.sql.graft.bridge.expression(tokenHashCol), n))
+
   // ---------------------------------------------------------------- MinHash
 
   /** k-wide MinHash signature over a column of shingle hashes: slot j is

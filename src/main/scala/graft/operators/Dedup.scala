@@ -32,13 +32,14 @@ object Dedup {
   private val K = 128
   private val Bands = 32
 
-  /** Staged tokens → shingles → distinct hashes (each stage a projected
-    * attribute, per the TextFunctions performance contract). */
+  /** Staged tokens → token hashes → native shingle hashes → distinct
+    * (each stage a projected attribute, per the TextFunctions
+    * performance contract; the shingle combinator is the codegen
+    * [[graft.plans.ShingleHashes]] — no shingle strings materialize). */
   private def docShingles(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks"), 3).as("sgl"))
-      .select(col("doc_id"), hashedDistinct(col("sgl")).as("sh"))
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
 
   /** MinHash-LSH near-dup pairs with exact-Jaccard verification ≥ 0.5. */
   def d01MinhashPairs(s: SparkSession, dir: String): DataFrame = {

@@ -65,9 +65,8 @@ object TextAnalysis {
     * TextFunctionsSpec). */
   def t05Fingerprint(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), shingles(col("toks"), 3).as("sgl"))
-      .select(col("doc_id"), transform(col("sgl"), s => xxhash64(s)).as("hs"))
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), shingleHashesNative(col("th"), 3).as("hs"))
       .select(col("doc_id"), fingerprintFromHashes(col("hs")).as("fp"))
       .orderBy("doc_id")
 
