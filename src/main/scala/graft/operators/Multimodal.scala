@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -81,4 +81,39 @@ object Multimodal {
   )
 
   val oracleSql: Map[String, String] = Map.empty
+
+  // ---------------------------------------------------- codec-SPI pattern
+
+  final case class MediaRecord(media_id: Long, format: String, payload: Array[Byte])
+  final case class DecodedMedia(media_id: Long, format: String, n_bytes: Long,
+      width: Int, height: Int, checksum: Long)
+
+  /** [STUB] A "codec" with per-instance init cost — stands in for a JNI
+    * image/audio decoder. Deterministic output from the payload bytes. */
+  final class StubCodec extends Serializable {
+    StubCodec.instances.incrementAndGet() // observable per-partition reuse
+    def decode(m: MediaRecord): DecodedMedia = {
+      var h = 1125899906842597L
+      var i = 0
+      while (i < m.payload.length) { h = 31 * h + m.payload(i); i += 1 }
+      DecodedMedia(m.media_id, m.format, m.payload.length.toLong,
+        (math.floorMod(h, 1920L) + 1).toInt, (math.floorMod(h >>> 13, 1080L) + 1).toInt, h)
+    }
+  }
+  object StubCodec {
+    val instances = new java.util.concurrent.atomic.AtomicInteger(0)
+  }
+
+  /** The real-decoder integration path: `mapPartitions` with ONE codec
+    * instance per partition (not per row) — the Spark-side shape a JNI
+    * or model-based decoder needs (amortized init, batched access,
+    * executor-parallel). This is the Scala analogue of a batched
+    * `mapInPandas` decode stage. */
+  def decodeWithCodec(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      val codec = new StubCodec()
+      it.map(codec.decode)
+    }
+  }
 }

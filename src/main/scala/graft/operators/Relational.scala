@@ -360,6 +360,40 @@ object Relational {
         round4(expr("percentile(l_quantity, 0.9)")).as("p90"))
       .orderBy("l_returnflag")
 
+  /** Map-typed column handling: parse the JSON props payload into a
+    * map, read keys/values. */
+  def q30MapFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        from_json(col("props"), org.apache.spark.sql.types.MapType(
+          org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType)).as("m"))
+      .select(col("event_id"),
+        size(map_keys(col("m"))).cast("long").as("n_keys"),
+        element_at(col("m"), "k").cast("long").as("k"))
+      .orderBy("event_id")
+
+  /** Pivot: event counts per user spread across event-type columns.
+    * `na.fill(0)` aligns Spark's absent-combination nulls with the
+    * conditional-count oracle's zeros. */
+  def q31Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Date arithmetic battery. */
+  def q32DateArith(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("days_since"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        to_date(date_add(col("o_orderdate"), 30)).as("plus30"))
+      .orderBy("o_orderkey")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -391,6 +425,9 @@ object Relational {
     "q27_array_agg"       -> (q27ArrayAgg _),
     "q28_in_subquery"     -> (q28InSubquery _),
     "q29_percentile"      -> (q29Percentile _),
+    "q30_map_funcs"       -> (q30MapFuncs _),
+    "q31_pivot"           -> (q31Pivot _),
+    "q32_date_arith"      -> (q32DateArith _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -555,5 +592,26 @@ object Relational {
         | floor(quantile_cont(l_quantity, 0.5) * 10000.0 + 0.5) / 10000.0 AS p50,
         | floor(quantile_cont(l_quantity, 0.9) * 10000.0 + 0.5) / 10000.0 AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q30_map_funcs" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS BIGINT) AS n_keys,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q31_pivot" ->
+      """SELECT user_id,
+        | count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | count(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        | count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | count(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q32_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
   )
 }

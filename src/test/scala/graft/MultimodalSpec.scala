@@ -36,6 +36,24 @@ class MultimodalSpec extends SparkSpec {
     assert(none.isEmpty)
   }
 
+  test("mapPartitions codec: one instance per partition, all rows decoded") {
+    import Multimodal.{MediaRecord, StubCodec}
+    StubCodec.instances.set(0)
+    val ds = spark.createDataset(
+      (1 to 100).map(i => MediaRecord(i.toLong, "png", Array.fill[Byte](i)(i.toByte))))(
+      org.apache.spark.sql.Encoders.product[MediaRecord])
+      .repartition(4)
+    val out = Multimodal.decodeWithCodec(ds).collect()
+    assert(out.length == 100)
+    assert(out.forall(d => d.width >= 1 && d.width <= 1920 && d.height >= 1 && d.height <= 1080))
+    assert(out.map(_.media_id).toSet == (1 to 100).map(_.toLong).toSet)
+    val n = StubCodec.instances.get()
+    assert(n <= 8, s"codec built per row? $n instances") // ≈ partitions, not rows
+    // deterministic re-run
+    val again = Multimodal.decodeWithCodec(ds).collect()
+    assert(out.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
+  }
+
   test("feature vectors: fixed dim, values in [0,1), deterministic") {
     val df = Seq("x", "y").toDF("t")
       .select(Multimodal.features(encode(col("t"), "UTF-8"), 16).as("f"))
