@@ -394,6 +394,19 @@ object Relational {
         to_date(date_add(col("o_orderdate"), 30)).as("plus30"))
       .orderBy("o_orderkey")
 
+  /** HLL-sketch approximate distinct counts (rows-only driver check:
+    * sketch internals differ across engines; RelationalSketchSpec bounds
+    * the relative error against the exact count). At 100 TB this is the
+    * distinct-count operator of choice: constant memory per group, no
+    * exact-distinct shuffle explosion. */
+  def q33ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -428,6 +441,7 @@ object Relational {
     "q30_map_funcs"       -> (q30MapFuncs _),
     "q31_pivot"           -> (q31Pivot _),
     "q32_date_arith"      -> (q32DateArith _),
+    "q33_approx_distinct" -> (q33ApproxDistinct _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
