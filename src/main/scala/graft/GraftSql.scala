@@ -40,6 +40,16 @@ object GraftSql {
         }
         MinHashSignature(exprs.head, k)
       }, "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "shingle_hashes(token_hashes, n)")
+        val n = exprs(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes n must be an integer literal, got $other")
+        }
+        graft.plans.ShingleHashes(exprs.head, n)
+      }, "built-in")
   }
 
   def register(spark: SparkSession, dir: String): Unit = {

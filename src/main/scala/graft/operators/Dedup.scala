@@ -133,11 +133,61 @@ object Dedup {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Near-dup pairs → connected components → keep-first survivors: the
+    * end-to-end dedup operation a training-data pipeline actually runs.
+    * Components come from iterative min-label propagation over the edge
+    * list (each round: every node takes the min label in its
+    * neighborhood; converges in O(component diameter) rounds — near-dup
+    * clusters are tiny, so a handful of joins). Each iteration is one
+    * shuffle; no driver-side graph state, so this scales with edges.
+    */
+  def clusterLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // undirected edge list incl. self-loops so singletons keep their id
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    labels
+  }
+
+  /** Survivors after MinHash near-dup clustering: every document except
+    * non-canonical members of a duplicate cluster (canonical = min
+    * doc_id). Rows-only check; DedupSpec verifies against a union-find
+    * oracle. */
+  def d05DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    val pairs = d01MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val labels = clusterLabels(pairs)
+    val dropped = labels.filter(col("id") =!= col("label")).select(col("id"))
+    val docs = Tables.documents(s, dir)
+    docs.join(dropped, docs("doc_id") === dropped("id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
     "d03_ngram_jaccard"  -> (d03NgramJaccardPairs _),
     "d04_embed_neardup"  -> (d04EmbeddingNearDup _),
+    "d05_dedup_survivors" -> (d05DedupSurvivors _),
   )
 
   /** Shared DuckDB CTE computing exact distinct-3-gram Jaccard pairs. */

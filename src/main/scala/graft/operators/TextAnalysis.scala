@@ -70,12 +70,32 @@ object TextAnalysis {
       .select(col("doc_id"), fingerprintFromHashes(col("hs")).as("fp"))
       .orderBy("doc_id")
 
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** PII-style scrubbing (emails/URLs → placeholder tokens), the usual
+    * pre-training cleanup pass. The synthetic corpus contains neither,
+    * so the query plants one of each per document first — both engines
+    * construct and scrub identically. RE2-safe patterns only (no
+    * lookaround/backrefs), so Java and RE2 agree. */
+  def t06Scrub(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com see http://ex.com/p/"), col("doc_id")).as("dirty"))
+      .select(col("doc_id"),
+        call_function("regexp_count", col("dirty"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_replace(regexp_replace(col("dirty"), UrlRe, "<URL>"), EmailRe, "<EMAIL>")
+          .as("scrubbed"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
     "t03_quality"     -> (t03Quality _),
     "t04_langid"      -> (t04LangId _),
     "t05_fingerprint" -> (t05Fingerprint _),
+    "t06_scrub"       -> (t06Scrub _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -132,5 +152,14 @@ object TextAnalysis {
          |       WHEN s_fr >= s_es THEN 'fr'
          |       ELSE 'es' END AS lang_pred
          |FROM r ORDER BY doc_id""".stripMargin,
+    "t06_scrub" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    text || ' contact: user' || doc_id || '@example.com see http://ex.com/p/' || doc_id AS dirty
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  regexp_replace(regexp_replace(dirty, '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g') AS scrubbed
+         |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

@@ -62,6 +62,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster labels match a union-find oracle; survivors drop non-canonical members") {
+    val pairs = Dedup.d01MinhashPairs(spark, sf).select("doc_a", "doc_b")
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union-find oracle on the collected edge list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expectedLabel = parent.keys.map(k => k -> find(k)).toMap
+    val got = Dedup.clusterLabels(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expectedLabel, s"diff=${got.toSet -- expectedLabel.toSet}")
+    // survivors = all docs minus members whose label != id
+    val survivors = Dedup.d05DedupSurvivors(spark, sf).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val total = Tables.documents(spark, sf).count()
+    val expectedDropped = expectedLabel.count { case (id, l) => l != id }
+    assert(survivors.size == total - expectedDropped)
+    assert(expectedLabel.filter { case (id, l) => l != id }.keySet.forall(!survivors.contains(_)))
+  }
+
   test("embedding near-dup: thresholds and canonical ordering hold") {
     val rows = Dedup.d04EmbeddingNearDup(spark, sf).collect()
     rows.foreach { r =>
