@@ -407,6 +407,26 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 
+  /** Range (band) join: each order matched to its price band by a
+    * non-equi BETWEEN condition. The band table is a broadcast literal,
+    * so the non-equi condition costs one broadcast-nested-loop against
+    * 4 rows — the right plan when the range side is tiny; dense range
+    * joins go through [[AsofJoin]]-style sort tricks instead. */
+  def q34BandJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("small", 0.0, 50000.0),
+      ("medium", 50000.0, 150000.0),
+      ("large", 150000.0, 300000.0),
+      ("jumbo", 300000.0, 1e18)).toDF("band", "lo", "hi")
+    Tables.orders(s, dir)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy("band")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -442,6 +462,7 @@ object Relational {
     "q31_pivot"           -> (q31Pivot _),
     "q32_date_arith"      -> (q32DateArith _),
     "q33_approx_distinct" -> (q33ApproxDistinct _),
+    "q34_band_join"       -> (q34BandJoin _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -627,5 +648,13 @@ object Relational {
         | CAST(month(o_orderdate) AS BIGINT) AS mo,
         | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q34_band_join" ->
+      """SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |JOIN (VALUES ('small', 0.0, 50000.0), ('medium', 50000.0, 150000.0),
+        |             ('large', 150000.0, 300000.0), ('jumbo', 300000.0, 1e18))
+        |  AS bands(band, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
   )
 }
