@@ -182,12 +182,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Group-level MinHash sketches via the typed [[graft.functions.MinHashUnionAgg]]
+    * aggregator: one mergeable signature per source, then estimated
+    * shingle-set Jaccard between every source pair from the sketches
+    * alone — the sketch never re-reads the documents. Rows-only check;
+    * DedupSpec bounds the estimate against exact cross-source Jaccard. */
+  def d06SourceSketchSim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.MinHashUnionAgg(K).toColumn
+    val docs = Tables.documents(s, dir)
+      .select(col("source"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("source"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .select(col("source"), minhashSignature(col("sh"), K).as("sig"))
+    val sketches = docs.as[(String, Seq[Long])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("sketch"))
+      .toDF("source", "sketch")
+    val a = sketches.select(col("source").as("src_a"), col("sketch").as("ska"))
+    val b = sketches.select(col("source").as("src_b"), col("sketch").as("skb"))
+    a.join(broadcast(b), col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"),
+        (size(filter(zip_with(col("ska"), col("skb"), (x, y) => x === y), v => v))
+          .cast("double") / K.toDouble).as("est_jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
     "d03_ngram_jaccard"  -> (d03NgramJaccardPairs _),
     "d04_embed_neardup"  -> (d04EmbeddingNearDup _),
     "d05_dedup_survivors" -> (d05DedupSurvivors _),
+    "d06_source_sketch"   -> (d06SourceSketchSim _),
   )
 
   /** Shared DuckDB CTE computing exact distinct-3-gram Jaccard pairs. */

@@ -88,6 +88,24 @@ class DedupSpec extends SparkSpec {
     assert(expectedLabel.filter { case (id, l) => l != id }.keySet.forall(!survivors.contains(_)))
   }
 
+  test("mergeable source sketches estimate exact cross-source jaccard") {
+    val est = Dedup.d06SourceSketchSim(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(est.nonEmpty)
+    // exact cross-source shingle jaccard, via distinct shingle sets per source
+    import graft.functions.TextFunctions._
+    val bySource = Tables.documents(spark, sf)
+      .select(col("source"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("source"), explode(shingleHashesNative(col("th"), 3)).as("h"))
+      .groupBy(col("source")).agg(collect_set(col("h")).as("hs"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSet).toMap
+    est.foreach { case ((a, b), e) =>
+      val (sa, sb) = (bySource(a), bySource(b))
+      val truth = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(e - truth) < 0.12, s"($a,$b): est=$e truth=$truth")
+    }
+  }
+
   test("embedding near-dup: thresholds and canonical ordering hold") {
     val rows = Dedup.d04EmbeddingNearDup(spark, sf).collect()
     rows.foreach { r =>
