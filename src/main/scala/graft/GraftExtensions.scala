@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.plans.{MinHashSignature, ShingleHashes, VectorDot}
+
+/** Session-extension installer (the `SparkSessionExtensions` integration
+  * point, SURVEY.md §7.3(c)): makes the engine's native functions
+  * available in ANY session via configuration, no code changes —
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   // or: SparkSession.builder().withExtensions(new GraftExtensions)
+  *
+  * The same builders back [[GraftSql.registerFunctions]] (per-session
+  * registration); this class is the cluster-deployment path.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** (name, info, builder) for every native function. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vector_dot",
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "vector_dot(a, b)")
+        VectorDot(exprs.head, exprs(1))
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "minhash_signature(hashes, k)")
+        MinHashSignature(exprs.head, intLit(exprs(1), "minhash_signature k"))
+      }),
+    ("shingle_hashes",
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, "shingle_hashes(token_hashes, n)")
+        ShingleHashes(exprs.head, intLit(exprs(1), "shingle_hashes n"))
+      }),
+  )
+}
