@@ -156,15 +156,20 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+      // carry the previous label through the step so convergence is a
+      // filter on the cached step result, not another join
+      val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("old"))
         .cache()
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).limit(1).count()
-      labels = next
-      converged = changed == 0
+      converged = stepped.filter(col("label") =!= col("old")).limit(1).count() == 0
+      val prev = labels
+      labels = stepped.select(col("id"), col("label"))
+      prev.unpersist()
       i += 1
     }
+    edges.unpersist()
     labels
   }
 
