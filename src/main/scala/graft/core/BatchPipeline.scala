@@ -47,6 +47,11 @@ import org.apache.spark.util.LongAccumulator
   *
   * Error isolation (A20): a flush failure never kills the query — the
   * retry loop absorbs it and accounts the drop.
+  *
+  * Pipeline names must be unique per JVM while live: the [[Limiters]]
+  * registry keys on the name (stop() removes the entry), so two
+  * concurrently-running pipelines with one name would share admission
+  * limits.
   */
 final class BatchPipeline[T: Encoder](
     spark: SparkSession,

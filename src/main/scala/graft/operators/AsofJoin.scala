@@ -30,19 +30,19 @@ object AsofJoin {
 
     val leftCols = left.columns.toSeq
     val sideL = left
-      .withColumn("_k", col(leftKey))
-      .withColumn("_t", col(leftTs))
-      .withColumn("_side", lit(1))
+      .withColumn("__graft_k", col(leftKey))
+      .withColumn("__graft_t", col(leftTs))
+      .withColumn("__graft_side", lit(1))
     // right side: null out the left schema, carry payload under _p_ names
     val sideR0 = right.select(
-      (col(rightKey).as("_k") +: col(rightTs).as("_t") +: lit(0).as("_side") +:
-        payload.map(c => col(c).as(s"_p_$c")) ++:
-        tieBreak.map(c => col(c).as(s"_tb_$c"))): _*)
+      (col(rightKey).as("__graft_k") +: col(rightTs).as("__graft_t") +: lit(0).as("__graft_side") +:
+        payload.map(c => col(c).as(s"__graft_p_$c")) ++:
+        tieBreak.map(c => col(c).as(s"__graft_tb_$c"))): _*)
     val withNullPayloadL = payload.foldLeft(sideL) { (df, c) =>
-      df.withColumn(s"_p_$c", lit(null).cast(right.schema(c).dataType))
+      df.withColumn(s"__graft_p_$c", lit(null).cast(right.schema(c).dataType))
     }
     val withTbL = tieBreak.foldLeft(withNullPayloadL) { (df, c) =>
-      df.withColumn(s"_tb_$c", lit(null).cast(right.schema(c).dataType))
+      df.withColumn(s"__graft_tb_$c", lit(null).cast(right.schema(c).dataType))
     }
     val withNullLeftR = leftCols.foldLeft(sideR0) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -50,15 +50,15 @@ object AsofJoin {
     val unioned = withTbL.unionByName(withNullLeftR.select(withTbL.columns.map(col): _*))
 
     val order: Seq[Column] =
-      col("_t") +: col("_side") +: tieBreak.map(c => col(s"_tb_$c"))
-    val w = Window.partitionBy(col("_k")).orderBy(order: _*)
+      col("__graft_t") +: col("__graft_side") +: tieBreak.map(c => col(s"__graft_tb_$c"))
+    val w = Window.partitionBy(col("__graft_k")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_m_$c", last(col(s"_p_$c"), ignoreNulls = true).over(w))
+      df.withColumn(s"__graft_m_$c", last(col(s"__graft_p_$c"), ignoreNulls = true).over(w))
     }
     // inner as-of semantics: left rows with no preceding right row drop
     filled
-      .filter(col("_side") === 1 && col(s"_m_${payload.head}").isNotNull)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"_m_$c").as(s"asof_$c")): _*)
+      .filter(col("__graft_side") === 1 && col(s"__graft_m_${payload.head}").isNotNull)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__graft_m_$c").as(s"asof_$c")): _*)
   }
 }

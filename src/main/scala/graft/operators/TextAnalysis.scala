@@ -89,6 +89,21 @@ object TextAnalysis {
           .as("scrubbed"))
       .orderBy("doc_id")
 
+  /** Within-document repetition (Gopher-style quality rule — public
+    * recipe): fraction of duplicate 3-gram occurrences, 1 − distinct/total.
+    * High values flag boilerplate/spam for pre-training filtering. */
+  def t07Repetition(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), shingles(col("toks"), 3).as("sgl"))
+      .select(col("doc_id"),
+        size(col("sgl")).cast("long").as("n_grams"),
+        when(size(col("sgl")) > 0,
+          round4(lit(1.0) - size(array_distinct(col("sgl"))).cast("double") /
+            size(col("sgl")).cast("double")))
+          .otherwise(lit(0.0)).as("rep_ratio"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -96,6 +111,7 @@ object TextAnalysis {
     "t04_langid"      -> (t04LangId _),
     "t05_fingerprint" -> (t05Fingerprint _),
     "t06_scrub"       -> (t06Scrub _),
+    "t07_repetition"  -> (t07Repetition _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -161,5 +177,22 @@ object TextAnalysis {
          |  CAST(len(regexp_extract_all(dirty, '$EmailRe')) AS BIGINT) AS n_emails,
          |  regexp_replace(regexp_replace(dirty, '$UrlRe', '<URL>', 'g'), '$EmailRe', '<EMAIL>', 'g') AS scrubbed
          |FROM t ORDER BY doc_id""".stripMargin,
+    "t07_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |      ELSE [] END AS sgl
+        |  FROM t)
+        |SELECT doc_id, CAST(len(sgl) AS BIGINT) AS n_grams,
+        |  CASE WHEN len(sgl) > 0
+        |    THEN floor((1.0 - CAST(len(list_distinct(sgl)) AS DOUBLE) / CAST(len(sgl) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+        |    ELSE 0.0 END AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
   )
 }
