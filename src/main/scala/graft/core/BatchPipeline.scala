@@ -49,9 +49,11 @@ import org.apache.spark.util.LongAccumulator
   * retry loop absorbs it and accounts the drop.
   *
   * Pipeline names must be unique per JVM while live: the [[Limiters]]
-  * registry keys on the name (stop() removes the entry), so two
-  * concurrently-running pipelines with one name would share admission
-  * limits.
+  * registry keys on (name, limits), so two concurrently-running
+  * pipelines with the same name AND the same limit configuration would
+  * share admission limits. (Executor JVMs never observe the driver-side
+  * registry cleanup in stop(); the config-qualified key makes stale
+  * entries harmless — see Limiters.)
   */
 final class BatchPipeline[T: Encoder](
     spark: SparkSession,

@@ -46,11 +46,23 @@ final class TokenBucket(ratePerSec: Double) {
 }
 
 /** Per-JVM registry so every task in an executor shares one limiter set
-  * per pipeline (tasks are the "workers"; the semaphore spans them). */
+  * per pipeline (tasks are the "workers"; the semaphore spans them).
+  *
+  * The key includes the limit configuration: executor JVMs never see the
+  * driver-side `remove()` (it runs in `stop()` on the driver only), so a
+  * later pipeline reusing a name with DIFFERENT limits must not pick up
+  * the stale entry. Same name + same limits sharing a drained limiter is
+  * harmless — a stopped pipeline's permits are all released by drain. */
 object Limiters {
   private val registry = new ConcurrentHashMap[String, Limiters]()
+  private def key(name: String, c: Int, tps: Double, ips: Double) = s"$name#$c#$tps#$ips"
   def forPipeline(name: String, maxConcurrency: Int, tps: Double, ips: Double): Limiters =
-    registry.computeIfAbsent(name, _ => new Limiters(maxConcurrency, tps, ips))
-  /** Test hook: drop a pipeline's limiters (fresh semaphore state). */
-  def remove(name: String): Unit = registry.remove(name)
+    registry.computeIfAbsent(key(name, maxConcurrency, tps, ips),
+      _ => new Limiters(maxConcurrency, tps, ips))
+  /** Driver-side cleanup on stop(); executor entries age out by config
+    * keying rather than removal. */
+  def remove(name: String): Unit = {
+    val it = registry.keySet.iterator()
+    while (it.hasNext) { if (it.next().startsWith(name + "#")) it.remove() }
+  }
 }

@@ -16,10 +16,18 @@ import org.apache.spark.sql.functions._
   * exactly a sort-merge join's shape — versus the quadratic blowup of a
   * non-equi range join (BroadcastNestedLoop) on dense keys.
   *
-  * Determinism: right rows sort before left rows at equal timestamps
-  * (inclusive match), and `tieBreak` orders equal-timestamp right rows;
-  * the caller should either provide a unique tie-break or project only
-  * columns that are functionally determined by (key, rightTs).
+  * Correctness notes:
+  *  - the carried value is ONE STRUCT per right row (non-null even when
+  *    every payload field is null), so genuinely-NULL payload values
+  *    survive, fields of different right rows can never mix, and the
+  *    inner-match filter tests "was there a right row at all";
+  *  - NULL keys and NULL timestamps are dropped on both sides first,
+  *    matching join-equality semantics (NULL never equals NULL) — the
+  *    window partition would otherwise group NULL keys together;
+  *  - right rows sort before left rows at equal timestamps (inclusive
+  *    match), and `tieBreak` orders equal-timestamp right rows; provide
+  *    a unique tie-break or project only columns functionally determined
+  *    by (key, rightTs).
   */
 object AsofJoin {
 
@@ -27,20 +35,25 @@ object AsofJoin {
       left: DataFrame, leftTs: String, leftKey: String,
       right: DataFrame, rightTs: String, rightKey: String,
       payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asofJoin requires at least one payload column " +
+      "(for existence-only semantics pass the right key or timestamp)")
 
     val leftCols = left.columns.toSeq
     val sideL = left
+      .filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
       .withColumn("__graft_k", col(leftKey))
       .withColumn("__graft_t", col(leftTs))
       .withColumn("__graft_side", lit(1))
-    // right side: null out the left schema, carry payload under _p_ names
-    val sideR0 = right.select(
-      (col(rightKey).as("__graft_k") +: col(rightTs).as("__graft_t") +: lit(0).as("__graft_side") +:
-        payload.map(c => col(c).as(s"__graft_p_$c")) ++:
-        tieBreak.map(c => col(c).as(s"__graft_tb_$c"))): _*)
-    val withNullPayloadL = payload.foldLeft(sideL) { (df, c) =>
-      df.withColumn(s"__graft_p_$c", lit(null).cast(right.schema(c).dataType))
-    }
+    // right side: one non-null struct carries the whole payload row
+    val payloadStruct = struct(payload.map(col): _*)
+    val sideR0 = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        (col(rightKey).as("__graft_k") +: col(rightTs).as("__graft_t") +:
+          lit(0).as("__graft_side") +: payloadStruct.as("__graft_p") +:
+          tieBreak.map(c => col(c).as(s"__graft_tb_$c"))): _*)
+    val payloadType = sideR0.schema("__graft_p").dataType
+    val withNullPayloadL = sideL.withColumn("__graft_p", lit(null).cast(payloadType))
     val withTbL = tieBreak.foldLeft(withNullPayloadL) { (df, c) =>
       df.withColumn(s"__graft_tb_$c", lit(null).cast(right.schema(c).dataType))
     }
@@ -53,12 +66,14 @@ object AsofJoin {
       col("__graft_t") +: col("__graft_side") +: tieBreak.map(c => col(s"__graft_tb_$c"))
     val w = Window.partitionBy(col("__graft_k")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__graft_m_$c", last(col(s"__graft_p_$c"), ignoreNulls = true).over(w))
-    }
-    // inner as-of semantics: left rows with no preceding right row drop
+    val filled = unioned.withColumn("__graft_m",
+      last(col("__graft_p"), ignoreNulls = true).over(w))
+    // inner as-of semantics: left rows with no preceding right row drop;
+    // the struct is non-null iff some right row preceded, regardless of
+    // null payload field values
     filled
-      .filter(col("__graft_side") === 1 && col(s"__graft_m_${payload.head}").isNotNull)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__graft_m_$c").as(s"asof_$c")): _*)
+      .filter(col("__graft_side") === 1 && col("__graft_m").isNotNull)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__graft_m.$c").as(s"asof_$c")): _*)
   }
 }

@@ -31,6 +31,48 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Map(2L -> 11.0, 3L -> 11.0, 4L -> 12.0, 5L -> 20.0))
   }
 
+  test("NULL payload values survive; fields never mix across right rows") {
+    val quotes = Seq(
+      ("A", ts(1), Some(10.0), Some("x")),
+      ("A", ts(5), None, Some("y")),      // latest row has NULL price
+      ("B", ts(1), Some(20.0), None))
+      .toDF("sym", "qts", "price", "tag")
+    val trades = Seq(("A", ts(9), 1L), ("B", ts(9), 2L)).toDF("sym", "tts", "trade_id")
+    val out = AsofJoin.asofJoin(trades, "tts", "sym", quotes, "qts", "sym",
+      payload = Seq("price", "tag"))
+      .select("trade_id", "asof_price", "asof_tag")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // trade 1 must see the t=5 row AS-IS: NULL price + tag y (no stale 10.0 carried)
+    assert(out(1L) == (None, Some("y")), s"mixed fields: ${out(1L)}")
+    assert(out(2L) == (Some(20.0), None))
+  }
+
+  test("NULL keys and NULL timestamps never match (join-equality semantics)") {
+    val quotes = Seq(
+      (Option.empty[String], Option(ts(1)), 1.0),  // NULL key
+      (Option("A"), Option.empty[java.sql.Timestamp], 2.0), // NULL ts
+      (Option("A"), Option(ts(5)), 3.0))
+      .toDF("sym", "qts", "price")
+    val trades = Seq(
+      (Option.empty[String], Option(ts(9)), 1L), // NULL key left → dropped
+      (Option("A"), Option(ts(2)), 2L),          // precedes the only valid quote → dropped
+      (Option("A"), Option(ts(9)), 3L))          // matches the t=5 quote only
+      .toDF("sym", "tts", "trade_id")
+    val out = AsofJoin.asofJoin(trades, "tts", "sym", quotes, "qts", "sym",
+      payload = Seq("price"))
+      .select("trade_id", "asof_price")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(3L -> 3.0), s"got $out")
+  }
+
+  test("empty payload fails fast with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoin(Seq(("A", ts(1), 1L)).toDF("s", "t", "id"), "t", "s",
+        Seq(("A", ts(0), 1.0)).toDF("s", "t", "p"), "t", "s", payload = Nil)
+    }
+    assert(e.getMessage.contains("payload"))
+  }
+
   test("asof join matches a brute-force computation on the real tables") {
     // epoch-seconds views sidestep the java.time vs java.sql accessor split
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts").limit(200)
