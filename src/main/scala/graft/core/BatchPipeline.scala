@@ -118,22 +118,30 @@ final class BatchPipeline[T: Encoder](
               cfg.name, cfg.maxConcurrency, cfg.maxBatchesPerSecond, cfg.maxItemsPerSecond)
             val flusher = fac.create()
             flusher.open(workerIndex)
+            val log = org.slf4j.LoggerFactory.getLogger("graft.core.BatchPipeline")
             try {
-              it.grouped(cfg.maxBatchSize).foreach { group =>
-                val batch = group.toSeq
+              // A6 size cut + A8 min-batch gate: runs of ≤ maxBatchSize,
+              // with a trailing run below minBatchSize merged into its
+              // predecessor when the sum still fits.
+              BatchPipeline.coalesceSmall(
+                it.grouped(cfg.maxBatchSize).map(_.toSeq),
+                cfg.minBatchSize, cfg.maxBatchSize).foreach { batch =>
                 var attempt = 0
                 var done = false
+                var lastError: Throwable = null
                 while (!done) {
                   limiters.acquireRate(batch.size)   // A13/A14
                   limiters.concurrency.acquire()     // A12
                   val ok =
                     try { flusher.flush(batch, BatchPipeline.ctx(workerIndex, attempt)); true }
-                    catch { case scala.util.control.NonFatal(_) => false }
+                    catch { case scala.util.control.NonFatal(e) => lastError = e; false }
                     finally limiters.concurrency.release()
                   if (ok) {
                     flushed.add(batch.size); nBatches.add(1); done = true
                   } else if (attempt >= cfg.maxRetryCount) {
-                    // A15 exhaustion: discard and warn (v2 Worker.java:290-291)
+                    // A15 exhaustion: discard AND warn (v2 Worker.java:290-291)
+                    log.warn(s"pipeline ${cfg.name}: dropping batch of ${batch.size} " +
+                      s"after ${attempt + 1} attempts", lastError)
                     nDropped.add(batch.size); done = true
                   } else {
                     attempt += 1; nRetries.add(1)
@@ -150,17 +158,30 @@ final class BatchPipeline[T: Encoder](
     this
   }
 
-  /** A10: barrier-flush everything admitted so far. */
+  /** A10: barrier-flush everything admitted so far. Also resynchronizes
+    * the pending counter: after `processAllAvailable` every admitted row
+    * has been processed, so pending is definitionally 0 — this heals any
+    * leak from dropped listener-bus progress events (Spark's
+    * AsyncEventQueue sheds events under load). Concurrent puts during
+    * flush may briefly over-admit; the reference has the same caveat for
+    * its in-band flush. */
   def flush(): Unit = {
     require(state == "STARTED", s"not started: $state")
     query.processAllAvailable()
+    pendingLock.synchronized {
+      pending.set(0)
+      pendingLock.notifyAll()
+    }
   }
 
   /** A17: graceful drain-then-stop. `waitForCompletion=false` ≅ v3's
-    * stop(false): stop the trigger without draining. */
+    * stop(false): stop the trigger without draining. Wakes any producer
+    * blocked in put() — it observes the state change and throws instead
+    * of waiting on capacity that will never free. */
   def stop(waitForCompletion: Boolean = true): Unit = synchronized {
     if (state == "STARTED") {
       state = "STOPPED" // reject new puts first, like the CAS in v1 stop()
+      pendingLock.synchronized { pendingLock.notifyAll() }
       if (waitForCompletion) query.processAllAvailable()
       query.stop()
       query.awaitTermination(config.stopTimeout.toMillis)
@@ -172,19 +193,33 @@ final class BatchPipeline[T: Encoder](
   // ------------------------------------------------------------- admission
 
   private def admit(n: Int, block: Boolean): Boolean = {
-    require(state == "STARTED", s"not started: $state") // ensureStarted
+    if (state != "STARTED") // ensureStarted (v1 DisruptorBatchProcessor.java:304-313)
+      throw new IllegalStateException(s"pipeline ${config.name} not started: $state")
     pendingLock.synchronized {
       while (pending.get() + n > config.maxPendingRows) {
         if (!block) return false
         pendingLock.wait(50)
+        // re-check liveness: stop() wakes us; without this a producer
+        // blocked on capacity during shutdown waits forever (or worse,
+        // adds to a stream nothing will read and reports success)
+        if (state != "STARTED")
+          throw new IllegalStateException(s"pipeline stopped while blocked in put ($state)")
       }
       pending.addAndGet(n)
       true
     }
   }
 
-  /** A1: blocking single put. */
-  def put(t: T): Unit = { admit(1, block = config.blockOnFull); source.addData(t); itemsIn.addAndGet(1) }
+  /** A1: blocking single put; with blockOnFull=false THROWS when full
+    * (v1's blockOnInsufficientCapacity=false semantics — the silent
+    * alternative would overrun the bound and corrupt the pending
+    * counter). Use tryPut for a non-throwing refusal. */
+  def put(t: T): Unit = {
+    if (!admit(1, block = config.blockOnFull))
+      throw new IllegalStateException(s"pipeline ${config.name} buffer full " +
+        s"(${config.maxPendingRows} pending) and blockOnFull=false")
+    source.addData(t); itemsIn.addAndGet(1)
+  }
 
   /** A2: non-blocking single put — false when the buffer is full (the
     * contract v3's tryPut violates by always returning false,
@@ -192,10 +227,13 @@ final class BatchPipeline[T: Encoder](
   def tryPut(t: T): Boolean =
     admit(1, block = false) && { source.addData(t); itemsIn.addAndGet(1); true }
 
-  /** A3: bulk put, chunked at maxBatchSize like v1's put(Collection). */
+  /** A3: bulk put, chunked at maxBatchSize like v1's put(Collection);
+    * throws on a full buffer when blockOnFull=false (see put). */
   def putAll(ts: Seq[T]): Unit =
     ts.grouped(config.maxBatchSize).foreach { chunk =>
-      admit(chunk.size, block = config.blockOnFull)
+      if (!admit(chunk.size, block = config.blockOnFull))
+        throw new IllegalStateException(s"pipeline ${config.name} buffer full " +
+          s"(${config.maxPendingRows} pending) and blockOnFull=false")
       source.addData(chunk)
       itemsIn.addAndGet(chunk.size)
     }
@@ -222,6 +260,27 @@ object BatchPipeline {
     val workerIndex: Int = worker
     val retryCount: Int = attempt
   }
+
+  /** A8 min-batch gate: merge a run smaller than `min` into its
+    * predecessor when the merged size still fits `max`. (Deferring a
+    * small batch to the NEXT trigger would need cross-batch state; the
+    * reference's interval arm flushes it anyway — this only smooths
+    * batch sizes within one micro-batch partition.) */
+  private[graft] def coalesceSmall[T](groups: Iterator[Seq[T]], minSize: Int, maxSize: Int): Iterator[Seq[T]] =
+    new Iterator[Seq[T]] {
+      private var pendingGroup: Seq[T] = null
+      override def hasNext: Boolean = pendingGroup != null || groups.hasNext
+      override def next(): Seq[T] = {
+        var cur = if (pendingGroup != null) { val p = pendingGroup; pendingGroup = null; p }
+                  else groups.next()
+        while (groups.hasNext && pendingGroup == null) {
+          val nxt = groups.next()
+          if (nxt.size < minSize && cur.size + nxt.size <= maxSize) cur = cur ++ nxt
+          else pendingGroup = nxt
+        }
+        cur
+      }
+    }
 
   def apply[T: Encoder](spark: SparkSession, config: PipelineConfig,
       factory: FlusherFactory[T]): BatchPipeline[T] =

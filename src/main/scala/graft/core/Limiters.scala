@@ -28,19 +28,27 @@ final class Limiters(maxConcurrency: Int, tps: Double, ips: Double) {
 
 /** Minimal blocking token bucket (burst capacity = 1 second of rate).
   * rate ≤ 0 disables limiting. `wait(ms)` releases the monitor while
-  * sleeping so producers don't convoy. */
+  * sleeping so producers don't convoy.
+  *
+  * Oversize requests (n > capacity) are granted once the bucket is full
+  * and charged as debt (tokens go negative), so subsequent acquisitions
+  * pay for them — Guava-RateLimiter-style. Without the debt rule, a
+  * request larger than one second of rate (e.g. ips=100 with a
+  * 1024-item batch, or tps<1) could NEVER be satisfied and the worker
+  * would spin in wait() forever. */
 final class TokenBucket(ratePerSec: Double) {
   private var tokens = math.max(ratePerSec, 0.0)
   private var lastNanos = System.nanoTime()
 
   def acquire(n: Double): Unit = if (ratePerSec > 0) synchronized {
+    val need = math.min(n, ratePerSec) // grant at full bucket, charge the rest as debt
     var granted = false
     while (!granted) {
       val now = System.nanoTime()
       tokens = math.min(ratePerSec, tokens + (now - lastNanos) * 1e-9 * ratePerSec)
       lastNanos = now
-      if (tokens >= n) { tokens -= n; granted = true }
-      else wait(math.max(1L, ((n - tokens) / ratePerSec * 1000).toLong))
+      if (tokens >= need) { tokens -= n; granted = true }
+      else wait(math.max(1L, ((need - tokens) / ratePerSec * 1000).toLong))
     }
   }
 }

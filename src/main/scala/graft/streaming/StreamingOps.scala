@@ -17,13 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object StreamingOps {
 
-  /** Tumbling event-time window counts with late-data drop. */
+  /** Tumbling event-time window counts with late-data drop; `valueCol`
+    * is the summed measure (parameterized like the other columns). */
   def tumblingAgg(events: DataFrame, tsCol: String, keyCol: String,
-      window_ : String, watermark: String): DataFrame =
+      window_ : String, watermark: String, valueCol: String = "value"): DataFrame =
     events
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), window_), col(keyCol))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total_value"))
 
   /** Sliding window aggregate. */
   def slidingAgg(events: DataFrame, tsCol: String, keyCol: String,
@@ -41,31 +42,54 @@ object StreamingOps {
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"))
 
-  /** Streaming exact dedup on key columns; the watermark bounds how long
-    * a key is remembered (state GC) — unbounded memory otherwise. */
+  /** Streaming exact dedup on the KEY columns alone: redeliveries of the
+    * same key with a different timestamp (the at-least-once shape) are
+    * dropped too, and the watermark bounds how long a key is remembered
+    * (state GC). `dropDuplicatesWithinWatermark` implements exactly this
+    * contract; plain `dropDuplicates(keys :+ ts)` would let a re-ingested
+    * key with a fresh timestamp through. */
   def dedupStream(events: DataFrame, tsCol: String, watermark: String,
       keys: Seq[String]): DataFrame =
     events
       .withWatermark(tsCol, watermark)
-      .dropDuplicates(keys :+ tsCol)
+      .dropDuplicatesWithinWatermark(keys)
 
   /** Running per-key counters via typed stateful processing — the
     * mapGroupsWithState surface (≅ what the reference's per-worker
-    * mutable buffer state would become on Spark). */
+    * mutable buffer state would become on Spark).
+    *
+    * With `idleTimeout = Some(d)` (the production default), state for
+    * keys idle longer than d is evicted — emitting the final count once
+    * more — so state size tracks the ACTIVE key set, not the all-time
+    * key set: the bound that keeps this viable on a high-cardinality
+    * stream. CAVEAT: a processing-time timeout makes the engine schedule
+    * continuous state-cleanup batches, so `processAllAvailable()` never
+    * returns — drive timeout-enabled queries with a real trigger and
+    * `awaitTermination`, or pass `None` for barrier-style testing. */
   def runningCounts[K: org.apache.spark.sql.Encoder](
-      ds: Dataset[(K, Long)]): Dataset[(K, Long)] = {
-    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+      ds: Dataset[(K, Long)],
+      idleTimeout: Option[String] = Some("1 hour")): Dataset[(K, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     implicit val longEnc: org.apache.spark.sql.Encoder[Long] =
       org.apache.spark.sql.Encoders.scalaLong
     implicit val tupleEnc: org.apache.spark.sql.Encoder[(K, Long)] =
       org.apache.spark.sql.Encoders.tuple(
         implicitly[org.apache.spark.sql.Encoder[K]], longEnc)
+    val timeoutConf = if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+                      else GroupStateTimeout.NoTimeout
     ds.groupByKey(_._1)
-      .mapGroupsWithState[Long, (K, Long)](GroupStateTimeout.NoTimeout) {
+      .mapGroupsWithState[Long, (K, Long)](timeoutConf) {
         (key: K, rows: Iterator[(K, Long)], state: GroupState[Long]) =>
-          val next = state.getOption.getOrElse(0L) + rows.map(_._2).sum
-          state.update(next)
-          (key, next)
+          if (state.hasTimedOut) {
+            val last = state.getOption.getOrElse(0L)
+            state.remove()
+            (key, last)
+          } else {
+            val next = state.getOption.getOrElse(0L) + rows.map(_._2).sum
+            state.update(next)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            (key, next)
+          }
       }
   }
 }

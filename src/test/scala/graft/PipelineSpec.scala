@@ -153,8 +153,49 @@ class PipelineSpec extends SparkSpec {
     val p = pipeline(cfg).start()
     p.put("a")
     p.stop()
-    intercept[IllegalArgumentException] { p.put("b") }
+    intercept[IllegalStateException] { p.put("b") }
     assert(delivered.asScala.toSet == Set("a")) // drained before stop
+  }
+
+  test("put throws on a full buffer when blockOnFull=false (no silent overrun)") {
+    // capacity 0: admission is ALWAYS full, independent of trigger timing
+    val cfg = PipelineConfig(name = freshName(), maxPendingRows = 0,
+      flushInterval = 100.millis, blockOnFull = false)
+    val p = pipeline(cfg).start()
+    val e = intercept[IllegalStateException] { p.put("overflow") }
+    assert(e.getMessage.contains("buffer full"))
+    assert(!p.tryPut("x") && !p.tryPutAll(Seq("y")))
+    assert(p.stat().pending == 0) // counter not corrupted by the refusals
+    p.stop()
+    assert(delivered.isEmpty)
+  }
+
+  test("stop() wakes a producer blocked on capacity (throws, no hang/loss)") {
+    val cfg = PipelineConfig(name = freshName(), maxPendingRows = 0,
+      flushInterval = 100.millis, blockOnFull = true)
+    val p = pipeline(cfg).start()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val blocked = Future(intercept[IllegalStateException] { p.put("x") })
+    Thread.sleep(300) // let it block on (permanently zero) capacity
+    p.stop()
+    val e = Await.result(blocked, 10.seconds)
+    // either blocked-then-woken or raced with the state flip — both must
+    // surface as IllegalStateException, never a hang or silent success
+    assert(e.getMessage.contains("stopped while blocked") || e.getMessage.contains("not started"))
+  }
+
+  test("coalesceSmall merges trailing sub-min runs that fit, never exceeds max") {
+    import graft.core.BatchPipeline.coalesceSmall
+    assert(coalesceSmall(Iterator(Seq(1, 2, 3), Seq(4, 5, 6), Seq(7)), 2, 4).toList ==
+      List(Seq(1, 2, 3), Seq(4, 5, 6, 7)))
+    // full predecessor: small run stays separate rather than exceeding max
+    assert(coalesceSmall(Iterator(Seq(1, 2, 3, 4), Seq(5)), 2, 4).toList ==
+      List(Seq(1, 2, 3, 4), Seq(5)))
+    // big-enough trailing run untouched
+    assert(coalesceSmall(Iterator(Seq(1, 2), Seq(3, 4)), 2, 4).toList ==
+      List(Seq(1, 2), Seq(3, 4)))
+    assert(coalesceSmall(Iterator.empty[Seq[Int]], 2, 4).toList == Nil)
   }
 
   test("single worker preserves arrival order (per-worker FIFO)") {

@@ -69,9 +69,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ks.sorted == Seq(1L, 2L, 3L))
   }
 
+  test("running counts with idle timeout evict state (final count re-emitted)") {
+    val in = MemoryStream[(String, Long)](spark)
+    val out = StreamingOps.runningCounts(in.toDS(), idleTimeout = Some("1 second"))
+    val q = out.writeStream.outputMode(OutputMode.Update).format("memory")
+      .queryName("running_ttl")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("200 milliseconds"))
+      .start()
+    in.addData(("a", 2L))
+    // wait for the idle timeout to fire (cleanup batches run continuously)
+    val deadline = System.currentTimeMillis() + 15000
+    var emissions = 0L
+    while (emissions < 2 && System.currentTimeMillis() < deadline) {
+      Thread.sleep(200)
+      emissions = spark.table("running_ttl").count()
+    }
+    q.stop()
+    // first emission from the data batch, second from the timeout eviction
+    assert(emissions >= 2, s"timeout eviction never re-emitted (got $emissions rows)")
+    val vals = spark.table("running_ttl").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(vals.forall(_ == ("a", 2L)))
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val in = MemoryStream[(String, Long)](spark)
-    val out = StreamingOps.runningCounts(in.toDS())
+    val out = StreamingOps.runningCounts(in.toDS(), idleTimeout = None)
     val q = out.writeStream.outputMode(OutputMode.Update).format("memory")
       .queryName("running").start()
     in.addData(("a", 2L), ("b", 1L))
