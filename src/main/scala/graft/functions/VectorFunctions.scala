@@ -44,10 +44,15 @@ object VectorFunctions {
   /** Unit-normalize a vector (pre-normalizing a corpus turns cosine
     * top-k into dot-product top-k — one multiply-add per element at
     * query time instead of three). Zero vectors pass through unchanged.
-    * `v` must be an attribute (referenced inside the lambda). */
+    * The norm is broadcast to element positions via array_repeat — an
+    * HoF ARGUMENT, evaluated once — rather than referenced inside the
+    * lambda, which would recompute the full dot product per element
+    * (O(d²) per row; see the TextFunctions performance contract). */
   def normalize(v: Column): Column = {
     val n = l2Norm(v)
-    when(n > 0.0, transform(v, x => (x / n).cast("float"))).otherwise(v)
+    when(n > 0.0,
+      zip_with(v, array_repeat(n, size(v)), (x, m) => (x / m).cast("float")))
+      .otherwise(v)
   }
 
   /** Scalar int8 quantization: clamp(round(x/scale), -127, 127) — the

@@ -142,13 +142,20 @@ object Dedup {
     * shuffle; no driver-side graph state, so this scales with edges.
     */
   def clusterLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
-    // undirected edge list incl. self-loops so singletons keep their id
+    // undirected edge list; only docs that appear in some pair enter the
+    // label table — true singletons are handled downstream (d05 keeps
+    // them via the anti join), not here
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+    // unpersist must target the CACHED dataset handle: labels is a
+    // Project over it, and Dataset.unpersist matches by plan, so
+    // unpersisting the projection would silently leak every iteration's
+    // cache for the session lifetime
+    var prevStepped: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -164,10 +171,15 @@ object Dedup {
           col("label").as("old"))
         .cache()
       converged = stepped.filter(col("label") =!= col("old")).limit(1).count() == 0
-      val prev = labels
+      if (prevStepped != null) prevStepped.unpersist()
+      prevStepped = stepped
       labels = stepped.select(col("id"), col("label"))
-      prev.unpersist()
       i += 1
+    }
+    if (!converged) {
+      org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
+        s"clusterLabels stopped at maxIters=$maxIters before convergence — " +
+          "labels of components wider than maxIters hops are non-canonical")
     }
     edges.unpersist()
     labels

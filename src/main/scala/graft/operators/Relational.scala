@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.ExactRound.round4
+import graft.functions.ExactRound.{round2, round4}
 
 /** Relational operator surface (SURVEY.md §2 Part B).
   *
@@ -40,18 +40,10 @@ import graft.functions.ExactRound.round4
   */
 object Relational {
 
-  private def ts(s: String): Column = lit(java.sql.Timestamp.valueOf(s))
-
-  /** Cross-engine-exact 2-decimal rounding for PER-ROW arithmetic.
-    * Spark's `round()` goes through BigDecimal(double.toString) (decimal
-    * HALF_UP), DuckDB rounds the binary double — on values whose decimal
-    * expansion lands on x.xx5 (common for price*(1-disc) products) the two
-    * disagree by one cent. `floor(x*100 + 0.5)/100` is the same IEEE op
-    * sequence in both engines, so given identical inputs the outputs are
-    * bit-identical. (Aggregate outputs keep plain `round`: their inputs
-    * already differ in final ulps between engines, and sums land on exact
-    * boundaries rarely.) Non-negative inputs only. */
-  private def round2(c: Column): Column = floor(c * 100.0 + 0.5) / 100.0
+  /** Timestamp literal parsed in the SESSION timezone (UTC): a
+    * java.sql.Timestamp.valueOf literal would parse in the JVM default
+    * zone and silently shift every date cutoff on a non-UTC driver. */
+  private def ts(s: String): Column = lit(s).cast("timestamp")
 
   /** Q1-style pricing summary: scan → pushed filter → hash agg (partial+final). */
   def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
@@ -245,12 +237,14 @@ object Relational {
       .orderBy("l_suppkey")
 
   /** Scalar subquery: orders 50% above the global average price. The
-    * 1-row aggregate is broadcast, so the fact side streams. */
+    * 1-row aggregate is broadcast, so the fact side streams. The
+    * threshold is floor-rounded to cents so cross-engine ulp noise in
+    * the average cannot flip boundary rows (file-header convention). */
   def q19SubqueryAvg(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
     val a = o.agg(avg(col("o_totalprice")).as("avg_price"))
     o.join(broadcast(a))
-      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .filter(col("o_totalprice") > round2(col("avg_price") * 1.5))
       .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .orderBy("o_orderkey")
   }
@@ -572,7 +566,7 @@ object Relational {
         |ORDER BY l_suppkey""".stripMargin,
     "q19_subquery_avg" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders) * 1.5
+        |WHERE o_totalprice > floor((SELECT avg(o_totalprice) FROM orders) * 1.5 * 100.0 + 0.5) / 100.0
         |ORDER BY o_orderkey""".stripMargin,
     "q20_events_tumbling" ->
       """SELECT epoch_ms(date_trunc('hour', ts)) AS bucket_ms, event_type,
