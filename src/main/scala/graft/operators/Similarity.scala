@@ -51,16 +51,39 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** One deterministic Lloyd (k-means) refinement pass: assign every
+    * corpus vector to its nearest centroid, recompute each centroid as
+    * the elementwise mean of its cell — computed distributively
+    * (posexplode → groupBy(cell, position) → avg → re-assembled in
+    * position order), so no vector data ever reaches the driver. Tighter
+    * centroids → tighter cells → higher recall at the same nprobe. */
+  private def refine(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val assigned = corpus.join(broadcast(cents))
+      .select(col("vec_id"), col("emb"), col("cent_id"),
+        l2Sq(col("emb"), col("ce")).as("d2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
+      .filter(col("rn") === 1)
+    assigned
+      .select(col("cent_id"), posexplode(col("emb")))
+      .toDF("cent_id", "pos", "v")
+      .groupBy(col("cent_id"), col("pos"))
+      .agg(avg(col("v")).as("m"))
+      .groupBy(col("cent_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cent_id"), expr("transform(pm, x -> x.m)").as("ce"))
+  }
+
   /** IVF-routed approximate top-5: same queries/corpus split as s01 so
     * SimilaritySpec can measure recall against the exact baseline. */
   def s02AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
     val corpus = e.filter(col("vec_id") >= 10)
-    // Deterministic centroid seeds: the NCentroids lowest corpus ids.
-    // (A k-means refinement pass would also be deterministic; seeds are
-    // enough to demonstrate and test the routing topology.)
-    val cents = corpus.orderBy("vec_id").limit(NCentroids)
+    // Deterministic centroid seeds (the NCentroids lowest corpus ids),
+    // tightened by one Lloyd pass.
+    val seeds = corpus.orderBy("vec_id").limit(NCentroids)
       .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val cents = refine(corpus, seeds)
     // One broadcast join assigns every corpus vector to its nearest cell.
     val assigned = corpus.join(broadcast(cents))
       .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"),

@@ -22,7 +22,9 @@ class SimilaritySpec extends SparkSpec {
     val e = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
     val a = approx.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (e & a).size.toDouble / e.size
-    assert(recall >= 0.5, s"recall@5=$recall")
+    // measured 0.78 at sf0.001 / 0.62 at sf0.1 with one Lloyd pass,
+    // probing 6 of 16 cells over near-random embeddings
+    assert(recall >= 0.6, s"recall@5=$recall")
   }
 
   test("IVF never returns a better-than-exact neighbor (sanity)") {
