@@ -1,0 +1,43 @@
+package graft
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+/** 10x scale smoke: replicate sf0.1 lineitem/orders to ~6M/1.5M rows in
+  * /tmp with shifted keys, run the heaviest relational plans, and report
+  * per-query seconds for comparison against the sf0.1 numbers. */
+object ScaleSmoke {
+  def main(a: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/sf1x"
+    val reps = spark.range(10).toDF("rep")
+    def amplify(name: String, keyCols: Seq[String], keySpan: Long): Unit = {
+      val t = Tables(spark, base, name)
+      val amplified = t.crossJoin(broadcast(reps))
+        .select(t.columns.map {
+          case c if keyCols.contains(c) => (col(c) + col("rep") * keySpan).as(c)
+          case c => col(c)
+        }: _*)
+      amplified.write.mode("overwrite").parquet(s"$out/$name.parquet")
+    }
+    amplify("lineitem", Seq("l_orderkey"), 10000000L)
+    amplify("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
+    amplify("customer", Seq("c_custkey"), 10000000L)
+    // tiny dims copied as-is
+    Seq("region", "nation", "supplier", "part").foreach { n =>
+      Tables(spark, base, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
+    }
+    println(s"ROWS lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()}")
+    Seq("q01_pricing_summary", "q02_filter_project", "q04_multijoin_region",
+        "q08_window_topn", "q09_window_running", "q16_case_arith", "q27_array_agg").foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
+      println(f"SCALE10 $n ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
