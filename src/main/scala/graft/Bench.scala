@@ -26,19 +26,26 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosFlag, "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def execute(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
+      } finally {
+        // release query-scoped caches (timed value is computed before the
+        // finally) so timings are independent — no cross-query cache hits
+        // — and cached plans don't accumulate over the session
+        spark.catalog.clearCache()
       }
-      (System.nanoTime() - t0) / 1e9
     }
 
     val names = SparkEntry.queries.keys.toSeq.sorted

@@ -28,17 +28,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** The events table stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's vectorized reader rejects outright. Read it as a long
-    * (`nanosAsLong`) and rebuild a proper TimestampType column via
-    * truncating integer division to micros — same ns→us truncation DuckDB
-    * applies internally, so oracle comparisons stay exact.
+  /** Config every graft session must carry at CONSTRUCTION time: the
+    * events table stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects outright, so it is read as a raw long.
+    * Setting this inside `events()` would be a hidden global side effect
+    * (it changes nanos handling for every later parquet read in the
+    * session) — all graft builders (Verify/Bench/Plans/ScaleSmoke and the
+    * test harness) pass it explicitly instead. */
+  val nanosFlag = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** Rebuild a proper TimestampType column from the nanos-as-long read
+    * via FLOOR division to micros — `pmod` keeps the remainder
+    * non-negative, so pre-epoch (negative) nanos round toward -∞ exactly
+    * like DuckDB's ns→us conversion; plain `div` would truncate toward
+    * zero and diverge on pre-1970 timestamps.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption(nanosFlag).contains("true"),
+      s"events.parquet is TIMESTAMP(NANOS): build the session with " +
+        s".config(\"$nanosFlag\", \"true\") (see graft.Verify)")
     raw(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+        org.apache.spark.sql.functions.expr("(ts - pmod(ts, 1000)) div 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

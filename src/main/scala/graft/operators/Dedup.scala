@@ -26,6 +26,12 @@ import graft.functions.VectorFunctions
   * Jaccard 0.9 is 1-(1-0.9⁴)³² ≈ 1-1.5e-15, so against this data (all
   * true pairs have J ≥ 0.9, verified) LSH output ≡ exact output and the
   * DuckDB exact-Jaccard oracle is a fair hash-match.
+  *
+  * Cache lifecycle: the `.cache()` handles below are QUERY-scoped (a
+  * stage read 2-3 times within one query). They are keyed by plan in the
+  * session CacheManager, so long-lived sessions running many queries
+  * must release them — graft drivers (Verify, Bench) call
+  * `spark.catalog.clearCache()` after materializing each query.
   */
 object Dedup {
 
@@ -145,17 +151,22 @@ object Dedup {
     // undirected edge list; only docs that appear in some pair enter the
     // label table — true singletons are handled downstream (d05 keeps
     // them via the anti join), not here
+    // localCheckpoint (eager) instead of cache(): it MATERIALIZES the
+    // result AND truncates the logical plan to a flat LogicalRDD, so (a)
+    // per-iteration Catalyst analysis stays O(1) instead of re-analyzing
+    // an ever-growing join chain, and (b) nothing is registered in the
+    // session CacheManager — the backing blocks are GC-cleaned by the
+    // ContextCleaner once the iteration's Dataset is unreachable, so
+    // running many queries in one session cannot accumulate caches
+    // (round-1 ADVICE). On a multi-node cluster swap localCheckpoint for
+    // reliable `checkpoint` (set spark.checkpoint.dir) — local blocks
+    // don't survive executor loss.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
-      .cache()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-    // unpersist must target the CACHED dataset handle: labels is a
-    // Project over it, and Dataset.unpersist matches by plan, so
-    // unpersisting the projection would silently leak every iteration's
-    // cache for the session lifetime
-    var prevStepped: DataFrame = null
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
@@ -164,15 +175,13 @@ object Dedup {
         .groupBy(col("src").as("id2"))
         .agg(min(col("label")).as("nlabel"))
       // carry the previous label through the step so convergence is a
-      // filter on the cached step result, not another join
+      // filter on the checkpointed step result, not another join
       val stepped = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("old"))
-        .cache()
+        .localCheckpoint(true)
       converged = stepped.filter(col("label") =!= col("old")).limit(1).count() == 0
-      if (prevStepped != null) prevStepped.unpersist()
-      prevStepped = stepped
       labels = stepped.select(col("id"), col("label"))
       i += 1
     }
@@ -181,7 +190,6 @@ object Dedup {
         s"clusterLabels stopped at maxIters=$maxIters before convergence — " +
           "labels of components wider than maxIters hops are non-canonical")
     }
-    edges.unpersist()
     labels
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -20,10 +20,15 @@ import graft.functions.VectorFunctions._
   *
   * s02 is the scale path: IVF (inverted-file) routing — Jégou et al.,
   * "Product Quantization for Nearest Neighbor Search" (public paper) —
-  * with deterministic centroid seeds. Corpus vectors are assigned to
-  * their nearest centroid once (one broadcast join against ~16 rows);
-  * queries probe the nprobe closest cells, so each query scans only
-  * ~nprobe/ncentroids of the corpus.
+  * with deterministic centroid seeds tightened by one Lloyd pass. The
+  * centroid table is materialized ONCE on the driver (O(k·d) bytes,
+  * independent of corpus size — the same driver-side footprint MLlib
+  * KMeans accepts), so every downstream use sees bit-identical centroid
+  * values: recomputing the avg() plan per consumer risked float
+  * summation-order drift flipping near-equidistant cell assignments.
+  * With centroids as literals, cell assignment is a per-row argmin that
+  * stays inside whole-stage codegen — zero joins, zero shuffles for the
+  * corpus; each query then scans only ~nprobe/ncentroids of the corpus.
   */
 object Similarity {
 
@@ -51,59 +56,69 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Squared L2 distance from `emb` to each centroid literal, as an
+    * array column (index = cell id). VectorDot against a literal is
+    * native codegen; the constant |c|² term folds at optimization time. */
+  private def d2Array(emb: Column, cents: Seq[Array[Double]]): Column =
+    array(cents.map(c => l2Sq(emb, typedLit(c.toSeq))): _*)
+
+  /** Per-row nearest-cell assignment: staged d² array +
+    * array_position(array_min). The staged column is referenced twice,
+    * so CollapseProject cannot inline (and so re-evaluate) it. Purely
+    * map-side — the route a 100 TB corpus must take, since any
+    * join/window formulation shuffles ncentroids × corpus rows. */
+  private def withCell(df: DataFrame, cents: Seq[Array[Double]]): DataFrame =
+    df.withColumn("d2s", d2Array(col("emb"), cents))
+      .withColumn("cell", (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
+      .drop("d2s")
+
   /** One deterministic Lloyd (k-means) refinement pass: assign every
-    * corpus vector to its nearest centroid, recompute each centroid as
-    * the elementwise mean of its cell — computed distributively
-    * (posexplode → groupBy(cell, position) → avg → re-assembled in
-    * position order), so no vector data ever reaches the driver. Tighter
-    * centroids → tighter cells → higher recall at the same nprobe. */
-  private def refine(corpus: DataFrame, cents: DataFrame): DataFrame = {
-    val assigned = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("cent_id"),
-        l2Sq(col("emb"), col("ce")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
-      .filter(col("rn") === 1)
-    assigned
-      .select(col("cent_id"), posexplode(col("emb")))
-      .toDF("cent_id", "pos", "v")
-      .groupBy(col("cent_id"), col("pos"))
+    * corpus vector to its nearest seed, recompute each centroid as the
+    * elementwise mean of its cell — computed distributively (posexplode
+    * → groupBy(cell, position) → avg → re-assembled in position order),
+    * so only the k×d mean table ever reaches the driver. Empty cells
+    * keep their seed. Tighter centroids → tighter cells → higher recall
+    * at the same nprobe. */
+  private def refine(corpus: DataFrame, seeds: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val means = withCell(corpus, seeds)
+      .select(col("cell"), posexplode(col("emb")))
+      .toDF("cell", "pos", "v")
+      .groupBy(col("cell"), col("pos"))
       .agg(avg(col("v")).as("m"))
-      .groupBy(col("cent_id"))
+      .groupBy(col("cell"))
       .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("cent_id"), expr("transform(pm, x -> x.m)").as("ce"))
+      .select(col("cell"), expr("transform(pm, x -> x.m)").as("ce"))
+    val got: Map[Int, Array[Double]] = means.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+    seeds.indices.map(i => got.getOrElse(i, seeds(i)))
   }
 
   /** IVF-routed approximate top-5: same queries/corpus split as s01 so
-    * SimilaritySpec can measure recall against the exact baseline. */
+    * SimilaritySpec can measure recall against the exact baseline.
+    * Cell ids are seed ranks (seeds = the NCentroids lowest corpus ids),
+    * and argmin ties resolve to the lowest cell id — the same tie-break
+    * the previous join+window formulation used. */
   def s02AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
     val corpus = e.filter(col("vec_id") >= 10)
-    // Deterministic centroid seeds (the NCentroids lowest corpus ids),
-    // tightened by one Lloyd pass.
-    val seeds = corpus.orderBy("vec_id").limit(NCentroids)
-      .select(col("vec_id").as("cent_id"), col("emb").as("ce"))
+    val seeds: Seq[Array[Double]] = corpus.orderBy("vec_id").limit(NCentroids)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val cents = refine(corpus, seeds)
-    // One broadcast join assigns every corpus vector to its nearest cell.
-    val assigned = corpus.join(broadcast(cents))
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"),
-        l2Sq(col("emb"), col("ce")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cent_id"))))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("emb"), col("nrm"), col("cent_id"))
-    // Queries probe their NProbe nearest cells.
+    val assigned = withCell(corpus, cents)
+    // Queries probe their NProbe nearest cells: sort (d², cell) structs
+    // (struct order = d² asc, cell asc), take the first NProbe cells.
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
-    val probes = q.join(broadcast(cents))
-      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"),
-        l2Sq(col("qe"), col("ce")).as("d2"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("d2"), col("cent_id"))))
-      .filter(col("rn") <= NProbe)
-      .select(col("query_id"), col("qe"), col("qn"), col("cent_id"))
-    // Candidate set = corpus vectors in probed cells only.
-    val sims = assigned.join(broadcast(probes), Seq("cent_id"))
+    val d2c = array(cents.zipWithIndex.map { case (c, i) =>
+      struct(l2Sq(col("qe"), typedLit(c.toSeq)).as("d2"), lit(i).as("cell"))
+    }: _*)
+    val probes = q
+      .withColumn("cell",
+        explode(slice(transform(array_sort(d2c), x => x("cell")), 1, NProbe)))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+    // Candidate set = corpus vectors in probed cells only; probes are
+    // |queries| × nprobe rows — always broadcastable.
+    val sims = assigned.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
     val w = Window.partitionBy(col("query_id"))
