@@ -121,6 +121,15 @@ object TextFunctions {
       lit(0L), (acc, x) => acc + x)
   }
 
+  /** Native 64-bit SimHash straight from a token-hash array — see
+    * [[graft.plans.SimHash64]]. Bit-identical to
+    * `simhashFromCounts(simhashCounts(hashes))`, which stays as the
+    * reference formulation for the parity spec. */
+  def simhash64Native(hashes: Column): Column =
+    org.apache.spark.sql.graft.bridge.column(
+      graft.plans.SimHash64(
+        org.apache.spark.sql.graft.bridge.expression(hashes)))
+
   /** Hamming distance between two 64-bit SimHashes. */
   def hamming64(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b)).cast("long")

@@ -76,13 +76,13 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: band-blocked, hamming-verified ≤ 8.
-    * SimHash is computed in three staged projections (hashes → vote
-    * counts → fold) so the 64-slot fold reads attributes. */
+    * SimHash is the native codegen [[graft.plans.SimHash64]] (the staged
+    * HoF formulation it replaced was interpreted — three boxed
+    * 64-element arrays per token per row). */
   def d02SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
-      .select(col("doc_id"), simhashCounts(col("th")).as("counts"))
-      .select(col("doc_id"), simhashFromCounts(col("counts")).as("sim"))
+      .select(col("doc_id"), simhash64Native(col("th")).as("sim"))
       .cache()
     val bands = docs.select(col("doc_id"), col("sim"),
       explode(simhashBands(col("sim"))).as("band"))

@@ -421,6 +421,95 @@ object Relational {
       .orderBy("band")
   }
 
+  /** GROUPING SETS beyond rollup/cube: an explicit 4-set lattice with
+    * grouping_id disambiguating aggregated-away NULLs from data NULLs.
+    * SQL-frontend path (temp view + spark.sql) — the same Catalyst
+    * Expand-based plan rollup/cube lower to. */
+  def q35GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q35_orders")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+             CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+             round(sum(o_totalprice), 2) AS revenue,
+             count(1) AS n
+      FROM graft_q35_orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")
+  }
+
+  /** Gap-based sessionization (30-min inactivity) — the classic
+    * clickstream operator: lag → new-session flag → running sum =
+    * session id → per-session aggregate. One shuffle total: both window
+    * passes and the final group share the user_id partitioning. */
+  def q36Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("prev", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev")) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_millis(min(col("ts"))).as("start_ms"),
+        unix_millis(max(col("ts"))).as("end_ms"))
+      .orderBy("user_id", "sess_no")
+  }
+
+  /** Theta join: equi key + non-equi residual (shipped >60 days after
+    * order date). Catalyst plans the equi part as the join key and the
+    * band as a post-join filter — no nested loop. */
+  def q37ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("ship_d"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("ord_d"), col("o_orderpriority"))
+    li.join(o, li("l_orderkey") === o("o_orderkey") &&
+        col("ship_d") > date_add(col("ord_d"), 60))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_late"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Lateral/table-generator surface: posexplode with 1-based ordinals,
+    * filtered AFTER ordinal assignment so positions reflect the source
+    * sequence. */
+  def q38UnnestPos(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions.tokens(col("text"))))
+      .toDF("doc_id", "pos", "tok")
+      .filter(length(col("tok")) > 3)
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"), col("tok"))
+      .orderBy("doc_id", "pos")
+
+  /** Conditional aggregation (FILTER-clause semantics): count/sum/avg
+    * over predicated subsets in one pass — no self-joins. */
+  def q39CondAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(when(col("o_totalprice") > 200000.0, 1)).as("n_big"),
+        round(coalesce(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), lit(0.0)), 2).as("rev_f"),
+        round4(coalesce(avg(when(col("o_orderstatus") === "O", col("o_totalprice"))), lit(0.0))).as("avg_o"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** Ordered string aggregation (LISTAGG ... WITHIN GROUP — Spark 4
+    * native; DuckDB's string_agg ORDER BY is the oracle). */
+  def q40Listagg(s: SparkSession, dir: String): DataFrame = {
+    Tables.supplier(s, dir).createOrReplaceTempView("graft_q40_supplier")
+    s.sql("""
+      SELECT s_nationkey,
+             listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name) AS names,
+             count(1) AS n
+      FROM graft_q40_supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -457,6 +546,12 @@ object Relational {
     "q32_date_arith"      -> (q32DateArith _),
     "q33_approx_distinct" -> (q33ApproxDistinct _),
     "q34_band_join"       -> (q34BandJoin _),
+    "q35_grouping_sets"   -> (q35GroupingSets _),
+    "q36_sessionize"      -> (q36Sessionize _),
+    "q37_theta_join"      -> (q37ThetaJoin _),
+    "q38_unnest_pos"      -> (q38UnnestPos _),
+    "q39_cond_agg"        -> (q39CondAgg _),
+    "q40_listagg"         -> (q40Listagg _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -650,5 +745,60 @@ object Relational {
         |  AS bands(band, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY band ORDER BY band""".stripMargin,
+    "q35_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        | CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        | round(sum(o_totalprice), 2) AS revenue,
+        | count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+        |                        (o_orderstatus), (o_orderpriority), ())
+        |ORDER BY gid, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q36_sessionize" ->
+      """WITH l AS (
+        |  SELECT user_id, event_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |n AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |      THEN 1 ELSE 0 END AS nw
+        |  FROM l),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_no
+        |  FROM n)
+        |SELECT user_id, sess_no, count(*) AS n_events,
+        |  CAST(epoch_ms(min(ts)) AS BIGINT) AS start_ms,
+        |  CAST(epoch_ms(max(ts)) AS BIGINT) AS end_ms
+        |FROM s GROUP BY user_id, sess_no ORDER BY user_id, sess_no""".stripMargin,
+    "q37_theta_join" ->
+      """SELECT o_orderpriority, count(*) AS n_late
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND CAST(l_shipdate AS DATE) > CAST(o_orderdate AS DATE) + 60
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q38_unnest_pos" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents WHERE doc_id < 50),
+        |u AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS tok
+        |  FROM t)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+        |FROM u WHERE len(tok) > 3 ORDER BY doc_id, pos""".stripMargin,
+    "q39_cond_agg" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_totalprice > 200000.0) AS n_big,
+        | round(coalesce(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 0.0), 2) AS rev_f,
+        | floor(coalesce(avg(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 0.0) * 10000.0 + 0.5) / 10000.0 AS avg_o,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q40_listagg" ->
+      """SELECT s_nationkey,
+        | string_agg(s_name, ',' ORDER BY s_name) AS names,
+        | count(*) AS n
+        |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
   )
 }

@@ -104,6 +104,39 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** Corpus-level n-gram frequency: bigrams occurring ≥ 10 times.
+    * Explode → hash agg: the corpus-wide shuffle carries only
+    * (bigram, partial-count) pairs thanks to map-side combine. */
+  def t08NgramFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(shingles(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .orderBy(col("n").desc, col("bigram"))
+
+  /** Char-level Shannon entropy per document over the lower-cased
+    * ascii-letter histogram (letters only, so code-unit vs grapheme
+    * segmentation can never diverge cross-engine). Low entropy flags
+    * degenerate/boilerplate docs. H = ln N − Σ c·ln c ⁄ N, computed as
+    * a two-level hash aggregate — no per-row state, scales per letter.
+    * Docs with zero ascii letters (e.g. pure CJK) drop out — both
+    * engines agree. */
+  def t09CharEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(split(regexp_replace(lower(col("text")), "[^a-z]", ""), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        round4(log(sum(col("cnt"))) - sum(col("cnt") * log(col("cnt"))) / sum(col("cnt")))
+          .as("entropy"),
+        sum(col("cnt")).cast("long").as("n_letters"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -112,6 +145,8 @@ object TextAnalysis {
     "t05_fingerprint" -> (t05Fingerprint _),
     "t06_scrub"       -> (t06Scrub _),
     "t07_repetition"  -> (t07Repetition _),
+    "t08_ngram_freq"  -> (t08NgramFreq _),
+    "t09_char_entropy" -> (t09CharEntropy _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -194,5 +229,29 @@ object TextAnalysis {
         |    THEN floor((1.0 - CAST(len(list_distinct(sgl)) AS DOUBLE) / CAST(len(sgl) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
         |    ELSE 0.0 END AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    "t08_ngram_freq" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2
+        |    THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END) AS bigram
+        |  FROM t)
+        |SELECT bigram, count(*) AS n FROM g
+        |GROUP BY bigram HAVING count(*) >= 10
+        |ORDER BY n DESC, bigram""".stripMargin,
+    "t09_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(regexp_replace(lower(text), '[^a-z]', '', 'g'), '')) AS ch
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM c WHERE len(ch) > 0 GROUP BY doc_id, ch)
+        |SELECT doc_id,
+        |  floor((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)) * 10000.0 + 0.5) / 10000.0 AS entropy,
+        |  CAST(sum(cnt) AS BIGINT) AS n_letters
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -48,6 +48,24 @@ class ExpressionParitySpec extends SparkSpec {
     assert(gen(2) == List.fill(32)(Long.MaxValue)) // empty-doc convention
   }
 
+  test("SimHash64: codegen == interpreted == staged HoF formulation") {
+    val data = Seq(Seq(1L, 2L, 3L, -9L), Seq(42L), Seq.empty[Long])
+    val (gen, interp) = bothModes {
+      data.toDF("th")
+        .select(TextFunctions.simhash64Native($"th").as("sim"))
+        .collect().map(_.getLong(0)).toList
+    }
+    assert(gen == interp)
+    assert(gen(2) == 0L) // empty-doc convention: no bits set
+    // the native expression must be bit-identical to the composed
+    // reference formulation it replaced in d02
+    val hof = data.toDF("th")
+      .select(TextFunctions.simhashFromCounts(
+        TextFunctions.simhashCounts($"th")).as("sim"))
+      .collect().map(_.getLong(0)).toList
+    assert(gen == hof)
+  }
+
   test("ShingleHashes: codegen == interpreted (incl. short input)") {
     val (gen, interp) = bothModes {
       Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(1L, 2L), Seq.empty[Long]).toDF("th")
