@@ -510,6 +510,36 @@ object Relational {
       FROM graft_q40_supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
   }
 
+  /** Window-function battery #2: ranking distributions (ntile,
+    * percent_rank, cume_dist), value lookups (first/nth), a rows-frame
+    * moving average and a value-RANGE frame. Tie-safety: ranking and
+    * lookup windows carry a full-column tie-break; the range frame is
+    * keyed on the value itself, so ties share one frame in both
+    * engines. */
+  def q41WindowFrames(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") <= 10000)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_extendedprice"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        round4(percent_rank().over(w)).as("pr"),
+        round4(cume_dist().over(w)).as("cd"),
+        first_value(col("l_extendedprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cheapest"),
+        nth_value(col("l_extendedprice"), 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_cheapest"),
+        round2(avg(col("l_extendedprice")).over(w.rowsBetween(-3, 0))).as("mov_avg4"))
+      .withColumn("near_sum", expr(
+        "floor(sum(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice " +
+          "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0"))
+      // (l_orderkey, l_linenumber) is NOT unique in lineitem — the output
+      // sort must be total over every column or row order is undefined
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
+        "quartile", "mov_avg4", "near_sum")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -552,6 +582,7 @@ object Relational {
     "q38_unnest_pos"      -> (q38UnnestPos _),
     "q39_cond_agg"        -> (q39CondAgg _),
     "q40_listagg"         -> (q40Listagg _),
+    "q41_window_frames"   -> (q41WindowFrames _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -800,5 +831,20 @@ object Relational {
         | string_agg(s_name, ',' ORDER BY s_name) AS names,
         | count(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "q41_window_frames" ->
+      """WITH t AS (SELECT * FROM lineitem WHERE l_orderkey <= 10000)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pr,
+        | floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cd,
+        | first_value(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest,
+        | nth_value(l_extendedprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cheapest,
+        | floor(avg(l_extendedprice) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS mov_avg4,
+        | floor(sum(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS near_sum
+        |FROM t
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |  quartile, mov_avg4, near_sum""".stripMargin,
   )
 }

@@ -128,9 +128,76 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ------------------------------------------------------------ SRP-LSH ANN
+
+  private val SrpBits = 128 // two 64-bit words: estimate noise ∝ 1/√bits
+  private val SrpCandidates = 96
+
+  /** Deterministic Rademacher hyperplanes for sign-random-projection
+    * (Charikar, STOC'02 — public): component d of plane b is ±1 from a
+    * bit of xxhash64. Driver-side O(bits·dim) literals, like the IVF
+    * centroids. */
+  private def srpPlanes(dim: Int): Seq[Array[Double]] =
+    (0 until SrpBits).map { b =>
+      Array.tabulate(dim) { d =>
+        if ((org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashLong((b.toLong * 4099) + d, 42L) & 1L) == 1L) 1.0 else -1.0
+      }
+    }
+
+  /** One 64-bit word of the SRP signature: bit b = sign(emb · plane_b).
+    * All dots are the native codegen VectorDot; disjoint bit masks
+    * combine with bitwise OR (a sum would overflow the sign bit under
+    * ANSI mode). */
+  private def srpSigWord(emb: Column, planes: Seq[Array[Double]], word: Int): Column =
+    planes.slice(word * 64, (word + 1) * 64).zipWithIndex.map { case (p, b) =>
+      when(dot(emb, typedLit(p.toSeq)) > 0.0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+
+  /** SRP-LSH approximate top-5 — the hamming-space scale path
+    * complementing s02's IVF: rank the corpus per query by signature
+    * hamming distance (narrow (vec_id, sig) rows only — at 100 TB the
+    * signature table is the only thing scanned per query), take the
+    * closest SrpCandidates, then exact-rerank just those. Both the
+    * candidate table and the query table stay broadcastable, so the
+    * full-width corpus never shuffles. Rows-only check; SimilaritySpec
+    * measures recall@5 against the exact s01 baseline. */
+  def s03AnnSrp(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val dim = e.select(size(col("emb")).as("d")).head().getInt(0)
+    val planes = srpPlanes(dim)
+    val sigged = e
+      .withColumn("sig0", srpSigWord(col("emb"), planes, 0))
+      .withColumn("sig1", srpSigWord(col("emb"), planes, 1))
+    val corpus = sigged.filter(col("vec_id") >= 10)
+    val q = sigged.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),
+        col("sig0").as("qsig0"), col("sig1").as("qsig1"))
+    val cand = corpus.select(col("vec_id"), col("sig0"), col("sig1"))
+      .join(broadcast(q.select(col("query_id"), col("qsig0"), col("qsig1"))))
+      .select(col("query_id"), col("vec_id"),
+        (graft.functions.TextFunctions.hamming64(col("sig0"), col("qsig0")) +
+          graft.functions.TextFunctions.hamming64(col("sig1"), col("qsig1"))).as("ham"))
+      .withColumn("hrank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("ham"), col("vec_id"))))
+      .filter(col("hrank") <= SrpCandidates)
+      .select(col("query_id"), col("vec_id"))
+    val sims = corpus.select(col("vec_id"), col("emb"), col("nrm"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
+    "s03_ann_srp"     -> (s03AnnSrp _),
   )
 
   val oracleSql: Map[String, String] = Map(

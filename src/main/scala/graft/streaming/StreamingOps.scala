@@ -54,6 +54,41 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Per-key running (count, sum) via the transformWithState API
+    * (Spark 4's arbitrary-state surface) — the scale path for custom
+    * streaming state: typed state handles backed by the configured
+    * state store (RocksDB in production — see StateStoreSpec), with
+    * declarative TTL eviction available via TTLConfig instead of the
+    * hand-rolled timeout dance in [[runningCounts]]. */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Long, Double)] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[(Long, Double)]("totals",
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaDouble),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      val (c0, s0) = if (totals.exists()) totals.get() else (0L, 0.0)
+      var c = c0
+      var s = s0
+      rows.foreach { r => c += 1; s += r._2 }
+      totals.update((c, s))
+      Iterator.single((key, c, s))
+    }
+  }
+
+  /** Wire [[RunningTotalsProcessor]] over a keyed stream. */
+  def runningTotals(ds: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Running per-key counters via typed stateful processing — the
     * mapGroupsWithState surface (≅ what the reference's per-worker
     * mutable buffer state would become on Spark).

@@ -6,6 +6,7 @@ class SimilaritySpec extends SparkSpec {
 
   private lazy val exact = Similarity.s01CosineTopK(spark, sf).collect()
   private lazy val approx = Similarity.s02AnnIvf(spark, sf).collect()
+  private lazy val srp = Similarity.s03AnnSrp(spark, sf).collect()
 
   test("exact top-k: 5 ranked neighbors per query, sims non-increasing") {
     val byQuery = exact.groupBy(_.getLong(0))
@@ -25,6 +26,21 @@ class SimilaritySpec extends SparkSpec {
     // measured 0.78 at sf0.001 / 0.62 at sf0.1 with one Lloyd pass,
     // probing 6 of 16 cells over near-random embeddings
     assert(recall >= 0.6, s"recall@5=$recall")
+  }
+
+  test("SRP-LSH recall@5 vs exact baseline is high") {
+    val e = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = srp.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (e & a).size.toDouble / e.size
+    assert(recall >= 0.6, s"recall@5=$recall")
+  }
+
+  test("SRP-LSH returns exactly 5 ranked rows per query") {
+    val byQuery = srp.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+    }
   }
 
   test("IVF never returns a better-than-exact neighbor (sanity)") {

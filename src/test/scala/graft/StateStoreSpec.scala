@@ -39,6 +39,29 @@ class StateStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("transformWithState running totals accumulate across batches (RocksDB)") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)](spark)
+      val q = StreamingOps.runningTotals(in.toDS())
+        .toDF("key", "n", "total")
+        .writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("tws_totals").start()
+      in.addData((1L, 2.0), (1L, 3.0), (2L, 10.0))
+      q.processAllAvailable()
+      in.addData((1L, 5.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("tws_totals").collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2))))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1) }
+      // state persisted across micro-batches: key 1 saw 3 rows totalling 10
+      assert(last(1L) == ((3L, 10.0)))
+      assert(last(2L) == ((1L, 10.0)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpointed query resumes from offset after stop (no reprocessing)") {
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val out = Files.createTempDirectory("graft-ckpt-out").toString
