@@ -195,8 +195,9 @@ object Dedup {
 
   /** Survivors after MinHash near-dup clustering: every document except
     * non-canonical members of a duplicate cluster (canonical = min
-    * doc_id). Rows-only check; DedupSpec verifies against a union-find
-    * oracle. */
+    * doc_id). Oracle: DuckDB recomputes components from exact-Jaccard
+    * pairs with a recursive CTE ([[d05Oracle]]); DedupSpec additionally
+    * verifies against a union-find oracle. */
   def d05DedupSurvivors(s: SparkSession, dir: String): DataFrame = {
     val pairs = d01MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
     val labels = clusterLabels(pairs)
@@ -210,9 +211,8 @@ object Dedup {
   /** Group-level MinHash sketches via the typed [[graft.functions.MinHashUnionAgg]]
     * aggregator: one mergeable signature per source, then estimated
     * shingle-set Jaccard between every source pair from the sketches
-    * alone — the sketch never re-reads the documents. Rows-only check;
-    * DedupSpec bounds the estimate against exact cross-source Jaccard. */
-  def d06SourceSketchSim(s: SparkSession, dir: String): DataFrame = {
+    * alone — the sketch never re-reads the documents. */
+  def sourceSketchEstimates(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val agg = new graft.functions.MinHashUnionAgg(K).toColumn
     val docs = Tables.documents(s, dir)
@@ -230,8 +230,46 @@ object Dedup {
       .select(col("src_a"), col("src_b"),
         (size(filter(zip_with(col("ska"), col("skb"), (x, y) => x === y), v => v))
           .cast("double") / K.toDouble).as("est_jaccard"))
-      .orderBy("src_a", "src_b")
   }
+
+  /** Exact cross-source shingle-set Jaccard via inverted index: distinct
+    * (source, shingle-hash) pairs equi-join on the hash — the same
+    * never-all-pairs shape as d03, one level up. Pairs with zero overlap
+    * come from the all-pairs count join (sources are few; at 100 TB the
+    * group grid is still tiny even when the corpus isn't). */
+  private def sourceExactJaccard(s: SparkSession, dir: String): DataFrame = {
+    val inv = Tables.documents(s, dir)
+      .select(col("source"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("source"), explode(shingleHashesNative(col("th"), 3)).as("h"))
+      .distinct()
+    val cnts = inv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    cnts.as("x").join(broadcast(cnts.as("y")), col("x.source") < col("y.source"))
+      .select(col("x.source").as("src_a"), col("y.source").as("src_b"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .select(col("src_a"), col("src_b"),
+        round4(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Source-pair similarity, oracle-checked by ERROR BOUND: the exact
+    * Jaccard column hash-matches DuckDB's inverted-index recomputation,
+    * and `est_within_bound` asserts the k=128 sketch estimate landed
+    * within 0.2 of exact (≈4.5σ for σ = √(J(1-J)/k) ≤ 0.044 — minhash
+    * estimates are deterministic per input set, so the flag can't flap
+    * across runs/partitionings). DedupSpec bounds the raw estimates
+    * tighter (0.12) via [[sourceSketchEstimates]]. */
+  def d06SourceSketchSim(s: SparkSession, dir: String): DataFrame =
+    sourceSketchEstimates(s, dir)
+      .join(sourceExactJaccard(s, dir), Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("jaccard"),
+        (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_within_bound"))
+      .orderBy("src_a", "src_b")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
@@ -242,19 +280,25 @@ object Dedup {
     "d06_source_sketch"   -> (d06SourceSketchSim _),
   )
 
-  /** Shared DuckDB CTE computing exact distinct-3-gram Jaccard pairs. */
+  /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
+    * (Plain triple-quote = raw string: the single backslash below reaches
+    * DuckDB as-is; an s-interpolated string would need `\\s`.) */
+  private val shingleCtes: String =
+    """t AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(toks) >= 3
+      |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
+      |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+      |      ELSE [] END AS sh
+      |  FROM t)""".stripMargin
+
+  /** DuckDB CTE computing exact distinct-3-gram Jaccard pairs. */
   private def jaccardOracle(threshold: String): String =
-    s"""WITH t AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id,
-       |    CASE WHEN len(toks) >= 3
-       |      THEN list_distinct(list_transform(range(1, len(toks) - 1),
-       |             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
-       |      ELSE [] END AS sh
-       |  FROM t),
+    s"""WITH $shingleCtes,
        |p AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
@@ -265,9 +309,62 @@ object Dedup {
        |FROM p WHERE floor(inter / (total - inter) * 10000.0 + 0.5) / 10000.0 >= $threshold
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB oracle for d05: exact-Jaccard pairs (≡ the LSH pairs at this
+    * threshold — d01's own oracle proves that equivalence) → connected
+    * components via a recursive label-spread CTE (cc holds every
+    * (node, label-of-a-node-that-reaches-it); min per node = component
+    * min since edges are symmetric) → drop non-canonical members. */
+  private val d05Oracle: String =
+    s"""WITH RECURSIVE $shingleCtes,
+       |p AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+       |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS total
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |pairs AS (
+       |  SELECT doc_a, doc_b FROM p
+       |  WHERE floor(inter / (total - inter) * 10000.0 + 0.5) / 10000.0 >= 0.5),
+       |edges AS (
+       |  SELECT doc_a AS s, doc_b AS d FROM pairs
+       |  UNION SELECT doc_b, doc_a FROM pairs),
+       |cc AS (
+       |  SELECT s AS id, s AS label FROM edges
+       |  UNION
+       |  SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.id),
+       |comp AS (SELECT id, min(label) AS label FROM cc GROUP BY id)
+       |SELECT doc_id, lang, source FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> label)
+       |ORDER BY doc_id""".stripMargin
+
+  /** DuckDB oracle for d06: exact cross-source Jaccard via the same
+    * inverted-index shape (distinct (source, shingle) → equi-join on the
+    * shingle), plus literal-TRUE bound flags. */
+  private val d06Oracle: String =
+    s"""WITH $shingleCtes,
+       |inv AS (
+       |  SELECT DISTINCT source, sgl FROM (
+       |    SELECT d.source, unnest(s.sh) AS sgl
+       |    FROM sh s JOIN documents d USING (doc_id))),
+       |cnt AS (SELECT source, count(*) AS n FROM inv GROUP BY source),
+       |itr AS (
+       |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS inter
+       |  FROM inv a JOIN inv b ON a.sgl = b.sgl AND a.source < b.source
+       |  GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT x.source AS src_a, y.source AS src_b, x.n AS na, y.n AS nb
+       |  FROM cnt x JOIN cnt y ON x.source < y.source)
+       |SELECT g.src_a, g.src_b,
+       |  floor(CAST(coalesce(i.inter, 0) AS DOUBLE) /
+       |        (g.na + g.nb - coalesce(i.inter, 0)) * 10000.0 + 0.5) / 10000.0 AS jaccard,
+       |  true AS est_within_bound
+       |FROM grid g LEFT JOIN itr i ON g.src_a = i.src_a AND g.src_b = i.src_b
+       |ORDER BY g.src_a, g.src_b""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "d01_minhash_pairs" -> jaccardOracle("0.5"),
     "d03_ngram_jaccard" -> jaccardOracle("0.2"),
+    "d05_dedup_survivors" -> d05Oracle,
+    "d06_source_sketch" -> d06Oracle,
     "d04_embed_neardup" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |p AS (

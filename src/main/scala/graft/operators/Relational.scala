@@ -388,17 +388,30 @@ object Relational {
         to_date(date_add(col("o_orderdate"), 30)).as("plus30"))
       .orderBy("o_orderkey")
 
-  /** HLL-sketch approximate distinct counts (rows-only driver check:
-    * sketch internals differ across engines; RelationalSketchSpec bounds
-    * the relative error against the exact count). At 100 TB this is the
+  /** HLL-sketch approximate distinct counts, oracle-checked by ERROR
+    * BOUND: sketch internals differ across engines, so the approximate
+    * values themselves can't hash-match DuckDB — instead the output
+    * carries the exact counts (hash-matched) plus booleans asserting the
+    * HLL estimate landed within 3×rsd of exact (rsd=0.02 → ±6%; HLL
+    * estimates are deterministic for a given input set — the sketch is a
+    * max over hashes, so partitioning/order can't flip the flag). DuckDB
+    * asserts the flags are literally TRUE. At 100 TB approx is the
     * distinct-count operator of choice: constant memory per group, no
-    * exact-distinct shuffle explosion. */
+    * exact-distinct shuffle explosion — the exact columns here are the
+    * test harness, not the scale path. */
   def q33ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n"),
+        (abs(col("ap") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * 0.06).as("parts_within_bound"),
+        (abs(col("ao") - col("exact_orders")) <=
+          col("exact_orders").cast("double") * 0.06).as("orders_within_bound"))
       .orderBy("l_returnflag")
 
   /** Range (band) join: each order matched to its price band by a
@@ -768,6 +781,14 @@ object Relational {
         | CAST(month(o_orderdate) AS BIGINT) AS mo,
         | CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS plus30
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q33_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | count(DISTINCT l_orderkey) AS exact_orders,
+        | count(*) AS n,
+        | true AS parts_within_bound,
+        | true AS orders_within_bound
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q34_band_join" ->
       """SELECT band, count(*) AS n, round(sum(o_totalprice), 2) AS total
         |FROM orders

@@ -89,7 +89,7 @@ class DedupSpec extends SparkSpec {
   }
 
   test("mergeable source sketches estimate exact cross-source jaccard") {
-    val est = Dedup.d06SourceSketchSim(spark, sf).collect()
+    val est = Dedup.sourceSketchEstimates(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
     assert(est.nonEmpty)
     // exact cross-source shingle jaccard, via distinct shingle sets per source
@@ -103,6 +103,15 @@ class DedupSpec extends SparkSpec {
       val (sa, sb) = (bySource(a), bySource(b))
       val truth = (sa & sb).size.toDouble / (sa | sb).size
       assert(math.abs(e - truth) < 0.12, s"($a,$b): est=$e truth=$truth")
+    }
+    // the oracle-facing query: exact jaccard + all bound flags true
+    val d06 = Dedup.d06SourceSketchSim(spark, sf).collect()
+    assert(d06.length == est.size)
+    d06.foreach { r =>
+      val (sa, sb) = (bySource(r.getString(0)), bySource(r.getString(1)))
+      val truth = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(r.getDouble(2) - truth) < 5e-5)
+      assert(r.getBoolean(3), s"${r.getString(0)},${r.getString(1)} est outside bound")
     }
   }
 
