@@ -31,5 +31,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs 32 task threads in one JVM: unified memory for 32
+  // concurrent shuffle/window/cache partitions needs a real heap, or GC
+  // dominates and timings swing 5x run-to-run (observed 8g: d05 5.5s vs
+  // 29.9s). The box has 128 GiB; mirror a 1000-executor deploy's
+  // per-core memory ratio instead of the JVM 1-GiB-ish default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  "-XX:+UseG1GC",
 )

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.bridge
 
-import graft.plans.VectorDot
+import graft.plans.{CentroidDistances, SrpSignature, VectorDot}
 
 /** Dense-vector primitives over ArrayType(Float|Double) embedding columns,
   * backed by the native [[graft.plans.VectorDot]] codegen expression
@@ -54,6 +54,16 @@ object VectorFunctions {
       zip_with(v, array_repeat(n, size(v)), (x, m) => (x / m).cast("float")))
       .otherwise(v)
   }
+
+  /** SRP-LSH signature as `bits/64` longs (native single-node expression;
+    * see [[graft.plans.SrpSignature]] for why not a when/dot composition). */
+  def srpSig(v: Column, bits: Int = 128, seed: Long = 42L): Column =
+    bridge.column(SrpSignature(bridge.expression(v), bits, seed))
+
+  /** Squared L2 distance to each fixed centroid as array<double>
+    * (native single-node expression; see [[graft.plans.CentroidDistances]]). */
+  def centroidDists(v: Column, cents: Seq[Array[Double]]): Column =
+    bridge.column(CentroidDistances(bridge.expression(v), cents.map(_.toSeq)))
 
   /** Scalar int8 quantization: clamp(round(x/scale), -127, 127) — the
     * standard 4× footprint cut for 100 TB embedding storage. */

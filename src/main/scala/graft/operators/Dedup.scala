@@ -181,8 +181,22 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
           col("label").as("old"))
         .localCheckpoint(true)
-      converged = stepped.filter(col("label") =!= col("old")).limit(1).count() == 0
-      labels = stepped.select(col("id"), col("label"))
+      // pointer-jump (path halving): label := min(label, label(label)).
+      // label(v) is always a node id inside v's component, so jumping
+      // stays within the component and preserves the min fixpoint, but
+      // labels now spread 2^i hops per round instead of i — convergence
+      // in O(log diameter) rounds. Each round here is a blocking
+      // multi-job barrier (checkpoint + convergence count), so halving
+      // rounds matters more than the extra tiny-table self-join.
+      val jumped = stepped.as("x")
+        .join(stepped.select(col("id").as("jid"), col("label").as("jlabel")),
+          col("x.label") === col("jid"), "left")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("jlabel"), col("x.label"))).as("label"),
+          col("x.old").as("old"))
+        .localCheckpoint(true)
+      converged = jumped.filter(col("label") =!= col("old")).limit(1).count() == 0
+      labels = jumped.select(col("id"), col("label"))
       i += 1
     }
     if (!converged) {

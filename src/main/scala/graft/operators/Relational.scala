@@ -399,20 +399,34 @@ object Relational {
     * distinct-count operator of choice: constant memory per group, no
     * exact-distinct shuffle explosion — the exact columns here are the
     * test harness, not the scale path. */
-  def q33ApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
+  /** HLL++ sketches next to exact distincts, as separate single-distinct
+    * passes joined on the 3-row group key. One agg with two
+    * countDistinct()s + two approx_count_distinct()s plans as an Expand
+    * (×3 rows) whose FIRST aggregate keys on every distinct value and
+    * carries both ~4 KB HLL partial buffers PER KEY — gigabytes of
+    * aggregate state at sf0.1, and unbounded at 100 TB. Split, each
+    * distinct is a partial-agg shuffle of (flag, key) pairs and the HLL
+    * pass streams map-side with 6 tiny buffers; the 3-row joins
+    * broadcast. */
+  def q33ApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val apx = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        countDistinct(col("l_orderkey")).as("exact_orders"),
         count(lit(1)).as("n"))
+    val parts = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_parts"))
+    val orders = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("exact_orders"))
+    apx.join(broadcast(parts), Seq("l_returnflag"))
+      .join(broadcast(orders), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"), col("n"),
         (abs(col("ap") - col("exact_parts")) <=
           col("exact_parts").cast("double") * 0.06).as("parts_within_bound"),
         (abs(col("ao") - col("exact_orders")) <=
           col("exact_orders").cast("double") * 0.06).as("orders_within_bound"))
       .orderBy("l_returnflag")
+  }
 
   /** Range (band) join: each order matched to its price band by a
     * non-equi BETWEEN condition. The band table is a broadcast literal,

@@ -56,19 +56,15 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Squared L2 distance from `emb` to each centroid literal, as an
-    * array column (index = cell id). VectorDot against a literal is
-    * native codegen; the constant |c|² term folds at optimization time. */
-  private def d2Array(emb: Column, cents: Seq[Array[Double]]): Column =
-    array(cents.map(c => l2Sq(emb, typedLit(c.toSeq))): _*)
-
-  /** Per-row nearest-cell assignment: staged d² array +
-    * array_position(array_min). The staged column is referenced twice,
-    * so CollapseProject cannot inline (and so re-evaluate) it. Purely
-    * map-side — the route a 100 TB corpus must take, since any
+  /** Per-row nearest-cell assignment: staged d² array (one native
+    * [[graft.plans.CentroidDistances]] node — the literal-array
+    * composition it replaced dominated wall-clock with driver planning
+    * time) + array_position(array_min). The staged column is referenced
+    * twice, so CollapseProject cannot inline (and so re-evaluate) it.
+    * Purely map-side — the route a 100 TB corpus must take, since any
     * join/window formulation shuffles ncentroids × corpus rows. */
   private def withCell(df: DataFrame, cents: Seq[Array[Double]]): DataFrame =
-    df.withColumn("d2s", d2Array(col("emb"), cents))
+    df.withColumn("d2s", centroidDists(col("emb"), cents))
       .withColumn("cell", (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
       .drop("d2s")
 
@@ -109,9 +105,8 @@ object Similarity {
     // (struct order = d² asc, cell asc), take the first NProbe cells.
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
-    val d2c = array(cents.zipWithIndex.map { case (c, i) =>
-      struct(l2Sq(col("qe"), typedLit(c.toSeq)).as("d2"), lit(i).as("cell"))
-    }: _*)
+    val d2c = transform(centroidDists(col("qe"), cents),
+      (x, i) => struct(x.as("d2"), i.as("cell")))
     val probes = q
       .withColumn("cell",
         explode(slice(transform(array_sort(d2c), x => x("cell")), 1, NProbe)))
@@ -133,42 +128,24 @@ object Similarity {
   private val SrpBits = 128 // two 64-bit words: estimate noise ∝ 1/√bits
   private val SrpCandidates = 96
 
-  /** Deterministic Rademacher hyperplanes for sign-random-projection
-    * (Charikar, STOC'02 — public): component d of plane b is ±1 from a
-    * bit of xxhash64. Driver-side O(bits·dim) literals, like the IVF
-    * centroids. */
-  private def srpPlanes(dim: Int): Seq[Array[Double]] =
-    (0 until SrpBits).map { b =>
-      Array.tabulate(dim) { d =>
-        if ((org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong((b.toLong * 4099) + d, 42L) & 1L) == 1L) 1.0 else -1.0
-      }
-    }
-
-  /** One 64-bit word of the SRP signature: bit b = sign(emb · plane_b).
-    * All dots are the native codegen VectorDot; disjoint bit masks
-    * combine with bitwise OR (a sum would overflow the sign bit under
-    * ANSI mode). */
-  private def srpSigWord(emb: Column, planes: Seq[Array[Double]], word: Int): Column =
-    planes.slice(word * 64, (word + 1) * 64).zipWithIndex.map { case (p, b) =>
-      when(dot(emb, typedLit(p.toSeq)) > 0.0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ bitwiseOR _)
-
   /** SRP-LSH approximate top-5 — the hamming-space scale path
     * complementing s02's IVF: rank the corpus per query by signature
     * hamming distance (narrow (vec_id, sig) rows only — at 100 TB the
     * signature table is the only thing scanned per query), take the
     * closest SrpCandidates, then exact-rerank just those. Both the
     * candidate table and the query table stay broadcastable, so the
-    * full-width corpus never shuffles. Rows-only check; SimilaritySpec
-    * measures recall@5 against the exact s01 baseline. */
+    * full-width corpus never shuffles. Signatures come from ONE native
+    * [[graft.plans.SrpSignature]] node (deterministic xxhash64
+    * Rademacher hyperplanes built inside the expression — no driver
+    * dimension probe, no 128-literal plan tree). Rows-only check;
+    * SimilaritySpec measures recall@5 against the exact s01 baseline. */
   def s03AnnSrp(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
-    val dim = e.select(size(col("emb")).as("d")).head().getInt(0)
-    val planes = srpPlanes(dim)
     val sigged = e
-      .withColumn("sig0", srpSigWord(col("emb"), planes, 0))
-      .withColumn("sig1", srpSigWord(col("emb"), planes, 1))
+      .withColumn("sig", srpSig(col("emb"), SrpBits))
+      .withColumn("sig0", col("sig").getItem(0))
+      .withColumn("sig1", col("sig").getItem(1))
+      .drop("sig")
     val corpus = sigged.filter(col("vec_id") >= 10)
     val q = sigged.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),
