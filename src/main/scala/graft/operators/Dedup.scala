@@ -285,6 +285,28 @@ object Dedup {
         (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_within_bound"))
       .orderBy("src_a", "src_b")
 
+  /** Cross-document exact passage duplication: cut each document into
+    * non-overlapping 10-token chunks and surface passages appearing in
+    * ≥ 2 documents — the boilerplate/contamination detector that
+    * complements whole-doc dedup (think repeated license headers or
+    * eval-set leakage). Explode → hash agg on the passage: map-side
+    * combine keeps the shuffle at (passage, partials); at 100 TB you'd
+    * group on xxhash64(passage) and keep one exemplar string per
+    * bucket — same plan shape, narrower shuffle. */
+  def d07PassageDups(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    t.select(col("doc_id"),
+        explode(when(size(col("toks")) >= 10,
+          transform(sequence(lit(0), (size(col("toks")) / 10).cast("int") - 1),
+            i => array_join(slice(col("toks"), i * 10 + 1, lit(10)), " ")))
+          .otherwise(typedLit(Seq.empty[String]))).as("passage"))
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("passage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
@@ -292,6 +314,7 @@ object Dedup {
     "d04_embed_neardup"  -> (d04EmbeddingNearDup _),
     "d05_dedup_survivors" -> (d05DedupSurvivors _),
     "d06_source_sketch"   -> (d06SourceSketchSim _),
+    "d07_passage_dups"    -> (d07PassageDups _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -375,6 +398,18 @@ object Dedup {
        |ORDER BY g.src_a, g.src_b""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "d07_passage_dups" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, CAST(len(toks) // 10 AS BIGINT)),
+        |    i -> array_to_string(toks[i*10+1 : i*10+10], ' '))) AS passage
+        |  FROM t)
+        |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
+        |FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY passage""".stripMargin,
     "d01_minhash_pairs" -> jaccardOracle("0.5"),
     "d03_ngram_jaccard" -> jaccardOracle("0.2"),
     "d05_dedup_survivors" -> d05Oracle,

@@ -567,6 +567,60 @@ object Relational {
         "quartile", "mov_avg4", "near_sum")
   }
 
+  /** Correlated EXISTS through the SQL frontend (q05 covers the
+    * DataFrame left-semi path; this exercises Catalyst's subquery
+    * decorrelation — RewritePredicateSubquery turns the correlated
+    * inequality into a semi join with a non-equi condition). */
+  def q42ExistsCorr(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q42_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q42_orders")
+    s.sql("""
+      SELECT c_custkey, c_name FROM graft_q42_customer c
+      WHERE EXISTS (
+        SELECT 1 FROM graft_q42_orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal * 50.0)
+      ORDER BY c_custkey""")
+  }
+
+  /** Deterministic hash sampling (the train/test-split primitive): keep
+    * a row iff the first 16 bits of md5(key) land under the rate. Unlike
+    * TABLESAMPLE/rand() this is stable across engines, partitionings and
+    * reruns, and it composes (disjoint rate bands = disjoint splits).
+    * Pure map-side filter — embarrassingly parallel at 100 TB. */
+  def q43HashSample(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(conv(substring(md5(col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 < 5)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy("o_orderkey")
+
+  /** Fixed-width histogram by explicit bucket arithmetic (floor + clamp
+    * rather than width_bucket, so both engines share one formula).
+    * Map-side bucket id + hash agg: one narrow shuffle of (bucket,
+    * partials) regardless of input size. */
+  def q44Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long").as("bucket"),
+        col("o_totalprice"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("o_totalprice"))).as("total"))
+      .orderBy("bucket")
+
+  /** Stratified deterministic sample: 2 rows per (status, priority)
+    * stratum, chosen by md5-hash order — per-group "random" sampling
+    * that is reproducible and engine-independent. The window shuffles
+    * on the stratum key; at scale strata are balanced here, skewed
+    * strata would take the [[Skew]] salting path first. */
+  def q45StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy(md5(col("o_orderkey").cast("string")), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"), col("o_orderkey"),
+        row_number().over(w).cast("long").as("rn"))
+      .filter(col("rn") <= 2)
+      .orderBy("o_orderstatus", "o_orderpriority", "rn")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -610,6 +664,10 @@ object Relational {
     "q39_cond_agg"        -> (q39CondAgg _),
     "q40_listagg"         -> (q40Listagg _),
     "q41_window_frames"   -> (q41WindowFrames _),
+    "q42_exists_corr"     -> (q42ExistsCorr _),
+    "q43_hash_sample"     -> (q43HashSample _),
+    "q44_histogram"       -> (q44Histogram _),
+    "q45_stratified_sample" -> (q45StratifiedSample _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -881,5 +939,27 @@ object Relational {
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
         |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
         |  quartile, mov_avg4, near_sum""".stripMargin,
+    "q42_exists_corr" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > c.c_acctbal * 50.0)
+        |ORDER BY c_custkey""".stripMargin,
+    "q43_hash_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4))::BIGINT % 100 < 5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q44_histogram" ->
+      """SELECT CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket,
+        | count(*) AS n, floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS total
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q45_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT o_orderkey, o_orderstatus, o_orderpriority,
+        |    CAST(row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS BIGINT) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderpriority, o_orderkey, rn FROM r WHERE rn <= 2
+        |ORDER BY o_orderstatus, o_orderpriority, rn""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -137,6 +138,57 @@ object TextAnalysis {
         sum(col("cnt")).cast("long").as("n_letters"))
       .orderBy("doc_id")
 
+  /** TF-IDF top-3 terms per document: tf = term count / doc length,
+    * idf = ln(N / df). Classic relevance scoring (Salton & Buckley,
+    * 1988 — public) as pure dataflow: one explode, two hash aggs, a
+    * term-keyed join (vocabulary-sized — shuffle, since a 100 TB corpus
+    * vocabulary outgrows a broadcast), a doc-keyed join, and a per-doc
+    * top-k window. N rides along as a broadcast 1-row cross join, never
+    * a driver round-trip. Scores round to 4dp AFTER ranking, which ranks
+    * on full-precision doubles — both engines compute the identical IEEE
+    * expression (c/dl)·ln(N/df), so ranks agree. */
+  def t10Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = t.select(count(lit(1)).cast("double").as("nd"))
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+    val cnt = tf.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val dlen = t.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val df = tf.distinct().groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    cnt.join(dlen, "doc_id").join(df, "term").crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"),
+        ((col("c") / col("dl")) * log(col("nd") / col("df"))).as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), round4(col("score")).as("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
+  private val PackCapacity = 512
+
+  /** Sequence packing: lay every document's tokens end-to-end in doc_id
+    * order and cut the stream into fixed 512-token training sequences;
+    * each doc is assigned the bin where it starts. The pre-training
+    * batching primitive (and the archetypal running-total op): one
+    * window over a GLOBAL order — at 100 TB you'd pack per shard
+    * (partition by a shard key) since a total order is a single-reducer
+    * bottleneck; the per-shard plan is this one with the shard in the
+    * partitionBy. */
+  def t11SeqPack(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n"), expr(s"cum_before DIV $PackCapacity").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"), sum(col("n")).as("total_tokens"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -147,6 +199,8 @@ object TextAnalysis {
     "t07_repetition"  -> (t07Repetition _),
     "t08_ngram_freq"  -> (t08NgramFreq _),
     "t09_char_entropy" -> (t09CharEntropy _),
+    "t10_tfidf"       -> (t10Tfidf _),
+    "t11_seq_pack"    -> (t11SeqPack _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -253,5 +307,35 @@ object TextAnalysis {
         |  floor((ln(sum(cnt)) - sum(cnt * ln(cnt)) / sum(cnt)) * 10000.0 + 0.5) / 10000.0 AS entropy,
         |  CAST(sum(cnt) AS BIGINT) AS n_letters
         |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t10_tfidf" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM t),
+        |tf AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        |cnt AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c FROM tf GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT c.doc_id, c.term, (c.c / dlen.dl) * ln(n.nd / df.df) AS score
+        |  FROM cnt c JOIN dlen ON c.doc_id = dlen.doc_id
+        |  JOIN df ON c.term = df.term CROSS JOIN n),
+        |rk AS (SELECT doc_id, term, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rank
+        |  FROM sc)
+        |SELECT doc_id, term, floor(score * 10000.0 + 0.5) / 10000.0 AS score, rank
+        |FROM rk WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "t11_seq_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, n,
+        |  coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t),
+        |b AS (SELECT doc_id, n, CAST(cum_before // 512 AS BIGINT) AS bin FROM c)
+        |SELECT bin, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }
