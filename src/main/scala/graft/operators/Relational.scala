@@ -621,6 +621,86 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderpriority", "rn")
   }
 
+  /** FULL OUTER join with unmatched-side classification (q07 covers
+    * left outer): customer grid vs per-customer order rollup, null-safe
+    * coalesced output. Shuffle join on the key; either side broadcast
+    * only if the optimizer proves it small — full outer can't broadcast
+    * in Spark, which is exactly why it's worth a dedicated plan check. */
+  def q46FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val co = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round2(sum(col("o_totalprice"))).as("spend"))
+    Tables.customer(s, dir)
+      .join(co, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("presence"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("spend"), lit(0.0)).as("spend"))
+      .orderBy("custkey")
+  }
+
+  /** t-digest-style approximate percentile NEXT TO its exact rank
+    * bound: the hash-matched columns are exact interpolated percentiles
+    * at p±0.01; the flag asserts percentile_approx(accuracy=10000)
+    * landed inside that ±1% rank window (guaranteed: the sketch's rank
+    * error is ≤ n/accuracy = 0.01% of ranks, and the estimate is
+    * deterministic for a given input set). Same bound-flag pattern as
+    * q33/d06 — how sketch outputs get real oracle coverage. */
+  def q47ApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(expr("percentile(l_extendedprice, 0.49)").as("e49"),
+        expr("percentile(l_extendedprice, 0.50)").as("e50"),
+        expr("percentile(l_extendedprice, 0.51)").as("e51"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
+      .select(col("l_returnflag"),
+        round2(col("e49")).as("p49"), round2(col("e50")).as("p50"),
+        round2(col("e51")).as("p51"),
+        (col("ap50") >= col("e49") && col("ap50") <= col("e51"))
+          .as("approx_in_rank_bound"))
+      .orderBy("l_returnflag")
+
+  /** Salted skew join as a query-surface entry ([[Skew.saltedEquiJoin]]
+    * is the operator; SkewSpec proves layout): lineitem fanned over 8
+    * sub-keys per supplier key, re-aggregated — results identical to the
+    * plain join, which is what the oracle checks. */
+  def q48SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(s, dir)
+      .select(col("l_suppkey").as("s_suppkey"), col("l_extendedprice"))
+    val small = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+    Skew.saltedEquiJoin(big, small, "s_suppkey", 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"), round2(sum(col("l_extendedprice"))).as("rev"))
+      .orderBy("s_nationkey")
+  }
+
+  /** Time-series gap-fill + forward fill (LOCF): per-user daily purchase
+    * totals, missing days materialized via sequence()/explode over each
+    * user's [first, last] day span, then last-observation-carried-forward
+    * with last(ignoreNulls) over a per-user running frame. The grid
+    * generation is map-side (one row per user in, span rows out); the
+    * fill windows shuffle on user_id only. */
+  def q49GapFill(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round2(sum(col("value"))).as("v"))
+    val grid = d.groupBy(col("user_id"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(d, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"), col("v"))
+      .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("v"), lit(0.0)).as("v_day"), col("v_filled"))
+      .orderBy("user_id", "day")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -668,6 +748,10 @@ object Relational {
     "q43_hash_sample"     -> (q43HashSample _),
     "q44_histogram"       -> (q44Histogram _),
     "q45_stratified_sample" -> (q45StratifiedSample _),
+    "q46_full_outer"      -> (q46FullOuter _),
+    "q47_approx_quantile" -> (q47ApproxQuantile _),
+    "q48_salted_join"     -> (q48SaltedJoin _),
+    "q49_gap_fill"        -> (q49GapFill _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -961,5 +1045,45 @@ object Relational {
         |  FROM orders)
         |SELECT o_orderstatus, o_orderpriority, o_orderkey, rn FROM r WHERE rn <= 2
         |ORDER BY o_orderstatus, o_orderpriority, rn""".stripMargin,
+    "q46_full_outer" ->
+      """WITH co AS (
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |    floor(sum(o_totalprice) * 100.0 + 0.5) / 100.0 AS spend
+        |  FROM orders GROUP BY 1)
+        |SELECT coalesce(c_custkey, o_custkey) AS custkey,
+        |  CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |       WHEN o_custkey IS NULL THEN 'customer_only'
+        |       ELSE 'both' END AS presence,
+        |  coalesce(n_orders, 0) AS n_orders, coalesce(spend, 0.0) AS spend
+        |FROM customer FULL OUTER JOIN co ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q47_approx_quantile" ->
+      """SELECT l_returnflag,
+        | floor(quantile_cont(l_extendedprice, 0.49) * 100.0 + 0.5) / 100.0 AS p49,
+        | floor(quantile_cont(l_extendedprice, 0.50) * 100.0 + 0.5) / 100.0 AS p50,
+        | floor(quantile_cont(l_extendedprice, 0.51) * 100.0 + 0.5) / 100.0 AS p51,
+        | true AS approx_in_rank_bound
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q48_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS rev
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY s_nationkey""".stripMargin,
+    "q49_gap_fill" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    floor(sum(value) * 100.0 + 0.5) / 100.0 AS v
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+        |  FROM span),
+        |j AS (
+        |  SELECT g.user_id, g.day, d.v
+        |  FROM grid g LEFT JOIN d ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day, coalesce(v, 0.0) AS v_day,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM j ORDER BY user_id, day""".stripMargin,
   )
 }
