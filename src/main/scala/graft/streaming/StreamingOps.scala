@@ -54,6 +54,29 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Stream-stream event-time interval join: left rows match right rows
+    * with the same key whose timestamp lands in [leftTs, leftTs +
+    * within]. BOTH inputs carry watermarks and the join condition bounds
+    * event time on both sides — the two things Structured Streaming
+    * needs to know when buffered state is safe to evict, making join
+    * state O(watermark + interval), not O(stream). `joinType` admits
+    * "inner" or the watermark-gated outer variants ("left_outer" etc.),
+    * which emit null-padded rows only once the watermark proves no match
+    * can arrive. Columns must be disambiguated by the caller beforehand
+    * (rename before joining — self-join column capture is a classic
+    * streaming footgun). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, leftKey: String, rightKey: String,
+      watermark: String, within: String, joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) &&
+        col(rightTs) <= col(leftTs) + expr(s"interval $within"),
+      joinType)
+  }
+
   /** Per-key running (count, sum) via the transformWithState API
     * (Spark 4's arbitrary-state surface) — the scale path for custom
     * streaming state: typed state handles backed by the configured

@@ -91,6 +91,27 @@ class StreamingOpsSpec extends SparkSpec {
     assert(vals.forall(_ == ("a", 2L)))
   }
 
+  test("stream-stream interval join matches within window, drops outside") {
+    val clicks = MemoryStream[(Timestamp, Long, String)](spark)
+    val buys = MemoryStream[(Timestamp, Long, Double)](spark)
+    val joined = StreamingOps.intervalJoin(
+      clicks.toDF().toDF("click_ts", "click_user", "page"),
+      buys.toDF().toDF("buy_ts", "buy_user", "amount"),
+      "click_ts", "buy_ts", "click_user", "buy_user",
+      watermark = "10 minutes", within = "10 minutes")
+    val q = joined.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("ssjoin").start()
+    clicks.addData((ts(0), 1L, "home"), (ts(0), 2L, "search"))
+    buys.addData((ts(5), 1L, 9.99),   // within 10 min of user 1's click → match
+      (ts(25), 2L, 5.0))              // 25 min after user 2's click → no match
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssjoin")
+      .selectExpr("click_user", "page", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows == Set((1L, "home", 9.99)), s"got $rows")
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val in = MemoryStream[(String, Long)](spark)
     val out = StreamingOps.runningCounts(in.toDS(), idleTimeout = None)
