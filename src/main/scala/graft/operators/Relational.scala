@@ -651,10 +651,14 @@ object Relational {
   def q47ApproxQuantile(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
-      .agg(expr("percentile(l_extendedprice, 0.49)").as("e49"),
-        expr("percentile(l_extendedprice, 0.50)").as("e50"),
-        expr("percentile(l_extendedprice, 0.51)").as("e51"),
+      // one percentile agg with an array of fractions = ONE sorted
+      // buffer per group shared by all three cut points (three scalar
+      // percentile() calls each keep and sort their own copy)
+      .agg(expr("percentile(l_extendedprice, array(0.49D, 0.50D, 0.51D))").as("es"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
+      .select(col("l_returnflag"),
+        col("es").getItem(0).as("e49"), col("es").getItem(1).as("e50"),
+        col("es").getItem(2).as("e51"), col("ap50"))
       .select(col("l_returnflag"),
         round2(col("e49")).as("p49"), round2(col("e50")).as("p50"),
         round2(col("e51")).as("p51"),
