@@ -66,6 +66,37 @@ class ExpressionParitySpec extends SparkSpec {
     assert(gen == hof)
   }
 
+  test("SrpSignature: codegen == interpreted; floats == pre-cast doubles") {
+    val (gen, interp) = bothModes {
+      Tables.embeddings(spark, sf).limit(50)
+        .select($"vec_id",
+          VectorFunctions.srpSig($"embedding").as("f"),
+          VectorFunctions.srpSig(VectorFunctions.toDouble($"embedding")).as("d"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).toList, r.getSeq[Long](2).toList))
+        .toSeq
+    }
+    assert(gen == interp)
+    // float input pre-widened to double must yield the same signature
+    gen.foreach { case (_, f, d) => assert(f == d) }
+    gen.foreach { case (_, f, _) => assert(f.length == 2) }
+  }
+
+  test("CentroidDistances: codegen == interpreted == compositional l2Sq") {
+    val cents = Seq(Array(0.0, 1.0, -0.5, 2.0), Array(1.0, 1.0, 1.0, 1.0))
+    val data = Seq(Seq(0.5, 1.0, -0.5, 2.0), Seq(0.0, 0.0, 0.0, 0.0)).toDF("emb")
+    val (gen, interp) = bothModes {
+      data.select(VectorFunctions.centroidDists($"emb", cents).as("d2s"))
+        .collect().map(_.getSeq[Double](0).toList).toList
+    }
+    assert(gen == interp)
+    // bit-identical to the (a·a − 2·(a·b)) + (b·b) composition it replaced
+    val composed = data.select(array(cents.map(c =>
+        VectorFunctions.l2Sq($"emb", typedLit(c.toSeq))): _*).as("d2s"))
+      .collect().map(_.getSeq[Double](0).toList).toList
+    assert(gen == composed)
+  }
+
   test("ShingleHashes: codegen == interpreted (incl. short input)") {
     val (gen, interp) = bothModes {
       Seq(Seq(1L, 2L, 3L, 4L, 5L), Seq(1L, 2L), Seq.empty[Long]).toDF("th")
