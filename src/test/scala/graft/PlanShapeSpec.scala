@@ -43,6 +43,32 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation: " + p)
   }
 
+  test("runtime bloom filter injected on the probe side of a selective shuffle join") {
+    // At 100 TB the probe side of a selective join should be row-filtered
+    // DURING its scan, not after the shuffle: Spark's InjectRuntimeFilter
+    // builds a bloom filter from the filtered build side and pushes
+    // might_contain onto the probe side. Thresholds here only shrink the
+    // trigger sizes to test scale; the plan shape is what production gets.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sf)
+      val sup = Tables.supplier(spark, sf)
+        .filter(org.apache.spark.sql.functions.col("s_nationkey") === 0)
+      val j = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(sup("s_suppkey")).count()
+      val opt = j.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain"), "no runtime bloom filter injected:\n" + opt)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.
