@@ -75,9 +75,49 @@ object Multimodal {
         round(element_at(features(col("frame"), 8), 1).cast("double"), 3).as("f0"))
       .orderBy("media_id", "frame_no")
 
+  /** [STUB-decode] 64-bit perceptual-hash analogue: one bit per stub
+    * feature (threshold 0.5). A real pHash replaces `features` with
+    * DCT-of-pixels; the bit-packing, banding and hamming verify below
+    * are the production shape either way. Identical payloads hash
+    * identically (the stub features are content-deterministic), so the
+    * near-dup join finds at least the exact-duplicate classes. */
+  def perceptualHash(payload: Column): Column =
+    aggregate(
+      zip_with(features(payload, 64), sequence(lit(0), lit(63)),
+        (f, i) => when(f > 0.5f,
+          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+
+  /** Media near-dup pairs via pHash band blocking + hamming verify —
+    * [[Dedup.d02SimhashPairs]]'s shape lifted to the multimodal surface:
+    * 16-bit bands key the candidate join (never all-pairs), xor+popcount
+    * verifies. Rows-only check; MultimodalSpec proves the pairs match
+    * exact payload equality for the stub hash. */
+  def m03MediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{hamming64, simhashBands}
+    // the synthetic corpus has no duplicate payloads, so plant re-uploads
+    // of the first 100 media items under shifted ids (same trick as
+    // t06's planted PII) — both the query and its spec see them
+    val base = mediaTable(s, dir)
+    val reuploads = base.filter(col("media_id") < 100)
+      .select((col("media_id") + 10000L).as("media_id"), col("format"), col("payload"))
+    val hashed = base.union(reuploads)
+      .select(col("media_id"), perceptualHash(col("payload")).as("phash"))
+    val bands = hashed.select(col("media_id"), col("phash"),
+      explode(simhashBands(col("phash"))).as("band"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        hamming64(col("a.phash"), col("b.phash")).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .orderBy("media_a", "media_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta"     -> (m01MediaMeta _),
     "m02_frame_features" -> (m02FrameFeatures _),
+    "m03_media_neardup"  -> (m03MediaNearDup _),
   )
 
   val oracleSql: Map[String, String] = Map.empty

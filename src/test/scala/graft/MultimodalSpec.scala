@@ -62,4 +62,23 @@ class MultimodalSpec extends SparkSpec {
     assert(vs.flatten.forall(v => v >= 0f && v < 1f))
     assert(vs(0) != vs(1))
   }
+
+  test("m03 media near-dup finds exactly the duplicate payload classes (stub hash)") {
+    // the stub features are content-hash-derived (not locality-sensitive),
+    // so hamming ≤ 8 collisions ≡ identical payloads — giving the LSH
+    // banding plumbing an exact, computable expectation
+    val got = Multimodal.m03MediaNearDup(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = Multimodal.mediaTable(spark, sf)
+      .selectExpr("media_id", "payload")
+    val media = base.union(base.filter(col("media_id") < 100)
+        .selectExpr("media_id + 10000 AS media_id", "payload"))
+      .selectExpr("media_id", "cast(payload as string) AS p")
+    val expected = media.as("a").join(media.as("b"),
+        col("a.p") === col("b.p") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id"), col("b.media_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "test corpus has no duplicate docs — fixture drifted")
+  }
 }
