@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.plans.{MinHashSignature, ShingleHashes, VectorDot}
+import graft.plans.{MinHashSignature, ShingleHashes, SimHash64, SrpSignature, VectorDot}
 
 /** Session-extension installer (the `SparkSessionExtensions` integration
   * point, SURVEY.md §7.3(c)): makes the engine's native functions
@@ -49,6 +49,19 @@ object GraftExtensions {
       (exprs: Seq[Expression]) => {
         require(exprs.length == 2, "shingle_hashes(token_hashes, n)")
         ShingleHashes(exprs.head, intLit(exprs(1), "shingle_hashes n"))
+      }),
+    ("simhash64",
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, "simhash64(token_hashes)")
+        SimHash64(exprs.head)
+      }),
+    ("srp_signature",
+      new ExpressionInfo(classOf[SrpSignature].getName, "srp_signature"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3, "srp_signature(emb, bits, seed)")
+        SrpSignature(exprs.head, intLit(exprs(1), "srp_signature bits"),
+          intLit(exprs(2), "srp_signature seed").toLong)
       }),
   )
 }

@@ -43,6 +43,26 @@ class SqlSurfaceSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](1).length == 16))
   }
 
+  test("native simhash64 and srp_signature callable from SQL, agree with DataFrame API") {
+    GraftSql.register(spark, sf)
+    val sim = spark.sql(
+      """SELECT simhash64(transform(split(text, '\\s+'), t -> xxhash64(t))) AS sh
+        |FROM documents ORDER BY doc_id LIMIT 3""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(sim.distinct.length == 3)
+    val viaSql = spark.sql(
+      """SELECT vec_id, srp_signature(embedding, 128, 42) AS sig
+        |FROM embeddings ORDER BY vec_id LIMIT 5""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    val viaDf = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.VectorFunctions.srpSig(
+          org.apache.spark.sql.functions.col("embedding")).as("sig"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toSeq
+    assert(viaSql == viaDf)
+  }
+
   test("SQL join + window over views") {
     GraftSql.register(spark, sf)
     val n = spark.sql(
