@@ -166,6 +166,53 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Query = Seq("spark", "query", "window")
+
+  /** BM25 retrieval scoring (Robertson–Spärck Jones, public) of a fixed
+    * 3-term query over the corpus, top-20: idf·(tf·(k1+1))/(tf + k1·(1−b
+    * +b·dl/avgdl)) per term, combined in a FIXED left-to-right order via
+    * a term pivot — a floating `sum()` across terms would be
+    * summation-order-nondeterministic across engines and could flip
+    * near-tie ranks. Corpus stats (N, avgdl) ride a broadcast 1-row
+    * cross join. Only docs containing a query term are ever scored —
+    * the inverted-index shape: at 100 TB the term join touches
+    * |query terms| posting lists, not the corpus. */
+  def t12Bm25(s: SparkSession, dir: String): DataFrame = {
+    val t = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val n = t.select(count(lit(1)).cast("double").as("nd"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    val tf = t.select(col("doc_id"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(Bm25Query: _*))
+    val c = tf.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val dlen = t.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val df = tf.distinct().groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val perTerm = c.join(dlen, "doc_id").join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      // every constant is a lit() with the same literal text as the
+      // DuckDB oracle (k1+1 computed driver-side could differ by 1 ulp
+      // from the SQL literal 2.2), and the expression tree mirrors the
+      // oracle's parenthesization node-for-node — doubles stay
+      // bit-identical end to end
+      .select(col("doc_id"), col("term"),
+        (log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("c") * lit(2.2)) /
+            (col("c") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * col("dl") / col("avgdl")))))
+          .as("s"))
+    val scored = perTerm.groupBy(col("doc_id"))
+      .agg(Bm25Query.map(q =>
+          coalesce(max(when(col("term") === q, col("s"))), lit(0.0)))
+        .reduce(_ + _).as("score"))
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .select(col("doc_id"), round4(col("score")).as("score"), col("rank"))
+      .orderBy("rank")
+  }
+
   private val PackCapacity = 512
 
   /** Sequence packing: lay every document's tokens end-to-end in doc_id
@@ -201,6 +248,7 @@ object TextAnalysis {
     "t09_char_entropy" -> (t09CharEntropy _),
     "t10_tfidf"       -> (t10Tfidf _),
     "t11_seq_pack"    -> (t11SeqPack _),
+    "t12_bm25"        -> (t12Bm25 _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -337,5 +385,32 @@ object TextAnalysis {
         |SELECT bin, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc,
         |  CAST(sum(n) AS BIGINT) AS total_tokens
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+    "t12_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+        |tf AS (
+        |  SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN ('spark', 'query', 'window')),
+        |c AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c FROM tf GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT c.doc_id, c.term,
+        |    ln(1.0 + (n.nd - df.df + 0.5) / (df.df + 0.5)) *
+        |      ((c.c * 2.2) / (c.c + 1.2 * (0.25 + 0.75 * dlen.dl / n.avgdl))) AS s
+        |  FROM c JOIN dlen ON c.doc_id = dlen.doc_id
+        |  JOIN df ON c.term = df.term CROSS JOIN n),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'query' THEN s END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+        |  FROM sc GROUP BY doc_id),
+        |rk AS (SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg)
+        |SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score, rank
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
   )
 }
