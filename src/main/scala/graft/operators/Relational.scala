@@ -621,6 +621,35 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderpriority", "rn")
   }
 
+  /** Bag-semantics set ops (q12/q13/q22 cover the distinct + UNION ALL
+    * variants): INTERSECT ALL and EXCEPT ALL keep multiplicities —
+    * Catalyst plans both as an aggregate computing per-row min/diff
+    * counts + generate, not a join per duplicate. One query covers both,
+    * tagged, so the multiplicity contract is oracle-checked end to end. */
+  def q50SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val f = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+    val p = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+    val ia = f.intersectAll(p).groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("custkey"), col("n"))
+    val ea = f.exceptAll(p).groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("custkey"), col("n"))
+    ia.unionByName(ea).orderBy("op", "custkey")
+  }
+
+  /** Scalar subquery in the PROJECTION (q19 uses one in WHERE): each
+    * order's price as a share of the global mean. Catalyst evaluates the
+    * subquery once (broadcast scalar), not per row. */
+  def q51ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q51_orders")
+    s.sql("""
+      SELECT o_orderkey,
+             floor(o_totalprice / (SELECT avg(o_totalprice) FROM graft_q51_orders)
+               * 10000.0 + 0.5) / 10000.0 AS price_ratio
+      FROM graft_q51_orders
+      ORDER BY o_orderkey""")
+  }
+
   /** FULL OUTER join with unmatched-side classification (q07 covers
     * left outer): customer grid vs per-customer order rollup, null-safe
     * coalesced output. Shuffle join on the key; either side broadcast
@@ -756,6 +785,8 @@ object Relational {
     "q47_approx_quantile" -> (q47ApproxQuantile _),
     "q48_salted_join"     -> (q48SaltedJoin _),
     "q49_gap_fill"        -> (q49GapFill _),
+    "q50_setops_all"      -> (q50SetOpsAll _),
+    "q51_scalar_subquery" -> (q51ScalarSubquery _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1089,5 +1120,24 @@ object Relational {
         |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
         |FROM j ORDER BY user_id, day""".stripMargin,
+    "q50_setops_all" ->
+      """WITH f AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'),
+        |p AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'),
+        |ia AS (
+        |  SELECT 'intersect_all' AS op, custkey, count(*) AS n
+        |  FROM (SELECT custkey FROM f INTERSECT ALL SELECT custkey FROM p)
+        |  GROUP BY custkey),
+        |ea AS (
+        |  SELECT 'except_all' AS op, custkey, count(*) AS n
+        |  FROM (SELECT custkey FROM f EXCEPT ALL SELECT custkey FROM p)
+        |  GROUP BY custkey)
+        |SELECT * FROM ia UNION ALL SELECT * FROM ea
+        |ORDER BY op, custkey""".stripMargin,
+    "q51_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  floor(o_totalprice / (SELECT avg(o_totalprice) FROM orders)
+        |    * 10000.0 + 0.5) / 10000.0 AS price_ratio
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -54,6 +54,46 @@ object StreamingOps {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Custom sessionization via flatMapGroupsWithState (completing the
+    * stateful triple with [[runningCounts]]'s mapGroupsWithState and
+    * [[RunningTotalsProcessor]]'s transformWithState): per-key open
+    * session accumulates (start, end, count) in typed state; an event
+    * past the gap CLOSES the session — emitting it — and opens a new
+    * one. flatMap (not map) because one batch can close several
+    * sessions for a key. Event-time ordering within the batch is
+    * enforced by sorting the per-key iterator (micro-batches don't
+    * guarantee order); state is one tuple per ACTIVE key. Emits closed
+    * sessions only — Append-mode compatible. `session_window` covers
+    * the declarative path (see [[sessionAgg]]); this is the arbitrary-
+    * logic escape hatch (e.g. dynamic per-key gaps) the built-in can't
+    * express. */
+  def sessionizeStream(ds: Dataset[(Long, Long)], gapMs: Long): Dataset[(Long, Long, Long, Long)] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, Long, Long, Long)](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long, Long)]) =>
+          val ts = rows.map(_._2).toSeq.sorted
+          var open = state.getOption
+          val closed = Seq.newBuilder[(Long, Long, Long, Long)]
+          ts.foreach { t =>
+            open match {
+              case Some((s0, e0, n0)) if t - e0 <= gapMs =>
+                open = Some((s0, t, n0 + 1))
+              case Some((s0, e0, n0)) =>
+                closed += ((key, s0, e0, n0))
+                open = Some((t, t, 1L))
+              case None =>
+                open = Some((t, t, 1L))
+            }
+          }
+          open.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
   /** Stream-stream event-time interval join: left rows match right rows
     * with the same key whose timestamp lands in [leftTs, leftTs +
     * within]. BOTH inputs carry watermarks and the join condition bounds

@@ -112,6 +112,23 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows == Set((1L, "home", 9.99)), s"got $rows")
   }
 
+  test("flatMapGroupsWithState sessionizer closes sessions across batches") {
+    val in = MemoryStream[(Long, Long)](spark)
+    val out = StreamingOps.sessionizeStream(in.toDS(), gapMs = 5 * 60_000L)
+    val q = out.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("fmgs_sessions").start()
+    def t(min: Int): Long = min * 60_000L
+    in.addData((1L, t(0)), (1L, t(2)), (1L, t(3)), (2L, t(0)))
+    q.processAllAvailable() // all within gap → sessions still open, nothing emitted
+    assert(spark.table("fmgs_sessions").count() == 0)
+    in.addData((1L, t(20)), (1L, t(21))) // >5 min after t(3) → closes session 1
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("fmgs_sessions").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set((1L, t(0), t(3), 3L)), s"got $rows")
+  }
+
   test("mapGroupsWithState running counts accumulate across batches") {
     val in = MemoryStream[(String, Long)](spark)
     val out = StreamingOps.runningCounts(in.toDS(), idleTimeout = None)
