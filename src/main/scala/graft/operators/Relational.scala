@@ -734,6 +734,50 @@ object Relational {
       .orderBy("user_id", "day")
   }
 
+  /** Ordered event funnel (view → click within 24 h → purchase within
+    * 24 h): each stage is a time-bounded theta join against the previous
+    * stage's per-user first-passage time, collapsed to one row of stage
+    * counts. The per-stage join is (events ⋈ tiny user table) — at
+    * 100 TB the user table is the small side every time, and each
+    * stage prunes users before the next scan. */
+  def q52Funnel(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = e.filter(col("event_type") === "click").as("e")
+      .join(v.select(col("user_id").as("vu"), col("t_view")),
+        col("e.user_id") === col("vu") && col("e.ts") > col("t_view") &&
+          col("e.ts") <= col("t_view") + expr("interval 24 hours"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase").as("e")
+      .join(c.select(col("user_id").as("cu"), col("t_click")),
+        col("e.user_id") === col("cu") && col("e.ts") > col("t_click") &&
+          col("e.ts") <= col("t_click") + expr("interval 24 hours"))
+      .groupBy(col("e.user_id")).agg(min(col("e.ts")).as("t_buy"))
+    v.agg(count(lit(1)).as("n_view"))
+      .crossJoin(c.agg(count(lit(1)).as("n_view_click")))
+      .crossJoin(p.agg(count(lit(1)).as("n_view_click_buy")))
+  }
+
+  /** Retention cohorts: users grouped by first-seen day, counted per
+    * active-day offset (0..7). The distinct() collapses (user, day)
+    * duplicates BEFORE the cohort count — shuffle carries one row per
+    * user-day, not per event. */
+  def q53Retention(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val f = e.groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort"))
+    e.join(f, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(to_date(col("ts")), col("cohort")).cast("long").as("offset_days"))
+      .distinct()
+      .filter(col("offset_days") <= 7)
+      .groupBy(col("cohort"), col("offset_days"))
+      .agg(count(lit(1)).as("active_users"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        col("offset_days"), col("active_users"))
+      .orderBy("cohort", "offset_days")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -787,6 +831,8 @@ object Relational {
     "q49_gap_fill"        -> (q49GapFill _),
     "q50_setops_all"      -> (q50SetOpsAll _),
     "q51_scalar_subquery" -> (q51ScalarSubquery _),
+    "q52_funnel"          -> (q52Funnel _),
+    "q53_retention"       -> (q53Retention _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1139,5 +1185,36 @@ object Relational {
         |    * 10000.0 + 0.5) / 10000.0 AS price_ratio
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
+    "q52_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id
+        |    AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS t_buy
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |    AND e.ts > c.t_click AND e.ts <= c.t_click + INTERVAL 24 HOUR
+        |  WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_view_click,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_view_click_buy""".stripMargin,
+    "q53_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS offset_days
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(offset_days AS BIGINT) AS offset_days,
+        |  CAST(count(*) AS BIGINT) AS active_users
+        |FROM a WHERE offset_days <= 7
+        |GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin,
   )
 }
