@@ -236,6 +236,52 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Normalization-then-dedup ("fuzzy exact"): case-fold, strip
+    * non-alphanumerics, collapse whitespace — the canonicalization pass
+    * that catches trivially-reformatted duplicates plain exact dedup
+    * misses. Keep-first per normalized class; n_variants counts distinct
+    * RAW texts collapsed into the class. Same one-shuffle hash-agg shape
+    * as t01, on the derived key. */
+  def t13NormalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), norm.as("norm"))
+      .groupBy(col("norm"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"),
+        countDistinct(col("text")).as("n_variants"))
+      .select(col("doc_id"), col("n_copies"), col("n_variants"),
+        length(col("norm")).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  /** The end-to-end pre-training preprocessing DAG as ONE query:
+    * language gate → quality gate (t03's composite ≥ 0.5) → exact dedup
+    * keep-first → 512-token sequence packing (t11's binning over the
+    * survivors) → per-bin stats. Each stage feeds the next without
+    * materialization; Catalyst fuses the gates into the scan and the
+    * whole plan has exactly three shuffles (dedup agg, pack window,
+    * final agg) regardless of corpus size. */
+  def t14PipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    val gated = Tables.documents(s, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .filter(round4(qualityScore(col("text"), col("toks"))) >= 0.5)
+    val kept = gated
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(size(col("toks"))).as("n_toks"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n"))
+    val w = Window.orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    kept
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("doc_id"), col("n"), expr(s"cum_before DIV $PackCapacity").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        sum(col("n")).as("total_tokens"))
+      .orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -249,6 +295,8 @@ object TextAnalysis {
     "t10_tfidf"       -> (t10Tfidf _),
     "t11_seq_pack"    -> (t11SeqPack _),
     "t12_bm25"        -> (t12Bm25 _),
+    "t13_norm_dedup"  -> (t13NormalizedDedup _),
+    "t14_pipeline_e2e" -> (t14PipelineE2e _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -412,5 +460,38 @@ object TextAnalysis {
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg)
         |SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score, rank
         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "t13_norm_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_variants,
+        |  CAST(length(norm) AS BIGINT) AS norm_len
+        |FROM n GROUP BY norm ORDER BY doc_id""".stripMargin,
+    "t14_pipeline_e2e" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, lang,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, text, lang, toks,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) > 0 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS shape_score,
+         |    CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio
+         |  FROM t),
+         |gated AS (
+         |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n
+         |  FROM r WHERE lang = 'en'
+         |    AND floor((len_score * 0.4 + shape_score * 0.2 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 >= 0.5),
+         |kept AS (SELECT min(doc_id) AS doc_id, min(n) AS n FROM gated GROUP BY text),
+         |c AS (SELECT doc_id, n,
+         |  coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM kept)
+         |SELECT CAST(cum_before // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+         |  min(doc_id) AS first_doc, CAST(sum(n) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
   )
 }
