@@ -28,13 +28,24 @@ object ScaleSmoke {
     amplify("lineitem", Seq("l_orderkey"), 10000000L)
     amplify("orders", Seq("o_orderkey", "o_custkey"), 10000000L)
     amplify("customer", Seq("c_custkey"), 10000000L)
+    amplify("documents", Seq("doc_id"), 1000000L)
+    amplify("embeddings", Seq("vec_id"), 1000000L)
+    // events: raw read keeps the INT64-nanos ts column intact
+    spark.read.parquet(s"$base/events.parquet").crossJoin(broadcast(reps))
+      .withColumn("event_id", col("event_id") + col("rep") * 1000000L)
+      .withColumn("user_id", col("user_id") + col("rep") * 1000000L)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
     // tiny dims copied as-is
     Seq("region", "nation", "supplier", "part").foreach { n =>
       Tables(spark, base, n).write.mode("overwrite").parquet(s"$out/$n.parquet")
     }
     println(s"ROWS lineitem=${spark.read.parquet(s"$out/lineitem.parquet").count()}")
     Seq("q01_pricing_summary", "q02_filter_project", "q04_multijoin_region",
-        "q08_window_topn", "q09_window_running", "q16_case_arith", "q27_array_agg").foreach { n =>
+        "q08_window_topn", "q09_window_running", "q16_case_arith", "q27_array_agg",
+        // round-2 additions: text/dedup/similarity + event analytics at 10x
+        "d01_minhash_pairs", "d05_dedup_survivors", "t03_quality", "t12_bm25",
+        "t14_pipeline_e2e", "s03_ann_srp", "q52_funnel", "q53_retention").foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
       println(f"SCALE10 $n ${(System.nanoTime()-t0)/1e9}%.2f s")
