@@ -56,6 +56,44 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("srp signature: scale-invariant, sign-flip inverts, hamming(v,v)=0 for random vectors") {
+    import graft.functions.VectorFunctions
+    val vec = Gen.listOfN(16, Gen.chooseNum(-5.0, 5.0)).suchThat(_.exists(x => math.abs(x) > 1e-9))
+    val vs = samples(vec, 25)
+    val df = vs.map(v => (v, v.map(_ * 3.0), v.map(-_))).toDF("v", "scaled", "neg")
+      .select(VectorFunctions.srpSig($"v").as("s"),
+        VectorFunctions.srpSig($"scaled").as("ss"),
+        VectorFunctions.srpSig($"neg").as("sn"))
+      .collect()
+    df.foreach { r =>
+      val (s, ss, sn) = (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2))
+      // sign(v·p) is invariant under positive scaling of v
+      assert(s == ss, "signature not scale-invariant")
+      // sign(-v·p) flips every non-zero dot; random doubles never hit 0
+      assert(s.zip(sn).forall { case (a, b) => (a & b) == 0L },
+        "negated vector shares a set bit with the original")
+    }
+  }
+
+  test("centroid_distances matches brute-force squared L2 for random vectors/centroids") {
+    import graft.functions.VectorFunctions
+    val vec = Gen.listOfN(8, Gen.chooseNum(-10.0, 10.0))
+    val cents = samples(vec, 5).map(_.toArray)
+    val vs = samples(vec, 20)
+    val rows = vs.map(Tuple1(_)).toDF("v")
+      .select($"v", VectorFunctions.centroidDists($"v", cents).as("d2s"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Double](0)
+      val d2s = r.getSeq[Double](1)
+      cents.zipWithIndex.foreach { case (c, i) =>
+        val exact = v.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        assert(math.abs(d2s(i) - exact) < 1e-9 * math.max(1.0, exact),
+          s"cell $i: got ${d2s(i)}, brute force $exact")
+      }
+    }
+  }
+
   test("pipeline: no loss, no duplication, batch bound for generated workloads") {
     val sizesGen = Gen.chooseNum(1, 700)
     val workloads = samples(sizesGen, 3)
