@@ -31,10 +31,17 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** @param tolerance optional maximum lookback as an interval literal
+    *   (e.g. "7 days"): a right row only matches if
+    *   `leftTs - tolerance <= rightTs <= leftTs` — pandas merge_asof's
+    *   `tolerance`. Implemented as a filter on the carried right
+    *   timestamp, so the plan shape (one shuffle + one sort) is
+    *   unchanged; stale carries just fail the final predicate. */
   def asofJoin(
       left: DataFrame, leftTs: String, leftKey: String,
       right: DataFrame, rightTs: String, rightKey: String,
-      payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+      payload: Seq[String], tieBreak: Seq[String] = Nil,
+      tolerance: Option[String] = None): DataFrame = {
     require(payload.nonEmpty, "asofJoin requires at least one payload column " +
       "(for existence-only semantics pass the right key or timestamp)")
 
@@ -44,8 +51,10 @@ object AsofJoin {
       .withColumn("__graft_k", col(leftKey))
       .withColumn("__graft_t", col(leftTs))
       .withColumn("__graft_side", lit(1))
-    // right side: one non-null struct carries the whole payload row
-    val payloadStruct = struct(payload.map(col): _*)
+    // right side: one non-null struct carries the whole payload row,
+    // plus the right timestamp for the tolerance check
+    val payloadStruct =
+      struct(payload.map(col) :+ col(rightTs).as("__graft_rt"): _*)
     val sideR0 = right
       .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .select(
@@ -71,8 +80,11 @@ object AsofJoin {
     // inner as-of semantics: left rows with no preceding right row drop;
     // the struct is non-null iff some right row preceded, regardless of
     // null payload field values
+    val inTolerance = tolerance
+      .map(t => col("__graft_m.__graft_rt") >= col("__graft_t") - expr(s"interval $t"))
+      .getOrElse(lit(true))
     filled
-      .filter(col("__graft_side") === 1 && col("__graft_m").isNotNull)
+      .filter(col("__graft_side") === 1 && col("__graft_m").isNotNull && inTolerance)
       .select(leftCols.map(col) ++
         payload.map(c => col(s"__graft_m.$c").as(s"asof_$c")): _*)
   }

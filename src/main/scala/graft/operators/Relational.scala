@@ -296,6 +296,27 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** As-of join with a 1-day lookback tolerance (pandas merge_asof's
+    * `tolerance`): each purchase attributed to the user's most recent
+    * view within 24 h; purchases with only stale views DROP (~64% here —
+    * the tolerance is doing real work). Same one-shuffle union+window
+    * plan as q23. */
+  def q54AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_event"))
+    AsofJoin.asofJoin(
+      left = p, leftTs = "ts", leftKey = "user_id",
+      right = v, rightTs = "v_ts", rightKey = "v_user",
+      payload = Seq("v_event"), tieBreak = Seq("v_event"),
+      tolerance = Some("1 day"))
+      .select(col("event_id"), col("user_id"), col("asof_v_event").as("attributed_view"))
+      .orderBy("event_id")
+  }
+
   /** lag/lead over per-customer order history. */
   def q24LagLead(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -833,6 +854,7 @@ object Relational {
     "q51_scalar_subquery" -> (q51ScalarSubquery _),
     "q52_funnel"          -> (q52Funnel _),
     "q53_retention"       -> (q53Retention _),
+    "q54_asof_tolerance"  -> (q54AsofTolerance _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1216,5 +1238,16 @@ object Relational {
         |  CAST(count(*) AS BIGINT) AS active_users
         |FROM a WHERE offset_days <= 7
         |GROUP BY cohort, offset_days ORDER BY cohort, offset_days""".stripMargin,
+    "q54_asof_tolerance" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, v.event_id AS attributed_view,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC, v.event_id DESC) AS rn
+        |  FROM p JOIN v ON v.user_id = p.user_id
+        |    AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 DAY)
+        |SELECT event_id, user_id, attributed_view
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
   )
 }
