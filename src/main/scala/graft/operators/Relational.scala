@@ -799,6 +799,40 @@ object Relational {
       .orderBy("cohort", "offset_days")
   }
 
+  /** Correlated LATERAL subquery with per-row LIMIT (top-2 orders per
+    * customer) — the SQL-standard alternative to q08's window top-N;
+    * Catalyst decorrelates it into a ranked join, so there's no
+    * per-customer re-execution at scale. */
+  def q55Lateral(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_q55_customer")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q55_orders")
+    s.sql("""
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rn
+      FROM graft_q55_customer c, LATERAL (
+        SELECT o_orderkey, o_totalprice,
+          CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        FROM graft_q55_orders WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      ORDER BY c.c_custkey, t.rn""")
+  }
+
+  /** argmax/argmin aggregation (max_by/min_by) with a STRUCT ordering
+    * key for deterministic ties — one hash agg finds each group's
+    * extreme row's attribute, where a join-back or window would cost a
+    * shuffle more. Plus the null-handling pair (nullif → coalesce). */
+  def q56ArgMax(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        max_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("top_order"),
+        min_by(col("o_orderkey"), struct(col("o_totalprice"), col("o_orderkey")))
+          .as("bottom_order"),
+        round2(max(col("o_totalprice"))).as("top_price"),
+        coalesce(nullif(min(col("o_orderpriority")), lit("1-URGENT")), lit("none-urgent"))
+          .as("prio_demo"))
+      .orderBy("o_orderstatus")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -855,6 +889,8 @@ object Relational {
     "q52_funnel"          -> (q52Funnel _),
     "q53_retention"       -> (q53Retention _),
     "q54_asof_tolerance"  -> (q54AsofTolerance _),
+    "q55_lateral"         -> (q55Lateral _),
+    "q56_argmax"          -> (q56ArgMax _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1249,5 +1285,27 @@ object Relational {
         |    AND v.ts <= p.ts AND v.ts >= p.ts - INTERVAL 1 DAY)
         |SELECT event_id, user_id, attributed_view
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q55_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice, t.rn
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn
+        |  FROM orders WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        |ORDER BY c.c_custkey, t.rn""".stripMargin,
+    "q56_argmax" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderkey, o_totalprice, o_orderpriority,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rx,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rm
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rx = 1 THEN o_orderkey END) AS top_order,
+        |  max(CASE WHEN rm = 1 THEN o_orderkey END) AS bottom_order,
+        |  round(max(o_totalprice), 2) AS top_price,
+        |  coalesce(nullif(min(o_orderpriority), '1-URGENT'), 'none-urgent') AS prio_demo
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
