@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.ExactRound.{round2, round4}
+import graft.functions.ExactRound.{round2, round4, round6}
 
 /** Relational operator surface (SURVEY.md §2 Part B).
   *
@@ -833,6 +833,29 @@ object Relational {
           .as("prio_demo"))
       .orderBy("o_orderstatus")
 
+  /** Array/higher-order-function battery over the embedding column:
+    * size, fold (L1 norm via aggregate), array_max, filter-count,
+    * slice-fold, element_at arithmetic. HoF lambdas are CodegenFallback
+    * in Spark — fine for a capability check; the HOT vector paths use
+    * the native expressions (see [[graft.plans.VectorDot]] and the s02/
+    * s03 kernels), which is exactly the documented trade-off. Folds are
+    * written sequentially in both engines (aggregate ↔ list_reduce) so
+    * float accumulation orders agree bit-for-bit. */
+  def q57ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions.toDouble
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"))
+      .select(col("vec_id"),
+        size(col("emb")).cast("long").as("dim"),
+        round4(aggregate(col("emb"), lit(0.0), (a, x) => a + abs(x))).as("l1"),
+        round6(array_max(col("emb"))).as("mx"),
+        size(filter(col("emb"), x => x > 0.0)).cast("long").as("n_pos"),
+        round4(aggregate(slice(col("emb"), 1, 8), lit(0.0), (a, x) => a + x)).as("head_sum"),
+        round6(element_at(col("emb"), 1) * element_at(col("emb"), 2)).as("prod12"))
+      .orderBy("vec_id")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -891,6 +914,7 @@ object Relational {
     "q54_asof_tolerance"  -> (q54AsofTolerance _),
     "q55_lateral"         -> (q55Lateral _),
     "q56_argmax"          -> (q56ArgMax _),
+    "q57_array_funcs"     -> (q57ArrayFuncs _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1307,5 +1331,18 @@ object Relational {
         |  round(max(o_totalprice), 2) AS top_price,
         |  coalesce(nullif(min(o_orderpriority), '1-URGENT'), 'none-urgent') AS prio_demo
         |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q57_array_funcs" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id < 50)
+        |SELECT vec_id,
+        |  CAST(len(emb) AS BIGINT) AS dim,
+        |  floor(list_reduce(list_transform(emb, x -> abs(x)), (a, b) -> a + b)
+        |    * 10000.0 + 0.5) / 10000.0 AS l1,
+        |  floor(list_max(emb) * 1000000.0 + 0.5) / 1000000.0 AS mx,
+        |  CAST(len(list_filter(emb, x -> x > 0.0)) AS BIGINT) AS n_pos,
+        |  floor(list_reduce(emb[1:8], (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS head_sum,
+        |  floor(emb[1] * emb[2] * 1000000.0 + 0.5) / 1000000.0 AS prod12
+        |FROM v ORDER BY vec_id""".stripMargin,
   )
 }
