@@ -856,6 +856,34 @@ object Relational {
       .orderBy("vec_id")
   }
 
+  /** EWMA (exponential smoothing, α=0.3) of per-user daily click value —
+    * a RECURSIVE time-series op no window frame can express: each state
+    * depends on the previous state, not a fixed frame. Implemented as
+    * collect → sort → sequential fold per key (state is O(days-per-key),
+    * the shuffle is one row per user-day); both engines fold with
+    * init = first element, so float accumulation matches bit-for-bit.
+    * At 100 TB the per-key series must fit a task — true of any
+    * per-entity time series; unbounded keys go to streaming
+    * [[graft.streaming.StreamingOps.runningTotals]] instead. */
+  def q58Ewma(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .filter(col("event_type") === "click")
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(round2(sum(col("value"))).as("v"))
+    d.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("day"), col("v")))).as("pairs"),
+        max(col("day")).as("last_day"))
+      .select(col("user_id"),
+        transform(col("pairs"), p => p.getField("v")).as("vs"), col("last_day"))
+      .select(col("user_id"),
+        size(col("vs")).cast("long").as("n_days"),
+        round4(aggregate(slice(col("vs"), lit(2), size(col("vs")) - 1),
+          element_at(col("vs"), 1),
+          (acc, x) => lit(0.3) * x + lit(0.7) * acc)).as("ewma"),
+        date_format(col("last_day"), "yyyy-MM-dd").as("last_day"))
+      .orderBy("user_id")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -915,6 +943,7 @@ object Relational {
     "q55_lateral"         -> (q55Lateral _),
     "q56_argmax"          -> (q56ArgMax _),
     "q57_array_funcs"     -> (q57ArrayFuncs _),
+    "q58_ewma"            -> (q58Ewma _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1344,5 +1373,17 @@ object Relational {
         |  floor(list_reduce(emb[1:8], (a, b) -> a + b) * 10000.0 + 0.5) / 10000.0 AS head_sum,
         |  floor(emb[1] * emb[2] * 1000000.0 + 0.5) / 1000000.0 AS prod12
         |FROM v ORDER BY vec_id""".stripMargin,
+    "q58_ewma" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    floor(sum(value) * 100.0 + 0.5) / 100.0 AS v
+        |  FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, list(v ORDER BY day) AS vs, max(day) AS last_day
+        |  FROM d GROUP BY 1)
+        |SELECT user_id, CAST(len(vs) AS BIGINT) AS n_days,
+        |  floor(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) * 10000.0 + 0.5) / 10000.0 AS ewma,
+        |  strftime(last_day, '%Y-%m-%d') AS last_day
+        |FROM g ORDER BY user_id""".stripMargin,
   )
 }
