@@ -17,10 +17,31 @@ import graft.plans.{MinHashSignature, ShingleHashes, SimHash64, SrpSignature, Ve
   * registration); this class is the cluster-deployment path.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectPlannerStrategy(_ => GraftStrategies.TopKPerKeyStrategy)
+  }
+}
+
+/** Physical strategies for graft's custom logical plans (§7.3(c)). */
+object GraftStrategies {
+  import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
+  import graft.plans.{TopKPerKeyExec, TopKPerKeyPartialExec, TopKPerKeyPlan}
+
+  /** Lowers [[TopKPerKeyPlan]] to partial (map-side, pre-exchange) +
+    * final (clustered) bounded-heap execs — the partial/final split
+    * aggregation uses, applied to top-k. */
+  object TopKPerKeyStrategy extends SparkStrategy {
+    override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[SparkPlan] =
+      plan match {
+        case TopKPerKeyPlan(keys, order, k, child) =>
+          TopKPerKeyExec(keys, order, k,
+            TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+        case _ => Nil
+      }
+  }
 }
 
 object GraftExtensions {

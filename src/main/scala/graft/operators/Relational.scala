@@ -884,6 +884,23 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** The custom whole-operator stack (SURVEY §7.3(c)) on the query
+    * surface: top-3 orders per (status, priority) via
+    * [[graft.plans.TopKPerKeyPlan]] → planner strategy → partial+final
+    * bounded-heap execs. Row-identical to the q08-style window (which
+    * the oracle recomputes), but the plan is heap-reduce → k-row
+    * exchange → heap-reduce: no full per-group sort, shuffle bounded by
+    * maps × keys × k. Input projected first — column pruning doesn't
+    * see through a custom node. */
+  def q59TopkCustom(s: SparkSession, dir: String): DataFrame =
+    org.apache.spark.sql.graft.relations.topKPerKey(
+      Tables.orders(s, dir).select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_orderkey"), col("o_totalprice")),
+      keys = Seq("o_orderstatus", "o_orderpriority"),
+      sort = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3)
+      .orderBy("o_orderstatus", "o_orderpriority", "o_orderkey")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -944,6 +961,7 @@ object Relational {
     "q56_argmax"          -> (q56ArgMax _),
     "q57_array_funcs"     -> (q57ArrayFuncs _),
     "q58_ewma"            -> (q58Ewma _),
+    "q59_topk_custom"     -> (q59TopkCustom _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1385,5 +1403,14 @@ object Relational {
         |  floor(list_reduce(vs, (acc, x) -> 0.3 * x + 0.7 * acc) * 10000.0 + 0.5) / 10000.0 AS ewma,
         |  strftime(last_day, '%Y-%m-%d') AS last_day
         |FROM g ORDER BY user_id""".stripMargin,
+    "q59_topk_custom" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderstatus, o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_orderstatus, o_orderpriority, o_orderkey""".stripMargin,
   )
 }
