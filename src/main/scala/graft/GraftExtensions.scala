@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectPlannerStrategy(_ => GraftStrategies.TopKPerKeyStrategy)
+    e.injectOptimizerRule(_ => graft.plans.WindowTopKRewrite)
   }
 }
 

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The optimizer rewrite (window top-N idiom → bounded-heap operator)
+  * in an extensions-enabled session: users write the standard
+  * row_number pattern, the plan comes back heap-shaped, and results are
+  * identical to the un-rewritten session's.
+  */
+class WindowTopKRewriteSpec extends AnyFunSuite {
+
+  private lazy val extSpark: SparkSession = {
+    // getOrCreate() returns any existing default session, silently
+    // dropping withExtensions — force the shared suite session into
+    // existence first, then build a sibling session (same SparkContext,
+    // own sessionState+extensions) with the defaults cleared, and
+    // restore so other suites are untouched.
+    val base = SparkSpec.spark
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-ext-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config(Tables.nanosFlag, "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    SparkSession.setDefaultSession(base)
+    SparkSession.setActiveSession(base)
+    s
+  }
+
+  private def windowTopN(s: SparkSession) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"), col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, SparkSpec.Sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_orderkey"), col("o_totalprice"))
+  }
+
+  test("standard window top-N rewrites to the heap operator, same rows") {
+    val df = windowTopN(extSpark)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerKey"), "rewrite did not fire:\n" + optimized)
+    assert(!optimized.contains("Window"), "window survived the rewrite:\n" + optimized)
+    val rewritten = df.collect().map(_.toString).sorted.toSeq
+    val plain = windowTopN(SparkSpec.spark).collect().map(_.toString).sorted.toSeq
+    assert(rewritten == plain)
+    assert(rewritten.nonEmpty)
+  }
+
+  test("rewrite declines when the rank column is kept in the output") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val df = Tables.orders(extSpark, SparkSpec.Sf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_orderkey"), col("rn")) // rank survives → must keep Window
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("Window"), optimized)
+    assert(!optimized.contains("TopKPerKey"), optimized)
+  }
+
+  test("rewrite declines for rank() (tie semantics differ)") {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice").desc)
+    val df = Tables.orders(extSpark, SparkSpec.Sf)
+      .withColumn("rn", rank().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_orderkey"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("TopKPerKey"), optimized)
+  }
+
+  test("kill switch: spark.graft.rewrite.windowTopK=false keeps the window") {
+    extSpark.conf.set("spark.graft.rewrite.windowTopK", "false")
+    try {
+      val optimized = windowTopN(extSpark).queryExecution.optimizedPlan.toString
+      assert(optimized.contains("Window") && !optimized.contains("TopKPerKey"), optimized)
+    } finally extSpark.conf.unset("spark.graft.rewrite.windowTopK")
+  }
+}
