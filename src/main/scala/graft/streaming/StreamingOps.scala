@@ -143,6 +143,38 @@ object StreamingOps {
     }
   }
 
+  /** Streaming leaderboard: per-key top-k values maintained in typed
+    * state via transformWithState — the streaming sibling of the batch
+    * [[graft.plans.TopKPerKeyPlan]] heap operator. State per key is the
+    * current top-k list (bounded, like the batch heaps); each batch
+    * merges its rows and emits the key's refreshed leaderboard.
+    * Update-mode output: downstream sees the latest top-k per key. */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Double), (Long, Seq[Double])] {
+    @transient private var top: org.apache.spark.sql.streaming.ValueState[Seq[Double]] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      top = getHandle.getValueState[Seq[Double]]("top",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Seq[Double])] = {
+      val prev = if (top.exists()) top.get() else Seq.empty[Double]
+      val next = (prev ++ rows.map(_._2)).sorted(Ordering[Double].reverse).take(k)
+      top.update(next)
+      Iterator.single((key, next))
+    }
+  }
+
+  /** Wire [[TopKProcessor]] over a keyed stream. */
+  def streamingTopK(ds: Dataset[(Long, Double)], k: Int): Dataset[(Long, Seq[Double])] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
+
   /** Wire [[RunningTotalsProcessor]] over a keyed stream. */
   def runningTotals(ds: Dataset[(Long, Double)]): Dataset[(Long, Long, Double)] = {
     import ds.sparkSession.implicits._

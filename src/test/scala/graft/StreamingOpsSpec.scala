@@ -112,6 +112,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows == Set((1L, "home", 9.99)), s"got $rows")
   }
 
+  test("streaming top-k leaderboard merges across batches, stays bounded") {
+    // transformWithState needs the RocksDB provider (multiple column
+    // families) — same setup as StateStoreSpec
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, Double)](spark)
+      val out = StreamingOps.streamingTopK(in.toDS(), k = 3)
+      val q = out.writeStream.outputMode(OutputMode.Update).format("memory")
+        .queryName("stream_topk").start()
+      in.addData((1L, 5.0), (1L, 9.0), (1L, 1.0), (2L, 4.0))
+      q.processAllAvailable()
+      in.addData((1L, 7.0), (1L, 2.0)) // 7 enters top-3, 2 does not
+      q.processAllAvailable()
+      q.stop()
+      val latest = spark.table("stream_topk").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toList))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      assert(latest(1L) == List(9.0, 7.0, 5.0), latest)
+      assert(latest(2L) == List(4.0), latest)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState sessionizer closes sessions across batches") {
     val in = MemoryStream[(Long, Long)](spark)
     val out = StreamingOps.sessionizeStream(in.toDS(), gapMs = 5 * 60_000L)
