@@ -307,6 +307,29 @@ object Dedup {
       .orderBy("passage")
   }
 
+  /** Jaccard-CONTAINMENT pairs (|A∩B| / |A| ≥ 0.8, asymmetric): catches
+    * excerpt/quotation duplication that symmetric Jaccard misses — a
+    * short doc wholly contained in a long one has high containment but
+    * low Jaccard. Same inverted-index join as d03 (only overlapping
+    * pairs materialize); the ratio filter runs on the unrounded value,
+    * output rounds to 4dp. */
+  def d08Containment(s: SparkSession, dir: String): DataFrame = {
+    val docs = docShingles(s, dir)
+      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+      .cache()
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
+    inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("na") > 0 &&
+        col("inter").cast("double") / col("na").cast("double") >= 0.8)
+      .select(col("doc_a"), col("doc_b"),
+        round4(col("inter").cast("double") / col("na").cast("double")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
@@ -315,6 +338,7 @@ object Dedup {
     "d05_dedup_survivors" -> (d05DedupSurvivors _),
     "d06_source_sketch"   -> (d06SourceSketchSim _),
     "d07_passage_dups"    -> (d07PassageDups _),
+    "d08_containment"     -> (d08Containment _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -410,6 +434,19 @@ object Dedup {
         |SELECT passage, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs, min(doc_id) AS first_doc
         |FROM p GROUP BY passage HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY passage""".stripMargin,
+    "d08_containment" ->
+      s"""WITH $shingleCtes,
+         |inv AS (SELECT doc_id, unnest(sh) AS h FROM sh),
+         |pair AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+         |  FROM inv a JOIN inv b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(len(sh) AS DOUBLE) AS n FROM sh)
+         |SELECT p.doc_a, p.doc_b,
+         |  floor(CAST(p.inter AS DOUBLE) / sa.n * 10000.0 + 0.5) / 10000.0 AS containment
+         |FROM pair p JOIN sz sa ON p.doc_a = sa.doc_id
+         |WHERE sa.n > 0 AND CAST(p.inter AS DOUBLE) / sa.n >= 0.8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "d01_minhash_pairs" -> jaccardOracle("0.5"),
     "d03_ngram_jaccard" -> jaccardOracle("0.2"),
     "d05_dedup_survivors" -> d05Oracle,
