@@ -43,6 +43,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("int8-quantized storage path keeps brute-force recall@5 high") {
+    // the 4x-smaller storage format (quantizeInt8) must not wreck
+    // neighbor quality: dequantize and rerun the exact top-k, compare
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions
+    val scale = 0.005 // |values| ≤ ~0.35 → well inside ±127 steps
+    val deq = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        VectorFunctions.dequantizeInt8(
+          VectorFunctions.quantizeInt8(col("embedding"), scale), scale).as("embedding"))
+    deq.createOrReplaceTempView("graft_q_embeddings")
+    val e = deq.select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 10)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    val quantTop = c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm")).as("sim"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .collect()
+    val ex = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qt = quantTop.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ex & qt).size.toDouble / ex.size
+    assert(recall >= 0.8, s"int8 recall@5=$recall")
+  }
+
   test("IVF never returns a better-than-exact neighbor (sanity)") {
     val bestExact = exact.filter(_.getLong(3) == 1L)
       .map(r => r.getLong(0) -> r.getDouble(2)).toMap
