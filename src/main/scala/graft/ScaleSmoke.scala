@@ -45,7 +45,8 @@ object ScaleSmoke {
         "q08_window_topn", "q09_window_running", "q16_case_arith", "q27_array_agg",
         // round-2 additions: text/dedup/similarity + event analytics at 10x
         "d01_minhash_pairs", "d05_dedup_survivors", "t03_quality", "t12_bm25",
-        "t14_pipeline_e2e", "s03_ann_srp", "q52_funnel", "q53_retention").foreach { n =>
+        "t14_pipeline_e2e", "s03_ann_srp", "q52_funnel", "q53_retention",
+        "q59_topk_custom").foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
       println(f"SCALE10 $n ${(System.nanoTime()-t0)/1e9}%.2f s")
