@@ -901,6 +901,44 @@ object Relational {
       k = 3)
       .orderBy("o_orderstatus", "o_orderpriority", "o_orderkey")
 
+  /** Regex battery (extract-all, anchored extract, rlike, class count)
+    * — RE2-safe patterns only, so Java and DuckDB agree. */
+  def q60RegexpBattery(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        size(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)))
+          .cast("long").as("n_words"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        col("p_type").rlike("^ECO").as("is_eco"),
+        call_function("regexp_count", col("p_type"), lit("[AEIOU]"))
+          .cast("long").as("n_upper_vowels"))
+      .orderBy("p_partkey")
+
+  /** String-function battery #2 (q15 covers upper/substr/concat/
+    * length): pad, translate, repeat, reverse, split_part. */
+  def q61StringBattery(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("padded"),
+        translate(col("p_brand"), "#", "B").as("translated"),
+        repeat(substring(col("p_brand"), 1, 2), 3).as("repeated"),
+        reverse(col("p_brand")).as("reversed"),
+        expr("split_part(p_type, ' ', 2)").as("type_mid"))
+      .orderBy("p_partkey")
+
+  /** Bitwise operator battery over int64 keys — and/or/xor/shift/
+    * popcount agree across engines for non-negative BIGINTs. */
+  def q62Bitwise(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(lit(255L)).as("low_byte"),
+        col("o_orderkey").bitwiseOR(lit(4096L)).as("with_flag"),
+        col("o_orderkey").bitwiseXOR(lit(21845L)).as("xored"),
+        shiftleft(col("o_orderkey"), 2).as("shifted"),
+        call_function("bit_count", col("o_orderkey")).cast("long").as("popcount"))
+      .orderBy("o_orderkey")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -962,6 +1000,9 @@ object Relational {
     "q57_array_funcs"     -> (q57ArrayFuncs _),
     "q58_ewma"            -> (q58Ewma _),
     "q59_topk_custom"     -> (q59TopkCustom _),
+    "q60_regexp_battery"  -> (q60RegexpBattery _),
+    "q61_string_battery"  -> (q61StringBattery _),
+    "q62_bitwise"         -> (q62Bitwise _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1412,5 +1453,28 @@ object Relational {
         |SELECT o_orderstatus, o_orderpriority, o_orderkey, o_totalprice
         |FROM r WHERE rn <= 3
         |ORDER BY o_orderstatus, o_orderpriority, o_orderkey""".stripMargin,
+    "q60_regexp_battery" ->
+      """SELECT p_partkey,
+        |  CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS BIGINT) AS n_words,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  CAST(regexp_matches(p_type, '^ECO') AS BOOLEAN) AS is_eco,
+        |  CAST(len(regexp_extract_all(p_type, '[AEIOU]')) AS BIGINT) AS n_upper_vowels
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q61_string_battery" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS padded,
+        |  translate(p_brand, '#', 'B') AS translated,
+        |  repeat(left(p_brand, 2), 3) AS repeated,
+        |  reverse(p_brand) AS reversed,
+        |  split_part(p_type, ' ', 2) AS type_mid
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q62_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS low_byte,
+        |  o_orderkey | 4096 AS with_flag,
+        |  xor(o_orderkey, 21845) AS xored,
+        |  o_orderkey << 2 AS shifted,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
+        |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
   )
 }
