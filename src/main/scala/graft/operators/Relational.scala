@@ -939,6 +939,60 @@ object Relational {
         call_function("bit_count", col("o_orderkey")).cast("long").as("popcount"))
       .orderBy("o_orderkey")
 
+  /** ANSI-safety battery: Spark 4 runs ANSI mode by default (divide by
+    * zero / bad casts THROW); the try_* family yields NULL instead —
+    * the contract a 100 TB pipeline needs to survive dirty rows.
+    * DuckDB mirrors via TRY_CAST and an explicit zero-guard CASE. */
+  def q63TryFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        round2(try_divide(col("o_totalprice"),
+          (col("o_custkey") % 10).cast("double"))).as("safe_ratio"),
+        expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
+        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_num"))
+      .orderBy("o_orderkey")
+
+  /** MERGE/upsert (SCD type-1) as pure dataflow — the Delta/Iceberg
+    * MERGE INTO pattern without a table format: base FULL OUTER
+    * change-set, coalesce picks the update, unmatched-right rows are
+    * inserts. One shuffle join; at 100 TB the change set is usually
+    * broadcastable and the action column drives a partition-overwrite
+    * write. */
+  def q64MergeUpsert(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+    val updates = base.filter(col("o_orderkey") % 7 === 0)
+      .select(col("o_orderkey").as("u_key"),
+        (col("o_totalprice") * 1.1).as("new_price"), lit("PATCHED").as("new_status"))
+    val inserts = base.filter(col("o_orderkey") % 1000 === 0)
+      .select((col("o_orderkey") + 1000000L).as("u_key"),
+        lit(42.0).as("new_price"), lit("NEW").as("new_status"))
+    base.join(updates.unionByName(inserts),
+        col("o_orderkey") === col("u_key"), "full_outer")
+      .select(coalesce(col("o_orderkey"), col("u_key")).as("o_orderkey"),
+        round2(coalesce(col("new_price"), col("o_totalprice"))).as("price"),
+        coalesce(col("new_status"), col("o_orderstatus")).as("status"),
+        when(col("o_orderkey").isNull, "insert")
+          .when(col("u_key").isNull, "keep").otherwise("update").as("action"))
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD type-2 validity intervals from a change log: each order row
+    * becomes a [valid_from, valid_to) version per customer via lead();
+    * the open-ended current version is flagged. One window shuffle on
+    * the entity key. */
+  def q65Scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        // NTZ → TZ is identity under the session's UTC zone
+        unix_millis(col("o_orderdate").cast("timestamp")).as("valid_from_ms"),
+        unix_millis(lead(col("o_orderdate"), 1).over(w).cast("timestamp")).as("valid_to_ms"),
+        lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+      .orderBy("o_custkey", "valid_from_ms", "o_orderkey")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1003,6 +1057,9 @@ object Relational {
     "q60_regexp_battery"  -> (q60RegexpBattery _),
     "q61_string_battery"  -> (q61StringBattery _),
     "q62_bitwise"         -> (q62Bitwise _),
+    "q63_try_funcs"       -> (q63TryFuncs _),
+    "q64_merge_upsert"    -> (q64MergeUpsert _),
+    "q65_scd2_intervals"  -> (q65Scd2Intervals _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1476,5 +1533,38 @@ object Relational {
         |  o_orderkey << 2 AS shifted,
         |  CAST(bit_count(o_orderkey) AS BIGINT) AS popcount
         |FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey""".stripMargin,
+    "q63_try_funcs" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_custkey % 10 = 0 THEN NULL
+        |       ELSE floor(o_totalprice / CAST(o_custkey % 10 AS DOUBLE) * 100.0 + 0.5) / 100.0
+        |  END AS safe_ratio,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS bad_int,
+        |  TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+    "q64_merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT o_orderkey AS u_key, o_totalprice * 1.1 AS new_price,
+        |    'PATCHED' AS new_status
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |inserts AS (
+        |  SELECT o_orderkey + 1000000 AS u_key, 42.0 AS new_price, 'NEW' AS new_status
+        |  FROM orders WHERE o_orderkey % 1000 = 0)
+        |SELECT coalesce(b.o_orderkey, u.u_key) AS o_orderkey,
+        |  floor(coalesce(u.new_price, b.o_totalprice) * 100.0 + 0.5) / 100.0 AS price,
+        |  coalesce(u.new_status, b.o_orderstatus) AS status,
+        |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |       WHEN u.u_key IS NULL THEN 'keep' ELSE 'update' END AS action
+        |FROM orders b
+        |FULL OUTER JOIN (SELECT * FROM updates UNION ALL SELECT * FROM inserts) u
+        |  ON b.o_orderkey = u.u_key
+        |ORDER BY o_orderkey""".stripMargin,
+    "q65_scd2_intervals" ->
+      """SELECT o_custkey, o_orderkey,
+        |  epoch_ms(o_orderdate) AS valid_from_ms,
+        |  epoch_ms(lead(o_orderdate) OVER w) AS valid_to_ms,
+        |  CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, valid_from_ms, o_orderkey""".stripMargin,
   )
 }
