@@ -282,6 +282,25 @@ object TextAnalysis {
       .orderBy("bin")
   }
 
+  /** Training-mixture statistics per (source, lang) cell: doc/token
+    * counts, corpus share, and a temperature-scaled sampling weight
+    * (tokens^0.7 — the standard mixing-temperature recipe). Token sums
+    * are exact integers, so the share division is deterministic across
+    * engines regardless of aggregation order. Two tiny shuffles; the
+    * grid is always broadcast-sized even when the corpus isn't. */
+  def t15DomainMix(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.documents(s, dir)
+      .select(col("source"), col("lang"), size(tokens(col("text"))).cast("long").as("n"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"))
+    val tot = g.agg(sum(col("n_tokens")).as("total"))
+    g.crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("n_docs"), col("n_tokens"),
+        round6(col("n_tokens").cast("double") / col("total").cast("double")).as("share"),
+        round4(pow(col("n_tokens").cast("double"), 0.7)).as("temp_weight"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -297,6 +316,7 @@ object TextAnalysis {
     "t12_bm25"        -> (t12Bm25 _),
     "t13_norm_dedup"  -> (t13NormalizedDedup _),
     "t14_pipeline_e2e" -> (t14PipelineE2e _),
+    "t15_domain_mix"  -> (t15DomainMix _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -493,5 +513,18 @@ object TextAnalysis {
          |SELECT CAST(cum_before // 512 AS BIGINT) AS bin, count(*) AS n_docs,
          |  min(doc_id) AS first_doc, CAST(sum(n) AS BIGINT) AS total_tokens
          |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "t15_domain_mix" ->
+      """WITH t AS (
+        |  SELECT source, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |g AS (
+        |  SELECT source, lang, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens
+        |  FROM t GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM g)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  floor(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share,
+        |  floor(pow(CAST(n_tokens AS DOUBLE), 0.7) * 10000.0 + 0.5) / 10000.0 AS temp_weight
+        |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
   )
 }

@@ -30,7 +30,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * .topKPerKey]]. Semantics — including the total-order tie-break
   * requirement for determinism — match the window formulation row for
   * row (TopKSpec asserts equality).
-  */
+  *
+  * Memory safety without spill: a phase's heaps hold ≤ min(partition
+  * rows, distinct-keys-in-partition × k) row copies — never more than
+  * the partition's own data, and after the partial phase a partition is
+  * already reduced to ≤ keys × k rows. The window formulation's sort
+  * has the same footprint WITHOUT the reduction, so this operator is
+  * strictly smaller-state. */
 case class TopKPerKeyPlan(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: LogicalPlan)
     extends UnaryNode {
