@@ -993,6 +993,21 @@ object Relational {
       .orderBy("o_custkey", "valid_from_ms", "o_orderkey")
   }
 
+  /** RIGHT OUTER join (the one join direction q07/q46 don't cover) +
+    * dense_rank (ties share a rank with no gaps — vs row_number/rank):
+    * customers ranked by order count within segment, zero-order
+    * customers kept by the outer side. */
+  def q66RightJoinDenseRank(s: SparkSession, dir: String): DataFrame = {
+    val j = Tables.orders(s, dir).as("o")
+      .join(Tables.customer(s, dir).as("c"),
+        col("o.o_custkey") === col("c.c_custkey"), "right_outer")
+      .groupBy(col("c.c_custkey").as("c_custkey"), col("c.c_mktsegment").as("c_mktsegment"))
+      .agg(count(col("o.o_orderkey")).as("n_orders"))
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("n_orders").desc)
+    j.withColumn("dr", dense_rank().over(w).cast("long"))
+      .orderBy("c_mktsegment", "dr", "c_custkey")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1060,6 +1075,7 @@ object Relational {
     "q63_try_funcs"       -> (q63TryFuncs _),
     "q64_merge_upsert"    -> (q64MergeUpsert _),
     "q65_scd2_intervals"  -> (q65Scd2Intervals _),
+    "q66_right_dense_rank" -> (q66RightJoinDenseRank _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1566,5 +1582,13 @@ object Relational {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_custkey, valid_from_ms, o_orderkey""".stripMargin,
+    "q66_right_dense_rank" ->
+      """WITH j AS (
+        |  SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n_orders
+        |  FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2)
+        |SELECT c_custkey, c_mktsegment, n_orders,
+        |  CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY n_orders DESC) AS BIGINT) AS dr
+        |FROM j ORDER BY c_mktsegment, dr, c_custkey""".stripMargin,
   )
 }
