@@ -1008,6 +1008,26 @@ object Relational {
       .orderBy("c_mktsegment", "dr", "c_custkey")
   }
 
+  /** Correlated SCALAR-AGGREGATE subquery in the projection (per outer
+    * row: count of its lineitems) + NOT EXISTS in the predicate —
+    * the two decorrelation paths q42/q51 don't cover. Catalyst rewrites
+    * the scalar agg into a left-outer aggregate join and NOT EXISTS
+    * into an anti join; neither re-executes per row. */
+  def q67CorrelatedAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q67_orders")
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q67_lineitem")
+    s.sql("""
+      SELECT o.o_orderkey,
+             (SELECT count(*) FROM graft_q67_lineitem l
+              WHERE l.l_orderkey = o.o_orderkey) AS n_items
+      FROM graft_q67_orders o
+      WHERE o.o_orderkey < 5000
+        AND NOT EXISTS (
+          SELECT 1 FROM graft_q67_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+      ORDER BY o.o_orderkey""")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1076,6 +1096,7 @@ object Relational {
     "q64_merge_upsert"    -> (q64MergeUpsert _),
     "q65_scd2_intervals"  -> (q65Scd2Intervals _),
     "q66_right_dense_rank" -> (q66RightJoinDenseRank _),
+    "q67_correlated_agg"  -> (q67CorrelatedAgg _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1590,5 +1611,15 @@ object Relational {
         |SELECT c_custkey, c_mktsegment, n_orders,
         |  CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY n_orders DESC) AS BIGINT) AS dr
         |FROM j ORDER BY c_mktsegment, dr, c_custkey""".stripMargin,
+    "q67_correlated_agg" ->
+      """SELECT o.o_orderkey,
+        |  (SELECT count(*) FROM lineitem l
+        |   WHERE l.l_orderkey = o.o_orderkey) AS n_items
+        |FROM orders o
+        |WHERE o.o_orderkey < 5000
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
+        |ORDER BY o.o_orderkey""".stripMargin,
   )
 }
