@@ -1028,6 +1028,32 @@ object Relational {
       ORDER BY o.o_orderkey""")
   }
 
+  /** UNPIVOT (melt) — the inverse of q31's pivot: wide per-flag sums
+    * back to (flag, metric, value) long form via the native unpivot
+    * operator (Expand-based, map-side). */
+  def q68Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(round2(sum(col("l_quantity"))).as("qty"),
+        round2(sum(col("l_extendedprice"))).as("price"),
+        round2(sum(col("l_tax"))).as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("qty"), col("price"), col("tax")), "metric", "val")
+      .orderBy("l_returnflag", "metric")
+
+  /** Discrete percentiles (percentile_disc picks an actual data value —
+    * no interpolation, so outputs are raw column values and hash-exact
+    * by construction) + interpolated median. */
+  def q69PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q69_lineitem")
+    s.sql("""
+      SELECT l_returnflag,
+        percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
+        percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_disc,
+        median(l_quantity) AS med_qty
+      FROM graft_q69_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1097,6 +1123,8 @@ object Relational {
     "q65_scd2_intervals"  -> (q65Scd2Intervals _),
     "q66_right_dense_rank" -> (q66RightJoinDenseRank _),
     "q67_correlated_agg"  -> (q67CorrelatedAgg _),
+    "q68_unpivot"         -> (q68Unpivot _),
+    "q69_percentile_disc" -> (q69PercentileDisc _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1621,5 +1649,21 @@ object Relational {
         |    SELECT 1 FROM lineitem l
         |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 49)
         |ORDER BY o.o_orderkey""".stripMargin,
+    "q68_unpivot" ->
+      """WITH base AS (
+        |  SELECT l_returnflag,
+        |    floor(sum(l_quantity) * 100.0 + 0.5) / 100.0 AS qty,
+        |    floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS price,
+        |    floor(sum(l_tax) * 100.0 + 0.5) / 100.0 AS tax
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, val
+        |FROM base UNPIVOT (val FOR metric IN (qty, price, tax))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    "q69_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_extendedprice, 0.5) AS p50_disc,
+        |  quantile_disc(l_extendedprice, 0.9) AS p90_disc,
+        |  median(l_quantity) AS med_qty
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
   )
 }
