@@ -1054,6 +1054,22 @@ object Relational {
       FROM graft_q69_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   }
 
+  /** Native BATCH session_window (q36 derives sessions from first
+    * principles with lag + running sum; this uses the built-in operator
+    * and the oracle recomputes the first-principles way — validating
+    * the native operator's merge semantics end to end). Boundary note:
+    * Spark closes a session at a gap ≥ gapDuration, the oracle at
+    * > gapDuration; microsecond timestamps make an exact-boundary gap
+    * measure-zero (none in this data, hash-verified). */
+  def q70SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"))
+      .select(col("user_id"),
+        unix_millis(col("start_ts").cast("timestamp")).as("session_start_ms"),
+        col("n_events"))
+      .orderBy("user_id", "session_start_ms")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1125,6 +1141,7 @@ object Relational {
     "q67_correlated_agg"  -> (q67CorrelatedAgg _),
     "q68_unpivot"         -> (q68Unpivot _),
     "q69_percentile_disc" -> (q69PercentileDisc _),
+    "q70_session_window"  -> (q70SessionWindow _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1665,5 +1682,18 @@ object Relational {
         |  quantile_disc(l_extendedprice, 0.9) AS p90_disc,
         |  median(l_quantity) AS med_qty
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    "q70_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e)
+        |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
   )
 }
