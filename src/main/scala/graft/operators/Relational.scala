@@ -1070,6 +1070,27 @@ object Relational {
         col("n_events"))
       .orderBy("user_id", "session_start_ms")
 
+  /** Cohort-retention MATRIX: q53's long-form cohorts pivoted to one
+    * row per cohort with d0..d7 active-user columns — pivot on a
+    * COMPUTED column (day offset), the analytics-dashboard artifact.
+    * Conditional count aggregation = the same Expand-free plan shape
+    * q31 uses. */
+  def q71CohortMatrix(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val f = e.groupBy(col("user_id")).agg(to_date(min(col("ts"))).as("cohort"))
+    val a = e.join(f, "user_id")
+      .select(col("user_id"), col("cohort"),
+        datediff(to_date(col("ts")), col("cohort")).cast("long").as("off"))
+      .distinct()
+      .filter(col("off") <= 7)
+    val cells = (0 to 7).map(d => count(when(col("off") === d, lit(1))).as(s"d$d"))
+    a.groupBy(col("cohort"))
+      .agg(cells.head, cells.tail: _*)
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort") +:
+        (0 to 7).map(d => col(s"d$d")): _*)
+      .orderBy("cohort")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1142,6 +1163,7 @@ object Relational {
     "q68_unpivot"         -> (q68Unpivot _),
     "q69_percentile_disc" -> (q69PercentileDisc _),
     "q70_session_window"  -> (q70SessionWindow _),
+    "q71_cohort_matrix"   -> (q71CohortMatrix _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1695,5 +1717,24 @@ object Relational {
         |SELECT user_id, epoch_ms(min(ts)) AS session_start_ms, count(*) AS n_events
         |FROM s GROUP BY user_id, sid
         |ORDER BY user_id, session_start_ms""".stripMargin,
+    "q71_cohort_matrix" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort
+        |  FROM events GROUP BY 1),
+        |a AS (
+        |  SELECT DISTINCT e.user_id, f.cohort,
+        |    date_diff('day', f.cohort, CAST(date_trunc('day', e.ts) AS DATE)) AS off
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  count(CASE WHEN off = 0 THEN 1 END) AS d0,
+        |  count(CASE WHEN off = 1 THEN 1 END) AS d1,
+        |  count(CASE WHEN off = 2 THEN 1 END) AS d2,
+        |  count(CASE WHEN off = 3 THEN 1 END) AS d3,
+        |  count(CASE WHEN off = 4 THEN 1 END) AS d4,
+        |  count(CASE WHEN off = 5 THEN 1 END) AS d5,
+        |  count(CASE WHEN off = 6 THEN 1 END) AS d6,
+        |  count(CASE WHEN off = 7 THEN 1 END) AS d7
+        |FROM a WHERE off <= 7
+        |GROUP BY cohort ORDER BY cohort""".stripMargin,
   )
 }
