@@ -44,7 +44,7 @@ object ScaleSmoke {
     Seq("q01_pricing_summary", "q02_filter_project", "q04_multijoin_region",
         "q08_window_topn", "q09_window_running", "q16_case_arith", "q27_array_agg",
         // round-2 additions: text/dedup/similarity + event analytics at 10x
-        "d01_minhash_pairs", "d05_dedup_survivors", "t03_quality", "t12_bm25",
+        "d01_minhash_pairs", "d05_dedup_survivors", "d08_containment", "t03_quality", "t12_bm25",
         "t14_pipeline_e2e", "s03_ann_srp", "q52_funnel", "q53_retention",
         "q59_topk_custom").foreach { n =>
       val t0 = System.nanoTime()

@@ -1091,6 +1091,23 @@ object Relational {
       .orderBy("cohort")
   }
 
+  /** Fuzzy string matching: edit distance of every part name to a
+    * fixed candidate list, keeping the best match — entity-resolution /
+    * spell-correction shape. Map-side only (candidates are literals);
+    * the all-pairs variant at scale would go through d01-style blocking
+    * first. */
+  def q72EditDistance(s: SparkSession, dir: String): DataFrame = {
+    val candidates = Seq("small ring", "red widget", "blue bolt", "green gear")
+    val dists = array(candidates.map(c =>
+      struct(levenshtein(col("p_name"), lit(c)).as("d"), lit(c).as("cand"))): _*)
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_name"), array_min(dists).as("best"))
+      .select(col("p_partkey"), col("p_name"),
+        col("best.cand").as("best_match"), col("best.d").cast("long").as("distance"))
+      .filter(col("distance") <= 6)
+      .orderBy("p_partkey")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1164,6 +1181,7 @@ object Relational {
     "q69_percentile_disc" -> (q69PercentileDisc _),
     "q70_session_window"  -> (q70SessionWindow _),
     "q71_cohort_matrix"   -> (q71CohortMatrix _),
+    "q72_edit_distance"   -> (q72EditDistance _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1736,5 +1754,14 @@ object Relational {
         |  count(CASE WHEN off = 7 THEN 1 END) AS d7
         |FROM a WHERE off <= 7
         |GROUP BY cohort ORDER BY cohort""".stripMargin,
+    "q72_edit_distance" ->
+      """WITH d AS (
+        |  SELECT p_partkey, p_name,
+        |    list_min(list_transform(['small ring', 'red widget', 'blue bolt', 'green gear'],
+        |      c -> {'d': levenshtein(p_name, c), 'cand': c})) AS best
+        |  FROM part)
+        |SELECT p_partkey, p_name, best.cand AS best_match,
+        |  CAST(best.d AS BIGINT) AS distance
+        |FROM d WHERE best.d <= 6 ORDER BY p_partkey""".stripMargin,
   )
 }

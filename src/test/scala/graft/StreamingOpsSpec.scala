@@ -91,6 +91,21 @@ class StreamingOpsSpec extends SparkSpec {
     assert(vals.forall(_ == ("a", 2L)))
   }
 
+  test("stream-static enrichment join (broadcast dimension against a stream)") {
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("k", "tier")
+    val in = MemoryStream[(Long, Double)](spark)
+    val enriched = in.toDF().toDF("k", "v")
+      .join(org.apache.spark.sql.functions.broadcast(dim), Seq("k"), "left")
+    val q = enriched.writeStream.outputMode(OutputMode.Append).format("memory")
+      .queryName("enriched").start()
+    in.addData((1L, 10.0), (2L, 5.0), (3L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("enriched").collect()
+      .map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(rows == Set((1L, Some("gold")), (2L, Some("basic")), (3L, None)))
+  }
+
   test("stream-stream interval join matches within window, drops outside") {
     val clicks = MemoryStream[(Timestamp, Long, String)](spark)
     val buys = MemoryStream[(Timestamp, Long, Double)](spark)
