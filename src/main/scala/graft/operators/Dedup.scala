@@ -310,24 +310,48 @@ object Dedup {
   /** Jaccard-CONTAINMENT pairs (|A∩B| / |A| ≥ 0.8, asymmetric): catches
     * excerpt/quotation duplication that symmetric Jaccard misses — a
     * short doc wholly contained in a long one has high containment but
-    * low Jaccard. Same inverted-index join as d03 (only overlapping
-    * pairs materialize); the ratio filter runs on the unrounded value,
-    * output rounds to 4dp. */
+    * low Jaccard.
+    *
+    * Scale shape: the inverted-index self-join's cost is Σ_h count(h)²,
+    * which grows QUADRATICALLY with exact-duplicate multiplicity (10×
+    * smoke measured 146 s naive). So exact-dup classes collapse FIRST
+    * (group by text, one representative per class), containment runs on
+    * representatives only, and class members expand back afterwards —
+    * identical results (identical texts have identical shingle sets;
+    * within-class ordered pairs are containment 1.0), with join cost a
+    * function of DISTINCT texts. The ratio filter runs on the unrounded
+    * value; output rounds to 4dp. */
   def d08Containment(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir)
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    val cls = Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val repSh = cls
+      .select(col("rep"), col("members"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("rep"), col("members"),
+        array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .select(col("rep"), col("members"), col("sh"), size(col("sh")).as("n_sh"))
       .cache()
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
-    inv.as("a").join(inv.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.n_sh").as("na"))
+    val inv = repSh.select(col("rep"), col("n_sh"), explode(col("sh")).as("h"))
+    val repPairs = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.rep") =!= col("b.rep"))
+      .groupBy(col("a.rep").as("ra"), col("b.rep").as("rb"), col("a.n_sh").as("na"))
       .agg(count(lit(1)).as("inter"))
       .filter(col("na") > 0 &&
         col("inter").cast("double") / col("na").cast("double") >= 0.8)
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("ra"), col("rb"),
         round4(col("inter").cast("double") / col("na").cast("double")).as("containment"))
-      .orderBy("doc_a", "doc_b")
+    val cross = repPairs
+      .join(repSh.select(col("rep").as("ra"), col("members").as("ma")), "ra")
+      .join(repSh.select(col("rep").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("doc_a"), col("mb"), col("containment"))
+      .select(col("doc_a"), explode(col("mb")).as("doc_b"), col("containment"))
+    val within = repSh
+      .filter(size(col("members")) > 1 && col("n_sh") > 0)
+      .select(col("members"), explode(col("members")).as("doc_a"))
+      .select(col("doc_a"), explode(col("members")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0).as("containment"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
