@@ -103,23 +103,48 @@ object Dedup {
   /** Exact n-gram Jaccard pairs ≥ 0.2 via inverted-index self-join:
     * explode distinct shingle hashes, equi-join on the hash, count shared
     * shingles per pair (= intersection, exactly), derive the union from
-    * per-doc shingle counts. Never materializes non-overlapping pairs. */
+    * per-doc shingle counts. Never materializes non-overlapping pairs,
+    * and — like [[d08Containment]] — exact-dup classes collapse to one
+    * representative before the join (posting-list self-join cost is
+    * quadratic in duplicate multiplicity) and expand back after,
+    * preserving results exactly: identical texts pair at jaccard 1.0,
+    * cross-class pairs inherit the representatives' jaccard. */
   def d03NgramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir)
-      .select(col("doc_id"), col("sh"), size(col("sh")).as("n_sh"))
+    val cls = Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val repSh = cls
+      .select(col("rep"), col("members"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("rep"), col("members"),
+        array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .select(col("rep"), col("members"), col("sh"), size(col("sh")).as("n_sh"))
       .cache()
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("h"))
-    val inter = inv.as("a").join(inv.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    val inv = repSh.select(col("rep"), col("n_sh"), explode(col("sh")).as("h"))
+    // one row per UNORDERED class pair (rep order), jaccard is symmetric
+    val repPairs = inv.as("a").join(inv.as("b"),
+        col("a.h") === col("b.h") && col("a.rep") < col("b.rep"))
+      .groupBy(col("a.rep").as("ra"), col("b.rep").as("rb"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("ra"), col("rb"),
         round4(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.2)
-      .orderBy("doc_a", "doc_b")
+    // member pairs re-order per pair: class members interleave by id
+    val cross = repPairs
+      .join(repSh.select(col("rep").as("ra"), col("members").as("ma")), "ra")
+      .join(repSh.select(col("rep").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("jaccard"))
+      .select(col("x"), explode(col("mb")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+    val within = repSh
+      .filter(size(col("members")) > 1 && col("n_sh") > 0)
+      .select(col("members"), explode(col("members")).as("x"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
   /** Embedding-cosine near-dup pairs (sim ≥ 0.4). Exact all-pairs at
