@@ -47,32 +47,55 @@ object Dedup {
       .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
       .select(col("doc_id"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
 
-  /** MinHash-LSH near-dup pairs with exact-Jaccard verification ≥ 0.5. */
+  /** MinHash-LSH near-dup pairs with exact-Jaccard verification ≥ 0.5.
+    * Exact-dup classes collapse to a representative before banding (see
+    * [[d08Containment]] — identical docs share every band key, so dup
+    * multiplicity inflates band buckets and candidate pairs
+    * quadratically) and expand back after the verify. */
   def d01MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = docShingles(s, dir).cache()
-    val bands = docs
-      .select(col("doc_id"),
-        minhashSignature(col("sh"), K).as("sig"))
-      .select(col("doc_id"), posexplode(minhashBands(col("sig"), K, Bands)))
-      .toDF("doc_id", "band", "key")
-    // Equi-join on (band, key): only colliding docs meet. distinct()
+    val cls = Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val repSh = cls
+      .select(col("rep"), col("members"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("rep"), col("members"),
+        array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .cache()
+    val bands = repSh
+      .select(col("rep"), minhashSignature(col("sh"), K).as("sig"))
+      .select(col("rep"), posexplode(minhashBands(col("sig"), K, Bands)))
+      .toDF("rep", "band", "key")
+    // Equi-join on (band, key): only colliding reps meet. distinct()
     // before the verify so each pair is checked once.
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
       .distinct()
-    cand
-      .join(docs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sha"), "doc_a")
-      .join(docs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "shb"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
+    val repPairs = cand
+      .join(repSh.select(col("rep").as("ra"), col("sh").as("sha")), "ra")
+      .join(repSh.select(col("rep").as("rb"), col("sh").as("shb")), "rb")
+      .select(col("ra"), col("rb"),
         size(array_intersect(col("sha"), col("shb"))).as("inter"),
         size(col("sha")).as("na"), size(col("shb")).as("nb"))
-      .select(col("doc_a"), col("doc_b"),
+      .select(col("ra"), col("rb"),
         round4(col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.5)
-      .orderBy("doc_a", "doc_b")
+    val cross = repPairs
+      .join(repSh.select(col("rep").as("ra"), col("members").as("ma")), "ra")
+      .join(repSh.select(col("rep").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("jaccard"))
+      .select(col("x"), explode(col("mb")).as("y"), col("jaccard"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("jaccard"))
+    val within = repSh
+      .filter(size(col("members")) > 1 && size(col("sh")) > 0)
+      .select(col("members"), explode(col("members")).as("x"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(1.0).as("jaccard"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
   /** SimHash near-dup pairs: band-blocked, hamming-verified ≤ 8.
