@@ -101,17 +101,22 @@ object Dedup {
   /** SimHash near-dup pairs: band-blocked, hamming-verified ≤ 8.
     * SimHash is the native codegen [[graft.plans.SimHash64]] (the staged
     * HoF formulation it replaced was interpreted — three boxed
-    * 64-element arrays per token per row). */
+    * 64-element arrays per token per row). Exact-dup classes collapse
+    * to representatives before banding (identical docs share every
+    * band) and expand after, like the rest of the dedup family. */
   def d02SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
-      .select(col("doc_id"), simhash64Native(col("th")).as("sim"))
+    val cls = Tables.documents(s, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val reps = cls
+      .select(col("rep"), col("members"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("rep"), col("members"), simhash64Native(col("th")).as("sim"))
       .cache()
-    val bands = docs.select(col("doc_id"), col("sim"),
+    val bands = reps.select(col("rep"), col("sim"),
       explode(simhashBands(col("sim"))).as("band"))
-    bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    val repPairs = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.rep") < col("b.rep"))
+      .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
         hamming64(col("a.sim"), col("b.sim")).as("hamming"))
       // verify-then-distinct: the hamming filter is a codegen'd xor+popcount
       // on the join output stream, so the (potentially huge) band-collision
@@ -120,7 +125,20 @@ object Dedup {
       // shuffles every candidate pair.
       .filter(col("hamming") <= 8)
       .distinct()
-      .orderBy("doc_a", "doc_b")
+    val cross = repPairs
+      .join(reps.select(col("rep").as("ra"), col("members").as("ma")), "ra")
+      .join(reps.select(col("rep").as("rb"), col("members").as("mb")), "rb")
+      .select(explode(col("ma")).as("x"), col("mb"), col("hamming"))
+      .select(col("x"), explode(col("mb")).as("y"), col("hamming"))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"), col("hamming"))
+    val within = reps
+      .filter(size(col("members")) > 1)
+      .select(col("members"), explode(col("members")).as("x"))
+      .select(col("x"), explode(col("members")).as("y"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("doc_a"), col("y").as("doc_b"), lit(0L).as("hamming"))
+    cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
   /** Exact n-gram Jaccard pairs ≥ 0.2 via inverted-index self-join:
