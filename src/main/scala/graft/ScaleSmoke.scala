@@ -3,7 +3,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 /** 10x scale smoke: replicate sf0.1 lineitem/orders to ~6M/1.5M rows in
   * /tmp with shifted keys, run the heaviest relational plans, and report
-  * per-query seconds for comparison against the sf0.1 numbers. */
+  * per-query seconds for comparison against the sf0.1 numbers.
+  *
+  * `runMain graft.ScaleSmoke d100` instead runs the dedup-family 100×
+  * smoke: documents amplified 100× (every text gains 100 exact copies —
+  * the worst case for pairwise dedup, which the exact-dup class
+  * collapse must keep linear), plus a synthetic 200k-hop chain
+  * component proving clusterLabels' O(log diameter) convergence and
+  * demonstrating what a too-low maxIters truncates. */
 object ScaleSmoke {
   def main(a: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -13,6 +20,7 @@ object ScaleSmoke {
       .config(Tables.nanosFlag, "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (a.contains("d100")) { d100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -52,5 +60,43 @@ object ScaleSmoke {
       println(f"SCALE10 $n ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** 100× dedup-family smoke (see object Scaladoc). */
+  private def d100(spark: SparkSession): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/sf100x"
+    val reps = spark.range(100).toDF("rep")
+    val t = Tables(spark, base, "documents")
+    t.crossJoin(broadcast(reps))
+      .select(t.columns.map {
+        case "doc_id" => (col("doc_id") + col("rep") * 10000000L).as("doc_id")
+        case c => col(c)
+      }: _*)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    println(s"ROWS documents=${spark.read.parquet(s"$out/documents.parquet").count()}")
+    Seq("d01_minhash_pairs", "d03_ngram_jaccard", "d05_dedup_survivors",
+        "d08_containment", "t01_dedup_exact").foreach { n =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
+      println(f"SCALE100 $n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    // Wide-diameter convergence: a 200k-hop path is the adversarial
+    // component shape (real near-dup clusters are dense and shallow).
+    // Path-halving must converge in ~log2(200k) ≈ 18 rounds; a cap of 8
+    // must truncate AND say so via the non-converged flag.
+    val chain = spark.range(200000 - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val t0 = System.nanoTime()
+    val (labels, rounds, converged) =
+      graft.operators.Dedup.clusterLabelsWithRounds(chain, maxIters = 25)
+    val wrong = labels.filter(col("label") =!= 0L).count()
+    println(f"CHAIN200K rounds=$rounds converged=$converged mislabeled=$wrong " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    assert(converged && wrong == 0, "wide-diameter chain failed to converge")
+    val (_, _, truncated) =
+      graft.operators.Dedup.clusterLabelsWithRounds(chain, maxIters = 8)
+    println(s"CHAIN200K maxIters=8 converged=$truncated (expected false)")
+    assert(!truncated, "an 8-round cap cannot converge a 200k chain — flag is broken")
   }
 }

@@ -70,6 +70,11 @@ final class BatchPipeline[T: Encoder](
   private val batchesFlushed: LongAccumulator = spark.sparkContext.longAccumulator(s"${config.name}.batchesFlushed")
   private val retries: LongAccumulator = spark.sparkContext.longAccumulator(s"${config.name}.retries")
   private val itemsDropped: LongAccumulator = spark.sparkContext.longAccumulator(s"${config.name}.itemsDropped")
+  // A18 per-worker granularity (v2 Stat.java:11-135): worker → counts
+  private val workerItems = new WorkerCountAccumulator
+  private val workerBatches = new WorkerCountAccumulator
+  spark.sparkContext.register(workerItems, s"${config.name}.workerItemsFlushed")
+  spark.sparkContext.register(workerBatches, s"${config.name}.workerBatchesFlushed")
 
   @volatile private var query: StreamingQuery = _
   @volatile private var state: String = "NEW"
@@ -97,6 +102,7 @@ final class BatchPipeline[T: Encoder](
     val fac = factory
     val flushed = itemsFlushed; val nBatches = batchesFlushed
     val nRetries = retries; val nDropped = itemsDropped
+    val wItems = workerItems; val wBatches = workerBatches
     query = source.toDS()
       .writeStream
       .queryName(cfg.name)
@@ -137,7 +143,10 @@ final class BatchPipeline[T: Encoder](
                     catch { case scala.util.control.NonFatal(e) => lastError = e; false }
                     finally limiters.concurrency.release()
                   if (ok) {
-                    flushed.add(batch.size); nBatches.add(1); done = true
+                    flushed.add(batch.size); nBatches.add(1)
+                    wItems.add((workerIndex, batch.size.toLong))
+                    wBatches.add((workerIndex, 1L))
+                    done = true
                   } else if (attempt >= cfg.maxRetryCount) {
                     // A15 exhaustion: discard AND warn (v2 Worker.java:290-291)
                     log.warn(s"pipeline ${cfg.name}: dropping batch of ${batch.size} " +
@@ -245,14 +254,43 @@ final class BatchPipeline[T: Encoder](
 
   // ----------------------------------------------------------------- stats
 
-  /** A18: runtime stats. */
+  /** A18: runtime stats (global + per-worker). */
   def stat(): PipelineStats = PipelineStats(
     itemsIn = itemsIn.get(),
     itemsFlushed = itemsFlushed.value,
     batchesFlushed = batchesFlushed.value,
     retries = retries.value,
     itemsDropped = itemsDropped.value,
-    pending = pending.get())
+    pending = pending.get(),
+    perWorkerItemsFlushed = workerItems.value,
+    perWorkerBatchesFlushed = workerBatches.value)
+}
+
+/** Map accumulator for per-worker counts: (workerIndex, delta) adds
+  * merge associatively/commutatively across tasks, so the value is
+  * exact regardless of task order or speculation re-merges being
+  * absent — same contract as Spark's LongAccumulator, keyed. */
+private[core] final class WorkerCountAccumulator
+    extends org.apache.spark.util.AccumulatorV2[(Int, Long), Map[Int, Long]] {
+  private val m =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.LongAdder]()
+  override def isZero: Boolean = m.isEmpty
+  override def copy(): WorkerCountAccumulator = {
+    val c = new WorkerCountAccumulator
+    m.forEach((k, v) => c.add((k, v.sum())))
+    c
+  }
+  override def reset(): Unit = m.clear()
+  override def add(kv: (Int, Long)): Unit =
+    m.computeIfAbsent(kv._1, _ => new java.util.concurrent.atomic.LongAdder).add(kv._2)
+  override def merge(
+      other: org.apache.spark.util.AccumulatorV2[(Int, Long), Map[Int, Long]]): Unit =
+    other.value.foreach(add)
+  override def value: Map[Int, Long] = {
+    val b = Map.newBuilder[Int, Long]
+    m.forEach((k, v) => b += (k -> v.sum()))
+    b.result()
+  }
 }
 
 object BatchPipeline {

@@ -38,11 +38,18 @@ final case class PipelineConfig(
   require(minBatchSize >= 0 && minBatchSize <= maxBatchSize)
 }
 
-/** Runtime statistics — ≅ v2 `stat()` (core/v2/Stat.java:11-135). */
+/** Runtime statistics — ≅ v2 `stat()` (core/v2/Stat.java:11-135).
+  * The per-worker maps (worker index → count) carry v2 Stat's
+  * per-worker granularity — the reference exposes per-worker ring
+  * occupancy; here a worker is a shard task, so its flush counts are
+  * the analogous signal (which shard is hot / behind). Per-worker
+  * counts always sum to the global fields. */
 final case class PipelineStats(
     itemsIn: Long,
     itemsFlushed: Long,
     batchesFlushed: Long,
     retries: Long,
     itemsDropped: Long,
-    pending: Long)
+    pending: Long,
+    perWorkerItemsFlushed: Map[Int, Long] = Map.empty,
+    perWorkerBatchesFlushed: Map[Int, Long] = Map.empty)

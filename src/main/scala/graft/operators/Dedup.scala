@@ -213,7 +213,18 @@ object Dedup {
     * clusters are tiny, so a handful of joins). Each iteration is one
     * shuffle; no driver-side graph state, so this scales with edges.
     */
-  def clusterLabels(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def clusterLabels(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    clusterLabelsWithRounds(pairs, maxIters)._1
+
+  /** [[clusterLabels]] plus convergence telemetry: (labels, rounds run,
+    * converged). Path-halving spreads labels 2^i hops per round, so
+    * rounds ≈ log2(component diameter): the default maxIters=20 covers
+    * diameters to ~1M hops, and each round on an already-converged
+    * input exits immediately — raising the cap costs nothing when
+    * components are shallow (the common case), while a low cap silently
+    * mislabels wide chains (ScaleSmoke's d100 mode measures this). */
+  private[graft] def clusterLabelsWithRounds(
+      pairs: DataFrame, maxIters: Int): (DataFrame, Int, Boolean) = {
     // undirected edge list; only docs that appear in some pair enter the
     // label table — true singletons are handled downstream (d05 keeps
     // them via the anti join), not here
@@ -268,9 +279,9 @@ object Dedup {
     if (!converged) {
       org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup").warn(
         s"clusterLabels stopped at maxIters=$maxIters before convergence — " +
-          "labels of components wider than maxIters hops are non-canonical")
+          "labels of components wider than ~2^maxIters hops are non-canonical")
     }
-    labels
+    (labels, i, converged)
   }
 
   /** Survivors after MinHash near-dup clustering: every document except

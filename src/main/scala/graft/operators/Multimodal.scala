@@ -53,16 +53,21 @@ object Multimodal {
         i => substring(payload, (i * stride + 1).cast("int"), lit(frameSize))))
       .otherwise(array().cast("array<binary>"))
 
-  /** Media metadata extraction (rows-only check: hash-derived dims have
-    * no DuckDB counterpart; plumbing is covered by MultimodalSpec). */
-  def m01MediaMeta(s: SparkSession, dir: String): DataFrame =
-    mediaTable(s, dir)
-      .withColumn("meta", decodeMeta(col("payload")))
-      .select(col("media_id"), col("format"),
-        col("meta.n_bytes").as("n_bytes"),
-        col("meta.width").as("width"),
-        col("meta.height").as("height"))
+  /** Media metadata extraction through the codec SPI — the per-partition-
+    * instance `mapPartitions` path ([[decodeWithCodec]]), NOT inline
+    * expressions, so the driver gate exercises the exact seam a real JNI
+    * decoder plugs into. (Rows-only check: stub-derived dims have no
+    * DuckDB counterpart; plumbing + instance-count covered by
+    * MultimodalSpec. [[decodeMeta]] remains the pure-expression variant
+    * for pipelines that want codegen over a cheap header parse.) */
+  def m01MediaMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeWithCodec(mediaTable(s, dir).as[MediaRecord])
+      .select(col("media_id"), col("format"), col("n_bytes"),
+        col("width").cast("long").as("width"),
+        col("height").cast("long").as("height"))
       .orderBy("media_id")
+  }
 
   /** Frame sampling + per-frame features over the synthesized "videos". */
   def m02FrameFeatures(s: SparkSession, dir: String): DataFrame =

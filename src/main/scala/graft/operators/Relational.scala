@@ -563,10 +563,18 @@ object Relational {
     * moving average and a value-RANGE frame. Tie-safety: ranking and
     * lookup windows carry a full-column tie-break; the range frame is
     * keyed on the value itself, so ties share one frame in both
-    * engines. */
+    * engines. Frame aggregates sum integer CENTS (BIGINT), never raw
+    * doubles: integer addition is associative, so the result is
+    * invariant to the engine's in-frame accumulation order (double
+    * sums are not — last-ulp drift at floor(x*P+0.5) boundaries made
+    * this query run-sensitive). The single /100.0 (and /count) after
+    * the exact sum is the identical IEEE op sequence on both sides.
+    * The output sort is total over EVERY column. */
   def q41WindowFrames(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val wRows4 = w.rowsBetween(-3, 0)
+    val cents = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") <= 10000)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
@@ -578,14 +586,16 @@ object Relational {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cheapest"),
         nth_value(col("l_extendedprice"), 2).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_cheapest"),
-        round2(avg(col("l_extendedprice")).over(w.rowsBetween(-3, 0))).as("mov_avg4"))
+        round2(sum(cents).over(wRows4) / 100.0 / count(lit(1)).over(wRows4))
+          .as("mov_avg4"))
       .withColumn("near_sum", expr(
-        "floor(sum(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice " +
-          "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0"))
+        "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) " +
+          "OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice " +
+          "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) / 100.0"))
       // (l_orderkey, l_linenumber) is NOT unique in lineitem — the output
       // sort must be total over every column or row order is undefined
       .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
-        "quartile", "mov_avg4", "near_sum")
+        "quartile", "pr", "cd", "cheapest", "second_cheapest", "mov_avg4", "near_sum")
   }
 
   /** Correlated EXISTS through the SQL frontend (q05 covers the
@@ -660,12 +670,19 @@ object Relational {
 
   /** Scalar subquery in the PROJECTION (q19 uses one in WHERE): each
     * order's price as a share of the global mean. Catalyst evaluates the
-    * subquery once (broadcast scalar), not per row. */
+    * subquery once (broadcast scalar), not per row. The mean is computed
+    * EXACTLY — sum of integer cents (associative BIGINT, invariant to
+    * partial-merge order) then /100.0/count — because a raw avg(double)
+    * carries last-ulp drift from task-merge order that flips
+    * floor(x*P+0.5) at boundaries (this query failed the driver's hash
+    * gate on exactly that). */
   def q51ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_q51_orders")
     s.sql("""
       SELECT o_orderkey,
-             floor(o_totalprice / (SELECT avg(o_totalprice) FROM graft_q51_orders)
+             floor(o_totalprice /
+               (SELECT sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
+                       / count(*) FROM graft_q51_orders)
                * 10000.0 + 0.5) / 10000.0 AS price_ratio
       FROM graft_q51_orders
       ORDER BY o_orderkey""")
@@ -950,7 +967,10 @@ object Relational {
         round2(try_divide(col("o_totalprice"),
           (col("o_custkey") % 10).cast("double"))).as("safe_ratio"),
         expr("try_cast(o_orderpriority AS INT)").as("bad_int"),
-        substring(col("o_orderpriority"), 1, 1).cast("int").as("prio_num"))
+        // try_cast, not .cast: a plain cast THROWS under ANSI mode on any
+        // non-digit prefix, while the oracle's TRY_CAST yields NULL — the
+        // two sides must share failure semantics, not just happy-path values
+        expr("try_cast(substring(o_orderpriority, 1, 1) AS INT)").as("prio_num"))
       .orderBy("o_orderkey")
 
   /** MERGE/upsert (SCD type-1) as pure dataflow — the Delta/Iceberg
@@ -1439,20 +1459,22 @@ object Relational {
         | count(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q41_window_frames" ->
-      """WITH t AS (SELECT * FROM lineitem WHERE l_orderkey <= 10000)
+      """WITH t AS (SELECT *, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_orderkey <= 10000)
         |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
         | floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pr,
         | floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cd,
         | first_value(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest,
         | nth_value(l_extendedprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cheapest,
-        | floor(avg(l_extendedprice) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS mov_avg4,
-        | floor(sum(l_extendedprice) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
-        |   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS near_sum
+        | floor(CAST(sum(cents) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
+        |   / count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS mov_avg4,
+        | CAST(sum(cents) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
+        |   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS near_sum
         |FROM t
         |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
         |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-        |  quartile, mov_avg4, near_sum""".stripMargin,
+        |  quartile, pr, cd, cheapest, second_cheapest, mov_avg4, near_sum""".stripMargin,
     "q42_exists_corr" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (
@@ -1530,7 +1552,9 @@ object Relational {
         |ORDER BY op, custkey""".stripMargin,
     "q51_scalar_subquery" ->
       """SELECT o_orderkey,
-        |  floor(o_totalprice / (SELECT avg(o_totalprice) FROM orders)
+        |  floor(o_totalprice /
+        |    (SELECT CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
+        |            / count(*) FROM orders)
         |    * 10000.0 + 0.5) / 10000.0 AS price_ratio
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,

@@ -206,9 +206,12 @@ object TextAnalysis {
       .agg(Bm25Query.map(q =>
           coalesce(max(when(col("term") === q, col("s"))), lit(0.0)))
         .reduce(_ + _).as("score"))
+    // global top-20 via sort+limit (plans TakeOrderedAndProject: partial
+    // per-partition top-k, no single-reducer WindowExec over the corpus);
+    // the rank window then runs over the 20 surviving rows only
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(20)
     val w = Window.orderBy(col("score").desc, col("doc_id"))
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 20)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("doc_id"), round4(col("score")).as("score"), col("rank"))
       .orderBy("rank")
   }
@@ -234,6 +237,32 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
         max(col("doc_id")).as("last_doc"), sum(col("n")).as("total_tokens"))
       .orderBy("bin")
+  }
+
+  private val PackShards = 8
+
+  /** Sharded sequence packing — the 100 TB form of [[t11SeqPack]]: docs
+    * are split into [[PackShards]] shards (`doc_id % shards`), each
+    * shard lays ITS docs end-to-end in doc_id order and cuts 512-token
+    * bins independently. The running-sum window partitions on the shard
+    * key, so every reducer handles 1/shards of the corpus in parallel —
+    * no "Moving all data to a single partition" plan. Bin ids are
+    * namespaced by shard: (shard, bin) replaces t11's global bin, the
+    * deliberate semantic trade that buys parallelism (training shards
+    * are independent anyway). In production shards = O(executors). */
+  def t16SeqPackSharded(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (col("doc_id") % PackShards).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n"))
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("n"),
+        expr(s"cum_before DIV $PackCapacity").as("bin"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"), sum(col("n")).as("total_tokens"))
+      .orderBy("shard", "bin")
   }
 
   /** Normalization-then-dedup ("fuzzy exact"): case-fold, strip
@@ -263,23 +292,45 @@ object TextAnalysis {
     * whole plan has exactly three shuffles (dedup agg, pack window,
     * final agg) regardless of corpus size. */
   def t14PipelineE2e(s: SparkSession, dir: String): DataFrame = {
-    val gated = Tables.documents(s, dir)
-      .filter(col("lang") === "en")
-      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
-      .filter(round4(qualityScore(col("text"), col("toks"))) >= 0.5)
-    val kept = gated
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), min(size(col("toks"))).as("n_toks"))
-      .select(col("doc_id"), col("n_toks").cast("long").as("n"))
     val w = Window.orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    kept
+    gateAndDedup(s, dir)
       .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
       .select(col("doc_id"), col("n"), expr(s"cum_before DIV $PackCapacity").as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
         sum(col("n")).as("total_tokens"))
       .orderBy("bin")
+  }
+
+  /** Shared gate→dedup prefix of t14/t17: language gate, quality gate,
+    * exact dedup keep-first → (doc_id, n tokens) survivors. */
+  private def gateAndDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .filter(round4(qualityScore(col("text"), col("toks"))) >= 0.5)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), min(size(col("toks"))).as("n_toks"))
+      .select(col("doc_id"), col("n_toks").cast("long").as("n"))
+
+  /** The e2e preprocessing DAG with SHARDED packing — [[t14PipelineE2e]]
+    * with [[t16SeqPackSharded]]'s final stage: the production form where
+    * the pack window parallelizes across `doc_id % shards` reducers
+    * instead of funneling every survivor through one. Same three
+    * shuffles; the window stage is the only difference. */
+  def t17PipelineSharded(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    gateAndDedup(s, dir)
+      .withColumn("shard", col("doc_id") % PackShards)
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("shard"), col("doc_id"), col("n"),
+        expr(s"cum_before DIV $PackCapacity").as("bin"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"),
+        sum(col("n")).as("total_tokens"))
+      .orderBy("shard", "bin")
   }
 
   /** Training-mixture statistics per (source, lang) cell: doc/token
@@ -317,6 +368,8 @@ object TextAnalysis {
     "t13_norm_dedup"  -> (t13NormalizedDedup _),
     "t14_pipeline_e2e" -> (t14PipelineE2e _),
     "t15_domain_mix"  -> (t15DomainMix _),
+    "t16_seq_pack_sharded" -> (t16SeqPackSharded _),
+    "t17_pipeline_sharded" -> (t17PipelineSharded _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -513,6 +566,44 @@ object TextAnalysis {
          |SELECT CAST(cum_before // 512 AS BIGINT) AS bin, count(*) AS n_docs,
          |  min(doc_id) AS first_doc, CAST(sum(n) AS BIGINT) AS total_tokens
          |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+    "t16_seq_pack_sharded" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n,
+        |  coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t),
+        |b AS (SELECT shard, doc_id, n, CAST(cum_before // 512 AS BIGINT) AS bin FROM c)
+        |SELECT shard, bin, count(*) AS n_docs, min(doc_id) AS first_doc,
+        |  max(doc_id) AS last_doc, CAST(sum(n) AS BIGINT) AS total_tokens
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    "t17_pipeline_sharded" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, lang,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, text, lang, toks,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) > 0 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS shape_score,
+         |    CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio
+         |  FROM t),
+         |gated AS (
+         |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n
+         |  FROM r WHERE lang = 'en'
+         |    AND floor((len_score * 0.4 + shape_score * 0.2 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 >= 0.5),
+         |kept AS (SELECT min(doc_id) AS doc_id, min(n) AS n FROM gated GROUP BY text),
+         |c AS (SELECT doc_id % 8 AS shard, doc_id, n,
+         |  coalesce(sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+         |  FROM kept)
+         |SELECT shard, CAST(cum_before // 512 AS BIGINT) AS bin, count(*) AS n_docs,
+         |  min(doc_id) AS first_doc, CAST(sum(n) AS BIGINT) AS total_tokens
+         |FROM c GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "t15_domain_mix" ->
       """WITH t AS (
         |  SELECT source, lang,

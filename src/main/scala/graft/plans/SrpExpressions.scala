@@ -161,10 +161,15 @@ case class CentroidDistances(child: Expression, cents: Seq[Seq[Double]])
     var c = 0
     while (c < k) {
       val cent = centArr(c)
-      val m = math.min(n, cent.length)
+      // a silent min(n, cent.length) truncation here would return wrong
+      // distances on dimension mismatch — fail loudly like VectorDot does
+      if (n != cent.length) {
+        throw new IllegalArgumentException(
+          s"centroid_distances: input dimension $n != centroid dimension ${cent.length}")
+      }
       var ac = 0.0
       var d = 0
-      while (d < m) {
+      while (d < n) {
         val x = if (elemIsFloat) a.getFloat(d).toDouble else a.getDouble(d)
         ac += x * cent(d)
         d += 1

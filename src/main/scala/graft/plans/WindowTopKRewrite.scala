@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 
@@ -12,15 +12,26 @@ import org.apache.spark.sql.internal.SQLConf
   * becomes [[TopKPerKeyPlan]] whenever the rank column itself is pruned
   * by the enclosing Project — users keep writing the standard idiom and
   * get the bounded-heap plan (no per-group sort, shuffle ≤ maps × keys
-  * × k) for free. Conservative by construction:
+  * × k) for free. With an EMPTY partitionSpec (global top-N) the same
+  * idiom instead becomes `Limit(k, Sort(ord))`, which Spark plans as
+  * TakeOrderedAndProject — partial per-partition top-k, no
+  * single-reducer WindowExec (the "Moving all data to a single
+  * partition" shape). Conservative by construction:
   *
   *  - only `row_number` (rank/dense_rank admit ties — different row set);
   *  - only a bare `rn <= k` / `rn < k` / `rn = 1` filter (no compound
   *    conditions);
   *  - only when no enclosing expression references the rank attribute
-  *    (the heap operator does not produce rank numbers);
-  *  - only with a non-empty partitionSpec (global top-N already plans
-  *    as TakeOrderedAndProject).
+  *    (the heap operator does not produce rank numbers).
+  *
+  * Tie-sensitivity: `row_number` over a non-total orderSpec is already
+  * nondeterministic on ties — it keeps k rows by the sort's REALIZED
+  * order. The heap (or TakeOrderedAndProject) may retain a different,
+  * equally valid set of tied rows, so enabling the extension can change
+  * which tied rows a pre-existing user query returns. Contract-
+  * compatible, but if a query depends on one realized tie order, give
+  * the window a total-order tie-break — or disable the rule with the
+  * kill switch below.
   *
   * Injected by [[graft.GraftExtensions]]; disable with
   * `spark.graft.rewrite.windowTopK=false`.
@@ -44,12 +55,17 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
           Filter(cond,
           Window(Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
             partitionSpec, orderSpec, child, _)))
-          if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
+          if orderSpec.nonEmpty =>
         val rn = alias.toAttribute
         limitOf(cond, rn) match {
           case Some(k) if k > 0 && !projectList.exists(_.references.contains(rn)) &&
               projectList.forall(_.references.subsetOf(child.outputSet)) =>
-            Project(projectList, TopKPerKeyPlan(partitionSpec, orderSpec, k, child))
+            if (partitionSpec.nonEmpty) {
+              Project(projectList, TopKPerKeyPlan(partitionSpec, orderSpec, k, child))
+            } else {
+              // global top-N: Limit(Sort) plans as TakeOrderedAndProject
+              Project(projectList, Limit(Literal(k), Sort(orderSpec, global = true, child)))
+            }
           case _ => p
         }
     }

@@ -21,8 +21,17 @@ object relations {
 
   private def resolve(df: DataFrame, name: String): Attribute = {
     val out = df.asInstanceOf[Dataset[_]].queryExecution.analyzed.output
-    out.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-      s"column '$name' not found; available: ${out.map(_.name).mkString(", ")}"))
+    out.filter(_.name == name) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column '$name' not found; available: ${out.map(_.name).mkString(", ")}")
+      // post-join duplicate names: first-match would silently bind the
+      // wrong side — fail like the analyzer's own ambiguity error instead
+      case many => throw new IllegalArgumentException(
+        s"column '$name' is ambiguous: ${many.size} attributes match " +
+          s"(${many.map(a => s"$name#${a.exprId.id}").mkString(", ")}); " +
+          "rename with .withColumnRenamed/.alias before topKPerKey")
+    }
   }
 
   /** Top-k rows per key — plans [[TopKPerKeyPlan]], lowered by the graft

@@ -88,6 +88,21 @@ class DedupSpec extends SparkSpec {
     assert(expectedLabel.filter { case (id, l) => l != id }.keySet.forall(!survivors.contains(_)))
   }
 
+  test("cluster labels: wide chain converges in O(log diameter) rounds; low cap reports truncation") {
+    // a 300-hop path is the worst diameter-per-edge shape: path-halving
+    // must converge in ~log2(300) ≈ 9 rounds (well under the default cap)
+    val chain = spark.range(299)
+      .select(col("id").as("doc_a"), (col("id") + 1L).as("doc_b"))
+    val (labels, rounds, converged) =
+      Dedup.clusterLabelsWithRounds(chain, maxIters = 20)
+    assert(converged, s"300-chain did not converge in 20 rounds")
+    assert(rounds <= 12, s"took $rounds rounds for diameter 300 — halving regressed")
+    assert(labels.filter(col("label") =!= 0L).count() == 0)
+    // a 3-round cap reaches ≤ 2^3 hops — must report non-convergence
+    val (_, _, conv3) = Dedup.clusterLabelsWithRounds(chain, maxIters = 3)
+    assert(!conv3, "3 rounds cannot canonicalize a 300-chain — flag is broken")
+  }
+
   test("mergeable source sketches estimate exact cross-source jaccard") {
     val est = Dedup.sourceSketchEstimates(spark, sf).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap

@@ -8,6 +8,7 @@ class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   test("media meta: deterministic, plausible ranges, byte-accurate length") {
+    Multimodal.StubCodec.instances.set(0)
     val rows = Multimodal.m01MediaMeta(spark, sf).collect()
     assert(rows.length == 500)
     rows.foreach { r =>
@@ -16,6 +17,10 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getLong(3) >= 1 && r.getLong(3) <= 1920)
       assert(r.getLong(4) >= 1 && r.getLong(4) <= 1080)
     }
+    // m01 decodes through the codec SPI: one instance per partition, not
+    // per row (the integration seam a real JNI decoder relies on)
+    val n = Multimodal.StubCodec.instances.get()
+    assert(n >= 1 && n < rows.length, s"codec instances: $n for ${rows.length} rows")
     // re-run → identical (decode stub is deterministic)
     val again = Multimodal.m01MediaMeta(spark, sf).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)

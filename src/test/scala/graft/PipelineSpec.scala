@@ -70,6 +70,10 @@ class PipelineSpec extends SparkSpec {
     val st = p.stat()
     assert(st.itemsIn == 10000 && st.itemsFlushed == 10000 && st.itemsDropped == 0)
     assert(st.pending == 0)
+    // A18 per-worker granularity: worker counts partition the globals
+    assert(st.perWorkerItemsFlushed.values.sum == st.itemsFlushed)
+    assert(st.perWorkerBatchesFlushed.values.sum == st.batchesFlushed)
+    assert(st.perWorkerItemsFlushed.nonEmpty)
   }
 
   test("time-based flush: stragglers below maxBatchSize are delivered (ref test #2)") {

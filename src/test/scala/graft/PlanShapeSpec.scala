@@ -69,6 +69,31 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("no query plans an unbounded global window (single-reducer shape)") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.{WindowExec, WindowGroupLimitExec}
+    // t11/t14 keep the documented global pack as the small-corpus path;
+    // t16/t17 are their sharded production forms. Everything else must
+    // not move the full input through one reducer: a WindowExec with an
+    // empty partitionSpec is allowed only when something below it
+    // (limit / top-k / group-limit) already bounded its input.
+    val allow = Set("t11_seq_pack", "t14_pipeline_e2e")
+    def bounded(p: SparkPlan): Boolean = p.exists {
+      case _: GlobalLimitExec | _: TakeOrderedAndProjectExec | _: WindowGroupLimitExec => true
+      case _ => false
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((name, fn) <- SparkEntry.queries if !allow(name)) {
+        val exec = fn(spark, sf).queryExecution.executedPlan
+        val bad = exec.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !bounded(w.child) => w
+        }
+        assert(bad.isEmpty, s"$name plans an unbounded global WindowExec:\n$exec")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.

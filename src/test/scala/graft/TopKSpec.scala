@@ -63,6 +63,30 @@ class TopKSpec extends SparkSpec {
     assert(violations == 0)
   }
 
+  test("partial-phase flush-on-budget keeps results exact") {
+    // a 1 KiB budget forces many mid-partition flushes (each a valid
+    // partial reduction the final phase re-reduces) — the answer must
+    // not change, only the exchange volume
+    spark.conf.set(graft.plans.TopKPerKeyBaseExec.FLUSH_BYTES_KEY, "1024")
+    try {
+      val a = viaCustom.collect().map(_.toString).sorted.toSeq
+      val b = viaWindow.collect().map(_.toString).sorted.toSeq
+      assert(a == b)
+      assert(a.nonEmpty)
+    } finally spark.conf.unset(graft.plans.TopKPerKeyBaseExec.FLUSH_BYTES_KEY)
+  }
+
+  test("topKPerKey rejects ambiguous (duplicate) column names") {
+    val o = Tables.orders(spark, sf)
+    val dup = o.select(col("o_orderkey"), col("o_totalprice"))
+      .crossJoin(o.select(col("o_totalprice")).limit(1))
+    val e = intercept[IllegalArgumentException] {
+      org.apache.spark.sql.graft.relations.topKPerKey(
+        dup, Seq("o_orderkey"), Seq(("o_totalprice", false)), 1)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("empty input yields empty output") {
     val empty = Tables.orders(spark, sf).filter(col("o_orderkey") < 0)
     val out = org.apache.spark.sql.graft.relations.topKPerKey(

@@ -56,6 +56,27 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
     assert(rewritten.nonEmpty)
   }
 
+  test("global (empty partitionBy) top-N rewrites to sort+limit, same rows") {
+    def globalTopN(s: SparkSession) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, SparkSpec.Sf)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 7)
+        .select(col("o_orderkey"), col("o_totalprice"))
+    }
+    val df = globalTopN(extSpark)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"), "window survived the rewrite:\n" + optimized)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("TakeOrderedAndProject"),
+      "global top-N did not plan TakeOrderedAndProject:\n" + physical)
+    val rewritten = df.collect().map(_.toString).sorted.toSeq
+    val plain = globalTopN(SparkSpec.spark).collect().map(_.toString).sorted.toSeq
+    assert(rewritten == plain)
+    assert(rewritten.size == 7)
+  }
+
   test("rewrite declines when the rank column is kept in the output") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderstatus"))
