@@ -19,8 +19,9 @@ import graft.functions.VectorFunctions
   *  - Exact n-gram Jaccard: inverted-index self-join on shingle hashes
   *    (only pairs sharing ≥1 shingle are ever materialized — exact, and
   *    still never all-pairs).
-  *  - Embedding cosine near-dup: exact all-pairs here (500 vectors); at
-  *    scale the IVF routing in [[Similarity]] bounds the candidate set.
+  *  - Embedding cosine near-dup: exact all-pairs (d04, the oracle-checked
+  *    contract) plus the IVF-routed variant (d09) that bounds candidates
+  *    by cell co-residency — the shape the 100 TB corpus runs.
   *
   * MinHash parameters: k=128, 32 bands × r=4 → detection probability at
   * Jaccard 0.9 is 1-(1-0.9⁴)³² ≈ 1-1.5e-15, so against this data (all
@@ -204,6 +205,52 @@ object Dedup {
       .filter(col("sim") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** IVF-routed embedding near-dup — [[d04EmbeddingNearDup]]'s documented
+    * 100 TB path made real. Instead of the exact all-pairs join, every
+    * vector is indexed into its [[DupProbe]] nearest cells of a
+    * [[DupCells]]-cell IVF built exactly like `s02_ann_ivf`'s
+    * (deterministic lowest-id seeds + one distributed Lloyd pass, via
+    * [[Similarity.refine]]); candidate pairs are an equi-join on the
+    * cell key over narrow (cell, vec_id) rows, and only the distinct
+    * candidates pay the exact cosine verify + threshold. Multi-probe
+    * (p=2) catches pairs straddling a cell boundary. Per-cell work is
+    * (p·n/k)² instead of n² global — and k grows with corpus size, so
+    * cells stay bounded. Output schema matches d04; no SQL oracle (cell
+    * routing isn't SQL-expressible) — DedupSpec measures recall against
+    * the exact pairs and asserts every emitted pair is a true positive
+    * (precision 1.0 by construction: the verify is exact). */
+  def d09EmbedNearDupIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+    val seeds: Seq[Array[Double]] = e.orderBy("vec_id").limit(DupCells)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
+    val cents = Similarity.refine(e.select(col("vec_id"), col("emb")), seeds)
+    val d2c = transform(VectorFunctions.centroidDists(col("emb"), cents),
+      (x, i) => struct(x.as("d2"), i.as("cell")))
+    // Narrow index: (cell, vec_id) only — at 100 TB this is the only
+    // table the candidate join shuffles; full-width vectors are fetched
+    // per-candidate afterwards (equi-joins on vec_id).
+    val idx = e
+      .withColumn("cell",
+        explode(slice(transform(array_sort(d2c), x => x("cell")), 1, DupProbe)))
+      .select(col("cell"), col("vec_id"))
+    val cand = idx.join(idx.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
+      .filter(col("vec_id") < col("vec_b"))
+      .select(col("vec_id").as("vec_a"), col("vec_b"))
+      .distinct()
+    val va = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val vb = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round6(VectorFunctions.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb"))).as("sim"))
+      .filter(col("sim") >= 0.4)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  private val DupCells = 32
+  private val DupProbe = 3
 
   /** Near-dup pairs → connected components → keep-first survivors: the
     * end-to-end dedup operation a training-data pipeline actually runs.
@@ -440,6 +487,7 @@ object Dedup {
     "d06_source_sketch"   -> (d06SourceSketchSim _),
     "d07_passage_dups"    -> (d07PassageDups _),
     "d08_containment"     -> (d08Containment _),
+    "d09_embed_neardup_ivf" -> (d09EmbedNearDupIvf _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.

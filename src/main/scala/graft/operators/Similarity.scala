@@ -63,7 +63,7 @@ object Similarity {
     * twice, so CollapseProject cannot inline (and so re-evaluate) it.
     * Purely map-side — the route a 100 TB corpus must take, since any
     * join/window formulation shuffles ncentroids × corpus rows. */
-  private def withCell(df: DataFrame, cents: Seq[Array[Double]]): DataFrame =
+  private[operators] def withCell(df: DataFrame, cents: Seq[Array[Double]]): DataFrame =
     df.withColumn("d2s", centroidDists(col("emb"), cents))
       .withColumn("cell", (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
       .drop("d2s")
@@ -75,7 +75,7 @@ object Similarity {
     * so only the k×d mean table ever reaches the driver. Empty cells
     * keep their seed. Tighter centroids → tighter cells → higher recall
     * at the same nprobe. */
-  private def refine(corpus: DataFrame, seeds: Seq[Array[Double]]): Seq[Array[Double]] = {
+  private[operators] def refine(corpus: DataFrame, seeds: Seq[Array[Double]]): Seq[Array[Double]] = {
     val means = withCell(corpus, seeds)
       .select(col("cell"), posexplode(col("emb")))
       .toDF("cell", "pos", "v")

@@ -137,4 +137,19 @@ class DedupSpec extends SparkSpec {
       assert(r.getDouble(2) >= 0.4 && r.getDouble(2) <= 1.0)
     }
   }
+
+  test("IVF-routed near-dup: exact subset of d04 (precision 1.0), recall high") {
+    val exact = Dedup.d04EmbeddingNearDup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Dedup.d09EmbedNearDupIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // the verify step is the same exact cosine + threshold, so every
+    // emitted pair must appear in the exact output with an identical sim
+    ivf.foreach { case (pair, sim) =>
+      assert(exact.get(pair).contains(sim), s"false positive or sim drift at $pair")
+    }
+    assert(exact.nonEmpty)
+    val recall = ivf.size.toDouble / exact.size
+    assert(recall >= 0.7, s"recall=$recall (${ivf.size}/${exact.size})")
+  }
 }
