@@ -23,12 +23,23 @@ import org.apache.spark.util.LongAccumulator
   *    `numWorkers`; a partition task is a "worker".
   *  - size-based cut (A6): partition iterators re-grouped into runs of
   *    ≤ `maxBatchSize` before the sink sees them.
-  *  - time-based cut (A7): `Trigger.ProcessingTime(flushInterval)` —
-  *    whatever arrived in the interval flushes, exactly the reference's
-  *    forced time-flush. A trailing partial batch below `minBatchSize`
-  *    (A8) still flushes because, by construction, `flushInterval` has
-  *    elapsed when the trigger fires — the second arm of v1's flush
-  *    predicate (core/InnerEventHandler.java:56-58).
+  *  - time-based cut (A7): `Trigger.ProcessingTime(trigger)` — whatever
+  *    arrived in the interval flushes, exactly the reference's forced
+  *    time-flush.
+  *  - min-batch gate (A8): two modes. Default — a trailing run below
+  *    `minBatchSize` merges into its predecessor within the micro-batch
+  *    and everything flushes each trigger (the interval arm of v1's
+  *    predicate holds by construction when trigger == flushInterval).
+  *    With `deferSmallBatches=true`, the LITERAL v1 gate
+  *    (core/InnerEventHandler.java:54-58): the trailing small run is
+  *    carried in a per-(pipeline, worker) buffer to the next micro-batch
+  *    — flushed only once it reaches `minBatchSize` or `flushInterval`
+  *    elapses since that worker's last flush. A driver-side watchdog
+  *    replicates v1's Disruptor `onTimeout` (InnerEventHandler.java:98-100):
+  *    idle pipelines still force-flush overdue carries, since Spark skips
+  *    data-less micro-batches. Carry buffers are JVM-static (like
+  *    [[Limiters]]) — exact in local/single-JVM deployments, which is
+  *    also the reference's process model; `flush()`/`stop()` drain them.
   *  - async sink dispatch + factory (A11, A19): [[FlusherFactory]]
   *    creates one [[Flusher]] per worker, with open → flushes → close lifecycle.
   *  - admission control (A12-A14): per-JVM [[Limiters]] — concurrency
@@ -103,10 +114,12 @@ final class BatchPipeline[T: Encoder](
     val flushed = itemsFlushed; val nBatches = batchesFlushed
     val nRetries = retries; val nDropped = itemsDropped
     val wItems = workerItems; val wBatches = workerBatches
+    val counters = BatchPipeline.Counters(
+      flushed, nBatches, nRetries, nDropped, wItems, wBatches)
     query = source.toDS()
       .writeStream
       .queryName(cfg.name)
-      .trigger(Trigger.ProcessingTime(cfg.flushInterval.toMillis.millis))
+      .trigger(Trigger.ProcessingTime(cfg.trigger.toMillis.millis))
       .foreachBatch { (ds: Dataset[T], _: Long) =>
         // A5: shard the micro-batch across workers. numWorkers=1 must be
         // ONE sequential task in arrival order (per-worker FIFO, the
@@ -118,43 +131,46 @@ final class BatchPipeline[T: Encoder](
           if (cfg.numWorkers > 1) ds.repartition(cfg.numWorkers)
           else ds.coalesce(1)
         sharded.foreachPartition { (it: Iterator[T]) =>
-          if (it.hasNext) {
-            val workerIndex = org.apache.spark.TaskContext.getPartitionId()
+          val workerIndex = org.apache.spark.TaskContext.getPartitionId()
+          // A8 deferred carry from this worker's previous micro-batch
+          // (empty and lastFlush=now on first touch — a trickle defers a
+          // full interval rather than flushing its very first run).
+          val (carried, lastFlush0) =
+            if (cfg.deferSmallBatches)
+              CarryBuffers.take(cfg.name, workerIndex, System.currentTimeMillis())
+            else (Vector.empty[Any], 0L)
+          val all: Iterator[T] = carried.iterator.asInstanceOf[Iterator[T]] ++ it
+          if (all.hasNext) {
             val limiters = Limiters.forPipeline(
               cfg.name, cfg.maxConcurrency, cfg.maxBatchesPerSecond, cfg.maxItemsPerSecond)
             val flusher = fac.create()
             flusher.open(workerIndex)
             val log = org.slf4j.LoggerFactory.getLogger("graft.core.BatchPipeline")
             try {
-              // A6 size cut + A8 min-batch gate: runs of ≤ maxBatchSize,
-              // with a trailing run below minBatchSize merged into its
-              // predecessor when the sum still fits.
-              BatchPipeline.coalesceSmall(
-                it.grouped(cfg.maxBatchSize).map(_.toSeq),
-                cfg.minBatchSize, cfg.maxBatchSize).foreach { batch =>
-                var attempt = 0
-                var done = false
-                var lastError: Throwable = null
-                while (!done) {
-                  limiters.acquireRate(batch.size)   // A13/A14
-                  limiters.concurrency.acquire()     // A12
-                  val ok =
-                    try { flusher.flush(batch, BatchPipeline.ctx(workerIndex, attempt)); true }
-                    catch { case scala.util.control.NonFatal(e) => lastError = e; false }
-                    finally limiters.concurrency.release()
-                  if (ok) {
-                    flushed.add(batch.size); nBatches.add(1)
-                    wItems.add((workerIndex, batch.size.toLong))
-                    wBatches.add((workerIndex, 1L))
-                    done = true
-                  } else if (attempt >= cfg.maxRetryCount) {
-                    // A15 exhaustion: discard AND warn (v2 Worker.java:290-291)
-                    log.warn(s"pipeline ${cfg.name}: dropping batch of ${batch.size} " +
-                      s"after ${attempt + 1} attempts", lastError)
-                    nDropped.add(batch.size); done = true
-                  } else {
-                    attempt += 1; nRetries.add(1)
-                    Thread.sleep(cfg.retryDelay.toMillis)
+              // A6 size cut: runs of ≤ maxBatchSize. A8: in default mode
+              // a small trailing run merges into its predecessor; in
+              // defer mode it is gated below instead.
+              val runs: Iterator[Seq[T]] =
+                if (cfg.deferSmallBatches) all.grouped(cfg.maxBatchSize).map(_.toSeq)
+                else BatchPipeline.coalesceSmall(
+                  all.grouped(cfg.maxBatchSize).map(_.toSeq),
+                  cfg.minBatchSize, cfg.maxBatchSize)
+              var lastFlush = lastFlush0
+              while (runs.hasNext) {
+                val batch = runs.next()
+                // v1's predicate, micro-batch boundary as endOfBatch: a
+                // trailing run below minBatchSize holds unless the force
+                // interval has elapsed since this worker's last flush.
+                val defer = cfg.deferSmallBatches && !runs.hasNext &&
+                  batch.size < cfg.minBatchSize &&
+                  System.currentTimeMillis() - lastFlush < cfg.flushInterval.toMillis
+                if (defer) {
+                  CarryBuffers.put(cfg.name, workerIndex, batch)
+                } else {
+                  BatchPipeline.flushWithRetry(cfg, flusher, limiters, workerIndex, batch, counters, log)
+                  if (cfg.deferSmallBatches) {
+                    lastFlush = System.currentTimeMillis()
+                    CarryBuffers.markFlushed(cfg.name, workerIndex, lastFlush)
                   }
                 }
               }
@@ -163,8 +179,46 @@ final class BatchPipeline[T: Encoder](
         }
       }
       .start()
+    if (cfg.deferSmallBatches) startCarryWatchdog()
     state = "STARTED"
     this
+  }
+
+  /** v1 `onTimeout` analogue (InnerEventHandler.java:98-100): Spark skips
+    * data-less micro-batches, so an idle pipeline would strand a deferred
+    * carry past its force-flush deadline; this driver-side timer drains
+    * overdue carries at the trigger cadence. */
+  @volatile private var watchdog: java.util.concurrent.ScheduledExecutorService = _
+  private def startCarryWatchdog(): Unit = {
+    watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, s"${config.name}-carry-watchdog"); t.setDaemon(true); t
+    })
+    val periodMs = config.trigger.toMillis
+    watchdog.scheduleWithFixedDelay(
+      () => drainCarries(overdueOnly = true),
+      periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+  }
+
+  /** Flush carried sub-min batches through a fresh flusher (driver-side;
+    * the registry is JVM-shared with local-mode tasks). `overdueOnly`
+    * applies the interval arm; `false` force-drains everything. */
+  private def drainCarries(overdueOnly: Boolean): Unit = {
+    val deadline = if (overdueOnly) Some(config.flushInterval.toMillis) else None
+    val entries = CarryBuffers.drain(config.name, deadline, System.currentTimeMillis())
+    if (entries.nonEmpty) {
+      val counters = BatchPipeline.Counters(
+        itemsFlushed, batchesFlushed, retries, itemsDropped, workerItems, workerBatches)
+      val limiters = Limiters.forPipeline(
+        config.name, config.maxConcurrency, config.maxBatchesPerSecond, config.maxItemsPerSecond)
+      val log = org.slf4j.LoggerFactory.getLogger("graft.core.BatchPipeline")
+      entries.foreach { case (w, items) =>
+        val flusher = factory.create()
+        flusher.open(w)
+        try BatchPipeline.flushWithRetry(
+          config, flusher, limiters, w, items.asInstanceOf[Seq[T]], counters, log)
+        finally flusher.close()
+      }
+    }
   }
 
   /** A10: barrier-flush everything admitted so far. Also resynchronizes
@@ -177,6 +231,7 @@ final class BatchPipeline[T: Encoder](
   def flush(): Unit = {
     require(state == "STARTED", s"not started: $state")
     query.processAllAvailable()
+    if (config.deferSmallBatches) drainCarries(overdueOnly = false)
     pendingLock.synchronized {
       pending.set(0)
       pendingLock.notifyAll()
@@ -192,10 +247,22 @@ final class BatchPipeline[T: Encoder](
       state = "STOPPED" // reject new puts first, like the CAS in v1 stop()
       pendingLock.synchronized { pendingLock.notifyAll() }
       if (waitForCompletion) query.processAllAvailable()
+      if (watchdog != null) {
+        // graceful: an in-progress watchdog drain has already taken items
+        // from the registry — interrupting it mid-flush would lose them
+        watchdog.shutdown()
+        watchdog.awaitTermination(
+          config.stopTimeout.toMillis, java.util.concurrent.TimeUnit.MILLISECONDS)
+        watchdog = null
+      }
+      // graceful stop drains the deferred carry too; stop(false) drops it
+      // (v3 stop(false) semantics: no drain)
+      if (config.deferSmallBatches && waitForCompletion) drainCarries(overdueOnly = false)
       query.stop()
       query.awaitTermination(config.stopTimeout.toMillis)
       spark.streams.removeListener(listener)
       Limiters.remove(config.name)
+      CarryBuffers.remove(config.name)
     }
   }
 
@@ -293,10 +360,112 @@ private[core] final class WorkerCountAccumulator
   }
 }
 
+/** JVM-static carry buffers for the A8 deferred-flush gate — the
+  * persistent per-worker `buffer` of v1's InnerEventHandler, keyed
+  * (pipeline name, worker index). Same process-local registry pattern as
+  * [[Limiters]]: exact in local/single-JVM mode (the reference's own
+  * process model); on a multi-JVM cluster each executor defers its own
+  * workers' carries and the driver-side force-drains only see driver-JVM
+  * state — deferSmallBatches is documented single-JVM for that reason.
+  * All ops are atomic under one lock (worker counts are tiny). */
+private[core] object CarryBuffers {
+  private final class Entry(var items: Vector[Any], var lastFlushMs: Long)
+  private val m = scala.collection.mutable.Map[(String, Int), Entry]()
+
+  /** Remove and return the worker's carry + its last-flush time. First
+    * touch initializes lastFlush to `now` (defer a full interval from
+    * startup rather than force-flushing the first run). */
+  def take(name: String, w: Int, now: Long): (Vector[Any], Long) = synchronized {
+    val e = m.getOrElseUpdate((name, w), new Entry(Vector.empty, now))
+    val items = e.items
+    e.items = Vector.empty
+    (items, e.lastFlushMs)
+  }
+
+  def put(name: String, w: Int, items: Seq[Any]): Unit = synchronized {
+    m((name, w)).items = items.toVector // entry exists: take() ran first
+  }
+
+  def markFlushed(name: String, w: Int, now: Long): Unit = synchronized {
+    m.get((name, w)).foreach(_.lastFlushMs = now)
+  }
+
+  /** Remove and return non-empty carries for `name`; with
+    * `overdueAfterMs` set, only workers whose last flush is at least that
+    * old (the interval arm of the v1 predicate). */
+  def drain(name: String, overdueAfterMs: Option[Long], now: Long): Seq[(Int, Vector[Any])] =
+    synchronized {
+      val hits = m.iterator.collect {
+        case ((n, w), e)
+            if n == name && e.items.nonEmpty &&
+              overdueAfterMs.forall(d => now - e.lastFlushMs >= d) =>
+          (w, e.items)
+      }.toVector
+      hits.foreach { case (w, _) =>
+        val e = m((name, w))
+        e.items = Vector.empty
+        e.lastFlushMs = now
+      }
+      hits
+    }
+
+  def remove(name: String): Unit = synchronized {
+    m.filterInPlace { case ((n, _), _) => n != name }
+  }
+}
+
 object BatchPipeline {
   private def ctx(worker: Int, attempt: Int): FlushContext = new FlushContext {
     val workerIndex: Int = worker
     val retryCount: Int = attempt
+  }
+
+  /** The accumulator bundle both flush paths (partition task, driver
+    * carry drain) report into. */
+  private[core] final case class Counters(
+      itemsFlushed: LongAccumulator,
+      batchesFlushed: LongAccumulator,
+      retries: LongAccumulator,
+      itemsDropped: LongAccumulator,
+      workerItems: WorkerCountAccumulator,
+      workerBatches: WorkerCountAccumulator)
+
+  /** A12-A15: rate/concurrency-limited flush with bounded retry then
+    * drop-and-warn. One code path for micro-batch tasks and driver-side
+    * carry drains, so retries/drops/stats behave identically. */
+  private[core] def flushWithRetry[T](
+      cfg: PipelineConfig,
+      flusher: Flusher[T],
+      limiters: Limiters,
+      workerIndex: Int,
+      batch: Seq[T],
+      counters: Counters,
+      log: org.slf4j.Logger): Unit = {
+    var attempt = 0
+    var done = false
+    var lastError: Throwable = null
+    while (!done) {
+      limiters.acquireRate(batch.size)   // A13/A14
+      limiters.concurrency.acquire()     // A12
+      val ok =
+        try { flusher.flush(batch, ctx(workerIndex, attempt)); true }
+        catch { case scala.util.control.NonFatal(e) => lastError = e; false }
+        finally limiters.concurrency.release()
+      if (ok) {
+        counters.itemsFlushed.add(batch.size); counters.batchesFlushed.add(1)
+        counters.workerItems.add((workerIndex, batch.size.toLong))
+        counters.workerBatches.add((workerIndex, 1L))
+        done = true
+      } else if (attempt >= cfg.maxRetryCount) {
+        // A15 exhaustion: discard AND warn (v2 Worker.java:290-291)
+        log.warn(s"pipeline ${cfg.name}: dropping batch of ${batch.size} " +
+          s"after ${attempt + 1} attempts", lastError)
+        counters.itemsDropped.add(batch.size); done = true
+      } else {
+        attempt += 1; counters.retries.add(1)
+        Thread.sleep(cfg.retryDelay.toMillis)
+      }
+    }
   }
 
   /** A8 min-batch gate: merge a run smaller than `min` into its

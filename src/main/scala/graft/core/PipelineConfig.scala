@@ -17,6 +17,21 @@ import scala.concurrent.duration._
   *  - `maxItemsPerSecond` ≅ v1 ips (core/BatchProcessorProperties.java:33)
   *  - `blockOnFull`       ≅ v1 blockOnInsufficientCapacity
   *  - `stopTimeout`       ≅ closeWaitTimeoutMills=5s (v3 BatchProcessorConfig.java:26)
+  *  - `deferSmallBatches` ≅ v1's literal min-batch gate (core/
+  *    InnerEventHandler.java:54-58): a trailing run below `minBatchSize`
+  *    is HELD (not flushed) until more items arrive or `flushInterval`
+  *    elapses since the worker's last flush — the `endOfBatch &&
+  *    (size >= minBatchSize || elapsed >= forceFlushInterval)` predicate,
+  *    with the micro-batch boundary playing endOfBatch. Off by default:
+  *    the default path merges small trailing runs within the micro-batch
+  *    and flushes everything each trigger (flush-everything is the safer
+  *    default; deferral trades latency for batch efficiency exactly as
+  *    v1's knob does).
+  *  - `triggerInterval`   — micro-batch cadence when it should beat
+  *    `flushInterval` (deferral is only observable when batch boundaries
+  *    arrive faster than the force-flush interval, mirroring v1 where
+  *    endOfBatch fires far more often than forceFlushInterval). Defaults
+  *    to `flushInterval`.
   *
   * Rates ≤ 0 mean unlimited.
   */
@@ -33,9 +48,16 @@ final case class PipelineConfig(
     maxBatchesPerSecond: Double = 0.0,
     maxItemsPerSecond: Double = 0.0,
     blockOnFull: Boolean = true,
-    stopTimeout: FiniteDuration = 5.seconds) {
+    stopTimeout: FiniteDuration = 5.seconds,
+    deferSmallBatches: Boolean = false,
+    triggerInterval: Option[FiniteDuration] = None) {
   require(numWorkers > 0 && maxBatchSize > 0 && maxConcurrency > 0)
   require(minBatchSize >= 0 && minBatchSize <= maxBatchSize)
+  require(triggerInterval.forall(_ <= flushInterval),
+    "triggerInterval must not exceed flushInterval")
+
+  /** Micro-batch trigger cadence (defaults to the force-flush interval). */
+  def trigger: FiniteDuration = triggerInterval.getOrElse(flushInterval)
 }
 
 /** Runtime statistics — ≅ v2 `stat()` (core/v2/Stat.java:11-135).

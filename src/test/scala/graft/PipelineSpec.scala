@@ -212,4 +212,61 @@ class PipelineSpec extends SparkSpec {
     p.stop()
     assert(delivered.asScala.toList == items.toList)
   }
+
+  private def awaitDelivered(n: Int, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (delivered.size < n && System.currentTimeMillis() < deadline) Thread.sleep(25)
+    assert(delivered.size >= n, s"only ${delivered.size}/$n delivered in ${timeoutMs}ms")
+  }
+
+  test("A8 literal gate: sub-min runs defer across micro-batches until minBatchSize reached") {
+    // time arm effectively off (long flushInterval); trigger much faster,
+    // so deferral is observable across several micro-batch boundaries
+    val cfg = PipelineConfig(name = freshName(), minBatchSize = 5, maxBatchSize = 1024,
+      flushInterval = 30.seconds, triggerInterval = Some(100.millis),
+      deferSmallBatches = true)
+    val p = pipeline(cfg).start()
+    (1 to 3).foreach(i => p.put(s"a$i"))
+    // several triggers pass; 3 < minBatchSize and interval not elapsed →
+    // nothing may flush (this is the behavior change the gate buys)
+    Thread.sleep(600)
+    assert(delivered.isEmpty, s"sub-min batch flushed early: ${delivered.asScala.toList}")
+    (1 to 3).foreach(i => p.put(s"b$i"))
+    // carry (3) + new (3) crosses the gate → flushes as one batch ≥ min
+    awaitDelivered(5)
+    assert(batchSizes.asScala.forall(_ >= 5),
+      s"a sub-min batch was flushed with the time arm off: ${batchSizes.asScala.toList}")
+    p.flush() // drains any pathological split remainder
+    p.stop()
+    assert(delivered.asScala.toSet == ((1 to 3).map(i => s"a$i") ++ (1 to 3).map(i => s"b$i")).toSet)
+    val st = p.stat()
+    assert(st.itemsFlushed == 6 && st.itemsDropped == 0)
+  }
+
+  test("A8 time arm: an idle deferred carry force-flushes after flushInterval (onTimeout parity)") {
+    val cfg = PipelineConfig(name = freshName(), minBatchSize = 100, maxBatchSize = 1024,
+      flushInterval = 400.millis, triggerInterval = Some(100.millis),
+      deferSmallBatches = true)
+    val p = pipeline(cfg).start()
+    p.put("x"); p.put("y")
+    // 2 << minBatchSize: only the interval arm (watchdog, since no more
+    // data arrives to trigger a micro-batch) can flush these
+    awaitDelivered(2, timeoutMs = 5000)
+    assert(delivered.asScala.toSet == Set("x", "y"))
+    p.stop()
+  }
+
+  test("A8 defer: flush() and graceful stop() drain the carry (no stranded items)") {
+    val cfg = PipelineConfig(name = freshName(), minBatchSize = 50, maxBatchSize = 1024,
+      flushInterval = 30.seconds, triggerInterval = Some(100.millis),
+      deferSmallBatches = true)
+    val p = pipeline(cfg).start()
+    p.put("only")
+    p.flush() // must force-drain the sub-min carry
+    assert(delivered.asScala.toSet == Set("only"))
+    p.put("tail")
+    p.stop() // graceful stop drains too
+    assert(delivered.asScala.toSet == Set("only", "tail"))
+    assert(p.stat().itemsFlushed == 2)
+  }
 }
