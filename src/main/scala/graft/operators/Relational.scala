@@ -1063,16 +1063,24 @@ object Relational {
 
   /** Discrete percentiles (percentile_disc picks an actual data value —
     * no interpolation, so outputs are raw column values and hash-exact
-    * by construction) + interpolated median. */
-  def q69PercentileDisc(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("graft_q69_lineitem")
-    s.sql("""
-      SELECT l_returnflag,
-        percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS p50_disc,
-        percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS p90_disc,
-        median(l_quantity) AS med_qty
-      FROM graft_q69_lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
-  }
+    * by construction) + interpolated median. Both disc cut points come
+    * from ONE sorted buffer per group (q47's shared-buffer lesson):
+    * `percentile_disc(p)` ≡ the smallest value whose cume_dist ≥ p ≡
+    * element `ceil(p·n)` (1-based) of the sorted multiset, so a single
+    * `sort_array(collect_list(..))` replaces two independent
+    * PercentileDisc aggregates that would each buffer and sort the full
+    * column. median(l_quantity) keeps its own buffer — different column,
+    * ~50 distinct values, negligible. */
+  def q69PercentileDisc(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sort_array(collect_list(col("l_extendedprice"))).as("ep"),
+        expr("median(l_quantity)").as("med_qty"))
+      .select(col("l_returnflag"),
+        element_at(col("ep"), ceil(lit(0.5) * size(col("ep"))).cast("int")).as("p50_disc"),
+        element_at(col("ep"), ceil(lit(0.9) * size(col("ep"))).cast("int")).as("p90_disc"),
+        col("med_qty"))
+      .orderBy("l_returnflag")
 
   /** Native BATCH session_window (q36 derives sessions from first
     * principles with lag + running sum; this uses the built-in operator
