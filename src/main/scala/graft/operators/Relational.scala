@@ -1136,6 +1136,61 @@ object Relational {
       .orderBy("p_partkey")
   }
 
+  /** Exact statistical moments — variance/stddev/correlation computed
+    * from order-invariant integer sums (the q41/q51 determinism pattern
+    * applied to SECOND moments, which Spark's builtin var_samp/corr
+    * cannot give: their float partials merge in task order and drift in
+    * the last ulps run-to-run). Every input value becomes integer cents;
+    * Σx, Σx², Σxy accumulate as DECIMAL(38,0) (exact, associative —
+    * identical under any partitioning; DuckDB's HUGEINT sums mirror it);
+    * each moment then leaves integer space through ONE mirrored chain of
+    * IEEE ops, so the doubles are bit-identical across engines and runs:
+    *   var = (n·Σx² − (Σx)²) / n / (n−1) / 10⁴
+    *   corr = (n·Σxy − Σx·Σy) / √(n·Σx²−(Σx)²) / √(n·Σy²−(Σy)²). */
+  def q73StatsMoments(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val c = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").cast(dec)
+    val q = floor(col("l_quantity") * 100.0 + 0.5).cast("long").cast(dec)
+    val agg = Tables.lineitem(s, dir)
+      .select(col("l_returnflag"), c.as("c"), q.as("q"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"),
+        sum(col("q")).as("t1"), sum(col("q") * col("q")).as("t2"),
+        sum(col("q") * col("c")).as("sc"))
+    val n = col("n")
+    val vc = (n * col("s2") - col("s1") * col("s1")).cast("double")
+    val vq = (n * col("t2") - col("t1") * col("t1")).cast("double")
+    val cov = (n * col("sc") - col("t1") * col("s1")).cast("double")
+    agg.select(col("l_returnflag"), n,
+        round6(col("s1").cast("double") / n / 100.0).as("mean_price"),
+        round6(vc / n / (n - 1) / 10000.0).as("var_price"),
+        round6(sqrt(vc / n / (n - 1) / 10000.0)).as("std_price"),
+        round6(cov / sqrt(vq) / sqrt(vc)).as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Rank-function battery: ntile / percent_rank / cume_dist beside
+    * rank / dense_rank, all over ONE window per partition. The window
+    * order carries the unique key as tiebreak — ntile assigns by row
+    * POSITION, so a non-total window order would make its buckets
+    * run-dependent (the q41 lesson in rank form); with the total order,
+    * percent_rank/cume_dist are integer-ratio divisions, identical IEEE
+    * on both engines. */
+  def q74RankBattery(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        ntile(4).over(w).cast("long").as("tile4"),
+        round6(percent_rank().over(w)).as("pr"),
+        round6(cume_dist().over(w)).as("cd"),
+        rank().over(w).cast("long").as("rnk"),
+        dense_rank().over(w).cast("long").as("drnk"))
+      .orderBy("o_orderkey")
+  }
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1210,6 +1265,8 @@ object Relational {
     "q70_session_window"  -> (q70SessionWindow _),
     "q71_cohort_matrix"   -> (q71CohortMatrix _),
     "q72_edit_distance"   -> (q72EditDistance _),
+    "q73_stats_moments"   -> (q73StatsMoments _),
+    "q74_rank_battery"    -> (q74RankBattery _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1795,5 +1852,34 @@ object Relational {
         |SELECT p_partkey, p_name, best.cand AS best_match,
         |  CAST(best.d AS BIGINT) AS distance
         |FROM d WHERE best.d <= 6 ORDER BY p_partkey""".stripMargin,
+    "q73_stats_moments" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS HUGEINT) AS c,
+        |    CAST(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS HUGEINT) AS q
+        |  FROM lineitem),
+        |a AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    sum(c) AS s1, sum(c * c) AS s2,
+        |    sum(q) AS t1, sum(q * q) AS t2, sum(q * c) AS sc
+        |  FROM t GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  floor(CAST(s1 AS DOUBLE) / n / 100.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_price,
+        |  floor(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 10000.0 * 1000000.0 + 0.5) / 1000000.0 AS var_price,
+        |  floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE) / n / (n - 1) / 10000.0) * 1000000.0 + 0.5) / 1000000.0 AS std_price,
+        |  floor(CAST(n * sc - t1 * s1 AS DOUBLE)
+        |        / sqrt(CAST(n * t2 - t1 * t1 AS DOUBLE))
+        |        / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS corr_qty_price
+        |FROM a ORDER BY l_returnflag""".stripMargin,
+    "q74_rank_battery" ->
+      """SELECT o_orderkey, o_orderpriority,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS tile4,
+        |  floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pr,
+        |  floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cd,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk
+        |FROM orders WHERE o_orderkey < 2000
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
   )
 }
