@@ -21,6 +21,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (a.contains("d100")) { d100(spark); spark.stop(); return }
+    if (a.contains("e100")) { e100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -60,6 +61,46 @@ object ScaleSmoke {
       println(f"SCALE10 $n ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
     spark.stop()
+  }
+
+  /** 100× embedding near-dup smoke: 200k deterministic synthetic
+    * vectors (dim 64, xxhash64-uniform in [-1,1]) with 1 000 PLANTED
+    * near-dup pairs (a copy + small perturbation, cos ≈ 0.999), run
+    * through the parametrized IVF near-dup with cells grown to match
+    * (1024 cells / probe 2 → candidate volume p²n²/k ≈ 1.6e8 instead of
+    * the exact 2e10 all-pairs). Reports wall-clock, total pairs found at
+    * the 0.4 threshold, and planted-pair recall — the direct evidence
+    * that d09's shape (cells grow with corpus, per-cell work bounded)
+    * survives 100× where d04's exact all-pairs cannot. */
+  private def e100(spark: SparkSession): Unit = {
+    val n = 200000L
+    val planted = 1000L
+    val dim = 64
+    val out = "/tmp/sfe100"
+    val src = when(col("id") >= n - planted, col("id") - (n - planted)).otherwise(col("id"))
+    val base = transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(src, i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+    val noise = transform(sequence(lit(0), lit(dim - 1)),
+      i => when(col("id") >= n - planted,
+        pmod(xxhash64(col("id"), i, lit(7)), lit(2000001L)).cast("double") / 20000000.0 - 0.05)
+        .otherwise(lit(0.0)))
+    spark.range(n)
+      .select(col("id").as("vec_id"), zip_with(base, noise, (x, y) => x + y).as("emb"))
+      .write.mode("overwrite").parquet(s"$out/vecs.parquet")
+    val e = spark.read.parquet(s"$out/vecs.parquet")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.ivfNearDupPairs(e, nCells = 1024, nProbe = 2, threshold = 0.4)
+      .write.mode("overwrite").parquet(s"$out/pairs.parquet")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val got = spark.read.parquet(s"$out/pairs.parquet")
+    val total = got.count()
+    val plantedFound = got
+      .filter(col("vec_b") - col("vec_a") === (n - planted) && col("vec_a") < planted)
+      .count()
+    println(f"E100 vectors=$n cells=1024 probe=2 pairs=$total " +
+      f"planted_recall=${plantedFound.toDouble / planted}%.3f $secs%.2f s")
+    assert(plantedFound >= (planted * 9) / 10, "planted recall below 0.9")
   }
 
   /** 100× dedup-family smoke (see object Scaladoc). */

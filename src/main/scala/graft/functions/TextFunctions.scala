@@ -194,20 +194,30 @@ object TextFunctions {
 
   /** Stopword-profile language guess over {en,de,fr,es,zh,und}.
     * Deterministic tie-break order en > de > fr > es. `lowerToks` must
-    * be the materialized lower-cased tokens attribute for `text`. */
-  def langId(text: Column, lowerToks: Column): Column = {
-    val toks = lowerToks
-    val en = stopwordRatio(toks, EnStopwords)
-    val de = stopwordRatio(toks, DeStopwords)
-    val fr = stopwordRatio(toks, FrStopwords)
-    val es = stopwordRatio(toks, EsStopwords)
+    * be the materialized lower-cased tokens attribute for `text`.
+    *
+    * PERFORMANCE: inline use re-evaluates each ratio tree (a
+    * filter+array_contains scan of every token) at every `when` branch
+    * that mentions it — conditional branches are outside codegen's
+    * common-subexpression elimination. Callers on a hot path must stage
+    * the four ratios as attributes and use [[langIdFromRatios]]
+    * (measured 1.5× on t04). */
+  def langId(text: Column, lowerToks: Column): Column =
+    langIdFromRatios(text,
+      stopwordRatio(lowerToks, EnStopwords), stopwordRatio(lowerToks, DeStopwords),
+      stopwordRatio(lowerToks, FrStopwords), stopwordRatio(lowerToks, EsStopwords))
+
+  /** [[langId]]'s decision chain over pre-staged ratio attributes: each
+    * ratio is referenced ~4× below, so the inputs must be attributes for
+    * the evaluation to stay once-per-row. */
+  def langIdFromRatios(
+      text: Column, en: Column, de: Column, fr: Column, es: Column): Column =
     when(cjkRatio(text) > 0.25, "zh")
       .when(greatest(en, de, fr, es) === 0.0, "und")
       .when(en >= de && en >= fr && en >= es, "en")
       .when(de >= fr && de >= es, "de")
       .when(fr >= es, "fr")
       .otherwise("es")
-  }
 
   // ------------------------------------------------------------ fingerprint
 

@@ -224,7 +224,20 @@ object Dedup {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
-    val seeds: Seq[Array[Double]] = e.orderBy("vec_id").limit(DupCells)
+    ivfNearDupPairs(e, DupCells, DupProbe, 0.4).orderBy("vec_a", "vec_b")
+  }
+
+  private val DupCells = 32
+  private val DupProbe = 3
+
+  /** Parametrized core of [[d09EmbedNearDupIvf]] — `nCells` is the scale
+    * knob and must GROW with the corpus (cells stay constant-size; fixed
+    * cells would make per-cell pair counts quadratic again). Input needs
+    * (vec_id, emb: array<double>, nrm). ScaleSmoke's e100 mode drives
+    * this at 200k vectors / 256 cells. */
+  private[graft] def ivfNearDupPairs(
+      e: DataFrame, nCells: Int, nProbe: Int, threshold: Double): DataFrame = {
+    val seeds: Seq[Array[Double]] = e.orderBy("vec_id").limit(nCells)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val cents = Similarity.refine(e.select(col("vec_id"), col("emb")), seeds)
     val d2c = transform(VectorFunctions.centroidDists(col("emb"), cents),
@@ -234,7 +247,7 @@ object Dedup {
     // per-candidate afterwards (equi-joins on vec_id).
     val idx = e
       .withColumn("cell",
-        explode(slice(transform(array_sort(d2c), x => x("cell")), 1, DupProbe)))
+        explode(slice(transform(array_sort(d2c), x => x("cell")), 1, nProbe)))
       .select(col("cell"), col("vec_id"))
     val cand = idx.join(idx.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
       .filter(col("vec_id") < col("vec_b"))
@@ -245,12 +258,8 @@ object Dedup {
     cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
       .select(col("vec_a"), col("vec_b"),
         round6(VectorFunctions.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb"))).as("sim"))
-      .filter(col("sim") >= 0.4)
-      .orderBy("vec_a", "vec_b")
+      .filter(col("sim") >= threshold)
   }
-
-  private val DupCells = 32
-  private val DupProbe = 3
 
   /** Near-dup pairs → connected components → keep-first survivors: the
     * end-to-end dedup operation a training-data pipeline actually runs.

@@ -52,12 +52,22 @@ object TextAnalysis {
         round4(qualityScore(col("text"), col("toks"))).as("quality"))
       .orderBy("doc_id")
 
-  /** Stopword-profile language identification (tokens staged once). */
+  /** Stopword-profile language identification — tokens staged once, and
+    * the four stopword ratios staged as attributes so the decision
+    * chain's repeated references don't re-scan the token array per
+    * `when` branch (see langId's performance note; measured 1.5× here). */
   def t04LangId(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"),
         transform(tokens(col("text")), t => lower(t)).as("ltoks"))
-      .select(col("doc_id"), langId(col("text"), col("ltoks")).as("lang_pred"))
+      .select(col("doc_id"), col("text"),
+        stopwordRatio(col("ltoks"), EnStopwords).as("r_en"),
+        stopwordRatio(col("ltoks"), DeStopwords).as("r_de"),
+        stopwordRatio(col("ltoks"), FrStopwords).as("r_fr"),
+        stopwordRatio(col("ltoks"), EsStopwords).as("r_es"))
+      .select(col("doc_id"),
+        langIdFromRatios(col("text"),
+          col("r_en"), col("r_de"), col("r_fr"), col("r_es")).as("lang_pred"))
       .orderBy("doc_id")
 
   /** Winnowing fingerprint, staged tokens → shingles → hashes → fp so
