@@ -172,14 +172,30 @@ object TextFunctions {
     * × low punctuation × stopword presence (the usual pre-training
     * quality gates, cf. C4/Gopher-style rules — public recipes).
     * `toks` must be the materialized tokens attribute for `text`. */
-  def qualityScore(text: Column, toks: Column): Column = {
-    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
-    val meanTokLen = when(size(toks) > 0,
+  def qualityScore(text: Column, toks: Column): Column =
+    qualityScoreFromParts(text, punctRatio(text),
+      stopwordRatio(toks, EnStopwords), meanTokLen(toks))
+
+  /** Mean token length (0.0 for no tokens) — an `aggregate` scan of the
+    * token array; stage it as an attribute when reused. */
+  def meanTokLen(toks: Column): Column =
+    when(size(toks) > 0,
       aggregate(toks, lit(0L), (s, t) => s + length(t)).cast("double") /
         size(toks).cast("double")).otherwise(lit(0.0))
-    val shapeScore = when(meanTokLen.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
-    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
-    val stopScore = least(stopwordRatio(toks, EnStopwords) * 5.0, lit(1.0))
+
+  /** [[qualityScore]] over pre-staged parts. Hot paths that also OUTPUT
+    * the ratios should stage (punct, stop, mean-tok-len) as attributes
+    * and call this — the composite's `when(mtl.between(..))` references
+    * its input twice in a conditional, outside codegen subexpression
+    * elimination (same class of waste as langId's decision chain). The
+    * arithmetic is identical to [[qualityScore]], so staged and inline
+    * forms produce bit-equal doubles. */
+  def qualityScoreFromParts(
+      text: Column, punct: Column, stop: Column, mtl: Column): Column = {
+    val lenScore = least(length(text).cast("double") / 500.0, lit(1.0))
+    val shapeScore = when(mtl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.5))
+    val punctScore = lit(1.0) - least(punct * 4.0, lit(1.0))
+    val stopScore = least(stop * 5.0, lit(1.0))
     lenScore * 0.4 + shapeScore * 0.2 + punctScore * 0.2 + stopScore * 0.2
   }
 

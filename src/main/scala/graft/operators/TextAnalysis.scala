@@ -46,10 +46,15 @@ object TextAnalysis {
   def t03Quality(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"),
+        punctRatio(col("text")).as("pr"),
+        stopwordRatio(col("toks"), EnStopwords).as("sr"),
+        meanTokLen(col("toks")).as("mtl"))
       .select(col("doc_id"),
-        round4(punctRatio(col("text"))).as("punct_ratio"),
-        round4(stopwordRatio(col("toks"), EnStopwords)).as("stop_ratio"),
-        round4(qualityScore(col("text"), col("toks"))).as("quality"))
+        round4(col("pr")).as("punct_ratio"),
+        round4(col("sr")).as("stop_ratio"),
+        round4(qualityScoreFromParts(col("text"), col("pr"), col("sr"), col("mtl")))
+          .as("quality"))
       .orderBy("doc_id")
 
   /** Stopword-profile language identification — tokens staged once, and
