@@ -368,7 +368,7 @@ private[core] final class WorkerCountAccumulator
   * workers' carries and the driver-side force-drains only see driver-JVM
   * state — deferSmallBatches is documented single-JVM for that reason.
   * All ops are atomic under one lock (worker counts are tiny). */
-private[core] object CarryBuffers {
+private[graft] object CarryBuffers {
   private final class Entry(var items: Vector[Any], var lastFlushMs: Long)
   private val m = scala.collection.mutable.Map[(String, Int), Entry]()
 
@@ -391,22 +391,26 @@ private[core] object CarryBuffers {
   }
 
   /** Remove and return non-empty carries for `name`; with
-    * `overdueAfterMs` set, only workers whose last flush is at least that
-    * old (the interval arm of the v1 predicate). */
+    * `overdueAfterMs` set, only workers whose last flush is at least
+    * that old (the interval arm of the v1 predicate). Overdue workers
+    * with an EMPTY carry get their clock refreshed instead — v1's
+    * `flush()` updates `lastUpdateTime` even on an empty buffer
+    * (InnerEventHandler.java:66-69, reached from onTimeout), so after
+    * an idle stretch a fresh sub-min batch still DEFERS a full interval
+    * rather than flushing against a stale clock. */
   def drain(name: String, overdueAfterMs: Option[Long], now: Long): Seq[(Int, Vector[Any])] =
     synchronized {
-      val hits = m.iterator.collect {
+      val overdue = m.iterator.collect {
         case ((n, w), e)
-            if n == name && e.items.nonEmpty &&
-              overdueAfterMs.forall(d => now - e.lastFlushMs >= d) =>
+            if n == name && overdueAfterMs.forall(d => now - e.lastFlushMs >= d) =>
           (w, e.items)
       }.toVector
-      hits.foreach { case (w, _) =>
+      overdue.foreach { case (w, _) =>
         val e = m((name, w))
         e.items = Vector.empty
         e.lastFlushMs = now
       }
-      hits
+      overdue.filter(_._2.nonEmpty)
     }
 
   def remove(name: String): Unit = synchronized {

@@ -256,6 +256,26 @@ class PipelineSpec extends SparkSpec {
     p.stop()
   }
 
+  test("A8 carry clock: an overdue-empty worker is refreshed, not flushed (onTimeout parity)") {
+    // v1's flush() updates lastUpdateTime even on an empty buffer, so a
+    // sub-min batch arriving after a long idle stretch still defers a
+    // full interval instead of flushing against a stale clock
+    val name = "carry-clock-test"
+    try {
+      assert(CarryBuffers.take(name, 0, now = 1000L) == (Vector.empty, 1000L))
+      // overdue (elapsed 1000 >= 500) but empty: no emission, clock moves
+      assert(CarryBuffers.drain(name, Some(500L), now = 2000L).isEmpty)
+      assert(CarryBuffers.take(name, 0, now = 2100L) == (Vector.empty, 2000L))
+      // with a carry present the same deadline emits it
+      CarryBuffers.put(name, 0, Vector("x"))
+      assert(CarryBuffers.drain(name, Some(500L), now = 2600L) == Seq(0 -> Vector("x")))
+      // and a non-overdue carry stays put
+      CarryBuffers.put(name, 0, Vector("y"))
+      assert(CarryBuffers.drain(name, Some(500L), now = 2700L).isEmpty)
+      assert(CarryBuffers.take(name, 0, now = 2800L)._1 == Vector("y"))
+    } finally CarryBuffers.remove(name)
+  }
+
   test("A8 defer: flush() and graceful stop() drain the carry (no stranded items)") {
     val cfg = PipelineConfig(name = freshName(), minBatchSize = 50, maxBatchSize = 1024,
       flushInterval = 30.seconds, triggerInterval = Some(100.millis),
