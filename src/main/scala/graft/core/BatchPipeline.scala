@@ -120,7 +120,7 @@ final class BatchPipeline[T: Encoder](
       .writeStream
       .queryName(cfg.name)
       .trigger(Trigger.ProcessingTime(cfg.trigger.toMillis.millis))
-      .foreachBatch { (ds: Dataset[T], _: Long) =>
+      .foreachBatch { (ds: Dataset[T], _: Long) => batchVsDrainLock.synchronized {
         // A5: shard the micro-batch across workers. numWorkers=1 must be
         // ONE sequential task in arrival order (per-worker FIFO, the
         // reference's ordering contract) — coalesce(1) concatenates the
@@ -177,12 +177,20 @@ final class BatchPipeline[T: Encoder](
             } finally flusher.close()
           }
         }
-      }
+      }}
       .start()
     if (cfg.deferSmallBatches) startCarryWatchdog()
     state = "STARTED"
     this
   }
+
+  /** Serializes micro-batch execution against watchdog drains: v1's
+    * onEvent and onTimeout both run on the single consumer thread, so a
+    * timeout flush can never interleave with batch processing (no
+    * out-of-order sink writes, never two live Flushers for one worker).
+    * foreachBatch's body runs on the driver and blocks until its tasks
+    * complete, so a plain JVM lock restores exactly that exclusion. */
+  private val batchVsDrainLock = new Object
 
   /** v1 `onTimeout` analogue (InnerEventHandler.java:98-100): Spark skips
     * data-less micro-batches, so an idle pipeline would strand a deferred
@@ -195,14 +203,24 @@ final class BatchPipeline[T: Encoder](
     })
     val periodMs = config.trigger.toMillis
     watchdog.scheduleWithFixedDelay(
-      () => drainCarries(overdueOnly = true),
+      // never let a throw kill the schedule: scheduleWithFixedDelay
+      // suppresses all future runs after an uncaught exception, which
+      // would silently disable the time arm for the pipeline's lifetime
+      () => try drainCarries(overdueOnly = true) catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger("graft.core.BatchPipeline")
+            .warn(s"pipeline ${config.name}: carry watchdog drain failed", e)
+      },
       periodMs, periodMs, java.util.concurrent.TimeUnit.MILLISECONDS)
   }
 
   /** Flush carried sub-min batches through a fresh flusher (driver-side;
     * the registry is JVM-shared with local-mode tasks). `overdueOnly`
-    * applies the interval arm; `false` force-drains everything. */
-  private def drainCarries(overdueOnly: Boolean): Unit = {
+    * applies the interval arm; `false` force-drains everything. A
+    * failure OUTSIDE the retrying flush loop (factory.create / open /
+    * close throwing) re-carries the taken items instead of losing them —
+    * they retry at the next drain or micro-batch. */
+  private def drainCarries(overdueOnly: Boolean): Unit = batchVsDrainLock.synchronized {
     val deadline = if (overdueOnly) Some(config.flushInterval.toMillis) else None
     val entries = CarryBuffers.drain(config.name, deadline, System.currentTimeMillis())
     if (entries.nonEmpty) {
@@ -212,11 +230,27 @@ final class BatchPipeline[T: Encoder](
         config.name, config.maxConcurrency, config.maxBatchesPerSecond, config.maxItemsPerSecond)
       val log = org.slf4j.LoggerFactory.getLogger("graft.core.BatchPipeline")
       entries.foreach { case (w, items) =>
-        val flusher = factory.create()
-        flusher.open(w)
-        try BatchPipeline.flushWithRetry(
-          config, flusher, limiters, w, items.asInstanceOf[Seq[T]], counters, log)
-        finally flusher.close()
+        var delivered = false
+        try {
+          val flusher = factory.create()
+          flusher.open(w)
+          try {
+            BatchPipeline.flushWithRetry(
+              config, flusher, limiters, w, items.asInstanceOf[Seq[T]], counters, log)
+            delivered = true // flush loop finished (flushed or accounted drop)
+          } finally flusher.close()
+        } catch {
+          case scala.util.control.NonFatal(e) if !delivered =>
+            // create/open failed before the flush loop ran: re-carry so
+            // the items retry at the next drain or micro-batch
+            CarryBuffers.prepend(config.name, w, items)
+            log.warn(s"pipeline ${config.name}: carry drain for worker $w failed " +
+              s"before flushing; ${items.size} items re-carried", e)
+          case scala.util.control.NonFatal(e) =>
+            // close() failed after delivery — re-carrying would duplicate
+            log.warn(s"pipeline ${config.name}: flusher close failed after " +
+              s"carry drain for worker $w", e)
+        }
       }
     }
   }
@@ -384,6 +418,13 @@ private[graft] object CarryBuffers {
 
   def put(name: String, w: Int, items: Seq[Any]): Unit = synchronized {
     m((name, w)).items = items.toVector // entry exists: take() ran first
+  }
+
+  /** Re-carry items taken by a failed drain, AHEAD of anything carried
+    * since (the taken items are older — preserves per-worker order). */
+  def prepend(name: String, w: Int, items: Seq[Any]): Unit = synchronized {
+    val e = m((name, w))
+    e.items = items.toVector ++ e.items
   }
 
   def markFlushed(name: String, w: Int, now: Long): Unit = synchronized {

@@ -214,7 +214,7 @@ object Dedup {
     * [[Similarity.refine]]); candidate pairs are an equi-join on the
     * cell key over narrow (cell, vec_id) rows, and only the distinct
     * candidates pay the exact cosine verify + threshold. Multi-probe
-    * (p=2) catches pairs straddling a cell boundary. Per-cell work is
+    * (p=3 of k=32 here) catches pairs straddling a cell boundary. Per-cell work is
     * (p·n/k)² instead of n² global — and k grows with corpus size, so
     * cells stay bounded. Output schema matches d04; no SQL oracle (cell
     * routing isn't SQL-expressible) — DedupSpec measures recall against
@@ -234,20 +234,17 @@ object Dedup {
     * knob and must GROW with the corpus (cells stay constant-size; fixed
     * cells would make per-cell pair counts quadratic again). Input needs
     * (vec_id, emb: array<double>, nrm). ScaleSmoke's e100 mode drives
-    * this at 200k vectors / 256 cells. */
+    * this at 200k vectors / 1024 cells / probe 2. */
   private[graft] def ivfNearDupPairs(
       e: DataFrame, nCells: Int, nProbe: Int, threshold: Double): DataFrame = {
     val seeds: Seq[Array[Double]] = e.orderBy("vec_id").limit(nCells)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val cents = Similarity.refine(e.select(col("vec_id"), col("emb")), seeds)
-    val d2c = transform(VectorFunctions.centroidDists(col("emb"), cents),
-      (x, i) => struct(x.as("d2"), i.as("cell")))
     // Narrow index: (cell, vec_id) only — at 100 TB this is the only
     // table the candidate join shuffles; full-width vectors are fetched
     // per-candidate afterwards (equi-joins on vec_id).
     val idx = e
-      .withColumn("cell",
-        explode(slice(transform(array_sort(d2c), x => x("cell")), 1, nProbe)))
+      .withColumn("cell", explode(Similarity.nearestCells(col("emb"), cents, nProbe)))
       .select(col("cell"), col("vec_id"))
     val cand = idx.join(idx.select(col("cell"), col("vec_id").as("vec_b")), Seq("cell"))
       .filter(col("vec_id") < col("vec_b"))

@@ -1077,10 +1077,18 @@ object Relational {
       .agg(sort_array(collect_list(col("l_extendedprice"))).as("ep"),
         expr("median(l_quantity)").as("med_qty"))
       .select(col("l_returnflag"),
-        element_at(col("ep"), ceil(lit(0.5) * size(col("ep"))).cast("int")).as("p50_disc"),
-        element_at(col("ep"), ceil(lit(0.9) * size(col("ep"))).cast("int")).as("p90_disc"),
+        discAt(col("ep"), 0.5).as("p50_disc"),
+        discAt(col("ep"), 0.9).as("p90_disc"),
         col("med_qty"))
       .orderBy("l_returnflag")
+
+  /** percentile_disc(p) over a pre-sorted value array: element ceil(p·n),
+    * NULL on an empty array (collect_list skips NULLs, so an all-NULL
+    * group must yield NULL like the builtin — element_at would throw on
+    * index 0). */
+  private def discAt(sorted: Column, p: Double): Column =
+    when(size(sorted) > 0,
+      element_at(sorted, ceil(lit(p) * size(sorted)).cast("int")))
 
   /** Native BATCH session_window (q36 derives sessions from first
     * principles with lag + running sum; this uses the built-in operator

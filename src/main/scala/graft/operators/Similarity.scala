@@ -63,7 +63,7 @@ object Similarity {
     * twice, so CollapseProject cannot inline (and so re-evaluate) it.
     * Purely map-side — the route a 100 TB corpus must take, since any
     * join/window formulation shuffles ncentroids × corpus rows. */
-  private[operators] def withCell(df: DataFrame, cents: Seq[Array[Double]]): DataFrame =
+  private def withCell(df: DataFrame, cents: Seq[Array[Double]]): DataFrame =
     df.withColumn("d2s", centroidDists(col("emb"), cents))
       .withColumn("cell", (array_position(col("d2s"), array_min(col("d2s"))) - 1).cast("int"))
       .drop("d2s")
@@ -89,6 +89,18 @@ object Similarity {
     seeds.indices.map(i => got.getOrElse(i, seeds(i)))
   }
 
+  /** The `n` nearest cell ids for a vector, nearest first: sort
+    * (d², cell) structs (struct order = d² asc, cell asc — argmin ties
+    * resolve to the lowest cell id), take the first `n` cells. Shared by
+    * s02's query probing and Dedup's IVF near-dup indexing so the two
+    * IVF paths cannot diverge on tie-break or probe order. */
+  private[operators] def nearestCells(
+      v: Column, cents: Seq[Array[Double]], n: Int): Column = {
+    val d2c = transform(centroidDists(v, cents),
+      (x, i) => struct(x.as("d2"), i.as("cell")))
+    slice(transform(array_sort(d2c), x => x("cell")), 1, n)
+  }
+
   /** IVF-routed approximate top-5: same queries/corpus split as s01 so
     * SimilaritySpec can measure recall against the exact baseline.
     * Cell ids are seed ranks (seeds = the NCentroids lowest corpus ids),
@@ -101,15 +113,11 @@ object Similarity {
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val cents = refine(corpus, seeds)
     val assigned = withCell(corpus, cents)
-    // Queries probe their NProbe nearest cells: sort (d², cell) structs
-    // (struct order = d² asc, cell asc), take the first NProbe cells.
+    // Queries probe their NProbe nearest cells.
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
-    val d2c = transform(centroidDists(col("qe"), cents),
-      (x, i) => struct(x.as("d2"), i.as("cell")))
     val probes = q
-      .withColumn("cell",
-        explode(slice(transform(array_sort(d2c), x => x("cell")), 1, NProbe)))
+      .withColumn("cell", explode(nearestCells(col("qe"), cents, NProbe)))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"))
     // Candidate set = corpus vectors in probed cells only; probes are
     // |queries| × nprobe rows — always broadcastable.
