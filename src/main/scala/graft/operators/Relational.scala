@@ -1199,6 +1199,51 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Theta-sketch set algebra (Spark 4 Datasketches integration) —
+    * mergeable distinct-count sketches supporting UNION, INTERSECTION
+    * and DIFFERENCE, the set operations HLL cannot express. Per-type
+    * user sketches are built in one partial-aggregating pass and pairs
+    * combine SKETCHES, not data — at 100 TB each source/day/shard keeps
+    * a kilobyte sketch and any cross-slice overlap question is sketch
+    * algebra, never a re-scan (the engine-level form of d06's mergeable
+    * MinHash sketches, with cardinalities instead of Jaccard).
+    * Determinism/oracle: lgNomEntries=12 ⇒ 4096 nominal entries ≥
+    * distinct users at every test SF, so the sketches operate in exact
+    * mode and the estimates ARE the exact cardinalities the DuckDB
+    * oracle computes (hash-exact); at production scale the same query
+    * returns ±ε estimates with Datasketches' published bounds. */
+  def q75ThetaSets(s: SparkSession, dir: String): DataFrame = {
+    val sk = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(theta_sketch_agg(col("user_id"), 12).as("sk"))
+    sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        theta_sketch_estimate(theta_union(col("a.sk"), col("b.sk"))).cast("long").as("union_users"),
+        theta_sketch_estimate(theta_intersection(col("a.sk"), col("b.sk"))).cast("long").as("inter_users"),
+        theta_sketch_estimate(theta_difference(col("a.sk"), col("b.sk"))).cast("long").as("only_a_users"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
+    * typed variant_get extraction, try_parse_json's NULL-on-malformed
+    * contract — the open-schema ingestion path where VARIANT's shredded
+    * binary encoding replaces per-query string re-parsing (q21 is the
+    * string-path counterpart). Sums are exact integers; the oracle
+    * mirrors with DuckDB JSON extraction. */
+  def q76VariantJson(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        variant_get(parse_json(col("props")), "$.k", "int").as("k"),
+        // truncating the closing brace is malformed for every parser
+        // (a TRAILING brace is not: Spark's parse_json tolerates it)
+        try_parse_json(expr("substring(props, 1, length(props) - 1)")).as("bad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        max(col("k")).cast("long").as("max_k"),
+        count(when(col("bad").isNull, 1)).as("n_malformed"))
+      .orderBy("event_type")
+
   /** name → (spark, sfDir) => DataFrame, merged into SparkEntry.queries. */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
@@ -1275,6 +1320,8 @@ object Relational {
     "q72_edit_distance"   -> (q72EditDistance _),
     "q73_stats_moments"   -> (q73StatsMoments _),
     "q74_rank_battery"    -> (q74RankBattery _),
+    "q75_theta_sets"      -> (q75ThetaSets _),
+    "q76_variant_json"    -> (q76VariantJson _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1889,5 +1936,28 @@ object Relational {
         |FROM orders WHERE o_orderkey < 2000
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q75_theta_sets" ->
+      """WITH s AS (SELECT DISTINCT event_type, user_id FROM events),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb
+        |       FROM (SELECT DISTINCT event_type FROM s) a
+        |       JOIN (SELECT DISTINCT event_type FROM s) b ON a.event_type < b.event_type)
+        |SELECT ta AS type_a, tb AS type_b,
+        |  CAST((SELECT count(DISTINCT user_id) FROM s
+        |        WHERE event_type = ta OR event_type = tb) AS BIGINT) AS union_users,
+        |  CAST((SELECT count(*) FROM (SELECT user_id FROM s WHERE event_type = ta
+        |                              INTERSECT
+        |                              SELECT user_id FROM s WHERE event_type = tb)) AS BIGINT) AS inter_users,
+        |  CAST((SELECT count(*) FROM (SELECT user_id FROM s WHERE event_type = ta
+        |                              EXCEPT
+        |                              SELECT user_id FROM s WHERE event_type = tb)) AS BIGINT) AS only_a_users
+        |FROM pr ORDER BY type_a, type_b""".stripMargin,
+    "q76_variant_json" ->
+      """SELECT event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k,
+        |  CAST(max(CAST(props->>'$.k' AS INT)) AS BIGINT) AS max_k,
+        |  CAST(count(CASE WHEN NOT json_valid(substring(props, 1, length(props) - 1))
+        |             THEN 1 END) AS BIGINT) AS n_malformed
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
