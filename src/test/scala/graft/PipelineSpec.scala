@@ -276,6 +276,24 @@ class PipelineSpec extends SparkSpec {
     } finally CarryBuffers.remove(name)
   }
 
+  test("A8 defer with multiple workers: per-worker carries, exactly-once drain") {
+    val cfg = PipelineConfig(name = freshName(), numWorkers = 3, minBatchSize = 50,
+      maxBatchSize = 1024, flushInterval = 30.seconds,
+      triggerInterval = Some(100.millis), deferSmallBatches = true)
+    val p = pipeline(cfg).start()
+    val items = (1 to 40).map(i => s"w$i")
+    p.putAll(items) // round-robined over 3 workers, each share < minBatchSize
+    Thread.sleep(500)
+    assert(delivered.isEmpty, s"sub-min per-worker batches flushed early")
+    p.flush() // drains every worker's carry
+    assert(delivered.asScala.toSet == items.toSet)
+    assert(delivered.size == items.size) // exactly once across 3 carries
+    p.stop()
+    val st = p.stat()
+    assert(st.itemsFlushed == 40 && st.itemsDropped == 0)
+    assert(st.perWorkerItemsFlushed.values.sum == 40)
+  }
+
   test("A8 defer: flush() and graceful stop() drain the carry (no stranded items)") {
     val cfg = PipelineConfig(name = freshName(), minBatchSize = 50, maxBatchSize = 1024,
       flushInterval = 30.seconds, triggerInterval = Some(100.millis),
