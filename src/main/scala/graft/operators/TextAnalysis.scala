@@ -367,6 +367,23 @@ object TextAnalysis {
       .orderBy("source", "lang")
   }
 
+  /** Mixture sampling — the operator that APPLIES [[t15DomainMix]]'s
+    * recipe: each source gets a target keep-rate and rows pass iff
+    * their md5 band (q43's cross-engine-stable primitive) lands under
+    * it. Deterministic across engines/partitionings/reruns, pure
+    * map-side filter, and disjoint bands compose — upsampling a source
+    * is rerunning with a shifted band, never a reshuffle. Rates here
+    * derive from the source index (25/50/75/100%) to exercise four
+    * distinct rates without a 20-branch literal. */
+  def t18MixtureSample(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("rate_pct",
+        ((expr("CAST(substring(source, 4) AS INT)") % 4 + 1) * 25).cast("long"))
+      .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 100 < col("rate_pct"))
+      .select(col("doc_id"), col("source"), col("rate_pct"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -385,6 +402,7 @@ object TextAnalysis {
     "t15_domain_mix"  -> (t15DomainMix _),
     "t16_seq_pack_sharded" -> (t16SeqPackSharded _),
     "t17_pipeline_sharded" -> (t17PipelineSharded _),
+    "t18_mixture_sample" -> (t18MixtureSample _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -632,5 +650,13 @@ object TextAnalysis {
         |  floor(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share,
         |  floor(pow(CAST(n_tokens AS DOUBLE), 0.7) * 10000.0 + 0.5) / 10000.0 AS temp_weight
         |FROM g CROSS JOIN tot ORDER BY source, lang""".stripMargin,
+    "t18_mixture_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST((CAST(substring(source, 4) AS INT) % 4 + 1) * 25 AS BIGINT) AS rate_pct
+        |  FROM documents)
+        |SELECT doc_id, source, rate_pct FROM t
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < rate_pct
+        |ORDER BY doc_id""".stripMargin,
   )
 }
