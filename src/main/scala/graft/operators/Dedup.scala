@@ -499,7 +499,7 @@ object Dedup {
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
     * (Plain triple-quote = raw string: the single backslash below reaches
     * DuckDB as-is; an s-interpolated string would need `\\s`.) */
-  private val shingleCtes: String =
+  private[operators] val shingleCtes: String =
     """t AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

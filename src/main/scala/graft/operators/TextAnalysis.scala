@@ -384,6 +384,59 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"), col("rate_pct"))
       .orderBy("doc_id")
 
+  /** Benchmark decontamination: flag training docs that share 3-gram
+    * shingles with the eval split (`doc_id % 17 == 0`, the stand-in for
+    * a held-out benchmark suite). The eval n-gram set is benchmark-sized
+    * — tiny relative to the corpus by construction — so it BROADCASTS:
+    * at 100 TB the plan is one map-side hash join over the training
+    * scan; the corpus never shuffles for candidate generation, only the
+    * (doc, hits) pairs reach the count agg. Shingles are distinct per
+    * doc, so `n_hit` is the exact count of contaminated distinct
+    * n-grams and `contam_frac` the exact overlap fraction. */
+  def t19Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(shingleHashesNative(tokenHashes(tokens(col("text"))), 3)).as("sh"))
+    val evalSet = sh.filter(col("doc_id") % 17 === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val train = sh.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("h"))
+    train.join(broadcast(evalSet), "h")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round4(col("n_hit").cast("double") / col("n_sh").cast("double"))
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-language tokenizer-vocabulary coverage: token frequencies per
+    * lang ranked desc, cumulative share — emit the minimal prefix
+    * covering ≥ 90 % of that language's token occurrences (the
+    * vocab-size curve a tokenizer trainer reads off). The windows run
+    * over the POST-AGG vocabulary (bounded rows per lang), never the
+    * corpus, and partition by lang — no global window. Counts are exact
+    * BIGINTs, so both the running sum and the 90 % cut
+    * (`(cum − n) · 10 < total · 9`, pure integer arithmetic) are
+    * order-exact across engines; only the reported share divides. */
+  def t20VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val freq = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("lang"), col("tok"))
+      .agg(count(lit(1)).as("n"))
+    val ord = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("tok"))
+    freq
+      .withColumn("rnk", row_number().over(ord).cast("long"))
+      .withColumn("cum",
+        sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy(col("lang"))))
+      .filter((col("cum") - col("n")) * 10 < col("total") * 9)
+      .select(col("lang"), col("rnk"), col("tok"), col("n"), col("cum"),
+        round6(col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+      .orderBy("lang", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -403,6 +456,8 @@ object TextAnalysis {
     "t16_seq_pack_sharded" -> (t16SeqPackSharded _),
     "t17_pipeline_sharded" -> (t17PipelineSharded _),
     "t18_mixture_sample" -> (t18MixtureSample _),
+    "t19_decontaminate" -> (t19Decontaminate _),
+    "t20_vocab_coverage" -> (t20VocabCoverage _),
   )
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -658,5 +713,34 @@ object TextAnalysis {
         |SELECT doc_id, source, rate_pct FROM t
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < rate_pct
         |ORDER BY doc_id""".stripMargin,
+    "t19_decontaminate" ->
+      s"""WITH ${Dedup.shingleCtes},
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+         |tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS g
+         |       FROM sh WHERE doc_id % 17 <> 0),
+         |h AS (SELECT doc_id, n_sh, count(*) AS n_hit
+         |      FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+         |SELECT doc_id, n_sh, n_hit,
+         |  floor(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS contam_frac
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "t20_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT lang,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |f AS (SELECT lang, tok, count(*) AS n FROM t GROUP BY 1, 2),
+        |w AS (
+        |  SELECT lang, tok, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok) AS BIGINT) AS rnk,
+        |    CAST(sum(n) OVER (PARTITION BY lang ORDER BY n DESC, tok
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS total
+        |  FROM f)
+        |SELECT lang, rnk, tok, n, cum,
+        |  floor(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+        |    AS cum_share
+        |FROM w WHERE (cum - n) * 10 < total * 9
+        |ORDER BY lang, rnk""".stripMargin,
   )
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Similarity}
+import graft.operators.{Relational, Similarity, TextAnalysis}
 
 /** Physical-plan assertions — the scale contract, checked in CI: filters
   * and projections reach the parquet scan, dimension joins broadcast,
@@ -92,6 +92,15 @@ class PlanShapeSpec extends SparkSpec {
         assert(bad.isEmpty, s"$name plans an unbounded global WindowExec:\n$exec")
       }
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("t19: eval n-gram set broadcasts; the training corpus never shuffles for the join") {
+    // The decontamination contract at 100 TB: the benchmark n-gram set is
+    // tiny, so the candidate join must be a broadcast hash join with the
+    // corpus scan on the streamed side — never a sort-merge shuffle.
+    val p = plan(TextAnalysis.t19Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("s01: native vector_dot runs inside whole-stage codegen") {
