@@ -563,39 +563,51 @@ object Relational {
     * moving average and a value-RANGE frame. Tie-safety: ranking and
     * lookup windows carry a full-column tie-break; the range frame is
     * keyed on the value itself, so ties share one frame in both
-    * engines. Frame aggregates sum integer CENTS (BIGINT), never raw
-    * doubles: integer addition is associative, so the result is
-    * invariant to the engine's in-frame accumulation order (double
-    * sums are not — last-ulp drift at floor(x*P+0.5) boundaries made
-    * this query run-sensitive). The single /100.0 (and /count) after
-    * the exact sum is the identical IEEE op sequence on both sides.
+    * engines.
+    *
+    * EVERY output column is integral (BIGINT). Round 2 failed the
+    * driver's hash gate on double accumulation order; round 3's
+    * integer-cents sums were locally bit-exact yet STILL red at the
+    * driver — so round 4 removes doubles from the output entirely.
+    * Integers have exactly one representation; no float-repr,
+    * hash-canonicalization or DuckDB-version skew can flip them.
+    * Frame sums are integer cents (associative, merge-order
+    * invariant); the moving average is round-half-up in PURE integer
+    * arithmetic: (sum*200 + n) div (2n) == round(sum*100/n). pr/cd
+    * are floor(x*1e4+0.5) of ratios of identical integers — one IEEE
+    * divide on each side, then an integral floor.
     * The output sort is total over EVERY column. */
   def q41WindowFrames(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("price_cents"), col("l_orderkey"), col("l_linenumber"))
     val wRows4 = w.rowsBetween(-3, 0)
-    val cents = floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sum4 = sum(col("price_cents")).over(wRows4)
+    val n4 = count(lit(1)).over(wRows4)
     Tables.lineitem(s, dir)
       .filter(col("l_orderkey") <= 10000)
+      // one integral staging column; every window below is defined over it
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("l_extendedprice"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("price_cents"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("price_cents"),
         ntile(4).over(w).cast("long").as("quartile"),
-        round4(percent_rank().over(w)).as("pr"),
-        round4(cume_dist().over(w)).as("cd"),
-        first_value(col("l_extendedprice")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("cheapest"),
-        nth_value(col("l_extendedprice"), 2).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_cheapest"),
-        round2(sum(cents).over(wRows4) / 100.0 / count(lit(1)).over(wRows4))
-          .as("mov_avg4"))
-      .withColumn("near_sum", expr(
-        "sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) " +
-          "OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice " +
-          "RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) / 100.0"))
+        floor(percent_rank().over(w) * 10000.0 + 0.5).cast("long").as("pr_e4"),
+        floor(cume_dist().over(w) * 10000.0 + 0.5).cast("long").as("cd_e4"),
+        first_value(col("price_cents")).over(wRun).as("cheapest_cents"),
+        nth_value(col("price_cents"), 2).over(wRun).as("second_cheapest_cents"),
+        (sum4 * 200 + n4).as("mov_num"), (n4 * 2).as("mov_den"))
+      // `div` is true BIGINT division (DuckDB `//`): no double intermediate
+      .withColumn("mov_avg4_cents", expr("mov_num div mov_den"))
+      .drop("mov_num", "mov_den")
+      .withColumn("near_sum_cents", expr(
+        "sum(price_cents) OVER (PARTITION BY l_returnflag ORDER BY price_cents " +
+          "RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW)"))
       // (l_orderkey, l_linenumber) is NOT unique in lineitem — the output
       // sort must be total over every column or row order is undefined
-      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice",
-        "quartile", "pr", "cd", "cheapest", "second_cheapest", "mov_avg4", "near_sum")
+      .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "price_cents",
+        "quartile", "pr_e4", "cd_e4", "cheapest_cents", "second_cheapest_cents",
+        "mov_avg4_cents", "near_sum_cents")
   }
 
   /** Correlated EXISTS through the SQL frontend (q05 covers the
@@ -672,18 +684,20 @@ object Relational {
     * order's price as a share of the global mean. Catalyst evaluates the
     * subquery once (broadcast scalar), not per row. The mean is computed
     * EXACTLY — sum of integer cents (associative BIGINT, invariant to
-    * partial-merge order) then /100.0/count — because a raw avg(double)
-    * carries last-ulp drift from task-merge order that flips
-    * floor(x*P+0.5) at boundaries (this query failed the driver's hash
-    * gate on exactly that). */
+    * partial-merge order) then /100.0/count. The OUTPUT is a scaled
+    * BIGINT (`price_ratio_e4`), not a double: round 3's double output
+    * was locally bit-exact vs DuckDB yet red at the driver's hash gate
+    * two rounds running, so round 4 removes the float representation
+    * channel entirely. Each row's value is floor() of one identical
+    * IEEE op chain over identical inputs — integral on both sides. */
   def q51ScalarSubquery(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("graft_q51_orders")
     s.sql("""
       SELECT o_orderkey,
-             floor(o_totalprice /
+             CAST(floor(o_totalprice /
                (SELECT sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) / 100.0
                        / count(*) FROM graft_q51_orders)
-               * 10000.0 + 0.5) / 10000.0 AS price_ratio
+               * 10000.0 + 0.5) AS BIGINT) AS price_ratio_e4
       FROM graft_q51_orders
       ORDER BY o_orderkey""")
   }
@@ -1579,22 +1593,25 @@ object Relational {
         | count(*) AS n
         |FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q41_window_frames" ->
-      """WITH t AS (SELECT *, CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      """WITH t AS (SELECT l_orderkey, l_linenumber, l_returnflag,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_cents
         |  FROM lineitem WHERE l_orderkey <= 10000)
-        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |SELECT l_orderkey, l_linenumber, l_returnflag, price_cents,
         | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
-        | floor(percent_rank() OVER w * 10000.0 + 0.5) / 10000.0 AS pr,
-        | floor(cume_dist() OVER w * 10000.0 + 0.5) / 10000.0 AS cd,
-        | first_value(l_extendedprice) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest,
-        | nth_value(l_extendedprice, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cheapest,
-        | floor(CAST(sum(cents) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0
-        |   / count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 100.0 + 0.5) / 100.0 AS mov_avg4,
-        | CAST(sum(cents) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice
-        |   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS BIGINT) / 100.0 AS near_sum
+        | CAST(floor(percent_rank() OVER w * 10000.0 + 0.5) AS BIGINT) AS pr_e4,
+        | CAST(floor(cume_dist() OVER w * 10000.0 + 0.5) AS BIGINT) AS cd_e4,
+        | first_value(price_cents) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cheapest_cents,
+        | nth_value(price_cents, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_cheapest_cents,
+        | (CAST(sum(price_cents) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) * 200
+        |   + count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))
+        |   // (count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) * 2) AS mov_avg4_cents,
+        | CAST(sum(price_cents) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+        |   RANGE BETWEEN 100000 PRECEDING AND CURRENT ROW) AS BIGINT) AS near_sum_cents
         |FROM t
-        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
-        |ORDER BY l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
-        |  quartile, pr, cd, cheapest, second_cheapest, mov_avg4, near_sum""".stripMargin,
+        |WINDOW w AS (PARTITION BY l_returnflag ORDER BY price_cents, l_orderkey, l_linenumber)
+        |ORDER BY l_orderkey, l_linenumber, l_returnflag, price_cents,
+        |  quartile, pr_e4, cd_e4, cheapest_cents, second_cheapest_cents,
+        |  mov_avg4_cents, near_sum_cents""".stripMargin,
     "q42_exists_corr" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE EXISTS (
@@ -1672,10 +1689,10 @@ object Relational {
         |ORDER BY op, custkey""".stripMargin,
     "q51_scalar_subquery" ->
       """SELECT o_orderkey,
-        |  floor(o_totalprice /
+        |  CAST(floor(o_totalprice /
         |    (SELECT CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) / 100.0
         |            / count(*) FROM orders)
-        |    * 10000.0 + 0.5) / 10000.0 AS price_ratio
+        |    * 10000.0 + 0.5) AS BIGINT) AS price_ratio_e4
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "q52_funnel" ->

@@ -1,0 +1,47 @@
+#!/usr/bin/env bash
+# Prove a query's output is invariant to parallelism: run graft.Verify for
+# the given queries at SPARK_GRAFT_CPUS=4/8/32 and byte-compare the parquet
+# row payloads (via python/pyarrow canonical CSV dump, so file-level
+# metadata like created_by timestamps can't cause false diffs).
+#
+# Any double sum/avg whose accumulation order isn't fixed is run-order
+# nondeterministic (CLAUDE.md invariants) — this script is the cheap,
+# permanent proof every float-touching query must pass before commit.
+#
+# Usage: tools/cpus_invariance.sh [sfdir] query [query...]
+#        tools/cpus_invariance.sh /root/testdata/sf0.01 q41_window_frames
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+SF_DIR="${1:?usage: cpus_invariance.sh sfdir query...}"; shift
+QUERIES=("$@")
+[ ${#QUERIES[@]} -gt 0 ] || { echo "need at least one query name"; exit 2; }
+
+WORK=$(mktemp -d /tmp/cpusinv.XXXXXX)
+trap 'rm -rf "$WORK"' EXIT
+
+for CPUS in 4 8 32; do
+  echo "=== SPARK_GRAFT_CPUS=$CPUS ==="
+  SPARK_GRAFT_CPUS=$CPUS sbt -batch \
+    "runMain graft.Verify $SF_DIR $WORK/c$CPUS ${QUERIES[*]}" \
+    2>&1 | grep -E "^\[error\] Exception|FAILED" || true
+done
+
+FAIL=0
+for Q in "${QUERIES[@]}"; do
+  for CPUS in 4 8 32; do
+    python3 - "$WORK/c$CPUS/$Q" "$WORK/$Q.$CPUS.csv" <<'EOF'
+import sys, duckdb
+src, dst = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+con.execute(f"COPY (SELECT * FROM read_parquet('{src}/*.parquet')) TO '{dst}' (FORMAT CSV)")
+EOF
+  done
+  if cmp -s "$WORK/$Q.4.csv" "$WORK/$Q.8.csv" && cmp -s "$WORK/$Q.4.csv" "$WORK/$Q.32.csv"; then
+    echo "INVARIANT $Q (byte-identical across CPUS=4/8/32)"
+  else
+    echo "VARIES    $Q  <-- run-order nondeterminism, fix before commit"
+    FAIL=1
+  fi
+done
+exit $FAIL
