@@ -9,25 +9,67 @@ import graft.Tables
   * payloads with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * STUB NOTICE — the *decoders* are deterministic fakes (no image/audio
-  * libraries in this environment): `decodeMeta` derives dimensions from
-  * xxhash64 of the payload instead of parsing a real JPEG/WAV header, and
-  * `features` hashes byte ranges instead of running a model. Everything
-  * around them — BinaryType schema, column plumbing, frame slicing, batch
-  * shape, partition-parallel execution — is real Spark and is what the
-  * tests cover. Swapping in a real decoder means replacing only the
-  * bodies of `decodeMeta`/`features` (e.g. with a mapPartitions over a
-  * JNI codec, reusing one decoder instance per partition).
+  * Image decode is REAL (round 4): png/jpeg payloads are genuine encoded
+  * images (JDK `ImageIO`), and [[ImageHeaderCodec]] parses width/height
+  * from the actual bytes via `javax.imageio` header readers — no pixel
+  * decode, so metadata extraction stays cheap at scale. Remaining STUBS
+  * (no audio/model libraries in this environment): `decodeMeta` (the
+  * pure-expression variant), `features` (hash-mixed, stands in for a
+  * model embedding) and the wav path. The Spark-side shape — BinaryType
+  * schema, mapPartitions codec SPI with one instance per partition,
+  * frame slicing, partition-parallel execution — is the production
+  * integration seam either way.
   */
 object Multimodal {
 
-  /** Synthesize a media table from documents: payload = UTF-8 bytes of
-    * the text (a stand-in for real image bytes), format round-robin. */
+  /** Deterministic image dimensions for a media id — the fixture contract
+    * MultimodalSpec checks decoded values against. */
+  def imageDims(id: Long): (Int, Int) =
+    ((16 + math.floorMod(id, 32L)).toInt, (16 + math.floorMod(id / 3, 24L)).toInt)
+
+  /** Encode a real single-color image (png/jpeg) via the JDK's ImageIO.
+    * Tiny (≤47×39) so fixture synthesis stays cheap; color is id-derived
+    * so distinct ids produce distinct payloads. */
+  private[graft] def encodeImage(format: String, id: Long): Array[Byte] = {
+    val (w, h) = imageDims(id)
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((id * 2654435761L) & 0xFFFFFFL).toInt
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, out)
+    out.toByteArray
+  }
+
+  /** Synthesize a media table from documents: format round-robin; png and
+    * jpeg rows carry REAL encoded image bytes (dims = [[imageDims]]), wav
+    * rows carry the UTF-8 text bytes (audio stand-in). Payload synthesis
+    * runs in mapPartitions on the executors — the driver never holds
+    * media bytes. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
+    mediaTableFiltered(s, dir, None)
+
+  /** Internal variant letting callers filter by format BEFORE payload
+    * synthesis (image encoding for rows a downstream filter would drop is
+    * pure waste — m02 only wants wav). */
+  private[operators] def mediaTableFiltered(
+      s: SparkSession, dir: String, only: Option[String]): DataFrame = {
+    import s.implicits._
+    val tagged = Tables.documents(s, dir)
       .select(col("doc_id").as("media_id"),
         element_at(typedlit(Seq("png", "jpeg", "wav")), (col("doc_id") % 3).cast("int") + 1).as("format"),
-        encode(col("text"), "UTF-8").as("payload"))
+        col("text"))
+    val wanted = only.fold(tagged)(f => tagged.filter(col("format") === f))
+    wanted.as[(Long, String, String)].mapPartitions { it =>
+      it.map { case (id, format, text) =>
+        val payload = format match {
+          case "png" | "jpeg" => encodeImage(format, id)
+          case _              => text.getBytes("UTF-8")
+        }
+        (id, format, payload)
+      }
+    }.toDF("media_id", "format", "payload")
+  }
 
   /** [STUB] "Decode" typed metadata from the payload: deterministic
     * pseudo-dimensions from the content hash, real byte length. */
@@ -55,11 +97,12 @@ object Multimodal {
 
   /** Media metadata extraction through the codec SPI — the per-partition-
     * instance `mapPartitions` path ([[decodeWithCodec]]), NOT inline
-    * expressions, so the driver gate exercises the exact seam a real JNI
-    * decoder plugs into. (Rows-only check: stub-derived dims have no
-    * DuckDB counterpart; plumbing + instance-count covered by
-    * MultimodalSpec. [[decodeMeta]] remains the pure-expression variant
-    * for pipelines that want codegen over a cheap header parse.) */
+    * expressions. png/jpeg dims are REAL `javax.imageio` header parses of
+    * the actual bytes; wav falls back to the stub. (Rows-only check:
+    * binary fixtures have no DuckDB counterpart; dims-vs-fixture contract
+    * + instance-count covered by MultimodalSpec. [[decodeMeta]] remains
+    * the pure-expression variant for pipelines that want codegen over a
+    * cheap header parse.) */
   def m01MediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decodeWithCodec(mediaTable(s, dir).as[MediaRecord])
@@ -69,10 +112,11 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Frame sampling + per-frame features over the synthesized "videos". */
+  /** Frame sampling + per-frame features over the synthesized "videos".
+    * Filters to wav BEFORE payload synthesis — encoding images for rows
+    * this query drops would be pure waste. */
   def m02FrameFeatures(s: SparkSession, dir: String): DataFrame =
-    mediaTable(s, dir)
-      .filter(col("format") === "wav")
+    mediaTableFiltered(s, dir, Some("wav"))
       .select(col("media_id"), posexplode(sampleFrames(col("payload"), 64, 48)))
       .toDF("media_id", "frame_no", "frame")
       .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
@@ -149,15 +193,47 @@ object Multimodal {
     val instances = new java.util.concurrent.atomic.AtomicInteger(0)
   }
 
+  /** REAL image metadata codec: parses width/height from the actual
+    * png/jpeg bytes via `javax.imageio` header readers (JDK built-in, no
+    * external libraries). Header-only — `reader.getWidth(0)` reads the
+    * IHDR/SOF marker, never decodes pixels — so cost per record is O(KB
+    * of header), not O(pixels): the right production shape for metadata
+    * extraction over 100 TB of media. Unrecognized formats and corrupt
+    * payloads fall back to the stub (one fallback instance per codec, so
+    * the per-partition instance accounting MultimodalSpec checks still
+    * holds). */
+  final class ImageHeaderCodec extends Serializable {
+    private val fallback = new StubCodec()
+    javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
+    def decode(m: MediaRecord): DecodedMedia =
+      if (m.format == "png" || m.format == "jpeg") {
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(m.payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (readers.hasNext) {
+            val r = readers.next()
+            try {
+              r.setInput(iis, true, true)
+              fallback.decode(m).copy(width = r.getWidth(0), height = r.getHeight(0))
+            } finally r.dispose()
+          } else fallback.decode(m)
+        } catch {
+          case _: java.io.IOException => fallback.decode(m)
+        } finally iis.close()
+      } else fallback.decode(m)
+  }
+
   /** The real-decoder integration path: `mapPartitions` with ONE codec
     * instance per partition (not per row) — the Spark-side shape a JNI
     * or model-based decoder needs (amortized init, batched access,
     * executor-parallel). This is the Scala analogue of a batched
-    * `mapInPandas` decode stage. */
+    * `mapInPandas` decode stage. Routes png/jpeg through the REAL
+    * [[ImageHeaderCodec]]; other formats hit its stub fallback. */
   def decodeWithCodec(ds: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
-      val codec = new StubCodec()
+      val codec = new ImageHeaderCodec()
       it.map(codec.decode)
     }
   }
