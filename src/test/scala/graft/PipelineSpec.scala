@@ -307,4 +307,57 @@ class PipelineSpec extends SparkSpec {
     assert(delivered.asScala.toSet == Set("only", "tail"))
     assert(p.stat().itemsFlushed == 2)
   }
+
+  // ---- A13/A14 rate limiting (≅ reference MixedLimiter.java:11-43) ----
+  // Wall-clock LOWER bounds only: host noise makes things slower, never
+  // faster, so "N acquisitions cannot finish before the bucket refills"
+  // is robust where an upper bound would flake.
+
+  private def timed(body: => Unit): Long = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1000000L
+  }
+
+  test("A13 TPS bucket: batch admissions beyond the burst wait for refill") {
+    val lim = new Limiters(maxConcurrency = 64, tps = 20.0, ips = 0.0)
+    // burst capacity = 20 (1s of rate); 31 one-batch acquisitions need
+    // the burst plus 11 refilled tokens → ≥ 11/20 = 0.55s of waiting
+    val ms = timed { (1 to 31).foreach(_ => lim.acquireRate(1)) }
+    assert(ms >= 500, s"31 batches at tps=20 finished in ${ms}ms — bucket not limiting")
+  }
+
+  test("A14 IPS bucket: item admissions beyond the burst wait for refill") {
+    val lim = new Limiters(maxConcurrency = 64, tps = 0.0, ips = 200.0)
+    // burst 200 items; 5 batches × 100 = 500 items → 300 over burst →
+    // ≥ 300/200 = 1.5s of waiting
+    val ms = timed { (1 to 5).foreach(_ => lim.acquireRate(100)) }
+    assert(ms >= 1400, s"500 items at ips=200 finished in ${ms}ms — bucket not limiting")
+  }
+
+  test("A13/A14 rate ≤ 0 disables the bucket (no blocking)") {
+    val lim = new Limiters(maxConcurrency = 64, tps = 0.0, ips = 0.0)
+    val ms = timed { (1 to 10000).foreach(_ => lim.acquireRate(1000)) }
+    assert(ms < 2000, s"disabled limiter blocked for ${ms}ms")
+  }
+
+  test("oversize request is granted as debt and charged to later acquisitions") {
+    val bucket = new TokenBucket(100.0)
+    // n=150 > burst(100): granted at full bucket, tokens → -50
+    val first = timed { bucket.acquire(150.0) }
+    assert(first < 500, s"oversize grant blocked ${first}ms — debt rule broken (would deadlock)")
+    // paying the debt: next 50 tokens need (50+50)/100 = 1.0s
+    val second = timed { bucket.acquire(50.0) }
+    assert(second >= 900, s"debt not charged: follow-up acquired in ${second}ms")
+  }
+
+  test("rate-limited pipeline end-to-end: delivery completes and is complete") {
+    val cfg = PipelineConfig(name = freshName(), maxBatchSize = 10,
+      triggerInterval = Some(50.millis),
+      maxBatchesPerSecond = 50.0, maxItemsPerSecond = 1000.0)
+    val p = pipeline(cfg).start()
+    (1 to 200).foreach(i => p.put(s"i$i"))
+    p.flush()
+    p.stop()
+    assert(delivered.size == 200, s"rate limiting lost items: ${delivered.size}/200")
+    assert(p.stat().itemsFlushed == 200)
+  }
 }
