@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT per-key percentiles with BOUNDED executor memory — the 100 TB
+  * replacement for `percentile()` / `sort_array(collect_list(...))`,
+  * whose per-group state is an in-memory array of every row in the group
+  * (a hot key at scale is an executor OOM; the
+  * `ObjectHashAggregate`/`Percentile` buffer does not spill per group).
+  *
+  * Shape: (1) hash-aggregate to per-(key, value) counts — state is one
+  * counter per DISTINCT value, with map-side partial aggregation; (2) a
+  * window over the distinct values per key computes cumulative counts —
+  * Spark plans this as a SORT, which spills to disk under pressure
+  * (UnsafeExternalSorter), unlike an aggregation buffer; (3) one ordinary
+  * hash-aggregate reads the target ranks off the cumulative counts.
+  * No stage ever materializes a whole group in memory, every stage is
+  * spillable, and the heavy shuffle keys on the group key exactly once.
+  *
+  * Value parity: `discByKey` returns the smallest value whose cumulative
+  * count reaches `ceil(p·n)` — definitionally `percentile_disc` and
+  * bit-identical to element `ceil(p·n)` of the sorted multiset (the
+  * collect_list formulation it replaces). `contByKey` mirrors the builtin
+  * `Percentile` interpolation op-for-op (`pos = p·(n-1)`;
+  * `lo + (hi-lo)·(pos-floor(pos))`, same IEEE sequence), so results are
+  * bit-identical to `percentile()` and to DuckDB's `quantile_cont`.
+  *
+  * NULL values are excluded (like the builtins). A key whose values are
+  * ALL null is dropped here (the builtins would emit a NULL row) — callers
+  * on never-null columns (q29/q47/q69) are unaffected; outer-join the key
+  * universe back if that case matters.
+  */
+object ExactPercentile {
+
+  /** Per-(key, value) counts with per-key cumulative and total counts.
+    * `_cum` rides a sort the engine can spill; `_n` is the per-key total
+    * (window over the same partitioning — no extra shuffle). */
+  private def ranked(df: DataFrame, key: String, value: String): DataFrame = {
+    val wCum = Window.partitionBy(col(key)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(key))
+    df.filter(col(value).isNotNull)
+      .groupBy(col(key), col(value)).agg(count(lit(1)).as("_c"))
+      .select(col(key), col(value),
+        sum(col("_c")).over(wCum).as("_cum"),
+        sum(col("_c")).over(wAll).as("_n"))
+  }
+
+  /** Exact discrete percentiles (`percentile_disc`): one output column per
+    * fraction, named by `outNames`. */
+  def discByKey(df: DataFrame, key: String, value: String,
+      ps: Seq[Double], outNames: Seq[String]): DataFrame = {
+    require(ps.length == outNames.length)
+    val aggs = ps.zip(outNames).map { case (p, name) =>
+      // smallest value whose cumulative count reaches ceil(p·n); the
+      // double ceil(p·n) matches the sorted-array element formulation
+      // (and the DuckDB oracle) ulp-for-ulp
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col(value))).as(name)
+    }
+    ranked(df, key, value).groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact interpolated percentiles (builtin `percentile` parity): one
+    * output column per fraction, named by `outNames`. */
+  def contByKey(df: DataFrame, key: String, value: String,
+      ps: Seq[Double], outNames: Seq[String]): DataFrame = {
+    require(ps.length == outNames.length)
+    // per-row (within a key): pos = p·(n-1), 1-based bracket ranks
+    def pos(p: Double): Column = lit(p) * (col("_n") - 1).cast("double")
+    val aggs = scala.collection.mutable.ArrayBuffer[Column](max(col("_n")).as("_n"))
+    ps.zip(outNames).foreach { case (p, name) =>
+      aggs += min(when(col("_cum") >= floor(pos(p)) + 1, col(value))).as(s"_lo_$name")
+      aggs += min(when(col("_cum") >= ceil(pos(p)) + 1, col(value))).as(s"_hi_$name")
+    }
+    val bracketed = ranked(df, key, value)
+      .groupBy(col(key)).agg(aggs.head, aggs.tail.toSeq: _*)
+    val outs = ps.zip(outNames).map { case (p, name) =>
+      val posN = lit(p) * (col("_n") - 1).cast("double")
+      val frac = posN - floor(posN)
+      // builtin Percentile.getPercentile's exact op order:
+      // lower + (higher - lower) * (pos - floor(pos))
+      (col(s"_lo_$name") + (col(s"_hi_$name") - col(s"_lo_$name")) * frac).as(name)
+    }
+    bracketed.select(col(key) +: outs: _*)
+  }
+}

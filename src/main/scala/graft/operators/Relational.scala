@@ -367,12 +367,16 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
-  /** Exact interpolated percentiles per group. */
+  /** Exact interpolated percentiles per group — via the BOUNDED
+    * [[ExactPercentile]] path (distinct-count + spillable cumulative
+    * sort), not the builtin `percentile()`, whose per-group array buffer
+    * is an OOM against a hot key at 100×. Values are bit-identical to
+    * the builtin (same interpolation op chain). */
   def q29Percentile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(round4(expr("percentile(l_quantity, 0.5)")).as("p50"),
-        round4(expr("percentile(l_quantity, 0.9)")).as("p90"))
+    ExactPercentile.contByKey(Tables.lineitem(s, dir),
+        "l_returnflag", "l_quantity", Seq(0.5, 0.9), Seq("raw50", "raw90"))
+      .select(col("l_returnflag"),
+        round4(col("raw50")).as("p50"), round4(col("raw90")).as("p90"))
       .orderBy("l_returnflag")
 
   /** Map-typed column handling: parse the JSON props payload into a
@@ -729,23 +733,23 @@ object Relational {
     * error is ≤ n/accuracy = 0.01% of ranks, and the estimate is
     * deterministic for a given input set). Same bound-flag pattern as
     * q33/d06 — how sketch outputs get real oracle coverage. */
-  def q47ApproxQuantile(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      // one percentile agg with an array of fractions = ONE sorted
-      // buffer per group shared by all three cut points (three scalar
-      // percentile() calls each keep and sort their own copy)
-      .agg(expr("percentile(l_extendedprice, array(0.49D, 0.50D, 0.51D))").as("es"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
-      .select(col("l_returnflag"),
-        col("es").getItem(0).as("e49"), col("es").getItem(1).as("e50"),
-        col("es").getItem(2).as("e51"), col("ap50"))
+  def q47ApproxQuantile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    // exact anchors via the BOUNDED ExactPercentile path (spillable sort,
+    // no whole-group array buffer); the t-digest side is a plain sketch
+    // agg with O(accuracy) state. The two 3-row frames broadcast-join.
+    val exact = ExactPercentile.contByKey(li,
+      "l_returnflag", "l_extendedprice", Seq(0.49, 0.50, 0.51), Seq("e49", "e50", "e51"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("ap50"))
+    exact.join(broadcast(approx), "l_returnflag")
       .select(col("l_returnflag"),
         round2(col("e49")).as("p49"), round2(col("e50")).as("p50"),
         round2(col("e51")).as("p51"),
         (col("ap50") >= col("e49") && col("ap50") <= col("e51"))
           .as("approx_in_rank_bound"))
       .orderBy("l_returnflag")
+  }
 
   /** Salted skew join as a query-surface entry ([[Skew.saltedEquiJoin]]
     * is the operator; SkewSpec proves layout): lineitem fanned over 8
@@ -1077,32 +1081,24 @@ object Relational {
 
   /** Discrete percentiles (percentile_disc picks an actual data value —
     * no interpolation, so outputs are raw column values and hash-exact
-    * by construction) + interpolated median. Both disc cut points come
-    * from ONE sorted buffer per group (q47's shared-buffer lesson):
-    * `percentile_disc(p)` ≡ the smallest value whose cume_dist ≥ p ≡
-    * element `ceil(p·n)` (1-based) of the sorted multiset, so a single
-    * `sort_array(collect_list(..))` replaces two independent
-    * PercentileDisc aggregates that would each buffer and sort the full
-    * column. median(l_quantity) keeps its own buffer — different column,
-    * ~50 distinct values, negligible. */
-  def q69PercentileDisc(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(sort_array(collect_list(col("l_extendedprice"))).as("ep"),
-        expr("median(l_quantity)").as("med_qty"))
-      .select(col("l_returnflag"),
-        discAt(col("ep"), 0.5).as("p50_disc"),
-        discAt(col("ep"), 0.9).as("p90_disc"),
-        col("med_qty"))
+    * by construction) + interpolated median. Both disc cut points take
+    * the BOUNDED [[ExactPercentile]] path — per-(flag, value) counts plus
+    * a spillable cumulative sort, never a whole-group array
+    * (`sort_array(collect_list(..))`, the round-3 shape, buffers every
+    * row of a group in one aggregation buffer: an executor OOM against a
+    * hot key at 100×). Values are identical: smallest value with
+    * cume ≥ ceil(p·n) ≡ element ceil(p·n) of the sorted multiset.
+    * median(l_quantity) keeps the builtin buffer — ~50 distinct values,
+    * negligible. */
+  def q69PercentileDisc(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val disc = ExactPercentile.discByKey(li,
+      "l_returnflag", "l_extendedprice", Seq(0.5, 0.9), Seq("p50_disc", "p90_disc"))
+    val med = li.groupBy(col("l_returnflag")).agg(expr("median(l_quantity)").as("med_qty"))
+    disc.join(broadcast(med), "l_returnflag")
+      .select(col("l_returnflag"), col("p50_disc"), col("p90_disc"), col("med_qty"))
       .orderBy("l_returnflag")
-
-  /** percentile_disc(p) over a pre-sorted value array: element ceil(p·n),
-    * NULL on an empty array (collect_list skips NULLs, so an all-NULL
-    * group must yield NULL like the builtin — element_at would throw on
-    * index 0). */
-  private def discAt(sorted: Column, p: Double): Column =
-    when(size(sorted) > 0,
-      element_at(sorted, ceil(lit(p) * size(sorted)).cast("int")))
+  }
 
   /** Native BATCH session_window (q36 derives sessions from first
     * principles with lag + running sum; this uses the built-in operator

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{ExactPercentile, Relational}
+
+/** The bounded exact-percentile path: value parity with the builtins,
+  * behavior on a skewed (hot-key) fixture, and the plan-shape guarantee
+  * that the percentile-family queries no longer buffer whole groups in an
+  * aggregation buffer (`collect_list` / builtin `percentile`). */
+class ExactPercentileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def fixture = {
+    // deterministic, tie-heavy: values collide across and within keys
+    (1 to 5000).map { i =>
+      val key = if (i % 10 < 7) "hot" else if (i % 10 < 9) "warm" else "cold"
+      (key, ((i * 37) % 400).toDouble / 4.0)
+    }.toDF("k", "v")
+  }
+
+  test("contByKey is bit-identical to the builtin percentile()") {
+    val ours = ExactPercentile.contByKey(fixture, "k", "v",
+        Seq(0.25, 0.5, 0.9, 0.99), Seq("p25", "p50", "p90", "p99"))
+      .orderBy("k").collect()
+    val builtin = fixture.groupBy("k")
+      .agg(expr("percentile(v, array(0.25D, 0.5D, 0.9D, 0.99D))").as("ps"))
+      .orderBy("k").collect()
+    assert(ours.length == 3)
+    ours.zip(builtin).foreach { case (o, b) =>
+      assert(o.getString(0) == b.getString(0))
+      val ref = b.getSeq[Double](1)
+      (1 to 4).foreach(i => assert(o.getDouble(i) == ref(i - 1),
+        s"key ${o.getString(0)} fraction #$i: ${o.getDouble(i)} != ${ref(i - 1)}"))
+    }
+  }
+
+  test("discByKey equals element ceil(p*n) of the sorted multiset") {
+    val ours = ExactPercentile.discByKey(fixture, "k", "v",
+        Seq(0.5, 0.9), Seq("d50", "d90")).orderBy("k").collect()
+    val ref = fixture.groupBy("k")
+      .agg(sort_array(collect_list(col("v"))).as("sorted"))
+      .select(col("k"),
+        element_at(col("sorted"), ceil(lit(0.5) * size(col("sorted"))).cast("int")).as("d50"),
+        element_at(col("sorted"), ceil(lit(0.9) * size(col("sorted"))).cast("int")).as("d90"))
+      .orderBy("k").collect()
+    assert(ours.map(_.toString).toSeq == ref.map(_.toString).toSeq)
+  }
+
+  test("skewed fixture: hot key with 200k rows stays exact (no whole-group buffer)") {
+    // 200k rows on one key, only 1000 distinct values: per-(key,value)
+    // count state is 1000 entries, where collect_list would buffer 200k
+    val hot = spark.range(200000)
+      .select(lit("hot").as("k"), (col("id") % 1000).cast("double").as("v"))
+      .union(spark.range(100)
+        .select(lit("tiny").as("k"), col("id").cast("double").as("v")))
+    val got = ExactPercentile.discByKey(hot, "k", "v", Seq(0.5), Seq("d50"))
+      .orderBy("k").collect()
+    // hot: 200 copies each of 0..999 → rank 100000 → value 499 (ceil(0.5*200000)=100000 → 499.0)
+    assert(got(0).getString(0) == "hot" && got(0).getDouble(1) == 499.0)
+    // tiny: ceil(0.5*100)=50 → value 49.0
+    assert(got(1).getString(0) == "tiny" && got(1).getDouble(1) == 49.0)
+    val cont = ExactPercentile.contByKey(hot, "k", "v", Seq(0.5), Seq("p50"))
+      .filter(col("k") === "hot").collect().head.getDouble(1)
+    val builtin = hot.filter(col("k") === "hot")
+      .agg(expr("percentile(v, 0.5)")).collect().head.getDouble(0)
+    assert(cont == builtin)
+  }
+
+  test("null values are excluded like the builtin") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)), ("a", Some(2.0)))
+      .toDF("k", "v")
+    val got = ExactPercentile.contByKey(df, "k", "v", Seq(0.5), Seq("p50"))
+      .collect().head.getDouble(1)
+    val ref = df.agg(expr("percentile(v, 0.5)")).collect().head.getDouble(0)
+    assert(got == ref && got == 2.0)
+  }
+
+  test("q29/q47/q69 plans carry no whole-group aggregation buffer on the value column") {
+    // per query: the heavy value column that must NOT sit in a builtin
+    // percentile/collect_list buffer. q47's percentile_approx
+    // (O(accuracy) sketch) and q69's median over l_quantity (~50 distinct
+    // values; prints as percentile(l_quantity, 0.5, 1)) remain allowed.
+    val heavyCol = Map(
+      "q29_percentile" -> "percentile(l_quantity",
+      "q47_approx_quantile" -> "percentile(l_extendedprice",
+      "q69_percentile_disc" -> "percentile(l_extendedprice")
+    for ((q, banned) <- heavyCol) {
+      val plan = Relational.queries(q)(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("collect_list"), s"$q buffers whole groups via collect_list")
+      assert(!plan.contains(banned),
+        s"$q still uses the unbounded builtin percentile buffer on its heavy column")
+    }
+  }
+}
