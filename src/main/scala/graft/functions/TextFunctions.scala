@@ -243,12 +243,18 @@ object TextFunctions {
     * to small local edits; equal fingerprints ⇒ near-identical docs.
     * `hs` (ordered, NON-distinct shingle hashes) MUST be an attribute —
     * it is sliced inside the window lambda. */
-  def fingerprintFromHashes(hs: Column, w: Int = 4): Column = {
+  def fingerprintFromHashes(hs: Column, w: Int = 4): Column =
+    xxhash64(winnowMinima(hs, w))
+
+  /** The sorted distinct window minima behind [[fingerprintFromHashes]] —
+    * exposed so t21's oracle gate can check the selected-count bounds
+    * (1 ≤ count ≤ max(n_shingles − w + 1, 1) for non-empty input). */
+  def winnowMinima(hs: Column, w: Int = 4): Column = {
     val minima =
       when(size(hs) >= w,
         transform(sequence(lit(0), size(hs) - w), i => array_min(slice(hs, i + 1, lit(w)))))
         .when(size(hs) > 0, array(array_min(hs)))
         .otherwise(array().cast("array<bigint>"))
-    xxhash64(sort_array(array_distinct(minima)))
+    sort_array(array_distinct(minima))
   }
 }

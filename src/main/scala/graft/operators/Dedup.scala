@@ -105,8 +105,13 @@ object Dedup {
     * 64-element arrays per token per row). Exact-dup classes collapse
     * to representatives before banding (identical docs share every
     * band) and expand after, like the rest of the dedup family. */
-  def d02SimhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val cls = Tables.documents(s, dir)
+  def d02SimhashPairs(s: SparkSession, dir: String): DataFrame =
+    simhashPairs(Tables.documents(s, dir))
+
+  /** Core of [[d02SimhashPairs]] over any (doc_id, text) frame — d10's
+    * oracle gate re-runs it on a corpus with planted duplicates. */
+  private[graft] def simhashPairs(docs: DataFrame): DataFrame = {
+    val cls = docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
     val reps = cls
@@ -214,7 +219,7 @@ object Dedup {
     * [[Similarity.refine]]); candidate pairs are an equi-join on the
     * cell key over narrow (cell, vec_id) rows, and only the distinct
     * candidates pay the exact cosine verify + threshold. Multi-probe
-    * (p=3 of k=32 here) catches pairs straddling a cell boundary. Per-cell work is
+    * (p=4 of k=32 here) catches pairs straddling a cell boundary. Per-cell work is
     * (p·n/k)² instead of n² global — and k grows with corpus size, so
     * cells stay bounded. Output schema matches d04; no SQL oracle (cell
     * routing isn't SQL-expressible) — DedupSpec measures recall against
@@ -228,7 +233,7 @@ object Dedup {
   }
 
   private val DupCells = 32
-  private val DupProbe = 3
+  private val DupProbe = 4
 
   /** Parametrized core of [[d09EmbedNearDupIvf]] — `nCells` is the scale
     * knob and must GROW with the corpus (cells stay constant-size; fixed
@@ -239,7 +244,10 @@ object Dedup {
       e: DataFrame, nCells: Int, nProbe: Int, threshold: Double): DataFrame = {
     val seeds: Seq[Array[Double]] = e.orderBy("vec_id").limit(nCells)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
-    val cents = Similarity.refine(e.select(col("vec_id"), col("emb")), seeds)
+    // two Lloyd passes (like s02): tighter cells cost nothing at candidate
+    // time and lifted sf0.1 recall over d11's 0.7 gate (one pass: 0.685)
+    val narrow = e.select(col("vec_id"), col("emb"))
+    val cents = Similarity.refine(narrow, Similarity.refine(narrow, seeds))
     // Narrow index: (cell, vec_id) only — at 100 TB this is the only
     // table the candidate join shuffles; full-width vectors are fetched
     // per-candidate afterwards (equi-joins on vec_id).
@@ -484,6 +492,48 @@ object Dedup {
     cross.unionByName(within).orderBy("doc_a", "doc_b")
   }
 
+  /** Oracle companion for rows-only d02 (round-4 pattern: every rows-only
+    * family contributes a DuckDB-checkable invariant the DRIVER can see,
+    * not just a spec): the identical-text pair classes recovered FROM
+    * d02's own banding+hamming machinery must equal the identical-text
+    * self-join — pigeonhole guarantees identical texts share every band
+    * and verify at hamming 0, so a miss here means the collapse/expand
+    * or banding plumbing broke. */
+  def d10SimhashDupClasses(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    // plant re-uploads (ids +1000000) so the identical-text pair set is
+    // non-empty at every SF — the synthetic corpus has no exact dups
+    // (same trick as m03/t06); both engines see the same planted corpus
+    val planted = docs.union(docs.filter(col("doc_id") < 100)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    simhashPairs(planted)
+      .join(planted.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(planted.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .filter(col("ta") === col("tb"))
+      .select(col("doc_a"), col("doc_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Oracle companion for rows-only d09: one row of driver-checkable
+    * invariants. `n_exact` anchors the exact pair count (DuckDB
+    * recomputes it); the flags assert d09 ⊆ d04 (precision 1.0 — the
+    * verify stage is exact cosine, so any pair outside the exact set is
+    * a bug) and recall ≥ 0.7 (DedupSpec's measured bound, now visible to
+    * the driver gate). Integer-only arithmetic; 1-row aggregates
+    * broadcast-cross-join. */
+  def d11IvfGate(s: SparkSession, dir: String): DataFrame = {
+    val exact = d04EmbeddingNearDup(s, dir).select(col("vec_a"), col("vec_b"))
+    val ivf = d09EmbedNearDupIvf(s, dir).select(col("vec_a"), col("vec_b"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nIvf = ivf.agg(count(lit(1)).as("n_ivf"))
+    val nOutside = ivf.join(exact, Seq("vec_a", "vec_b"), "left_anti")
+      .agg(count(lit(1)).as("n_outside"))
+    nExact.crossJoin(nIvf).crossJoin(nOutside)
+      .select(col("n_exact"),
+        (col("n_outside") === 0).as("ivf_subset_of_exact"),
+        (col("n_ivf") * 10 >= col("n_exact") * 7).as("recall_ge_70"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
@@ -494,6 +544,8 @@ object Dedup {
     "d07_passage_dups"    -> (d07PassageDups _),
     "d08_containment"     -> (d08Containment _),
     "d09_embed_neardup_ivf" -> (d09EmbedNearDupIvf _),
+    "d10_simhash_dup_classes" -> (d10SimhashDupClasses _),
+    "d11_ivf_gate"       -> (d11IvfGate _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -613,5 +665,22 @@ object Dedup {
         |    floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT vec_a, vec_b, sim FROM p WHERE sim >= 0.4 ORDER BY vec_a, vec_b""".stripMargin,
+    "d10_simhash_dup_classes" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 100)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "d11_ivf_gate" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |    floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_exact,
+        |  true AS ivf_subset_of_exact, true AS recall_ge_70
+        |FROM p WHERE sim >= 0.4""".stripMargin,
   )
 }

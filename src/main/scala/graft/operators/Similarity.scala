@@ -34,7 +34,7 @@ object Similarity {
 
   private val TopK = 5
   private val NCentroids = 16
-  private val NProbe = 6
+  private val NProbe = 8
 
   private def withNorm(df: DataFrame): DataFrame =
     df.select(col("vec_id"), toDouble(col("embedding")).as("emb"))
@@ -111,7 +111,11 @@ object Similarity {
     val corpus = e.filter(col("vec_id") >= 10)
     val seeds: Seq[Array[Double]] = corpus.orderBy("vec_id").limit(NCentroids)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
-    val cents = refine(corpus, seeds)
+    // two Lloyd passes: the deterministic lowest-id seeds are arbitrary
+    // points, and one pass left recall@5 at 0.54 on the sf0.01 corpus;
+    // the second pass + probing 8/16 cells lifts it past the 0.6 gate
+    // (s04) at every test SF while still scanning half the cells
+    val cents = refine(corpus, refine(corpus, seeds))
     val assigned = withCell(corpus, cents)
     // Queries probe their NProbe nearest cells.
     val q = e.filter(col("vec_id") < 10)
@@ -179,10 +183,34 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Oracle companion for rows-only s02/s03 (round-4 pattern): one row of
+    * driver-checkable invariants. `n_queries` anchors the probe count
+    * (DuckDB recomputes it); the flags lift SimilaritySpec's measured
+    * recall@5 ≥ 0.6 bounds (vs the hash-matched exact s01 baseline) into
+    * the driver gate. Recall compares semi-join hit counts in integer
+    * arithmetic — no floats anywhere. */
+  def s04AnnRecallGate(s: SparkSession, dir: String): DataFrame = {
+    val exact = s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))
+    val ivf = s02AnnIvf(s, dir).select(col("query_id"), col("vec_id"))
+    val srp = s03AnnSrp(s, dir).select(col("query_id"), col("vec_id"))
+    val base = exact.agg(
+      countDistinct(col("query_id")).cast("long").as("n_queries"),
+      count(lit(1)).as("n_exact"))
+    val hitIvf = ivf.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hit_ivf"))
+    val hitSrp = srp.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hit_srp"))
+    base.crossJoin(hitIvf).crossJoin(hitSrp)
+      .select(col("n_queries"),
+        (col("hit_ivf") * 10 >= col("n_exact") * 6).as("ivf_recall_ge_60"),
+        (col("hit_srp") * 10 >= col("n_exact") * 6).as("srp_recall_ge_60"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
     "s03_ann_srp"     -> (s03AnnSrp _),
+    "s04_ann_recall_gate" -> (s04AnnRecallGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -198,5 +226,9 @@ object Similarity {
         |      FROM s)
         |SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "s04_ann_recall_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS ivf_recall_ge_60, true AS srp_recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
   )
 }

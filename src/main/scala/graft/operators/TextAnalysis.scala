@@ -458,7 +458,28 @@ object TextAnalysis {
     "t18_mixture_sample" -> (t18MixtureSample _),
     "t19_decontaminate" -> (t19Decontaminate _),
     "t20_vocab_coverage" -> (t20VocabCoverage _),
+    "t21_fingerprint_gate" -> (t21FingerprintGate _),
   )
+
+  /** Oracle companion for rows-only t05 (round-4 pattern): per doc, the
+    * shingle count is recomputed by DuckDB exactly (max(n_tokens−2, 0)
+    * for 3-gram shingles), and the flag asserts the winnowing stage
+    * selected a legal number of window minima — 1 ≤ count ≤
+    * max(n_shingles − w + 1, 1) for non-empty input, 0 for empty (w=4,
+    * [[graft.functions.TextFunctions.winnowMinima]]). The xxhash64
+    * fingerprint value itself has no SQL counterpart; this pins the
+    * selection machinery it hashes. */
+  def t21FingerprintGate(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), shingleHashesNative(col("th"), 3).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_shingles"),
+        size(winnowMinima(col("hs"))).cast("long").as("nm"))
+      .select(col("doc_id"), col("n_shingles"),
+        when(col("n_shingles") > 0,
+          col("nm") >= 1 && col("nm") <= greatest(col("n_shingles") - 3, lit(1L)))
+          .otherwise(col("nm") === 0).as("fp_in_bounds"))
+      .orderBy("doc_id")
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
   private val deList = DeStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
@@ -469,6 +490,13 @@ object TextAnalysis {
     "t01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "t21_fingerprint_gate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT doc_id, greatest(n_tok - 2, 0) AS n_shingles, true AS fp_in_bounds
+        |FROM t ORDER BY doc_id""".stripMargin,
     "t02_token_count" ->
       s"""SELECT doc_id,
          | CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens,
