@@ -22,6 +22,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     if (a.contains("d100")) { d100(spark); spark.stop(); return }
     if (a.contains("e100")) { e100(spark); spark.stop(); return }
+    if (a.contains("t100")) { t100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -101,6 +102,56 @@ object ScaleSmoke {
     println(f"E100 vectors=$n cells=1024 probe=2 pairs=$total " +
       f"planted_recall=${plantedFound.toDouble / planted}%.3f $secs%.2f s")
     assert(plantedFound >= (planted * 9) / 10, "planted recall below 0.9")
+  }
+
+  /** 100× sharded-pipeline smoke: t17 (gate → dedup → SHARDED pack) over
+    * documents amplified ~100× with a SKEWED source mix (sources fan out
+    * 160× or 10× by a deterministic hash — one class of sources ends up
+    * ~94% of the corpus, the adversarial mixture for any stage that
+    * partitioned by source). The pack window keys on `doc_id % 8`, so
+    * source skew must NOT unbalance it: asserts (1) the plan contains no
+    * SinglePartition exchange (no single-reducer stage anywhere) and
+    * (2) per-shard bin counts stay within 20% of each other. */
+  private def t100(spark: SparkSession): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/sft100"
+    val reps = spark.range(160).toDF("rep")
+    val t = Tables(spark, base, "documents")
+    t.crossJoin(broadcast(reps))
+      .withColumn("fanout",
+        when(pmod(xxhash64(col("source")), lit(2)) === 0, lit(160)).otherwise(lit(10)))
+      .filter(col("rep") < col("fanout"))
+      // stride 10000001 ≡ 1 (mod 8): replica ids spread across shards
+      // like real-world dense ids do (a stride ≡ 0 mod shards would
+      // alias every replica into its parent's shard — the id pattern
+      // t16's Scaladoc tells production to hash-shard against)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000001L)
+      // replicas get UNIQUE texts (suffix token) — otherwise t17's exact
+      // dedup collapses the whole amplification back to 1× and the pack
+      // stage never sees 100× volume
+      .withColumn("text", concat(col("text"), lit(" r"), col("rep")))
+      .drop("rep", "fanout")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val rows = spark.read.parquet(s"$out/documents.parquet").count()
+    val bySource = spark.read.parquet(s"$out/documents.parquet")
+      .groupBy(pmod(xxhash64(col("source")), lit(2)).as("cls")).count()
+      .orderBy("cls").collect().map(_.getLong(1))
+    println(s"ROWS documents=$rows skew=${bySource.mkString("/")}")
+    val t0 = System.nanoTime()
+    val res = SparkEntry.queries("t17_pipeline_sharded")(spark, out)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      "t17 planned a single-reducer stage at 100x")
+    val byShard = res.groupBy(col("shard"))
+      .agg(count(lit(1)).as("bins"), sum(col("total_tokens")).as("toks"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val bins = byShard.map(_._2)
+    println(f"T100 shards=${byShard.length} bins=${bins.sum} " +
+      f"min=${bins.min} max=${bins.max} $secs%.2f s")
+    assert(byShard.length == 8, s"expected 8 shards, got ${byShard.length}")
+    assert(bins.max <= bins.min * 12 / 10,
+      s"shard bin counts unbalanced: min=${bins.min} max=${bins.max}")
   }
 
   /** 100× dedup-family smoke (see object Scaladoc). */

@@ -264,7 +264,11 @@ object TextAnalysis {
     * no "Moving all data to a single partition" plan. Bin ids are
     * namespaced by shard: (shard, bin) replaces t11's global bin, the
     * deliberate semantic trade that buys parallelism (training shards
-    * are independent anyway). In production shards = O(executors). */
+    * are independent anyway). In production shards = O(executors), and
+    * the shard key should be `xxhash64(doc_id) % shards` rather than the
+    * bare modulo used here (kept SQL-expressible for the oracle): a bare
+    * modulo unbalances under patterned ids (e.g. ids striding a multiple
+    * of the shard count — ScaleSmoke t100 demonstrates the alias). */
   def t16SeqPackSharded(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
