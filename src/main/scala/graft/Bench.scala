@@ -64,9 +64,15 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // stdout tails get truncated by log capture (round 2 lost 36 per-query
-    // numbers that way) — also persist the full line to a file when asked
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    // numbers that way; round 3's driver artifact parsed null) — ALWAYS
+    // persist the full line to BENCH_LATEST.json in the repo root, plus
+    // wherever SPARK_GRAFT_BENCH_OUT points
+    val outs = Seq("/root/repo/BENCH_LATEST.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    outs.foreach { p =>
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+      catch { case e: Exception =>
+        System.err.println(s"[bench] could not write $p: ${e.getMessage}")
+      }
     }
     spark.stop()
   }

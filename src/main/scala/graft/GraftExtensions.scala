@@ -29,17 +29,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Physical strategies for graft's custom logical plans (§7.3(c)). */
 object GraftStrategies {
   import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy}
-  import graft.plans.{TopKPerKeyExec, TopKPerKeyPartialExec, TopKPerKeyPlan}
+  import graft.plans.{RankPruneExec, RankPrunePlan, TopKPerKeyExec, TopKPerKeyPartialExec, TopKPerKeyPlan}
 
   /** Lowers [[TopKPerKeyPlan]] to partial (map-side, pre-exchange) +
     * final (clustered) bounded-heap execs — the partial/final split
-    * aggregation uses, applied to top-k. */
+    * aggregation uses, applied to top-k — and [[RankPrunePlan]] to its
+    * streaming map-side filter. */
   object TopKPerKeyStrategy extends SparkStrategy {
     override def apply(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Seq[SparkPlan] =
       plan match {
         case TopKPerKeyPlan(keys, order, k, child) =>
           TopKPerKeyExec(keys, order, k,
             TopKPerKeyPartialExec(keys, order, k, planLater(child))) :: Nil
+        case RankPrunePlan(keys, order, k, child) =>
+          RankPruneExec(keys, order, k, planLater(child)) :: Nil
         case _ => Nil
       }
   }

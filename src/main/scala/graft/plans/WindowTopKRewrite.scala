@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, DenseRank, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, Literal, Rank, RowNumber, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort, Window}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
@@ -18,11 +18,23 @@ import org.apache.spark.sql.internal.SQLConf
   * single-reducer WindowExec (the "Moving all data to a single
   * partition" shape). Conservative by construction:
   *
-  *  - only `row_number` (rank/dense_rank admit ties — different row set);
+  *  - only `row_number` takes the heap plan (rank/dense_rank admit ties
+  *    — a different row set — and instead get the tie-safe
+  *    [[RankPrunePlan]] treatment below);
   *  - only a bare `rn <= k` / `rn < k` / `rn = 1` filter (no compound
   *    conditions);
   *  - only when no enclosing expression references the rank attribute
   *    (the heap operator does not produce rank numbers).
+  *
+  * `rank()`/`dense_rank()` top-N (the other idiom users write) keeps its
+  * Window — ties mean the result set isn't k rows, so no heap operator
+  * can replace the exact rank computation — but gains a map-side
+  * [[RankPrunePlan]] under it: a streaming tie-safe filter that discards
+  * every row provably outside the top k distinct order keys of its
+  * group before the window's shuffle+sort. Results are bit-identical by
+  * construction (the window recomputes exact ranks over survivors, and
+  * the rank attribute remains available to enclosing expressions); only
+  * shuffle/sort volume changes.
   *
   * Tie-sensitivity: `row_number` over a non-total orderSpec is already
   * nondeterministic on ties — it keeps k rows by the sort's REALIZED
@@ -67,6 +79,21 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
               Project(projectList, Limit(Literal(k), Sort(orderSpec, global = true, child)))
             }
           case _ => p
+        }
+
+      // rank()/dense_rank() <= k: keep the window (exact ranks, ties and
+      // all), prune provably-outside rows below it. Guard on the child
+      // not already being a RankPrunePlan so the rule is idempotent
+      // across optimizer iterations.
+      case f @ Filter(cond,
+          w @ Window(Seq(alias @ Alias(WindowExpression(_: Rank | _: DenseRank, _), _)),
+            _, orderSpec, child, _))
+          if orderSpec.nonEmpty && !child.isInstanceOf[RankPrunePlan] =>
+        limitOf(cond, alias.toAttribute) match {
+          case Some(k) if k > 0 =>
+            f.copy(child = w.copy(child =
+              RankPrunePlan(w.partitionSpec, orderSpec, k, child)))
+          case _ => f
         }
     }
   }

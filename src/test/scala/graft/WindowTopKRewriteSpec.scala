@@ -90,7 +90,7 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
     assert(!optimized.contains("TopKPerKey"), optimized)
   }
 
-  test("rewrite declines for rank() (tie semantics differ)") {
+  test("rank() top-N keeps its Window but gains the tie-safe prune (no heap)") {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("o_orderstatus"))
       .orderBy(col("o_totalprice").desc)
@@ -100,6 +100,39 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
       .select(col("o_orderkey"))
     val optimized = df.queryExecution.optimizedPlan.toString
     assert(!optimized.contains("TopKPerKey"), optimized)
+    assert(optimized.contains("Window"), optimized)
+    assert(optimized.contains("RankPrune"), "prune did not fire:\n" + optimized)
+  }
+
+  // rank()/dense_rank() with a DELIBERATELY tie-heavy order key (price
+  // bucketed to 50k) — the case the heap operator must not touch and the
+  // prune must not change: tied rows beyond position k still belong in
+  // the output.
+  private def rankTopN(s: SparkSession, dense: Boolean) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_orderstatus"))
+      .orderBy(col("bucket").desc)
+    Tables.orders(s, SparkSpec.Sf)
+      .withColumn("bucket", floor(col("o_totalprice") / 50000.0))
+      .withColumn("rn", (if (dense) dense_rank() else rank()).over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("bucket"), col("rn"))
+  }
+
+  test("rank() with ties: pruned plan returns row-identical results") {
+    for (dense <- Seq(false, true)) {
+      val df = rankTopN(extSpark, dense)
+      val optimized = df.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("RankPrune"), "prune did not fire:\n" + optimized)
+      val pruned = df.collect().map(_.toString).sorted.toSeq
+      val plain = rankTopN(SparkSpec.spark, dense).collect().map(_.toString).sorted.toSeq
+      assert(pruned == plain, s"dense=$dense: pruned results differ")
+      assert(pruned.nonEmpty)
+      // ties are real in this fixture: more rows than 3 per group
+      val perGroup = rankTopN(SparkSpec.spark, dense)
+        .groupBy("o_orderstatus").count().collect().map(_.getLong(1))
+      assert(perGroup.exists(_ > 3), "fixture has no ties — test is vacuous")
+    }
   }
 
   test("kill switch: spark.graft.rewrite.windowTopK=false keeps the window") {
