@@ -35,11 +35,22 @@ import org.apache.spark.util.LongAccumulator
   *    carried in a per-(pipeline, worker) buffer to the next micro-batch
   *    — flushed only once it reaches `minBatchSize` or `flushInterval`
   *    elapses since that worker's last flush. A driver-side watchdog
-  *    replicates v1's Disruptor `onTimeout` (InnerEventHandler.java:98-100):
-  *    idle pipelines still force-flush overdue carries, since Spark skips
-  *    data-less micro-batches. Carry buffers are JVM-static (like
-  *    [[Limiters]]) — exact in local/single-JVM deployments, which is
-  *    also the reference's process model; `flush()`/`stop()` drain them.
+  *    covers the idle case (Spark skips data-less micro-batches, which
+  *    would strand an overdue carry). Note this is deliberately STRICTER
+  *    than v1's `onTimeout` (InnerEventHandler.java:98-100), which
+  *    flushes unconditionally whenever the ring buffer goes idle: our
+  *    watchdog applies the same interval arm as the gate, so idle
+  *    sub-min data waits up to `flushInterval` (plus one trigger period
+  *    of watchdog granularity) instead of the idle-timeout cadence —
+  *    the literal v1 PREDICATE, applied consistently in both arms.
+  *    Carry buffers are JVM-static (like [[Limiters]]) — `start()`
+  *    REJECTS deferSmallBatches on non-local masters, where executor
+  *    tasks would see a different (empty) registry than the driver's
+  *    drain barrier. Task-retry caveat even in local mode: a retried or
+  *    speculatively re-executed partition task re-takes its carry
+  *    destructively, so a retry after a successful take can double-carry
+  *    or re-deliver that sub-min run (at-least-once, same as the flush
+  *    path's retry semantics). `flush()`/`stop()` drain carries.
   *  - async sink dispatch + factory (A11, A19): [[FlusherFactory]]
   *    creates one [[Flusher]] per worker, with open → flushes → close lifecycle.
   *  - admission control (A12-A14): per-JVM [[Limiters]] — concurrency
@@ -108,6 +119,12 @@ final class BatchPipeline[T: Encoder](
   /** A16: start workers; returns when the streaming query is live. */
   def start(): this.type = synchronized {
     require(state == "NEW", s"cannot start from $state")
+    // CarryBuffers/Limiters are JVM-static: on a multi-JVM cluster the
+    // executors' carry registry is invisible to the driver's drain
+    // barrier and flush()/stop() would silently miss executor carries
+    require(!config.deferSmallBatches || spark.sparkContext.isLocal,
+      s"pipeline ${config.name}: deferSmallBatches requires a local master " +
+        "(the carry registry is per-JVM); use the default merge-within-batch mode on clusters")
     spark.streams.addListener(listener)
     val cfg = config // avoid closing over `this`
     val fac = factory
@@ -192,10 +209,15 @@ final class BatchPipeline[T: Encoder](
     * complete, so a plain JVM lock restores exactly that exclusion. */
   private val batchVsDrainLock = new Object
 
-  /** v1 `onTimeout` analogue (InnerEventHandler.java:98-100): Spark skips
-    * data-less micro-batches, so an idle pipeline would strand a deferred
-    * carry past its force-flush deadline; this driver-side timer drains
-    * overdue carries at the trigger cadence. */
+  /** Idle-pipeline coverage for the carry buffers: Spark skips data-less
+    * micro-batches, so an idle pipeline would strand a deferred carry
+    * past its force-flush deadline; this driver-side timer drains
+    * OVERDUE carries at the trigger cadence. Deliberately stricter than
+    * v1's `onTimeout` (InnerEventHandler.java:98-100, which flushes any
+    * non-empty buffer whenever the ring buffer goes idle): the watchdog
+    * applies the same `flushInterval` arm as the gate itself, so the
+    * min-batch predicate governs both arms consistently — see the class
+    * Scaladoc. */
   @volatile private var watchdog: java.util.concurrent.ScheduledExecutorService = _
   private def startCarryWatchdog(): Unit = {
     watchdog = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
@@ -229,18 +251,33 @@ final class BatchPipeline[T: Encoder](
       val limiters = Limiters.forPipeline(
         config.name, config.maxConcurrency, config.maxBatchesPerSecond, config.maxItemsPerSecond)
       val log = org.slf4j.LoggerFactory.getLogger("graft.core.BatchPipeline")
+      // Watchdog ticks get ONE attempt, no drop-on-failure: this runs
+      // under batchVsDrainLock, and a failing sink retrying for
+      // maxRetryCount × retryDelay would stall every micro-batch of the
+      // pipeline for that whole window (round-3 ADVICE). Failed items
+      // re-carry and retry at the next tick or micro-batch. Manual
+      // flush()/stop() drains (overdueOnly=false) keep the full retry
+      // budget — they are explicit barriers whose callers expect delivery.
+      val (budget, dropPolicy) =
+        if (overdueOnly) (0, false) else (-1, true)
       entries.foreach { case (w, items) =>
-        var delivered = false
+        var settled = false
         try {
           val flusher = factory.create()
           flusher.open(w)
           try {
-            BatchPipeline.flushWithRetry(
-              config, flusher, limiters, w, items.asInstanceOf[Seq[T]], counters, log)
-            delivered = true // flush loop finished (flushed or accounted drop)
+            settled = BatchPipeline.flushWithRetry(
+              config, flusher, limiters, w, items.asInstanceOf[Seq[T]], counters, log,
+              retryBudget = budget, dropOnExhaustion = dropPolicy)
+            if (!settled) {
+              CarryBuffers.prepend(config.name, w, items)
+              settled = true // re-carried; nothing more to do
+              log.warn(s"pipeline ${config.name}: watchdog drain flush failed for " +
+                s"worker $w; ${items.size} items re-carried")
+            }
           } finally flusher.close()
         } catch {
-          case scala.util.control.NonFatal(e) if !delivered =>
+          case scala.util.control.NonFatal(e) if !settled =>
             // create/open failed before the flush loop ran: re-carry so
             // the items retry at the next drain or micro-batch
             CarryBuffers.prepend(config.name, w, items)
@@ -478,6 +515,12 @@ object BatchPipeline {
   /** A12-A15: rate/concurrency-limited flush with bounded retry then
     * drop-and-warn. One code path for micro-batch tasks and driver-side
     * carry drains, so retries/drops/stats behave identically. */
+  /** Returns true iff the batch needs no further handling (flushed, or
+    * dropped with accounting). With `dropOnExhaustion=false` the batch is
+    * returned to the caller un-accounted on exhaustion (return false) —
+    * the watchdog drain uses this with `retryBudget=0` so a failing sink
+    * cannot hold the micro-batch lock for maxRetryCount × retryDelay
+    * (the items re-carry and retry at the next tick or micro-batch). */
   private[core] def flushWithRetry[T](
       cfg: PipelineConfig,
       flusher: Flusher[T],
@@ -485,11 +528,13 @@ object BatchPipeline {
       workerIndex: Int,
       batch: Seq[T],
       counters: Counters,
-      log: org.slf4j.Logger): Unit = {
+      log: org.slf4j.Logger,
+      retryBudget: Int = -1,
+      dropOnExhaustion: Boolean = true): Boolean = {
+    val budget = if (retryBudget < 0) cfg.maxRetryCount else retryBudget
     var attempt = 0
-    var done = false
     var lastError: Throwable = null
-    while (!done) {
+    while (true) {
       limiters.acquireRate(batch.size)   // A13/A14
       limiters.concurrency.acquire()     // A12
       val ok =
@@ -500,17 +545,20 @@ object BatchPipeline {
         counters.itemsFlushed.add(batch.size); counters.batchesFlushed.add(1)
         counters.workerItems.add((workerIndex, batch.size.toLong))
         counters.workerBatches.add((workerIndex, 1L))
-        done = true
-      } else if (attempt >= cfg.maxRetryCount) {
+        return true
+      } else if (attempt >= budget) {
+        if (!dropOnExhaustion) return false
         // A15 exhaustion: discard AND warn (v2 Worker.java:290-291)
         log.warn(s"pipeline ${cfg.name}: dropping batch of ${batch.size} " +
           s"after ${attempt + 1} attempts", lastError)
-        counters.itemsDropped.add(batch.size); done = true
+        counters.itemsDropped.add(batch.size)
+        return true
       } else {
         attempt += 1; counters.retries.add(1)
         Thread.sleep(cfg.retryDelay.toMillis)
       }
     }
+    false // unreachable
   }
 
   /** A8 min-batch gate: merge a run smaller than `min` into its

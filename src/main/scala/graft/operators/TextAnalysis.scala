@@ -378,11 +378,15 @@ object TextAnalysis {
     * map-side filter, and disjoint bands compose — upsampling a source
     * is rerunning with a shifted band, never a reshuffle. Rates here
     * derive from the source index (25/50/75/100%) to exercise four
-    * distinct rates without a 20-branch literal. */
+    * distinct rates without a 20-branch literal. try_cast (not CAST,
+    * which throws under ANSI mode) with a coalesce default keeps an
+    * unexpectedly-named source at a defined 25% rate instead of failing
+    * the whole query — mixture sources are user data, not a schema. */
   def t18MixtureSample(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .withColumn("rate_pct",
-        ((expr("CAST(substring(source, 4) AS INT)") % 4 + 1) * 25).cast("long"))
+        ((coalesce(expr("try_cast(substring(source, 4) AS INT)"), lit(0))
+          % 4 + 1) * 25).cast("long"))
       .filter(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("long") % 100 < col("rate_pct"))
       .select(col("doc_id"), col("source"), col("rate_pct"))
@@ -740,7 +744,7 @@ object TextAnalysis {
     "t18_mixture_sample" ->
       """WITH t AS (
         |  SELECT doc_id, source,
-        |    CAST((CAST(substring(source, 4) AS INT) % 4 + 1) * 25 AS BIGINT) AS rate_pct
+        |    CAST((coalesce(TRY_CAST(substring(source, 4) AS INT), 0) % 4 + 1) * 25 AS BIGINT) AS rate_pct
         |  FROM documents)
         |SELECT doc_id, source, rate_pct FROM t
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < rate_pct

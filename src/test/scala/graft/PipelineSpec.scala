@@ -243,7 +243,7 @@ class PipelineSpec extends SparkSpec {
     assert(st.itemsFlushed == 6 && st.itemsDropped == 0)
   }
 
-  test("A8 time arm: an idle deferred carry force-flushes after flushInterval (onTimeout parity)") {
+  test("A8 time arm: an idle deferred carry force-flushes after flushInterval (idle time arm)") {
     val cfg = PipelineConfig(name = freshName(), minBatchSize = 100, maxBatchSize = 1024,
       flushInterval = 400.millis, triggerInterval = Some(100.millis),
       deferSmallBatches = true)
@@ -256,7 +256,7 @@ class PipelineSpec extends SparkSpec {
     p.stop()
   }
 
-  test("A8 carry clock: an overdue-empty worker is refreshed, not flushed (onTimeout parity)") {
+  test("A8 carry clock: an overdue-empty worker is refreshed, not flushed (interval-armed watchdog)") {
     // v1's flush() updates lastUpdateTime even on an empty buffer, so a
     // sub-min batch arriving after a long idle stretch still defers a
     // full interval instead of flushing against a stale clock

@@ -32,4 +32,18 @@ class SketchSpec extends SparkSpec {
       assert(r.getBoolean(5), s"${r.getString(0)} orders estimate outside 6% bound")
     }
   }
+
+  test("q75 exact-mode ceiling: distinct users stay under theta nominal entries at every verified SF") {
+    // q75's hash-exact oracle match depends on the sketches operating in
+    // EXACT mode: lgNomEntries=12 -> 4096 nominal entries must exceed
+    // the distinct user count (any union of per-type sketches is bounded
+    // by the global distinct count). If a new SF breaks this, raise
+    // lgNomEntries in q75 AND this guard together (round-3 ADVICE).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val n = Tables.events(spark, dir)
+        .agg(countDistinct(col("user_id"))).collect().head.getLong(0)
+      assert(n < 4096,
+        s"$dir: $n distinct users >= 4096 nominal entries - q75 sketches leave exact mode")
+    }
+  }
 }
