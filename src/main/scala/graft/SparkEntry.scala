@@ -24,5 +24,5 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql
+      Similarity.oracleSql ++ Multimodal.oracleSql
 }

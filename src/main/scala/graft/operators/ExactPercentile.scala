@@ -35,17 +35,22 @@ import org.apache.spark.sql.functions._
 object ExactPercentile {
 
   /** Per-(key, value) counts with per-key cumulative and total counts.
-    * `_cum` rides a sort the engine can spill; `_n` is the per-key total
-    * (window over the same partitioning — no extra shuffle). */
+    * `_cum` rides a sort the engine can spill; `_n` comes from joining
+    * the per-key totals (one row per key) — a whole-partition window
+    * here would plan a SECOND WindowExec pass over the full
+    * distinct-value table (measured ~2× on q69). No broadcast hint:
+    * AQE broadcasts the totals when the key set is small and falls back
+    * to a shuffle join for high-cardinality keys (per-user percentiles),
+    * where a forced broadcast would be a driver OOM. */
   private def ranked(df: DataFrame, key: String, value: String): DataFrame = {
     val wCum = Window.partitionBy(col(key)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(col(key))
-    df.filter(col(value).isNotNull)
+    val counts = df.filter(col(value).isNotNull)
       .groupBy(col(key), col(value)).agg(count(lit(1)).as("_c"))
+    val totals = counts.groupBy(col(key)).agg(sum(col("_c")).as("_n"))
+    counts.join(totals, key)
       .select(col(key), col(value),
-        sum(col("_c")).over(wCum).as("_cum"),
-        sum(col("_c")).over(wAll).as("_n"))
+        sum(col("_c")).over(wCum).as("_cum"), col("_n"))
   }
 
   /** Exact discrete percentiles (`percentile_disc`): one output column per

@@ -9,16 +9,22 @@ import graft.Tables
   * payloads with typed metadata, plus decode / feature-extract /
   * frame-sample operators.
   *
-  * Image decode is REAL (round 4): png/jpeg payloads are genuine encoded
-  * images (JDK `ImageIO`), and [[ImageHeaderCodec]] parses width/height
-  * from the actual bytes via `javax.imageio` header readers — no pixel
-  * decode, so metadata extraction stays cheap at scale. Remaining STUBS
-  * (no audio/model libraries in this environment): `decodeMeta` (the
-  * pure-expression variant), `features` (hash-mixed, stands in for a
-  * model embedding) and the wav path. The Spark-side shape — BinaryType
-  * schema, mapPartitions codec SPI with one instance per partition,
-  * frame slicing, partition-parallel execution — is the production
-  * integration seam either way.
+  * Decode is REAL as of round 4 (pure JDK, no external libraries):
+  *  - png/jpeg payloads are genuine encoded images (`ImageIO`);
+  *    [[ImageHeaderCodec]] parses width/height from actual bytes via
+  *    `javax.imageio` header readers (header-only — cheap at scale), and
+  *    [[AHashCodec]] computes a real pixel-space average-hash for m03's
+  *    near-dup banding;
+  *  - wav payloads are genuine RIFF/WAVE files (canonical header +
+  *    16-bit PCM); [[WavHeaderCodec]] chunk-scans the real header for
+  *    m04's hash-matched audio metadata.
+  *
+  * Remaining STUBS: `decodeMeta` (the pure-expression variant kept for
+  * codegen-path pipelines) and `features` (hash-mixed — stands in for a
+  * model embedding, which genuinely needs a model runtime). The
+  * Spark-side shape — BinaryType schema, mapPartitions codec SPI with
+  * one instance per partition, frame slicing, partition-parallel
+  * execution — is the production integration seam throughout.
   */
 object Multimodal {
 
@@ -27,18 +33,59 @@ object Multimodal {
   def imageDims(id: Long): (Int, Int) =
     ((16 + math.floorMod(id, 32L)).toInt, (16 + math.floorMod(id / 3, 24L)).toInt)
 
-  /** Encode a real single-color image (png/jpeg) via the JDK's ImageIO.
-    * Tiny (≤47×39) so fixture synthesis stays cheap; color is id-derived
-    * so distinct ids produce distinct payloads. */
+  /** Encode a real image (png/jpeg) via the JDK's ImageIO. Tiny (≤47×39)
+    * so fixture synthesis stays cheap. Pixels form an id-derived 4×4
+    * BLOCK pattern, not a flat color: a uniform image is degenerate for
+    * average-hash (every pixel equals the mean), so [[m03MediaNearDup]]'s
+    * real pHash needs structure; distinct ids get decorrelated patterns. */
   private[graft] def encodeImage(format: String, id: Long): Array[Byte] = {
     val (w, h) = imageDims(id)
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    val rgb = ((id * 2654435761L) & 0xFFFFFFL).toInt
     var y = 0
-    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var m = id * 2654435761L + (x >> 2) * 40503L + (y >> 2) * 65537L
+        m ^= m >>> 33; m *= 0xff51afd7ed558ccdL; m ^= m >>> 33
+        img.setRGB(x, y, (m & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
     val out = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
+  }
+
+  /** Audio fixture contract: deterministic WAV parameters for a media id
+    * — SQL-expressible, so [[m04AudioMeta]]'s REAL header parse gets a
+    * DuckDB oracle. */
+  def wavParams(id: Long): (Int, Int, Int) =
+    ((8000 + math.floorMod(id, 8L) * 1000).toInt,  // sample rate
+      (1 + math.floorMod(id, 2L)).toInt,           // channels
+      (256 + math.floorMod(id, 256L)).toInt)       // samples per channel
+
+  /** Encode a REAL RIFF/WAVE file (44-byte canonical header + 16-bit PCM
+    * samples, little-endian) — the audio analogue of [[encodeImage]].
+    * Samples are id-derived noise; the header fields follow
+    * [[wavParams]]. */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    val (rate, channels, nSamples) = wavParams(id)
+    val dataLen = nSamples * channels * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(rate)
+      .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < nSamples * channels) {
+      buf.putShort(((id * 31 + i * 1299709L) % 65536L - 32768L).toShort)
+      i += 1
+    }
+    buf.array()
   }
 
   /** Synthesize a media table from documents: format round-robin; png and
@@ -47,24 +94,25 @@ object Multimodal {
     * runs in mapPartitions on the executors — the driver never holds
     * media bytes. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
-    mediaTableFiltered(s, dir, None)
+    mediaTableFiltered(s, dir, Nil)
 
   /** Internal variant letting callers filter by format BEFORE payload
-    * synthesis (image encoding for rows a downstream filter would drop is
-    * pure waste — m02 only wants wav). */
+    * synthesis (media encoding for rows a downstream filter would drop is
+    * pure waste — m02/m04 only want wav, m03 only images). Empty `only`
+    * keeps every format. */
   private[operators] def mediaTableFiltered(
-      s: SparkSession, dir: String, only: Option[String]): DataFrame = {
+      s: SparkSession, dir: String, only: Seq[String]): DataFrame = {
     import s.implicits._
     val tagged = Tables.documents(s, dir)
       .select(col("doc_id").as("media_id"),
         element_at(typedlit(Seq("png", "jpeg", "wav")), (col("doc_id") % 3).cast("int") + 1).as("format"),
         col("text"))
-    val wanted = only.fold(tagged)(f => tagged.filter(col("format") === f))
+    val wanted = if (only.isEmpty) tagged else tagged.filter(col("format").isin(only: _*))
     wanted.as[(Long, String, String)].mapPartitions { it =>
-      it.map { case (id, format, text) =>
+      it.map { case (id, format, _) =>
         val payload = format match {
           case "png" | "jpeg" => encodeImage(format, id)
-          case _              => text.getBytes("UTF-8")
+          case _              => encodeWav(id)
         }
         (id, format, payload)
       }
@@ -116,7 +164,7 @@ object Multimodal {
     * Filters to wav BEFORE payload synthesis — encoding images for rows
     * this query drops would be pure waste. */
   def m02FrameFeatures(s: SparkSession, dir: String): DataFrame =
-    mediaTableFiltered(s, dir, Some("wav"))
+    mediaTableFiltered(s, dir, Seq("wav"))
       .select(col("media_id"), posexplode(sampleFrames(col("payload"), 64, 48)))
       .toDF("media_id", "frame_no", "frame")
       .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
@@ -124,34 +172,35 @@ object Multimodal {
         round(element_at(features(col("frame"), 8), 1).cast("double"), 3).as("f0"))
       .orderBy("media_id", "frame_no")
 
-  /** [STUB-decode] 64-bit perceptual-hash analogue: one bit per stub
-    * feature (threshold 0.5). A real pHash replaces `features` with
-    * DCT-of-pixels; the bit-packing, banding and hamming verify below
-    * are the production shape either way. Identical payloads hash
-    * identically (the stub features are content-deterministic), so the
-    * near-dup join finds at least the exact-duplicate classes. */
-  def perceptualHash(payload: Column): Column =
-    aggregate(
-      zip_with(features(payload, 64), sequence(lit(0), lit(63)),
-        (f, i) => when(f > 0.5f,
-          call_function("shiftleft", lit(1L), i.cast("int"))).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-
-  /** Media near-dup pairs via pHash band blocking + hamming verify —
-    * [[Dedup.d02SimhashPairs]]'s shape lifted to the multimodal surface:
-    * 16-bit bands key the candidate join (never all-pairs), xor+popcount
-    * verifies. Rows-only check; MultimodalSpec proves the pairs match
-    * exact payload equality for the stub hash. */
+  /** Image near-dup pairs via REAL average-hash band blocking + hamming
+    * verify — [[Dedup.d02SimhashPairs]]'s shape lifted to the multimodal
+    * surface with an actual pixel-space hash ([[AHashCodec]]: decode →
+    * 8×8 luminance grid → above-mean bits): 16-bit bands key the
+    * candidate join (never all-pairs), xor+popcount verifies ≤ 8.
+    * Rows-only check (pixel decode has no SQL counterpart);
+    * MultimodalSpec proves the pairs equal exact payload equality on
+    * this fixture (identical payloads hash identically; distinct
+    * id-derived patterns land far apart). */
   def m03MediaNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     import graft.functions.TextFunctions.{hamming64, simhashBands}
     // the synthetic corpus has no duplicate payloads, so plant re-uploads
     // of the first 100 media items under shifted ids (same trick as
     // t06's planted PII) — both the query and its spec see them
-    val base = mediaTable(s, dir)
-    val reuploads = base.filter(col("media_id") < 100)
+    val imgs = mediaTableFiltered(s, dir, Seq("png", "jpeg"))
+    val reuploads = imgs.filter(col("media_id") < 100)
       .select((col("media_id") + 10000L).as("media_id"), col("format"), col("payload"))
-    val hashed = base.union(reuploads)
-      .select(col("media_id"), perceptualHash(col("payload")).as("phash"))
+    // cache the narrow (media_id, phash) table: the union re-evaluates
+    // imgs and the band self-join reads hashed twice — without the cache
+    // the encode+decode pipeline runs ~4× (measured 9.3 s → ~3 s at
+    // sf0.1). Query-scoped; Verify/Bench clearCache() after each query.
+    val hashed = imgs.union(reuploads).as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new AHashCodec()
+        it.map(m => (m.media_id, codec.ahash(m)))
+      }
+      .toDF("media_id", "phash")
+      .cache()
     val bands = hashed.select(col("media_id"), col("phash"),
       explode(simhashBands(col("phash"))).as("band"))
     bands.as("a").join(bands.as("b"),
@@ -167,9 +216,22 @@ object Multimodal {
     "m01_media_meta"     -> (m01MediaMeta _),
     "m02_frame_features" -> (m02FrameFeatures _),
     "m03_media_neardup"  -> (m03MediaNearDup _),
+    "m04_audio_meta"     -> (m04AudioMeta _),
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** m04's header fields are deterministic functions of the fixture id
+    * ([[wavParams]]) — DuckDB recomputes what the RIFF parser must read
+    * out of the actual bytes. */
+  val oracleSql: Map[String, String] = Map(
+    "m04_audio_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS n_channels,
+        |  CAST(256 + doc_id % 256 AS BIGINT) AS n_samples,
+        |  (CAST(256 + doc_id % 256 AS BIGINT) * 1000)
+        |    // CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS duration_ms
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+  )
 
   // ---------------------------------------------------- codec-SPI pattern
 
@@ -235,6 +297,109 @@ object Multimodal {
     ds.mapPartitions { it =>
       val codec = new ImageHeaderCodec()
       it.map(codec.decode)
+    }
+  }
+
+  // --------------------------------------------------------- audio decode
+
+  final case class AudioMeta(media_id: Long, sample_rate: Long,
+      n_channels: Long, n_samples: Long, duration_ms: Long)
+
+  /** REAL RIFF/WAVE header parser (chunk-scanning, not fixed-offset:
+    * handles extra chunks a real encoder might insert before `data`).
+    * Throws on non-WAV payloads — m04's input is the wav-format slice of
+    * the fixture, so a parse failure there is a bug, not data. */
+  final class WavHeaderCodec extends Serializable {
+    def decode(m: MediaRecord): AudioMeta = {
+      val buf = java.nio.ByteBuffer.wrap(m.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourcc(): String = {
+        val b = new Array[Byte](4); buf.get(b); new String(b, "US-ASCII")
+      }
+      require(fourcc() == "RIFF", s"media ${m.media_id}: not a RIFF payload")
+      buf.getInt // riff size
+      require(fourcc() == "WAVE", s"media ${m.media_id}: not a WAVE form")
+      var rate = 0L; var channels = 0L; var bits = 0L; var dataLen = -1L
+      while (dataLen < 0 && buf.remaining() >= 8) {
+        val id = fourcc(); val size = buf.getInt
+        if (id == "fmt ") {
+          val start = buf.position()
+          buf.getShort                       // audio format (1 = PCM)
+          channels = buf.getShort.toLong
+          rate = buf.getInt.toLong
+          buf.getInt                         // byte rate
+          buf.getShort                       // block align
+          bits = buf.getShort.toLong
+          buf.position(start + size)
+        } else if (id == "data") dataLen = size.toLong
+        else buf.position(buf.position() + size)
+      }
+      require(dataLen >= 0 && rate > 0 && channels > 0 && bits > 0,
+        s"media ${m.media_id}: malformed WAV header")
+      val nSamples = dataLen / (channels * bits / 8)
+      AudioMeta(m.media_id, rate, channels, nSamples, nSamples * 1000L / rate)
+    }
+  }
+
+  /** Audio metadata extraction — REAL WAV header parse of real RIFF
+    * bytes through the codec SPI. Every output column is also a
+    * SQL-expressible function of the fixture id ([[wavParams]]), so this
+    * is the m-family's first HASH-MATCHED oracle query: DuckDB
+    * recomputes the expected header fields and the driver compares them
+    * against what the parser read out of the actual bytes. */
+  def m04AudioMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTableFiltered(s, dir, Seq("wav")).as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new WavHeaderCodec()
+        it.map(codec.decode)
+      }
+      .toDF()
+      .orderBy("media_id")
+  }
+
+  // ------------------------------------------------- real perceptual hash
+
+  /** REAL average-hash (aHash — the classic public pHash-family recipe):
+    * decode the image, average luminance over an 8×8 grid, one bit per
+    * cell (above mean = 1). Small local edits perturb few cells →
+    * near-dup images land at low hamming distance; identical payloads
+    * hash identically. Decode happens per-partition through the codec
+    * SPI like every other real decoder here. */
+  final class AHashCodec extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+    def ahash(m: MediaRecord): Long = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+      require(img != null, s"media ${m.media_id}: undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val cell = new Array[Double](64)
+      var gy = 0
+      while (gy < 8) {
+        var gx = 0
+        while (gx < 8) {
+          val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
+          val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+          var sum = 0.0; var n = 0
+          var y = y0
+          while (y < y1 && y < h) {
+            var x = x0
+            while (x < x1 && x < w) {
+              val rgb = img.getRGB(x, y)
+              sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+                0.114 * (rgb & 0xFF)
+              n += 1; x += 1
+            }
+            y += 1
+          }
+          cell(gy * 8 + gx) = if (n > 0) sum / n else 0.0
+          gx += 1
+        }
+        gy += 1
+      }
+      val mean = cell.sum / 64.0
+      var bits = 0L; var i = 0
+      while (i < 64) { if (cell(i) > mean) bits |= (1L << i); i += 1 }
+      bits
     }
   }
 }

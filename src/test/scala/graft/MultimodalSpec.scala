@@ -89,13 +89,15 @@ class MultimodalSpec extends SparkSpec {
     assert(vs(0) != vs(1))
   }
 
-  test("m03 media near-dup finds exactly the duplicate payload classes (stub hash)") {
-    // the stub features are content-hash-derived (not locality-sensitive),
-    // so hamming ≤ 8 collisions ≡ identical payloads — giving the LSH
-    // banding plumbing an exact, computable expectation
+  test("m03 media near-dup finds exactly the duplicate payload classes (real aHash)") {
+    // identical payloads hash identically; the fixture's id-derived block
+    // patterns land distinct images far apart in hamming space — so on
+    // THIS corpus hamming ≤ 8 ≡ identical payloads, an exact expectation
+    // for the real pixel-space hash + banding plumbing
     val got = Multimodal.m03MediaNearDup(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val base = Multimodal.mediaTable(spark, sf)
+      .filter(col("format") =!= "wav")
       .selectExpr("media_id", "payload")
     val media = base.union(base.filter(col("media_id") < 100)
         .selectExpr("media_id + 10000 AS media_id", "payload"))
@@ -107,5 +109,44 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == expected)
     assert(expected.nonEmpty, "test corpus has no duplicate docs — fixture drifted")
+  }
+
+  test("aHash is edit-tolerant: a small local edit stays near, different patterns land far") {
+    import Multimodal.{AHashCodec, MediaRecord}
+    import graft.functions.TextFunctions.hamming64
+    val codec = new AHashCodec()
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    // re-encode of the same image → identical hash
+    val h1 = codec.ahash(MediaRecord(5L, "png", Multimodal.encodeImage("png", 5L)))
+    val h1b = codec.ahash(MediaRecord(5L, "png", Multimodal.encodeImage("png", 5L)))
+    assert(h1 == h1b)
+    // small local edit (corner block overwritten) → low hamming
+    val (w, h) = Multimodal.imageDims(5L)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.encodeImage("png", 5L)))
+    for (x <- 0 until math.min(4, w); y <- 0 until math.min(4, h))
+      img.setRGB(x, y, 0xFFFFFF)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val hEdit = codec.ahash(MediaRecord(5L, "png", out.toByteArray))
+    assert(ham(h1, hEdit) <= 8, s"local edit moved hash by ${ham(h1, hEdit)} bits")
+    // a different id's pattern → far
+    val hOther = codec.ahash(MediaRecord(6L, "png", Multimodal.encodeImage("png", 6L)))
+    assert(ham(h1, hOther) > 8, s"distinct patterns only ${ham(h1, hOther)} bits apart")
+  }
+
+  test("WAV codec: real RIFF headers round-trip the fixture contract; junk rejected") {
+    import Multimodal.{MediaRecord, WavHeaderCodec}
+    val codec = new WavHeaderCodec()
+    for (id <- Seq(2L, 5L, 17L, 254L, 1000L)) {
+      val d = codec.decode(MediaRecord(id, "wav", Multimodal.encodeWav(id)))
+      val (rate, channels, nSamples) = Multimodal.wavParams(id)
+      assert(d.sample_rate == rate && d.n_channels == channels && d.n_samples == nSamples,
+        s"wav $id decoded ${(d.sample_rate, d.n_channels, d.n_samples)}")
+      assert(d.duration_ms == nSamples * 1000L / rate)
+    }
+    intercept[IllegalArgumentException] {
+      codec.decode(MediaRecord(1L, "wav", Array.fill[Byte](64)(42)))
+    }
   }
 }
