@@ -330,9 +330,10 @@ object Multimodal {
           buf.getInt                         // byte rate
           buf.getShort                       // block align
           bits = buf.getShort.toLong
-          buf.position(start + size)
+          buf.position(start + size + (size & 1))
         } else if (id == "data") dataLen = size.toLong
-        else buf.position(buf.position() + size)
+        // RIFF pads odd-sized chunks to an even boundary
+        else buf.position(buf.position() + size + (size & 1))
       }
       require(dataLen >= 0 && rate > 0 && channels > 0 && bits > 0,
         s"media ${m.media_id}: malformed WAV header")

@@ -1234,6 +1234,25 @@ object Relational {
       .orderBy("type_a", "type_b")
   }
 
+  /** rank()-based top-N WITH ties — the other top-N idiom users write
+    * (q08/q10 cover row_number): all orders in each status's 3 highest
+    * price buckets, ties included, rank column kept. In an
+    * extensions-enabled session [[graft.plans.WindowTopKRewrite]] slots
+    * a [[graft.plans.RankPrunePlan]] under this exact shape (tie-safe
+    * map-side prune; WindowTopKRewriteSpec proves row-equality) — the
+    * plain session plans the ordinary window; results are identical by
+    * construction, which is what the oracle checks. Integer-only
+    * output. */
+  def q77RankTopNTies(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("bucket").desc)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        least(floor(col("o_totalprice") / 50000.0), lit(9.0)).cast("long").as("bucket"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_orderstatus", "o_orderkey", "bucket", "rnk")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1332,6 +1351,7 @@ object Relational {
     "q74_rank_battery"    -> (q74RankBattery _),
     "q75_theta_sets"      -> (q75ThetaSets _),
     "q76_variant_json"    -> (q76VariantJson _),
+    "q77_rank_topn_ties"  -> (q77RankTopNTies _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -1972,5 +1992,16 @@ object Relational {
         |  CAST(count(CASE WHEN NOT json_valid(substring(props, 1, length(props) - 1))
         |             THEN 1 END) AS BIGINT) AS n_malformed
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q77_rank_topn_ties" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(least(floor(o_totalprice / 50000.0), 9.0) AS BIGINT) AS bucket
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderkey, o_orderstatus, bucket,
+        |    CAST(rank() OVER (PARTITION BY o_orderstatus ORDER BY bucket DESC) AS BIGINT) AS rnk
+        |  FROM t)
+        |SELECT o_orderkey, o_orderstatus, bucket, rnk FROM r WHERE rnk <= 3
+        |ORDER BY o_orderstatus, o_orderkey, bucket, rnk""".stripMargin,
   )
 }
