@@ -1253,6 +1253,41 @@ object Relational {
       .orderBy("o_orderstatus", "o_orderkey", "bucket", "rnk")
   }
 
+  /** Variable-length INTERVAL OVERLAP self-join — the range-join shape
+    * Spark has no native operator for (q34's band join has fixed
+    * literal bands; q23/q54 as-of picks one row). Sessions (native
+    * session_window intervals: [first event, last event + gap)) from
+    * different users that overlap in time, counted per user bucket.
+    * Scale path: each interval EXPLODES into its covering hour bins and
+    * candidates come from an equi-join on the bin key — shuffle is
+    * bounded by interval-hours, never the |A|×|B| of the naive theta
+    * join the oracle runs; the exact overlap predicate then filters
+    * residually and `distinct` collapses pairs that share several bins
+    * (same verify-then-distinct discipline as d02). Restricted to
+    * user_id < 500 to keep the pair set test-sized. Integer-only
+    * output. */
+  def q78IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .filter(col("user_id") < 500)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start").cast("timestamp")).as("start_ms"),
+        unix_millis(col("session_window.end").cast("timestamp")).as("end_ms"))
+    val binned = iv.select(col("user_id"), col("start_ms"), col("end_ms"),
+      explode(sequence(floor(col("start_ms") / 3600000L).cast("long"),
+        floor(col("end_ms") / 3600000L).cast("long"))).as("bin"))
+    val pairs = binned.as("a").join(binned.as("b"),
+        col("a.bin") === col("b.bin") && col("a.user_id") < col("b.user_id") &&
+          col("a.start_ms") < col("b.end_ms") && col("b.start_ms") < col("a.end_ms"))
+      .select(col("a.user_id").as("ua"), col("a.start_ms").as("sa"),
+        col("b.user_id").as("ub"), col("b.start_ms").as("sb"))
+      .distinct()
+    pairs.groupBy((col("ua") % 50).as("user_bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("user_bucket")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1352,6 +1387,7 @@ object Relational {
     "q75_theta_sets"      -> (q75ThetaSets _),
     "q76_variant_json"    -> (q76VariantJson _),
     "q77_rank_topn_ties"  -> (q77RankTopNTies _),
+    "q78_interval_overlap" -> (q78IntervalOverlap _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2003,5 +2039,26 @@ object Relational {
         |  FROM t)
         |SELECT o_orderkey, o_orderstatus, bucket, rnk FROM r WHERE rnk <= 3
         |ORDER BY o_orderstatus, o_orderkey, bucket, rnk""".stripMargin,
+    "q78_interval_overlap" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 10 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events WHERE user_id < 500 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM e),
+        |iv AS (
+        |  SELECT user_id, epoch_ms(min(ts)) AS start_ms,
+        |         epoch_ms(max(ts) + INTERVAL 10 MINUTE) AS end_ms
+        |  FROM s GROUP BY user_id, sid),
+        |p AS (
+        |  SELECT a.user_id AS ua
+        |  FROM iv a JOIN iv b
+        |    ON a.user_id < b.user_id
+        |   AND a.start_ms < b.end_ms AND b.start_ms < a.end_ms)
+        |SELECT CAST(ua % 50 AS BIGINT) AS user_bucket, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM p GROUP BY 1 ORDER BY user_bucket""".stripMargin,
   )
 }

@@ -467,7 +467,36 @@ object TextAnalysis {
     "t19_decontaminate" -> (t19Decontaminate _),
     "t20_vocab_coverage" -> (t20VocabCoverage _),
     "t21_fingerprint_gate" -> (t21FingerprintGate _),
+    "t22_chunk_docs" -> (t22ChunkDocs _),
   )
+
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+
+  /** RAG-style document chunking: overlapping token windows (64 tokens,
+    * stride 48 → 16-token overlap), the retrieval-corpus primitive that
+    * sits between cleaning and embedding. Chunk identity is
+    * (doc_id, chunk_id); the payload here is the chunk's md5 (stable
+    * content address for dedup/caching — emitting the text itself would
+    * just re-ship the corpus through the gate). Contract: chunk starts
+    * at every stride multiple below the token count, so the tail chunk
+    * may be short; empty docs yield no chunks. Pure map-side
+    * explode — embarrassingly parallel at 100 TB, no shuffle before the
+    * output sort. */
+  def t22ChunkDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0),
+          ((col("n") + ChunkStride - 1) / ChunkStride).cast("int") - 1)).as("i"))
+      .select(col("doc_id"), col("i").cast("long").as("chunk_id"),
+        (col("i").cast("long") * ChunkStride).as("start_tok"),
+        least(lit(ChunkTokens), col("n") - col("i") * ChunkStride).cast("long").as("n_tok_chunk"),
+        md5(concat_ws(" ",
+          slice(col("toks"), col("i") * ChunkStride + 1, lit(ChunkTokens)))).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
 
   /** Oracle companion for rows-only t05 (round-4 pattern): per doc, the
     * shingle count is recomputed by DuckDB exactly (max(n_tokens−2, 0)
@@ -505,6 +534,21 @@ object TextAnalysis {
         |  FROM documents)
         |SELECT doc_id, greatest(n_tok - 2, 0) AS n_shingles, true AS fp_in_bounds
         |FROM t ORDER BY doc_id""".stripMargin,
+    "t22_chunk_docs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0),
+        |c AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(range(0, (n + 47) // 48)) AS i
+        |  FROM n)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(i * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - i * 48) AS BIGINT) AS n_tok_chunk,
+        |  md5(array_to_string(toks[(i*48 + 1):(i*48 + 64)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t02_token_count" ->
       s"""SELECT doc_id,
          | CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> len(t) > 0)) AS BIGINT) AS n_ws_tokens,
