@@ -1288,6 +1288,36 @@ object Relational {
       .orderBy("user_bucket")
   }
 
+  /** Heavy-hitter detection: Spark 4's `approx_top_k` frequent-items
+    * sketch beside its exact anchor (the q47/q33/d06 bound-flag
+    * pattern). The hash-matched columns are the EXACT top-10 part keys
+    * by line count (total tie-break); the flag asserts the sketch
+    * (k=50, maxItemsTracked=100000 ≥ distinct keys at test SFs, so it
+    * counts exactly) reproduces each item's exact count. Overfetching
+    * k=50 makes the flag tie-robust: items tied at the top-10 boundary
+    * are all inside the sketch's 50 regardless of its internal tie
+    * order. At production scale the same query returns ±ε estimates
+    * with the sketch's published bounds. */
+  def q79ApproxTopK(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val exact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n_lines"))
+    val w = Window.orderBy(col("n_lines").desc, col("l_partkey"))
+    // sort+limit BEFORE ranking: TakeOrderedAndProject reduces the
+    // per-key aggregate partially per partition (at 100 TB that
+    // aggregate is billions of keys — a global rank window over it
+    // would be a single-reducer sort); the rank window then runs over
+    // exactly 10 rows (t12's top-20 lesson)
+    val top10 = exact.orderBy(col("n_lines").desc, col("l_partkey")).limit(10)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val sketch = li.agg(expr("approx_top_k(l_partkey, 50, 100000)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item").as("l_partkey"), col("e.count").as("n_approx"))
+    top10.join(broadcast(sketch), Seq("l_partkey"), "left")
+      .select(col("rnk"), col("l_partkey"), col("n_lines"),
+        coalesce(col("n_approx") === col("n_lines"), lit(false)).as("sketch_agrees"))
+      .orderBy("rnk", "l_partkey", "n_lines", "sketch_agrees")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1388,6 +1418,7 @@ object Relational {
     "q76_variant_json"    -> (q76VariantJson _),
     "q77_rank_topn_ties"  -> (q77RankTopNTies _),
     "q78_interval_overlap" -> (q78IntervalOverlap _),
+    "q79_approx_topk"     -> (q79ApproxTopK _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2060,5 +2091,16 @@ object Relational {
         |   AND a.start_ms < b.end_ms AND b.start_ms < a.end_ms)
         |SELECT CAST(ua % 50 AS BIGINT) AS user_bucket, CAST(count(*) AS BIGINT) AS n_pairs
         |FROM p GROUP BY 1 ORDER BY user_bucket""".stripMargin,
+    "q79_approx_topk" ->
+      """WITH e AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_lines
+        |  FROM lineitem GROUP BY 1),
+        |r AS (
+        |  SELECT l_partkey, n_lines,
+        |    CAST(row_number() OVER (ORDER BY n_lines DESC, l_partkey) AS BIGINT) AS rnk
+        |  FROM e)
+        |SELECT rnk, l_partkey, n_lines, true AS sketch_agrees
+        |FROM r WHERE rnk <= 10
+        |ORDER BY rnk, l_partkey, n_lines, sketch_agrees""".stripMargin,
   )
 }
