@@ -56,7 +56,11 @@ object ScaleSmoke {
         // round-2 additions: text/dedup/similarity + event analytics at 10x
         "d01_minhash_pairs", "d05_dedup_survivors", "d08_containment", "t03_quality", "t12_bm25",
         "t14_pipeline_e2e", "s03_ann_srp", "q52_funnel", "q53_retention",
-        "q59_topk_custom").foreach { n =>
+        "q59_topk_custom",
+        // round-4 additions: bounded exact percentiles (spillable path),
+        // integral window battery, interval overlap, heavy hitters
+        "q29_percentile", "q47_approx_quantile", "q69_percentile_disc",
+        "q41_window_frames", "q78_interval_overlap", "q79_approx_topk").foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
       println(f"SCALE10 $n ${(System.nanoTime()-t0)/1e9}%.2f s")
