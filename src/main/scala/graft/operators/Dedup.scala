@@ -522,8 +522,12 @@ object Dedup {
     * the driver gate). Integer-only arithmetic; 1-row aggregates
     * broadcast-cross-join. */
   def d11IvfGate(s: SparkSession, dir: String): DataFrame = {
-    val exact = d04EmbeddingNearDup(s, dir).select(col("vec_a"), col("vec_b"))
-    val ivf = d09EmbedNearDupIvf(s, dir).select(col("vec_a"), col("vec_b"))
+    // cache both narrow pair sets: the three aggregates below would
+    // otherwise re-run the full d04 all-pairs AND the full d09 IVF
+    // pipeline twice each (measured 10.3 s → ~5 s at sf0.1);
+    // query-scoped, Verify/Bench clearCache() after each query
+    val exact = d04EmbeddingNearDup(s, dir).select(col("vec_a"), col("vec_b")).cache()
+    val ivf = d09EmbedNearDupIvf(s, dir).select(col("vec_a"), col("vec_b")).cache()
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val nIvf = ivf.agg(count(lit(1)).as("n_ivf"))
     val nOutside = ivf.join(exact, Seq("vec_a", "vec_b"), "left_anti")

@@ -160,17 +160,66 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** Frame sampling + per-frame features over the synthesized "videos".
-    * Filters to wav BEFORE payload synthesis — encoding images for rows
-    * this query drops would be pure waste. */
-  def m02FrameFeatures(s: SparkSession, dir: String): DataFrame =
-    mediaTableFiltered(s, dir, Seq("wav"))
-      .select(col("media_id"), posexplode(sampleFrames(col("payload"), 64, 48)))
-      .toDF("media_id", "frame_no", "frame")
-      .select(col("media_id"), col("frame_no").cast("long").as("frame_no"),
-        length(col("frame")).cast("long").as("frame_bytes"),
-        round(element_at(features(col("frame"), 8), 1).cast("double"), 3).as("f0"))
+  final case class FrameFeatures(media_id: Long, frame_no: Long,
+      n_samples: Long, rms_e2: Long, zcr: Long)
+
+  /** REAL per-frame signal features from the PCM stream: frames of 32
+    * samples at stride 24 over the interleaved sample sequence
+    * (channel-agnostic, documented contract; tail frames may be short,
+    * same sliding contract as t22's chunking); per frame the
+    * root-mean-square amplitude (scaled-integer `rms_e2` =
+    * floor(√(Σv²/n)·100 + 0.5), one IEEE chain from exact integer sums)
+    * and the zero-crossing count — the two classic cheap audio
+    * descriptors. Decodes the actual RIFF bytes through the codec SPI. */
+  final class PcmFrameCodec extends Serializable {
+    private val header = new WavHeaderCodec()
+    def features(m: MediaRecord): Iterator[FrameFeatures] = {
+      val meta = header.decode(m)
+      val buf = java.nio.ByteBuffer.wrap(m.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      // data chunk starts at 44 in the canonical layout the fixture
+      // writes; total interleaved samples = n_samples × channels
+      val total = (meta.n_samples * meta.n_channels).toInt
+      val samples = new Array[Int](total)
+      buf.position(44)
+      var j = 0
+      while (j < total) { samples(j) = buf.getShort.toInt; j += 1 }
+      val out = scala.collection.mutable.ArrayBuffer[FrameFeatures]()
+      var f = 0
+      var start = 0
+      while (start < total) {
+        val len = math.min(32, total - start)
+        var ss = 0L; var zc = 0L
+        var i = start
+        while (i < start + len) {
+          val v = samples(i)
+          ss += v.toLong * v
+          if (i > start && ((samples(i - 1) < 0) != (v < 0))) zc += 1
+          i += 1
+        }
+        val rmsE2 = math.floor(math.sqrt(ss.toDouble / len) * 100.0 + 0.5).toLong
+        out += FrameFeatures(m.media_id, f.toLong, len.toLong, rmsE2, zc)
+        f += 1; start += 24
+      }
+      out.iterator
+    }
+  }
+
+  /** Frame sampling + REAL per-frame signal features over the genuine
+    * WAV payloads (filtered to wav BEFORE payload synthesis). The
+    * fixture's samples are an id-derived formula, so DuckDB recomputes
+    * every frame's RMS and zero-crossing count — this query is
+    * HASH-MATCHED, with the decode running over actual bytes. */
+  def m02FrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTableFiltered(s, dir, Seq("wav")).as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new PcmFrameCodec()
+        it.flatMap(codec.features)
+      }
+      .toDF()
       .orderBy("media_id", "frame_no")
+  }
 
   /** Image near-dup pairs via REAL average-hash band blocking + hamming
     * verify — [[Dedup.d02SimhashPairs]]'s shape lifted to the multimodal
@@ -219,10 +268,44 @@ object Multimodal {
     "m04_audio_meta"     -> (m04AudioMeta _),
   )
 
-  /** m04's header fields are deterministic functions of the fixture id
-    * ([[wavParams]]) — DuckDB recomputes what the RIFF parser must read
-    * out of the actual bytes. */
+  /** m02/m04's outputs are deterministic functions of the fixture id
+    * ([[wavParams]] + the PCM sample formula) — DuckDB recomputes what
+    * the decoders must read out of the actual bytes. */
   val oracleSql: Map[String, String] = Map(
+    "m02_frame_features" ->
+      """WITH w AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST((256 + doc_id % 256) * (1 + doc_id % 2) AS BIGINT) AS total
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fr AS (
+        |  SELECT media_id, total, unnest(range(0, (total + 23) // 24)) AS frame_no
+        |  FROM w),
+        |fs AS (
+        |  SELECT media_id, frame_no, frame_no * 24 AS fstart,
+        |    least(32, total - frame_no * 24) AS len
+        |  FROM fr),
+        |sj AS (
+        |  SELECT media_id, frame_no, len,
+        |    unnest(range(fstart, fstart + len)) AS j
+        |  FROM fs),
+        |v AS (
+        |  SELECT media_id, frame_no, len, j,
+        |    CAST((media_id * 31 + j * 1299709) % 65536 - 32768 AS BIGINT) AS v
+        |  FROM sj),
+        |z AS (
+        |  SELECT media_id, frame_no, len, v,
+        |    lag(v) OVER (PARTITION BY media_id, frame_no ORDER BY j) AS pv
+        |  FROM v),
+        |agg AS (
+        |  SELECT media_id, frame_no,
+        |    CAST(max(len) AS BIGINT) AS n_samples,
+        |    CAST(sum(v * v) AS BIGINT) AS ss,
+        |    CAST(count(CASE WHEN pv IS NOT NULL AND ((pv < 0) <> (v < 0)) THEN 1 END) AS BIGINT) AS zcr
+        |  FROM z GROUP BY 1, 2)
+        |SELECT media_id, frame_no, n_samples,
+        |  CAST(floor(sqrt(CAST(ss AS DOUBLE) / n_samples) * 100.0 + 0.5) AS BIGINT) AS rms_e2,
+        |  zcr
+        |FROM agg ORDER BY media_id, frame_no""".stripMargin,
     "m04_audio_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,

@@ -135,6 +135,29 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(h1, hOther) > 8, s"distinct patterns only ${ham(h1, hOther)} bits apart")
   }
 
+  test("PCM frame features: RMS and zero-crossings match hand-computed values") {
+    import Multimodal.{MediaRecord, PcmFrameCodec}
+    // hand-built WAV: 8000 Hz mono, 40 samples alternating +1000/-1000 →
+    // every consecutive pair crosses zero; RMS of a constant-magnitude
+    // signal is the magnitude
+    val n = 40
+    val buf = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(i => buf.putShort(if (i % 2 == 0) 1000 else -1000))
+    val frames = new PcmFrameCodec()
+      .features(MediaRecord(1L, "wav", buf.array())).toSeq
+    // 40 samples, frame 32 @ stride 24 → starts 0 (len 32) and 24 (len 16)
+    assert(frames.map(f => (f.frame_no, f.n_samples)) == Seq((0L, 32L), (1L, 16L)))
+    frames.foreach { f =>
+      assert(f.rms_e2 == 100000L, s"RMS of ±1000 signal: ${f.rms_e2}") // 1000.00
+      assert(f.zcr == f.n_samples - 1, s"alternating signal zcr: ${f.zcr}")
+    }
+  }
+
   test("WAV codec: real RIFF headers round-trip the fixture contract; junk rejected") {
     import Multimodal.{MediaRecord, WavHeaderCodec}
     val codec = new WavHeaderCodec()
