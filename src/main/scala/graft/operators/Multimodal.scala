@@ -19,9 +19,11 @@ import graft.Tables
   *    16-bit PCM); [[WavHeaderCodec]] chunk-scans the real header for
   *    m04's hash-matched audio metadata.
   *
-  * Remaining STUBS: `decodeMeta` (the pure-expression variant kept for
-  * codegen-path pipelines) and `features` (hash-mixed — stands in for a
-  * model embedding, which genuinely needs a model runtime). The
+  * No stub operators remain: every decode reads actual bytes. The only
+  * stand-in left is [[StubCodec]], which exists as the documented
+  * FALLBACK for undecodable payloads (and the per-partition instance
+  * counter the specs observe) — model-based embeddings, which genuinely
+  * need a model runtime, live in the embeddings table upstream. The
   * Spark-side shape — BinaryType schema, mapPartitions codec SPI with
   * one instance per partition, frame slicing, partition-parallel
   * execution — is the production integration seam throughout.
@@ -119,20 +121,6 @@ object Multimodal {
     }.toDF("media_id", "format", "payload")
   }
 
-  /** [STUB] "Decode" typed metadata from the payload: deterministic
-    * pseudo-dimensions from the content hash, real byte length. */
-  def decodeMeta(payload: Column): Column =
-    struct(
-      length(payload).cast("long").as("n_bytes"),
-      (pmod(xxhash64(payload), lit(1920L)) + 1L).as("width"),
-      (pmod(xxhash64(payload, lit(1L)), lit(1080L)) + 1L).as("height"))
-
-  /** [STUB] Fixed-width float feature vector from the payload (hash-mixed;
-    * a real model would replace the per-element expression). */
-  def features(payload: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)),
-      i => (pmod(xxhash64(payload, i), lit(1000L)).cast("double") / 1000.0).cast("float"))
-
   /** Frame sampling for "video" payloads: every `stride` bytes take a
     * `frameSize`-byte slice. Real Spark slicing over BinaryType; frames
     * explode into one row each so downstream feature extraction
@@ -146,11 +134,11 @@ object Multimodal {
   /** Media metadata extraction through the codec SPI — the per-partition-
     * instance `mapPartitions` path ([[decodeWithCodec]]), NOT inline
     * expressions. png/jpeg dims are REAL `javax.imageio` header parses of
-    * the actual bytes; wav falls back to the stub. (Rows-only check:
-    * binary fixtures have no DuckDB counterpart; dims-vs-fixture contract
-    * + instance-count covered by MultimodalSpec. [[decodeMeta]] remains
-    * the pure-expression variant for pipelines that want codegen over a
-    * cheap header parse.) */
+    * the actual bytes; wav rows fall back to the content-hash stub
+    * (their real metadata is m04's dedicated RIFF parse). Rows-only
+    * check: mixed-format dims have no single DuckDB counterpart; the
+    * dims-vs-fixture contract + per-partition instance count are covered
+    * by MultimodalSpec. */
   def m01MediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     decodeWithCodec(mediaTable(s, dir).as[MediaRecord])

@@ -80,15 +80,6 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.checksum).sorted.toSeq == again.map(_.checksum).sorted.toSeq)
   }
 
-  test("feature vectors: fixed dim, values in [0,1), deterministic") {
-    val df = Seq("x", "y").toDF("t")
-      .select(Multimodal.features(encode(col("t"), "UTF-8"), 16).as("f"))
-    val vs = df.collect().map(_.getSeq[Float](0))
-    assert(vs.forall(_.length == 16))
-    assert(vs.flatten.forall(v => v >= 0f && v < 1f))
-    assert(vs(0) != vs(1))
-  }
-
   test("m03 media near-dup finds exactly the duplicate payload classes (real aHash)") {
     // identical payloads hash identically; the fixture's id-derived block
     // patterns land distinct images far apart in hamming space — so on
