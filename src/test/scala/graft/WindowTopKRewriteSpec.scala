@@ -135,6 +135,19 @@ class WindowTopKRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("rank prune degrades soundly when the state budget is exhausted") {
+    // with a 1-byte budget no group can be tracked — every row passes
+    // through unpruned and the window must still produce exact results
+    extSpark.conf.set(graft.plans.RankPruneExec.MAX_KEY_BYTES_KEY, "1")
+    try {
+      val df = rankTopN(extSpark, dense = false)
+      assert(df.queryExecution.optimizedPlan.toString.contains("RankPrune"))
+      val got = df.collect().map(_.toString).sorted.toSeq
+      val plain = rankTopN(SparkSpec.spark, dense = false).collect().map(_.toString).sorted.toSeq
+      assert(got == plain, "budget-degraded prune changed results")
+    } finally extSpark.conf.unset(graft.plans.RankPruneExec.MAX_KEY_BYTES_KEY)
+  }
+
   test("kill switch: spark.graft.rewrite.windowTopK=false keeps the window") {
     extSpark.conf.set("spark.graft.rewrite.windowTopK", "false")
     try {
