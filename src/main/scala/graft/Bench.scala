@@ -65,9 +65,11 @@ object Bench {
     println(json)
     // stdout tails get truncated by log capture (round 2 lost 36 per-query
     // numbers that way; round 3's driver artifact parsed null) — ALWAYS
-    // persist the full line to BENCH_LATEST.json in the repo root, plus
-    // wherever SPARK_GRAFT_BENCH_OUT points
-    val outs = Seq("/root/repo/BENCH_LATEST.json") ++ sys.env.get("SPARK_GRAFT_BENCH_OUT")
+    // persist the full line to BENCH_LATEST.json in the working directory
+    // (not a hardcoded absolute path: a run from another checkout would
+    // silently write into the wrong tree), plus SPARK_GRAFT_BENCH_OUT
+    val outs = Seq(new java.io.File(sys.props("user.dir"), "BENCH_LATEST.json").getPath) ++
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
     outs.foreach { p =>
       try java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
       catch { case e: Exception =>

@@ -84,7 +84,7 @@ object PipelineBench {
       f""""delivered":${delivered.get()},"ref_sec":"8.0-9.0"}"""
     println(json)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/PIPELINE_BENCH.json"), json + "\n")
+      new java.io.File(sys.props("user.dir"), "PIPELINE_BENCH.json").toPath, json + "\n")
     catch { case e: Exception => System.err.println(s"[pipeline-bench] $e") }
     spark.stop()
   }

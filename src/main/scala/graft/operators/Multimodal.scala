@@ -90,11 +90,11 @@ object Multimodal {
     buf.array()
   }
 
-  /** Synthesize a media table from documents: format round-robin; png and
-    * jpeg rows carry REAL encoded image bytes (dims = [[imageDims]]), wav
-    * rows carry the UTF-8 text bytes (audio stand-in). Payload synthesis
-    * runs in mapPartitions on the executors — the driver never holds
-    * media bytes. */
+  /** Synthesize a media table from documents: format round-robin; png
+    * and jpeg rows carry REAL encoded image bytes (dims = [[imageDims]]),
+    * wav rows carry REAL RIFF/WAVE payloads ([[encodeWav]], params =
+    * [[wavParams]]). Payload synthesis runs in mapPartitions on the
+    * executors — the driver never holds media bytes. */
   def mediaTable(s: SparkSession, dir: String): DataFrame =
     mediaTableFiltered(s, dir, Nil)
 
@@ -162,14 +162,15 @@ object Multimodal {
   final class PcmFrameCodec extends Serializable {
     private val header = new WavHeaderCodec()
     def features(m: MediaRecord): Iterator[FrameFeatures] = {
-      val meta = header.decode(m)
+      val (meta, dataOffset) = header.decodeWithDataOffset(m)
       val buf = java.nio.ByteBuffer.wrap(m.payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      // data chunk starts at 44 in the canonical layout the fixture
-      // writes; total interleaved samples = n_samples × channels
+      // seek to the parsed data-chunk offset (NOT a hardcoded 44: a WAV
+      // with extra chunks before `data` would otherwise be misread);
+      // total interleaved samples = n_samples × channels
       val total = (meta.n_samples * meta.n_channels).toInt
       val samples = new Array[Int](total)
-      buf.position(44)
+      buf.position(dataOffset)
       var j = 0
       while (j < total) { samples(j) = buf.getShort.toInt; j += 1 }
       val out = scala.collection.mutable.ArrayBuffer[FrameFeatures]()
@@ -342,6 +343,7 @@ object Multimodal {
       if (m.format == "png" || m.format == "jpeg") {
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
+        if (iis == null) return fallback.decode(m) // no SPI for the stream type
         try {
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
           if (readers.hasNext) {
@@ -352,7 +354,11 @@ object Multimodal {
             } finally r.dispose()
           } else fallback.decode(m)
         } catch {
-          case _: java.io.IOException => fallback.decode(m)
+          // JDK readers throw RuntimeExceptions (IAE/IOOBE), not just
+          // IOException, on recognized-signature-but-corrupt headers —
+          // any decode failure must land on the fallback, never kill
+          // the task
+          case scala.util.control.NonFatal(_) => fallback.decode(m)
         } finally iis.close()
       } else fallback.decode(m)
   }
@@ -381,7 +387,13 @@ object Multimodal {
     * Throws on non-WAV payloads — m04's input is the wav-format slice of
     * the fixture, so a parse failure there is a bug, not data. */
   final class WavHeaderCodec extends Serializable {
-    def decode(m: MediaRecord): AudioMeta = {
+    def decode(m: MediaRecord): AudioMeta = decodeWithDataOffset(m)._1
+
+    /** Parse returning the metadata AND the byte offset of the PCM data
+      * section — [[PcmFrameCodec]] must seek there rather than assume
+      * the canonical 44-byte layout (a WAV with, say, a LIST chunk
+      * before `data` would otherwise be silently misread as samples). */
+    private[operators] def decodeWithDataOffset(m: MediaRecord): (AudioMeta, Int) = {
       val buf = java.nio.ByteBuffer.wrap(m.payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       def fourcc(): String = {
@@ -391,6 +403,7 @@ object Multimodal {
       buf.getInt // riff size
       require(fourcc() == "WAVE", s"media ${m.media_id}: not a WAVE form")
       var rate = 0L; var channels = 0L; var bits = 0L; var dataLen = -1L
+      var dataOffset = -1
       while (dataLen < 0 && buf.remaining() >= 8) {
         val id = fourcc(); val size = buf.getInt
         if (id == "fmt ") {
@@ -402,14 +415,14 @@ object Multimodal {
           buf.getShort                       // block align
           bits = buf.getShort.toLong
           buf.position(start + size + (size & 1))
-        } else if (id == "data") dataLen = size.toLong
+        } else if (id == "data") { dataLen = size.toLong; dataOffset = buf.position() }
         // RIFF pads odd-sized chunks to an even boundary
         else buf.position(buf.position() + size + (size & 1))
       }
       require(dataLen >= 0 && rate > 0 && channels > 0 && bits > 0,
         s"media ${m.media_id}: malformed WAV header")
       val nSamples = dataLen / (channels * bits / 8)
-      AudioMeta(m.media_id, rate, channels, nSamples, nSamples * 1000L / rate)
+      (AudioMeta(m.media_id, rate, channels, nSamples, nSamples * 1000L / rate), dataOffset)
     }
   }
 

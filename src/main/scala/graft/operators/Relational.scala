@@ -1265,7 +1265,11 @@ object Relational {
     * residually and `distinct` collapses pairs that share several bins
     * (same verify-then-distinct discipline as d02). Restricted to
     * user_id < 500 to keep the pair set test-sized. Integer-only
-    * output. */
+    * output. Boundary note (same as q70's): Spark closes a session at a
+    * gap >= gapDuration, the oracle's CTE at > gapDuration — an
+    * exact-boundary gap is measure-zero on microsecond timestamps
+    * (none in this data, hash-verified); a fixture with whole-minute
+    * timestamps would need the caveat revisited. */
   def q78IntervalOverlap(s: SparkSession, dir: String): DataFrame = {
     val iv = Tables.events(s, dir)
       .filter(col("user_id") < 500)

@@ -45,6 +45,13 @@ class MultimodalSpec extends SparkSpec {
     // not an image at all → stub fallback, still in stub ranges
     val junk = codec.decode(MediaRecord(1L, "png", Array.fill[Byte](64)(42)))
     assert(junk.width >= 1 && junk.width <= 1920 && junk.height >= 1 && junk.height <= 1080)
+    // RECOGNIZED signature but corrupt body: the JDK reader accepts the
+    // PNG magic then throws a RuntimeException from the header parse —
+    // must fall back, never kill the task
+    val magic = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
+    val corrupt = codec.decode(MediaRecord(2L, "png", magic ++ Array.fill[Byte](56)(7)))
+    assert(corrupt.width >= 1 && corrupt.width <= 1920 &&
+      corrupt.height >= 1 && corrupt.height <= 1080)
   }
 
   test("frame sampling: count formula and frame width hold") {
@@ -162,5 +169,27 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       codec.decode(MediaRecord(1L, "wav", Array.fill[Byte](64)(42)))
     }
+  }
+
+  test("PCM frames seek the parsed data offset, not byte 44 (extra chunk before data)") {
+    import Multimodal.{MediaRecord, PcmFrameCodec}
+    // WAV with a LIST chunk between fmt and data: canonical-offset
+    // parsing would read the LIST body as samples
+    val n = 32
+    val listBody = 10
+    val buf = java.nio.ByteBuffer.allocate(44 + 8 + listBody + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 8 + listBody + n * 2)
+      .put("WAVE".getBytes("US-ASCII")).put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000).putShort(2).putShort(16)
+      .put("LIST".getBytes("US-ASCII")).putInt(listBody)
+      .put(Array.fill[Byte](listBody)(99))
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    (0 until n).foreach(i => buf.putShort(if (i % 2 == 0) 500 else -500))
+    val frames = new PcmFrameCodec()
+      .features(MediaRecord(3L, "wav", buf.array())).toSeq
+    assert(frames.head.n_samples == 32L)
+    assert(frames.head.rms_e2 == 50000L, s"rms=${frames.head.rms_e2}") // ±500 → 500.00
+    assert(frames.head.zcr == 31L)
   }
 }

@@ -46,4 +46,24 @@ class SketchSpec extends SparkSpec {
         s"$dir: $n distinct users >= 4096 nominal entries - q75 sketches leave exact mode")
     }
   }
+
+  test("q79 sketch assumptions hold at every verified SF: exact mode + tie-safe overfetch") {
+    // q79's sketch_agrees flag needs (a) maxItemsTracked=100000 above the
+    // distinct part-key count (exact counting) and (b) no more than 50
+    // keys tied at the exact top-10 boundary count (so the k=50 sketch
+    // must contain every exact-top-10 item regardless of its internal
+    // tie order). Pin both per SF, like q75's exact-mode ceiling.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val counts = Tables.lineitem(spark, dir)
+        .groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      val distinct = counts.count()
+      assert(distinct < 100000L,
+        s"$dir: $distinct part keys >= maxItemsTracked - q79 sketch leaves exact mode")
+      val boundary = counts.orderBy(col("n").desc, col("l_partkey"))
+        .limit(10).agg(min(col("n"))).collect().head.getLong(0)
+      val tied = counts.filter(col("n") >= boundary).count()
+      assert(tied <= 50L,
+        s"$dir: $tied keys at/above the top-10 boundary count > sketch k=50 - flag not tie-safe")
+    }
+  }
 }

@@ -1,8 +1,8 @@
 #!/usr/bin/env bash
 # Prove a query's output is invariant to parallelism: run graft.Verify for
 # the given queries at SPARK_GRAFT_CPUS=4/8/32 and byte-compare the parquet
-# row payloads (via python/pyarrow canonical CSV dump, so file-level
-# metadata like created_by timestamps can't cause false diffs).
+# row payloads (via a duckdb canonical CSV dump, so file-level metadata
+# like created_by timestamps can't cause false diffs).
 #
 # Any double sum/avg whose accumulation order isn't fixed is run-order
 # nondeterministic (CLAUDE.md invariants) — this script is the cheap,
@@ -22,9 +22,15 @@ trap 'rm -rf "$WORK"' EXIT
 
 for CPUS in 4 8 32; do
   echo "=== SPARK_GRAFT_CPUS=$CPUS ==="
-  SPARK_GRAFT_CPUS=$CPUS sbt -batch \
-    "runMain graft.Verify $SF_DIR $WORK/c$CPUS ${QUERIES[*]}" \
-    2>&1 | grep -E "^\[error\] Exception|FAILED" || true
+  # Verify reports a per-query failure as "[verify] <name> failed: ..."
+  # on stderr and keeps going — surface it here and abort with the query
+  # name rather than letting the downstream compare crash confusingly
+  if SPARK_GRAFT_CPUS=$CPUS sbt -batch \
+       "runMain graft.Verify $SF_DIR $WORK/c$CPUS ${QUERIES[*]}" 2>&1 \
+       | grep -E "\[verify\].*failed|^\[error\] Exception"; then
+    echo "Verify reported failures at CPUS=$CPUS (above) — aborting"
+    exit 1
+  fi
 done
 
 FAIL=0
