@@ -56,4 +56,27 @@ object relations {
       TopKPerKeyPlan(keyAttrs, order, k,
         df.asInstanceOf[Dataset[_]].queryExecution.analyzed))
   }
+
+  /** Tie-safe map-side prune for rank()/dense_rank() top-N pipelines —
+    * plans [[graft.plans.RankPrunePlan]]. Passes every row whose order
+    * key might still rank ≤ k in its group and drops rows provably
+    * outside; compose with the exact rank window downstream (the
+    * [[graft.plans.WindowTopKRewrite]] optimizer rule does this
+    * automatically for the standard idiom — this builder is the manual
+    * form). Results of prune+window are identical to window alone. */
+  def rankPrune(df: DataFrame, keys: Seq[String], sort: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val session = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val strategies = session.experimental.extraStrategies
+    if (!strategies.contains(graft.GraftStrategies.TopKPerKeyStrategy)) {
+      session.experimental.extraStrategies =
+        strategies :+ graft.GraftStrategies.TopKPerKeyStrategy
+    }
+    val keyAttrs = keys.map(resolve(df, _))
+    val order = sort.map { case (name, asc) =>
+      SortOrder(resolve(df, name), if (asc) Ascending else Descending)
+    }
+    Dataset.ofRows(session,
+      graft.plans.RankPrunePlan(keyAttrs, order, k,
+        df.asInstanceOf[Dataset[_]].queryExecution.analyzed))
+  }
 }

@@ -125,4 +125,60 @@ class PropertySpec extends SparkSpec {
       keys.zipWithIndex.foreach { case (k, id) => assert(kept(k) <= id) }
     }
   }
+
+  test("ExactPercentile matches the builtins on generated tie-heavy tables") {
+    import graft.operators.ExactPercentile
+    // few keys, coarse values → dense ties; include a degenerate
+    // single-value key via the narrow range
+    val row = for {
+      k <- Gen.oneOf("a", "b", "c")
+      v <- Gen.chooseNum(0, 8)
+    } yield (k, v.toDouble)
+    val ps = Seq(0.1, 0.5, 0.9)
+    samples(Gen.listOfN(400, row), 3).foreach { data =>
+      val df = data.toDF("k", "v")
+      val cont = ExactPercentile.contByKey(df, "k", "v", ps, Seq("p1", "p2", "p3"))
+        .orderBy("k").collect()
+      val builtin = df.groupBy($"k")
+        .agg(expr("percentile(v, array(0.1D, 0.5D, 0.9D))").as("b"))
+        .orderBy("k").collect()
+      cont.zip(builtin).foreach { case (o, b) =>
+        val ref = b.getSeq[Double](1)
+        (1 to 3).foreach(i => assert(o.getDouble(i) == ref(i - 1),
+          s"key ${o.getString(0)} p=${ps(i - 1)}"))
+      }
+      val disc = ExactPercentile.discByKey(df, "k", "v", ps, Seq("d1", "d2", "d3"))
+        .orderBy("k").collect()
+      val sortedRef = data.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      disc.foreach { r =>
+        val vs = sortedRef(r.getString(0))
+        ps.zipWithIndex.foreach { case (p, i) =>
+          val expected = vs(math.ceil(p * vs.size).toInt - 1)
+          assert(r.getDouble(i + 1) == expected,
+            s"key ${r.getString(0)} disc p=$p: ${r.getDouble(i + 1)} != $expected")
+        }
+      }
+    }
+  }
+
+  test("rank prune preserves rank()-filter results on generated tie-heavy tables") {
+    val row = for {
+      k <- Gen.chooseNum(0, 3)
+      v <- Gen.chooseNum(0, 5) // coarse → heavy ties at every boundary
+    } yield (k, v)
+    samples(Gen.listOfN(300, row), 3).foreach { data =>
+      val df = data.zipWithIndex.map { case ((k, v), id) => (k, v, id) }.toDF("k", "v", "id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"k").orderBy($"v".desc)
+      val expected = df.withColumn("rnk", rank().over(w)).filter($"rnk" <= 2)
+        .collect().map(_.toString).sorted.toSeq
+      // exercise RankPruneExec through the manual builder (the shared
+      // test session has no extensions): prune then window must
+      // reproduce the plain result exactly, ties and all
+      val pruned = org.apache.spark.sql.graft.relations.rankPrune(
+        df, Seq("k"), Seq(("v", false)), 2)
+      val got = pruned.withColumn("rnk", rank().over(w)).filter($"rnk" <= 2)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expected, "prune+window diverged from plain window")
+    }
+  }
 }
