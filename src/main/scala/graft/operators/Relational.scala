@@ -1322,6 +1322,34 @@ object Relational {
       .orderBy("rnk", "l_partkey", "n_lines", "sketch_agrees")
   }
 
+  /** NULL-semantics battery — the ANSI corners engines get subtly wrong,
+    * oracle-pinned: null-safe equality (`<=>` ↔ DuckDB IS NOT DISTINCT
+    * FROM), null-aware NOT IN (Catalyst's null-aware anti join: a NULL
+    * in the subquery result makes NOT IN empty; the clean subquery
+    * filters nulls and behaves like a plain anti join), and
+    * count/count(col)/count-distinct null handling. Nulls are injected
+    * deterministically (every multiple of 7 → NULL). One integer-only
+    * row. */
+  def q80NullSemantics(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("graft_q80_orders")
+    s.sql("""
+      WITH t AS (
+        SELECT o_orderkey, nullif(CAST(o_orderkey % 7 AS BIGINT), 0) AS g
+        FROM graft_q80_orders WHERE o_orderkey <= 2000)
+      SELECT
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(count(g) AS BIGINT) AS n_nonnull,
+        CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        CAST((SELECT count(*) FROM t a JOIN t b ON a.g <=> b.g
+              AND a.o_orderkey = b.o_orderkey) AS BIGINT) AS n_nullsafe_self,
+        CAST((SELECT count(*) FROM t
+              WHERE g NOT IN (SELECT g FROM t WHERE g IS NOT NULL AND g <= 3))
+          AS BIGINT) AS n_notin_clean,
+        CAST((SELECT count(*) FROM t
+              WHERE g NOT IN (SELECT g FROM t)) AS BIGINT) AS n_notin_nullset
+      FROM t LIMIT 1""")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1423,6 +1451,7 @@ object Relational {
     "q77_rank_topn_ties"  -> (q77RankTopNTies _),
     "q78_interval_overlap" -> (q78IntervalOverlap _),
     "q79_approx_topk"     -> (q79ApproxTopK _),
+    "q80_null_semantics"  -> (q80NullSemantics _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2106,5 +2135,22 @@ object Relational {
         |SELECT rnk, l_partkey, n_lines, true AS sketch_agrees
         |FROM r WHERE rnk <= 10
         |ORDER BY rnk, l_partkey, n_lines, sketch_agrees""".stripMargin,
+    "q80_null_semantics" ->
+      """WITH t AS (
+        |  SELECT o_orderkey, nullif(CAST(o_orderkey % 7 AS BIGINT), 0) AS g
+        |  FROM orders WHERE o_orderkey <= 2000)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(g) AS BIGINT) AS n_nonnull,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  CAST((SELECT count(*) FROM t a JOIN t b
+        |        ON (a.g IS NOT DISTINCT FROM b.g) AND a.o_orderkey = b.o_orderkey)
+        |    AS BIGINT) AS n_nullsafe_self,
+        |  CAST((SELECT count(*) FROM t
+        |        WHERE g NOT IN (SELECT g FROM t WHERE g IS NOT NULL AND g <= 3))
+        |    AS BIGINT) AS n_notin_clean,
+        |  CAST((SELECT count(*) FROM t
+        |        WHERE g NOT IN (SELECT g FROM t)) AS BIGINT) AS n_notin_nullset
+        |FROM t LIMIT 1""".stripMargin,
   )
 }
