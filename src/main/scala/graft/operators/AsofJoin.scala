@@ -36,12 +36,26 @@ object AsofJoin {
     *   `leftTs - tolerance <= rightTs <= leftTs` — pandas merge_asof's
     *   `tolerance`. Implemented as a filter on the carried right
     *   timestamp, so the plan shape (one shuffle + one sort) is
-    *   unchanged; stale carries just fail the final predicate. */
+    *   unchanged; stale carries just fail the final predicate.
+    * @param bucketSeconds optional hot-key skew mitigation: when set, the
+    *   window partitions by (key, floor(ts / bucketSeconds)) instead of
+    *   key alone, so a single hot key's rows spread across many reducers
+    *   instead of serializing onto one. Rows whose bucket has no earlier
+    *   right row take their match from a per-(key, bucket) carry-in table
+    *   (one row per non-empty bucket — the last right row of each bucket,
+    *   runningly carried forward by a window over buckets), joined back on
+    *   (key, bucket). Extra cost: one narrow shuffle of the tiny bucket
+    *   table + an equi-join that reuses the main side's (key, bucket)
+    *   partitioning. Result rows are identical to the unbucketed form
+    *   (AsofJoinSpec proves it; ScaleSmoke `a100` demonstrates the skew
+    *   win on a 1M-row hot key). Pick a width that yields 100–10k buckets
+    *   over the hot key's time span. */
   def asofJoin(
       left: DataFrame, leftTs: String, leftKey: String,
       right: DataFrame, rightTs: String, rightKey: String,
       payload: Seq[String], tieBreak: Seq[String] = Nil,
-      tolerance: Option[String] = None): DataFrame = {
+      tolerance: Option[String] = None,
+      bucketSeconds: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "asofJoin requires at least one payload column " +
       "(for existence-only semantics pass the right key or timestamp)")
 
@@ -73,10 +87,43 @@ object AsofJoin {
 
     val order: Seq[Column] =
       col("__graft_t") +: col("__graft_side") +: tieBreak.map(c => col(s"__graft_tb_$c"))
-    val w = Window.partitionBy(col("__graft_k")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned.withColumn("__graft_m",
-      last(col("__graft_p"), ignoreNulls = true).over(w))
+    val filled = bucketSeconds match {
+      case None =>
+        val w = Window.partitionBy(col("__graft_k")).orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        unioned.withColumn("__graft_m",
+          last(col("__graft_p"), ignoreNulls = true).over(w))
+      case Some(width) =>
+        require(width > 0, s"bucketSeconds must be positive, got $width")
+        // equal timestamps land in the same bucket, so the inclusive
+        // right-before-left tie rule is untouched by bucket boundaries
+        val withBucket = unioned.withColumn("__graft_b",
+          floor(col("__graft_t").cast("double") / width.toDouble).cast("long"))
+        val w1 = Window.partitionBy(col("__graft_k"), col("__graft_b"))
+          .orderBy(order: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val inBucket = withBucket.withColumn("__graft_m1",
+          last(col("__graft_p"), ignoreNulls = true).over(w1))
+        // Per-(key, bucket) last right row, then carried forward from
+        // strictly earlier buckets. max_by's (t, tieBreak...) struct key
+        // matches the window's ascending order (same unique-tie-break
+        // contract as the object Scaladoc).
+        val tbKey = struct(
+          (col("__graft_t") +: tieBreak.map(c => col(s"__graft_tb_$c"))): _*)
+        val bucketLast = withBucket.filter(col("__graft_side") === 0)
+          .groupBy(col("__graft_k"), col("__graft_b"))
+          .agg(max_by(col("__graft_p"), tbKey).as("__graft_bl"))
+        val wCarry = Window.partitionBy(col("__graft_k"))
+          .orderBy(col("__graft_b"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carryIn = withBucket.select(col("__graft_k"), col("__graft_b")).distinct()
+          .join(bucketLast, Seq("__graft_k", "__graft_b"), "left")
+          .withColumn("__graft_ci",
+            last(col("__graft_bl"), ignoreNulls = true).over(wCarry))
+          .select(col("__graft_k"), col("__graft_b"), col("__graft_ci"))
+        inBucket.join(carryIn, Seq("__graft_k", "__graft_b"))
+          .withColumn("__graft_m", coalesce(col("__graft_m1"), col("__graft_ci")))
+    }
     // inner as-of semantics: left rows with no preceding right row drop;
     // the struct is non-null iff some right row preceded, regardless of
     // null payload field values

@@ -73,6 +73,50 @@ class AsofJoinSpec extends SparkSpec {
     assert(e.getMessage.contains("payload"))
   }
 
+  test("bucketed variant is row-identical to the unbucketed form") {
+    // Deterministic pseudo-random data crossing many bucket boundaries:
+    // 3 keys, 400 right rows and 300 left rows spread over ~40 buckets of
+    // 60 s each, including exact-boundary timestamps (t a multiple of 60),
+    // empty buckets, and a left row before any right row. Run with and
+    // without tolerance; both must match the unbucketed output exactly.
+    def prng(i: Int, salt: Int): Int = {
+      val x = i * 2654435761L + salt * 40503L
+      (((x ^ (x >>> 16)) % 2400L + 2400L) % 2400L).toInt
+    }
+    val quotes = (0 until 400)
+      .map(i => (s"k${i % 3}", ts(0).getTime / 60000 + prng(i, 1), i.toLong, i * 1.5))
+      .map { case (k, m, id, p) => (k, new Timestamp(m * 1000L), id, p) }
+      .toDF("sym", "qts", "qid", "price")
+    val trades = (0 until 300)
+      .map(i => (s"k${i % 3}", new Timestamp(prng(i, 2) * 1000L), 1000L + i))
+      .toDF("sym", "tts", "trade_id")
+    for (tol <- Seq(None, Some("3 minutes"))) {
+      val plain = AsofJoin.asofJoin(trades, "tts", "sym", quotes, "qts", "sym",
+        payload = Seq("qid", "price"), tieBreak = Seq("qid"), tolerance = tol)
+        .collect().map(_.toSeq).toSet
+      val bucketed = AsofJoin.asofJoin(trades, "tts", "sym", quotes, "qts", "sym",
+        payload = Seq("qid", "price"), tieBreak = Seq("qid"), tolerance = tol,
+        bucketSeconds = Some(60L))
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain,
+        s"tol=$tol: bucketed diverged (only-bucketed=${(bucketed -- plain).take(3)}, " +
+          s"only-plain=${(plain -- bucketed).take(3)})")
+      assert(plain.nonEmpty)
+    }
+  }
+
+  test("bucketed variant carries matches across empty buckets") {
+    // one right row in bucket 0, left rows in buckets 5 and 100 — both
+    // must match through the run of empty buckets between them
+    val quotes = Seq(("A", ts(0), 42.0)).toDF("sym", "qts", "price")
+    val trades = Seq(("A", ts(5), 1L), ("A", ts(100), 2L)).toDF("sym", "tts", "trade_id")
+    val out = AsofJoin.asofJoin(trades, "tts", "sym", quotes, "qts", "sym",
+      payload = Seq("price"), bucketSeconds = Some(60L))
+      .select("trade_id", "asof_price")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(1L -> 42.0, 2L -> 42.0), s"got $out")
+  }
+
   test("asof join matches a brute-force computation on the real tables") {
     // epoch-seconds views sidestep the java.time vs java.sql accessor split
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts").limit(200)
