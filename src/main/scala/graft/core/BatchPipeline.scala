@@ -547,7 +547,13 @@ object BatchPipeline {
         counters.workerBatches.add((workerIndex, 1L))
         return true
       } else if (attempt >= budget) {
-        if (!dropOnExhaustion) return false
+        if (!dropOnExhaustion) {
+          // the batch re-carries and will re-acquire rate when retried —
+          // refund this attempt's tokens so a failing sink doesn't
+          // double-charge the shared budget every watchdog tick
+          limiters.refundRate(batch.size)
+          return false
+        }
         // A15 exhaustion: discard AND warn (v2 Worker.java:290-291)
         log.warn(s"pipeline ${cfg.name}: dropping batch of ${batch.size} " +
           s"after ${attempt + 1} attempts", lastError)

@@ -24,6 +24,17 @@ final class Limiters(maxConcurrency: Int, tps: Double, ips: Double) {
     tpsBucket.acquire(1.0)
     ipsBucket.acquire(n.toDouble)
   }
+
+  /** Return the permits of one batch-sized acquisition. Used by the
+    * watchdog drain's single-attempt path: a failed attempt re-carries
+    * its items, and those same items are charged again at the next tick
+    * or micro-batch — without the refund a persistently failing sink
+    * double-charges the shared rate budget every tick and can starve
+    * healthy workers' admissions (round-4 ADVICE). */
+  def refundRate(n: Int): Unit = {
+    tpsBucket.refund(1.0)
+    ipsBucket.refund(n.toDouble)
+  }
 }
 
 /** Minimal blocking token bucket (burst capacity = 1 second of rate).
@@ -50,6 +61,14 @@ final class TokenBucket(ratePerSec: Double) {
       if (tokens >= need) { tokens -= n; granted = true }
       else wait(math.max(1L, ((need - tokens) / ratePerSec * 1000).toLong))
     }
+  }
+
+  /** Undo one `acquire(n)` whose work was not performed. Capped at
+    * capacity (like refill), exactly cancelling the earlier `tokens -= n`
+    * including any debt it created; wakes waiters since tokens grew. */
+  def refund(n: Double): Unit = if (ratePerSec > 0) synchronized {
+    tokens = math.min(ratePerSec, tokens + n)
+    notifyAll()
   }
 }
 

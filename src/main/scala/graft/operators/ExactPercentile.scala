@@ -27,9 +27,12 @@ import org.apache.spark.sql.functions._
   * `lo + (hi-lo)·(pos-floor(pos))`, same IEEE sequence), so results are
   * bit-identical to `percentile()` and to DuckDB's `quantile_cont`.
   *
-  * NULL values are excluded (like the builtins). A key whose values are
-  * ALL null is dropped here (the builtins would emit a NULL row) — callers
-  * on never-null columns (q29/q47/q69) are unaffected; outer-join the key
+  * NULL values are excluded (like the builtins). A NULL KEY forms a group
+  * of its own, exactly like `groupBy` in the builtin formulation (the
+  * totals join is null-safe `<=>` for this reason — a plain equi-join
+  * would silently drop the NULL-key group). A key whose values are ALL
+  * null is dropped here (the builtins would emit a NULL row) — callers on
+  * never-null columns (q29/q47/q69) are unaffected; outer-join the key
   * universe back if that case matters.
   */
 object ExactPercentile {
@@ -47,8 +50,11 @@ object ExactPercentile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val counts = df.filter(col(value).isNotNull)
       .groupBy(col(key), col(value)).agg(count(lit(1)).as("_c"))
+    // null-safe join: a NULL key is a group (window partitionBy already
+    // treats it as one) — `join(totals, key)` would drop it
     val totals = counts.groupBy(col(key)).agg(sum(col("_c")).as("_n"))
-    counts.join(totals, key)
+      .withColumnRenamed(key, "_tk")
+    counts.join(totals, col(key) <=> col("_tk"))
       .select(col(key), col(value),
         sum(col("_c")).over(wCum).as("_cum"), col("_n"))
   }

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, DenseRank, EqualTo, Expression, IntegerLiteral, LessThan, LessThanOrEqual, Literal, Rank, RowNumber, WindowExpression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort, Window}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, Limit, LogicalPlan, Project, Sort, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.internal.SQLConf
 
@@ -36,6 +36,16 @@ import org.apache.spark.sql.internal.SQLConf
   * the rank attribute remains available to enclosing expressions); only
   * shuffle/sort volume changes.
   *
+  * Overlap with Spark 4's builtin `InferWindowGroupLimit`: that batch
+  * rewrites the same rank-filter idiom into a [[WindowGroupLimit]]
+  * (map-side group-limit before the shuffle), largely subsuming this
+  * prune for the builtin rank functions — RankPrunePlan remains useful
+  * as a MANUAL builder (`relations.rankPrune`) and on plans the builtin
+  * batch declines. When both fire, the idempotency guard must look
+  * THROUGH the inserted WindowGroupLimit (it lands between Window and
+  * RankPrunePlan), else a later optimizer iteration would stack a second
+  * prune — sound (prunes compose) but wasted work.
+  *
   * Tie-sensitivity: `row_number` over a non-total orderSpec is already
   * nondeterministic on ties — it keeps k rows by the sort's REALIZED
   * order. The heap (or TakeOrderedAndProject) may retain a different,
@@ -49,6 +59,14 @@ import org.apache.spark.sql.internal.SQLConf
   * `spark.graft.rewrite.windowTopK=false`.
   */
 object WindowTopKRewrite extends Rule[LogicalPlan] {
+
+  /** True when a RankPrunePlan already sits under this window, possibly
+    * below WindowGroupLimit nodes inserted by InferWindowGroupLimit. */
+  private def alreadyPruned(p: LogicalPlan): Boolean = p match {
+    case _: RankPrunePlan => true
+    case wgl: WindowGroupLimit => alreadyPruned(wgl.child)
+    case _ => false
+  }
 
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, IntegerLiteral(k)) if a.semanticEquals(rn) => Some(k)
@@ -83,12 +101,14 @@ object WindowTopKRewrite extends Rule[LogicalPlan] {
 
       // rank()/dense_rank() <= k: keep the window (exact ranks, ties and
       // all), prune provably-outside rows below it. Guard on the child
-      // not already being a RankPrunePlan so the rule is idempotent
-      // across optimizer iterations.
+      // not already being pruned so the rule is idempotent across
+      // optimizer iterations — looking through any WindowGroupLimit the
+      // builtin InferWindowGroupLimit batch may have inserted between
+      // the Window and an existing RankPrunePlan.
       case f @ Filter(cond,
           w @ Window(Seq(alias @ Alias(WindowExpression(_: Rank | _: DenseRank, _), _)),
             _, orderSpec, child, _))
-          if orderSpec.nonEmpty && !child.isInstanceOf[RankPrunePlan] =>
+          if orderSpec.nonEmpty && !alreadyPruned(child) =>
         limitOf(cond, alias.toAttribute) match {
           case Some(k) if k > 0 =>
             f.copy(child = w.copy(child =

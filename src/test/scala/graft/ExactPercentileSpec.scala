@@ -47,6 +47,22 @@ class ExactPercentileSpec extends SparkSpec {
     assert(ours.map(_.toString).toSeq == ref.map(_.toString).toSeq)
   }
 
+  test("a NULL key forms a group like the builtins (null-safe totals join)") {
+    // round-4 ADVICE: the totals equi-join silently dropped the NULL-key
+    // group; percentile()/percentile_disc emit a row for it
+    val df = Seq((Some("a"), 1.0), (Some("a"), 3.0), (None, 10.0), (None, 30.0), (None, 50.0))
+      .toDF("k", "v")
+    val ours = ExactPercentile.contByKey(df, "k", "v", Seq(0.5), Seq("p50"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    val builtin = df.groupBy("k").agg(expr("percentile(v, 0.5D)").as("p50"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(ours == builtin, s"ours=$ours builtin=$builtin")
+    assert(ours.contains(None), "NULL-key group missing")
+    val disc = ExactPercentile.discByKey(df, "k", "v", Seq(0.5), Seq("d50"))
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(1)).toMap
+    assert(disc == Map(Some("a") -> 1.0, None -> 30.0), s"disc=$disc")
+  }
+
   test("skewed fixture: hot key with 200k rows stays exact (no whole-group buffer)") {
     // 200k rows on one key, only 1000 distinct values: per-(key,value)
     // count state is 1000 entries, where collect_list would buffer 200k

@@ -349,6 +349,26 @@ class PipelineSpec extends SparkSpec {
     assert(second >= 900, s"debt not charged: follow-up acquired in ${second}ms")
   }
 
+  test("refund returns an acquisition's tokens (watchdog re-carry does not double-charge)") {
+    val lim = new Limiters(maxConcurrency = 64, tps = 0.0, ips = 100.0)
+    lim.acquireRate(100) // drain the burst
+    lim.refundRate(100)  // failed single-attempt drain refunds
+    // with the refund the next 100-item batch draws on a full bucket; a
+    // double-charge would force a ~1s refill wait here
+    val ms = timed { lim.acquireRate(100) }
+    assert(ms < 500, s"refunded tokens not restored: re-acquire blocked ${ms}ms")
+  }
+
+  test("refund is capped at capacity (cannot mint tokens beyond one burst)") {
+    val bucket = new TokenBucket(100.0)
+    bucket.acquire(100.0)
+    bucket.refund(100.0); bucket.refund(100.0) // double refund must not stack
+    bucket.acquire(100.0) // free: the (capped) refund restored one burst
+    // bucket now empty again — the second refund must NOT have left extra
+    val ms = timed { bucket.acquire(50.0) }
+    assert(ms >= 400, s"refund minted tokens: 50 over empty bucket acquired in ${ms}ms")
+  }
+
   test("rate-limited pipeline end-to-end: delivery completes and is complete") {
     val cfg = PipelineConfig(name = freshName(), maxBatchSize = 10,
       triggerInterval = Some(50.millis),

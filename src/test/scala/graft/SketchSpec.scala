@@ -66,4 +66,25 @@ class SketchSpec extends SparkSpec {
         s"$dir: $tied keys at/above the top-10 boundary count > sketch k=50 - flag not tie-safe")
     }
   }
+
+  test("q70/q78 session-boundary assumption holds at every verified SF: no exact 10-minute gaps") {
+    // Spark's session_window closes a session at gap >= gapDuration; the
+    // DuckDB oracle's lag-CTE closes at gap > gapDuration. The hash match
+    // relies on NO consecutive same-user event gap being EXACTLY 10
+    // minutes (measure-zero on microsecond timestamps, but a regenerated
+    // fixture with whole-minute timestamps would silently flip the
+    // driver gate — round-4 ADVICE). Pin it per SF so fixture drift
+    // fails loudly here instead.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")) {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("us"))
+      val exactBoundary = Tables.events(spark, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("gap", col("us") - lag(col("us"), 1).over(w))
+        .filter(col("gap") === 600000000L)
+        .count()
+      assert(exactBoundary == 0L,
+        s"$dir: $exactBoundary exact 10-minute gaps - q70/q78 >= vs > boundary semantics now diverge")
+    }
+  }
 }

@@ -22,12 +22,19 @@ trap 'rm -rf "$WORK"' EXIT
 
 for CPUS in 4 8 32; do
   echo "=== SPARK_GRAFT_CPUS=$CPUS ==="
-  # Verify reports a per-query failure as "[verify] <name> failed: ..."
-  # on stderr and keeps going — surface it here and abort with the query
-  # name rather than letting the downstream compare crash confusingly
-  if SPARK_GRAFT_CPUS=$CPUS sbt -batch \
-       "runMain graft.Verify $SF_DIR $WORK/c$CPUS ${QUERIES[*]}" 2>&1 \
-       | grep -E "\[verify\].*failed|^\[error\] Exception"; then
+  # Capture to a log and test sbt's own exit status FIRST: a compile
+  # error or OOM-killed JVM prints no "[verify] ... failed" line, and a
+  # grep-only check would sail on to a confusing duckdb missing-parquet
+  # error (round-4 ADVICE). Then surface per-query failures, which Verify
+  # reports as "[verify] <name> failed: ..." and keeps going.
+  LOG="$WORK/verify.c$CPUS.log"
+  if ! SPARK_GRAFT_CPUS=$CPUS sbt -batch \
+       "runMain graft.Verify $SF_DIR $WORK/c$CPUS ${QUERIES[*]}" >"$LOG" 2>&1; then
+    echo "sbt/Verify exited non-zero at CPUS=$CPUS — log tail:"
+    tail -n 25 "$LOG"
+    exit 1
+  fi
+  if grep -E "\[verify\].*failed|^\[error\] Exception" "$LOG"; then
     echo "Verify reported failures at CPUS=$CPUS (above) — aborting"
     exit 1
   fi
