@@ -538,6 +538,62 @@ object Dedup {
         (col("n_ivf") * 10 >= col("n_exact") * 7).as("recall_ge_70"))
   }
 
+  /** Oracle gate for the STREAMING MinHash dedup operator
+    * ([[graft.streaming.StreamingOps.dedupStreamMinHash]]): plant exact
+    * re-uploads (ids +1000000, the d10/m03 trick) of documents that are
+    * provably near-dup-free — ≥3 tokens (non-empty shingle set; empty
+    * sets never verify) and outside every exact-Jaccard ≥ 0.5 pair — so
+    * after one micro-batch every surviving original is its own
+    * representative and each planted copy must be flagged as a dup of
+    * EXACTLY its original at jaccard 1.0. DuckDB recomputes the expected
+    * (planted, original) set from first principles (shingle CTE + pair
+    * exclusion). Arrival-order semantics (chains, cross-batch state,
+    * restarts) are StateStoreSpec's job; this row set is what the DRIVER
+    * can check. The corpus is collected to the driver to feed a
+    * single-micro-batch MemoryStream — gate-only plumbing at fixture
+    * scale; the operator under test is distributed (band-key shuffle +
+    * state store). */
+  def d12StreamDedupGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .filter(size(tokens(col("text"))) >= 3)
+    val pairs = d01MinhashPairs(s, dir)
+    val pairedIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val clean = docs.join(pairedIds, Seq("doc_id"), "left_anti")
+    val corpus = clean.unionByName(
+      clean.filter(col("doc_id") < 100)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val rows = corpus.collect().map(r => (r.getLong(0), r.getString(1))).toIndexedSeq
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)](s)
+    if (rows.nonEmpty) in.addData(rows)
+    val name = "d12_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val flagged = graft.streaming.StreamingOps
+      .dedupStreamMinHash(in.toDF().toDF("doc_id", "text"))
+      .toDF("doc_id", "dup_of", "jaccard")
+    // transformWithState runs only on the RocksDB state store provider
+    // (Spark 4 contract) — set it for the gate's query, restore after
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = flagged.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => s.conf.set(providerKey, p)
+      case None    => s.conf.unset(providerKey)
+    }
+    s.table(name)
+      .filter(col("doc_id") >= 1000000L)
+      .select(col("doc_id"), col("dup_of"))
+      .distinct()
+      .orderBy("doc_id", "dup_of")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
@@ -550,6 +606,7 @@ object Dedup {
     "d09_embed_neardup_ivf" -> (d09EmbedNearDupIvf _),
     "d10_simhash_dup_classes" -> (d10SimhashDupClasses _),
     "d11_ivf_gate"       -> (d11IvfGate _),
+    "d12_stream_dedup_gate" -> (d12StreamDedupGate _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -677,6 +734,24 @@ object Dedup {
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM d a JOIN d b ON a.text = b.text AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin,
+    "d12_stream_dedup_gate" ->
+      s"""WITH $shingleCtes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+         |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS total
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |paired AS (
+         |  SELECT doc_a AS doc_id FROM p
+         |  WHERE floor(inter / (total - inter) * 10000.0 + 0.5) / 10000.0 >= 0.5
+         |  UNION
+         |  SELECT doc_b FROM p
+         |  WHERE floor(inter / (total - inter) * 10000.0 + 0.5) / 10000.0 >= 0.5)
+         |SELECT t.doc_id + 1000000 AS doc_id, t.doc_id AS dup_of
+         |FROM t
+         |WHERE len(t.toks) >= 3 AND t.doc_id < 100
+         |  AND t.doc_id NOT IN (SELECT doc_id FROM paired)
+         |ORDER BY doc_id, dup_of""".stripMargin,
     "d11_ivf_gate" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |p AS (

@@ -3,6 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TextFunctions._
+
 /** Streaming analytics the reference never had (its only time notion is
   * processing-time force-flush, SURVEY.md §2 Part B): event-time
   * watermarks, tumbling/sliding/session windows, streaming dedup.
@@ -164,6 +166,100 @@ object StreamingOps {
       top.update(next)
       Iterator.single((key, next))
     }
+  }
+
+  /** Streaming MinHash near-dup dedup state: one LSH band bucket per
+    * state key, holding the (doc_id, shingle-hash set) representatives
+    * that landed in the bucket. An arriving document is exact-Jaccard
+    * verified against the bucket's stored representatives (the batch
+    * family's verify-on-candidates discipline — band collision alone is
+    * only a CANDIDATE); a match ≥ threshold emits (doc, dup_of, jaccard)
+    * and the duplicate is NOT stored (dup-collapse, same as
+    * [[graft.operators.Dedup]]'s representative trick — storing dups
+    * would inflate bucket verify cost quadratically). A miss stores the
+    * document as a new representative, up to `maxRepsPerBucket` — the
+    * bound that keeps per-bucket state and per-arrival verify cost
+    * constant on an unbounded stream (past the cap, new docs pass
+    * through unflagged: the same budget-degradation contract as
+    * [[graft.plans.RankPrune]], documented rather than silent).
+    *
+    * Within a micro-batch the per-bucket iterator is sorted by doc_id
+    * (micro-batches don't guarantee order); across batches arrival order
+    * decides representatives, which is the contract streaming dedup can
+    * offer (state is durable across restarts via the checkpointed state
+    * store — StateStoreSpec proves dups planted AFTER a restart still
+    * match representatives stored BEFORE it).
+    *
+    * Scale: state per bucket is O(reps × shingles-per-doc); the stream
+    * shuffles (band_key, doc_id, shingles) rows — `bands` × the corpus,
+    * the price of candidate generation without all-pairs. At 100 TB/day
+    * the knobs that grow are the state-store backend (RocksDB) and
+    * `maxRepsPerBucket`; TTLConfig on the state would add time-bounded
+    * forgetting (trivial to thread through when a retention window is
+    * wanted — dedup-within-30-days). */
+  class MinHashDedupProcessor(threshold: Double, maxRepsPerBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Seq[Long]), (Long, Long, Double)] {
+    @transient private var reps: org.apache.spark.sql.streaming.ListState[(Long, Seq[Long])] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      reps = getHandle.getListState[(Long, Seq[Long])]("reps",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long])](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Seq[Long])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+      reps.get().foreach { case (id, sh) => stored += ((id, sh.toSet)) }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, docId, sh) =>
+        val set = sh.toSet
+        var bestId = Long.MaxValue
+        var bestJ = -1.0
+        stored.foreach { case (rid, rset) =>
+          val inter = (set & rset).size
+          val union = set.size + rset.size - inter
+          // two empty shingle sets never collide (union 0 → 0.0), matching
+          // the batch family's NaN-rejecting verify on empty docs
+          val j = if (union == 0) 0.0 else inter.toDouble / union
+          if (j >= threshold && (j > bestJ || (j == bestJ && rid < bestId))) {
+            bestJ = j; bestId = rid
+          }
+        }
+        if (bestJ >= threshold) out += ((docId, bestId, bestJ))
+        else if (stored.size < maxRepsPerBucket) {
+          stored += ((docId, set))
+          reps.appendValue((docId, sh))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Wire [[MinHashDedupProcessor]] over a (doc_id, text) stream: the
+    * ingestion-path near-dup detector — MinHash signature → LSH band
+    * keys (same k=128/32-band parameters and native expressions as batch
+    * [[graft.operators.Dedup.d01MinhashPairs]]) → shuffle each doc to
+    * its `bands` bucket keys → stateful verify. Emits one
+    * (doc_id, dup_of, jaccard) row per band where the doc matched its
+    * best representative; consumers `distinct` or `groupBy(doc_id)` —
+    * identical pairs from different bands agree on (dup_of, jaccard)
+    * because every band of the same doc verifies against the same
+    * representatives. Append output: an emitted duplicate verdict is a
+    * final fact, never updated. */
+  def dedupStreamMinHash(docs: DataFrame, threshold: Double = 0.5,
+      k: Int = 128, bands: Int = 32,
+      maxRepsPerBucket: Int = 1024): Dataset[(Long, Long, Double)] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .select(col("doc_id"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"), col("sh"), posexplode(minhashBands(col("sig"), k, bands)))
+      .select(xxhash64(col("pos"), col("col")).as("band_key"), col("doc_id"), col("sh"))
+    banded.as[(Long, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .transformWithState(new MinHashDedupProcessor(threshold, maxRepsPerBucket),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
   /** Wire [[TopKProcessor]] over a keyed stream. */

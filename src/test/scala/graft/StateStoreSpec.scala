@@ -62,6 +62,89 @@ class StateStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  // ------------------------------------------------- streaming MinHash dedup
+
+  // pairwise-distinct 12-token texts (J ≈ 0 between any two)
+  private val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val textB = "red orange yellow green blue indigo violet cyan magenta white black gray"
+  private val textC = "one two three four five six seven eight nine ten eleven twelve"
+
+  test("streaming minhash dedup: dups flagged across batches, state survives checkpoint restart") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-dedup-ckpt").toString
+    val out = Files.createTempDirectory("graft-dedup-out").toString
+    try {
+      val in = MemoryStream[(Long, String)](spark)
+      def start() = StreamingOps.dedupStreamMinHash(in.toDF().toDF("doc_id", "text"))
+        .toDF("doc_id", "dup_of", "jaccard")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // batch 1: two distinct docs + one exact re-upload of doc 1
+      in.addData((1L, textA), (2L, textB), (3L, textA))
+      val q1 = start(); q1.awaitTermination(120000)
+      // restart from the checkpoint: the representative set (docs 1, 2)
+      // must come back from RocksDB state, not from reprocessing
+      in.addData((4L, textA), (5L, textC))
+      val q2 = start(); q2.awaitTermination(120000)
+      val flagged = spark.read.parquet(out)
+        .select("doc_id", "dup_of", "jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // doc 3 (same batch as its original) and doc 4 (after the restart)
+      // both resolve to representative 1 at exact jaccard 1.0; the
+      // distinct docs 2 and 5 are never flagged
+      assert(flagged == Set((3L, 1L, 1.0), (4L, 1L, 1.0)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming minhash dedup: rep cap degrades to pass-through, never wrong output") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, String)](spark)
+      // cap 0: nothing can be stored, so even an exact dup passes through
+      // unflagged — the documented budget-degradation contract (flagging
+      // is best-effort under the cap; it must never invent a false pair)
+      val q = StreamingOps.dedupStreamMinHash(in.toDF().toDF("doc_id", "text"),
+          maxRepsPerBucket = 0)
+        .toDF("doc_id", "dup_of", "jaccard")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("dedup_cap0").start()
+      in.addData((1L, textA), (2L, textA))
+      q.processAllAvailable()
+      q.stop()
+      assert(spark.table("dedup_cap0").isEmpty)
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming minhash dedup: near-dup (not just exact) verifies at its true jaccard") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[(Long, String)](spark)
+      // textA with its last token changed: 12 tokens → 10 3-gram shingles;
+      // token 12 sits only in the shingle starting at position 10, so one
+      // shingle differs per side → inter 9, union 11, exact J = 9/11
+      // (≈0.818 ⇒ per-band collision p = (9/11)^4 ≈ 0.45, P[no band of 32
+      // collides] ≈ 5e-9 — and the hash family is fixed, so the outcome
+      // is deterministic for these texts, not flaky)
+      val textA2 = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda nu"
+      val q = StreamingOps.dedupStreamMinHash(in.toDF().toDF("doc_id", "text"))
+        .toDF("doc_id", "dup_of", "jaccard")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("dedup_neardup").start()
+      in.addData((1L, textA), (2L, textA2))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("dedup_neardup")
+        .select("doc_id", "dup_of", "jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(rows == Set((2L, 1L, 9.0 / 11.0)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpointed query resumes from offset after stop (no reprocessing)") {
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val out = Files.createTempDirectory("graft-ckpt-out").toString
