@@ -1350,6 +1350,24 @@ object Relational {
       FROM t LIMIT 1""")
   }
 
+  /** Native SLIDING window (batch analogue of
+    * [[graft.streaming.StreamingOps.slidingAgg]], completing the
+    * window-operator trio q20 tumbling / q70 session / q81 sliding at
+    * the driver gate): 1-hour windows every 15 minutes, so each event
+    * lands in exactly width/slide = 4 windows. The oracle recomputes
+    * Spark's epoch-aligned window generation from first principles —
+    * cross join with k ∈ {0..3}, window start = (epoch_ms div slide − k)
+    * × slide — validating the native operator's expansion semantics.
+    * Value sums are integer cents (scaled-BIGINT rule). */
+  def q81SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100.0 + 0.5).cast("long")).as("value_cents"))
+      .select(unix_millis(col("window.start")).as("bucket_ms"), col("event_type"),
+        col("n"), col("value_cents"))
+      .orderBy("bucket_ms", "event_type")
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1452,6 +1470,7 @@ object Relational {
     "q78_interval_overlap" -> (q78IntervalOverlap _),
     "q79_approx_topk"     -> (q79ApproxTopK _),
     "q80_null_semantics"  -> (q80NullSemantics _),
+    "q81_sliding_window"  -> (q81SlidingWindow _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2152,5 +2171,11 @@ object Relational {
         |  CAST((SELECT count(*) FROM t
         |        WHERE g NOT IN (SELECT g FROM t)) AS BIGINT) AS n_notin_nullset
         |FROM t LIMIT 1""".stripMargin,
+    "q81_sliding_window" ->
+      """SELECT (epoch_ms(ts) // 900000 - ks.k) * 900000 AS bucket_ms, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS ks(k)
+        |GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
   )
 }

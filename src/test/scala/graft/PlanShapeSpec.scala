@@ -94,6 +94,28 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("q54: as-of with tolerance is one data shuffle + one window — no nested-loop range join") {
+    // The as-of family's scale contract (VERDICT r4 watch-list): the
+    // union+window formulation must plan exactly one hash-partitioned
+    // Exchange (key co-location for the window; the only other Exchange
+    // is the output-order rangepartitioning) and one WindowExec, and the
+    // tolerance predicate must never degrade the plan to a
+    // BroadcastNestedLoopJoin / CartesianProduct range join.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = Relational.q54AsofTolerance(spark, sf).queryExecution.executedPlan
+      val p = exec.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+      assert(exec.collect { case w: WindowExec => w }.size == 1, p)
+      val hashShuffles = exec.collect {
+        case e: ShuffleExchangeExec if e.outputPartitioning.toString.contains("hashpartitioning") => e
+      }
+      assert(hashShuffles.size == 1, s"expected exactly one hash-partitioned Exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("t19: eval n-gram set broadcasts; the training corpus never shuffles for the join") {
     // The decontamination contract at 100 TB: the benchmark n-gram set is
     // tiny, so the candidate join must be a broadcast hash join with the
