@@ -39,6 +39,47 @@ object Dedup {
   private val K = 128
   private val Bands = 32
 
+  /** Per-band candidate cap: buckets with more members than
+    * `spark.graft.dedup.maxBandBucket` are dropped whole. Dup-collapse
+    * already kills exact-dup inflation, but a pathological NEAR-dup
+    * cluster (thousands of one-edit-apart docs) still lands its whole
+    * cluster in shared band buckets, and candidate pairs grow with the
+    * square of bucket size. The cap bounds that: a dropped bucket can
+    * only MISS pairs (the verify step still rejects false ones), the
+    * same budget-degradation contract as [[graft.plans.RankPrune]] and
+    * the streaming processor's maxRepsPerBucket — and dropped volume is
+    * counted via `Dataset.observe` (metrics `<name>`: dropped_buckets,
+    * dropped_candidates), so the degradation is observable, not silent.
+    * The default keeps every sane corpus exact (a 4096-member bucket of
+    * pairwise-distinct near-dups is already adversarial); fixture gates
+    * d01/d10 run far below it. */
+  private def bandBucketCap(s: SparkSession): Int =
+    s.conf.get("spark.graft.dedup.maxBandBucket", "4096").toInt
+
+  /** Candidate pairs from banded rows via per-bucket grouping: one
+    * shuffle on the bucket key (the self-join formulation shuffles the
+    * same banded rows twice), a size cap per bucket, then map-side pair
+    * expansion of the sorted member array (a < b by construction).
+    * Per-bucket agg state is 8 bytes × members (longs or small structs),
+    * spill-safe across buckets via sort-based aggregation fallback. */
+  private def cappedBucketPairs(banded: DataFrame, bucketCols: Seq[String],
+      id: Column, cap: Int, metricName: String): DataFrame = {
+    val buckets = banded
+      .groupBy(bucketCols.map(col): _*)
+      .agg(sort_array(collect_list(id)).as("ids"))
+    val n = size(col("ids")).cast("long")
+    val observed = buckets.observe(metricName,
+      sum(when(n > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+      sum(when(n > cap, (n * (n - lit(1L)) / lit(2L)).cast("long")).otherwise(0L)).as("dropped_candidates"))
+    observed
+      .filter(size(col("ids")) <= cap)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(
+          slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+  }
+
   /** Staged tokens → token hashes → native shingle hashes → distinct
     * (each stage a projected attribute, per the TextFunctions
     * performance contract; the shingle combinator is the codegen
@@ -53,8 +94,13 @@ object Dedup {
     * [[d08Containment]] — identical docs share every band key, so dup
     * multiplicity inflates band buckets and candidate pairs
     * quadratically) and expand back after the verify. */
-  def d01MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val cls = Tables.documents(s, dir)
+  def d01MinhashPairs(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(s, dir))
+
+  /** Core of [[d01MinhashPairs]] over any (doc_id, text) frame — the
+    * band-cap spec re-runs it on a planted hot near-dup cluster. */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+    val cls = docs
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
     val repSh = cls
@@ -66,12 +112,12 @@ object Dedup {
       .select(col("rep"), minhashSignature(col("sh"), K).as("sig"))
       .select(col("rep"), posexplode(minhashBands(col("sig"), K, Bands)))
       .toDF("rep", "band", "key")
-    // Equi-join on (band, key): only colliding reps meet. distinct()
-    // before the verify so each pair is checked once.
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.rep") < col("b.rep"))
-      .select(col("a.rep").as("ra"), col("b.rep").as("rb"))
+    // Group per (band, key) bucket: only co-bucketed reps pair (capped —
+    // see bandBucketCap). distinct() before the verify so each pair is
+    // checked once.
+    val cand = cappedBucketPairs(bands, Seq("band", "key"), col("rep"),
+        bandBucketCap(docs.sparkSession), "d01_band_cap")
+      .select(col("a").as("ra"), col("b").as("rb"))
       .distinct()
     val repPairs = cand
       .join(repSh.select(col("rep").as("ra"), col("sh").as("sha")), "ra")
@@ -120,15 +166,15 @@ object Dedup {
       .cache()
     val bands = reps.select(col("rep"), col("sim"),
       explode(simhashBands(col("sim"))).as("band"))
-    val repPairs = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.rep") < col("b.rep"))
+    val repPairs = cappedBucketPairs(bands, Seq("band"),
+        struct(col("rep"), col("sim")), bandBucketCap(docs.sparkSession), "d02_band_cap")
       .select(col("a.rep").as("ra"), col("b.rep").as("rb"),
         hamming64(col("a.sim"), col("b.sim")).as("hamming"))
       // verify-then-distinct: the hamming filter is a codegen'd xor+popcount
-      // on the join output stream, so the (potentially huge) band-collision
-      // candidate set never reaches the distinct's shuffle — only verified
-      // near-dup pairs do. Ordering matters at scale: distinct-then-filter
-      // shuffles every candidate pair.
+      // right after the map-side pair expansion, so the (potentially huge)
+      // band-collision candidate set never reaches the distinct's shuffle —
+      // only verified near-dup pairs do. Ordering matters at scale:
+      // distinct-then-filter shuffles every candidate pair.
       .filter(col("hamming") <= 8)
       .distinct()
     val cross = repPairs

@@ -33,6 +33,50 @@ class DedupSpec extends SparkSpec {
     assert(inv == brute, s"missed=${brute -- inv} extra=${inv -- brute}")
   }
 
+  test("band-bucket cap: planted hot near-dup cluster degrades to dropped buckets, never false pairs") {
+    import spark.implicits._
+    // 50 pairwise-DISTINCT near-dups (200 shared tokens + a unique
+    // suffix, J ≈ 0.97): dup-collapse can't help, so band buckets hold
+    // most of the cluster — the adversarial shape the cap exists for
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val docs = (0L until 50L).map(i => (i, s"$base unique$i")).toDF("doc_id", "text")
+    // collect the instrumented frame ITSELF (a derived .select would run
+    // a different QueryExecution and the observed metrics would stay 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairSet(Dedup.minhashPairs(docs))
+    assert(full.size == 50 * 49 / 2, "uncapped run must find every near-dup pair")
+    spark.conf.set("spark.graft.dedup.maxBandBucket", "10")
+    // AQE wraps the executed plan in AdaptiveSparkPlanExec, which hides
+    // CollectMetricsExec from qe.observedMetrics' plan traversal (the
+    // listener-event path AQE uses is async); static plan keeps the spec
+    // read synchronous and deterministic
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val capped = Dedup.minhashPairs(docs)
+      val qe = capped.queryExecution
+      val got = pairSet(capped)
+      // degradation contract: only MISSES, never invented pairs — and the
+      // drop is observable through the d01_band_cap metrics
+      assert(got.subsetOf(full), s"false pairs under cap: ${got -- full}")
+      assert(got.size < full.size, "cap 10 on a 50-doc cluster must drop pairs")
+      val m = qe.observedMetrics("d01_band_cap")
+      assert(m.getAs[Long]("dropped_buckets") > 0L)
+      assert(m.getAs[Long]("dropped_candidates") >= 11L * 10L / 2L)
+      // simhash path: same cap, same contract (near-identical docs share
+      // band values, so its buckets overflow too)
+      val simCapped = Dedup.simhashPairs(docs)
+      val simQe = simCapped.queryExecution
+      val simGot = pairSet(simCapped)
+      val sm = simQe.observedMetrics("d02_band_cap")
+      assert(sm.getAs[Long]("dropped_buckets") > 0L)
+      assert(simGot.size < 50 * 49 / 2)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.maxBandBucket")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("simhash pairs: canonical ordering, hamming bound, pigeonhole guarantee") {
     val rows = Dedup.d02SimhashPairs(spark, sf).collect()
     assert(rows.nonEmpty)
