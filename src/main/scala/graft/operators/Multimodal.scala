@@ -19,14 +19,16 @@ import graft.Tables
   *    16-bit PCM); [[WavHeaderCodec]] chunk-scans the real header for
   *    m04's hash-matched audio metadata.
   *
-  * No stub operators remain: every decode reads actual bytes. The only
-  * stand-in left is [[StubCodec]], which exists as the documented
-  * FALLBACK for undecodable payloads (and the per-partition instance
-  * counter the specs observe) — model-based embeddings, which genuinely
-  * need a model runtime, live in the embeddings table upstream. The
-  * Spark-side shape — BinaryType schema, mapPartitions codec SPI with
-  * one instance per partition, frame slicing, partition-parallel
-  * execution — is the production integration seam throughout.
+  * No stub operators remain: every decode reads actual bytes, and
+  * content embeddings come from [[EmbedCodec]] — a deterministic
+  * fixed-weight model runtime over DECODED features (m05 runs near-dup
+  * banding on its vectors, hash-matched). [[StubCodec]] survives only
+  * as the documented FALLBACK for undecodable payloads (and the
+  * per-partition instance counter the specs observe). The Spark-side
+  * shape — BinaryType schema, mapPartitions codec SPI with one instance
+  * per partition, frame slicing, partition-parallel execution — is the
+  * production integration seam throughout; swapping a neural model for
+  * EmbedCodec's fixed weights changes no Spark-side line.
   */
 object Multimodal {
 
@@ -250,11 +252,59 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** Image near-dup over CONTENT-DERIVED model embeddings — m03's
+    * banding machinery re-based from the pixel average-hash onto
+    * [[EmbedCodec]] vectors (decode → centered luminance features →
+    * fixed-seed projection → L2-normalize), with SRP sign-bit banding
+    * for candidates and an exact-cosine verify ≥ 0.9 on candidates only.
+    * Planted re-uploads (ids +10000 of the first 100 images, the
+    * d12/m03 trick) must come back as exactly (original, planted) at
+    * cosine 1.0 — identical bytes decode to identical features — and
+    * distinct patterns decorrelate far below threshold, so the expected
+    * pair set is a pure id formula and the query is HASH-MATCHED. */
+  def m05ContentEmbedPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{hamming64, simhashBands}
+    val imgs = mediaTableFiltered(s, dir, Seq("png", "jpeg"))
+    val reuploads = imgs.filter(col("media_id") < 100)
+      .select((col("media_id") + 10000L).as("media_id"), col("format"), col("payload"))
+    // narrow (id, vector, srp) table cached: the band join and the
+    // two-sided verify re-read it (same lifecycle note as m03)
+    val embedded = imgs.union(reuploads).as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new EmbedCodec()
+        it.map { m =>
+          val v = codec.embed(m)
+          (m.media_id, v, codec.srpBits(v))
+        }
+      }
+      .toDF("media_id", "emb", "srp")
+      .cache()
+    val bands = embedded.select(col("media_id"), col("srp"),
+      explode(simhashBands(col("srp"))).as("band"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        hamming64(col("a.srp"), col("b.srp")).as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+      .select(col("media_a"), col("media_b"))
+    val va = embedded.select(col("media_id").as("media_a"), col("emb").as("ea"))
+    val vb = embedded.select(col("media_id").as("media_b"), col("emb").as("eb"))
+    cand.join(va, Seq("media_a")).join(vb, Seq("media_b"))
+      .select(col("media_a"), col("media_b"),
+        floor(graft.functions.VectorFunctions.dot(col("ea"), col("eb")) * 1e6 + 0.5)
+          .cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= 900000L)
+      .orderBy("media_a", "media_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta"     -> (m01MediaMeta _),
     "m02_frame_features" -> (m02FrameFeatures _),
     "m03_media_neardup"  -> (m03MediaNearDup _),
     "m04_audio_meta"     -> (m04AudioMeta _),
+    "m05_embed_neardup"  -> (m05ContentEmbedPairs _),
   )
 
   /** m02/m04's outputs are deterministic functions of the fixture id
@@ -295,6 +345,11 @@ object Multimodal {
         |  CAST(floor(sqrt(CAST(ss AS DOUBLE) / n_samples) * 100.0 + 0.5) AS BIGINT) AS rms_e2,
         |  zcr
         |FROM agg ORDER BY media_id, frame_no""".stripMargin,
+    "m05_embed_neardup" ->
+      """SELECT doc_id AS media_a, doc_id + 10000 AS media_b,
+        |  CAST(1000000 AS BIGINT) AS cos_e6
+        |FROM documents WHERE doc_id < 100 AND doc_id % 3 <> 2
+        |ORDER BY media_a, media_b""".stripMargin,
     "m04_audio_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,
@@ -454,36 +509,125 @@ object Multimodal {
   final class AHashCodec extends Serializable {
     javax.imageio.ImageIO.setUseCache(false)
     def ahash(m: MediaRecord): Long = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
-      require(img != null, s"media ${m.media_id}: undecodable image payload")
-      val (w, h) = (img.getWidth, img.getHeight)
-      val cell = new Array[Double](64)
-      var gy = 0
-      while (gy < 8) {
-        var gx = 0
-        while (gx < 8) {
-          val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
-          val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
-          var sum = 0.0; var n = 0
-          var y = y0
-          while (y < y1 && y < h) {
-            var x = x0
-            while (x < x1 && x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
-                0.114 * (rgb & 0xFF)
-              n += 1; x += 1
-            }
-            y += 1
-          }
-          cell(gy * 8 + gx) = if (n > 0) sum / n else 0.0
-          gx += 1
-        }
-        gy += 1
-      }
+      val cell = luminanceGrid(m)
       val mean = cell.sum / 64.0
       var bits = 0L; var i = 0
       while (i < 64) { if (cell(i) > mean) bits |= (1L << i); i += 1 }
+      bits
+    }
+  }
+
+  /** Decode an image payload to its 8×8 mean-luminance grid (64 values)
+    * — the shared content-feature front end of [[AHashCodec]] (which
+    * thresholds it to bits) and [[EmbedCodec]] (which projects it to a
+    * feature vector). */
+  private[operators] def luminanceGrid(m: MediaRecord): Array[Double] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    require(img != null, s"media ${m.media_id}: undecodable image payload")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cell = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
+        val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+        var sum = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+              0.114 * (rgb & 0xFF)
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cell(gy * 8 + gx) = if (n > 0) sum / n else 0.0
+        gx += 1
+      }
+      gy += 1
+    }
+    cell
+  }
+
+  // ------------------------------------------ content-embedding "model"
+
+  /** Deterministic content-embedding model runtime — the component that
+    * retires the m-family's last declared stub. A real pipeline embeds
+    * media with a neural model; what the ENGINE owes that pipeline is the
+    * integration seam (decode → features → model forward pass → vector,
+    * one model instance per partition through the codec SPI) and the
+    * downstream banding/verify machinery running on vectors derived from
+    * DECODED CONTENT, not fixture formulas. This codec is that seam with
+    * a dependency-free model: fixed-seed random-projection weights — as
+    * deterministic as a shipped checkpoint — applied to real decoded
+    * features. Swapping in ONNX/TorchScript = replacing `weights` and
+    * `features`; every Spark-side shape stays.
+    *
+    *  - images: 8×8 mean-luminance grid from actual pixels
+    *    ([[luminanceGrid]] — real decode, JPEG included)
+    *  - audio: per-frame (RMS, zero-crossings) from the real PCM stream
+    *    ([[PcmFrameCodec]]), first 32 frames interleaved, zero-padded
+    *
+    * Features are mean-centered (kills the all-positive common component
+    * that would push every image pair's cosine toward ~0.75), projected
+    * by W ∈ [-1,1]^(64×64) (splitmix64 of a fixed seed), L2-normalized.
+    * Identical payloads embed identically; distinct fixture patterns
+    * decorrelate (centered cosine ~N(0, 1/√64) — MultimodalSpec bounds
+    * it), which is what makes a ≥ 0.9 cosine threshold a near-dup test. */
+  final class EmbedCodec extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val dim = 64
+    private val frames = new PcmFrameCodec()
+    private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+      z ^= z >>> 27; z *= 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    private def w(seed: Long, i: Int, j: Int): Double =
+      mix(seed * 1000003L + i * 64L + j).toDouble / Long.MaxValue
+    private def features(m: MediaRecord): Array[Double] = m.format match {
+      case "png" | "jpeg" => luminanceGrid(m)
+      case _ =>
+        val ff = frames.features(m).toArray
+        val out = new Array[Double](dim)
+        var i = 0
+        while (i < 32 && i < ff.length) {
+          out(2 * i) = ff(i).rms_e2.toDouble / 100.0
+          out(2 * i + 1) = ff(i).zcr.toDouble
+          i += 1
+        }
+        out
+    }
+    def embed(m: MediaRecord): Array[Double] = {
+      val f = features(m)
+      val mean = f.sum / f.length
+      val v = new Array[Double](dim)
+      var i = 0
+      while (i < dim) {
+        var s = 0.0; var j = 0
+        while (j < f.length) { s += w(0xC0FFEEL, i, j) * (f(j) - mean); j += 1 }
+        v(i) = s; i += 1
+      }
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm > 0) { var i2 = 0; while (i2 < dim) { v(i2) /= nrm; i2 += 1 }; v }
+      else { val e = new Array[Double](dim); e(0) = 1.0; e }
+    }
+    /** 64-bit sign-random-projection signature of an embedding (distinct
+      * seed from the model weights): P[bit differs] = angle/π, so
+      * near-identical vectors land at hamming ≈ 0 and the 16-bit band
+      * blocking from the SimHash family applies unchanged. */
+    def srpBits(v: Array[Double]): Long = {
+      var bits = 0L; var i = 0
+      while (i < 64) {
+        var s = 0.0; var j = 0
+        while (j < v.length) { s += w(0x5EED5EEDL, i, j) * v(j); j += 1 }
+        if (s > 0) bits |= (1L << i)
+        i += 1
+      }
       bits
     }
   }

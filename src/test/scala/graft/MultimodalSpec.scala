@@ -133,6 +133,36 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(h1, hOther) > 8, s"distinct patterns only ${ham(h1, hOther)} bits apart")
   }
 
+  test("EmbedCodec: unit-norm deterministic vectors; identical bytes embed identically; distinct content decorrelates") {
+    import Multimodal.{EmbedCodec, MediaRecord}
+    val codec = new EmbedCodec()
+    def rec(id: Long, fmt: String): MediaRecord = fmt match {
+      case "wav" => MediaRecord(id, "wav", Multimodal.encodeWav(id))
+      case f     => MediaRecord(id, f, Multimodal.encodeImage(f, id))
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // all modalities: unit norm, byte-determinism (model = fixed weights)
+    for (m <- Seq(rec(7L, "png"), rec(8L, "jpeg"), rec(11L, "wav"))) {
+      val v = codec.embed(m)
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+      assert(v.sameElements(codec.embed(m.copy(media_id = m.media_id + 999))),
+        "embedding must depend on payload bytes only, not the id")
+      assert(codec.srpBits(v) == codec.srpBits(codec.embed(m)))
+    }
+    // the near-dup separation m05's ≥ 0.9 threshold relies on: distinct
+    // fixture patterns stay FAR below it (centered features ⇒ cross
+    // cosine ~N(0, 1/√64); bound loosely at 0.8 for a 50×49/2 sample)
+    val vecs = (0L until 50L).map(i => codec.embed(rec(i, if (i % 2 == 0) "png" else "jpeg")))
+    val worst = (for {
+      i <- vecs.indices; j <- vecs.indices if i < j
+    } yield math.abs(cos(vecs(i), vecs(j)))).max
+    assert(worst < 0.8, s"distinct images reached cosine $worst — threshold margin gone")
+    // audio: distinct payloads must not embed identically (frame features
+    // carry real per-id signal variation through the projection)
+    assert(!codec.embed(rec(20L, "wav")).sameElements(codec.embed(rec(21L, "wav"))))
+  }
+
   test("PCM frame features: RMS and zero-crossings match hand-computed values") {
     import Multimodal.{MediaRecord, PcmFrameCodec}
     // hand-built WAV: 8000 Hz mono, 40 samples alternating +1000/-1000 →
