@@ -145,6 +145,49 @@ class StateStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("ingestion pipeline composed with streaming dedup: landed batches get re-uploads flagged end to end") {
+    import graft.core.{BatchPipeline, Flusher, FlusherFactory, FlushContext, PipelineConfig}
+    // The north-star composition: the reference-shaped ingest path
+    // (put → worker shard → batch cut → sink flush) LANDS documents, and
+    // the engine's streaming dedup runs over the landing zone as a file
+    // stream — near-dup detection on the ingest path, no batch pass.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val landing = Files.createTempDirectory("graft-landing").toString
+    try {
+      val factory = FlusherFactory[(Long, String)](() => new Flusher[(Long, String)] {
+        def flush(batch: Seq[(Long, String)], ctx: FlushContext): Unit = {
+          val lines = batch.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+            .mkString("", "\n", "\n")
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(landing,
+              java.util.UUID.randomUUID().toString + ".json"),
+            lines.getBytes("UTF-8"))
+        }
+      })
+      val pipe = new BatchPipeline[(Long, String)](spark,
+        PipelineConfig(name = "ingest-dedup-compose", numWorkers = 2, maxBatchSize = 2),
+        factory)
+      pipe.start()
+      pipe.putAll(Seq((1L, textA), (2L, textB), (3L, textA), (4L, textC), (5L, textB)))
+      pipe.flush()
+      pipe.stop()
+      val stream = spark.readStream.schema("doc_id LONG, text STRING").json(landing)
+      val q = StreamingOps.dedupStreamMinHash(stream)
+        .toDF("doc_id", "dup_of", "jaccard")
+        .writeStream.outputMode(OutputMode.Append)
+        .format("memory").queryName("ingest_dedup").start()
+      q.processAllAvailable()
+      q.stop()
+      val flagged = spark.table("ingest_dedup")
+        .select("doc_id", "dup_of").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // exact re-uploads resolve to the min-id representative of their
+      // text; the three distinct texts are never flagged
+      assert(flagged == Set((3L, 1L), (5L, 2L)))
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("checkpointed query resumes from offset after stop (no reprocessing)") {
     val ckpt = Files.createTempDirectory("graft-ckpt").toString
     val out = Files.createTempDirectory("graft-ckpt-out").toString
