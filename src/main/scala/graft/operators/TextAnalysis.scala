@@ -419,6 +419,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Decontamination behind a BLOOM pre-filter — [[t19Decontaminate]]'s
+    * scale path. t19 broadcasts the eval n-gram set, which holds while a
+    * benchmark suite stays broadcast-sized; once it doesn't, the join
+    * degrades to shuffling the ENTIRE exploded training corpus. Here the
+    * eval set folds into a bloom filter executor-side (`stat.bloomFilter`
+    * runs a distributed aggregate; the driver holds only the merged bits
+    * — ~1.8 KB per 1k distinct n-grams at 0.1% fpp, and at the extreme
+    * where even the merged bloom outgrows a plan literal, Spark's own
+    * InjectRuntimeFilter broadcast-exchange form takes over — see
+    * PlanShapeSpec's runtime-bloom test), and the corpus stream is
+    * pre-filtered by the codegen'd Catalyst [[BloomFilterMightContain]]
+    * BEFORE any join. The exact join then verifies survivors: bloom
+    * false positives drop in the join, so the output is EXACTLY t19's
+    * (same oracle). The extra `count()` sizes the filter — one cheap job
+    * over the already-distinct eval hashes. */
+  def t23BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.bridge
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(shingleHashesNative(tokenHashes(tokens(col("text"))), 3)).as("sh"))
+    val evalSet = sh.filter(col("doc_id") % 17 === 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val nEval = evalSet.count()
+    val train = sh.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        explode(col("sh")).as("h"))
+    // empty eval set: stat.bloomFilter NPEs on an empty frame (its
+    // aggregate yields null) and no row could hit anyway — the exact
+    // pre-filter for "nothing is contaminated" is `false`
+    val mightContain =
+      if (nEval == 0) lit(false)
+      else {
+        val bloom = evalSet.stat.bloomFilter("h", nEval, 0.001)
+        val bos = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(bos)
+        bridge.column(BloomFilterMightContain(Literal(bos.toByteArray),
+          bridge.expression(col("h"))))
+      }
+    train.filter(mightContain)
+      .join(broadcast(evalSet), "h")
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hit"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"),
+        round4(col("n_hit").cast("double") / col("n_sh").cast("double"))
+          .as("contam_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-language tokenizer-vocabulary coverage: token frequencies per
     * lang ranked desc, cumulative share — emit the minimal prefix
     * covering ≥ 90 % of that language's token occurrences (the
@@ -468,6 +517,7 @@ object TextAnalysis {
     "t20_vocab_coverage" -> (t20VocabCoverage _),
     "t21_fingerprint_gate" -> (t21FingerprintGate _),
     "t22_chunk_docs" -> (t22ChunkDocs _),
+    "t23_bloom_decontaminate" -> (t23BloomDecontaminate _),
   )
 
   private val ChunkTokens = 64
@@ -794,6 +844,17 @@ object TextAnalysis {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 < rate_pct
         |ORDER BY doc_id""".stripMargin,
     "t19_decontaminate" ->
+      s"""WITH ${Dedup.shingleCtes},
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+         |tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS g
+         |       FROM sh WHERE doc_id % 17 <> 0),
+         |h AS (SELECT doc_id, n_sh, count(*) AS n_hit
+         |      FROM tr JOIN ev USING (g) GROUP BY 1, 2)
+         |SELECT doc_id, n_sh, n_hit,
+         |  floor(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) * 10000.0 + 0.5) / 10000.0
+         |    AS contam_frac
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "t23_bloom_decontaminate" ->
       s"""WITH ${Dedup.shingleCtes},
          |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
          |tr AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, unnest(sh) AS g

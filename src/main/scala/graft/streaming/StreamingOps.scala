@@ -194,9 +194,13 @@ object StreamingOps {
     * shuffles (band_key, doc_id, shingles) rows — `bands` × the corpus,
     * the price of candidate generation without all-pairs. At 100 TB/day
     * the knobs that grow are the state-store backend (RocksDB) and
-    * `maxRepsPerBucket`; TTLConfig on the state would add time-bounded
-    * forgetting (trivial to thread through when a retention window is
-    * wanted — dedup-within-30-days). */
+    * `maxRepsPerBucket`. A retention window (dedup-within-30-days) would
+    * come from TTLConfig on this state; NOTE (round 5, measured): the
+    * parameter threads through cleanly, but switching the query to
+    * TimeMode.ProcessingTime made per-micro-batch planning/checkpoint
+    * cost explode (~90 s/batch vs seconds) in local testing — profile
+    * that before shipping a TTL variant rather than assuming it is
+    * free. */
   class MinHashDedupProcessor(threshold: Double, maxRepsPerBucket: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Seq[Long]), (Long, Long, Double)] {
     @transient private var reps: org.apache.spark.sql.streaming.ListState[(Long, Seq[Long])] = _

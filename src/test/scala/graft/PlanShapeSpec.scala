@@ -125,6 +125,27 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("t23: bloom pre-filter sits below the exact join; results equal t19 exactly") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val t23 = TextAnalysis.t23BloomDecontaminate(spark, sf)
+      val exec = t23.queryExecution.executedPlan
+      val p = exec.toString
+      assert(p.contains("might_contain"), p)
+      // the filter must PRE-filter the corpus stream: some join's subtree
+      // (not just the overall plan) carries the might_contain predicate
+      val joins = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+      }
+      assert(joins.exists(_.toString.contains("might_contain")),
+        "bloom pre-filter is not below the join:\n" + p)
+      // false positives die in the exact join: output ≡ t19, row for row
+      val a = t23.collect().toSeq
+      val b = TextAnalysis.t19Decontaminate(spark, sf).collect().toSeq
+      assert(a == b)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.
