@@ -600,12 +600,21 @@ object Dedup {
     * scale; the operator under test is distributed (band-key shuffle +
     * state store). */
   def d12StreamDedupGate(s: SparkSession, dir: String): DataFrame = {
+    // corpus bounded to doc_id < 500: the expected output is exactly the
+    // planted (id < 100) pairs regardless of distractor count — clean
+    // distractors are near-dup-free by construction and can never match
+    // — so processing the whole SF's corpus through the state store
+    // would buy bench seconds, not assurance (the oracle is unchanged by
+    // this bound; scale behavior of the operator itself is the streaming
+    // family's ScaleSmoke/spec territory)
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"))
-      .filter(size(tokens(col("text"))) >= 3)
-    val pairs = d01MinhashPairs(s, dir)
-    val pairedIds = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+      .filter(col("doc_id") < 500 && size(tokens(col("text"))) >= 3)
+    // single reference to the d01 subtree (a union of two selects would
+    // evaluate the whole candidate+verify pipeline twice in one plan)
+    val pairedIds = d01MinhashPairs(s, dir)
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
     val clean = docs.join(pairedIds, Seq("doc_id"), "left_anti")
     val corpus = clean.unionByName(
       clean.filter(col("doc_id") < 100)
