@@ -183,6 +183,101 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  // ----------------------------------------------- PQ (product quantization)
+
+  private val PqM = 8    // subspaces (64-d → 8 × 8-d)
+  private val PqSub = 8  // dims per subspace
+  private val PqK = 16   // codes per subspace (4 bits)
+  private val PqCandidates = 96
+
+  /** Per-subspace codebooks: slice the corpus to each 8-dim sub-vector,
+    * seed with the PqK lowest-id sub-vectors, one Lloyd pass each
+    * ([[refine]] is dimension-agnostic). Driver state = M × K × (d/M)
+    * doubles — the PQ codebook, same bounded-collect pattern as s02's
+    * centroid table. */
+  private def pqCodebooks(corpus: DataFrame): Seq[Seq[Array[Double]]] =
+    (0 until PqM).map { m =>
+      val sub = corpus.select(col("vec_id"),
+        slice(col("emb"), m * PqSub + 1, PqSub).as("emb"))
+      val seeds = sub.orderBy("vec_id").limit(PqK)
+        .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
+      if (seeds.isEmpty) Seq.empty else refine(sub, seeds)
+    }
+
+  /** PQ-ADC approximate top-5 — the MEMORY-bounded ANN scale path
+    * beside s02's IVF (scan reduction) and s03's SRP (hamming ranking):
+    * Jégou et al.'s product quantization (public paper). Each corpus
+    * vector compresses to M=8 4-bit codes (nearest per-subspace
+    * centroid, map-side staged argmins — at 100 TB the scanned index is
+    * 4 bytes/vector instead of 256), plus its reconstruction norm.
+    * Queries precompute an M×K lookup table of sub-vector · centroid
+    * dots (driver-side over the bounded query set, the same O(k·d)
+    * footprint as the codebook), and the asymmetric distance is a pure
+    * array-aggregate over codes — the full-width corpus is scanned once
+    * at ENCODE time and never again; ranking touches only (vec_id,
+    * codes, recon_n). Top PqCandidates per query are exact-reranked.
+    * Rows-only check; SimilaritySpec measures recall@5 vs exact s01 and
+    * s04 lifts it into the driver gate. */
+  def s05AnnPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = withNorm(Tables.embeddings(s, dir))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val books = pqCodebooks(corpus)
+    val qRows = e.filter(col("vec_id") < 10)
+      .select(col("vec_id"), col("emb"), col("nrm")).collect()
+    if (qRows.isEmpty || books.exists(_.isEmpty))
+      return s01CosineTopK(s, dir).filter(lit(false))
+    // encode: per-subspace staged d² + argmin code, then the
+    // reconstruction norm from the codebook's centroid norms
+    val coded0 = (0 until PqM).foldLeft(corpus) { (acc, m) =>
+      acc.withColumn(s"_d$m",
+          centroidDists(slice(col("emb"), m * PqSub + 1, PqSub), books(m)))
+        .withColumn(s"_c$m",
+          (array_position(col(s"_d$m"), array_min(col(s"_d$m"))) - 1).cast("int"))
+        .drop(s"_d$m")
+    }
+    val centNorm2 = typedlit(books.flatMap(b => b.map(c => c.map(x => x * x).sum)))
+    val coded = coded0
+      .withColumn("codes", array((0 until PqM).map(m => col(s"_c$m")): _*))
+      .withColumn("recon_n", sqrt(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+        (acc, m) => acc + element_at(centNorm2, m * PqK + element_at(col("codes"), m + lit(1)) + lit(1)))))
+      .select(col("vec_id"), col("codes"), col("recon_n"))
+    // queries: driver-computed ADC lookup tables (M×K dots per query)
+    val q = qRows.toSeq.map { r =>
+      val qe = r.getSeq[Double](1).toArray
+      val lut = Array.tabulate(PqM * PqK) { i =>
+        val m = i / PqK; val j = i % PqK
+        var acc = 0.0; var t = 0
+        while (t < PqSub) { acc += qe(m * PqSub + t) * books(m)(j)(t); t += 1 }
+        acc
+      }
+      (r.getLong(0), lut.toSeq, r.getDouble(2))
+    }.toDF("query_id", "lut", "qn")
+    val approx = coded.join(broadcast(q))
+      .withColumn("adot", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+        (acc, m) => acc + element_at(col("lut"), m * PqK + element_at(col("codes"), m + lit(1)) + lit(1))))
+      .withColumn("approx",
+        when(col("recon_n") > 0.0 && col("qn") > 0.0,
+          col("adot") / (col("qn") * col("recon_n"))).otherwise(lit(-2.0)))
+      .withColumn("arank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))))
+      .filter(col("arank") <= PqCandidates)
+      .select(col("query_id"), col("vec_id"))
+    // exact rerank on candidates only (s03's tail, verbatim shape)
+    val qe2 = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val sims = corpus.select(col("vec_id"), col("emb"), col("nrm"))
+      .join(broadcast(approx), Seq("vec_id"))
+      .join(broadcast(qe2), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
   /** Oracle companion for rows-only s02/s03 (round-4 pattern): one row of
     * driver-checkable invariants. `n_queries` anchors the probe count
     * (DuckDB recomputes it); the flags lift SimilaritySpec's measured
@@ -193,6 +288,7 @@ object Similarity {
     val exact = s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))
     val ivf = s02AnnIvf(s, dir).select(col("query_id"), col("vec_id"))
     val srp = s03AnnSrp(s, dir).select(col("query_id"), col("vec_id"))
+    val pq = s05AnnPq(s, dir).select(col("query_id"), col("vec_id"))
     val base = exact.agg(
       countDistinct(col("query_id")).cast("long").as("n_queries"),
       count(lit(1)).as("n_exact"))
@@ -200,10 +296,13 @@ object Similarity {
       .agg(count(lit(1)).as("hit_ivf"))
     val hitSrp = srp.join(exact, Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("hit_srp"))
-    base.crossJoin(hitIvf).crossJoin(hitSrp)
+    val hitPq = pq.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hit_pq"))
+    base.crossJoin(hitIvf).crossJoin(hitSrp).crossJoin(hitPq)
       .select(col("n_queries"),
         (col("hit_ivf") * 10 >= col("n_exact") * 6).as("ivf_recall_ge_60"),
-        (col("hit_srp") * 10 >= col("n_exact") * 6).as("srp_recall_ge_60"))
+        (col("hit_srp") * 10 >= col("n_exact") * 6).as("srp_recall_ge_60"),
+        (col("hit_pq") * 10 >= col("n_exact") * 6).as("pq_recall_ge_60"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -211,6 +310,7 @@ object Similarity {
     "s02_ann_ivf"     -> (s02AnnIvf _),
     "s03_ann_srp"     -> (s03AnnSrp _),
     "s04_ann_recall_gate" -> (s04AnnRecallGate _),
+    "s05_ann_pq"      -> (s05AnnPq _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -228,7 +328,8 @@ object Similarity {
         |ORDER BY query_id, rank""".stripMargin,
     "s04_ann_recall_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
-        |  true AS ivf_recall_ge_60, true AS srp_recall_ge_60
+        |  true AS ivf_recall_ge_60, true AS srp_recall_ge_60,
+        |  true AS pq_recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
   )
 }

@@ -7,6 +7,7 @@ class SimilaritySpec extends SparkSpec {
   private lazy val exact = Similarity.s01CosineTopK(spark, sf).collect()
   private lazy val approx = Similarity.s02AnnIvf(spark, sf).collect()
   private lazy val srp = Similarity.s03AnnSrp(spark, sf).collect()
+  private lazy val pq = Similarity.s05AnnPq(spark, sf).collect()
 
   test("exact top-k: 5 ranked neighbors per query, sims non-increasing") {
     val byQuery = exact.groupBy(_.getLong(0))
@@ -33,6 +34,18 @@ class SimilaritySpec extends SparkSpec {
     val a = srp.map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (e & a).size.toDouble / e.size
     assert(recall >= 0.6, s"recall@5=$recall")
+  }
+
+  test("PQ-ADC recall@5 vs exact baseline is high; 5 ranked rows per query") {
+    val e = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = pq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (e & a).size.toDouble / e.size
+    assert(recall >= 0.6, s"recall@5=$recall")
+    val byQuery = pq.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+    }
   }
 
   test("SRP-LSH returns exactly 5 ranked rows per query") {
