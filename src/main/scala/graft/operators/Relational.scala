@@ -1368,6 +1368,44 @@ object Relational {
         col("n"), col("value_cents"))
       .orderBy("bucket_ms", "event_type")
 
+  /** Data-profiling operator: per-column null count / distinct count /
+    * integer min-max over lineitem's integral columns, long-form (one
+    * row per profiled column) — the data-quality summary a pipeline runs
+    * before training ingestion. ONE pass over the table computes every
+    * column's aggregates (a single partial+final agg — not one job per
+    * column like `describe()`); the long form comes from unpivoting the
+    * one aggregated row, so the unpivot touches 1×N values, never the
+    * table. All-BIGINT output (l_quantity is integral in this data —
+    * floor-cast both sides). Trade-off: N EXACT distinct counts in one
+    * agg plan an Expand carrying N× rows through the shuffle (the q33
+    * lesson) — the exact-profile price this gate requires; the 100 TB
+    * profile swaps `countDistinct` for `approx_count_distinct` (merged
+    * HLL sketches, no Expand, same single pass). */
+  def q82DataProfile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val li = Tables.lineitem(s, dir)
+      .withColumn("l_qty_i", floor(col("l_quantity")).cast("long"))
+    val profiled = cols :+ "l_qty_i"
+    val aggs = profiled.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).cast("long").as(s"${c}__distinct"),
+        min(col(c)).cast("long").as(s"${c}__min"),
+        max(col(c)).cast("long").as(s"${c}__max"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = profiled.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"${c}__n").as("n"), col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_v"), col(s"${c}__max").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n"), col("p.n_null"),
+        col("p.n_distinct"), col("p.min_v"), col("p.max_v"))
+      .orderBy("column_name")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1471,6 +1509,7 @@ object Relational {
     "q79_approx_topk"     -> (q79ApproxTopK _),
     "q80_null_semantics"  -> (q80NullSemantics _),
     "q81_sliding_window"  -> (q81SlidingWindow _),
+    "q82_data_profile"    -> (q82DataProfile _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2177,5 +2216,39 @@ object Relational {
         |  CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS ks(k)
         |GROUP BY 1, 2 ORDER BY bucket_ms, event_type""".stripMargin,
+    "q82_data_profile" ->
+      """WITH p AS (
+        |  SELECT 'l_orderkey' AS column_name, CAST(count(l_orderkey) AS BIGINT) AS n,
+        |    CAST(count(*) - count(l_orderkey) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(l_orderkey) AS BIGINT) AS min_v, CAST(max(l_orderkey) AS BIGINT) AS max_v
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(count(l_partkey) AS BIGINT),
+        |    CAST(count(*) - count(l_partkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT),
+        |    CAST(min(l_partkey) AS BIGINT), CAST(max(l_partkey) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(l_suppkey) AS BIGINT),
+        |    CAST(count(*) - count(l_suppkey) AS BIGINT),
+        |    CAST(count(DISTINCT l_suppkey) AS BIGINT),
+        |    CAST(min(l_suppkey) AS BIGINT), CAST(max(l_suppkey) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(count(l_linenumber) AS BIGINT),
+        |    CAST(count(*) - count(l_linenumber) AS BIGINT),
+        |    CAST(count(DISTINCT l_linenumber) AS BIGINT),
+        |    CAST(min(l_linenumber) AS BIGINT), CAST(max(l_linenumber) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_qty_i', CAST(count(l_quantity) AS BIGINT),
+        |    CAST(count(*) - count(l_quantity) AS BIGINT),
+        |    CAST(count(DISTINCT CAST(floor(l_quantity) AS BIGINT)) AS BIGINT),
+        |    CAST(min(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT),
+        |    CAST(max(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT column_name, n, n_null, n_distinct, min_v, max_v
+        |FROM p ORDER BY column_name""".stripMargin,
   )
 }

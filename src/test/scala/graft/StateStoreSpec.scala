@@ -145,6 +145,36 @@ class StateStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("state data source reads the dedup representatives back from the checkpoint (batch introspection)") {
+    // Operational surface: the statestore batch source reads streaming
+    // state WITHOUT a streaming query — audit which representatives the
+    // dedup stream is currently holding, from the checkpoint alone.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-reader-ckpt").toString
+    val out = Files.createTempDirectory("graft-reader-out").toString
+    try {
+      val in = MemoryStream[(Long, String)](spark)
+      in.addData((1L, textA), (2L, textB), (3L, textA))
+      val q = StreamingOps.dedupStreamMinHash(in.toDF().toDF("doc_id", "text"))
+        .toDF("doc_id", "dup_of", "jaccard")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+      val state = spark.read.format("statestore")
+        .option("path", ckpt)
+        .option("stateVarName", "reps")
+        .load()
+      // stored representative doc ids: docs 1 and 2 (the dup, doc 3, was
+      // collapsed — never stored); each appears once per band bucket
+      val repIds = state.selectExpr("list_element._1 AS rep").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(repIds == Set(1L, 2L), s"state holds $repIds")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("ingestion pipeline composed with streaming dedup: landed batches get re-uploads flagged end to end") {
     import graft.core.{BatchPipeline, Flusher, FlusherFactory, FlushContext, PipelineConfig}
     // The north-star composition: the reference-shaped ingest path
