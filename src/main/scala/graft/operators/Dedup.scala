@@ -649,6 +649,85 @@ object Dedup {
       .orderBy("doc_id", "dup_of")
   }
 
+  /** Incremental near-dup detection: flag each NEW (delta) document's
+    * best corpus near-duplicate WITHOUT ever re-pairing the corpus with
+    * itself — the production shape of dedup at 100 TB, where the
+    * corpus's banded MinHash index is a precomputed artifact (bucketed
+    * by (band, key)) and an arriving batch shuffles only ITS OWN band
+    * rows into an equi-join against that index; cost scales with the
+    * delta, not the corpus. Corpus-side exact-dup classes collapse to
+    * representatives before banding (d01's bucket-inflation argument)
+    * and expand back after the verify; every candidate is verified with
+    * exact shingle Jaccard, so bucket collisions never reach the output.
+    * The fixture split is doc_id % 10 = 0 (the "new batch") vs the rest.
+    * Output: one row per flagged delta doc with its best corpus match —
+    * highest Jaccard, ties to the smallest corpus doc_id — similarity as
+    * a scaled BIGINT (jaccard_e4, the driver-gate float rule). LSH ≡
+    * exact on this data for the d01 reason: every true pair has J ≥ 0.9,
+    * where 32×4-band detection probability is 1 - 1.5e-15. */
+  def d13IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    incrementalDedup(
+      docs.filter(col("doc_id") % 10 =!= 0),
+      docs.filter(col("doc_id") % 10 === 0))
+  }
+
+  /** Core of [[d13IncrementalDedup]] over any (doc_id, text) frames —
+    * specs re-run it on planted corpora. */
+  private[graft] def incrementalDedup(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    // corpus index: exact-dup classes → representative shingle sets →
+    // banded rows. In production this subtree is the persisted index;
+    // here it is recomputed per run. cache(): the rep frame is read by
+    // both the band join and the verify/expand joins (query-scoped;
+    // Verify/Bench clearCache() after each query).
+    val cls = corpus
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
+    val repSh = cls
+      .select(col("rep"), col("members"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("rep"), col("members"),
+        array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .cache()
+    val corpusBands = repSh
+      .select(col("rep"), minhashSignature(col("sh"), K).as("sig"))
+      .select(col("rep"), posexplode(minhashBands(col("sig"), K, Bands)))
+      .toDF("rep", "band", "key")
+    val deltaSh = delta
+      .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .cache()
+    val deltaBands = deltaSh
+      .select(col("doc_id"), minhashSignature(col("sh"), K).as("sig"))
+      .select(col("doc_id"), posexplode(minhashBands(col("sig"), K, Bands)))
+      .toDF("doc_id", "band", "key")
+    // one shuffle on the band key; distinct() so each (delta, rep)
+    // candidate is verified once however many bands it collides in
+    val cand = deltaBands.join(corpusBands, Seq("band", "key"))
+      .select(col("doc_id"), col("rep"))
+      .distinct()
+    val verified = cand
+      .join(deltaSh.select(col("doc_id"), col("sh").as("sha")), "doc_id")
+      .join(repSh.select(col("rep"), col("sh").as("shb"), col("members")), "rep")
+      .select(col("doc_id"), col("members"),
+        size(array_intersect(col("sha"), col("shb"))).cast("double").as("inter"),
+        (size(col("sha")) + size(col("shb"))).cast("double").as("total"))
+      .filter(col("total") - col("inter") > 0.0)
+      .select(col("doc_id"), col("members"),
+        floor(col("inter") / (col("total") - col("inter")) * 10000.0 + 0.5)
+          .cast("long").as("jaccard_e4"))
+      .filter(col("jaccard_e4") >= 5000L)
+    // expand representatives to members (identical texts share the
+    // verified Jaccard) and keep the best match per delta doc; min over
+    // an orderable struct is accumulation-order invariant
+    verified
+      .select(col("doc_id"), explode(col("members")).as("corpus_id"), col("jaccard_e4"))
+      .groupBy(col("doc_id"))
+      .agg(min(struct((-col("jaccard_e4")).as("nj"), col("corpus_id").as("cid"))).as("best"))
+      .select(col("doc_id"), col("best.cid").as("dup_of"),
+        (-col("best.nj")).as("jaccard_e4"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
@@ -662,6 +741,7 @@ object Dedup {
     "d10_simhash_dup_classes" -> (d10SimhashDupClasses _),
     "d11_ivf_gate"       -> (d11IvfGate _),
     "d12_stream_dedup_gate" -> (d12StreamDedupGate _),
+    "d13_incremental_dedup" -> (d13IncrementalDedup _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -816,5 +896,27 @@ object Dedup {
         |SELECT CAST(count(*) AS BIGINT) AS n_exact,
         |  true AS ivf_subset_of_exact, true AS recall_ge_70
         |FROM p WHERE sim >= 0.4""".stripMargin,
+    // exact all-pairs delta×corpus (the oracle can afford it; the Spark
+    // path must produce the identical set via the banded index)
+    "d13_incremental_dedup" ->
+      s"""WITH $shingleCtes,
+         |delta AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+         |corpus AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |p AS (
+         |  SELECT d.doc_id AS doc_id, c.doc_id AS corpus_id,
+         |    CAST(len(list_filter(d.sh, x -> list_contains(c.sh, x))) AS DOUBLE) AS inter,
+         |    CAST(len(d.sh) + len(c.sh) AS DOUBLE) AS total
+         |  FROM delta d CROSS JOIN corpus c),
+         |j AS (
+         |  SELECT doc_id, corpus_id,
+         |    CAST(floor(inter / (total - inter) * 10000.0 + 0.5) AS BIGINT) AS jaccard_e4
+         |  FROM p WHERE total - inter > 0),
+         |best AS (
+         |  SELECT doc_id, corpus_id AS dup_of, jaccard_e4,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY jaccard_e4 DESC, corpus_id ASC) AS rn
+         |  FROM j WHERE jaccard_e4 >= 5000)
+         |SELECT doc_id, dup_of, jaccard_e4 FROM best WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin,
   )
 }

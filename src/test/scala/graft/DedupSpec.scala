@@ -174,6 +174,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup: banded index finds the brute-force best match; corpus never self-pairs") {
+    import spark.implicits._
+    // planted corpus: an exact-dup class (1,2), a near-dup seed (3), a
+    // decoy far from everything (4)
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base), (2L, base),                            // exact-dup class
+      (3L, base + " tailA tailB tailC"),                 // near seed
+      (4L, (100 to 160).map(i => s"z$i").mkString(" "))  // unrelated
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base),                                       // exact copy → dup_of 1 (min member), J=1
+      (11L, base + " tailA tailB tailX"),                // near 3 and 1/2 — best is whichever J is higher
+      (12L, (200 to 260).map(i => s"y$i").mkString(" ")) // novel → absent
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalDedup(corpus, delta).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(10L) == ((1L, 10000L)), s"exact copy: ${got.get(10L)}")
+    assert(!got.contains(12L), "novel doc must not be flagged")
+    assert(got.contains(11L))
+    // brute-force oracle for the whole delta: exact best match per doc
+    val sh = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), hashedDistinct(shingles(col("toks"), 3)).as("sh"))
+    val brute = sh(delta).as("d").crossJoin(sh(corpus).as("c"))
+      .select(col("d.doc_id").as("doc_id"), col("c.doc_id").as("corpus_id"),
+        size(array_intersect(col("d.sh"), col("c.sh"))).cast("double").as("inter"),
+        (size(col("d.sh")) + size(col("c.sh"))).cast("double").as("total"))
+      .filter(col("total") - col("inter") > 0.0)
+      .select(col("doc_id"), col("corpus_id"),
+        floor(col("inter") / (col("total") - col("inter")) * 10000.0 + 0.5)
+          .cast("long").as("j"))
+      .filter(col("j") >= 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, ms) =>
+        val best = ms.minBy(m => (-m._3, m._2)); d -> (best._2, best._3)
+      }
+    assert(got == brute, s"got=$got brute=$brute")
+    // the registered fixture query agrees with ITS brute-force oracle too
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val fixGot = Dedup.d13IncrementalDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val fixBrute = sh(docs.filter(col("doc_id") % 10 === 0)).as("d")
+      .crossJoin(sh(docs.filter(col("doc_id") % 10 =!= 0)).as("c"))
+      .select(col("d.doc_id").as("doc_id"), col("c.doc_id").as("corpus_id"),
+        size(array_intersect(col("d.sh"), col("c.sh"))).cast("double").as("inter"),
+        (size(col("d.sh")) + size(col("c.sh"))).cast("double").as("total"))
+      .filter(col("total") - col("inter") > 0.0)
+      .select(col("doc_id"), col("corpus_id"),
+        floor(col("inter") / (col("total") - col("inter")) * 10000.0 + 0.5)
+          .cast("long").as("j"))
+      .filter(col("j") >= 5000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (d, ms) =>
+        val best = ms.minBy(m => (-m._3, m._2)); d -> (best._2, best._3)
+      }
+    assert(fixGot == fixBrute,
+      s"missed=${fixBrute.keySet -- fixGot.keySet} extra=${fixGot.keySet -- fixBrute.keySet}")
+  }
+
   test("embedding near-dup: thresholds and canonical ordering hold") {
     val rows = Dedup.d04EmbeddingNearDup(spark, sf).collect()
     rows.foreach { r =>
