@@ -1406,6 +1406,37 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** RECURSIVE CTE (Spark 4's UnionLoop operator): per-part ancestor
+    * walk over the implicit binary hierarchy parent(p) = p div 2 —
+    * depth to the root and the accumulated retail price (integer cents)
+    * along the ancestor path. Genuinely iterative dataflow the rest of
+    * the surface can't express: each UnionLoop step joins the previous
+    * frontier against the part table by key. Scale shape: iteration
+    * count is log2(max key) (11 here), each step a key-equi-join whose
+    * lookup side is the (broadcastable) part dimension — the driver
+    * coordinates rounds, rows never funnel through one reducer. Chains
+    * terminate at cur <= 1 (key 0 self-parents under div-2, so the
+    * anchor row itself is its terminal); exactly one output row per
+    * part. All-BIGINT output, total ORDER BY. */
+  def q83RecursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.part(s, dir).createOrReplaceTempView("graft_q83_part")
+    s.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS pk, p_partkey AS cur,
+               CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS path_cents,
+               CAST(0 AS BIGINT) AS depth
+        FROM graft_q83_part
+        UNION ALL
+        SELECT a.pk, p.p_partkey,
+               a.path_cents + CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT),
+               a.depth + CAST(1 AS BIGINT)
+        FROM anc a JOIN graft_q83_part p ON p.p_partkey = a.cur div 2
+        WHERE a.cur > 1)
+      SELECT pk AS p_partkey, depth, path_cents
+      FROM anc WHERE cur <= 1
+      ORDER BY p_partkey""")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1510,6 +1541,7 @@ object Relational {
     "q80_null_semantics"  -> (q80NullSemantics _),
     "q81_sliding_window"  -> (q81SlidingWindow _),
     "q82_data_profile"    -> (q82DataProfile _),
+    "q83_recursive_cte"   -> (q83RecursiveCte _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2250,5 +2282,20 @@ object Relational {
         |  FROM lineitem)
         |SELECT column_name, n, n_null, n_distinct, min_v, max_v
         |FROM p ORDER BY column_name""".stripMargin,
+    "q83_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT p_partkey AS pk, p_partkey AS cur,
+        |         CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS path_cents,
+        |         CAST(0 AS BIGINT) AS depth
+        |  FROM part
+        |  UNION ALL
+        |  SELECT a.pk, p.p_partkey,
+        |         a.path_cents + CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT),
+        |         a.depth + CAST(1 AS BIGINT)
+        |  FROM anc a JOIN part p ON p.p_partkey = a.cur // 2
+        |  WHERE a.cur > 1)
+        |SELECT pk AS p_partkey, depth, path_cents
+        |FROM anc WHERE cur <= 1
+        |ORDER BY p_partkey""".stripMargin,
   )
 }

@@ -63,6 +63,32 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(viaSql == viaDf)
   }
 
+  test("recursive CTE: q83 ancestor walk matches a closed-form driver oracle") {
+    import org.apache.spark.sql.functions.col
+    val prices = Tables.part(spark, sf)
+      .select(col("p_partkey"), col("p_retailprice"))
+      .collect()
+      .map(r => r.getLong(0) -> math.floor(r.getDouble(1) * 100.0 + 0.5).toLong)
+      .toMap
+    // closed-form oracle: walk pk, pk/2, ... down to <= 1 driver-side
+    def chain(pk: Long): (Long, Long) = {
+      var cur = pk; var depth = 0L; var cents = prices(pk)
+      while (cur > 1) { cur /= 2; depth += 1; cents += prices(cur) }
+      (depth, cents)
+    }
+    val got = Relational.q83RecursiveCte(spark, sf).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == prices.keySet, "one output row per part")
+    got.foreach { case (pk, res) =>
+      assert(res == chain(pk), s"pk=$pk got=$res want=${chain(pk)}")
+    }
+    // depth is structurally log2(pk) for pk >= 1 on the dense keyspace
+    got.foreach { case (pk, (d, _)) =>
+      if (pk >= 1) assert(d == (63 - java.lang.Long.numberOfLeadingZeros(pk)).toLong)
+      else assert(d == 0L)
+    }
+  }
+
   test("SQL join + window over views") {
     GraftSql.register(spark, sf)
     val n = spark.sql(
