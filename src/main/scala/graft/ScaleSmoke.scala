@@ -21,6 +21,7 @@ object ScaleSmoke {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (a.contains("d100")) { d100(spark); spark.stop(); return }
+    if (a.contains("i100")) { i100(spark); spark.stop(); return }
     if (a.contains("e100")) { e100(spark); spark.stop(); return }
     if (a.contains("t100")) { t100(spark); spark.stop(); return }
     if (a.contains("a100")) { a100(spark); spark.stop(); return }
@@ -214,6 +215,46 @@ object ScaleSmoke {
     assert(byShard.length == 8, s"expected 8 shards, got ${byShard.length}")
     assert(bins.max <= bins.min * 12 / 10,
       s"shard bin counts unbalanced: min=${bins.min} max=${bins.max}")
+  }
+
+  /** 100× incremental-dedup smoke: a ~500k-doc corpus (documents ×100
+    * with shifted ids) deduped INCREMENTALLY against a delta of the
+    * sf0.1 originals (1% of corpus, ids shifted +5e9) — the steady-state
+    * shape where the corpus is two orders larger than the arriving
+    * batch and all-pairs over corpus+delta is unrunnable. Every delta
+    * doc is an exact copy of a corpus doc, so each one with a non-empty
+    * shingle set MUST come back flagged at jaccard 10000 (its best
+    * match is exact; dup_of may be any identical-text doc's class rep,
+    * so the assertion checks the similarity, not the id). Prints
+    * wall-clock and flag counts; correctness of best-match selection is
+    * DedupSpec's job — this proves the shape survives the scale. */
+  private def i100(spark: SparkSession): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/sfi100"
+    val reps = spark.range(100).toDF("rep")
+    val t = Tables(spark, base, "documents").select(col("doc_id"), col("text"))
+    t.crossJoin(broadcast(reps))
+      .select((col("doc_id") + col("rep") * 10000000L).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/corpus.parquet")
+    t.select((col("doc_id") + 5000000000L).as("doc_id"), col("text"))
+      .write.mode("overwrite").parquet(s"$out/delta.parquet")
+    val corpus = spark.read.parquet(s"$out/corpus.parquet")
+    val delta = spark.read.parquet(s"$out/delta.parquet")
+    val nCorpus = corpus.count(); val nDelta = delta.count()
+    val t0 = System.nanoTime()
+    graft.operators.Dedup.incrementalDedup(corpus, delta)
+      .write.mode("overwrite").parquet(s"$out/flagged.parquet")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val got = spark.read.parquet(s"$out/flagged.parquet")
+    val flagged = got.count()
+    val notExact = got.filter(col("jaccard_e4") =!= 10000L).count()
+    // expected = delta docs with >= 3 tokens (non-empty shingle sets)
+    val expected = delta
+      .filter(size(graft.functions.TextFunctions.tokens(col("text"))) >= 3).count()
+    println(f"I100 corpus=$nCorpus delta=$nDelta flagged=$flagged " +
+      f"expected=$expected non_exact=$notExact $secs%.2f s")
+    assert(flagged == expected, s"flagged=$flagged expected=$expected")
+    assert(notExact == 0, s"$notExact delta docs matched below jaccard 10000")
   }
 
   /** 100× dedup-family smoke (see object Scaladoc). */

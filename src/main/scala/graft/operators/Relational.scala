@@ -1437,6 +1437,35 @@ object Relational {
       ORDER BY p_partkey""")
   }
 
+  /** Oracle gate for q82's documented scale path: the 100 TB profile
+    * swaps exact `countDistinct` for `approx_count_distinct` (merged
+    * HLL++ sketches — no Expand, register-wise-max merge is
+    * order-invariant). This gate makes that swap driver-visible: one
+    * pass computes BOTH per column, and the flag asserts the estimate
+    * lands within 5% of exact — at rsd 0.01 that is a 5-sigma bound,
+    * and the estimate is deterministic for a fixed dataset, so the
+    * driver's fixed-SF run cannot flip. DuckDB recomputes the exact
+    * counts and expects literal TRUE flags (the d06/d11 gate pattern).
+    * All-BIGINT + boolean output, total ORDER BY. */
+  def q84ProfileHllGate(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+    val li = Tables.lineitem(s, dir)
+    val aggs = cols.flatMap { c =>
+      Seq(countDistinct(col(c)).cast("long").as(s"${c}__exact"),
+        approx_count_distinct(col(c), 0.01).cast("long").as(s"${c}__est"))
+    }
+    val one = li.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"${c}__exact").as("n_distinct"),
+        (abs(col(s"${c}__est") - col(s"${c}__exact")) * 100L <=
+          col(s"${c}__exact") * 5L).as("est_within_5pct"))
+    }
+    one.select(explode(array(rows: _*)).as("p"))
+      .select(col("p.column_name"), col("p.n_distinct"), col("p.est_within_5pct"))
+      .orderBy("column_name")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1542,6 +1571,7 @@ object Relational {
     "q81_sliding_window"  -> (q81SlidingWindow _),
     "q82_data_profile"    -> (q82DataProfile _),
     "q83_recursive_cte"   -> (q83RecursiveCte _),
+    "q84_profile_hll_gate" -> (q84ProfileHllGate _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2297,5 +2327,20 @@ object Relational {
         |SELECT pk AS p_partkey, depth, path_cents
         |FROM anc WHERE cur <= 1
         |ORDER BY p_partkey""".stripMargin,
+    "q84_profile_hll_gate" ->
+      """SELECT * FROM (
+        |  SELECT 'l_orderkey' AS column_name,
+        |    CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    true AS est_within_5pct FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_partkey', CAST(count(DISTINCT l_partkey) AS BIGINT), true
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_suppkey', CAST(count(DISTINCT l_suppkey) AS BIGINT), true
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_linenumber', CAST(count(DISTINCT l_linenumber) AS BIGINT), true
+        |  FROM lineitem)
+        |ORDER BY column_name""".stripMargin,
   )
 }
