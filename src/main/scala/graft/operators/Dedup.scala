@@ -700,10 +700,26 @@ object Dedup {
       .select(col("doc_id"), minhashSignature(col("sh"), K).as("sig"))
       .select(col("doc_id"), posexplode(minhashBands(col("sig"), K, Bands)))
       .toDF("doc_id", "band", "key")
+    // the index is stored bucket-form — one array row per (band, key) —
+    // with the family's cap contract (bandBucketCap): a pathological
+    // near-dup cluster shares band keys, and joining a B-member bucket
+    // against d matching delta rows fans out B·d candidate rows;
+    // dropped buckets can only MISS (verify is exact) and the dropped
+    // volume is observable via the d13_band_cap metrics, mirroring
+    // d01/d02 and RankPrune's budget-degradation pattern
+    val cap = bandBucketCap(corpus.sparkSession)
+    val buckets = corpusBands
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("rep"))).as("reps"))
+    val bn = size(col("reps")).cast("long")
+    val capped = buckets.observe("d13_band_cap",
+        sum(when(bn > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(bn > cap, bn).otherwise(0L)).as("dropped_index_rows"))
+      .filter(size(col("reps")) <= cap)
     // one shuffle on the band key; distinct() so each (delta, rep)
     // candidate is verified once however many bands it collides in
-    val cand = deltaBands.join(corpusBands, Seq("band", "key"))
-      .select(col("doc_id"), col("rep"))
+    val cand = deltaBands.join(capped, Seq("band", "key"))
+      .select(col("doc_id"), explode(col("reps")).as("rep"))
       .distinct()
     val verified = cand
       .join(deltaSh.select(col("doc_id"), col("sh").as("sha")), "doc_id")

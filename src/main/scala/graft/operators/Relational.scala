@@ -1450,11 +1450,17 @@ object Relational {
   def q84ProfileHllGate(s: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
     val li = Tables.lineitem(s, dir)
-    val aggs = cols.flatMap { c =>
-      Seq(countDistinct(col(c)).cast("long").as(s"${c}__exact"),
-        approx_count_distinct(col(c), 0.01).cast("long").as(s"${c}__est"))
-    }
-    val one = li.agg(aggs.head, aggs.tail: _*)
+    // SPLIT the approx sketches from the multi-distinct agg (the q33
+    // lesson, measured the hard way: one combined agg plans an Expand
+    // whose partial-agg groups each carry four rsd-0.01 HLL buffers
+    // (~16 KB apiece) — 197 s at sf0.1; split, the HLL pass is one
+    // group with four sketches total and the exact pass carries only
+    // count buffers through the Expand — ~3 s)
+    val exactAggs = cols.map(c => countDistinct(col(c)).cast("long").as(s"${c}__exact"))
+    val approxAggs = cols.map(c =>
+      approx_count_distinct(col(c), 0.01).cast("long").as(s"${c}__est"))
+    val one = li.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(li.agg(approxAggs.head, approxAggs.tail: _*))
     val rows = cols.map { c =>
       struct(lit(c).as("column_name"),
         col(s"${c}__exact").as("n_distinct"),

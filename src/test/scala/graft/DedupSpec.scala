@@ -234,6 +234,35 @@ class DedupSpec extends SparkSpec {
       s"missed=${fixBrute.keySet -- fixGot.keySet} extra=${fixGot.keySet -- fixBrute.keySet}")
   }
 
+  test("incremental dedup band cap: hot corpus cluster degrades to dropped buckets, never false matches") {
+    import spark.implicits._
+    // 50 pairwise-distinct near-dup corpus docs (shared 200-token base,
+    // unique suffixes) — dup-collapse can't shrink them, so their band
+    // buckets hold most of the cluster
+    val base = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val corpus = (0L until 50L).map(i => (i, s"$base unique$i")).toDF("doc_id", "text")
+    val delta = Seq((100L, s"$base uniqueX")).toDF("doc_id", "text")
+    val full = Dedup.incrementalDedup(corpus, delta).collect()
+    assert(full.length == 1 && full.head.getLong(2) >= 5000L,
+      "uncapped run must match the delta doc against the cluster")
+    spark.conf.set("spark.graft.dedup.maxBandBucket", "10")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // sync observe read
+    try {
+      val capped = Dedup.incrementalDedup(corpus, delta)
+      val qe = capped.queryExecution
+      val got = capped.collect()
+      // degradation contract: a capped run may only lose matches
+      assert(got.isEmpty || got.head.getLong(2) >= 5000L)
+      val m = qe.observedMetrics("d13_band_cap")
+      assert(m.getAs[Long]("dropped_buckets") > 0L,
+        "cap 10 on a 50-doc cluster must drop buckets")
+      assert(m.getAs[Long]("dropped_index_rows") >= 11L)
+    } finally {
+      spark.conf.unset("spark.graft.dedup.maxBandBucket")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("embedding near-dup: thresholds and canonical ordering hold") {
     val rows = Dedup.d04EmbeddingNearDup(spark, sf).collect()
     rows.foreach { r =>
