@@ -22,6 +22,7 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
     if (a.contains("d100")) { d100(spark); spark.stop(); return }
     if (a.contains("i100")) { i100(spark); spark.stop(); return }
+    if (a.contains("r100")) { r100(spark); spark.stop(); return }
     if (a.contains("e100")) { e100(spark); spark.stop(); return }
     if (a.contains("t100")) { t100(spark); spark.stop(); return }
     if (a.contains("a100")) { a100(spark); spark.stop(); return }
@@ -215,6 +216,50 @@ object ScaleSmoke {
     assert(byShard.length == 8, s"expected 8 shards, got ${byShard.length}")
     assert(bins.max <= bins.min * 12 / 10,
       s"shard bin counts unbalanced: min=${bins.min} max=${bins.max}")
+  }
+
+  /** 1000× recursion smoke: q83's UnionLoop ancestor walk over a 2M-key
+    * part hierarchy (keys dense 0..2M → 21 recursion rounds, each a
+    * key-equi-join of the shrinking frontier against the dim). Proves
+    * the iterative operator's scale shape: rounds grow with log2(keys),
+    * per-round cost with frontier size — not with rounds × table. The
+    * closed-form depth check (floor(log2(pk)) on a dense keyspace)
+    * validates every row without a second engine. */
+  private def r100(spark: SparkSession): Unit = {
+    val out = "/tmp/sfr100"
+    val n = 2000000L
+    spark.range(n).select(col("id").as("p_partkey"),
+        (pmod(xxhash64(col("id")), lit(90000L)).cast("double") / 100.0 + 100.0)
+          .as("p_retailprice"))
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+    spark.read.parquet(s"$out/part.parquet")
+      .createOrReplaceTempView("graft_r100_part")
+    // Spark guards recursive CTEs with a total-row limit (default 1M —
+    // this anchor alone is 2M). THE scale knob for UnionLoop: a 100 TB
+    // deploy sizes it like shuffle partitions, alongside
+    // spark.sql.cteRecursionLevelLimit (default 100 rounds).
+    spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+    val t0 = System.nanoTime()
+    val res = spark.sql("""
+      WITH RECURSIVE anc AS (
+        SELECT p_partkey AS pk, p_partkey AS cur, CAST(0 AS BIGINT) AS depth
+        FROM graft_r100_part
+        UNION ALL
+        SELECT a.pk, a.cur div 2, a.depth + CAST(1 AS BIGINT)
+        FROM anc a WHERE a.cur > 1)
+      SELECT pk, max(depth) AS depth FROM anc GROUP BY pk""")
+    res.write.mode("overwrite").parquet(s"$out/depths.parquet")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val got = spark.read.parquet(s"$out/depths.parquet")
+    val rows = got.count()
+    // floor(log2(pk)) computed integer-exactly as length(bin(pk)) - 1
+    // (a float log2 can round down at exact powers of two)
+    val wrong = got.filter(col("pk") >= 1L &&
+        col("depth") =!= (length(bin(col("pk"))) - 1).cast("long"))
+      .count()
+    println(f"R100 keys=$n rows=$rows wrong_depth=$wrong $secs%.2f s")
+    assert(rows == n, s"expected one row per key, got $rows")
+    assert(wrong == 0, s"$wrong rows diverge from closed-form depth")
   }
 
   /** 100× incremental-dedup smoke: a ~500k-doc corpus (documents ×100

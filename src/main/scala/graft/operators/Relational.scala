@@ -1417,7 +1417,11 @@ object Relational {
     * coordinates rounds, rows never funnel through one reducer. Chains
     * terminate at cur <= 1 (key 0 self-parents under div-2, so the
     * anchor row itself is its terminal); exactly one output row per
-    * part. All-BIGINT output, total ORDER BY. */
+    * part. All-BIGINT output, total ORDER BY. Scale knobs (SCALE.md
+    * item 13, r100 smoke): `spark.sql.cteRecursionRowLimit` (default
+    * 1M total rows — size like shuffle partitions) and
+    * `spark.sql.cteRecursionLevelLimit` (default 100 rounds); rounds
+    * are blocking barriers, the d05 lesson. */
   def q83RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir).createOrReplaceTempView("graft_q83_part")
     s.sql("""
