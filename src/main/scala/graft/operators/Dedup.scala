@@ -48,37 +48,49 @@ object Dedup {
     * only MISS pairs (the verify step still rejects false ones), the
     * same budget-degradation contract as [[graft.plans.RankPrune]] and
     * the streaming processor's maxRepsPerBucket — and dropped volume is
-    * counted via `Dataset.observe` (metrics `<name>`: dropped_buckets,
-    * dropped_candidates), so the degradation is observable, not silent.
+    * counted via `Dataset.observe` (metrics `<name>`: dropped_buckets
+    * plus a family-specific volume metric — dropped_candidates
+    * = n·(n-1)/2 for the self-pair families d01/d02, dropped_index_rows
+    * = n for the delta-join family d13), so the degradation is
+    * observable, not silent.
     * The default keeps every sane corpus exact (a 4096-member bucket of
     * pairwise-distinct near-dups is already adversarial); fixture gates
     * d01/d10 run far below it. */
   private def bandBucketCap(s: SparkSession): Int =
     s.conf.get("spark.graft.dedup.maxBandBucket", "4096").toInt
 
-  /** Candidate pairs from banded rows via per-bucket grouping: one
-    * shuffle on the bucket key (the self-join formulation shuffles the
-    * same banded rows twice), a size cap per bucket, then map-side pair
-    * expansion of the sorted member array (a < b by construction).
-    * Per-bucket agg state is 8 bytes × members (longs or small structs),
-    * spill-safe across buckets via sort-based aggregation fallback. */
-  private def cappedBucketPairs(banded: DataFrame, bucketCols: Seq[String],
-      id: Column, cap: Int, metricName: String): DataFrame = {
+  /** Bucket-form banded rows with the cap contract: one shuffle on the
+    * bucket key groups member ids into a sorted array per bucket,
+    * oversized buckets are dropped whole with their volume counted via
+    * `Dataset.observe` (`dropped_buckets` + a caller-named volume
+    * metric). Per-bucket agg state is 8 bytes × members, spill-safe
+    * across buckets via sort-based aggregation fallback. */
+  private def cappedBucketArrays(banded: DataFrame, bucketCols: Seq[String],
+      id: Column, cap: Int, metricName: String,
+      droppedName: String, droppedOf: Column => Column): DataFrame = {
     val buckets = banded
       .groupBy(bucketCols.map(col): _*)
       .agg(sort_array(collect_list(id)).as("ids"))
     val n = size(col("ids")).cast("long")
-    val observed = buckets.observe(metricName,
-      sum(when(n > cap, 1L).otherwise(0L)).as("dropped_buckets"),
-      sum(when(n > cap, (n * (n - lit(1L)) / lit(2L)).cast("long")).otherwise(0L)).as("dropped_candidates"))
-    observed
+    buckets.observe(metricName,
+        sum(when(n > cap, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(n > cap, droppedOf(n)).otherwise(0L)).as(droppedName))
       .filter(size(col("ids")) <= cap)
+  }
+
+  /** Candidate pairs from banded rows: [[cappedBucketArrays]] (the
+    * self-join formulation would shuffle the same banded rows twice)
+    * then map-side pair expansion of the sorted member array (a < b by
+    * construction); dropped volume metric = n·(n-1)/2 candidate pairs. */
+  private def cappedBucketPairs(banded: DataFrame, bucketCols: Seq[String],
+      id: Column, cap: Int, metricName: String): DataFrame =
+    cappedBucketArrays(banded, bucketCols, id, cap, metricName,
+        "dropped_candidates", n => (n * (n - lit(1L)) / lit(2L)).cast("long"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(
           slice(col("ids"), i + lit(2), greatest(size(col("ids")) - i - lit(1), lit(0))),
           y => struct(x.as("a"), y.as("b")))))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-  }
 
   /** Staged tokens → token hashes → native shingle hashes → distinct
     * (each stage a projected attribute, per the TextFunctions
@@ -97,21 +109,33 @@ object Dedup {
   def d01MinhashPairs(s: SparkSession, dir: String): DataFrame =
     minhashPairs(Tables.documents(s, dir))
 
-  /** Core of [[d01MinhashPairs]] over any (doc_id, text) frame — the
-    * band-cap spec re-runs it on a planted hot near-dup cluster. */
-  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
-    val cls = docs
-      .groupBy(col("text"))
+  /** Exact-dup classes collapsed to representatives with distinct
+    * 3-gram shingle sets: (rep = min doc_id, members, sh), CACHED
+    * (query-scoped — the frame is read by banding, verify and
+    * member-expansion joins; Verify/Bench clearCache() per query).
+    * Shared by [[minhashPairs]] and [[incrementalDedup]] so collapse
+    * and shingle semantics cannot desync across the family. */
+  private def repShingleIndex(docs: DataFrame): DataFrame =
+    docs.groupBy(col("text"))
       .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-    val repSh = cls
       .select(col("rep"), col("members"), tokenHashes(tokens(col("text"))).as("th"))
       .select(col("rep"), col("members"),
         array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
       .cache()
-    val bands = repSh
-      .select(col("rep"), minhashSignature(col("sh"), K).as("sig"))
-      .select(col("rep"), posexplode(minhashBands(col("sig"), K, Bands)))
-      .toDF("rep", "band", "key")
+
+  /** MinHash LSH band rows (idCol, band, key) for any (idCol, sh)
+    * frame — the one banding definition both dedup directions use. */
+  private def bandRows(withSh: DataFrame, idCol: String): DataFrame =
+    withSh
+      .select(col(idCol), minhashSignature(col("sh"), K).as("sig"))
+      .select(col(idCol), posexplode(minhashBands(col("sig"), K, Bands)))
+      .toDF(idCol, "band", "key")
+
+  /** Core of [[d01MinhashPairs]] over any (doc_id, text) frame — the
+    * band-cap spec re-runs it on a planted hot near-dup cluster. */
+  private[graft] def minhashPairs(docs: DataFrame): DataFrame = {
+    val repSh = repShingleIndex(docs)
+    val bands = bandRows(repSh, "rep")
     // Group per (band, key) bucket: only co-bucketed reps pair (capped —
     // see bandBucketCap). distinct() before the verify so each pair is
     // checked once.
@@ -675,51 +699,27 @@ object Dedup {
   /** Core of [[d13IncrementalDedup]] over any (doc_id, text) frames —
     * specs re-run it on planted corpora. */
   private[graft] def incrementalDedup(corpus: DataFrame, delta: DataFrame): DataFrame = {
-    // corpus index: exact-dup classes → representative shingle sets →
-    // banded rows. In production this subtree is the persisted index;
-    // here it is recomputed per run. cache(): the rep frame is read by
-    // both the band join and the verify/expand joins (query-scoped;
-    // Verify/Bench clearCache() after each query).
-    val cls = corpus
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("rep"), collect_list(col("doc_id")).as("members"))
-    val repSh = cls
-      .select(col("rep"), col("members"), tokenHashes(tokens(col("text"))).as("th"))
-      .select(col("rep"), col("members"),
-        array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
-      .cache()
-    val corpusBands = repSh
-      .select(col("rep"), minhashSignature(col("sh"), K).as("sig"))
-      .select(col("rep"), posexplode(minhashBands(col("sig"), K, Bands)))
-      .toDF("rep", "band", "key")
+    // corpus index: the family's shared rep-collapse + banding
+    // ([[repShingleIndex]]/[[bandRows]]) stored bucket-form — one array
+    // row per (band, key) — under the cap contract (bandBucketCap): a
+    // pathological near-dup cluster shares band keys, and joining a
+    // B-member bucket against d matching delta rows fans out B·d
+    // candidate rows; dropped buckets can only MISS (verify is exact)
+    // and dropped volume is observable via the d13_band_cap metrics.
+    // In production this subtree is the persisted index.
+    val repSh = repShingleIndex(corpus)
+    val capped = cappedBucketArrays(bandRows(repSh, "rep"),
+      Seq("band", "key"), col("rep"), bandBucketCap(corpus.sparkSession),
+      "d13_band_cap", "dropped_index_rows", identity)
     val deltaSh = delta
       .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
       .select(col("doc_id"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
       .cache()
-    val deltaBands = deltaSh
-      .select(col("doc_id"), minhashSignature(col("sh"), K).as("sig"))
-      .select(col("doc_id"), posexplode(minhashBands(col("sig"), K, Bands)))
-      .toDF("doc_id", "band", "key")
-    // the index is stored bucket-form — one array row per (band, key) —
-    // with the family's cap contract (bandBucketCap): a pathological
-    // near-dup cluster shares band keys, and joining a B-member bucket
-    // against d matching delta rows fans out B·d candidate rows;
-    // dropped buckets can only MISS (verify is exact) and the dropped
-    // volume is observable via the d13_band_cap metrics, mirroring
-    // d01/d02 and RankPrune's budget-degradation pattern
-    val cap = bandBucketCap(corpus.sparkSession)
-    val buckets = corpusBands
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("rep"))).as("reps"))
-    val bn = size(col("reps")).cast("long")
-    val capped = buckets.observe("d13_band_cap",
-        sum(when(bn > cap, 1L).otherwise(0L)).as("dropped_buckets"),
-        sum(when(bn > cap, bn).otherwise(0L)).as("dropped_index_rows"))
-      .filter(size(col("reps")) <= cap)
+    val deltaBands = bandRows(deltaSh, "doc_id")
     // one shuffle on the band key; distinct() so each (delta, rep)
     // candidate is verified once however many bands it collides in
     val cand = deltaBands.join(capped, Seq("band", "key"))
-      .select(col("doc_id"), explode(col("reps")).as("rep"))
+      .select(col("doc_id"), explode(col("ids")).as("rep"))
       .distinct()
     val verified = cand
       .join(deltaSh.select(col("doc_id"), col("sh").as("sha")), "doc_id")

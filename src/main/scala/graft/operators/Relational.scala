@@ -1417,13 +1417,23 @@ object Relational {
     * coordinates rounds, rows never funnel through one reducer. Chains
     * terminate at cur <= 1 (key 0 self-parents under div-2, so the
     * anchor row itself is its terminal); exactly one output row per
-    * part. All-BIGINT output, total ORDER BY. Scale knobs (SCALE.md
-    * item 13, r100 smoke): `spark.sql.cteRecursionRowLimit` (default
-    * 1M total rows — size like shuffle partitions) and
+    * part. All-BIGINT output, total ORDER BY. Assumes the dense
+    * 0..N keyspace of the fixture: a missing parent key would end its
+    * chain before reaching 1 and the `cur <= 1` filter would drop that
+    * part's row (the DuckDB oracle recurses identically, so the gate
+    * stays consistent either way). Scale knobs (SCALE.md item 13, r100
+    * smoke): `spark.sql.cteRecursionRowLimit` (default 1M total rows —
+    * size like shuffle partitions) and
     * `spark.sql.cteRecursionLevelLimit` (default 100 rounds); rounds
     * are blocking barriers, the d05 lesson. */
   def q83RecursiveCte(s: SparkSession, dir: String): DataFrame = {
     Tables.part(s, dir).createOrReplaceTempView("graft_q83_part")
+    // total recursion rows are ~n·(log2(n)+1); Spark's default
+    // cteRecursionRowLimit (1M) aborts that at ~200k parts (sf >= ~1),
+    // so the query sizes the knob itself instead of failing where the
+    // other registered queries run (r100 measured 2M keys / 44M rows)
+    if (s.conf.get("spark.sql.cteRecursionRowLimit", "1000000").toLong < 100000000L)
+      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
     s.sql("""
       WITH RECURSIVE anc AS (
         SELECT p_partkey AS pk, p_partkey AS cur,
@@ -1444,8 +1454,10 @@ object Relational {
   /** Oracle gate for q82's documented scale path: the 100 TB profile
     * swaps exact `countDistinct` for `approx_count_distinct` (merged
     * HLL++ sketches — no Expand, register-wise-max merge is
-    * order-invariant). This gate makes that swap driver-visible: one
-    * pass computes BOTH per column, and the flag asserts the estimate
+    * order-invariant). This gate makes that swap driver-visible: an
+    * exact multi-distinct agg and a separate single-group sketch agg —
+    * two deliberate scans, cross-joined; see the inline comment for why
+    * they must not share one agg — and the flag asserts the estimate
     * lands within 5% of exact — at rsd 0.01 that is a 5-sigma bound,
     * and the estimate is deterministic for a fixed dataset, so the
     * driver's fixed-SF run cannot flip. DuckDB recomputes the exact
