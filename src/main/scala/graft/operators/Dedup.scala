@@ -666,11 +666,18 @@ object Dedup {
       case Some(p) => s.conf.set(providerKey, p)
       case None    => s.conf.unset(providerKey)
     }
-    s.table(name)
+    // materialize before dropping the memory-sink view: repeated
+    // Verify/Bench invocations must not accumulate UUID-named tables in
+    // the session catalog (round-5 ADVICE), and the returned frame must
+    // survive the drop — so it becomes a local relation of the rows
+    val out = s.table(name)
       .filter(col("doc_id") >= 1000000L)
       .select(col("doc_id"), col("dup_of"))
       .distinct()
       .orderBy("doc_id", "dup_of")
+    val outRows = out.collect()
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(outRows: _*), out.schema)
   }
 
   /** Incremental near-dup detection: flag each NEW (delta) document's
@@ -691,26 +698,88 @@ object Dedup {
     * where 32×4-band detection probability is 1 - 1.5e-15. */
   def d13IncrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    incrementalDedup(
-      docs.filter(col("doc_id") % 10 =!= 0),
-      docs.filter(col("doc_id") % 10 === 0))
+    // The gate runs the PERSISTED shape end-to-end: build the bucketed
+    // corpus index once (a write), then answer the delta from the tables
+    // alone — the corpus frame never participates in the query plan.
+    writeCorpusIndex(docs.filter(col("doc_id") % 10 =!= 0), "graft_d13_index")
+    incrementalDedupIndexed(s, docs.filter(col("doc_id") % 10 === 0),
+      "graft_d13_index")
   }
 
-  /** Core of [[d13IncrementalDedup]] over any (doc_id, text) frames —
-    * specs re-run it on planted corpora. */
-  private[graft] def incrementalDedup(corpus: DataFrame, delta: DataFrame): DataFrame = {
-    // corpus index: the family's shared rep-collapse + banding
-    // ([[repShingleIndex]]/[[bandRows]]) stored bucket-form — one array
-    // row per (band, key) — under the cap contract (bandBucketCap): a
-    // pathological near-dup cluster shares band keys, and joining a
-    // B-member bucket against d matching delta rows fans out B·d
-    // candidate rows; dropped buckets can only MISS (verify is exact)
-    // and dropped volume is observable via the d13_band_cap metrics.
-    // In production this subtree is the persisted index.
+  /** Write the corpus dedup index as a persisted, BUCKETED artifact —
+    * the 100 TB steady state: band and rep tables are hash-bucketed by
+    * their join keys, so every later delta batch equi-joins them with
+    * ZERO corpus-side Exchange (the delta alone shuffles, into the
+    * bucket layout; BucketingSpec's no-shuffle contract, asserted for
+    * this exact plan in DedupSpec). Tables written (managed, in the
+    * session warehouse, mode overwrite):
+    *  - `<name>_bands`  (band, key, ids)      bucketBy(band, key)
+    *  - `<name>_reps`   (rep, members, sh)    bucketBy(rep)
+    * Banding/cap semantics are byte-identical to the inline
+    * [[incrementalDedup]] — both build from [[repShingleIndex]] /
+    * [[bandRows]] / [[cappedBucketArrays]]; the d13_band_cap observe
+    * metrics fire on the index-write job here. `numBuckets` is the
+    * cluster knob: buckets should hold a few hundred MB each at the
+    * target corpus size (local default 8 matches the test SFs). */
+  def writeCorpusIndex(corpus: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = {
+    // A managed table's location can survive a session (warehouse dir on
+    // disk) while the in-memory catalog entry does not — saveAsTable then
+    // fails with LOCATION_ALREADY_EXISTS. Drop both catalog entry and any
+    // stale location before writing.
+    val s = corpus.sparkSession
+    Seq(name + "_bands", name + "_reps").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     val repSh = repShingleIndex(corpus)
-    val capped = cappedBucketArrays(bandRows(repSh, "rep"),
-      Seq("band", "key"), col("rep"), bandBucketCap(corpus.sparkSession),
+    try {
+      corpusBandIndex(repSh, corpus.sparkSession)
+        .write.mode("overwrite")
+        .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
+        .saveAsTable(name + "_bands")
+      repSh.write.mode("overwrite")
+        .bucketBy(numBuckets, "rep").sortBy("rep")
+        .saveAsTable(name + "_reps")
+    } finally repSh.unpersist()
+  }
+
+  /** Answer a delta batch against a [[writeCorpusIndex]] artifact. The
+    * corpus appears ONLY as the two bucketed table reads — cost scales
+    * with the delta, and the index amortizes across every batch. */
+  def incrementalDedupIndexed(s: SparkSession, delta: DataFrame,
+      name: String): DataFrame =
+    deltaJoinIndex(s.table(name + "_bands"), s.table(name + "_reps"), delta)
+
+  /** Capped bucket-form band index over a [[repShingleIndex]] frame —
+    * one array row per (band, key) under the cap contract
+    * (bandBucketCap): a pathological near-dup cluster shares band keys,
+    * and joining a B-member bucket against d matching delta rows fans
+    * out B·d candidate rows; dropped buckets can only MISS (verify is
+    * exact) and dropped volume is observable via d13_band_cap metrics. */
+  private def corpusBandIndex(repSh: DataFrame, s: SparkSession): DataFrame =
+    cappedBucketArrays(bandRows(repSh, "rep"),
+      Seq("band", "key"), col("rep"), bandBucketCap(s),
       "d13_band_cap", "dropped_index_rows", identity)
+
+  /** Core of [[d13IncrementalDedup]] over any (doc_id, text) frames —
+    * the inline (index-recomputed) formulation; specs re-run it on
+    * planted corpora and read its observe metrics synchronously. */
+  private[graft] def incrementalDedup(corpus: DataFrame, delta: DataFrame): DataFrame = {
+    val repSh = repShingleIndex(corpus)
+    deltaJoinIndex(corpusBandIndex(repSh, corpus.sparkSession),
+      repSh, delta)
+  }
+
+  /** Shared delta-vs-index join: candidates from the band equi-join,
+    * exact shingle-Jaccard verify, best match per delta doc. `capped`
+    * and `repSh` may be inline subtrees or persisted bucketed tables —
+    * the plan below is identical either way. */
+  private def deltaJoinIndex(capped: DataFrame, repSh: DataFrame,
+      delta: DataFrame): DataFrame = {
     val deltaSh = delta
       .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
       .select(col("doc_id"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))

@@ -234,6 +234,64 @@ class DedupSpec extends SparkSpec {
       s"missed=${fixBrute.keySet -- fixGot.keySet} extra=${fixGot.keySet -- fixBrute.keySet}")
   }
 
+  test("persisted corpus index: bucketed reads, ZERO corpus-side exchange, rows == inline path") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // same planted corpus as the incremental test: exact-dup class,
+    // near-dup seed, decoy
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, base), (2L, base),
+      (3L, base + " tailA tailB tailC"),
+      (4L, (100 to 160).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, base),
+      (11L, base + " tailA tailB tailX"),
+      (12L, (200 to 260).map(i => s"y$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(corpus, "graft_idx_spec", numBuckets = 4)
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = Dedup.incrementalDedupIndexed(spark, delta, "graft_idx_spec")
+      q.collect()
+      val p = q.queryExecution.executedPlan
+      // the corpus appears ONLY as the two bucketed table scans ...
+      val scans = p.collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 2, s"expected 2 corpus table scans:\n$p")
+      scans.foreach(f => assert(f.bucketedScan,
+        s"corpus scan not bucket-aware:\n$f"))
+      // ... and each scan feeds ITS join with no Exchange in between:
+      // the corpus-side legs of both equi-joins read bucket files in
+      // place (delta-derived rows alone shuffle — including the
+      // candidate re-key between the two joins, whose volume scales
+      // with the delta). This is writeCorpusIndex's
+      // zero-corpus-side-exchange contract.
+      import org.apache.spark.sql.execution.joins.{BaseJoinExec, SortMergeJoinExec, ShuffledHashJoinExec}
+      val scanLegs = p.collect { case j: BaseJoinExec => j }.flatMap(_.children)
+        .filter(c => c.collectFirst { case jj: BaseJoinExec => jj }.isEmpty &&
+          c.collectFirst { case f: FileSourceScanExec => f }.isDefined)
+      assert(scanLegs.size == 2, s"expected both scans as direct join legs:\n$p")
+      scanLegs.foreach(leg => assert(
+        leg.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+        s"corpus-side join leg shuffles:\n$leg"))
+      // correctness: byte-identical rows to the inline formulation
+      val got = q.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val inline = Dedup.incrementalDedup(corpus, delta).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == inline, s"indexed=$got inline=$inline")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_idx_spec_bands")
+      spark.sql("DROP TABLE IF EXISTS graft_idx_spec_reps")
+    }
+  }
+
   test("incremental dedup band cap: hot corpus cluster degrades to dropped buckets, never false matches") {
     import spark.implicits._
     // 50 pairwise-distinct near-dup corpus docs (shared 200-token base,
