@@ -1427,14 +1427,20 @@ object Relational {
     * `spark.sql.cteRecursionLevelLimit` (default 100 rounds); rounds
     * are blocking barriers, the d05 lesson. */
   def q83RecursiveCte(s: SparkSession, dir: String): DataFrame = {
-    Tables.part(s, dir).createOrReplaceTempView("graft_q83_part")
     // total recursion rows are ~n·(log2(n)+1); Spark's default
     // cteRecursionRowLimit (1M) aborts that at ~200k parts (sf >= ~1),
     // so the query sizes the knob itself instead of failing where the
-    // other registered queries run (r100 measured 2M keys / 44M rows)
-    if (s.conf.get("spark.sql.cteRecursionRowLimit", "1000000").toLong < 100000000L)
-      s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
-    s.sql("""
+    // other registered queries run (r100 measured 2M keys / 44M rows).
+    // The raised limit is scoped to a CLONED session (shared
+    // SparkContext, private SQLConf + temp-view catalog): the returned
+    // frame executes under it whenever the caller materializes, while
+    // the caller's session keeps the default recursion guard — a
+    // session-level set here would outlive the query (round-5 ADVICE)
+    // — and the temp view no longer lands in the caller's catalog.
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+    Tables.part(s2, dir).createOrReplaceTempView("graft_q83_part")
+    s2.sql("""
       WITH RECURSIVE anc AS (
         SELECT p_partkey AS pk, p_partkey AS cur,
                CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS path_cents,

@@ -225,8 +225,12 @@ object Similarity {
     val books = pqCodebooks(corpus)
     val qRows = e.filter(col("vec_id") < 10)
       .select(col("vec_id"), col("emb"), col("nrm")).collect()
-    if (qRows.isEmpty || books.exists(_.isEmpty))
-      return s01CosineTopK(s, dir).filter(lit(false))
+    if (qRows.isEmpty) return s01CosineTopK(s, dir).filter(lit(false))
+    // flattened codebook/LUT indexing (m·PqK + code) assumes every book
+    // holds exactly PqK centroids; a corpus with < PqK vectors seeds
+    // shorter books and the offsets would misalign — fall back to the
+    // exact path rather than score against a skewed table
+    if (books.exists(_.size != PqK)) return s01CosineTopK(s, dir)
     // encode: per-subspace staged d² + argmin code, then the
     // reconstruction norm from the codebook's centroid norms
     val coded0 = (0 until PqM).foldLeft(corpus) { (acc, m) =>

@@ -194,13 +194,12 @@ object StreamingOps {
     * shuffles (band_key, doc_id, shingles) rows — `bands` × the corpus,
     * the price of candidate generation without all-pairs. At 100 TB/day
     * the knobs that grow are the state-store backend (RocksDB) and
-    * `maxRepsPerBucket`. A retention window (dedup-within-30-days) would
-    * come from TTLConfig on this state; NOTE (round 5, measured): the
-    * parameter threads through cleanly, but switching the query to
-    * TimeMode.ProcessingTime made per-micro-batch planning/checkpoint
-    * cost explode (~90 s/batch vs seconds) in local testing — profile
-    * that before shipping a TTL variant rather than assuming it is
-    * free. */
+    * `maxRepsPerBucket`. For a retention window (dedup-within-30-days)
+    * use [[MinHashDedupTtlProcessor]] / [[dedupStreamMinHashTtl]]:
+    * check-on-read event-time expiry, one compare per stored rep.
+    * (The TTLConfig/TimeMode.ProcessingTime route was prototyped in
+    * round 5 and backed out — ~90 s/batch of planning/checkpoint
+    * overhead measured locally.) */
   class MinHashDedupProcessor(threshold: Double, maxRepsPerBucket: Int)
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Seq[Long]), (Long, Long, Double)] {
     @transient private var reps: org.apache.spark.sql.streaming.ListState[(Long, Seq[Long])] = _
@@ -238,17 +237,122 @@ object StreamingOps {
     }
   }
 
+  /** [[MinHashDedupProcessor]] with state RETENTION — the round-5 gap
+    * (unbounded representative lifetime at 100 TB streaming) closed the
+    * cheap way: each stored representative carries its arrival event
+    * time, and expiry is checked ON READ against the visiting batch's
+    * own event-time horizon. No TimeMode change, no timers, no
+    * TTLConfig — the round-5 prototype that switched the query to
+    * `TimeMode.ProcessingTime` measured ~90 s/batch of planning/
+    * checkpoint overhead and was backed out; this design costs one
+    * timestamp compare per stored rep on bucket visit, plus a state
+    * rewrite only when something actually expired (lazy, Redis-style).
+    *
+    * Semantics: retention is from INSERTION (a rep expires `retentionMs`
+    * after it was stored, even if it matched recently — long-lived
+    * recurring content re-enters as a fresh representative once per
+    * window, one extra stored copy, bounded and cheaper than the
+    * rewrite-on-match a sliding window would force). A bucket never
+    * visited again never expires in place — the state store's copy ages
+    * until the next visit; the statestore data source (StateStoreSpec's
+    * introspection path) audits that cold tail from the checkpoint
+    * alone, and at 100 TB band keys are uniform-hash distributed, so a
+    * live corpus revisits every bucket at a rate proportional to
+    * ingest. StateStoreSpec proves the plateau: a rolling corpus
+    * holds per-bucket state flat where the no-TTL processor grows
+    * linearly, and in-window duplicates still flag. */
+  class MinHashDedupTtlProcessor(threshold: Double, maxRepsPerBucket: Int,
+      retentionMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Seq[Long], Long), (Long, Long, Double)] {
+    @transient private var reps: org.apache.spark.sql.streaming.ListState[(Long, Seq[Long], Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      reps = getHandle.getListState[(Long, Seq[Long], Long)]("reps",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Long], Long)](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Seq[Long], Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      val batch = rows.toSeq.sortBy(_._2)
+      if (batch.isEmpty) return Iterator.empty
+      // the bucket's clock is the visiting batch's max event time —
+      // monotone under watermarking, and purely data-derived (no wall
+      // clock, so replays and backfills expire identically)
+      val now = batch.iterator.map(_._4).max
+      val cutoff = if (retentionMs >= Long.MaxValue - now) Long.MinValue
+        else now - retentionMs
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long], Long)]
+      var expired = 0
+      reps.get().foreach { case (id, sh, ts) =>
+        if (ts >= cutoff) stored += ((id, sh.toSet, ts)) else expired += 1
+      }
+      val out = Seq.newBuilder[(Long, Long, Double)]
+      var added = false
+      batch.foreach { case (_, docId, sh, ts) =>
+        val set = sh.toSet
+        var bestId = Long.MaxValue
+        var bestJ = -1.0
+        stored.foreach { case (rid, rset, _) =>
+          val inter = (set & rset).size
+          val union = set.size + rset.size - inter
+          val j = if (union == 0) 0.0 else inter.toDouble / union
+          if (j >= threshold && (j > bestJ || (j == bestJ && rid < bestId))) {
+            bestJ = j; bestId = rid
+          }
+        }
+        if (bestJ >= threshold) out += ((docId, bestId, bestJ))
+        else if (stored.size < maxRepsPerBucket) {
+          stored += ((docId, set, ts)); added = true
+        }
+      }
+      // rewrite state only when it changed: expiry shrank it or a new
+      // representative joined — an all-match batch costs zero puts
+      if (expired > 0 || added) {
+        reps.clear()
+        stored.foreach { case (id, set, ts) =>
+          reps.appendValue((id, set.toSeq.sorted, ts))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Wire [[MinHashDedupTtlProcessor]] over a (doc_id, text, ts_ms)
+    * stream — [[dedupStreamMinHash]] plus a retention window
+    * ("dedup-within-N-days", the 100 TB steady state where forgotten
+    * content may legitimately recur). `ts_ms` is event-time epoch
+    * millis. */
+  def dedupStreamMinHashTtl(docs: DataFrame, retentionMs: Long,
+      threshold: Double = 0.5, k: Int = 128, bands: Int = 32,
+      maxRepsPerBucket: Int = 1024): Dataset[(Long, Long, Double)] = {
+    import docs.sparkSession.implicits._
+    val banded = docs
+      .select(col("doc_id"), col("ts_ms"), tokenHashes(tokens(col("text"))).as("th"))
+      .select(col("doc_id"), col("ts_ms"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+      .select(col("doc_id"), col("ts_ms"), col("sh"), minhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"), col("ts_ms"), col("sh"), posexplode(minhashBands(col("sig"), k, bands)))
+      .select(xxhash64(col("pos"), col("col")).as("band_key"), col("doc_id"), col("sh"), col("ts_ms"))
+    banded.as[(Long, Long, Seq[Long], Long)]
+      .groupByKey(_._1)
+      .transformWithState(new MinHashDedupTtlProcessor(threshold, maxRepsPerBucket, retentionMs),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Wire [[MinHashDedupProcessor]] over a (doc_id, text) stream: the
     * ingestion-path near-dup detector — MinHash signature → LSH band
     * keys (same k=128/32-band parameters and native expressions as batch
     * [[graft.operators.Dedup.d01MinhashPairs]]) → shuffle each doc to
     * its `bands` bucket keys → stateful verify. Emits one
-    * (doc_id, dup_of, jaccard) row per band where the doc matched its
-    * best representative; consumers `distinct` or `groupBy(doc_id)` —
-    * identical pairs from different bands agree on (dup_of, jaccard)
-    * because every band of the same doc verifies against the same
-    * representatives. Append output: an emitted duplicate verdict is a
-    * final fact, never updated. */
+    * (doc_id, dup_of, jaccard) row per band where the doc matched that
+    * BAND's best representative. State is per band bucket, so different
+    * bands of one doc can hold different representative sets and emit
+    * DIFFERENT (dup_of, jaccard) verdicts — a consumer that needs one
+    * verdict per doc must `groupBy(doc_id)` and reduce (e.g. keep max
+    * jaccard, ties to min dup_of); `distinct()` alone only collapses
+    * byte-identical rows (the d12 gate can, because its fixture's flagged
+    * docs are exact copies — J = 1.0 against the same original in every
+    * band). Append output: an emitted per-band verdict is a final fact,
+    * never updated. */
   def dedupStreamMinHash(docs: DataFrame, threshold: Double = 0.5,
       k: Int = 128, bands: Int = 32,
       maxRepsPerBucket: Int = 1024): Dataset[(Long, Long, Double)] = {
