@@ -28,9 +28,8 @@ import org.apache.spark.sql.functions._
   * bit-identical to `percentile()` and to DuckDB's `quantile_cont`.
   *
   * NULL values are excluded (like the builtins). A NULL KEY forms a group
-  * of its own, exactly like `groupBy` in the builtin formulation (the
-  * totals join is null-safe `<=>` for this reason — a plain equi-join
-  * would silently drop the NULL-key group). A key whose values are ALL
+  * of its own, exactly like `groupBy` in the builtin formulation (it is
+  * its own window partition — there is no totals join to drop it). A key whose values are ALL
   * null is dropped here (the builtins would emit a NULL row) — callers on
   * never-null columns (q29/q47/q69) are unaffected; outer-join the key
   * universe back if that case matters.
@@ -38,25 +37,26 @@ import org.apache.spark.sql.functions._
 object ExactPercentile {
 
   /** Per-(key, value) counts with per-key cumulative and total counts.
-    * `_cum` rides a sort the engine can spill; `_n` comes from joining
-    * the per-key totals (one row per key) — a whole-partition window
-    * here would plan a SECOND WindowExec pass over the full
-    * distinct-value table (measured ~2× on q69). No broadcast hint:
-    * AQE broadcasts the totals when the key set is small and falls back
-    * to a shuffle join for high-cardinality keys (per-user percentiles),
-    * where a forced broadcast would be a driver OOM. */
+    * Both ride ONE WindowExec: `_cum` is the running frame, `_n` the
+    * unbounded frame of the SAME (partitionBy, orderBy) spec — Spark
+    * groups same-spec window expressions into a single operator, so the
+    * total costs no extra pass, no totals aggregation, and no join.
+    * (The round-5 shape joined a per-key totals agg — an extra shuffle
+    * + sort-merge join of the distinct-value table, the q69 warm
+    * regression; a DIFFERENT-spec whole-partition window would plan a
+    * second WindowExec, the trap the old comment warned about.) A NULL
+    * key forms its own window partition, so NULL-key groups survive
+    * with no join to get right. */
   private def ranked(df: DataFrame, key: String, value: String): DataFrame = {
     val wCum = Window.partitionBy(col(key)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val counts = df.filter(col(value).isNotNull)
+    val wAll = Window.partitionBy(col(key)).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(value).isNotNull)
       .groupBy(col(key), col(value)).agg(count(lit(1)).as("_c"))
-    // null-safe join: a NULL key is a group (window partitionBy already
-    // treats it as one) — `join(totals, key)` would drop it
-    val totals = counts.groupBy(col(key)).agg(sum(col("_c")).as("_n"))
-      .withColumnRenamed(key, "_tk")
-    counts.join(totals, col(key) <=> col("_tk"))
       .select(col(key), col(value),
-        sum(col("_c")).over(wCum).as("_cum"), col("_n"))
+        sum(col("_c")).over(wCum).as("_cum"),
+        sum(col("_c")).over(wAll).as("_n"))
   }
 
   /** Exact discrete percentiles (`percentile_disc`): one output column per
