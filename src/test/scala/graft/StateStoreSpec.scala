@@ -175,6 +175,99 @@ class StateStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming dedup TTL: expired representative re-enters; in-window dup still flags") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-ttl-ckpt").toString
+    val out = Files.createTempDirectory("graft-ttl-out").toString
+    try {
+      val hour = 3600_000L
+      val in = MemoryStream[(Long, String, Long)](spark)
+      val q = StreamingOps.dedupStreamMinHashTtl(
+          in.toDF().toDF("doc_id", "text", "ts_ms"), retentionMs = hour)
+        .toDF("doc_id", "dup_of", "jaccard")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      // t=0: doc 1 becomes the representative
+      in.addData((1L, textA, 0L)); q.processAllAvailable()
+      // t=30min (inside retention): exact copy flags against rep 1
+      in.addData((2L, textA, hour / 2)); q.processAllAvailable()
+      // t=2h: rep 1 is > 1h old at visit → expired; doc 3 re-enters
+      // as the NEW representative, unflagged (forgotten content may
+      // legitimately recur — the documented retention contract)
+      in.addData((3L, textA, 2 * hour)); q.processAllAvailable()
+      // t=2.5h (inside retention of rep 3): flags against rep 3
+      in.addData((4L, textA, 2 * hour + hour / 2)); q.processAllAvailable()
+      q.stop()
+      val flagged = spark.read.parquet(out)
+        .select("doc_id", "dup_of", "jaccard").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(flagged == Set((2L, 1L, 1.0), (4L, 3L, 1.0)), s"flagged=$flagged")
+      // identical text ⇒ identical band keys, so doc 3 visited EVERY
+      // bucket rep 1 lived in: the expired rep is fully expunged —
+      // state holds exactly one generation, the plateau in its
+      // sharpest form
+      val repIds = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "reps").load()
+        .selectExpr("list_element._1 AS rep").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(repIds == Set(3L), s"state holds $repIds")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
+  test("streaming dedup TTL: rolling near-dup corpus plateaus state where no-TTL accumulates") {
+    // Five one-token-apart variants (pairwise J = 9/11 ≈ 0.818) at
+    // threshold 0.95: every arrival shares band buckets with its
+    // predecessors but FAILS verify, so each is stored — the shape that
+    // grows per-bucket state forever without retention. Batches arrive
+    // 2 h apart with a 1 h retention: on every revisit the previous
+    // generation expires, so TTL state stays one rep deep in the shared
+    // buckets while the no-TTL run stacks all five.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val variants = Seq("mu", "nu", "xi", "omicron", "pi").map(last =>
+      s"alpha beta gamma delta epsilon zeta eta theta iota kappa lambda $last")
+    val hour = 3600_000L
+    def run(retention: Long): (Long, Long) = {
+      val ckpt = Files.createTempDirectory("graft-ttl-roll-ckpt").toString
+      val out = Files.createTempDirectory("graft-ttl-roll-out").toString
+      val in = MemoryStream[(Long, String, Long)](spark)
+      val q = StreamingOps.dedupStreamMinHashTtl(
+          in.toDF().toDF("doc_id", "text", "ts_ms"),
+          retentionMs = retention, threshold = 0.95)
+        .toDF("doc_id", "dup_of", "jaccard")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      variants.zipWithIndex.foreach { case (text, i) =>
+        in.addData((i.toLong, text, i * 2 * hour)); q.processAllAvailable()
+      }
+      q.stop()
+      val state = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "reps").load()
+        .selectExpr("partition_id", "key", "list_element._1 AS rep")
+      val total = state.count()
+      val maxPerBucket = state.groupBy("partition_id", "key").count()
+        .agg(max("count")).collect().head.getLong(0)
+      (total, maxPerBucket)
+    }
+    try {
+      val (nottlTotal, nottlMax) = run(Long.MaxValue / 4)
+      val (ttlTotal, ttlMax) = run(hour)
+      // no-TTL: shared buckets stack every generation (5 variants at
+      // ~45% per-band collision ⇒ buckets several deep)
+      assert(nottlMax >= 3, s"fixture too weak: no-TTL max bucket $nottlMax")
+      // TTL: each revisit expires the previous generation — never-
+      // revisited buckets keep their single rep (lazy expiry), so the
+      // bound is per-bucket depth, the quantity that grows unbounded
+      // without retention
+      assert(ttlMax <= 2, s"TTL bucket depth $ttlMax")
+      assert(ttlTotal < nottlTotal,
+        s"TTL state $ttlTotal !< no-TTL state $nottlTotal")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("ingestion pipeline composed with streaming dedup: landed batches get re-uploads flagged end to end") {
     import graft.core.{BatchPipeline, Flusher, FlusherFactory, FlushContext, PipelineConfig}
     // The north-star composition: the reference-shaped ingest path
