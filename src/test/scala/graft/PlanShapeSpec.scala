@@ -43,6 +43,35 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation: " + p)
   }
 
+  test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
+    import org.apache.spark.sql.functions.col
+    // below threshold (the driver-gate SFs): exact countDistinct — the
+    // plan carries the documented Expand and no HLL sketches
+    val exact = Relational.q82DataProfile(spark, sf)
+    val pe = plan(exact)
+    assert(pe.contains("Expand"), "exact profile lost its Expand:\n" + pe)
+    assert(!pe.toLowerCase.contains("approx_count_distinct"), pe)
+    // above threshold: same entry point, HLL sketches, NO Expand — the
+    // only shape that survives 100x (q33/q84 lesson)
+    spark.conf.set("spark.graft.profile.maxExpandBytes", "1")
+    try {
+      val approx = Relational.dataProfile(
+        Tables.lineitem(spark, sf), Seq("l_orderkey", "l_partkey"))
+      val pa = plan(approx)
+      assert(!pa.contains("Expand"), "approx profile still plans Expand:\n" + pa)
+      assert(pa.toLowerCase.contains("approx_count_distinct"), pa)
+      // schema identical either way; estimates land within the q84-gated
+      // 5-sigma band of exact (rsd 0.01)
+      assert(approx.schema == exact.schema
+        .copy(), s"schema drift: ${approx.schema} vs ${exact.schema}")
+      val est = approx.collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      val truth = Tables.lineitem(spark, sf)
+        .select(col("l_orderkey")).distinct().count()
+      assert(math.abs(est("l_orderkey") - truth) <= 0.05 * truth,
+        s"HLL estimate ${est("l_orderkey")} vs exact $truth")
+    } finally spark.conf.unset("spark.graft.profile.maxExpandBytes")
+  }
+
   test("runtime bloom filter injected on the probe side of a selective shuffle join") {
     // At 100 TB the probe side of a selective join should be row-filtered
     // DURING its scan, not after the shuffle: Spark's InjectRuntimeFilter
