@@ -300,6 +300,19 @@ object ScaleSmoke {
       f"expected=$expected non_exact=$notExact $secs%.2f s")
     assert(flagged == expected, s"flagged=$flagged expected=$expected")
     assert(notExact == 0, s"$notExact delta docs matched below jaccard 10000")
+    // persisted-index split (round 6): the build cost amortizes across
+    // every future batch; the steady-state number is the query leg alone
+    val tb = System.nanoTime()
+    graft.operators.Dedup.writeCorpusIndex(corpus, "graft_i100_index")
+    val buildSecs = (System.nanoTime() - tb) / 1e9
+    val tq = System.nanoTime()
+    graft.operators.Dedup.incrementalDedupIndexed(spark, delta, "graft_i100_index")
+      .write.mode("overwrite").parquet(s"$out/flagged_idx.parquet")
+    val querySecs = (System.nanoTime() - tq) / 1e9
+    val idx = spark.read.parquet(s"$out/flagged_idx.parquet")
+    assert(idx.exceptAll(got).isEmpty && got.exceptAll(idx).isEmpty,
+      "persisted-index path diverged from inline path")
+    println(f"I100IDX build=$buildSecs%.2f s (amortized) query=$querySecs%.2f s per-batch")
   }
 
   /** 100× dedup-family smoke (see object Scaladoc). */
