@@ -43,6 +43,13 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation: " + p)
   }
 
+  test("q69: cumulative and total percentile frames share ONE WindowExec (no totals join)") {
+    val p = plan(Relational.q69PercentileDisc(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "expected exactly one WindowExec (same-spec frames must merge):\n" + p)
+    assert(!p.contains("SortMergeJoin"), "totals join crept back:\n" + p)
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
