@@ -329,7 +329,7 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
     println(s"ROWS documents=${spark.read.parquet(s"$out/documents.parquet").count()}")
     Seq("d01_minhash_pairs", "d03_ngram_jaccard", "d05_dedup_survivors",
-        "d08_containment", "t01_dedup_exact").foreach { n =>
+        "d08_containment", "d14_duplicate_spans", "t01_dedup_exact").foreach { n =>
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, out).write.format("noop").mode("overwrite").save()
       println(f"SCALE100 $n ${(System.nanoTime() - t0) / 1e9}%.2f s")

@@ -813,6 +813,65 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Maximal duplicated token SPANS — the span-granularity generalization
+    * of [[d07PassageDups]] (which only catches block-ALIGNED 10-token
+    * passages): every overlapping `gram`-token window that occurs at ≥ 2
+    * positions corpus-wide (cross-doc or intra-doc) flags its positions,
+    * and flagged positions merge into maximal spans per document. This is
+    * the substring-run dedup a training-data pipeline uses to excise
+    * boilerplate/licence blocks that repeat at arbitrary offsets.
+    *
+    * Scale shape — linear, never pairwise: unlike the pair families
+    * (d01/d03/d08) nothing here materializes candidate PAIRS. Stage 1
+    * shuffles (doc_id, pos, gram_hash64) rows — 24 bytes/row via
+    * `xxhash64` of the gram, the gram STRING never shuffles — by hash for
+    * a whole-partition occurrence count (map-side partial count applies).
+    * Stage 2 shuffles the surviving flagged positions by doc_id; the
+    * lag + running-sum island windows stack on one (doc_id, pos) sort
+    * with no second exchange, and the span groupBy reuses the doc_id
+    * partitioning (ClusteredDistribution on a superset key). Total cost
+    * ∝ corpus tokens × 1 count-shuffle + flagged positions × 1 shuffle.
+    *
+    * The DuckDB oracle flags by exact gram-STRING equality; the Spark
+    * path by 64-bit hash equality — equivalent absent an xxhash64
+    * collision among distinct grams (p < 1e-7 at fixture scale, and any
+    * collision is deterministic, caught by the gate — same equivalence
+    * discipline as d01's LSH ≡ exact-threshold argument). All output
+    * columns are integers: no float-determinism surface. */
+  def d14DuplicateSpans(s: SparkSession, dir: String): DataFrame =
+    duplicateSpans(Tables.documents(s, dir), 8)
+
+  private[graft] def duplicateSpans(docs: DataFrame, gram: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= gram)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), (size(col("toks")) - gram).cast("long"))).as("pos"))
+      .select(col("doc_id"), col("pos"),
+        xxhash64(array_join(
+          slice(col("toks"), col("pos").cast("int") + lit(1), lit(gram)), " ")).as("gh"))
+    val flagged = grams
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("n_occ") >= 2)
+      .select(col("doc_id"), col("pos"))
+    // island merge: two grams at positions p < q overlap-or-touch iff
+    // q - p <= gram; the running sum of new-island flags stacks on the
+    // lag window's (doc_id, pos) sort without a second exchange
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    flagged
+      .withColumn("prev", lag(col("pos"), 1).over(byDoc))
+      .withColumn("span_id",
+        sum(when(col("prev").isNull || col("pos") - col("prev") > gram, 1L)
+          .otherwise(0L)).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(gram.toLong) - 1L).as("span_end"),
+        (max(col("pos")) - min(col("pos")) + lit(gram.toLong)).as("span_len"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+      .orderBy("doc_id", "span_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
@@ -827,6 +886,7 @@ object Dedup {
     "d11_ivf_gate"       -> (d11IvfGate _),
     "d12_stream_dedup_gate" -> (d12StreamDedupGate _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
+    "d14_duplicate_spans" -> (d14DuplicateSpans _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -1003,5 +1063,35 @@ object Dedup {
          |  FROM j WHERE jaccard_e4 >= 5000)
          |SELECT doc_id, dup_of, jaccard_e4 FROM best WHERE rn = 1
          |ORDER BY doc_id""".stripMargin,
+    // exact gram-string formulation of the hashed-gram Spark path (see
+    // d14DuplicateSpans Scaladoc for the equivalence argument)
+    "d14_duplicate_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos+1 : pos+8], ' ') AS gram
+        |  FROM pg),
+        |f AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)),
+        |w AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM f),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM w)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+        |  max(pos) - min(pos) + 8 AS span_len
+        |FROM sp GROUP BY doc_id, span_id
+        |ORDER BY doc_id, span_start""".stripMargin,
   )
 }

@@ -343,4 +343,51 @@ class DedupSpec extends SparkSpec {
     val recall = ivf.size.toDouble / exact.size
     assert(recall >= 0.7, s"recall=$recall (${ivf.size}/${exact.size})")
   }
+
+  test("duplicate spans: cross-doc offset run, intra-doc repeat, gap split — exact boundaries") {
+    import spark.implicits._
+    // doc 1 & 2 share a 10-token run at offsets 0 / 2; doc 3 repeats its
+    // own 5-token prefix at offset 5 (gap == gram → one merged span);
+    // doc 4 shares doc 1's run start AND end with a unique middle wide
+    // enough (> gram) that the two spans must NOT merge; doc 5 is clean.
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run tail1 tail2"),
+      (2L, s"pre1 pre2 $run"),
+      (3L, "p q r s t p q r s t"),
+      (4L, s"${(1 to 4).map(i => s"r$i").mkString(" ")} m1 m2 m3 m4 m5 m6 m7 m8 m9 ${(7 to 10).map(i => s"r$i").mkString(" ")}"),
+      (5L, (1 to 12).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = Array(
+      (1L, 0L, 9L, 10L),   // the shared run, maximal
+      (2L, 2L, 11L, 10L),  // same run at offset 2
+      (3L, 0L, 9L, 10L),   // intra-doc repeat: grams at pos 0..1 and 5..6
+                           // (4-gram: "p q r s" at 0 and 5, "q r s t" at
+                           // 1 and 6) merge across the == gram gap
+      (4L, 0L, 3L, 4L),    // r1..r4 prefix (flagged via doc 1)
+      (4L, 13L, 16L, 4L))  // r7..r10 suffix — 9-token gap > gram: split
+    assert(got.sameElements(expected),
+      s"got=${got.mkString(",")} expected=${expected.mkString(",")}")
+  }
+
+  test("duplicate spans on the real corpus: every span covers only flagged gram starts") {
+    // structural invariants at sf0.001: spans are disjoint per doc,
+    // ordered, length ≥ gram, and end-start+1 == span_len
+    val rows = Dedup.d14DuplicateSpans(spark, sf).collect()
+    assert(rows.nonEmpty, "fixture corpus is known to carry duplicated passages")
+    rows.groupBy(_.getLong(0)).foreach { case (_, spans) =>
+      val sorted = spans.sortBy(_.getLong(1))
+      assert(sorted.sameElements(spans), "spans must arrive ordered by start")
+      sorted.foreach { r =>
+        assert(r.getLong(3) >= 8 && r.getLong(2) - r.getLong(1) + 1 == r.getLong(3))
+      }
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(1) >= a.getLong(2) + 2,
+          "flagged starts within merge distance should have merged")
+        case _ =>
+      }
+    }
+  }
 }
