@@ -50,6 +50,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "totals join crept back:\n" + p)
   }
 
+  test("d14: linear span dedup — two data shuffles, island windows stack on one sort, no joins") {
+    val p = plan(graft.operators.Dedup.d14DuplicateSpans(spark, sf))
+    // exactly 3 exchanges: gram-hash count, doc_id islands, output orderBy
+    // (rangepartitioning) — a 4th would mean the span groupBy stopped
+    // reusing the doc_id partitioning
+    assert("Exchange".r.findAllIn(p).size == 3,
+      "expected exactly 3 exchanges (gram count, doc islands, final sort):\n" + p)
+    // lag + running-sum stack over ONE (doc_id, pos) sort: the only Sort
+    // operators are the gh-window's, the doc-window's, and the output's
+    assert("\\bSort\\b".r.findAllIn(p).size <= 3, "extra sort crept in:\n" + p)
+    // no pair machinery: never a join of any kind in this plan
+    assert(!p.contains("Join"), "span dedup must not form pairs:\n" + p)
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
