@@ -872,6 +872,38 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** Span EXCISION — [[d14DuplicateSpans]]'s consumer: rewrite each
+    * document with every duplicated span removed (ALL occurrences — the
+    * conservative policy for boilerplate/licence blocks; a keep-one
+    * policy would need a canonical-occurrence election, a different
+    * operator). Output is the cleaned corpus a training pipeline feeds
+    * downstream, plus the per-doc removal count for audit.
+    *
+    * Scale shape: d14's two linear shuffles, plus ONE equi-join of the
+    * corpus against the per-doc span lists (spans are rare — orders of
+    * magnitude smaller than the corpus; AQE is free to broadcast). The
+    * token drop itself is a map-side array `filter` with an index
+    * lambda against the joined span array — no positional explode of
+    * the corpus, no extra shuffle. */
+  def d15ExciseSpans(s: SparkSession, dir: String): DataFrame =
+    exciseSpans(Tables.documents(s, dir).select(col("doc_id"), col("text")), 8)
+
+  private[graft] def exciseSpans(docs: DataFrame, gram: Int): DataFrame = {
+    val spans = duplicateSpans(docs, gram)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), (t, i) =>
+          coalesce(!exists(col("spans"), sp =>
+            i.cast("long") >= sp("span_start") && i.cast("long") <= sp("span_end")),
+            lit(true))).as("kept"))
+      .select(col("doc_id"), array_join(col("kept"), " ").as("clean_text"),
+        (size(col("toks")) - size(col("kept"))).cast("long").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_minhash_pairs"  -> (d01MinhashPairs _),
     "d02_simhash_pairs"  -> (d02SimhashPairs _),
@@ -887,6 +919,7 @@ object Dedup {
     "d12_stream_dedup_gate" -> (d12StreamDedupGate _),
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
     "d14_duplicate_spans" -> (d14DuplicateSpans _),
+    "d15_excise_spans"   -> (d15ExciseSpans _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -1093,5 +1126,49 @@ object Dedup {
         |  max(pos) - min(pos) + 8 AS span_len
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin,
+    // d14's span chain + positional anti-join token drop; Spark does the
+    // same drop map-side with an index-lambda array filter
+    "d15_excise_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |pg AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(len(toks) - 7 AS BIGINT))) AS pos
+        |  FROM t WHERE len(toks) >= 8),
+        |g AS (
+        |  SELECT doc_id, pos, array_to_string(toks[pos+1 : pos+8], ' ') AS gram
+        |  FROM pg),
+        |f AS (
+        |  SELECT doc_id, pos FROM g
+        |  WHERE gram IN (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2)),
+        |w AS (
+        |  SELECT doc_id, pos,
+        |    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        |  FROM f),
+        |sp AS (
+        |  SELECT doc_id, pos,
+        |    sum(CASE WHEN prev IS NULL OR pos - prev > 8 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+        |  FROM w),
+        |spans AS (
+        |  SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e
+        |  FROM sp GROUP BY doc_id, span_id),
+        |tp AS (
+        |  SELECT doc_id, toks, unnest(range(0, CAST(len(toks) AS BIGINT))) AS p FROM t),
+        |tok AS (SELECT doc_id, p, toks[p+1] AS tok FROM tp),
+        |kept AS (
+        |  SELECT k.doc_id, k.p, k.tok FROM tok k
+        |  WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |    WHERE s.doc_id = k.doc_id AND k.p >= s.s AND k.p <= s.e)),
+        |res AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+        |    count(*) AS n_kept
+        |  FROM kept GROUP BY doc_id)
+        |SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+        |  CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM t LEFT JOIN res r ON t.doc_id = r.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

@@ -372,6 +372,26 @@ class DedupSpec extends SparkSpec {
       s"got=${got.mkString(",")} expected=${expected.mkString(",")}")
   }
 
+  test("span excision drops exactly the flagged spans; untouched docs round-trip verbatim") {
+    import spark.implicits._
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$run tail1 tail2"),
+      (2L, s"pre1 pre2 $run"),
+      (3L, "p q r s t p q r s t"),
+      (5L, (1 to 12).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = Dedup.exciseSpans(docs, 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = Array(
+      (1L, "tail1 tail2", 10L),
+      (2L, "pre1 pre2", 10L),
+      (3L, "", 10L), // whole doc is one merged duplicated span
+      (5L, (1 to 12).map(i => s"u$i").mkString(" "), 0L))
+    assert(got.sameElements(expected),
+      s"got=${got.mkString(",")} expected=${expected.mkString(",")}")
+  }
+
   test("duplicate spans on the real corpus: every span covers only flagged gram starts") {
     // structural invariants at sf0.001: spans are disjoint per doc,
     // ordered, length ≥ gram, and end-start+1 == span_len
