@@ -823,14 +823,21 @@ object Dedup {
     *
     * Scale shape — linear, never pairwise: unlike the pair families
     * (d01/d03/d08) nothing here materializes candidate PAIRS. Stage 1
-    * shuffles (doc_id, pos, gram_hash64) rows — 24 bytes/row via
-    * `xxhash64` of the gram, the gram STRING never shuffles — by hash for
-    * a whole-partition occurrence count (map-side partial count applies).
-    * Stage 2 shuffles the surviving flagged positions by doc_id; the
-    * lag + running-sum island windows stack on one (doc_id, pos) sort
-    * with no second exchange, and the span groupBy reuses the doc_id
-    * partitioning (ClusteredDistribution on a superset key). Total cost
-    * ∝ corpus tokens × 1 count-shuffle + flagged positions × 1 shuffle.
+    * finds duplicated gram hashes WITHOUT shuffling the token stream:
+    * `groupBy(gh).count` rides map-side partial aggregation (only
+    * combined 8-byte hash keys reach the exchange — duplicated grams
+    * collapse before shuffling, the exact rows we care about), and the
+    * gram stream is recomputed map-side for a semi-join against the
+    * flagged set (the t23 bloom-decontaminate trade: re-scan beats
+    * shuffling (doc_id, pos, gh) rows corpus-wide; with sparse
+    * duplication the flagged side broadcasts, and a dense-duplication
+    * corpus degrades to the shuffle we would have paid anyway). Stage 2
+    * shuffles only the FLAGGED positions by doc_id; the lag +
+    * running-sum island windows stack on one (doc_id, pos) sort with no
+    * second exchange, and the span groupBy reuses the doc_id
+    * partitioning (ClusteredDistribution on a superset key). Total
+    * shuffled volume ∝ distinct gram hashes + flagged positions —
+    * independent of corpus token count.
     *
     * The DuckDB oracle flags by exact gram-STRING equality; the Spark
     * path by 64-bit hash equality — equivalent absent an xxhash64
@@ -843,7 +850,7 @@ object Dedup {
 
   private[graft] def duplicateSpans(docs: DataFrame, gram: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = docs
+    def grams = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .filter(size(col("toks")) >= gram)
       .select(col("doc_id"), col("toks"),
@@ -851,9 +858,11 @@ object Dedup {
       .select(col("doc_id"), col("pos"),
         xxhash64(array_join(
           slice(col("toks"), col("pos").cast("int") + lit(1), lit(gram)), " ")).as("gh"))
-    val flagged = grams
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("gh")))
+    val dupGh = grams
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= 2)
+      .select(col("gh"))
+    val flagged = grams.join(dupGh, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
     // island merge: two grams at positions p < q overlap-or-touch iff
     // q - p <= gram; the running sum of new-island flags stacks on the

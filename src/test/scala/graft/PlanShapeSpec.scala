@@ -50,18 +50,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "totals join crept back:\n" + p)
   }
 
-  test("d14: linear span dedup — two data shuffles, island windows stack on one sort, no joins") {
+  test("d14: linear span dedup — combined-key count, broadcast-semi flag, one islands shuffle") {
     val p = plan(graft.operators.Dedup.d14DuplicateSpans(spark, sf))
-    // exactly 3 exchanges: gram-hash count, doc_id islands, output orderBy
-    // (rangepartitioning) — a 4th would mean the span groupBy stopped
-    // reusing the doc_id partitioning
-    assert("Exchange".r.findAllIn(p).size == 3,
-      "expected exactly 3 exchanges (gram count, doc islands, final sort):\n" + p)
-    // lag + running-sum stack over ONE (doc_id, pos) sort: the only Sort
-    // operators are the gh-window's, the doc-window's, and the output's
-    assert("\\bSort\\b".r.findAllIn(p).size <= 3, "extra sort crept in:\n" + p)
-    // no pair machinery: never a join of any kind in this plan
-    assert(!p.contains("Join"), "span dedup must not form pairs:\n" + p)
+    // exactly 3 data shuffles: combined gram-hash keys into the count agg,
+    // flagged positions by doc_id, output rangepartitioning — a 4th would
+    // mean the span groupBy stopped reusing the doc_id partitioning, or
+    // the token stream itself started shuffling
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size == 3,
+      "expected exactly 3 data shuffles (gh count, doc islands, final sort):\n" + p)
+    // the flagged-set semi-join must BROADCAST at gate scale (probe-side
+    // gram stream recomputed map-side, never exchanged)
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"), p)
+    assert(!p.contains("SortMergeJoin"), "token stream shuffled for the semi-join:\n" + p)
+    // lag + running-sum island windows stack over ONE (doc_id, pos) sort
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2, p)
+    assert("\\bSort\\b".r.findAllIn(p).size == 2,
+      "expected only the islands sort + output sort:\n" + p)
+    // the count side prunes to the text column alone
+    assert(p.contains("ReadSchema: struct<text:string>"),
+      "gram-count scan should read only text:\n" + p)
   }
 
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
