@@ -430,6 +430,36 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection — the POLICY layer d05's min-id
+    * convention lacks: real pipelines keep the best member of each
+    * near-dup cluster, not the smallest id. Clusters come from the same
+    * LSH pairs + pointer-jumping labels as d05; the policy here is
+    * keep-LONGEST (n_chars, ties to min doc_id — `min` over an
+    * orderable struct, accumulation-order invariant), and the output is
+    * the doc_id → canonical_id REWRITE MAP for every document
+    * (singletons map to themselves) — the artifact downstream stages
+    * join against. Swapping the policy column (quality score, source
+    * priority) changes one struct field.
+    *
+    * Scale: labels exist only for docs appearing in a pair (tiny vs the
+    * corpus); the corpus-side joins are broadcastable and the argmax
+    * groupBy runs on cluster keys. */
+  def d16DedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val pairs = d01MinhashPairs(s, dir).select(col("doc_a"), col("doc_b"))
+    val labels = clusterLabels(pairs)
+    val labeled = docs.join(labels, docs("doc_id") === labels("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster"), col("n_chars"))
+    val best = labeled.groupBy(col("cluster"))
+      .agg(min(struct((-col("n_chars")).as("neg_len"), col("doc_id").as("id"))).as("b"))
+      .select(col("cluster"), col("b.id").as("canonical_id"))
+    labeled.join(best, "cluster")
+      .select(col("doc_id"), col("canonical_id"),
+        (col("doc_id") === col("canonical_id")).as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** Group-level MinHash sketches via the typed [[graft.functions.MinHashUnionAgg]]
     * aggregator: one mergeable signature per source, then estimated
     * shingle-set Jaccard between every source pair from the sketches
@@ -929,6 +959,7 @@ object Dedup {
     "d13_incremental_dedup" -> (d13IncrementalDedup _),
     "d14_duplicate_spans" -> (d14DuplicateSpans _),
     "d15_excise_spans"   -> (d15ExciseSpans _),
+    "d16_dedup_keep_best" -> (d16DedupKeepBest _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -1179,5 +1210,36 @@ object Dedup {
         |  CAST(len(t.toks) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
         |FROM t LEFT JOIN res r ON t.doc_id = r.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+    // d05's component CTE + keep-longest argmax (ties to min doc_id);
+    // LSH pairs ≡ exact threshold pairs at this corpus (d01's own gate)
+    "d16_dedup_keep_best" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) AS inter,
+         |    CAST(len(a.sh) + len(b.sh) AS DOUBLE) AS total
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT doc_a, doc_b FROM p
+         |  WHERE floor(inter / (total - inter) * 10000.0 + 0.5) / 10000.0 >= 0.5),
+         |edges AS (
+         |  SELECT doc_a AS s, doc_b AS d FROM pairs
+         |  UNION SELECT doc_b, doc_a FROM pairs),
+         |cc AS (
+         |  SELECT s AS id, s AS label FROM edges
+         |  UNION
+         |  SELECT e.d, cc.label FROM cc JOIN edges e ON e.s = cc.id),
+         |comp AS (SELECT id, min(label) AS label FROM cc GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, coalesce(c.label, d.doc_id) AS cluster, d.n_chars
+         |  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |best AS (
+         |  SELECT cluster, doc_id AS canonical_id FROM (
+         |    SELECT cluster, doc_id,
+         |      row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |    FROM lab) WHERE rn = 1)
+         |SELECT l.doc_id, b.canonical_id, l.doc_id = b.canonical_id AS kept
+         |FROM lab l JOIN best b ON l.cluster = b.cluster
+         |ORDER BY l.doc_id""".stripMargin,
   )
 }

@@ -392,6 +392,37 @@ class DedupSpec extends SparkSpec {
       s"got=${got.mkString(",")} expected=${expected.mkString(",")}")
   }
 
+  test("keep-best rewrite map: same clusters as d05, canonical is the longest member") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = Dedup.d16DedupKeepBest(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(m.map(_._1).toSet == docs.keySet, "map must cover every document")
+    // kept ⇔ self-mapping, and each canonical is its cluster's argmax
+    // (longest n_chars, ties to min id)
+    val byCanon = m.groupBy(_._2)
+    m.foreach { case (id, canon, kept) => assert(kept == (id == canon)) }
+    byCanon.foreach { case (canon, members) =>
+      val ids = members.map(_._1)
+      val best = ids.minBy(id => (-docs(id), id))
+      assert(best == canon, s"cluster of $canon should keep $best")
+    }
+    // membership agreement with d05: a doc is rewritten (not kept) iff
+    // d05 dropped it OR it won its cluster on length while d05's min-id
+    // canonical lost — i.e., cluster SETS agree even when policies differ
+    val d05Kept = Dedup.d05DedupSurvivors(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val clustersOfRewritten = m.filter(!_._3).map(_._2).toSet
+    val d05Dropped = docs.keySet -- d05Kept
+    // every d05-dropped doc is in some multi-member cluster here too
+    d05Dropped.foreach { id =>
+      val canon = m.find(_._1 == id).get._2
+      assert(byCanon(canon).size > 1, s"$id dropped by d05 but singleton here")
+    }
+    assert(clustersOfRewritten.forall(c => byCanon(c).size > 1))
+  }
+
   test("duplicate spans on the real corpus: every span covers only flagged gram starts") {
     // structural invariants at sf0.001: spans are disjoint per doc,
     // ordered, length ≥ gram, and end-start+1 == span_len
