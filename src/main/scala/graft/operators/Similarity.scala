@@ -309,12 +309,41 @@ object Similarity {
         (col("hit_pq") * 10 >= col("n_exact") * 6).as("pq_recall_ge_60"))
   }
 
+  /** FILTERED vector search — the metadata-predicate top-k every real
+    * vector store serves (tenancy, category, language filters): top-5
+    * cosine per query among corpus vectors sharing the query's `label`.
+    * The predicate sits BELOW the similarity computation as the
+    * broadcast-join condition, so non-matching vectors are never scored
+    * (scoring-then-filtering would both waste the dot products and
+    * return < k rows when matches are scarce — the classic post-filter
+    * ANN bug). At 100 TB the same shape composes with IVF routing: the
+    * label condition rides the cell equi-join, and highly selective
+    * labels shrink candidates before any distance math. */
+  def s06FilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val c = e.filter(col("vec_id") >= 10)
+    val sims = c.join(broadcast(q), col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= TopK)
+      .orderBy("query_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
     "s03_ann_srp"     -> (s03AnnSrp _),
     "s04_ann_recall_gate" -> (s04AnnRecallGate _),
     "s05_ann_pq"      -> (s05AnnPq _),
+    "s06_filtered_topk" -> (s06FilteredTopK _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -325,6 +354,20 @@ object Similarity {
         |s AS (SELECT query_id, vec_id,
         |        floor(list_cosine_similarity(qe, emb) * 1000000.0 + 0.5) / 1000000.0 AS sim
         |      FROM q CROSS JOIN c),
+        |r AS (SELECT query_id, vec_id, sim,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, sim, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // s01 with the label predicate as the join condition (pre-filter,
+    // never post-filter)
+    "s06_filtered_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, label AS qlabel FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb, label FROM v WHERE vec_id >= 10),
+        |s AS (SELECT query_id, vec_id,
+        |        floor(list_cosine_similarity(qe, emb) * 1000000.0 + 0.5) / 1000000.0 AS sim
+        |      FROM q JOIN c ON q.qlabel = c.label),
         |r AS (SELECT query_id, vec_id, sim,
         |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rank
         |      FROM s)

@@ -93,4 +93,24 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getDouble(2) <= bestExact(r.getLong(0)) + 1e-9)
     }
   }
+
+  test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val f = Similarity.s06FilteredTopK(spark, sf).collect()
+    assert(f.nonEmpty)
+    // pre-filter contract: results drawn ONLY from the label-matching
+    // subset, ranks contiguous from 1 per query
+    f.foreach { r => assert(labels(r.getLong(1)) == labels(r.getLong(0))) }
+    f.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.sameElements(1L to rows.length))
+    }
+    // restricting the candidate set can never IMPROVE the best neighbor
+    val bestExact = exact.filter(_.getLong(3) == 1L)
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    f.filter(_.getLong(3) == 1L).foreach { r =>
+      assert(r.getDouble(2) <= bestExact(r.getLong(0)) + 1e-9)
+    }
+  }
 }
