@@ -57,6 +57,9 @@ object Bench {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosFlag, "true")
+      // same production extension config as Verify: benched plans are the
+      // plans a cluster deployment would run
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

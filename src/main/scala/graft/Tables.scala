@@ -54,14 +54,26 @@ object Tables {
     */
   def events(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val df = raw(s, d, "events")
     df.schema("ts").dataType match {
       case LongType =>
+        // A LongType ts is only ever the nanosFlag rewrite of
+        // TIMESTAMP(NANOS); a fixture that genuinely stored BIGINT micros
+        // would be silently misread as nanos here, so assert the flag is
+        // the reason we see a long (round-6 ADVICE).
+        require(s.conf.getOption(nanosFlag).contains("true"),
+          s"events.ts read as LongType without $nanosFlag=true — " +
+            "either set the flag at session build (nanos fixture) or the " +
+            "fixture schema changed to a raw integer and needs a new branch")
         df.withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df // already session-zoned TimestampType
+      case TimestampType => df // already session-zoned
+      case other => throw new IllegalArgumentException(
+        s"events.ts has unsupported physical type $other — the driver " +
+          "regenerated the fixture with a new shape; extend Tables.events " +
+          "rather than letting a raw read misinterpret it")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")

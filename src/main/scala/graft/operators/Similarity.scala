@@ -318,7 +318,19 @@ object Similarity {
     * return < k rows when matches are scarce — the classic post-filter
     * ANN bug). At 100 TB the same shape composes with IVF routing: the
     * label condition rides the cell equi-join, and highly selective
-    * labels shrink candidates before any distance math. */
+    * labels shrink candidates before any distance math.
+    *
+    * Top-k here is the repo's own bounded-heap operator
+    * ([[graft.plans.TopKPerKeyPlan]] via `relations.topKPerKey`), not a
+    * row_number window: with few queries over a huge corpus each query's
+    * matches land in ONE window partition, and even Spark 4's
+    * WindowGroupLimit still sorts the per-partition survivors — the heap
+    * operator moves at most `maps × queries × k` rows instead. The rank
+    * column the contract output carries is recomputed by a window over
+    * the ALREADY-REDUCED ≤ queries × k rows — cost-free, and bit-equal to
+    * the old formulation because the heap's (sim desc, vec_id) order is
+    * the exact total order row_number used (PlanShapeSpec pins the
+    * TopKPerKeyExec + tiny-input WindowExec shape). */
   def s06FilteredTopK(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
@@ -330,10 +342,11 @@ object Similarity {
     val sims = c.join(broadcast(q), col("label") === col("qlabel"))
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+    val top = org.apache.spark.sql.graft.relations.topKPerKey(
+      sims, Seq("query_id"), Seq(("sim", false), ("vec_id", true)), TopK)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .orderBy("query_id", "rank")
   }
 

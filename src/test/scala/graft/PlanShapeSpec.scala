@@ -71,6 +71,18 @@ class PlanShapeSpec extends SparkSpec {
       "gram-count scan should read only text:\n" + p)
   }
 
+  test("s06: filtered top-k runs the bounded-heap operator, window only on the reduced rows") {
+    val p = plan(Similarity.s06FilteredTopK(spark, sf))
+    // partial (map-side) + final heap phases — the per-query match sets
+    // never pass through a full window sort of the scored corpus
+    assert(p.contains("TopKPerKeyPartial"), "map-side heap phase missing:\n" + p)
+    assert("TopKPerKey\\b".r.findAllIn(p).size >= 1, p)
+    // the rank column's window sits ABOVE the heap reduction (≤ q×k rows):
+    // exactly one WindowExec, and the label-predicate join still broadcasts
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
