@@ -423,6 +423,22 @@ class DedupSpec extends SparkSpec {
     assert(clustersOfRewritten.forall(c => byCanon(c).size > 1))
   }
 
+  test("cluster-label memo: second call replays nothing (same checkpointed frame)") {
+    val a = Dedup.minhashClusterLabels(spark, sf)
+    val b = Dedup.minhashClusterLabels(spark, sf)
+    // a hit must return the SAME frame — d05 and d16 in one session then
+    // share one pairs→labels computation instead of re-running it
+    assert(a eq b, "memo returned a fresh frame; the labels pipeline would re-run")
+    // the shared frame's lineage ends at the iteration's eager
+    // localCheckpoint: re-use replays a projection over materialized
+    // blocks, never the candidate+verify+CC subtree
+    val hasRdd = a.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l
+    }.nonEmpty
+    assert(hasRdd, "labels lineage should terminate at a checkpointed RDD:\n" +
+      a.queryExecution.optimizedPlan)
+  }
+
   test("duplicate spans on the real corpus: every span covers only flagged gram starts") {
     // structural invariants at sf0.001: spans are disjoint per doc,
     // ordered, length ≥ gram, and end-start+1 == span_len
