@@ -26,6 +26,7 @@ object ScaleSmoke {
     if (a.contains("e100")) { e100(spark); spark.stop(); return }
     if (a.contains("t100")) { t100(spark); spark.stop(); return }
     if (a.contains("a100")) { a100(spark); spark.stop(); return }
+    if (a.contains("v100")) { v100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -109,6 +110,53 @@ object ScaleSmoke {
     println(f"E100 vectors=$n cells=1024 probe=2 pairs=$total " +
       f"planted_recall=${plantedFound.toDouble / planted}%.3f $secs%.2f s")
     assert(plantedFound >= (planted * 9) / 10, "planted recall below 0.9")
+  }
+
+  /** ANN index amortization smoke (the i100 pattern for vectors, round-6
+    * top ask): 200k deterministic 64-d vectors; build the persisted
+    * index ONCE ([[graft.operators.Similarity.writeAnnIndex]]), then
+    * answer three 1 000-query batches from the tables alone vs the
+    * inline path that re-derives centroids inside every invocation.
+    * Asserts indexed ≡ inline rows on the first batch; reports build
+    * cost and per-batch indexed vs inline seconds — the evidence that
+    * the artifact amortizes (inline pays the two Lloyd collect barriers
+    * + corpus assignment per batch; indexed pays a bucketed scan). */
+  private def v100(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    val n = 200000L
+    val dim = 64
+    val out = "/tmp/sfv100"
+    val base = transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(col("id"), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+    spark.range(n)
+      .select(col("id").as("vec_id"), base.as("emb"))
+      .write.mode("overwrite").parquet(s"$out/vecs.parquet")
+    val e = spark.read.parquet(s"$out/vecs.parquet")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    def batch(i: Int) = e
+      .filter(col("vec_id") >= i * 1000L && col("vec_id") < (i + 1) * 1000L)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val t0 = System.nanoTime()
+    Similarity.writeAnnIndex(spark, e, "graft_v100_index")
+    val tBuild = (System.nanoTime() - t0) / 1e9
+    def time(f: => Unit): Double = {
+      val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9
+    }
+    val tIdx = (0 until 3).map(i => time {
+      Similarity.annIvfIndexed(spark, batch(i), "graft_v100_index")
+        .write.format("noop").mode("overwrite").save()
+    })
+    val tInl = (0 until 3).map(i => time {
+      Similarity.annIvfInline(e, batch(i))
+        .write.format("noop").mode("overwrite").save()
+    })
+    val idx0 = Similarity.annIvfIndexed(spark, batch(0), "graft_v100_index")
+    val inl0 = Similarity.annIvfInline(e, batch(0))
+    val diff = idx0.exceptAll(inl0).count() + inl0.exceptAll(idx0).count()
+    println(f"V100 vectors=$n build=$tBuild%.2f s " +
+      f"indexed_batches=${tIdx.map(t => f"$t%.2f").mkString("/")} s " +
+      f"inline_batches=${tInl.map(t => f"$t%.2f").mkString("/")} s diff_rows=$diff")
+    assert(diff == 0, s"indexed IVF diverged from inline by $diff rows")
   }
 
   /** As-of-join hot-key skew smoke: one key owns 1M right rows + 200k left

@@ -49,11 +49,7 @@ object Similarity {
     val sims = c.join(broadcast(q))
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .orderBy("query_id", "rank")
+    topKWithRank(sims)
   }
 
   /** Per-row nearest-cell assignment: staged d² array (one native
@@ -71,22 +67,52 @@ object Similarity {
   /** One deterministic Lloyd (k-means) refinement pass: assign every
     * corpus vector to its nearest seed, recompute each centroid as the
     * elementwise mean of its cell — computed distributively (posexplode
-    * → groupBy(cell, position) → avg → re-assembled in position order),
+    * → groupBy(cell, position) → sum → re-assembled in position order),
     * so only the k×d mean table ever reaches the driver. Empty cells
     * keep their seed. Tighter centroids → tighter cells → higher recall
-    * at the same nprobe. */
+    * at the same nprobe.
+    *
+    * The mean is ORDER-INVARIANT: each value accumulates as the exact
+    * scaled integer floor(v·2³² + 0.5) in a DECIMAL(38,0) sum (no
+    * overflow at any corpus size, exact for |v| < 2²⁰), divided once at
+    * the end. A plain avg(double) depends on partial-aggregate merge
+    * order, so two runs of the SAME plan could emit centroids differing
+    * in the last ulp — enough to flip a near-equidistant cell assignment
+    * and break [[s07AnnIndexGate]]'s bit-equality contract between the
+    * build-time index and a query-time recomputation. The ≤ 2⁻³²
+    * quantization this introduces is three orders below the float32
+    * noise floor of the source embeddings. */
   private[operators] def refine(corpus: DataFrame, seeds: Seq[Array[Double]]): Seq[Array[Double]] = {
+    val S = 4294967296.0 // 2^32
     val means = withCell(corpus, seeds)
       .select(col("cell"), posexplode(col("emb")))
       .toDF("cell", "pos", "v")
       .groupBy(col("cell"), col("pos"))
-      .agg(avg(col("v")).as("m"))
+      .agg(sum(floor(col("v") * S + 0.5).cast("decimal(38,0)")).as("sv"),
+        count(lit(1)).as("n"))
+      .select(col("cell"), col("pos"),
+        (col("sv").cast("double") / col("n").cast("double") / S).as("m"))
       .groupBy(col("cell"))
       .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cell"), expr("transform(pm, x -> x.m)").as("ce"))
     val got: Map[Int, Array[Double]] = means.collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
     seeds.indices.map(i => got.getOrElse(i, seeds(i)))
+  }
+
+  /** Shared top-k tail for every ANN family: per-query bounded heaps
+    * ([[graft.plans.TopKPerKeyPlan]] — at most maps × queries × k rows
+    * move, never a full window sort of the scored candidates), then the
+    * contract `rank` column recomputed by a window over the ≤ q×k
+    * surviving rows. Bit-equal to the old row_number formulation because
+    * (sim desc, vec_id asc) is a total order. */
+  private def topKWithRank(sims: DataFrame): DataFrame = {
+    val top = org.apache.spark.sql.graft.relations.topKPerKey(
+      sims, Seq("query_id"), Seq(("sim", false), ("vec_id", true)), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("query_id", "rank")
   }
 
   /** The `n` nearest cell ids for a vector, nearest first: sort
@@ -109,30 +135,47 @@ object Similarity {
   def s02AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
     val corpus = e.filter(col("vec_id") >= 10)
-    val seeds: Seq[Array[Double]] = corpus.orderBy("vec_id").limit(NCentroids)
-      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     // two Lloyd passes: the deterministic lowest-id seeds are arbitrary
     // points, and one pass left recall@5 at 0.54 on the sf0.01 corpus;
     // the second pass + probing 8/16 cells lifts it past the 0.6 gate
     // (s04) at every test SF while still scanning half the cells
-    val cents = refine(corpus, refine(corpus, seeds))
-    val assigned = withCell(corpus, cents)
-    // Queries probe their NProbe nearest cells.
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    annIvfInline(corpus, q)
+  }
+
+  /** Inline (index-recomputed) IVF over arbitrary corpus/query frames —
+    * what every s02 invocation pays without a persisted artifact; the
+    * v100 smoke measures it against [[annIvfIndexed]]. */
+  private[graft] def annIvfInline(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    val cents = ivfCentroids(corpus)
+    ivfTopK(withCell(corpus, cents), queries, cents)
+  }
+
+  /** Deterministic IVF centroid table: NCentroids lowest-id seeds, two
+    * order-invariant Lloyd passes ([[refine]]). Shared by the inline s02
+    * path and [[writeAnnIndex]] so both produce bit-identical state. */
+  private[operators] def ivfCentroids(corpus: DataFrame): Seq[Array[Double]] = {
+    val seeds: Seq[Array[Double]] = corpus.orderBy("vec_id").limit(NCentroids)
+      .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
+    refine(corpus, refine(corpus, seeds))
+  }
+
+  /** IVF query tail over an assigned (cell, vec_id, emb, nrm) frame —
+    * an inline [[withCell]] subtree or the persisted `_cells` bucketed
+    * table; the plan downstream of the scan is identical either way.
+    * Queries probe their NProbe nearest cells; probes are |queries| ×
+    * nprobe rows — always broadcastable, so the corpus side never
+    * exchanges. */
+  private def ivfTopK(cells: DataFrame, q: DataFrame,
+      cents: Seq[Array[Double]]): DataFrame = {
     val probes = q
       .withColumn("cell", explode(nearestCells(col("qe"), cents, NProbe)))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"))
-    // Candidate set = corpus vectors in probed cells only; probes are
-    // |queries| × nprobe rows — always broadcastable.
-    val sims = assigned.join(broadcast(probes), Seq("cell"))
+    val sims = cells.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .orderBy("query_id", "rank")
+    topKWithRank(sims)
   }
 
   // ------------------------------------------------------------ SRP-LSH ANN
@@ -153,34 +196,48 @@ object Similarity {
     * SimilaritySpec measures recall@5 against the exact s01 baseline. */
   def s03AnnSrp(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
-    val sigged = e
-      .withColumn("sig", srpSig(col("emb"), SrpBits))
-      .withColumn("sig0", col("sig").getItem(0))
-      .withColumn("sig1", col("sig").getItem(1))
-      .drop("sig")
-    val corpus = sigged.filter(col("vec_id") >= 10)
-    val q = sigged.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"),
-        col("sig0").as("qsig0"), col("sig1").as("qsig1"))
-    val cand = corpus.select(col("vec_id"), col("sig0"), col("sig1"))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val q = withQuerySigs(e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn")))
+    srpTopK(withSigs(corpus).select(col("vec_id"), col("sig0"), col("sig1")),
+      corpus.select(col("vec_id"), col("emb"), col("nrm")), q)
+  }
+
+  /** Append the two 64-bit SRP signature words to a frame with an `emb`
+    * column (corpus form). */
+  private def withSigs(df: DataFrame): DataFrame = df
+    .withColumn("sig", srpSig(col("emb"), SrpBits))
+    .withColumn("sig0", col("sig").getItem(0))
+    .withColumn("sig1", col("sig").getItem(1))
+    .drop("sig")
+
+  /** Same signatures for a (query_id, qe, qn) frame, as qsig0/qsig1. */
+  private def withQuerySigs(q: DataFrame): DataFrame = q
+    .withColumn("sig", srpSig(col("qe"), SrpBits))
+    .withColumn("qsig0", col("sig").getItem(0))
+    .withColumn("qsig1", col("sig").getItem(1))
+    .drop("sig")
+
+  /** SRP query tail: hamming-rank the narrow (vec_id, sig0, sig1) frame
+    * — an inline subtree or the persisted `_srp` bucketed table — via
+    * per-query bounded heaps, then exact-rerank the SrpCandidates
+    * survivors against the full-width vectors. Candidate and query
+    * frames stay broadcastable; the full-width side never exchanges. */
+  private def srpTopK(sigs: DataFrame, vecs: DataFrame, q: DataFrame): DataFrame = {
+    val ham = sigs
       .join(broadcast(q.select(col("query_id"), col("qsig0"), col("qsig1"))))
       .select(col("query_id"), col("vec_id"),
         (graft.functions.TextFunctions.hamming64(col("sig0"), col("qsig0")) +
           graft.functions.TextFunctions.hamming64(col("sig1"), col("qsig1"))).as("ham"))
-      .withColumn("hrank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("ham"), col("vec_id"))))
-      .filter(col("hrank") <= SrpCandidates)
+    val cand = org.apache.spark.sql.graft.relations.topKPerKey(
+        ham, Seq("query_id"), Seq(("ham", true), ("vec_id", true)), SrpCandidates)
       .select(col("query_id"), col("vec_id"))
-    val sims = corpus.select(col("vec_id"), col("emb"), col("nrm"))
+    val sims = vecs
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .orderBy("query_id", "rank")
+    topKWithRank(sims)
   }
 
   // ----------------------------------------------- PQ (product quantization)
@@ -219,20 +276,25 @@ object Similarity {
     * Rows-only check; SimilaritySpec measures recall@5 vs exact s01 and
     * s04 lifts it into the driver gate. */
   def s05AnnPq(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val e = withNorm(Tables.embeddings(s, dir))
     val corpus = e.filter(col("vec_id") >= 10)
     val books = pqCodebooks(corpus)
-    val qRows = e.filter(col("vec_id") < 10)
-      .select(col("vec_id"), col("emb"), col("nrm")).collect()
-    if (qRows.isEmpty) return s01CosineTopK(s, dir).filter(lit(false))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     // flattened codebook/LUT indexing (m·PqK + code) assumes every book
     // holds exactly PqK centroids; a corpus with < PqK vectors seeds
     // shorter books and the offsets would misalign — fall back to the
     // exact path rather than score against a skewed table
     if (books.exists(_.size != PqK)) return s01CosineTopK(s, dir)
-    // encode: per-subspace staged d² + argmin code, then the
-    // reconstruction norm from the codebook's centroid norms
+    pqTopK(pqEncode(corpus, books),
+      corpus.select(col("vec_id"), col("emb"), col("nrm")), q, books)
+  }
+
+  /** PQ-encode a corpus: per-subspace staged d² + argmin code, then the
+    * reconstruction norm from the codebook's centroid norms. Output
+    * (vec_id, codes, recon_n) — 4 bytes of codes per vector, the only
+    * thing the ranking stage ever scans. */
+  private def pqEncode(corpus: DataFrame, books: Seq[Seq[Array[Double]]]): DataFrame = {
     val coded0 = (0 until PqM).foldLeft(corpus) { (acc, m) =>
       acc.withColumn(s"_d$m",
           centroidDists(slice(col("emb"), m * PqSub + 1, PqSub), books(m)))
@@ -241,45 +303,56 @@ object Similarity {
         .drop(s"_d$m")
     }
     val centNorm2 = typedlit(books.flatMap(b => b.map(c => c.map(x => x * x).sum)))
-    val coded = coded0
+    coded0
       .withColumn("codes", array((0 until PqM).map(m => col(s"_c$m")): _*))
       .withColumn("recon_n", sqrt(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
         (acc, m) => acc + element_at(centNorm2, m * PqK + element_at(col("codes"), m + lit(1)) + lit(1)))))
       .select(col("vec_id"), col("codes"), col("recon_n"))
-    // queries: driver-computed ADC lookup tables (M×K dots per query)
-    val q = qRows.toSeq.map { r =>
-      val qe = r.getSeq[Double](1).toArray
-      val lut = Array.tabulate(PqM * PqK) { i =>
-        val m = i / PqK; val j = i % PqK
-        var acc = 0.0; var t = 0
-        while (t < PqSub) { acc += qe(m * PqSub + t) * books(m)(j)(t); t += 1 }
-        acc
-      }
-      (r.getLong(0), lut.toSeq, r.getDouble(2))
-    }.toDF("query_id", "lut", "qn")
-    val approx = coded.join(broadcast(q))
+  }
+
+  /** MAP-SIDE ADC lookup table: the M×K array of sub-vector · centroid
+    * dots, computed per query ROW from the flattened codebook literal —
+    * queries stay a DataFrame end to end (the round-6 driver-collect
+    * gap: the old path collected the query set and tabulated LUTs on
+    * the driver, capping query batches at driver memory). The inner
+    * fold accumulates in ascending dimension order — bit-identical to
+    * the driver-side loop it replaces. */
+  private def pqLut(qe: Column, books: Seq[Seq[Array[Double]]]): Column = {
+    val flat = typedlit(books.flatMap(b => b.flatMap(_.toSeq))) // [m][j][t]
+    transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {
+      val j = pmod(i.cast("int"), lit(PqK))
+      // exact int division: (i - i%K)/K through double is exact at these
+      // magnitudes; Column './' alone would leave a DoubleType index
+      val m = ((i.cast("int") - j) / lit(PqK)).cast("int")
+      aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0),
+        (acc, t) => acc + element_at(qe, m * PqSub + t + lit(1)) *
+          element_at(flat, (m * PqK + j) * PqSub + t + lit(1)))
+    })
+  }
+
+  /** PQ query tail over a (vec_id, codes, recon_n) frame — inline
+    * [[pqEncode]] output or the persisted `_pq` bucketed table: ADC
+    * approximate ranking via per-query bounded heaps, exact rerank of
+    * the PqCandidates survivors against the full-width vectors. */
+  private def pqTopK(coded: DataFrame, vecs: DataFrame, q: DataFrame,
+      books: Seq[Seq[Array[Double]]]): DataFrame = {
+    val ql = q.select(col("query_id"), pqLut(col("qe"), books).as("lut"), col("qn"))
+    val approx = coded.join(broadcast(ql))
       .withColumn("adot", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
         (acc, m) => acc + element_at(col("lut"), m * PqK + element_at(col("codes"), m + lit(1)) + lit(1))))
       .withColumn("approx",
         when(col("recon_n") > 0.0 && col("qn") > 0.0,
           col("adot") / (col("qn") * col("recon_n"))).otherwise(lit(-2.0)))
-      .withColumn("arank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("approx").desc, col("vec_id"))))
-      .filter(col("arank") <= PqCandidates)
+    val cand = org.apache.spark.sql.graft.relations.topKPerKey(
+        approx.select(col("query_id"), col("vec_id"), col("approx")),
+        Seq("query_id"), Seq(("approx", false), ("vec_id", true)), PqCandidates)
       .select(col("query_id"), col("vec_id"))
-    // exact rerank on candidates only (s03's tail, verbatim shape)
-    val qe2 = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
-    val sims = corpus.select(col("vec_id"), col("emb"), col("nrm"))
-      .join(broadcast(approx), Seq("vec_id"))
-      .join(broadcast(qe2), Seq("query_id"))
+    val sims = vecs
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= TopK)
-      .orderBy("query_id", "rank")
+    topKWithRank(sims)
   }
 
   /** Oracle companion for rows-only s02/s03 (round-4 pattern): one row of
@@ -307,6 +380,149 @@ object Similarity {
         (col("hit_ivf") * 10 >= col("n_exact") * 6).as("ivf_recall_ge_60"),
         (col("hit_srp") * 10 >= col("n_exact") * 6).as("srp_recall_ge_60"),
         (col("hit_pq") * 10 >= col("n_exact") * 6).as("pq_recall_ge_60"))
+  }
+
+  // ------------------------------------------- persisted ANN index (s07)
+
+  /** Write the ANN index as a persisted, BUCKETED artifact — the vector
+    * twin of [[Dedup.writeCorpusIndex]] (the round-6 top ask): a
+    * production vector store builds ONCE and answers every later query
+    * batch from the tables alone, instead of re-deriving centroids /
+    * signatures / codebooks inside each invocation. Tables written
+    * (managed, session warehouse, overwrite):
+    *  - `<name>_cells` (cell, vec_id, emb, nrm)   bucketBy(cell) —
+    *    IVF routing + the full-width rerank source;
+    *  - `<name>_srp`   (vec_id, sig0, sig1)       bucketBy(vec_id) —
+    *    the narrow hamming-ranking table (16 B/vector);
+    *  - `<name>_pq`    (vec_id, codes, recon_n)   bucketBy(vec_id) —
+    *    the ADC table (4 B of codes/vector); empty when the corpus is
+    *    smaller than one codebook (PqK), in which case the PQ query
+    *    path falls back to exact scoring;
+    *  - `<name>_side`  (kind, idx, vec) — the O(k·d) centroid/codebook
+    *    sidecar, the only driver-held state, re-read (bounded collect)
+    *    at query time.
+    * All derivations ([[ivfCentroids]]/[[withSigs]]/[[pqEncode]]) are
+    * the inline paths' own builders, and [[refine]]'s means are
+    * order-invariant — so the persisted state is bit-identical to what
+    * s02/s03/s05 recompute inline, and [[s07AnnIndexGate]] can assert
+    * exact result equality. `numBuckets` is the cluster knob (local
+    * default matches the test SFs). */
+  def writeAnnIndex(s: SparkSession, corpus: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = {
+    import s.implicits._
+    Seq(name + "_cells", name + "_srp", name + "_pq", name + "_side").foreach { t =>
+      // drop both the catalog entry and any stale warehouse location
+      // (saveAsTable would fail with LOCATION_ALREADY_EXISTS — the d13
+      // lesson)
+      s.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val cents = ivfCentroids(corpus)
+    val books = pqCodebooks(corpus)
+    withCell(corpus, cents)
+      .select(col("cell"), col("vec_id"), col("emb"), col("nrm"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .saveAsTable(name + "_cells")
+    withSigs(corpus).select(col("vec_id"), col("sig0"), col("sig1"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(name + "_srp")
+    val coded =
+      if (books.exists(_.size != PqK))
+        Seq.empty[(Long, Seq[Int], Double)].toDF("vec_id", "codes", "recon_n")
+      else pqEncode(corpus, books)
+    coded.write.mode("overwrite")
+      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(name + "_pq")
+    val side =
+      cents.zipWithIndex.map { case (c, i) => ("cent", i, c.toSeq) } ++
+        (if (books.exists(_.size != PqK)) Seq.empty
+         else books.zipWithIndex.flatMap { case (b, m) =>
+           b.zipWithIndex.map { case (c, j) => ("pq", m * PqK + j, c.toSeq) } })
+    side.toDF("kind", "idx", "vec").repartition(1)
+      .write.mode("overwrite").saveAsTable(name + "_side")
+  }
+
+  /** Read the bounded sidecar back: (IVF centroids, PQ codebooks) in
+    * index order. The collect is O(k·d) — the same driver footprint the
+    * inline paths accept for centroid/codebook state. */
+  private def readAnnSidecar(s: SparkSession, name: String)
+      : (Seq[Array[Double]], Seq[Seq[Array[Double]]]) = {
+    val rows = s.table(name + "_side").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    val cents = rows.filter(_._1 == "cent").sortBy(_._2).map(_._3).toSeq
+    val pq = rows.filter(_._1 == "pq").sortBy(_._2).map(_._3).toSeq
+    val books =
+      if (pq.isEmpty) Seq.empty
+      else (0 until PqM).map(m => pq.slice(m * PqK, (m + 1) * PqK).toSeq)
+    (cents, books)
+  }
+
+  /** IVF top-k answered from a [[writeAnnIndex]] artifact alone: the
+    * corpus appears ONLY as the bucketed `_cells` scan (zero index-side
+    * Exchange — probes broadcast into it; SimilaritySpec pins the plan).
+    * `queries` is a (query_id, qe, qn) DataFrame end to end. */
+  def annIvfIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
+    val (cents, _) = readAnnSidecar(s, name)
+    ivfTopK(s.table(name + "_cells"), queries, cents)
+  }
+
+  /** SRP top-k from the artifact: hamming-rank the narrow `_srp` table,
+    * rerank survivors against `_cells`' full vectors. */
+  def annSrpIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame =
+    srpTopK(s.table(name + "_srp"),
+      s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm")),
+      withQuerySigs(queries))
+
+  /** PQ top-k from the artifact: ADC-rank the `_pq` codes with map-side
+    * LUTs from the sidecar codebooks, rerank against `_cells`. Falls
+    * back to exact scoring over `_cells` when the build found the
+    * corpus too small to seed full codebooks (empty `_pq`). */
+  def annPqIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
+    val (_, books) = readAnnSidecar(s, name)
+    val vecs = s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm"))
+    if (books.isEmpty || books.exists(_.size != PqK)) {
+      val sims = vecs.join(broadcast(queries))
+        .select(col("query_id"), col("vec_id"),
+          round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+      topKWithRank(sims)
+    } else pqTopK(s.table(name + "_pq"), vecs, queries, books)
+  }
+
+  /** Driver gate for the persisted index (s04/d11 pattern — one row of
+    * integer/boolean invariants): builds the artifact, answers all
+    * three ANN families from the tables alone, and asserts each indexed
+    * result is ROW-IDENTICAL to its inline recomputation (bag-equality
+    * via exceptAll both ways — every column, sim bits included; sound
+    * because build and query derive state through the same
+    * order-invariant arithmetic). An index that silently drifted from
+    * what a fresh computation produces is corrupt — this is the
+    * contract that makes the amortized artifact trustworthy. */
+  def s07AnnIndexGate(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val corpus = e.filter(col("vec_id") >= 10)
+    writeAnnIndex(s, corpus, "graft_s07_index")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    // cache: each flag references both sides twice (exceptAll each way);
+    // query-scoped, Verify/Bench clearCache() after materialization
+    def flag(indexed: DataFrame, inline: DataFrame, name: String): DataFrame = {
+      val a = indexed.cache(); val b = inline.cache()
+      a.exceptAll(b).unionByName(b.exceptAll(a))
+        .agg((count(lit(1)) === 0).as(name))
+    }
+    val base = q.agg(count(lit(1)).cast("long").as("n_queries"))
+    base
+      .crossJoin(flag(annIvfIndexed(s, q, "graft_s07_index"),
+        s02AnnIvf(s, dir), "ivf_indexed_matches_inline"))
+      .crossJoin(flag(annSrpIndexed(s, q, "graft_s07_index"),
+        s03AnnSrp(s, dir), "srp_indexed_matches_inline"))
+      .crossJoin(flag(annPqIndexed(s, q, "graft_s07_index"),
+        s05AnnPq(s, dir), "pq_indexed_matches_inline"))
   }
 
   /** FILTERED vector search — the metadata-predicate top-k every real
@@ -357,6 +573,7 @@ object Similarity {
     "s04_ann_recall_gate" -> (s04AnnRecallGate _),
     "s05_ann_pq"      -> (s05AnnPq _),
     "s06_filtered_topk" -> (s06FilteredTopK _),
+    "s07_ann_index_gate" -> (s07AnnIndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -390,6 +607,15 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS ivf_recall_ge_60, true AS srp_recall_ge_60,
         |  true AS pq_recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // indexed-vs-inline equality is asserted Spark-side (exceptAll both
+    // ways over every column); DuckDB anchors the probe count and the
+    // literal-true expectation for each flag (s04 pattern)
+    "s07_ann_index_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS ivf_indexed_matches_inline,
+        |  true AS srp_indexed_matches_inline,
+        |  true AS pq_indexed_matches_inline
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
   )
 }

@@ -94,6 +94,119 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("persisted ANN index: every family answers from tables alone, row-identical to inline") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val corpus = e.filter(col("vec_id") >= 10)
+    Similarity.writeAnnIndex(spark, corpus, "graft_ann_spec", numBuckets = 4)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    try {
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      assert(rows(Similarity.annIvfIndexed(spark, q, "graft_ann_spec")) ==
+        rows(Similarity.s02AnnIvf(spark, sf)), "IVF indexed != inline")
+      assert(rows(Similarity.annSrpIndexed(spark, q, "graft_ann_spec")) ==
+        rows(Similarity.s03AnnSrp(spark, sf)), "SRP indexed != inline")
+      assert(rows(Similarity.annPqIndexed(spark, q, "graft_ann_spec")) ==
+        rows(Similarity.s05AnnPq(spark, sf)), "PQ indexed != inline")
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_spec$sfx"))
+  }
+
+  test("indexed IVF plan: bucketed cells scan, zero index-side exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    Similarity.writeAnnIndex(spark, e.filter(col("vec_id") >= 10),
+      "graft_ann_plan", numBuckets = 4)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Similarity.annIvfIndexed(spark, q, "graft_ann_plan")
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      // the index appears as a bucket-aware scan of `_cells`...
+      val idxScans = p.collect { case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.contains("graft_ann_plan_cells")) => f }
+      assert(idxScans.nonEmpty, s"no _cells table scan in plan:\n$p")
+      idxScans.foreach(f => assert(f.bucketedScan, s"cells scan not bucket-aware:\n$f"))
+      // ...feeding a broadcast join (probes build side) with NO exchange
+      // on the index leg: the corpus never moves for a query batch
+      val joins = p.collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"probe join is not broadcast:\n$p")
+      val idxLegs = joins.flatMap(_.children).filter(c =>
+        c.collectFirst { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains("graft_ann_plan_cells")) => f
+        }.isDefined)
+      idxLegs.foreach(leg => assert(
+        leg.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+        s"index-side join leg shuffles:\n$leg"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_ann_plan$sfx"))
+    }
+  }
+
+  test("query batches stay a DataFrame: 1000 synthetic queries, no driver collect of the query set") {
+    import org.apache.spark.sql.functions._
+    // deterministic synthetic queries — NOT a local collection: built from
+    // range(), so a collect-and-reparallelize anywhere in the query path
+    // would erase the Range node the assertion below requires
+    val nq = 1000
+    val dim = 64 // PQ's M=8 × 8-dim subspace layout expects 64-d vectors
+    val qe = transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(col("id"), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+    val q = spark.range(nq)
+      .select(col("id").as("query_id"), qe.as("qe"))
+      .withColumn("qn", graft.functions.VectorFunctions.l2Norm(col("qe")))
+    val ce = transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(col("id"), i, lit(7)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+    val corpus = spark.range(200)
+      .select((col("id") + 10).as("vec_id"), ce.as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    Similarity.writeAnnIndex(spark, corpus, "graft_ann_batch", numBuckets = 4)
+    try {
+      val res = Similarity.annPqIndexed(spark, q, "graft_ann_batch")
+      // the query relation participates in the plan (it was never
+      // collected): the Range source must survive into the executed plan
+      assert(res.queryExecution.executedPlan.toString.contains("Range"),
+        "query-side Range node missing — did the path collect the queries?\n" +
+          res.queryExecution.executedPlan)
+      val rows = res.collect()
+      // every query got exactly 5 ranked candidates (corpus >> k, no
+      // label predicate) — 5000 rows total
+      assert(rows.length == nq * 5, s"expected ${nq * 5} rows, got ${rows.length}")
+      // PQ is approximate; its value contract is the rerank: each row's
+      // sim must equal the exact cosine for that (query, vec) pair
+      val emb = corpus.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val qemb = q.collect().map(r =>
+        r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        if (na == 0 || nb == 0) -2.0 else d / math.sqrt(na * nb)
+      }
+      rows.take(200).foreach { r =>
+        val want = cos(qemb(r.getLong(0)), emb(r.getLong(1)))
+        assert(math.abs(r.getDouble(2) - want) < 2e-6,
+          s"rerank sim off: got ${r.getDouble(2)} want $want")
+      }
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_batch$sfx"))
+  }
+
   test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
