@@ -361,6 +361,30 @@ object ScaleSmoke {
     assert(idx.exceptAll(got).isEmpty && got.exceptAll(idx).isEmpty,
       "persisted-index path diverged from inline path")
     println(f"I100IDX build=$buildSecs%.2f s (amortized) query=$querySecs%.2f s per-batch")
+    // span-index split (round 7): same amortization story for span-level
+    // dedup — gram counts persist once, a delta batch merges its own
+    // distinct gram keys against the narrow bucketed table instead of
+    // re-tokenizing the 100× corpus (the inline d14-over-union cost)
+    val ts0 = System.nanoTime()
+    graft.operators.Dedup.duplicateSpans(corpus.unionByName(delta), 8)
+      .filter(col("doc_id") >= 5000000000L)
+      .write.format("noop").mode("overwrite").save()
+    val spanInline = (System.nanoTime() - ts0) / 1e9
+    val ts1 = System.nanoTime()
+    graft.operators.Dedup.writeSpanIndex(corpus, "graft_i100_span")
+    val spanBuild = (System.nanoTime() - ts1) / 1e9
+    val ts2 = System.nanoTime()
+    graft.operators.Dedup.incrementalSpansIndexed(spark, delta, "graft_i100_span")
+      .write.mode("overwrite").parquet(s"$out/spans_idx.parquet")
+    val spanQuery = (System.nanoTime() - ts2) / 1e9
+    val gotSpans = spark.read.parquet(s"$out/spans_idx.parquet")
+    val wantSpans = graft.operators.Dedup.duplicateSpans(corpus.unionByName(delta), 8)
+      .filter(col("doc_id") >= 5000000000L)
+    val spanDiff = gotSpans.exceptAll(wantSpans).count() +
+      wantSpans.exceptAll(gotSpans).count()
+    println(f"I100SPAN inline=$spanInline%.2f s build=$spanBuild%.2f s (amortized) " +
+      f"query=$spanQuery%.2f s per-batch diff_rows=$spanDiff")
+    assert(spanDiff == 0, s"span index path diverged by $spanDiff rows")
   }
 
   /** 100× dedup-family smoke (see object Scaladoc). */

@@ -423,6 +423,69 @@ class DedupSpec extends SparkSpec {
     assert(clustersOfRewritten.forall(c => byCanon(c).size > 1))
   }
 
+  test("incremental spans: delta-vs-index merge == global recompute; zero corpus-side exchange") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val block = (1 to 10).map(i => s"b$i").mkString(" ") // an 8+-token run
+    val corpus = Seq(
+      (1L, s"c1 c2 c3 $block c4 c5"),                    // owns the block
+      (2L, (20 to 40).map(i => s"u$i").mkString(" ")),   // clean corpus doc
+      (3L, s"d1 d2 $block d3"),                          // corpus-only dup of the block
+      (4L, (50 to 70).map(i => s"v$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, s"x1 x2 x3 x4 $block x5"),                   // cross corpus-delta dup
+      (20L, s"$block y1 y2 $block"),                     // also internal repeat
+      (30L, (80 to 100).map(i => s"w$i").mkString(" ")), // clean delta doc
+      (40L, s"z1 z2 z3 " + (200 to 220).map(i => s"q$i").mkString(" ")),
+      (50L, s"z1 z2 z3 " + (200 to 220).map(i => s"q$i").mkString(" "))  // delta-delta dup of 40
+    ).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(corpus, "graft_span_spec", gram = 8, numBuckets = 4)
+    val savedBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = Dedup.incrementalSpansIndexed(spark, delta, "graft_span_spec", gram = 8)
+      q.collect()
+      val p = q.queryExecution.executedPlan
+      // corpus state appears ONLY as the bucketed gram-count scan, and
+      // its merge-join leg reads bucket files in place (delta-derived
+      // keys alone shuffle into the bucket layout)
+      val scans = p.collect { case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.contains("graft_span_spec_grams")) => f }
+      assert(scans.size == 1, s"expected exactly one grams-table scan:\n$p")
+      scans.foreach(f => assert(f.bucketedScan, s"grams scan not bucket-aware:\n$f"))
+      import org.apache.spark.sql.execution.joins.BaseJoinExec
+      val idxLegs = p.collect { case j: BaseJoinExec => j }.flatMap(_.children)
+        .filter(c => c.collectFirst { case jj: BaseJoinExec => jj }.isEmpty &&
+          c.collectFirst { case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.contains("graft_span_spec_grams")) => f
+          }.isDefined)
+      assert(idxLegs.nonEmpty, s"grams scan is not a direct join leg:\n$p")
+      idxLegs.foreach(leg => assert(
+        leg.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+        s"corpus-side merge leg shuffles:\n$leg"))
+      // correctness: identical to the global d14 recompute over
+      // corpus ∪ delta restricted to delta docs
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val got = rows(q)
+      val want = rows(Dedup.duplicateSpans(corpus.unionByName(delta), 8)
+        .filter(col("doc_id") >= 10L))
+      assert(got == want, s"indexed=$got global=$want")
+      // the planted shapes are all present: cross-dup (10), internal
+      // repeat (20, two spans or one merged), delta-delta (40, 50); the
+      // clean doc (30) and corpus docs never appear
+      val docs = got.map(_._1).toSet
+      assert(docs == Set(10L, 20L, 40L, 50L), s"flagged docs: $docs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.sql("DROP TABLE IF EXISTS graft_span_spec_grams")
+    }
+  }
+
   test("cluster-label memo: second call replays nothing (same checkpointed frame)") {
     val a = Dedup.minhashClusterLabels(spark, sf)
     val b = Dedup.minhashClusterLabels(spark, sf)
