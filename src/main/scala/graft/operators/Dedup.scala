@@ -807,6 +807,37 @@ object Dedup {
       name: String): DataFrame =
     deltaJoinIndex(s.table(name + "_bands"), s.table(name + "_reps"), delta)
 
+  /** APPEND accepted docs into a [[writeCorpusIndex]] artifact without a
+    * rebuild — index maintenance (round-6 ask #6): the new batch alone
+    * is banded/rep-collapsed and INSERTed into the bucketed tables (new
+    * bucket files beside the old ones; existing files are never read or
+    * rewritten — DedupSpec asserts byte-stable prior files). The next
+    * delta batch then sees appended docs as corpus.
+    *
+    * Exact-dup classes collapse WITHIN each appended batch only: a new
+    * doc whose text already exists in the index becomes its own rep
+    * row rather than joining the old class. Results are IDENTICAL to a
+    * full rebuild (spec-asserted): both reps carry the same shingle
+    * set, so a probing delta doc verifies against each at the same
+    * Jaccard, and best-match selection unions their member lists —
+    * the split only costs a few duplicate index rows. Requires
+    * corpus-wide unique doc_ids across batches (the table's standing
+    * contract). Bucket caps apply per batch; a capped-out bucket can
+    * only MISS (verify is exact), same contract as the build. */
+  def appendToCorpusIndex(newDocs: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = {
+    val repSh = repShingleIndex(newDocs)
+    try {
+      corpusBandIndex(repSh, newDocs.sparkSession)
+        .write.mode("append")
+        .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
+        .saveAsTable(name + "_bands")
+      repSh.write.mode("append")
+        .bucketBy(numBuckets, "rep").sortBy("rep")
+        .saveAsTable(name + "_reps")
+    } finally repSh.unpersist()
+  }
+
   /** Capped bucket-form band index over a [[repShingleIndex]] frame —
     * one array row per (band, key) under the cap contract
     * (bandBucketCap): a pathological near-dup cluster shares band keys,

@@ -292,6 +292,58 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("append to corpus index: no rebuild (prior files byte-stable), results == full rebuild") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (300 to 360).map(i => s"k$i").mkString(" ")
+    val batch1 = Seq(
+      (1L, base),
+      (2L, (100 to 160).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (5L, other),
+      (6L, base) // exact dup of batch1's doc 1 — cross-append class split
+    ).toDF("doc_id", "text")
+    // deltas duplicate batch1 AND batch2 content: both must flag
+    val delta = Seq(
+      (10L, base + " tailA tailB tailC"),
+      (11L, other + " tailD tailE tailF"),
+      (12L, (200 to 260).map(i => s"y$i").mkString(" ")) // clean
+    ).toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(batch1, "graft_app_spec", numBuckets = 4)
+    // snapshot the band table's files, append, then assert the old files
+    // survived untouched (append added files; nothing was read/rewritten)
+    def files(t: String): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile)
+        .map(f => f.getPath.getName -> f.getLen).toMap
+    }
+    val before = files("graft_app_spec_bands")
+    Dedup.appendToCorpusIndex(batch2, "graft_app_spec", numBuckets = 4)
+    val after = files("graft_app_spec_bands")
+    assert(before.forall { case (n, len) => after.get(n).contains(len) },
+      s"append rewrote prior bucket files: before=$before after=$after")
+    assert(after.size > before.size, "append added no files")
+    Dedup.writeCorpusIndex(batch1.unionByName(batch2), "graft_app_full",
+      numBuckets = 4)
+    try {
+      def rows(name: String) =
+        Dedup.incrementalDedupIndexed(spark, delta, name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val appended = rows("graft_app_spec")
+      val rebuilt = rows("graft_app_full")
+      assert(appended == rebuilt, s"appended=$appended rebuilt=$rebuilt")
+      // both batches' content is live in the index: doc 10 matches the
+      // batch1 class (best member = min id 1), doc 11 matches batch2's 5
+      assert(appended.map(r => (r._1, r._2)).toSet == Set((10L, 1L), (11L, 5L)),
+        s"got $appended")
+    } finally Seq("graft_app_spec_bands", "graft_app_spec_reps",
+      "graft_app_full_bands", "graft_app_full_reps").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("incremental dedup band cap: hot corpus cluster degrades to dropped buckets, never false matches") {
     import spark.implicits._
     // 50 pairwise-distinct near-dup corpus docs (shared 200-token base,
