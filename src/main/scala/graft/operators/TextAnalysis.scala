@@ -518,6 +518,7 @@ object TextAnalysis {
     "t21_fingerprint_gate" -> (t21FingerprintGate _),
     "t22_chunk_docs" -> (t22ChunkDocs _),
     "t23_bloom_decontaminate" -> (t23BloomDecontaminate _),
+    "t24_model_quality" -> (t24ModelQuality _),
   )
 
   private val ChunkTokens = 64
@@ -547,6 +548,42 @@ object TextAnalysis {
         md5(concat_ws(" ",
           slice(col("toks"), col("i") * ChunkStride + 1, lit(ChunkTokens)))).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
+
+  /** Fixed weights of the t24 logistic quality model, e4-scaled so every
+    * weighted term is exact BIGINT arithmetic. Signs follow the public
+    * C4/Gopher-style quality heuristics (punctuation density penalizes,
+    * stopword presence and reasonable word shape reward, a capped length
+    * prior rewards substance); magnitudes are fixed model constants —
+    * swapping in externally-trained weights is a constant edit. */
+  private val QwPunct = -60000L  // per pr_e4 unit  (w = -6.0 per ratio)
+  private val QwStop  = 40000L   // per sr_e4 unit  (w = +4.0 per ratio)
+  private val QwMtl   = 1500L    // per mtl_e4 unit (w = +0.15 per char)
+  private val QwTok   = 200000L  // per token, capped at 500 (w = +0.002)
+  private val QBias   = -120000000L // intercept (-1.2 on the logit scale)
+
+  /** MODEL-scored quality filtering (round-6 ask #8): a logistic-
+    * regression-style scorer over the t03 feature set — the first-class
+    * "trained filter" shape beside t03's hand-rule composite. The model
+    * runtime is a dot product of fixed public-heuristic-signed weights
+    * with integer-scaled features; since the sigmoid is monotone,
+    * `pass ⇔ σ(logit) ≥ 0.5 ⇔ logit ≥ 0`, so the entire operator —
+    * features, score, decision — is exact BIGINT arithmetic end to end
+    * (no float exp / repr surface anywhere, per the driver-gate rule).
+    * Embarrassingly parallel: one narrow scan + projection, no shuffle
+    * but the output sort. */
+  def t24ModelQuality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        floor(punctRatio(col("text")) * 10000.0 + 0.5).cast("long").as("pr_e4"),
+        floor(stopwordRatio(col("toks"), EnStopwords) * 10000.0 + 0.5).cast("long").as("sr_e4"),
+        floor(meanTokLen(col("toks")) * 10000.0 + 0.5).cast("long").as("mtl_e4"),
+        size(col("toks")).cast("long").as("n_tokens"))
+      .withColumn("logit_e8",
+        lit(QBias) + lit(QwPunct) * col("pr_e4") + lit(QwStop) * col("sr_e4") +
+          lit(QwMtl) * col("mtl_e4") + lit(QwTok) * least(col("n_tokens"), lit(500L)))
+      .withColumn("pass", col("logit_e8") >= 0L)
+      .orderBy("doc_id")
 
   /** Oracle companion for rows-only t05 (round-4 pattern): per doc, the
     * shingle count is recomputed by DuckDB exactly (max(n_tokens−2, 0)
@@ -623,6 +660,35 @@ object TextAnalysis {
          |  floor(stop_ratio * 10000.0 + 0.5) / 10000.0 AS stop_ratio,
          |  floor((len_score * 0.4 + shape_score * 0.2 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality
          |FROM r ORDER BY doc_id""".stripMargin,
+    // t03's feature CTE, e4-scaled to BIGINT, then the fixed-weight
+    // logistic logit in pure integer arithmetic (pass ⇔ logit ≥ 0 ⇔
+    // σ(logit) ≥ 0.5 — monotone sigmoid never evaluated)
+    "t24_model_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS mtl,
+         |    CAST(len(toks) AS BIGINT) AS n_tokens
+         |  FROM t),
+         |f AS (
+         |  SELECT doc_id,
+         |    CAST(floor(punct_ratio * 10000.0 + 0.5) AS BIGINT) AS pr_e4,
+         |    CAST(floor(stop_ratio * 10000.0 + 0.5) AS BIGINT) AS sr_e4,
+         |    CAST(floor(mtl * 10000.0 + 0.5) AS BIGINT) AS mtl_e4,
+         |    n_tokens
+         |  FROM r)
+         |SELECT doc_id, pr_e4, sr_e4, mtl_e4, n_tokens,
+         |  -120000000 + (-60000) * pr_e4 + 40000 * sr_e4 + 1500 * mtl_e4
+         |    + 200000 * least(n_tokens, 500) AS logit_e8,
+         |  (-120000000 + (-60000) * pr_e4 + 40000 * sr_e4 + 1500 * mtl_e4
+         |    + 200000 * least(n_tokens, 500)) >= 0 AS pass
+         |FROM f ORDER BY doc_id""".stripMargin,
     "t04_langid" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

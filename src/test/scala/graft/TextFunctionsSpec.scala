@@ -102,4 +102,22 @@ class TextFunctionsSpec extends SparkSpec {
     assert(qg >= 0.0 && qg <= 1.0 && qb >= 0.0 && qb <= 1.0)
     assert(qg > qb)
   }
+
+  test("t24 model quality: integer logit consistent with its features; both classes occur") {
+    val rows = graft.operators.TextAnalysis.t24ModelQuality(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6)))
+    assert(rows.nonEmpty)
+    // the decision is EXACTLY the fixed-weight dot product thresholded at
+    // 0 — recompute from the emitted features in driver-side Long math
+    rows.foreach { case (id, pr, sr, mtl, nt, logit, pass) =>
+      val want = -120000000L + (-60000L) * pr + 40000L * sr + 1500L * mtl +
+        200000L * math.min(nt, 500L)
+      assert(logit == want, s"doc $id logit $logit != $want")
+      assert(pass == (logit >= 0L), s"doc $id pass flag inconsistent")
+    }
+    // a trained-filter that accepts or rejects EVERYTHING is miscalibrated
+    assert(rows.exists(_._7) && rows.exists(!_._7),
+      s"degenerate split: ${rows.count(_._7)}/${rows.length} pass")
+  }
 }
