@@ -10,6 +10,8 @@ object TimeProbe {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config(Tables.nanosFlag, "true")
+      // probe the plans Bench/Verify actually run (production extensions)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (n <- args) {
