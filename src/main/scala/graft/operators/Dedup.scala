@@ -1012,14 +1012,35 @@ object Dedup {
   def incrementalSpansIndexed(s: SparkSession, delta: DataFrame, name: String,
       gram: Int = 8): DataFrame = {
     def dg = gramStream(delta, gram)
+    // re-aggregate per gh: [[appendToSpanIndex]] adds one count row per
+    // batch, so a gram hash may own several rows. The sum runs WITHOUT
+    // an Exchange — the table is bucketed on gh, which already satisfies
+    // the aggregation's clustering requirement.
+    val corpusCnt = s.table(name + "_grams")
+      .groupBy(col("gh")).agg(sum(col("n_occ")).as("n_occ"))
     val dup = dg.groupBy(col("gh")).agg(count(lit(1)).as("n_delta"))
-      .join(s.table(name + "_grams"), Seq("gh"), "left")
+      .join(corpusCnt, Seq("gh"), "left")
       .filter(col("n_delta") + coalesce(col("n_occ"), lit(0L)) >= 2)
       .select(col("gh"))
     val flagged = dg.join(dup, Seq("gh"), "left_semi")
       .select(col("doc_id"), col("pos"))
     spansFromFlagged(flagged, gram)
   }
+
+  /** APPEND a batch's gram counts into a [[writeSpanIndex]] artifact —
+    * span-index maintenance, the d13-append twin: the new batch's own
+    * counts land as new bucket files (prior files never read or
+    * rewritten), and [[incrementalSpansIndexed]]'s per-gh re-aggregation
+    * makes multi-row gram hashes equivalent to a rebuilt single-row
+    * count. Append THEN flag: a batch appended before its own
+    * incremental query would count itself twice. */
+  def appendToSpanIndex(newDocs: DataFrame, name: String, gram: Int = 8,
+      numBuckets: Int = 8): Unit =
+    gramStream(newDocs, gram)
+      .groupBy(col("gh")).agg(count(lit(1)).as("n_occ"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "gh").sortBy("gh")
+      .saveAsTable(name + "_grams")
 
   /** Driver gate for incremental span dedup: the d13 fixture split
     * (doc_id % 10 = 0 as the arriving batch) run through the PERSISTED

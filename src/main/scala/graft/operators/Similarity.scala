@@ -447,6 +447,42 @@ object Similarity {
       .write.mode("overwrite").saveAsTable(name + "_side")
   }
 
+  /** APPEND new vectors into a [[writeAnnIndex]] artifact — vector-store
+    * maintenance (the d13-append twin for the ANN side): the batch is
+    * assigned/signed/encoded against the artifact's FROZEN centroids and
+    * codebooks (read back from the sidecar) and INSERTed as new bucket
+    * files; prior files are never read or rewritten, and the sidecar is
+    * unchanged. Freezing quantization state on append is standard
+    * IVF/PQ practice — cell routing and ADC tables stay consistent for
+    * every vector in the index, old or new; when drift accumulates,
+    * re-train = [[writeAnnIndex]] rebuild. Requires index-wide unique
+    * vec_ids across batches. SimilaritySpec proves an appended
+    * near-duplicate of a query becomes its top hit through every
+    * family's indexed path. */
+  def appendToAnnIndex(s: SparkSession, newVecs: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = {
+    val (cents, books) = readAnnSidecar(s, name)
+    withCell(newVecs, cents)
+      .select(col("cell"), col("vec_id"), col("emb"), col("nrm"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .saveAsTable(name + "_cells")
+    withSigs(newVecs).select(col("vec_id"), col("sig0"), col("sig1"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+      .saveAsTable(name + "_srp")
+    // a build that found the corpus too small for full codebooks wrote
+    // an empty _pq; the PQ query path's exact fallback already covers
+    // appended vectors through _cells, so only append codes when the
+    // codebooks exist
+    if (books.nonEmpty && books.forall(_.size == PqK)) {
+      pqEncode(newVecs, books)
+        .write.mode("append")
+        .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(name + "_pq")
+    }
+  }
+
   /** Read the bounded sidecar back: (IVF centroids, PQ codebooks) in
     * index order. The collect is O(k·d) — the same driver footprint the
     * inline paths accept for centroid/codebook state. */

@@ -538,6 +538,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("span index append: multi-row gram counts == rebuilt index; prior files byte-stable") {
+    import spark.implicits._
+    val block = (1 to 10).map(i => s"s$i").mkString(" ")
+    val batch1 = Seq(
+      (1L, s"a1 a2 $block a3"),                          // block once in batch1
+      (2L, (20 to 40).map(i => s"u$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (5L, s"b1 b2 b3 $block b4")                        // block once in batch2
+    ).toDF("doc_id", "text")
+    // delta does NOT contain the block itself twice — it's flagged only
+    // if the reader correctly SUMS the split (1 + 1) corpus counts
+    val delta = Seq(
+      (10L, s"c1 c2 $block c3 c4"),
+      (11L, (50 to 70).map(i => s"w$i").mkString(" "))   // clean
+    ).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(batch1, "graft_spanapp", gram = 8, numBuckets = 4)
+    def files(t: String): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile).map(f => f.getPath.getName -> f.getLen).toMap
+    }
+    val before = files("graft_spanapp_grams")
+    Dedup.appendToSpanIndex(batch2, "graft_spanapp", gram = 8, numBuckets = 4)
+    val after = files("graft_spanapp_grams")
+    Dedup.writeSpanIndex(batch1.unionByName(batch2), "graft_spanfull",
+      gram = 8, numBuckets = 4)
+    try {
+      assert(before.forall { case (n, len) => after.get(n).contains(len) },
+        "append rewrote prior gram files")
+      assert(after.size > before.size, "append added no files")
+      def rows(name: String) =
+        Dedup.incrementalSpansIndexed(spark, delta, name, gram = 8).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      val appended = rows("graft_spanapp")
+      val rebuilt = rows("graft_spanfull")
+      // the block's corpus count is SPLIT across two index rows (1 in
+      // batch1's file, 1 in batch2's); the reader's per-gh re-aggregation
+      // must make that equivalent to the rebuilt single-row count of 2
+      assert(appended == rebuilt, s"appended=$appended rebuilt=$rebuilt")
+      assert(appended.map(_._1).toSet == Set(10L), s"flagged: $appended")
+    } finally Seq("graft_spanapp_grams", "graft_spanfull_grams").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("cluster-label memo: second call replays nothing (same checkpointed frame)") {
     val a = Dedup.minhashClusterLabels(spark, sf)
     val b = Dedup.minhashClusterLabels(spark, sf)

@@ -158,6 +158,57 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ANN index append: frozen-state insert, prior files byte-stable, appended vector becomes top hit") {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def vecs(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val batch1 = vecs(spark.range(10, 210).toDF("id"), 1)
+    // query 0 and an appended NEAR-DUPLICATE of it (id 9000, same seed
+    // stream as the query, tiny perturbation): after append it must be
+    // the query's top hit in every family
+    val q = vecs(spark.range(0, 5).toDF("id"), 99)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val dup0 = q.filter(col("query_id") === 0)
+      .select(lit(9000L).as("vec_id"),
+        transform(col("qe"), x => x + lit(0.001)).as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val batch2 = vecs(spark.range(210, 300).toDF("id"), 2).unionByName(dup0)
+    Similarity.writeAnnIndex(spark, batch1, "graft_ann_app", numBuckets = 4)
+    def files(t: String): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile).map(f => f.getPath.getName -> f.getLen).toMap
+    }
+    val before = files("graft_ann_app_cells")
+    Similarity.appendToAnnIndex(spark, batch2, "graft_ann_app", numBuckets = 4)
+    val after = files("graft_ann_app_cells")
+    try {
+      assert(before.forall { case (n, len) => after.get(n).contains(len) },
+        "append rewrote prior cell files")
+      assert(after.size > before.size, "append added no cell files")
+      // every family's indexed path now surfaces the appended near-dup
+      // as query 0's rank-1 hit (cos ≈ 1): cell assignment, SRP sigs,
+      // and PQ codes were all derived from the FROZEN sidecar state, so
+      // probe-side routing agrees with append-side placement
+      for ((name, df) <- Seq(
+          "ivf" -> Similarity.annIvfIndexed(spark, q, "graft_ann_app"),
+          "srp" -> Similarity.annSrpIndexed(spark, q, "graft_ann_app"),
+          "pq"  -> Similarity.annPqIndexed(spark, q, "graft_ann_app"))) {
+        val top = df.filter(col("query_id") === 0 && col("rank") === 1).collect()
+        assert(top.length == 1 && top.head.getLong(1) == 9000L,
+          s"$name: appended near-dup not the top hit: ${top.mkString(",")}")
+        assert(top.head.getDouble(2) > 0.999, s"$name: top sim ${top.head.getDouble(2)}")
+      }
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_app$sfx"))
+  }
+
   test("query batches stay a DataFrame: 1000 synthetic queries, no driver collect of the query set") {
     import org.apache.spark.sql.functions._
     // deterministic synthetic queries — NOT a local collection: built from
