@@ -733,6 +733,58 @@ object Dedup {
     s.createDataFrame(java.util.Arrays.asList(outRows: _*), out.schema)
   }
 
+  /** Oracle gate for the STREAMING VECTOR dedup operator
+    * ([[graft.streaming.StreamingOps.dedupStreamVectors]]) — the d12
+    * pattern for the embedding side: plant exact re-uploads (ids
+    * +1000000) of every nonzero corpus vector and feed originals+copies
+    * through one micro-batch (bucket rows process in vec_id order, so
+    * originals are stored before their copies verify). An exact copy
+    * shares its original's full SRP signature, hence every band bucket;
+    * whichever representative each bucket holds (the original, or a rep
+    * the original itself matched), the copy verifies at cosine ≥
+    * threshold — so EVERY planted copy must flag, and the flag count is
+    * engine-independent (no cross-engine float classification: DuckDB
+    * anchors only the planted count). Corpus bounded to vec_id < 500 —
+    * the d12 bound discipline; operator scale behavior lives in
+    * StateStoreSpec. */
+  def d18StreamVectorGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .filter(col("vec_id") < 500 && VectorFunctions.l2Norm(col("emb")) > 0.0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val corpus = (rows ++ rows.map { case (id, e) => (id + 1000000L, e) }).toIndexedSeq
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])](s)
+    if (corpus.nonEmpty) in.addData(corpus)
+    val name = "d18_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val flagged = graft.streaming.StreamingOps
+      .dedupStreamVectors(in.toDF().toDF("vec_id", "emb"), threshold = 0.99)
+      .toDF("vec_id", "dup_of", "cos_e6")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = flagged.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally prevProvider match {
+      case Some(p) => s.conf.set(providerKey, p)
+      case None    => s.conf.unset(providerKey)
+    }
+    val out = s.table(name)
+      .filter(col("vec_id") >= 1000000L)
+      .agg(
+        countDistinct(col("vec_id")).cast("long").as("n_flagged"),
+        coalesce(min(col("cos_e6")) >= 990000L, lit(true)).as("all_ge_threshold"))
+      .select(lit(rows.length.toLong).as("n_planted"),
+        col("n_flagged"), col("all_ge_threshold"))
+    val outRows = out.collect()
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(outRows: _*), out.schema)
+  }
+
   /** Incremental near-dup detection: flag each NEW (delta) document's
     * best corpus near-duplicate WITHOUT ever re-pairing the corpus with
     * itself — the production shape of dedup at 100 TB, where the
@@ -1105,6 +1157,7 @@ object Dedup {
     "d15_excise_spans"   -> (d15ExciseSpans _),
     "d16_dedup_keep_best" -> (d16DedupKeepBest _),
     "d17_incremental_spans" -> (d17IncrementalSpans _),
+    "d18_stream_vector_gate" -> (d18StreamVectorGate _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -1343,6 +1396,17 @@ object Dedup {
         |  max(pos) - min(pos) + 8 AS span_len
         |FROM sp GROUP BY doc_id, span_id
         |ORDER BY doc_id, span_start""".stripMargin,
+    // every planted exact re-upload of a nonzero corpus vector must be
+    // flagged (its signature shares every band bucket with its
+    // original); DuckDB anchors the planted count — the flag count is
+    // engine-independent by construction, no float classification
+    "d18_stream_vector_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_planted,
+        |  CAST(count(*) AS BIGINT) AS n_flagged,
+        |  true AS all_ge_threshold
+        |FROM embeddings
+        |WHERE vec_id < 500
+        |  AND list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x*x)) > 0""".stripMargin,
     // d14's span chain + positional anti-join token drop; Spark does the
     // same drop map-side with an index-lambda array filter
     "d15_excise_spans" ->

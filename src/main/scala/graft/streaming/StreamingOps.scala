@@ -370,6 +370,86 @@ object StreamingOps {
         org.apache.spark.sql.streaming.OutputMode.Append())
   }
 
+  /** Streaming VECTOR near-dup — the ingest-path twin of
+    * [[dedupStreamMinHash]] for the embedding side, completing the
+    * round-7 vector-store story (persisted index for batch, this for
+    * the stream): each arriving vector routes to its 8 SRP band-key
+    * buckets (16 bits/band from the 128-bit signature — pigeonhole: two
+    * signatures within hamming 7 share ≥ 1 band, and cos ≥ 0.99 pairs
+    * differ in ~2 expected bits), state holds bounded representative
+    * vectors per bucket, and EXACT cosine verifies every candidate —
+    * band collisions can flag nothing falsely. Same
+    * emission/state contract as the MinHash processor: a flagged
+    * vector is never stored; a novel one is stored in each of its
+    * buckets (until maxRepsPerBucket). Output (vec_id, dup_of,
+    * cos_e6) — cosine pre-scaled to a BIGINT so downstream gates never
+    * see a raw double. */
+  class VectorDedupProcessor(threshold: Double, maxRepsPerBucket: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Seq[Double]), (Long, Long, Long)] {
+    @transient private var reps: org.apache.spark.sql.streaming.ListState[(Long, Seq[Double])] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      reps = getHandle.getListState[(Long, Seq[Double])]("vreps",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double])](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -2.0 else d / math.sqrt(na * nb)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Seq[Double])],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double])]
+      reps.get().foreach(stored += _)
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      rows.toSeq.sortBy(_._2).foreach { case (_, vecId, emb) =>
+        var bestId = Long.MaxValue
+        var bestC = -2.0
+        stored.foreach { case (rid, remb) =>
+          val c = cos(emb, remb)
+          if (c >= threshold && (c > bestC || (c == bestC && rid < bestId))) {
+            bestC = c; bestId = rid
+          }
+        }
+        if (bestC >= threshold) {
+          out += ((vecId, bestId, math.floor(bestC * 1e6 + 0.5).toLong))
+        } else if (stored.size < maxRepsPerBucket) {
+          stored += ((vecId, emb))
+          reps.appendValue((vecId, emb))
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  /** Wire [[VectorDedupProcessor]] over a (vec_id, emb) stream: SRP
+    * signatures come from the same native expression the batch family
+    * uses, split into 8 × 16-bit band keys. */
+  def dedupStreamVectors(vecs: DataFrame, threshold: Double = 0.99,
+      maxRepsPerBucket: Int = 1024): Dataset[(Long, Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    import graft.functions.VectorFunctions.srpSig
+    val sigged = vecs
+      .select(col("vec_id"), col("emb"), srpSig(col("emb"), 128).as("sig"))
+    // band b of 8: 16 bits from word b>>2 at offset (b&3)*16 — integer
+    // shift/mask, never Column '/' (double division)
+    val banded = sigged
+      .select(col("vec_id"), col("emb"), col("sig"),
+        explode(sequence(lit(0), lit(7))).as("b"))
+      .select(
+        xxhash64(col("b"),
+          call_function("shiftright",
+            element_at(col("sig"), call_function("shiftright", col("b"), lit(2)) + lit(1)),
+            col("b").bitwiseAND(lit(3)) * lit(16)).bitwiseAND(lit(0xFFFFL))).as("band_key"),
+        col("vec_id"), col("emb"))
+    banded.as[(Long, Long, Seq[Double])]
+      .groupByKey(_._1)
+      .transformWithState(new VectorDedupProcessor(threshold, maxRepsPerBucket),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
   /** Wire [[TopKProcessor]] over a keyed stream. */
   def streamingTopK(ds: Dataset[(Long, Double)], k: Int): Dataset[(Long, Seq[Double])] = {
     import ds.sparkSession.implicits._

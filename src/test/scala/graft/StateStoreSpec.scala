@@ -62,6 +62,42 @@ class StateStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming vector dedup: near-dups flagged across batches via SRP bands + exact cosine") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sequence, transform, xxhash64}
+      val in = MemoryStream[(Long, Int)](spark)
+      // deterministic 64-d vectors per (seed); a near-dup shares its
+      // base's seed stream with a +0.001 perturbation flagged via group
+      val vecs = in.toDF().toDF("vec_id", "grp")
+        .select(col("vec_id"),
+          transform(sequence(lit(0), lit(63)), i =>
+            pmod(xxhash64(col("grp"), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0 +
+              org.apache.spark.sql.functions.when(col("vec_id") >= 100, 0.001).otherwise(0.0))
+            .as("emb"))
+      val q = StreamingOps.dedupStreamVectors(vecs, threshold = 0.99)
+        .toDF("vec_id", "dup_of", "cos_e6")
+        .writeStream.outputMode(OutputMode.Append).format("memory")
+        .queryName("vdedup").start()
+      // batch 1: three mutually-far vectors (distinct seed groups)
+      in.addData((1L, 10), (2L, 20), (3L, 30))
+      q.processAllAvailable()
+      // batch 2: perturbed re-uploads of groups 10 and 30 + a novel one
+      in.addData((101L, 10), (103L, 30), (5L, 40))
+      q.processAllAvailable()
+      q.stop()
+      val flagged = spark.table("vdedup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).distinct
+      spark.catalog.dropTempView("vdedup")
+      val byId = flagged.groupBy(_._1)
+      // exactly the two cross-batch near-dups flag, each against its base
+      assert(byId.keySet == Set(101L, 103L), s"flagged: ${flagged.mkString(",")}")
+      assert(byId(101L).forall(f => f._2 == 1L && f._3 > 999000L), s"$flagged")
+      assert(byId(103L).forall(f => f._2 == 3L && f._3 > 999000L), s"$flagged")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ------------------------------------------------- streaming MinHash dedup
 
   // pairwise-distinct 12-token texts (J ≈ 0 between any two)
