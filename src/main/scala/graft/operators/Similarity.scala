@@ -408,7 +408,7 @@ object Similarity {
     * exact result equality. `numBuckets` is the cluster knob (local
     * default matches the test SFs). */
   def writeAnnIndex(s: SparkSession, corpus: DataFrame, name: String,
-      numBuckets: Int = 8): Unit = {
+      numBuckets: Int = 8, meta: Seq[String] = Seq.empty): Unit = {
     import s.implicits._
     Seq(name + "_cells", name + "_srp", name + "_pq", name + "_side").foreach { t =>
       // drop both the catalog entry and any stale warehouse location
@@ -422,8 +422,13 @@ object Similarity {
     }
     val cents = ivfCentroids(corpus)
     val books = pqCodebooks(corpus)
+    // `meta` columns (tenancy/category/language labels) ride along in
+    // _cells so filtered search can put its predicate ON the cell join
+    // ([[annIvfFilteredIndexed]]) — the index-side analogue of s06's
+    // pre-filter contract
     withCell(corpus, cents)
-      .select(col("cell"), col("vec_id"), col("emb"), col("nrm"))
+      .select((Seq(col("cell"), col("vec_id"), col("emb"), col("nrm")) ++
+        meta.map(col)): _*)
       .write.mode("overwrite")
       .bucketBy(numBuckets, "cell").sortBy("cell")
       .saveAsTable(name + "_cells")
@@ -460,10 +465,11 @@ object Similarity {
     * near-duplicate of a query becomes its top hit through every
     * family's indexed path. */
   def appendToAnnIndex(s: SparkSession, newVecs: DataFrame, name: String,
-      numBuckets: Int = 8): Unit = {
+      numBuckets: Int = 8, meta: Seq[String] = Seq.empty): Unit = {
     val (cents, books) = readAnnSidecar(s, name)
     withCell(newVecs, cents)
-      .select(col("cell"), col("vec_id"), col("emb"), col("nrm"))
+      .select((Seq(col("cell"), col("vec_id"), col("emb"), col("nrm")) ++
+        meta.map(col)): _*)
       .write.mode("append")
       .bucketBy(numBuckets, "cell").sortBy("cell")
       .saveAsTable(name + "_cells")
@@ -505,6 +511,64 @@ object Similarity {
   def annIvfIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
     val (cents, _) = readAnnSidecar(s, name)
     ivfTopK(s.table(name + "_cells"), queries, cents)
+  }
+
+  /** FILTERED IVF top-k from the artifact — the composition s06's
+    * Scaladoc promises: the metadata predicate rides the cell equi-join
+    * against the bucketed `_cells` table (built with `meta =
+    * Seq("label")`), so non-matching vectors are never scored AND only
+    * probed cells are scanned — pre-filter semantics at index
+    * granularity. Queries carry (query_id, qe, qn, qlabel). The
+    * filtered candidate set is sparser than the global one, so the
+    * probe count doubles (min(2·NProbe, NCentroids)) to hold recall —
+    * still a fraction of the corpus at production cell counts. */
+  def annIvfFilteredIndexed(s: SparkSession, queries: DataFrame,
+      name: String): DataFrame = {
+    val (cents, _) = readAnnSidecar(s, name)
+    val cells = s.table(name + "_cells")
+    val probes = queries
+      .withColumn("cell", explode(nearestCells(col("qe"), cents,
+        math.min(2 * NProbe, NCentroids))))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"), col("qlabel"))
+    val sims = cells.join(broadcast(probes),
+        cells("cell") === probes("cell") && cells("label") === probes("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+    topKWithRank(sims)
+  }
+
+  /** Driver gate for filtered-indexed search (the s04/s07 pattern): one
+    * row asserting (a) every hit shares its query's label — the
+    * pre-filter contract, checkable exactly since labels are integers —
+    * and (b) recall@5 ≥ 0.6 against the EXACT filtered baseline (the
+    * hash-gated s06), via integer hit-count comparison. */
+  def s08FilteredIndexGate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    writeAnnIndex(s, e.filter(col("vec_id") >= 10), "graft_s08_index",
+      meta = Seq("label"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val idx = annIvfFilteredIndexed(s, q, "graft_s08_index")
+      .select(col("query_id"), col("vec_id")).cache()
+    val exact = s06FilteredTopK(s, dir)
+      .select(col("query_id"), col("vec_id")).cache()
+    val labels = e.select(col("vec_id"), col("label"))
+    val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val violations = idx
+      .join(labels, Seq("vec_id")).join(qLabels, Seq("query_id"))
+      .filter(col("label") =!= col("qlabel"))
+      .agg(count(lit(1)).as("n_viol"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = idx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(violations).crossJoin(nExact).crossJoin(nHit)
+      .select(col("n_queries"),
+        (col("n_viol") === 0).as("all_hits_share_label"),
+        (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
   }
 
   /** SRP top-k from the artifact: hamming-rank the narrow `_srp` table,
@@ -610,6 +674,7 @@ object Similarity {
     "s05_ann_pq"      -> (s05AnnPq _),
     "s06_filtered_topk" -> (s06FilteredTopK _),
     "s07_ann_index_gate" -> (s07AnnIndexGate _),
+    "s08_filtered_index_gate" -> (s08FilteredIndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -652,6 +717,13 @@ object Similarity {
         |  true AS ivf_indexed_matches_inline,
         |  true AS srp_indexed_matches_inline,
         |  true AS pq_indexed_matches_inline
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // label consistency is exact (integer labels), recall is an integer
+    // hit-count comparison vs the hash-gated s06 — the s04 flag pattern
+    "s08_filtered_index_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS all_hits_share_label,
+        |  true AS recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
   )
 }

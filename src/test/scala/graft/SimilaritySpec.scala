@@ -258,6 +258,17 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_ann_batch$sfx"))
   }
 
+  test("filtered-indexed search: label contract exact, recall vs exact-filtered holds") {
+    val r = Similarity.s08FilteredIndexGate(spark, sf).collect()
+    try {
+      assert(r.length == 1)
+      assert(r.head.getLong(0) == 10L, s"n_queries ${r.head.getLong(0)}")
+      assert(r.head.getBoolean(1), "an indexed hit crossed the label predicate")
+      assert(r.head.getBoolean(2), "filtered recall fell below 0.6 vs exact s06")
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_s08_index$sfx"))
+  }
+
   test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
