@@ -890,6 +890,53 @@ object Dedup {
     } finally repSh.unpersist()
   }
 
+  /** COMPACT a corpus index after appends: merge representative rows
+    * whose shingle sets are identical (the cross-batch exact-dup
+    * classes [[appendToCorpusIndex]] leaves split — query results are
+    * unaffected by the split, but every duplicate rep costs band rows
+    * and a redundant verify per matching delta doc), keep the min rep
+    * id, union the member lists, and rebuild the band table from the
+    * merged reps' stored shingle sets — the original texts are never
+    * needed. Writes go to `_tmp` tables first, then swap via rename, so
+    * nothing reads and overwrites the same location (writing a table
+    * from a plan that scans it fails in Spark). Everything is
+    * distributed: the merge is a groupBy on the shingle-set key, the
+    * band rebuild is [[bandRows]] over the merged frame. */
+  def compactCorpusIndex(s: SparkSession, name: String,
+      numBuckets: Int = 8): Unit = {
+    // merge key: the shingle SET. Arrays from array_distinct preserve
+    // first-occurrence order, which differs between docs whose token
+    // orders differ — sort for a canonical set key.
+    // Storing the canonical sorted set is safe: minhash signatures and
+    // the intersect/Jaccard verify are set-level, order-invariant.
+    val merged = s.table(name + "_reps")
+      .groupBy(sort_array(col("sh")).as("shKey"))
+      .agg(min(col("rep")).as("rep"),
+        sort_array(flatten(collect_list(col("members")))).as("members"))
+      .select(col("rep"), col("members"), col("shKey").as("sh"))
+    Seq(name + "_bands_tmp", name + "_reps_tmp").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS `$t`")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    val repSh = merged.cache()
+    try {
+      corpusBandIndex(repSh, s)
+        .write.mode("overwrite")
+        .bucketBy(numBuckets, "band", "key").sortBy("band", "key")
+        .saveAsTable(name + "_bands_tmp")
+      repSh.write.mode("overwrite")
+        .bucketBy(numBuckets, "rep").sortBy("rep")
+        .saveAsTable(name + "_reps_tmp")
+      Seq("_bands", "_reps").foreach { sfx =>
+        s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+        s.sql(s"ALTER TABLE `$name${sfx}_tmp` RENAME TO `$name$sfx`")
+      }
+    } finally repSh.unpersist()
+  }
+
   /** Capped bucket-form band index over a [[repShingleIndex]] frame —
     * one array row per (band, key) under the cap contract
     * (bandBucketCap): a pathological near-dup cluster shares band keys,

@@ -538,6 +538,51 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compact corpus index: cross-append dup classes merge, results == rebuild, rep count shrinks") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (300 to 360).map(i => s"k$i").mkString(" ")
+    val batch1 = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val batch2 = Seq((6L, base)).toDF("doc_id", "text") // exact dup of doc 1
+    val delta = Seq((10L, base + " tailA tailB tailC")).toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(batch1, "graft_cmp_spec", numBuckets = 4)
+    Dedup.appendToCorpusIndex(batch2, "graft_cmp_spec", numBuckets = 4)
+    Dedup.writeCorpusIndex(batch1.unionByName(batch2), "graft_cmp_full",
+      numBuckets = 4)
+    try {
+      // before compaction: docs 1 and 6 are SPLIT reps (3 rows); the
+      // rebuild holds the merged class (2 rows)
+      assert(spark.table("graft_cmp_spec_reps").count() == 3)
+      Dedup.compactCorpusIndex(spark, "graft_cmp_spec", numBuckets = 4)
+      assert(spark.table("graft_cmp_spec_reps").count() == 2,
+        "compaction did not merge the cross-append dup class")
+      // the merged class unions both members under the min rep id
+      val m = spark.table("graft_cmp_spec_reps").filter(col("rep") === 1L)
+        .select("members").collect().head.getSeq[Long](0)
+      assert(m == Seq(1L, 6L), s"members $m")
+      def rows(name: String) =
+        Dedup.incrementalDedupIndexed(spark, delta, name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(rows("graft_cmp_spec") == rows("graft_cmp_full"),
+        "compacted index diverged from rebuild")
+      // the tmp-write + rename must carry the bucket spec: scans of the
+      // compacted tables stay bucket-aware (the zero-Exchange contract)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = Dedup.incrementalDedupIndexed(spark, delta, "graft_cmp_spec")
+        q.collect()
+        val scans = q.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_cmp_spec")) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          "compacted table scans lost bucket-awareness")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally Seq("graft_cmp_spec_bands", "graft_cmp_spec_reps",
+      "graft_cmp_full_bands", "graft_cmp_full_reps").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("span index append: multi-row gram counts == rebuilt index; prior files byte-stable") {
     import spark.implicits._
     val block = (1 to 10).map(i => s"s$i").mkString(" ")
