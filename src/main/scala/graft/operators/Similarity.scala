@@ -146,10 +146,14 @@ object Similarity {
 
   /** Inline (index-recomputed) IVF over arbitrary corpus/query frames —
     * what every s02 invocation pays without a persisted artifact; the
-    * v100 smoke measures it against [[annIvfIndexed]]. */
-  private[graft] def annIvfInline(corpus: DataFrame, queries: DataFrame): DataFrame = {
+    * v100 smoke measures it against [[annIvfIndexed]]. `nProbe =
+    * NCentroids` degenerates to exhaustive search — PropertySpec pins
+    * that full probing EQUALS the brute-force answer (the routing
+    * machinery can only ever CUT the scan, never corrupt scores). */
+  private[graft] def annIvfInline(corpus: DataFrame, queries: DataFrame,
+      nProbe: Int = NProbe): DataFrame = {
     val cents = ivfCentroids(corpus)
-    ivfTopK(withCell(corpus, cents), queries, cents)
+    ivfTopK(withCell(corpus, cents), queries, cents, nProbe)
   }
 
   /** Deterministic IVF centroid table: NCentroids lowest-id seeds, two
@@ -168,9 +172,9 @@ object Similarity {
     * nprobe rows — always broadcastable, so the corpus side never
     * exchanges. */
   private def ivfTopK(cells: DataFrame, q: DataFrame,
-      cents: Seq[Array[Double]]): DataFrame = {
+      cents: Seq[Array[Double]], nProbe: Int = NProbe): DataFrame = {
     val probes = q
-      .withColumn("cell", explode(nearestCells(col("qe"), cents, NProbe)))
+      .withColumn("cell", explode(nearestCells(col("qe"), cents, nProbe)))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"))
     val sims = cells.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),

@@ -94,6 +94,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("IVF with full probing degenerates to exhaustive search (routing never corrupts scores)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    import graft.functions.ExactRound.round6
+    // random-ish deterministic corpus + queries; probing ALL 16 cells
+    // must reproduce brute force row for row — the cell routing can only
+    // restrict the candidate set, never change a similarity or a rank
+    val dim = 16
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val corpus = gen(spark.range(10, 130).toDF("id"), 5)
+    val q = gen(spark.range(0, 6).toDF("id"), 77)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val full = graft.operators.Similarity.annIvfInline(corpus, q, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val brute = {
+      val sims = corpus.join(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          round6(VF.cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      sims.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5).orderBy("query_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    }
+    assert(full == brute, s"full-probe IVF != brute force:\n$full\n$brute")
+  }
+
   test("pipeline: no loss, no duplication, batch bound for generated workloads") {
     val sizesGen = Gen.chooseNum(1, 700)
     val workloads = samples(sizesGen, 3)
