@@ -209,6 +209,35 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_ann_app$sfx"))
   }
 
+  test("PQ indexed path on a tiny corpus: empty codebooks fall back to exact scoring") {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    // 5 corpus vectors < PqK=16: codebooks can't seed, build writes an
+    // empty _pq and no pq sidecar rows — the query path must answer
+    // exactly (brute force over _cells), not crash or mis-rank
+    val corpus = gen(spark.range(10, 15).toDF("id"), 3)
+    val q = gen(spark.range(0, 3).toDF("id"), 44)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    Similarity.writeAnnIndex(spark, corpus, "graft_ann_tiny", numBuckets = 2)
+    try {
+      assert(spark.table("graft_ann_tiny_pq").count() == 0, "expected empty _pq")
+      val rows = Similarity.annPqIndexed(spark, q, "graft_ann_tiny").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+      // every query ranks the full 5-vector corpus exactly
+      assert(rows.length == 15, s"expected 3 queries x 5 ranked rows, got ${rows.length}")
+      rows.groupBy(_._1).foreach { case (_, rs) =>
+        assert(rs.map(_._3).sorted.toSeq == (1L to 5L))
+      }
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_tiny$sfx"))
+  }
+
   test("query batches stay a DataFrame: 1000 synthetic queries, no driver collect of the query set") {
     import org.apache.spark.sql.functions._
     // deterministic synthetic queries — NOT a local collection: built from
