@@ -256,14 +256,28 @@ object Similarity {
     * ([[refine]] is dimension-agnostic). Driver state = M × K × (d/M)
     * doubles — the PQ codebook, same bounded-collect pattern as s02's
     * centroid table. */
-  private def pqCodebooks(corpus: DataFrame): Seq[Seq[Array[Double]]] =
-    (0 until PqM).map { m =>
-      val sub = corpus.select(col("vec_id"),
-        slice(col("emb"), m * PqSub + 1, PqSub).as("emb"))
-      val seeds = sub.orderBy("vec_id").limit(PqK)
-        .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
-      if (seeds.isEmpty) Seq.empty else refine(sub, seeds)
+  private def pqCodebooks(corpus: DataFrame): Seq[Seq[Array[Double]]] = {
+    // the 8 per-subspace trainings are independent one-job pipelines with
+    // driver collect barriers — run them as CONCURRENT Spark jobs (the
+    // scheduler interleaves them across the executor pool; safe for
+    // bit-equality because refine's means are order-invariant and each
+    // subspace's lineage is disjoint). Serial execution paid 8 barrier
+    // round-trips back to back.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val futs = (0 until PqM).map { m =>
+      Future {
+        val sub = corpus.select(col("vec_id"),
+          slice(col("emb"), m * PqSub + 1, PqSub).as("emb"))
+        val seeds = sub.orderBy("vec_id").limit(PqK)
+          .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
+        if (seeds.isEmpty) Seq.empty[Array[Double]] else refine(sub, seeds)
+      }
     }
+    Await.result(Future.sequence(futs), Duration.Inf)
+  }
 
   /** PQ-ADC approximate top-5 — the MEMORY-bounded ANN scale path
     * beside s02's IVF (scan reduction) and s03's SRP (hamming ranking):
@@ -424,29 +438,47 @@ object Similarity {
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val cents = ivfCentroids(corpus)
-    val books = pqCodebooks(corpus)
-    // `meta` columns (tenancy/category/language labels) ride along in
-    // _cells so filtered search can put its predicate ON the cell join
-    // ([[annIvfFilteredIndexed]]) — the index-side analogue of s06's
-    // pre-filter contract
-    withCell(corpus, cents)
-      .select((Seq(col("cell"), col("vec_id"), col("emb"), col("nrm")) ++
-        meta.map(col)): _*)
-      .write.mode("overwrite")
-      .bucketBy(numBuckets, "cell").sortBy("cell")
-      .saveAsTable(name + "_cells")
-    withSigs(corpus).select(col("vec_id"), col("sig0"), col("sig1"))
-      .write.mode("overwrite")
-      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(name + "_srp")
-    val coded =
-      if (books.exists(_.size != PqK))
-        Seq.empty[(Long, Seq[Int], Double)].toDF("vec_id", "codes", "recon_n")
-      else pqEncode(corpus, books)
-    coded.write.mode("overwrite")
-      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(name + "_pq")
+    // centroid and codebook trainings are disjoint job pipelines — run
+    // them concurrently, then the three independent table writes
+    // concurrently (safe for bit-equality: refine is order-invariant,
+    // and no write reads another's table)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val centsF = Future(ivfCentroids(corpus))
+    val booksF = Future(pqCodebooks(corpus))
+    val cents = Await.result(centsF, Duration.Inf)
+    val books = Await.result(booksF, Duration.Inf)
+    val writes = Seq(
+      Future {
+        // `meta` columns (tenancy/category/language labels) ride along in
+        // _cells so filtered search can put its predicate ON the cell
+        // join ([[annIvfFilteredIndexed]]) — the index-side analogue of
+        // s06's pre-filter contract
+        withCell(corpus, cents)
+          .select((Seq(col("cell"), col("vec_id"), col("emb"), col("nrm")) ++
+            meta.map(col)): _*)
+          .write.mode("overwrite")
+          .bucketBy(numBuckets, "cell").sortBy("cell")
+          .saveAsTable(name + "_cells")
+      },
+      Future {
+        withSigs(corpus).select(col("vec_id"), col("sig0"), col("sig1"))
+          .write.mode("overwrite")
+          .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+          .saveAsTable(name + "_srp")
+      },
+      Future {
+        val coded =
+          if (books.exists(_.size != PqK))
+            Seq.empty[(Long, Seq[Int], Double)].toDF("vec_id", "codes", "recon_n")
+          else pqEncode(corpus, books)
+        coded.write.mode("overwrite")
+          .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+          .saveAsTable(name + "_pq")
+      })
+    Await.result(Future.sequence(writes), Duration.Inf)
     val side =
       cents.zipWithIndex.map { case (c, i) => ("cent", i, c.toSeq) } ++
         (if (books.exists(_.size != PqK)) Seq.empty
