@@ -365,10 +365,13 @@ object ScaleSmoke {
     // dedup — gram counts persist once, a delta batch merges its own
     // distinct gram keys against the narrow bucketed table instead of
     // re-tokenizing the 100× corpus (the inline d14-over-union cost)
+    // write the timed inline run's result once and diff file-to-file —
+    // a lazy wantSpans would re-run the expensive union pipeline inside
+    // each exceptAll count (review)
     val ts0 = System.nanoTime()
     graft.operators.Dedup.duplicateSpans(corpus.unionByName(delta), 8)
       .filter(col("doc_id") >= 5000000000L)
-      .write.format("noop").mode("overwrite").save()
+      .write.mode("overwrite").parquet(s"$out/spans_inline.parquet")
     val spanInline = (System.nanoTime() - ts0) / 1e9
     val ts1 = System.nanoTime()
     graft.operators.Dedup.writeSpanIndex(corpus, "graft_i100_span")
@@ -378,8 +381,7 @@ object ScaleSmoke {
       .write.mode("overwrite").parquet(s"$out/spans_idx.parquet")
     val spanQuery = (System.nanoTime() - ts2) / 1e9
     val gotSpans = spark.read.parquet(s"$out/spans_idx.parquet")
-    val wantSpans = graft.operators.Dedup.duplicateSpans(corpus.unionByName(delta), 8)
-      .filter(col("doc_id") >= 5000000000L)
+    val wantSpans = spark.read.parquet(s"$out/spans_inline.parquet")
     val spanDiff = gotSpans.exceptAll(wantSpans).count() +
       wantSpans.exceptAll(gotSpans).count()
     println(f"I100SPAN inline=$spanInline%.2f s build=$spanBuild%.2f s (amortized) " +

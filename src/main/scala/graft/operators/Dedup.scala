@@ -433,10 +433,23 @@ object Dedup {
     * so test sessions / other fixtures never cross-hit; the strong
     * session key pins at most the handful of sessions a process builds. */
   private val labelsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+
+  /** Mtime+length fingerprint of the fixture file backing the labels —
+    * the driver CAN regenerate /root/testdata mid-round (CLAUDE.md), and
+    * a memo keyed only by path would replay labels computed from the OLD
+    * bytes against oracles reading the new ones. */
+  private def docsFingerprint(dir: String): Long = {
+    val f = new java.io.File(dir, "documents.parquet")
+    if (!f.exists()) 0L
+    else if (f.isDirectory) {
+      val parts = Option(f.listFiles()).getOrElse(Array.empty)
+      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
+    } else f.lastModified() ^ f.length()
+  }
 
   private[graft] def minhashClusterLabels(s: SparkSession, dir: String): DataFrame =
-    labelsMemo.computeIfAbsent((s, dir), { _ =>
+    labelsMemo.computeIfAbsent((s, dir, docsFingerprint(dir)), { _ =>
       clusterLabels(d01MinhashPairs(s, dir).select(col("doc_a"), col("doc_b")))
     })
 
@@ -904,6 +917,19 @@ object Dedup {
     * band rebuild is [[bandRows]] over the merged frame. */
   def compactCorpusIndex(s: SparkSession, name: String,
       numBuckets: Int = 8): Unit = {
+    // RECOVERY preamble: the drop→rename swap below is not atomic (the
+    // session catalog has no multi-table transaction). If a previous
+    // compact crashed between the drop and the rename, the live name is
+    // gone but the fully-written _tmp table holds the data — finish the
+    // rename before doing anything else, so re-running compact (or any
+    // caller that runs it first) self-heals instead of requiring manual
+    // catalog surgery.
+    Seq("_bands", "_reps").foreach { sfx =>
+      if (!s.catalog.tableExists(name + sfx) &&
+          s.catalog.tableExists(name + sfx + "_tmp")) {
+        s.sql(s"ALTER TABLE `$name${sfx}_tmp` RENAME TO `$name$sfx`")
+      }
+    }
     // merge key: the shingle SET. Arrays from array_distinct preserve
     // first-occurrence order, which differs between docs whose token
     // orders differ — sort for a canonical set key.

@@ -426,8 +426,13 @@ object Similarity {
     * exact result equality. `numBuckets` is the cluster knob (local
     * default matches the test SFs). */
   def writeAnnIndex(s: SparkSession, corpus: DataFrame, name: String,
-      numBuckets: Int = 8, meta: Seq[String] = Seq.empty): Unit = {
+      numBuckets: Int = 8, meta: Seq[String] = Seq.empty,
+      families: Set[String] = Set("ivf", "srp", "pq")): Unit = {
     import s.implicits._
+    require(families.contains("ivf"),
+      "the cells table is every family's rerank source — 'ivf' is mandatory")
+    // drop ALL four names regardless of `families`: a partial build over
+    // a stale full index must not leave old-family tables that look live
     Seq(name + "_cells", name + "_srp", name + "_pq", name + "_side").foreach { t =>
       // drop both the catalog entry and any stale warehouse location
       // (saveAsTable would fail with LOCATION_ALREADY_EXISTS — the d13
@@ -439,19 +444,21 @@ object Similarity {
       if (fs.exists(loc)) fs.delete(loc, true)
     }
     // centroid and codebook trainings are disjoint job pipelines — run
-    // them concurrently, then the three independent table writes
-    // concurrently (safe for bit-equality: refine is order-invariant,
-    // and no write reads another's table)
+    // them concurrently, then the independent table writes concurrently
+    // (safe for bit-equality: refine is order-invariant, and no write
+    // reads another's table)
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val centsF = Future(ivfCentroids(corpus))
-    val booksF = Future(pqCodebooks(corpus))
+    val booksF =
+      if (families.contains("pq")) Future(pqCodebooks(corpus))
+      else Future.successful(Seq.empty[Seq[Array[Double]]])
     val cents = Await.result(centsF, Duration.Inf)
     val books = Await.result(booksF, Duration.Inf)
     val writes = Seq(
-      Future {
+      Some(Future {
         // `meta` columns (tenancy/category/language labels) ride along in
         // _cells so filtered search can put its predicate ON the cell
         // join ([[annIvfFilteredIndexed]]) — the index-side analogue of
@@ -462,14 +469,14 @@ object Similarity {
           .write.mode("overwrite")
           .bucketBy(numBuckets, "cell").sortBy("cell")
           .saveAsTable(name + "_cells")
-      },
-      Future {
+      }),
+      if (!families.contains("srp")) None else Some(Future {
         withSigs(corpus).select(col("vec_id"), col("sig0"), col("sig1"))
           .write.mode("overwrite")
           .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
           .saveAsTable(name + "_srp")
-      },
-      Future {
+      }),
+      if (!families.contains("pq")) None else Some(Future {
         val coded =
           if (books.exists(_.size != PqK))
             Seq.empty[(Long, Seq[Int], Double)].toDF("vec_id", "codes", "recon_n")
@@ -477,11 +484,15 @@ object Similarity {
         coded.write.mode("overwrite")
           .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
           .saveAsTable(name + "_pq")
-      })
-    Await.result(Future.sequence(writes), Duration.Inf)
+      })).flatten
+    // await EVERY write before surfacing a failure: a fail-fast rethrow
+    // would leave sibling writes running, racing a caller's retry (whose
+    // preamble drops tables and deletes locations) against zombie jobs
+    val outcomes = writes.map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    outcomes.collectFirst { case scala.util.Failure(e) => throw e }
     val side =
       cents.zipWithIndex.map { case (c, i) => ("cent", i, c.toSeq) } ++
-        (if (books.exists(_.size != PqK)) Seq.empty
+        (if (books.isEmpty || books.exists(_.size != PqK)) Seq.empty
          else books.zipWithIndex.flatMap { case (b, m) =>
            b.zipWithIndex.map { case (c, j) => ("pq", m * PqK + j, c.toSeq) } })
     side.toDF("kind", "idx", "vec").repartition(1)
@@ -509,15 +520,20 @@ object Similarity {
       .write.mode("append")
       .bucketBy(numBuckets, "cell").sortBy("cell")
       .saveAsTable(name + "_cells")
-    withSigs(newVecs).select(col("vec_id"), col("sig0"), col("sig1"))
-      .write.mode("append")
-      .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
-      .saveAsTable(name + "_srp")
+    // partial-family builds (writeAnnIndex(families = ...)) skip the
+    // srp/pq tables entirely — append only what exists
+    if (s.catalog.tableExists(name + "_srp")) {
+      withSigs(newVecs).select(col("vec_id"), col("sig0"), col("sig1"))
+        .write.mode("append")
+        .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+        .saveAsTable(name + "_srp")
+    }
     // a build that found the corpus too small for full codebooks wrote
     // an empty _pq; the PQ query path's exact fallback already covers
     // appended vectors through _cells, so only append codes when the
     // codebooks exist
-    if (books.nonEmpty && books.forall(_.size == PqK)) {
+    if (s.catalog.tableExists(name + "_pq") &&
+        books.nonEmpty && books.forall(_.size == PqK)) {
       pqEncode(newVecs, books)
         .write.mode("append")
         .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
@@ -582,8 +598,10 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
       .withColumn("nrm", l2Norm(col("emb")))
+    // IVF-only build: this gate never touches the SRP/PQ legs, and
+    // training codebooks it won't read was pure dead weight (review)
     writeAnnIndex(s, e.filter(col("vec_id") >= 10), "graft_s08_index",
-      meta = Seq("label"))
+      meta = Seq("label"), families = Set("ivf"))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("label").as("qlabel"))
@@ -694,12 +712,7 @@ object Similarity {
     val sims = c.join(broadcast(q), col("label") === col("qlabel"))
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
-    val top = org.apache.spark.sql.graft.relations.topKPerKey(
-      sims, Seq("query_id"), Seq(("sim", false), ("vec_id", true)), TopK)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("vec_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
-      .orderBy("query_id", "rank")
+    topKWithRank(sims)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
