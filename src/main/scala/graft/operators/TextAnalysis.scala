@@ -284,6 +284,30 @@ object TextAnalysis {
       .orderBy("shard", "bin")
   }
 
+  /** Deterministic TRAINING ORDER over the sharded pack (t16's consumer
+    * — the last pipeline step before a trainer reads the data): each
+    * bin gets a pseudo-random md5 shuffle key (seeded — re-keying an
+    * epoch is a seed change), bins are ordered WITHIN their shard by
+    * that key, and the global order interleaves the 8 shard streams
+    * round-robin: global_pos = (pos_in_shard − 1) · shards + shard.
+    * This yields a total, reproducible epoch order with NO global
+    * window — each shard's row_number runs in its own partition (the
+    * t16 discipline; a single ORDER BY row_number would serialize every
+    * bin through one reducer), exactly how distributed loaders consume
+    * per-worker shard streams. Integer-only output. */
+  def t25TrainOrder(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("skey"), col("bin"))
+    t16SeqPackSharded(s, dir)
+      .withColumn("skey",
+        md5(concat_ws(":", col("shard"), col("bin"), lit("epoch0"))))
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+      .select(
+        ((col("pos_in_shard") - 1L) * PackShards + col("shard")).as("global_pos"),
+        col("shard"), col("bin"), col("first_doc"), col("total_tokens"))
+      .orderBy("global_pos")
+  }
+
   /** Normalization-then-dedup ("fuzzy exact"): case-fold, strip
     * non-alphanumerics, collapse whitespace — the canonicalization pass
     * that catches trivially-reformatted duplicates plain exact dedup
@@ -519,6 +543,7 @@ object TextAnalysis {
     "t22_chunk_docs" -> (t22ChunkDocs _),
     "t23_bloom_decontaminate" -> (t23BloomDecontaminate _),
     "t24_model_quality" -> (t24ModelQuality _),
+    "t25_train_order" -> (t25TrainOrder _),
   )
 
   private val ChunkTokens = 64
@@ -863,6 +888,35 @@ object TextAnalysis {
         |SELECT shard, bin, count(*) AS n_docs, min(doc_id) AS first_doc,
         |  max(doc_id) AS last_doc, CAST(sum(n) AS BIGINT) AS total_tokens
         |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+    // t16's bin CTE + the seeded md5 shuffle key, per-shard row_number,
+    // round-robin interleave formula — both engines emit lowercase hex
+    // md5, so the string order is identical (the q43 hash-sample
+    // precedent)
+    "t25_train_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT shard, doc_id, n,
+        |  coalesce(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t),
+        |b AS (SELECT shard, doc_id, n, CAST(cum_before // 512 AS BIGINT) AS bin FROM c),
+        |bins AS (
+        |  SELECT shard, bin, min(doc_id) AS first_doc,
+        |    CAST(sum(n) AS BIGINT) AS total_tokens
+        |  FROM b GROUP BY shard, bin),
+        |keyed AS (
+        |  SELECT shard, bin, first_doc, total_tokens,
+        |    md5(shard || ':' || bin || ':' || 'epoch0') AS skey
+        |  FROM bins),
+        |ranked AS (
+        |  SELECT shard, bin, first_doc, total_tokens,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY skey, bin) AS BIGINT) AS pos_in_shard
+        |  FROM keyed)
+        |SELECT (pos_in_shard - 1) * 8 + shard AS global_pos,
+        |  shard, bin, first_doc, total_tokens
+        |FROM ranked ORDER BY global_pos""".stripMargin,
     "t17_pipeline_sharded" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, lang,

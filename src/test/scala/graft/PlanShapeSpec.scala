@@ -83,6 +83,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("t25: training order plans no single-reducer stage (per-shard windows + range sort only)") {
+    val p = plan(TextAnalysis.t25TrainOrder(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "global training order serialized through one reducer:\n" + p)
+    // both windows (t16's pack + the shuffle-key rank) partition by shard
+    assert("\\bWindow\\b".r.findAllIn(p).size == 2, p)
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
