@@ -380,10 +380,21 @@ object Similarity {
     * the driver gate. Recall compares semi-join hit counts in integer
     * arithmetic — no floats anywhere. */
   def s04AnnRecallGate(s: SparkSession, dir: String): DataFrame = {
-    val exact = s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))
-    val ivf = s02AnnIvf(s, dir).select(col("query_id"), col("vec_id"))
-    val srp = s03AnnSrp(s, dir).select(col("query_id"), col("vec_id"))
-    val pq = s05AnnPq(s, dir).select(col("query_id"), col("vec_id"))
+    // constructing s02/s05 runs their centroid/codebook training jobs
+    // (driver collect barriers) — overlap the four constructions; safe
+    // because the pipelines are disjoint and refine is order-invariant
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val parts = Seq(
+      Future(s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))),
+      Future(s02AnnIvf(s, dir).select(col("query_id"), col("vec_id"))),
+      Future(s03AnnSrp(s, dir).select(col("query_id"), col("vec_id"))),
+      Future(s05AnnPq(s, dir).select(col("query_id"), col("vec_id"))))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    parts.collectFirst { case scala.util.Failure(e) => throw e }
+    val Seq(exact, ivf, srp, pq) = parts.map(_.get)
     val base = exact.agg(
       countDistinct(col("query_id")).cast("long").as("n_queries"),
       count(lit(1)).as("n_exact"))
@@ -670,13 +681,22 @@ object Similarity {
         .agg((count(lit(1)) === 0).as(name))
     }
     val base = q.agg(count(lit(1)).cast("long").as("n_queries"))
-    base
-      .crossJoin(flag(annIvfIndexed(s, q, "graft_s07_index"),
-        s02AnnIvf(s, dir), "ivf_indexed_matches_inline"))
-      .crossJoin(flag(annSrpIndexed(s, q, "graft_s07_index"),
-        s03AnnSrp(s, dir), "srp_indexed_matches_inline"))
-      .crossJoin(flag(annPqIndexed(s, q, "graft_s07_index"),
-        s05AnnPq(s, dir), "pq_indexed_matches_inline"))
+    // overlap the three inline re-derivations (each trains its own
+    // state with collect barriers) — the s04 construction pattern
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val flags = Seq(
+      Future(flag(annIvfIndexed(s, q, "graft_s07_index"),
+        s02AnnIvf(s, dir), "ivf_indexed_matches_inline")),
+      Future(flag(annSrpIndexed(s, q, "graft_s07_index"),
+        s03AnnSrp(s, dir), "srp_indexed_matches_inline")),
+      Future(flag(annPqIndexed(s, q, "graft_s07_index"),
+        s05AnnPq(s, dir), "pq_indexed_matches_inline")))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    flags.collectFirst { case scala.util.Failure(e) => throw e }
+    flags.map(_.get).foldLeft(base)(_.crossJoin(_))
   }
 
   /** FILTERED vector search — the metadata-predicate top-k every real
