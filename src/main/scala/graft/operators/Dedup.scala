@@ -661,9 +661,19 @@ object Dedup {
     // cache both narrow pair sets: the three aggregates below would
     // otherwise re-run the full d04 all-pairs AND the full d09 IVF
     // pipeline twice each (measured 10.3 s → ~5 s at sf0.1);
-    // query-scoped, Verify/Bench clearCache() after each query
-    val exact = d04EmbeddingNearDup(s, dir).select(col("vec_a"), col("vec_b")).cache()
-    val ivf = d09EmbedNearDupIvf(s, dir).select(col("vec_a"), col("vec_b")).cache()
+    // query-scoped, Verify/Bench clearCache() after each query.
+    // Constructions overlap (the s04 pattern): d09's builder trains IVF
+    // cells through collect barriers that d04's doesn't need to wait on.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val built = Seq(
+      Future(d04EmbeddingNearDup(s, dir).select(col("vec_a"), col("vec_b")).cache()),
+      Future(d09EmbedNearDupIvf(s, dir).select(col("vec_a"), col("vec_b")).cache()))
+      .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
+    built.collectFirst { case scala.util.Failure(e) => throw e }
+    val Seq(exact, ivf) = built.map(_.get)
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
     val nIvf = ivf.agg(count(lit(1)).as("n_ivf"))
     val nOutside = ivf.join(exact, Seq("vec_a", "vec_b"), "left_anti")
