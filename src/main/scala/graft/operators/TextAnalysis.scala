@@ -518,6 +518,76 @@ object TextAnalysis {
       .orderBy("lang", "rnk")
   }
 
+  /** e6-scaled cosine threshold for semantic decontamination (0.4 —
+    * d04's near-dup regime, so the flagged set is non-trivial on the
+    * shared fixtures). */
+  private val SemTauE6 = 400000L
+
+  /** SEMANTIC decontamination — [[t19Decontaminate]]'s vector twin.
+    * t19 catches verbatim n-gram overlap with the eval split; paraphrased
+    * contamination shares no shingles but lands close in embedding
+    * space, so the production gate runs both. Corpus vectors are flagged
+    * when their cosine to ANY eval vector (`vec_id % 17 == 0`, the same
+    * held-out stand-in as t19) meets [[SemTauE6]]. The eval side is
+    * benchmark-sized by construction and BROADCASTS; the corpus never
+    * shuffles — similarity is evaluated map-side against the broadcast
+    * rows and only (vec_id, hit) pairs reach the count/max aggregate
+    * (map-side-combined to one row per flagged vector). At a scale where
+    * even map-side all-eval scoring is too hot, route candidates through
+    * the persisted ANN index first ([[Similarity.annIvfIndexed]]) and
+    * keep this exact verify as the tail. Outputs are scaled BIGINTs
+    * end to end (driver-gate float rule): `max_sim_e6` floors the
+    * per-pair cosine at e6 BEFORE the max, so the reduction is over
+    * integers and accumulation-order-proof. */
+  def t26SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val v = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+    val evalSet = v.filter(col("vec_id") % 17 === 0)
+      .select(col("emb").as("ee"), col("nrm").as("en"))
+    v.filter(col("vec_id") % 17 =!= 0)
+      .crossJoin(broadcast(evalSet))
+      .select(col("vec_id"),
+        floor(VectorFunctions.cosineWithNorms(col("emb"), col("ee"), col("nrm"), col("en"))
+          * 1000000.0 + 0.5).cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= SemTauE6)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_hits"), max(col("sim_e6")).as("max_sim_e6"))
+      .orderBy("vec_id")
+  }
+
+  /** Per-DOMAIN quality cut — the adaptive-threshold filter real corpus
+    * curation uses (a fixed global score cut starves clean domains and
+    * floods noisy ones; FineWeb-style pipelines cut per source). Each
+    * doc's t03 composite is e4-scaled to BIGINT (per-row deterministic
+    * float folded to integer once — the same move t24 makes), each
+    * `source` gets its exact MEDIAN as the keep threshold via
+    * [[ExactPercentile.discByKey]] (bounded state: per-(source, value)
+    * counts + a spillable cumulative sort — never a whole-domain array,
+    * so a hot domain at 100 TB cannot OOM an executor), and the corpus
+    * re-scan keeps docs at/above their domain's bar through a BROADCAST
+    * join of the tiny per-source threshold table — the corpus itself
+    * never shuffles. Everything downstream of the one e4 fold is integer
+    * arithmetic. */
+  def t27DomainQualityCut(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("source"), col("text"),
+        punctRatio(col("text")).as("pr"),
+        stopwordRatio(col("toks"), EnStopwords).as("sr"),
+        meanTokLen(col("toks")).as("mtl"))
+      .select(col("doc_id"), col("source"),
+        floor(qualityScoreFromParts(col("text"), col("pr"), col("sr"), col("mtl"))
+          * 10000.0 + 0.5).cast("long").as("quality_e4"))
+    val thr = ExactPercentile.discByKey(q, "source", "quality_e4",
+      Seq(0.5), Seq("thr_e4"))
+    q.join(broadcast(thr), "source")
+      .filter(col("quality_e4") >= col("thr_e4"))
+      .select(col("doc_id"), col("source"), col("quality_e4"), col("thr_e4"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -544,6 +614,8 @@ object TextAnalysis {
     "t23_bloom_decontaminate" -> (t23BloomDecontaminate _),
     "t24_model_quality" -> (t24ModelQuality _),
     "t25_train_order" -> (t25TrainOrder _),
+    "t26_semantic_decontaminate" -> (t26SemanticDecontaminate _),
+    "t27_domain_quality_cut" -> (t27DomainQualityCut _),
   )
 
   private val ChunkTokens = 64
@@ -917,6 +989,41 @@ object TextAnalysis {
         |SELECT (pos_in_shard - 1) * 8 + shard AS global_pos,
         |  shard, bin, first_doc, total_tokens
         |FROM ranked ORDER BY global_pos""".stripMargin,
+    // per-pair cosine floored to e6 BEFORE the max, so the aggregate is
+    // pure integer (accumulation-order-proof); count CAST to BIGINT
+    // (DuckDB count is HUGEINT)
+    "t26_semantic_decontaminate" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |e AS (SELECT emb AS ee FROM v WHERE vec_id % 17 = 0),
+        |p AS (
+        |  SELECT c.vec_id,
+        |    CAST(floor(list_cosine_similarity(c.emb, ee) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+        |  FROM (SELECT vec_id, emb FROM v WHERE vec_id % 17 <> 0) c CROSS JOIN e)
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(sim_e6) AS max_sim_e6
+        |FROM p WHERE sim_e6 >= 400000 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    // t03's feature CTE (node-for-node), e4-scaled to BIGINT once;
+    // quantile_disc ≡ ExactPercentile.discByKey (smallest value with
+    // cum ≥ ceil(p·n) — the q69-proven pairing)
+    "t27_domain_quality_cut" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, text,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks,
+         |    CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS n_punct
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN length(text) > 0 THEN n_punct / CAST(length(text) AS DOUBLE) ELSE 0.0 END AS punct_ratio,
+         |    CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, x -> list_contains($enList, x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         |    least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS len_score,
+         |    CASE WHEN len(toks) > 0 AND (CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / CAST(len(toks) AS DOUBLE)) BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.5 END AS shape_score
+         |  FROM t),
+         |q AS (
+         |  SELECT doc_id, source,
+         |    CAST(floor((len_score * 0.4 + shape_score * 0.2 + (1.0 - least(punct_ratio * 4.0, 1.0)) * 0.2 + least(stop_ratio * 5.0, 1.0) * 0.2) * 10000.0 + 0.5) AS BIGINT) AS quality_e4
+         |  FROM r),
+         |th AS (SELECT source, quantile_disc(quality_e4, 0.5) AS thr_e4 FROM q GROUP BY source)
+         |SELECT q.doc_id, q.source, q.quality_e4, th.thr_e4
+         |FROM q JOIN th USING (source) WHERE quality_e4 >= thr_e4 ORDER BY doc_id""".stripMargin,
     "t17_pipeline_sharded" ->
       s"""WITH t AS (
          |  SELECT doc_id, text, lang,

@@ -120,4 +120,54 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rows.exists(_._7) && rows.exists(!_._7),
       s"degenerate split: ${rows.count(_._7)}/${rows.length} pass")
   }
+
+  test("t26 semantic decontamination equals a driver-side brute-force recompute") {
+    val out = graft.operators.TextAnalysis.t26SemanticDecontaminate(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // independent recompute: plain Scala double math over the raw
+    // parquet, mirroring VectorDot's sequential left-to-right fold
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def nrm(a: Array[Double]) = math.sqrt(dot(a, a))
+    val eval = vecs.filter(_._1 % 17 == 0)
+    val want = vecs.filter(_._1 % 17 != 0).flatMap { case (id, v) =>
+      val sims = eval.values.toSeq
+        .map(e => math.floor(dot(v, e) / (nrm(v) * nrm(e)) * 1000000.0 + 0.5).toLong)
+        .filter(_ >= 400000L)
+      if (sims.isEmpty) None else Some(id -> (sims.length.toLong, sims.max))
+    }
+    assert(want.nonEmpty, "fixture has no semantic hits — threshold dead")
+    assert(out == want.toMap)
+  }
+
+  test("t27 domain quality cut: per-source median threshold attained, majority kept") {
+    val kept = graft.operators.TextAnalysis.t27DomainQualityCut(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(kept.nonEmpty)
+    val perSourceN = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    kept.groupBy(_._2).foreach { case (src, rows) =>
+      val thr = rows.map(_._4).distinct
+      assert(thr.length == 1, s"$src: multiple thresholds $thr")
+      // everything kept is at/above the bar, and the bar is ATTAINED
+      // (disc percentile picks a real value, which then survives its
+      // own cut — so min kept == thr exactly)
+      assert(rows.map(_._3).min == thr.head, s"$src: min kept != thr")
+      // smallest value with cum ≥ ceil(n/2) leaves at most ceil(n/2)-1
+      // docs strictly below the bar
+      val n = perSourceN(src)
+      assert(rows.length >= n - (n + 1) / 2 + 1,
+        s"$src: kept ${rows.length} of $n — below the median-cut floor")
+    }
+    // the cut must actually drop something somewhere
+    assert(kept.length < perSourceN.values.sum, "degenerate: nothing dropped")
+    // and cover every source (each source keeps at least its median doc)
+    assert(kept.map(_._2).distinct.length == perSourceN.size)
+  }
 }
