@@ -588,6 +588,97 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Symbol separator inside BPE word representations (US control char —
+    * grep-verified absent from the fixtures, and words containing it are
+    * dropped defensively in both engines). */
+  private val BpeSep = "\u001F"
+  /** Merge rounds learned by [[t28BpeMerges]]. Each round is a blocking
+    * barrier (pair-count agg → 1-row argmax → re-fold), so the count is
+    * deliberately small — vocab induction runs O(vocab) rounds on a
+    * corpus SAMPLE in practice, not on every byte of a 100 TB corpus. */
+  private val BpeRounds = 6
+
+  /** DuckDB mirror of [[t28BpeMerges]], generated for [[BpeRounds]]
+    * rounds: same weighted pair counts, same total tie order, and the
+    * same greedy fold via `list_reduce` (seeded with a prepended empty
+    * accumulator so the FIRST pair is mergeable — `list_reduce` without
+    * it consumes element 1 as the seed and can never merge at offset 0). */
+  private def bpeOracleSql: String = {
+    val head =
+      """WITH w0 AS (
+        |  SELECT regexp_replace(word, '(.)', chr(31) || '\1', 'g') AS rep,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS word
+        |        FROM documents)
+        |  WHERE NOT contains(word, chr(31))
+        |  GROUP BY word)""".stripMargin
+    val rounds = (1 to BpeRounds).map { r =>
+      s"""p$r AS (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(n) AS BIGINT) AS pn
+         |  FROM (SELECT list_filter(string_split(rep, chr(31)), x -> x <> '') AS syms, n FROM w${r - 1}),
+         |       unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT CAST($r AS BIGINT) AS round, l, r, pn FROM p$r ORDER BY pn DESC, l, r LIMIT 1),
+         |w$r AS (
+         |  SELECT list_reduce(list_prepend('', list_filter(string_split(w.rep, chr(31)), x -> x <> '')),
+         |           (acc, x) -> CASE WHEN ends_with(acc, chr(31) || b.l) AND x = b.r
+         |                            THEN acc || x ELSE acc || chr(31) || x END) AS rep, w.n
+         |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
+    }
+    val union = (1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
+    s"""${(head +: rounds).mkString(",\n")}
+       |SELECT round, l AS left, r AS right, pn AS pair_n FROM ($union) ORDER BY round""".stripMargin
+  }
+
+  /** BPE vocabulary induction — the tokenizer-training primitive
+    * (t02 COUNTS with a fixed BPE-ish regex; this LEARNS the merge
+    * table). Classic weighted-distinct-word formulation: pair statistics
+    * come from the (word, count) table — corpus-sized text never re-scans
+    * after the one word-count shuffle, and every round's pair aggregate
+    * is map-side-combined over the distinct-word table. Per round: adjacent
+    * symbol pairs weighted by word count → the most frequent pair (total
+    * tie order: count desc, then binary-lexicographic left, right — a
+    * 1-row TakeOrdered, broadcast back) → greedy leftmost non-overlapping
+    * re-segmentation. The merge application is a sequential string fold
+    * (`aggregate` HOF, codegen'd): a symbol appends WITHOUT its separator
+    * iff the accumulator ends with sep+left and the symbol equals right —
+    * exactly BPE's greedy scan, because a merged symbol no longer
+    * ends with sep+left (DuckDB mirrors it node-for-node with
+    * `list_reduce`). Round r's branch re-derives rounds 1..r-1's folds
+    * (~K²/2 passes over the small distinct-word table) — at production
+    * scale each round's reps table persists between rounds instead; the
+    * all-integer/string pipeline has zero float surface. */
+  def t28BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val sep = lit(BpeSep)
+    var words = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .filter(!col("word").contains(BpeSep))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .select(regexp_replace(col("word"), "(.)", BpeSep + "$1").as("rep"), col("n"))
+    val bests = (1 to BpeRounds).map { r =>
+      val syms = words.select(
+        filter(split(col("rep"), BpeSep), x => x =!= "").as("syms"), col("n"))
+      val pairs = syms
+        .select(col("syms"), col("n"),
+          posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)))
+        .select(col("pos"), col("col").as("l"),
+          element_at(col("syms"), col("pos") + 2).as("r"), col("n"))
+      val best = pairs.groupBy(col("l"), col("r")).agg(sum(col("n")).as("pn"))
+        .orderBy(col("pn").desc, col("l").asc, col("r").asc).limit(1)
+      val b = best.select(col("l").as("bl"), col("r").as("br"))
+      words = words.crossJoin(broadcast(b))
+        .select(aggregate(
+          filter(split(col("rep"), BpeSep), x => x =!= ""),
+          lit(""),
+          (acc, x) => when(acc.endsWith(concat(sep, col("bl"))) && x === col("br"),
+            concat(acc, x)).otherwise(concat(acc, sep, x))).as("rep"),
+          col("n"))
+      best.select(lit(r.toLong).as("round"), col("l").as("left"),
+        col("r").as("right"), col("pn").as("pair_n"))
+    }
+    bests.reduce((a: DataFrame, b: DataFrame) => a.unionByName(b)).orderBy("round")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -616,6 +707,7 @@ object TextAnalysis {
     "t25_train_order" -> (t25TrainOrder _),
     "t26_semantic_decontaminate" -> (t26SemanticDecontaminate _),
     "t27_domain_quality_cut" -> (t27DomainQualityCut _),
+    "t28_bpe_merges" -> (t28BpeMerges _),
   )
 
   private val ChunkTokens = 64
@@ -1001,6 +1093,7 @@ object TextAnalysis {
         |  FROM (SELECT vec_id, emb FROM v WHERE vec_id % 17 <> 0) c CROSS JOIN e)
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(sim_e6) AS max_sim_e6
         |FROM p WHERE sim_e6 >= 400000 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "t28_bpe_merges" -> bpeOracleSql,
     // t03's feature CTE (node-for-node), e4-scaled to BIGINT once;
     // quantile_disc ≡ ExactPercentile.discByKey (smallest value with
     // cum ≥ ceil(p·n) — the q69-proven pairing)

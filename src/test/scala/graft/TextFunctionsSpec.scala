@@ -145,6 +145,36 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out == want.toMap)
   }
 
+  test("t28 BPE merges equal a driver-side greedy-BPE reference") {
+    val out = graft.operators.TextAnalysis.t28BpeMerges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 6 && out.map(_._1).toSeq == (1L to 6L))
+    // plain-Scala reference: weighted word-frequency BPE with the same
+    // greedy leftmost non-overlapping merge and (count desc, left, right)
+    // tie order
+    var words: Seq[(Vector[String], Long)] =
+      spark.read.parquet(s"$sf/documents.parquet").select($"text").collect()
+        .flatMap(_.getString(0).split("\\s+")).filter(w => w.nonEmpty && !w.contains('\u001F'))
+        .groupBy(identity).toSeq
+        .map { case (w, ws) => w.map(_.toString).toVector -> ws.length.toLong }
+    val want = (1 to 6).map { round =>
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val ((l, r), pn) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.map { case (syms, n) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        } -> n
+      }
+      (round.toLong, l, r, pn)
+    }
+    assert(out.toSeq == want)
+    // greedy merges can only shrink pair mass: best counts are non-increasing
+    assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted.reverse)
+  }
+
   test("t27 domain quality cut: per-source median threshold attained, majority kept") {
     val kept = graft.operators.TextAnalysis.t27DomainQualityCut(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
