@@ -569,7 +569,9 @@ object TextAnalysis {
     * re-scan keeps docs at/above their domain's bar through a BROADCAST
     * join of the tiny per-source threshold table — the corpus itself
     * never shuffles. Everything downstream of the one e4 fold is integer
-    * arithmetic. */
+    * arithmetic. The scored stage feeds BOTH the percentile aggregate
+    * and the re-scan — cache() it (query-scoped, Verify/Bench clearCache
+    * after; the exceptAll-gate pattern) so tokenization runs once. */
   def t27DomainQualityCut(s: SparkSession, dir: String): DataFrame = {
     val q = Tables.documents(s, dir)
       .select(col("doc_id"), col("source"), col("text"), tokens(col("text")).as("toks"))
@@ -580,6 +582,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("source"),
         floor(qualityScoreFromParts(col("text"), col("pr"), col("sr"), col("mtl"))
           * 10000.0 + 0.5).cast("long").as("quality_e4"))
+      .cache()
     val thr = ExactPercentile.discByKey(q, "source", "quality_e4",
       Seq(0.5), Seq("thr_e4"))
     q.join(broadcast(thr), "source")
@@ -644,10 +647,17 @@ object TextAnalysis {
     * iff the accumulator ends with sep+left and the symbol equals right —
     * exactly BPE's greedy scan, because a merged symbol no longer
     * ends with sep+left (DuckDB mirrors it node-for-node with
-    * `list_reduce`). Round r's branch re-derives rounds 1..r-1's folds
-    * (~K²/2 passes over the small distinct-word table) — at production
-    * scale each round's reps table persists between rounds instead; the
-    * all-integer/string pipeline has zero float surface. */
+    * `list_reduce`). Each round's winning pair — ONE row, driver-bounded
+    * by construction (the IVF-seed precedent) — is collected and
+    * substituted as literals into the next round's fold, so the plan has
+    * no crossJoin/broadcast machinery at all: round r's pair aggregate
+    * runs over a narrow projection chain of r map-side folds, and the
+    * K-row merge table itself returns as a local relation (the d12
+    * pattern for small eager gate results). First formulation kept the
+    * rounds fully lazy as a union of chained broadcast branches — its
+    * ~21 exchanges/cache builds cost 10 s of pure plan overhead at ANY
+    * data size; this one probes 1.3 s warm at sf0.1. Zero float
+    * surface end to end. */
   def t28BpeMerges(s: SparkSession, dir: String): DataFrame = {
     val sep = lit(BpeSep)
     var words = Tables.documents(s, dir)
@@ -655,28 +665,40 @@ object TextAnalysis {
       .filter(!col("word").contains(BpeSep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
       .select(regexp_replace(col("word"), "(.)", BpeSep + "$1").as("rep"), col("n"))
-    val bests = (1 to BpeRounds).map { r =>
+      // every round re-reads the base word table (round r = r narrow
+      // folds over it); cache the ONE shuffled stage so the corpus
+      // scans once (query-scoped; Verify/Bench clearCache after)
+      .cache()
+    val bests = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var r = 1
+    var dry = false
+    while (r <= BpeRounds && !dry) {
       val syms = words.select(
         filter(split(col("rep"), BpeSep), x => x =!= "").as("syms"), col("n"))
-      val pairs = syms
+      val best = syms
         .select(col("syms"), col("n"),
           posexplode(slice(col("syms"), lit(1), size(col("syms")) - 1)))
-        .select(col("pos"), col("col").as("l"),
+        .select(col("col").as("l"),
           element_at(col("syms"), col("pos") + 2).as("r"), col("n"))
-      val best = pairs.groupBy(col("l"), col("r")).agg(sum(col("n")).as("pn"))
+        .groupBy(col("l"), col("r")).agg(sum(col("n")).as("pn"))
         .orderBy(col("pn").desc, col("l").asc, col("r").asc).limit(1)
-      val b = best.select(col("l").as("bl"), col("r").as("br"))
-      words = words.crossJoin(broadcast(b))
-        .select(aggregate(
-          filter(split(col("rep"), BpeSep), x => x =!= ""),
-          lit(""),
-          (acc, x) => when(acc.endsWith(concat(sep, col("bl"))) && x === col("br"),
-            concat(acc, x)).otherwise(concat(acc, sep, x))).as("rep"),
-          col("n"))
-      best.select(lit(r.toLong).as("round"), col("l").as("left"),
-        col("r").as("right"), col("pn").as("pair_n"))
+        .collect()
+      best.headOption match {
+        case None => dry = true // no adjacent pairs left (or empty corpus)
+        case Some(row) =>
+          val (bl, br, pn) = (row.getString(0), row.getString(1), row.getLong(2))
+          bests += ((r.toLong, bl, br, pn))
+          words = words.select(aggregate(
+            filter(split(col("rep"), BpeSep), x => x =!= ""),
+            lit(""),
+            (acc, x) => when(acc.endsWith(lit(BpeSep + bl)) && x === lit(br),
+              concat(acc, x)).otherwise(concat(acc, sep, x))).as("rep"),
+            col("n"))
+          r += 1
+      }
     }
-    bests.reduce((a: DataFrame, b: DataFrame) => a.unionByName(b)).orderBy("round")
+    import s.implicits._
+    bests.toSeq.toDF("round", "left", "right", "pair_n").orderBy("round")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
