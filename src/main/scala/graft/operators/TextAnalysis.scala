@@ -606,10 +606,10 @@ object TextAnalysis {
     * same greedy fold via `list_reduce` (seeded with a prepended empty
     * accumulator so the FIRST pair is mergeable — `list_reduce` without
     * it consumes element 1 as the seed and can never merge at offset 0). */
-  private def bpeOracleSql: String = {
+  private def bpeOracleCtes: String = {
     val head =
       """WITH w0 AS (
-        |  SELECT regexp_replace(word, '(.)', chr(31) || '\1', 'g') AS rep,
+        |  SELECT word, regexp_replace(word, '(.)', chr(31) || '\1', 'g') AS rep,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM (SELECT unnest(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS word
         |        FROM documents)
@@ -623,15 +623,39 @@ object TextAnalysis {
          |  GROUP BY 1, 2),
          |b$r AS (SELECT CAST($r AS BIGINT) AS round, l, r, pn FROM p$r ORDER BY pn DESC, l, r LIMIT 1),
          |w$r AS (
-         |  SELECT list_reduce(list_prepend('', list_filter(string_split(w.rep, chr(31)), x -> x <> '')),
+         |  SELECT w.word, list_reduce(list_prepend('', list_filter(string_split(w.rep, chr(31)), x -> x <> '')),
          |           (acc, x) -> CASE WHEN ends_with(acc, chr(31) || b.l) AND x = b.r
          |                            THEN acc || x ELSE acc || chr(31) || x END) AS rep, w.n
          |  FROM w${r - 1} w CROSS JOIN b$r b)""".stripMargin
     }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def bpeOracleSql: String = {
     val union = (1 to BpeRounds).map(r => s"SELECT * FROM b$r").mkString(" UNION ALL ")
-    s"""${(head +: rounds).mkString(",\n")}
+    s"""$bpeOracleCtes
        |SELECT round, l AS left, r AS right, pn AS pair_n FROM ($union) ORDER BY round""".stripMargin
   }
+
+  /** [[t29BpeEncode]]'s mirror: the shared merge-chain CTEs, then the
+    * learned word -> symbol-count map applied back over every doc's
+    * token stream (inner join drops separator-bearing words exactly as
+    * the Spark map does; the doc-universe left join restores empty
+    * docs at 0). */
+  private def bpeEncodeOracleSql: String =
+    s"""$bpeOracleCtes,
+       |enc AS (
+       |  SELECT word, CAST(len(list_filter(string_split(rep, chr(31)), x -> x <> '')) AS BIGINT) AS n_syms
+       |  FROM w$BpeRounds),
+       |dw AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0)) AS word
+       |  FROM documents),
+       |per AS (
+       |  SELECT dw.doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(enc.n_syms) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN enc USING (word) GROUP BY dw.doc_id)
+       |SELECT d.doc_id, coalesce(per.n_words, CAST(0 AS BIGINT)) AS n_words,
+       |  coalesce(per.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+       |FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id) ORDER BY doc_id""".stripMargin
 
   /** BPE vocabulary induction — the tokenizer-training primitive
     * (t02 COUNTS with a fixed BPE-ish regex; this LEARNS the merge
@@ -658,13 +682,19 @@ object TextAnalysis {
     * ~21 exchanges/cache builds cost 10 s of pure plan overhead at ANY
     * data size; this one probes 1.3 s warm at sf0.1. Zero float
     * surface end to end. */
-  def t28BpeMerges(s: SparkSession, dir: String): DataFrame = {
+  /** The t28 learning loop, shared with [[t29BpeEncode]]: returns the
+    * distinct-word table with its FINAL post-merge representation (the
+    * learned word → segmentation map, `word`/`rep`/`n`) and the merge
+    * table rows. */
+  private def bpeLearnedWords(s: SparkSession, dir: String)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
     val sep = lit(BpeSep)
     var words = Tables.documents(s, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .filter(!col("word").contains(BpeSep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .select(regexp_replace(col("word"), "(.)", BpeSep + "$1").as("rep"), col("n"))
+      .select(col("word"),
+        regexp_replace(col("word"), "(.)", BpeSep + "$1").as("rep"), col("n"))
       // every round re-reads the base word table (round r = r narrow
       // folds over it); cache the ONE shuffled stage so the corpus
       // scans once (query-scoped; Verify/Bench clearCache after)
@@ -688,7 +718,7 @@ object TextAnalysis {
         case Some(row) =>
           val (bl, br, pn) = (row.getString(0), row.getString(1), row.getLong(2))
           bests += ((r.toLong, bl, br, pn))
-          words = words.select(aggregate(
+          words = words.select(col("word"), aggregate(
             filter(split(col("rep"), BpeSep), x => x =!= ""),
             lit(""),
             (acc, x) => when(acc.endsWith(lit(BpeSep + bl)) && x === lit(br),
@@ -697,8 +727,38 @@ object TextAnalysis {
           r += 1
       }
     }
+    (words, bests.toSeq)
+  }
+
+  def t28BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val (_, bests) = bpeLearnedWords(s, dir)
     import s.implicits._
-    bests.toSeq.toDF("round", "left", "right", "pair_n").orderBy("round")
+    bests.toDF("round", "left", "right", "pair_n").orderBy("round")
+  }
+
+  /** BPE ENCODING — [[t28BpeMerges]]'s consumer: tokenize the corpus
+    * with the learned vocabulary and report per-doc token counts (the
+    * number every packing/mixture/cost calculation downstream actually
+    * wants). The learned word → segmentation map is vocabulary-sized, so
+    * it BROADCASTS and the corpus token stream never shuffles for the
+    * lookup — one scan, map-side join, per-doc count aggregate. Docs
+    * whose every word was dropped (or empty docs) report 0 via the
+    * doc-universe left join. Integer end to end. */
+  def t29BpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val (words, _) = bpeLearnedWords(s, dir)
+    val enc = words.select(col("word"),
+      size(filter(split(col("rep"), BpeSep), x => x =!= "")).cast("long").as("n_syms"))
+    val perDoc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(broadcast(enc), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_syms")).as("n_bpe_tokens"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -730,6 +790,7 @@ object TextAnalysis {
     "t26_semantic_decontaminate" -> (t26SemanticDecontaminate _),
     "t27_domain_quality_cut" -> (t27DomainQualityCut _),
     "t28_bpe_merges" -> (t28BpeMerges _),
+    "t29_bpe_encode" -> (t29BpeEncode _),
   )
 
   private val ChunkTokens = 64
@@ -1116,6 +1177,7 @@ object TextAnalysis {
         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(sim_e6) AS max_sim_e6
         |FROM p WHERE sim_e6 >= 400000 GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "t28_bpe_merges" -> bpeOracleSql,
+    "t29_bpe_encode" -> bpeEncodeOracleSql,
     // t03's feature CTE (node-for-node), e4-scaled to BIGINT once;
     // quantile_disc ≡ ExactPercentile.discByKey (smallest value with
     // cum ≥ ceil(p·n) — the q69-proven pairing)

@@ -175,6 +175,43 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.map(_._4).toSeq == out.map(_._4).toSeq.sorted.reverse)
   }
 
+  test("t29 BPE encode equals per-doc counts under the reference tokenizer") {
+    val out = graft.operators.TextAnalysis.t29BpeEncode(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // re-learn with the same plain-Scala reference as the t28 spec, then
+    // size each doc's tokenization under the final segmentation
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq
+        .filter(w => w.nonEmpty && !w.contains('\u001F')))
+    var segs: Map[Vector[String], Long] =
+      docs.flatMap(_._2).groupBy(identity).map { case (w, ws) =>
+        w.map(_.toString).toVector -> ws.length.toLong
+      }
+    var rep: Map[String, Vector[String]] =
+      segs.keys.map(v => v.mkString -> v).toMap
+    for (_ <- 1 to 6) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, n) <- segs; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) = pc.getOrElse((syms(i), syms(i + 1)), 0L) + n
+      val ((l, r), _) = pc.minBy { case ((a, b), c) => (-c, a, b) }
+      def merge(syms: Vector[String]) =
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      segs = segs.map { case (syms, n) => merge(syms) -> n }
+      rep = rep.map { case (w, v) => w -> merge(v) }
+    }
+    val want = docs.map { case (id, ws) =>
+      (id, ws.length.toLong, ws.map(w => rep(w).length.toLong).sum)
+    }.sortBy(_._1)
+    assert(out.toSeq == want.toSeq)
+    assert(out.exists(_._3 > 0))
+    // merges only ever shrink a doc's token count below its char count
+    assert(out.forall { case (_, nw, nb) => nb >= nw })
+  }
+
   test("t27 domain quality cut: per-source median threshold attained, majority kept") {
     val kept = graft.operators.TextAnalysis.t27DomainQualityCut(spark, sf)
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
