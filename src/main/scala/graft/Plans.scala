@@ -37,7 +37,10 @@ object Plans {
     "s06_filtered_topk" -> "filtered vector search through the bounded-heap operator: label-predicate broadcast join, partial+final TopKPerKey, rank window only over the reduced q×k rows",
     "s07_ann_index_gate" -> "persisted ANN index gate: three indexed families answer from Bucketed: true table scans (probes/candidates broadcast; zero index-side Exchange), exceptAll parity vs the inline recomputations",
     "t24_model_quality" -> "model-scored quality filter: one narrow scan + projection, integer logit and decision inside WholeStageCodegen — no shuffle but the output sort",
-    "t25_train_order" -> "deterministic training order: per-shard pack + shuffle-key windows (no SinglePartition stage), round-robin interleave is a map-side formula")
+    "t25_train_order" -> "deterministic training order: per-shard pack + shuffle-key windows (no SinglePartition stage), round-robin interleave is a map-side formula",
+    "t26_semantic_decontaminate" -> "semantic decontamination: eval vectors broadcast (BroadcastNestedLoopJoin), corpus scored map-side, only e6-floored integer hits reach the partial+final agg",
+    "t27_domain_quality_cut" -> "per-domain quality cut: bounded exact median per source (counts + one WindowExec), threshold table broadcast back over the cached scored stage — corpus never shuffles",
+    "t29_bpe_encode" -> "BPE encode: learned word→segmentation map broadcasts, corpus token stream joins map-side, per-doc count agg — the corpus never shuffles for the lookup")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
