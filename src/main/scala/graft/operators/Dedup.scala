@@ -927,19 +927,7 @@ object Dedup {
     * band rebuild is [[bandRows]] over the merged frame. */
   def compactCorpusIndex(s: SparkSession, name: String,
       numBuckets: Int = 8): Unit = {
-    // RECOVERY preamble: the drop→rename swap below is not atomic (the
-    // session catalog has no multi-table transaction). If a previous
-    // compact crashed between the drop and the rename, the live name is
-    // gone but the fully-written _tmp table holds the data — finish the
-    // rename before doing anything else, so re-running compact (or any
-    // caller that runs it first) self-heals instead of requiring manual
-    // catalog surgery.
-    Seq("_bands", "_reps").foreach { sfx =>
-      if (!s.catalog.tableExists(name + sfx) &&
-          s.catalog.tableExists(name + sfx + "_tmp")) {
-        s.sql(s"ALTER TABLE `$name${sfx}_tmp` RENAME TO `$name$sfx`")
-      }
-    }
+    recoverIndexSwap(s, name)
     // merge key: the shingle SET. Arrays from array_distinct preserve
     // first-occurrence order, which differs between docs whose token
     // orders differ — sort for a canonical set key.
@@ -950,6 +938,31 @@ object Dedup {
       .agg(min(col("rep")).as("rep"),
         sort_array(flatten(collect_list(col("members")))).as("members"))
       .select(col("rep"), col("members"), col("shKey").as("sh"))
+    swapIndexTables(s, name, merged, numBuckets)
+  }
+
+  /** Finish a crashed drop→rename swap: the session catalog has no
+    * multi-table transaction, so a previous rewrite may have died
+    * between the drop and the rename — the live name is gone but the
+    * fully-written _tmp table holds the data. Completing the rename
+    * first makes every rewriting maintenance op self-healing instead of
+    * requiring manual catalog surgery. */
+  private def recoverIndexSwap(s: SparkSession, name: String): Unit =
+    Seq("_bands", "_reps").foreach { sfx =>
+      if (!s.catalog.tableExists(name + sfx) &&
+          s.catalog.tableExists(name + sfx + "_tmp")) {
+        s.sql(s"ALTER TABLE `$name${sfx}_tmp` RENAME TO `$name$sfx`")
+      }
+    }
+
+  /** Write a (rep, members, sh) frame as the band/rep table pair under
+    * `_tmp` names, then swap live via rename (nothing reads and
+    * overwrites the same location — writing a table from a plan that
+    * scans it fails in Spark; ALTER TABLE RENAME preserves the bucket
+    * spec). Shared tail of [[compactCorpusIndex]] and
+    * [[deleteFromCorpusIndex]]. */
+  private def swapIndexTables(s: SparkSession, name: String,
+      repShFrame: DataFrame, numBuckets: Int): Unit = {
     Seq(name + "_bands_tmp", name + "_reps_tmp").foreach { t =>
       s.sql(s"DROP TABLE IF EXISTS `$t`")
       val loc = new org.apache.hadoop.fs.Path(
@@ -957,7 +970,7 @@ object Dedup {
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
-    val repSh = merged.cache()
+    val repSh = repShFrame.cache()
     try {
       corpusBandIndex(repSh, s)
         .write.mode("overwrite")
@@ -971,6 +984,37 @@ object Dedup {
         s.sql(s"ALTER TABLE `$name${sfx}_tmp` RENAME TO `$name$sfx`")
       }
     } finally repSh.unpersist()
+  }
+
+  /** DELETE docs from a [[writeCorpusIndex]] artifact — the
+    * right-to-be-forgotten maintenance op beside append and compact.
+    * Deleted ids leave their exact-dup class's member list; a class
+    * whose members empty out disappears, one whose REPRESENTATIVE was
+    * deleted is re-repped at its min surviving member (what a rebuild
+    * without those docs would produce). No implicit compaction: classes
+    * are keyed by their original rep row, so split-but-equal classes
+    * stay split exactly as they were. The band table rebuilds from the
+    * surviving reps' STORED shingle sets — original texts are never
+    * needed and the corpus is never re-tokenized; cost scales with the
+    * index, not the corpus (band rows for unchanged reps could be kept
+    * surgically, but band buckets are capped ARRAYS of reps, so the
+    * simple full rebuild of the small artifact is the robust choice).
+    * The deletion set arrives as a DataFrame of `doc_id` — a large
+    * request batch broadcasts into the anti-join rather than becoming a
+    * plan literal. Same tmp-write + rename swap (and crash recovery) as
+    * [[compactCorpusIndex]]. */
+  def deleteFromCorpusIndex(s: SparkSession, name: String,
+      deleted: DataFrame, numBuckets: Int = 8): Unit = {
+    recoverIndexSwap(s, name)
+    val del = deleted.select(col("doc_id").as("_del_id"))
+    val kept = s.table(name + "_reps")
+      .select(col("rep").as("orig"), col("sh"), explode(col("members")).as("m"))
+      .join(broadcast(del), col("m") === col("_del_id"), "left_anti")
+      .groupBy(col("orig"))
+      .agg(first(col("sh")).as("sh"),
+        sort_array(collect_list(col("m"))).as("members"))
+      .select(element_at(col("members"), 1).as("rep"), col("members"), col("sh"))
+    swapIndexTables(s, name, kept, numBuckets)
   }
 
   /** Capped bucket-form band index over a [[repShingleIndex]] frame —

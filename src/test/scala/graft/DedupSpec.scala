@@ -538,6 +538,57 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("delete from corpus index: re-rep, class removal, results == rebuild without deleted docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (300 to 360).map(i => s"k$i").mkString(" ")
+    val third = (500 to 560).map(i => s"z$i").mkString(" ")
+    // class {1,6,7} (rep 1), class {2}, class {3}
+    val corpus = Seq((1L, base), (6L, base), (7L, base), (2L, other),
+      (3L, third)).toDF("doc_id", "text")
+    val delta = Seq((10L, base + " tailA tailB tailC"),
+      (11L, third + " tailD tailE tailF")).toDF("doc_id", "text")
+    Dedup.writeCorpusIndex(corpus, "graft_del_spec", numBuckets = 4)
+    // delete the REP of the multi-member class (1) and the whole third
+    // class (3)
+    Dedup.writeCorpusIndex(
+      Seq((6L, base), (7L, base), (2L, other)).toDF("doc_id", "text"),
+      "graft_del_full", numBuckets = 4)
+    try {
+      Dedup.deleteFromCorpusIndex(spark, "graft_del_spec",
+        Seq(1L, 3L).toDF("doc_id"), numBuckets = 4)
+      val reps = spark.table("graft_del_spec_reps")
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      // third's class disappeared; base's class re-repped at its min
+      // surviving member with the deleted id gone
+      assert(reps.keySet == Set(6L, 2L), s"reps ${reps.keySet}")
+      assert(reps(6L) == Seq(6L, 7L), s"members ${reps(6L)}")
+      def rows(name: String) =
+        Dedup.incrementalDedupIndexed(spark, delta, name).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+      val got = rows("graft_del_spec")
+      assert(got == rows("graft_del_full"),
+        "deleted index diverged from rebuild without those docs")
+      // the deleted third class must no longer produce a match for its
+      // near-dup delta doc; the surviving class matches under rep 6
+      assert(got.exists(_._1 == 10L) && got.forall(_._1 != 11L))
+      // swap preserved bucket-awareness (zero-Exchange contract)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val q = Dedup.incrementalDedupIndexed(spark, delta, "graft_del_spec")
+        q.collect()
+        val scans = q.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_del_spec")) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          "post-delete table scans lost bucket-awareness")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally Seq("graft_del_spec_bands", "graft_del_spec_reps",
+      "graft_del_full_bands", "graft_del_full_reps").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("compact corpus index: cross-append dup classes merge, results == rebuild, rep count shrinks") {
     import spark.implicits._
     val base = (1 to 60).map(i => s"w$i").mkString(" ")
