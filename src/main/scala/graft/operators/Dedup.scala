@@ -1221,6 +1221,26 @@ object Dedup {
       .bucketBy(numBuckets, "gh").sortBy("gh")
       .saveAsTable(name + "_grams")
 
+  /** DELETE docs from a [[writeSpanIndex]] artifact. Gram counts are
+    * ADDITIVE, so deletion is an append of the docs' NEGATED counts:
+    * prior files are never read or rewritten (the cheapest delete any
+    * of the three artifacts admits) and the readers' per-gh
+    * re-aggregation nets the contribution out exactly — a gram whose
+    * only occurrences were deleted sums to 0 and stops flagging.
+    * Callers pass the deleted docs' TEXTS (the index stores 16 B per
+    * distinct gram, not an inverted doc index) and must delete an
+    * indexed doc at most once — the mirror of the append contract;
+    * over-deleting drives a count negative and can mask a real
+    * duplicate. When tombstone rows accumulate, compact by rebuilding
+    * ([[writeSpanIndex]] over the surviving corpus). */
+  def deleteFromSpanIndex(docs: DataFrame, name: String, gram: Int = 8,
+      numBuckets: Int = 8): Unit =
+    gramStream(docs, gram)
+      .groupBy(col("gh")).agg((count(lit(1)) * -1L).as("n_occ"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "gh").sortBy("gh")
+      .saveAsTable(name + "_grams")
+
   /** Driver gate for incremental span dedup: the d13 fixture split
     * (doc_id % 10 = 0 as the arriving batch) run through the PERSISTED
     * shape end-to-end — build the gram-count index over the corpus

@@ -552,6 +552,48 @@ object Similarity {
     }
   }
 
+  /** DELETE vectors from a [[writeAnnIndex]] artifact — the
+    * right-to-be-forgotten maintenance op for the vector store. Each
+    * table that exists (`_cells`/`_srp`/`_pq`) is rewritten without the
+    * deleted vec_ids via a broadcast anti-join (the deletion set is a
+    * DataFrame of `vec_id`, never a plan literal) through a tmp-write +
+    * rename swap that preserves the bucket spec; a crashed swap
+    * self-heals on the next call, exactly like
+    * [[graft.operators.Dedup.deleteFromCorpusIndex]]. The `_side`
+    * sidecar is deliberately untouched: centroids and codebooks are the
+    * index's FROZEN quantization state (the append contract), so
+    * routing stays consistent for every surviving vector — re-train
+    * with a [[writeAnnIndex]] rebuild when drift from deletions
+    * accumulates. */
+  def deleteFromAnnIndex(s: SparkSession, name: String, deleted: DataFrame,
+      numBuckets: Int = 8): Unit = {
+    val del = deleted.select(col("vec_id").as("_del_id"))
+    val specs = Seq(("_cells", "cell"), ("_srp", "vec_id"), ("_pq", "vec_id"))
+    specs.foreach { case (sfx, _) =>
+      if (!s.catalog.tableExists(name + sfx) &&
+          s.catalog.tableExists(name + sfx + "_tmp")) {
+        s.sql(s"ALTER TABLE `$name${sfx}_tmp` RENAME TO `$name$sfx`")
+      }
+    }
+    specs.filter(p => s.catalog.tableExists(name + p._1)).foreach {
+      case (sfx, bucketCol) =>
+        val live = name + sfx
+        val tmp = live + "_tmp"
+        s.sql(s"DROP TABLE IF EXISTS `$tmp`")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        s.table(live)
+          .join(broadcast(del), col("vec_id") === col("_del_id"), "left_anti")
+          .write.mode("overwrite")
+          .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+          .saveAsTable(tmp)
+        s.sql(s"DROP TABLE IF EXISTS `$live`")
+        s.sql(s"ALTER TABLE `$tmp` RENAME TO `$live`")
+    }
+  }
+
   /** Read the bounded sidecar back: (IVF centroids, PQ codebooks) in
     * index order. The collect is O(k·d) — the same driver footprint the
     * inline paths accept for centroid/codebook state. */

@@ -680,6 +680,52 @@ class DedupSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("delete from span index: negated-count append nets out, prior files byte-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val block = (100 to 110).map(i => s"t$i").mkString(" ") // 11-token run
+    val batch1 = Seq(
+      (1L, (20 to 40).map(i => s"u$i").mkString(" "))      // clean filler
+    ).toDF("doc_id", "text")
+    val batch2 = Seq(
+      (5L, s"b1 b2 b3 $block b4")                          // block's ONLY corpus copy
+    ).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, s"c1 c2 $block c3 c4"),
+      (11L, (50 to 70).map(i => s"w$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    Dedup.writeSpanIndex(batch1, "graft_spandel", gram = 8, numBuckets = 4)
+    Dedup.appendToSpanIndex(batch2, "graft_spandel", gram = 8, numBuckets = 4)
+    Dedup.writeSpanIndex(batch1, "graft_spandel_ref", gram = 8, numBuckets = 4)
+    def files(t: String): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile).map(f => f.getPath.getName -> f.getLen).toMap
+    }
+    try {
+      def rows(name: String) =
+        Dedup.incrementalSpansIndexed(spark, delta, name, gram = 8).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      // with batch2 indexed, the delta copy of the block flags (1+1 ≥ 2)
+      assert(rows("graft_spandel").map(_._1).toSet == Set(10L),
+        "precondition: block not flagged while its corpus copy is live")
+      val before = files("graft_spandel_grams")
+      Dedup.deleteFromSpanIndex(batch2, "graft_spandel", gram = 8, numBuckets = 4)
+      val after = files("graft_spandel_grams")
+      // delete is append-only: prior files untouched, tombstone files added
+      assert(before.forall { case (n, len) => after.get(n).contains(len) },
+        "delete rewrote prior gram files")
+      assert(after.size > before.size, "delete added no tombstone files")
+      // the netted index answers exactly like one never containing batch2
+      assert(rows("graft_spandel") == rows("graft_spandel_ref"),
+        "netted counts diverged from an index built without the batch")
+      assert(rows("graft_spandel").isEmpty,
+        "block still flags after its only corpus copy was deleted")
+    } finally Seq("graft_spandel_grams", "graft_spandel_ref_grams").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("cluster-label memo: second call replays nothing (same checkpointed frame)") {
     val a = Dedup.minhashClusterLabels(spark, sf)
     val b = Dedup.minhashClusterLabels(spark, sf)

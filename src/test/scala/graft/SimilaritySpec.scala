@@ -209,6 +209,64 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_ann_app$sfx"))
   }
 
+  test("delete from ANN index: deleted vectors vanish from every family; sidecar frozen; buckets intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 64
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val corpus = gen(spark.range(0, 120).toDF("id"), 7)
+    // queries 0..2 EQUAL corpus vectors 0..2 (same generator seed)
+    val q = gen(spark.range(0, 3).toDF("id"), 7)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val doomed = Set(0L, 17L, 55L)
+    Similarity.writeAnnIndex(spark, corpus, "graft_ann_del", numBuckets = 4)
+    try {
+      val sideBefore = spark.table("graft_ann_del_side").collect()
+        .map(_.toString).sorted.toSeq
+      val pre = Similarity.annIvfIndexed(spark, q, "graft_ann_del")
+        .filter(col("query_id") === 0 && col("rank") === 1).collect()
+      assert(pre.length == 1 && pre.head.getLong(1) == 0L,
+        "precondition: query 0's identical vector is its top hit")
+      Similarity.deleteFromAnnIndex(spark, "graft_ann_del",
+        doomed.toSeq.toDF("vec_id"), numBuckets = 4)
+      for ((name, df) <- Seq(
+          "ivf" -> Similarity.annIvfIndexed(spark, q, "graft_ann_del"),
+          "srp" -> Similarity.annSrpIndexed(spark, q, "graft_ann_del"),
+          "pq"  -> Similarity.annPqIndexed(spark, q, "graft_ann_del"))) {
+        val rows = df.collect()
+        assert(rows.nonEmpty, s"$name: no results after delete")
+        assert(rows.forall(r => !doomed.contains(r.getLong(1))),
+          s"$name: a deleted vector resurfaced")
+        // query 0 still gets a full ranked answer — just not vector 0
+        val q0 = rows.filter(_.getLong(0) == 0L)
+        assert(q0.nonEmpty && q0.forall(_.getLong(1) != 0L),
+          s"$name: query 0 results wrong after deleting its twin")
+      }
+      // quantization state is FROZEN: the sidecar survives byte-for-byte
+      val sideAfter = spark.table("graft_ann_del_side").collect()
+        .map(_.toString).sorted.toSeq
+      assert(sideBefore == sideAfter, "delete touched the sidecar")
+      // the tmp-write + rename swap preserved bucket-awareness
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val qq = Similarity.annIvfIndexed(spark, q, "graft_ann_del")
+        qq.collect()
+        val scans = qq.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_ann_del")) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          "post-delete ANN table scans lost bucket-awareness")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_del$sfx"))
+  }
+
   test("PQ indexed path on a tiny corpus: empty codebooks fall back to exact scoring") {
     import org.apache.spark.sql.functions._
     val dim = 64
