@@ -27,6 +27,7 @@ object ScaleSmoke {
     if (a.contains("t100")) { t100(spark); spark.stop(); return }
     if (a.contains("a100")) { a100(spark); spark.stop(); return }
     if (a.contains("v100")) { v100(spark); spark.stop(); return }
+    if (a.contains("b100")) { b100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -224,6 +225,48 @@ object ScaleSmoke {
     * source skew must NOT unbalance it: asserts (1) the plan contains no
     * SinglePartition exchange (no single-reducer stage anywhere) and
     * (2) per-shard bin counts stay within 20% of each other. */
+  /** 100× BPE smoke: documents amplified 100× with per-replica suffix
+    * tokens (vocab grows by the replica markers — the sub-linear
+    * Heaps-law shape real corpora follow). Proves the two cost axes
+    * separate: the corpus-sized work is ONE explode + word-count
+    * shuffle feeding the cached distinct-word table, and every merge
+    * round after that is vocab-bounded (pair agg over distinct words),
+    * so 100× the corpus does not cost 100× per round. Encode then pays
+    * one more corpus scan with a broadcast map join. */
+  private def b100(spark: SparkSession): Unit = {
+    val base = "/root/testdata/sf0.1"
+    val out = "/tmp/sfb100"
+    val reps = spark.range(100).toDF("rep")
+    Tables(spark, base, "documents").crossJoin(broadcast(reps))
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000001L)
+      // suffix EVERY word with its replica id: the fixture corpus has
+      // only 31 distinct words, so plain replication would leave the
+      // distinct-word table degenerate — per-replica suffixes grow the
+      // vocab ~100× alongside the corpus, exercising both cost axes
+      .withColumn("text",
+        regexp_replace(col("text"), lit("(\\S+)"),
+          concat(lit("$1x"), col("rep"))))
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+    val docs = spark.read.parquet(s"$out/documents.parquet")
+    val rows = docs.count()
+    val vocab = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct().count()
+    val t0 = System.nanoTime()
+    val merges = SparkEntry.queries("t28_bpe_merges")(spark, out).collect()
+    val learnS = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache()
+    val t1 = System.nanoTime()
+    SparkEntry.queries("t29_bpe_encode")(spark, out)
+      .write.format("noop").mode("overwrite").save()
+    val encodeS = (System.nanoTime() - t1) / 1e9
+    spark.catalog.clearCache()
+    assert(merges.length == 6, s"expected 6 merge rounds, got ${merges.length}")
+    println(f"B100 rows=$rows vocab=$vocab learn=$learnS%.1f s " +
+      f"encode=$encodeS%.1f s round1_pair_n=${merges.head.getLong(3)}")
+  }
+
   private def t100(spark: SparkSession): Unit = {
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sft100"
