@@ -680,6 +680,40 @@ class DedupSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("streaming ingest maintains the corpus index: foreachBatch appends, deltas see earlier batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = (1 to 60).map(i => s"w$i").mkString(" ")
+    val other = (300 to 360).map(i => s"k$i").mkString(" ")
+    // bootstrap an empty artifact, then let the STREAM own all content:
+    // the ingest path and the index maintenance path are the same code
+    Dedup.writeCorpusIndex(Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "graft_stream_idx", numBuckets = 4)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Dedup.appendToCorpusIndex(batch, "graft_stream_idx", numBuckets = 4)
+      }.start()
+    try {
+      in.addData((1L, base))
+      q.processAllAvailable()
+      in.addData((2L, other))
+      q.processAllAvailable()
+      // a delta near-dup of the FIRST micro-batch's doc must match
+      // through the persisted tables alone — batches accumulated as new
+      // bucket files exactly like batch appends do
+      val delta = Seq((10L, base + " tailA tailB tailC"),
+        (11L, (500 to 520).map(i => s"z$i").mkString(" "))).toDF("doc_id", "text")
+      val hits = Dedup.incrementalDedupIndexed(spark, delta, "graft_stream_idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hits.toSeq == Seq((10L, 1L)), s"hits: ${hits.mkString(",")}")
+    } finally {
+      q.stop()
+      Seq("graft_stream_idx_bands", "graft_stream_idx_reps").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("delete from span index: negated-count append nets out, prior files byte-stable") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
