@@ -252,6 +252,24 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  /** Content embeddings as an ANN-ready (vec_id, emb, nrm) frame — the
+    * bridge from the multimodal decode path into the vector-store
+    * surface: feed it to [[Similarity.writeAnnIndex]] and media joins
+    * the SAME persisted artifact lifecycle (build/append/delete/query)
+    * as any other embedding corpus. [[EmbedCodec]] emits unit vectors,
+    * but nrm is computed rather than assumed so the frame satisfies the
+    * ANN contract by construction. */
+  def contentEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTableFiltered(s, dir, Seq("png", "jpeg")).as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new EmbedCodec()
+        it.map(m => (m.media_id, codec.embed(m)))
+      }
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+  }
+
   /** Image near-dup over CONTENT-DERIVED model embeddings — m03's
     * banding machinery re-based from the pixel average-hash onto
     * [[EmbedCodec]] vectors (decode → centered luminance features →

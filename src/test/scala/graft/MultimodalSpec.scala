@@ -222,4 +222,28 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.head.rms_e2 == 50000L, s"rms=${frames.head.rms_e2}") // ±500 → 500.00
     assert(frames.head.zcr == 31L)
   }
+
+  test("media embeddings flow through the persisted ANN index: re-uploads route to their originals") {
+    import graft.operators.Similarity
+    val vecs = Multimodal.contentEmbeddings(spark, sf)
+    Similarity.writeAnnIndex(spark, vecs, "graft_media_ann", numBuckets = 4)
+    try {
+      // queries = identical re-uploads of the first 5 embedded images
+      // (the media table interleaves wav ids, so take the first 5 rows
+      // of the EMBEDDED set, not ids 0..4); their top hit through the
+      // index must be the original at cosine ≈ 1
+      val q = vecs.orderBy("vec_id").limit(5)
+        .select((col("vec_id") + 10000L).as("query_id"),
+          col("emb").as("qe"), col("nrm").as("qn"))
+      val top = Similarity.annIvfIndexed(spark, q, "graft_media_ann")
+        .filter(col("rank") === 1).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(top.size == 5, s"expected 5 queries, got ${top.keySet}")
+      top.foreach { case (qid, (hit, sim)) =>
+        assert(hit == qid - 10000L, s"query $qid routed to $hit")
+        assert(sim > 0.999, s"query $qid top sim $sim")
+      }
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_media_ann$sfx"))
+  }
 }
