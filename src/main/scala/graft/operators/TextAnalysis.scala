@@ -120,6 +120,78 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("rep_ratio"))
       .orderBy("doc_id")
 
+  /** The two Gopher repetition signals t07's distinct-ratio misses
+    * (Rae et al. 2021, Table A1 — public recipe), word-granularity
+    * adaptations for a whitespace corpus with no line structure:
+    *
+    *  - **top-n-gram character fraction**: chars of the single most
+    *    frequent within-doc 2-gram × its occurrence count ÷ doc chars.
+    *    A doc dominated by one repeated phrase scores high even when
+    *    its distinct-ratio looks healthy.
+    *  - **duplicated-n-gram coverage**: the fraction of word POSITIONS
+    *    covered by any within-doc 3-gram occurring ≥ 2×. Positional
+    *    coverage (the original recipe's semantics), not occurrence
+    *    counting: three overlapping copies of one run count the run's
+    *    footprint once. (Gopher's dup range starts at 5-grams over
+    *    web-scale docs; this fixture's bounded-length docs have zero
+    *    within-doc duplicate 5-grams at every SF, so n = 3 keeps the
+    *    driver gate on a live signal — the plan is n-invariant.)
+    *
+    * Both fractions are exact scaled BIGINTs (integer `div`, round-4
+    * rule) — no float surface. Plan: one scan feeds three branches —
+    * map-side base stats; a (doc_id, gram) count agg + orderable-struct
+    * argmax for the top 2-gram (ties → lexicographically smallest, the
+    * total order both engines share on ASCII); a (doc_id, gram) count
+    * agg whose ≥2 keys LEFT SEMI the re-exploded gram stream, flagged
+    * starts fan out ≤ 3 positions each and count distinct per doc.
+    * Every shuffle is keyed by doc_id(, gram) with map-side combine —
+    * linear in corpus tokens, never pairwise, no window over the
+    * corpus; the d14 lesson (count + semi-join re-scan beats carrying
+    * payloads through a window) applied within-doc. */
+  def t30GopherRepetition(s: SparkSession, dir: String): DataFrame =
+    gopherRepetition(Tables.documents(s, dir))
+
+  /** Frame-level core of [[t30GopherRepetition]] over any (doc_id, text)
+    * corpus — the spec runs it on crafted fixtures with planted repeats
+    * (the fixture corpus has live 3-gram coverage but no adversarial
+    * overlap shapes). */
+  private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"),
+        length(col("text")).cast("long").as("n_chars"))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+    val g2 = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+    // orderable-struct argmax (the d16 pattern): min over (-n, g) is
+    // (max n, min g) — accumulation-order invariant
+    val top2 = g2.groupBy(col("doc_id"))
+      .agg(min(struct((-col("n")).as("nn"), col("g").as("g"), col("n").as("n"))).as("t"))
+      .select(col("doc_id"), col("t.g").as("top2_gram"), col("t.n").as("top2_n"))
+    val g3 = base.select(col("doc_id"), posexplode(shingles(col("toks"), 3)))
+      .toDF("doc_id", "start", "g")
+    val dup3 = g3.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("doc_id"), col("g"))
+    val cov = g3.join(dup3, Seq("doc_id", "g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + 2)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+    base.select(col("doc_id"), col("n_words"), col("n_chars"))
+      .join(top2, Seq("doc_id"), "left")
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        coalesce(col("top2_gram"), lit("")).as("top2_gram"),
+        coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+        when(col("top2_n").isNotNull && col("n_chars") > 0,
+          expr("(length(top2_gram) * top2_n * 1000000) div n_chars"))
+          .otherwise(lit(0L)).as("top2_char_frac_e6"),
+        when(col("n_words") > 0,
+          expr("(coalesce(cov, 0) * 1000000) div n_words"))
+          .otherwise(lit(0L)).as("dup3_cov_frac_e6"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level n-gram frequency: bigrams occurring ≥ 10 times.
     * Explode → hash agg: the corpus-wide shuffle carries only
     * (bigram, partial-count) pairs thanks to map-side combine. */
@@ -791,6 +863,7 @@ object TextAnalysis {
     "t27_domain_quality_cut" -> (t27DomainQualityCut _),
     "t28_bpe_merges" -> (t28BpeMerges _),
     "t29_bpe_encode" -> (t29BpeEncode _),
+    "t30_gopher_repetition" -> (t30GopherRepetition _),
   )
 
   private val ChunkTokens = 64
@@ -1008,6 +1081,45 @@ object TextAnalysis {
         |    THEN floor((1.0 - CAST(len(list_distinct(sgl)) AS DOUBLE) / CAST(len(sgl) AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
         |    ELSE 0.0 END AS rep_ratio
         |FROM g ORDER BY doc_id""".stripMargin,
+    // top-2-gram mode tie-breaks (n desc, g asc) both sides; fractions
+    // are integer `//` of BIGINT products — zero float surface. The
+    // coverage leg counts DISTINCT covered positions (1-based here,
+    // 0-based in Spark — counts are offset-invariant).
+    "t30_gopher_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_chars, CAST(len(toks) AS BIGINT) AS n_words, toks FROM t),
+        |g2 AS (
+        |  SELECT doc_id, unnest(CASE WHEN n_words >= 2
+        |    THEN list_transform(range(1, CAST(n_words AS INTEGER)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE [] END) AS g
+        |  FROM b),
+        |c2 AS (SELECT doc_id, g, count(*) AS n FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, g AS top2_gram, n AS top2_n
+        |       FROM (SELECT doc_id, g, n,
+        |               row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, g) AS rn
+        |             FROM c2) WHERE rn = 1),
+        |g3 AS (
+        |  SELECT doc_id, u.s AS s, u.g AS g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN n_words >= 3
+        |      THEN list_transform(range(1, CAST(n_words AS INTEGER) - 1),
+        |             i -> struct_pack(s := i, g := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [] END) AS u
+        |    FROM b)),
+        |d3 AS (SELECT doc_id, g FROM g3 GROUP BY doc_id, g HAVING count(*) >= 2),
+        |covp AS (SELECT g3.doc_id AS doc_id, unnest(range(g3.s, g3.s + 3)) AS p
+        |         FROM g3 JOIN d3 ON g3.doc_id = d3.doc_id AND g3.g = d3.g),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS cov FROM covp GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words,
+        |  coalesce(t2.top2_gram, '') AS top2_gram,
+        |  CAST(coalesce(t2.top2_n, 0) AS BIGINT) AS top2_n,
+        |  CAST(CASE WHEN t2.top2_n IS NOT NULL AND b.n_chars > 0
+        |    THEN (length(t2.top2_gram) * t2.top2_n * 1000000) // b.n_chars ELSE 0 END AS BIGINT) AS top2_char_frac_e6,
+        |  CAST(CASE WHEN b.n_words > 0 THEN (coalesce(cov.cov, 0) * 1000000) // b.n_words ELSE 0 END AS BIGINT) AS dup3_cov_frac_e6
+        |FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN cov ON b.doc_id = cov.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "t08_ngram_freq" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

@@ -237,4 +237,30 @@ class TextFunctionsSpec extends SparkSpec {
     // and cover every source (each source keeps at least its median doc)
     assert(kept.map(_._2).distinct.length == perSourceN.size)
   }
+
+  test("t30 gopher repetition: coverage boundaries, mode tie-break, degenerate docs — exact") {
+    // doc 1: "a b c" repeats at 0 and 3 → covers positions 0..5 of 9
+    //        (overlapping grams "b c a"/"c a b" appear once — no help);
+    //        2-gram mode ties ("a b"×2, "b c"×2) → lexicographic min
+    // doc 2: clean → zero coverage, mode count 1
+    // doc 3: single word → no grams at all, all-zero row
+    // doc 4: "p p p p p" → "p p p"×3, every position covered;
+    //        "p p"×4 → top2_char_frac = 3·4·1e6 div 9
+    val docs = Seq(
+      (1L, "a b c a b c x y z"),
+      (2L, "u1 u2 u3 u4 u5"),
+      (3L, "solo"),
+      (4L, "p p p p p")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRepetition(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val expected = Array(
+      (1L, 9L, "a b", 2L, 3L * 2 * 1000000 / 17, 6L * 1000000 / 9),
+      (2L, 5L, "u1 u2", 1L, 5L * 1 * 1000000 / 14, 0L),
+      (3L, 1L, "", 0L, 0L, 0L),
+      (4L, 5L, "p p", 4L, 3L * 4 * 1000000 / 9, 1000000L))
+    assert(got.sameElements(expected), got.mkString("\n"))
+  }
 }
