@@ -192,6 +192,93 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** PII + blocklist scrubbing — the C4-style cleanup pass every public
+    * pretraining recipe runs (Raffel et al. 2020 §2.2 drops documents on
+    * a public bad-words list; standard PII practice masks emails /
+    * phone numbers / IP addresses in place). Per document: independent
+    * match counts over the ORIGINAL text for each PII pattern and the
+    * blocklist, a keep flag (no PII, no blocked term — the C4 drop
+    * rule), and the redacted text (sequential replace email → IPv4 →
+    * phone → blocklist; replacements contain no digits or blocked
+    * words, so later passes can't re-match earlier masks).
+    *
+    * All patterns live in the Java-regex ∩ RE2 common subset (character
+    * classes, bounded quantifiers, `\b`, top-level alternation — no
+    * backreferences/lookaround), where both engines implement
+    * leftmost-first non-overlapping scan, so counts and replacements
+    * agree cross-engine by construction. The fixture corpus has no
+    * digits, so the PII legs idle there (live keep/count signal comes
+    * from the blocklist leg); the spec drives the PII legs on planted
+    * fixtures. Output is integers + strings — zero float surface.
+    *
+    * Plan: one scan, one projection, codegen'd regex builtins — no
+    * shuffle at all except the output sort. Embarrassingly parallel at
+    * 100 TB; the regex automata are compiled once per task. */
+  def t31PiiRedact(s: SparkSession, dir: String): DataFrame =
+    piiRedact(Tables.documents(s, dir))
+
+  private val Ipv4Re   = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+  private val PhoneRe  = """\b\d{3}-\d{3}-\d{4}\b"""
+  private val BlockRe  = """\b(customer|dup)\b"""
+
+  /** Frame-level core of [[t31PiiRedact]] — the spec plants real PII.
+    * [[EmailRe]] is shared with the t13 scrubber. */
+  private[graft] def piiRedact(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        call_function("regexp_count", col("text"), lit(EmailRe)).cast("long").as("n_email"),
+        call_function("regexp_count", col("text"), lit(Ipv4Re)).cast("long").as("n_ipv4"),
+        call_function("regexp_count", col("text"), lit(PhoneRe)).cast("long").as("n_phone"),
+        call_function("regexp_count", col("text"), lit(BlockRe)).cast("long").as("n_blocked"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), EmailRe, "[PII]"),
+              Ipv4Re, "[PII]"),
+            PhoneRe, "[PII]"),
+          BlockRe, "[BLOCKED]").as("red_text"))
+      .withColumn("keep",
+        when(col("n_email") + col("n_ipv4") + col("n_phone") + col("n_blocked") === 0,
+          lit(1L)).otherwise(lit(0L)))
+      .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
+        col("n_blocked"), col("keep"), col("red_text"))
+      .orderBy("doc_id")
+
+  /** Temperature-scaled source mixing — the α = 0.5 source-balancing
+    * rule from the public multilingual-pretraining recipes (Lample &
+    * Conneau 2019 §3.1; Rae et al. 2021 App. A): sampling weight
+    * p_s ∝ n_s^α up-weights small sources relative to their raw token
+    * mass. The fixture's doc counts are uniform (25/source), so the
+    * weighting axis is per-source TOKEN mass, which varies.
+    *
+    * n_s^0.5 is computed as an EXACT integer square root: IEEE-754
+    * `sqrt` is correctly rounded in both engines, so
+    * `floor(sqrt(n))` is within ±1 of ⌊√n⌋; a two-sided integer
+    * fix-up ((s+1)² ≤ n → s+1; s² > n → s−1) lands exactly on ⌊√n⌋
+    * identically on both sides — no float ever reaches the output.
+    * Allocation shares are e6-scaled integer `div` of BIGINTs.
+    *
+    * Plan: one corpus scan → map-side-combined per-source agg (≤
+    * #sources rows survive the shuffle) → 1-row grand total cross-joined
+    * back (broadcast). At 100 TB the only data-sized cost is the scan. */
+  def t32SourceMixing(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("toks"))
+    val s0 = floor(sqrt(col("toks").cast("double"))).cast("long")
+    val w = per.withColumn("s0", s0)
+      .withColumn("w_sqrt",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("toks"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("toks"), col("s0") - 1)
+          .otherwise(col("s0")))
+      .drop("s0")
+    val total = w.groupBy().agg(sum(col("w_sqrt")).as("tw"))
+    w.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("toks"), col("w_sqrt"),
+        expr("(w_sqrt * 1000000) div tw").as("alloc_e6"))
+      .orderBy("source")
+  }
+
   /** Corpus-level n-gram frequency: bigrams occurring ≥ 10 times.
     * Explode → hash agg: the corpus-wide shuffle carries only
     * (bigram, partial-count) pairs thanks to map-side combine. */
@@ -864,6 +951,8 @@ object TextAnalysis {
     "t28_bpe_merges" -> (t28BpeMerges _),
     "t29_bpe_encode" -> (t29BpeEncode _),
     "t30_gopher_repetition" -> (t30GopherRepetition _),
+    "t31_pii_redact" -> (t31PiiRedact _),
+    "t32_source_mixing" -> (t32SourceMixing _),
   )
 
   private val ChunkTokens = 64
@@ -1120,6 +1209,46 @@ object TextAnalysis {
         |  CAST(CASE WHEN b.n_words > 0 THEN (coalesce(cov.cov, 0) * 1000000) // b.n_words ELSE 0 END AS BIGINT) AS dup3_cov_frac_e6
         |FROM b LEFT JOIN t2 USING (doc_id) LEFT JOIN cov ON b.doc_id = cov.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // patterns are Java-regex ∩ RE2; counts over ORIGINAL text,
+    // replacement order email → ipv4 → phone → blocklist both sides
+    "t31_pii_redact" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, '\b(customer|dup)\b')) AS BIGINT) AS n_blocked,
+        |  CAST(CASE WHEN len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |      + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |      + len(regexp_extract_all(text, '\b(customer|dup)\b')) = 0
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[PII]', 'g'),
+        |      '\b\d{3}-\d{3}-\d{4}\b', '[PII]', 'g'),
+        |    '\b(customer|dup)\b', '[BLOCKED]', 'g') AS red_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // exact integer sqrt: floor(sqrt) ± two-sided fix-up, identical in
+    // both engines because IEEE sqrt is correctly rounded
+    "t32_source_mixing" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS BIGINT) AS nw
+        |  FROM documents),
+        |p AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(nw) AS BIGINT) AS toks
+        |      FROM t GROUP BY source),
+        |w AS (SELECT source, n_docs, toks,
+        |        CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN s0 + 1
+        |                  WHEN s0 * s0 > toks THEN s0 - 1
+        |                  ELSE s0 END AS BIGINT) AS w_sqrt
+        |      FROM (SELECT p.*, CAST(floor(sqrt(CAST(toks AS DOUBLE))) AS BIGINT) AS s0 FROM p)),
+        |tot AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_docs, toks, w_sqrt,
+        |  CAST((w_sqrt * 1000000) // tw AS BIGINT) AS alloc_e6
+        |FROM w, tot ORDER BY source""".stripMargin,
     "t08_ngram_freq" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

@@ -263,4 +263,45 @@ class TextFunctionsSpec extends SparkSpec {
       (4L, 5L, "p p", 4L, 3L * 4 * 1000000 / 9, 1000000L))
     assert(got.sameElements(expected), got.mkString("\n"))
   }
+
+  test("t31 pii redact: planted emails/ips/phones/blocklist — exact counts, masks, keep flag") {
+    // doc 1: email + phone + blocked word; doc 2: two ipv4s (one mid-
+    // sentence), email with digits+dots in the domain; doc 3: clean;
+    // doc 4: digit runs that must NOT match (4-octet needs all dots;
+    // phone needs exactly 3-3-4 with dashes)
+    val docs = Seq(
+      (1L, "mail bob@example.com and call 555-123-4567 customer ok"),
+      (2L, "hosts 10.0.0.1 and 192.168.1.255 admin@mail2.example.co"),
+      (3L, "nothing sensitive here at all"),
+      (4L, "v1.2 build 12-345-6789 and 1234-567-8901 stay")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.piiRedact(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6)))
+    val expected = Array(
+      (1L, 1L, 0L, 1L, 1L, 0L, "mail [PII] and call [PII] [BLOCKED] ok"),
+      (2L, 1L, 2L, 0L, 0L, 0L, "hosts [PII] and [PII] [PII]"),
+      (3L, 0L, 0L, 0L, 0L, 1L, "nothing sensitive here at all"),
+      (4L, 0L, 0L, 0L, 0L, 1L, "v1.2 build 12-345-6789 and 1234-567-8901 stay"))
+    assert(got.sameElements(expected), got.mkString("\n"))
+  }
+
+  test("t32 source mixing: exact isqrt at perfect-square boundaries; shares sum ≤ 1e6") {
+    // one-word docs pin per-source token mass exactly: srcA 24 tokens
+    // (isqrt 4), srcB 25 (isqrt 5 — exact square), srcC 26 (isqrt 5 —
+    // one past the square: the fix-up must not round up to 6)
+    val docs = (Seq.fill(24)("A") ++ Seq.fill(25)("B") ++ Seq.fill(26)("C"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, "w", s"src$s") }
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t32").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.t32SourceMixing(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = Array(
+      ("srcA", 24L, 24L, 4L, 4L * 1000000 / 14),
+      ("srcB", 25L, 25L, 5L, 5L * 1000000 / 14),
+      ("srcC", 26L, 26L, 5L, 5L * 1000000 / 14))
+    assert(got.sameElements(expected), got.mkString("\n"))
+    assert(got.map(_._5).sum <= 1000000L)
+  }
 }
