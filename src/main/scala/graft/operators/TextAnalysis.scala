@@ -279,6 +279,50 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** N-gram language-model scoring — the CCNet-style perplexity filter
+    * (Wenzek et al. 2020 §3: score each document under a small n-gram
+    * LM, drop the most surprising tail). Here a bigram LM with add-one
+    * smoothing; the per-position signal is the INVERSE smoothed
+    * conditional probability (c(u)+V)/(c(u,w)+1), e4-scaled and capped
+    * at 1e12 (the integer analogue of a per-token log-loss cap), and the
+    * document score is its integer mean — predictable text scores low,
+    * surprising text high. Pure BIGINT arithmetic end to end: the cap is
+    * `least`, the mean is integer `div` — accumulation-order invariant
+    * by construction, no log/float surface to reconcile cross-engine.
+    *
+    * The LM here is trained on the corpus itself (self-scoring); in a
+    * CCNet deployment the unigram/bigram tables come from a reference
+    * corpus — either way they are VOCABULARY-sized, so both joins below
+    * broadcast and the token stream never shuffles for the lookup (every
+    * observed bigram exists in a self-trained table, hence inner joins;
+    * a reference-LM variant left-joins with c=0 default). Per-doc agg is
+    * the only data-sized shuffle, map-side combined on doc_id. */
+  def t33LmScore(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val uni = base.select(explode(col("toks")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("cu"))
+    val vocab = uni.groupBy().agg(count(lit(1)).as("v"))
+    val big = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
+    val bigCounts = big.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    // tokens contain no whitespace, so the shingle's first word IS the
+    // conditioning prefix
+    val pos = big.withColumn("u", substring_index(col("g"), " ", 1))
+    val scored = pos
+      .join(broadcast(uni), Seq("u"))
+      .join(broadcast(bigCounts), Seq("g"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        least(expr("((cu + v) * 10000) div (cg + 1)"), lit(1000000000000L)).as("invp"))
+    val per = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("invp")).as("sp"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(expr("sp div n_bigrams"), lit(0L)).as("lm_inv_e4"))
+      .orderBy("doc_id")
+  }
+
   /** Corpus-level n-gram frequency: bigrams occurring ≥ 10 times.
     * Explode → hash agg: the corpus-wide shuffle carries only
     * (bigram, partial-count) pairs thanks to map-side combine. */
@@ -953,6 +997,7 @@ object TextAnalysis {
     "t30_gopher_repetition" -> (t30GopherRepetition _),
     "t31_pii_redact" -> (t31PiiRedact _),
     "t32_source_mixing" -> (t32SourceMixing _),
+    "t33_lm_score" -> (t33LmScore _),
   )
 
   private val ChunkTokens = 64
@@ -1249,6 +1294,35 @@ object TextAnalysis {
         |SELECT source, n_docs, toks, w_sqrt,
         |  CAST((w_sqrt * 1000000) // tw AS BIGINT) AS alloc_e6
         |FROM w, tot ORDER BY source""".stripMargin,
+    // inverse smoothed conditional probability, e4-scaled, capped, then
+    // integer-mean'd — every step BIGINT on both sides
+    "t33_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |uni AS (SELECT u, CAST(count(*) AS BIGINT) AS cu
+        |        FROM (SELECT unnest(toks) AS u FROM t) GROUP BY u),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |gg AS (
+        |  SELECT doc_id, p.u AS u, p.g AS g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, CAST(len(toks) AS INTEGER)),
+        |             i -> struct_pack(u := toks[i], g := toks[i] || ' ' || toks[i+1]))
+        |      ELSE [] END) AS p
+        |    FROM t)),
+        |bc AS (SELECT g, CAST(count(*) AS BIGINT) AS cg FROM gg GROUP BY g),
+        |j AS (SELECT gg.doc_id,
+        |        least(((uni.cu + voc.v) * 10000) // (bc.cg + 1), 1000000000000) AS invp
+        |      FROM gg JOIN uni ON gg.u = uni.u JOIN bc ON gg.g = bc.g CROSS JOIN voc),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |          CAST(sum(invp) AS BIGINT) AS sp
+        |        FROM j GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(per.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(per.sp // per.n_bigrams, 0) AS BIGINT) AS lm_inv_e4
+        |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     "t08_ngram_freq" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

@@ -304,4 +304,20 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.sameElements(expected), got.mkString("\n"))
     assert(got.map(_._5).sum <= 1000000L)
   }
+
+  test("t33 lm score: hand-computed smoothed inverse probabilities; ordering by predictability") {
+    // uni: a=3 b=2 c=1 z=1, V=4; bigrams: "a b"×2, "a c"×1
+    // docs 1/2: (3+4)·1e4 div (2+1) = 23333 — the repeated (predictable)
+    // bigram scores LOWER than doc 3's rare one: 7e4 div 2 = 35000
+    val docs = Seq(
+      (1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t33").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.t33LmScore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = Array(
+      (1L, 1L, 23333L), (2L, 1L, 23333L), (3L, 1L, 35000L), (4L, 0L, 0L))
+    assert(got.sameElements(expected), got.mkString("\n"))
+  }
 }
