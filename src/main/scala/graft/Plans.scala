@@ -40,7 +40,10 @@ object Plans {
     "t25_train_order" -> "deterministic training order: per-shard pack + shuffle-key windows (no SinglePartition stage), round-robin interleave is a map-side formula",
     "t26_semantic_decontaminate" -> "semantic decontamination: eval vectors broadcast (BroadcastNestedLoopJoin), corpus scored map-side, only e6-floored integer hits reach the partial+final agg",
     "t27_domain_quality_cut" -> "per-domain quality cut: bounded exact median per source (counts + one WindowExec), threshold table broadcast back over the cached scored stage — corpus never shuffles",
-    "t29_bpe_encode" -> "BPE encode: learned word→segmentation map broadcasts, corpus token stream joins map-side, per-doc count agg — the corpus never shuffles for the lookup")
+    "t29_bpe_encode" -> "BPE encode: learned word→segmentation map broadcasts, corpus token stream joins map-side, per-doc count agg — the corpus never shuffles for the lookup",
+    "t30_gopher_repetition" -> "Gopher repetition: one scan, three map-combined (doc_id[, gram]) branches; dup coverage = count + semi-join re-scan (the d14 shape within-doc), never pairwise, no corpus window",
+    "t31_pii_redact" -> "PII/blocklist scrub: one narrow scan, all regex counts + 4-stage replace inside WholeStageCodegen — no shuffle but the output sort",
+    "t33_lm_score" -> "bigram LM scoring: vocabulary-sized unigram/bigram tables broadcast, token stream scored map-side, per-doc integer mean is the only data-sized shuffle")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
