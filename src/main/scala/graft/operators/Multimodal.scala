@@ -317,12 +317,124 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  // -------------------------------------------------------------- resize
+
+  final case class ThumbRow(media_id: Long, out_k: Long, mean_lum_e2: Long,
+      thumb_e2: Array[Long])
+  final case class ThumbGateRow(media_id: Long, in_w: Long, in_h: Long,
+      n_pix: Long, ok: Long)
+
+  /** k×k mean-pool of the integer BT.601 luminance plane (299R + 587G +
+    * 114B, e3-scaled — integer per pixel, so cell sums are EXACT).
+    * Pixel-major assignment: pixel (x, y) belongs to cell
+    * (⌊x·k/w⌋, ⌊y·k/h⌋), so the cells tile the image — every pixel
+    * counted exactly once by construction. Returns per-cell
+    * (sum1000, count) so callers can derive means, totals, or bits
+    * without losing exactness. */
+  private[operators] def thumbCells(
+      img: java.awt.image.BufferedImage, k: Int): (Array[Long], Array[Long]) = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val sums = new Array[Long](k * k); val counts = new Array[Long](k * k)
+    var y = 0
+    while (y < h) {
+      val gy = math.min(y * k / h, k - 1)
+      var x = 0
+      while (x < w) {
+        val gx = math.min(x * k / w, k - 1)
+        val rgb = img.getRGB(x, y)
+        val c = gy * k + gx
+        sums(c) += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        counts(c) += 1
+        x += 1
+      }
+      y += 1
+    }
+    (sums, counts)
+  }
+
+  /** Resize codec: decodes real png/jpeg bytes and mean-pools them to a
+    * k×k luminance thumbnail (the imperative per-pixel loop is genuine
+    * mapPartitions territory, like every decoder here). `gate` re-sums
+    * the luminance plane in an INDEPENDENT whole-image pass and checks
+    * the pooled cell sums tile it exactly — integer equality, so any
+    * grid bug (dropped row, double-counted boundary) flips `ok`. */
+  final class ThumbnailCodec(k: Int) extends Serializable {
+    javax.imageio.ImageIO.setUseCache(false)
+    private def decode(m: MediaRecord): java.awt.image.BufferedImage = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      require(img != null, s"media ${m.media_id}: undecodable image payload")
+      img
+    }
+    def thumb(m: MediaRecord): ThumbRow = {
+      val (sums, counts) = thumbCells(decode(m), k)
+      val nPix = counts.sum
+      ThumbRow(m.media_id, k.toLong,
+        if (nPix > 0) sums.sum * 100L / (nPix * 1000L) else 0L,
+        Array.tabulate(k * k)(i =>
+          if (counts(i) > 0) sums(i) * 100L / (counts(i) * 1000L) else 0L))
+    }
+    def gate(m: MediaRecord): ThumbGateRow = {
+      val img = decode(m)
+      val (w, h) = (img.getWidth, img.getHeight)
+      val (sums, counts) = thumbCells(img, k)
+      var direct = 0L; var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          direct += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+            114L * (rgb & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      val ok = if (sums.sum == direct && counts.sum == w.toLong * h) 1L else 0L
+      ThumbGateRow(m.media_id, w.toLong, h.toLong, counts.sum, ok)
+    }
+  }
+
+  /** Image RESIZE: 4×4 mean-pooled luminance thumbnails from REAL
+    * decoded pixels (integer-exact cell means, e2-scaled). Rows-only —
+    * pixel content isn't SQL-expressible; [[m06ThumbGate]] is the
+    * hash-matched companion and MultimodalSpec pins exact cell values
+    * on crafted quadrant images. Plan: payload synthesis + decode +
+    * pool all inside one mapPartitions pass — embarrassingly parallel,
+    * one codec instance per partition. */
+  def m06Thumbnail(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTableFiltered(s, dir, Seq("png", "jpeg")).as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new ThumbnailCodec(4)
+        it.map(codec.thumb)
+      }.toDF()
+      .orderBy("media_id")
+  }
+
+  /** [[m06Thumbnail]]'s oracle gate: per image, the REAL decoded
+    * dimensions, the pooled pixel count, and the exact-tiling flag.
+    * DuckDB recomputes dims from the [[imageDims]] fixture contract and
+    * expects n_pix = w·h and ok = 1 everywhere — a full per-row hash
+    * match, driver-visible. */
+  def m06ThumbGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    mediaTableFiltered(s, dir, Seq("png", "jpeg")).as[MediaRecord]
+      .mapPartitions { it =>
+        val codec = new ThumbnailCodec(4)
+        it.map(codec.gate)
+      }.toDF()
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta"     -> (m01MediaMeta _),
     "m02_frame_features" -> (m02FrameFeatures _),
     "m03_media_neardup"  -> (m03MediaNearDup _),
     "m04_audio_meta"     -> (m04AudioMeta _),
     "m05_embed_neardup"  -> (m05ContentEmbedPairs _),
+    "m06_thumbnail"      -> (m06Thumbnail _),
+    "m06_thumb_gate"     -> (m06ThumbGate _),
   )
 
   /** m02/m04's outputs are deterministic functions of the fixture id
@@ -368,6 +480,15 @@ object Multimodal {
         |  CAST(1000000 AS BIGINT) AS cos_e6
         |FROM documents WHERE doc_id < 100 AND doc_id % 3 <> 2
         |ORDER BY media_a, media_b""".stripMargin,
+    // dims from the imageDims fixture contract; exact tiling → n_pix is
+    // the w·h product and ok is identically 1
+    "m06_thumb_gate" ->
+      """SELECT doc_id AS media_id,
+        |  CAST(16 + doc_id % 32 AS BIGINT) AS in_w,
+        |  CAST(16 + (doc_id // 3) % 24 AS BIGINT) AS in_h,
+        |  CAST((16 + doc_id % 32) * (16 + (doc_id // 3) % 24) AS BIGINT) AS n_pix,
+        |  CAST(1 AS BIGINT) AS ok
+        |FROM documents WHERE doc_id % 3 <> 2 ORDER BY media_id""".stripMargin,
     "m04_audio_meta" ->
       """SELECT doc_id AS media_id,
         |  CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS sample_rate,

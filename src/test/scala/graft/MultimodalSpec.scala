@@ -246,4 +246,32 @@ class MultimodalSpec extends SparkSpec {
     } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_media_ann$sfx"))
   }
+
+  test("thumbnail resize: exact quadrant means on a crafted image; gate tiles the fixture") {
+    // 8×8 png, solid-color quadrants → a 2×2 thumbnail IS the quadrant
+    // luminances: black 0, white 255000/1000·100, red 299·255·100/1000,
+    // blue 114·255·100/1000 — integer-exact (PNG is lossless)
+    val img = new java.awt.image.BufferedImage(8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val c = (x / 4, y / 4) match {
+        case (0, 0) => 0x000000       // black
+        case (1, 0) => 0xFFFFFF       // white
+        case (0, 1) => 0xFF0000       // red
+        case _      => 0x0000FF       // blue
+      }
+      img.setRGB(x, y, c)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val codec = new Multimodal.ThumbnailCodec(2)
+    val t = codec.thumb(Multimodal.MediaRecord(7L, "png", out.toByteArray))
+    assert(t.thumb_e2.toSeq == Seq(0L, 25500L, 7624L, 2907L), t.thumb_e2.toSeq)
+    assert(t.mean_lum_e2 == (0L + 255000L + 76245L + 29070L) * 16 * 100 / (64 * 1000))
+    val g = codec.gate(Multimodal.MediaRecord(7L, "png", out.toByteArray))
+    assert(g.ok == 1L && g.n_pix == 64L && g.in_w == 8L && g.in_h == 8L)
+
+    // every fixture image (png AND lossy jpeg) must tile exactly
+    val gate = Multimodal.m06ThumbGate(spark, sf).collect()
+    assert(gate.nonEmpty && gate.forall(_.getLong(4) == 1L))
+  }
 }
