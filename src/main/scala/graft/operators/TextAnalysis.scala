@@ -167,16 +167,7 @@ object TextAnalysis {
     val top2 = g2.groupBy(col("doc_id"))
       .agg(min(struct((-col("n")).as("nn"), col("g").as("g"), col("n").as("n"))).as("t"))
       .select(col("doc_id"), col("t.g").as("top2_gram"), col("t.n").as("top2_n"))
-    val g3 = base.select(col("doc_id"), posexplode(shingles(col("toks"), 3)))
-      .toDF("doc_id", "start", "g")
-    val dup3 = g3.groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select(col("doc_id"), col("g"))
-    val cov = g3.join(dup3, Seq("doc_id", "g"), "left_semi")
-      .select(col("doc_id"),
-        explode(sequence(col("start"), col("start") + 2)).as("p"))
-      .distinct()
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+    val cov = dup3Coverage(docs)
     base.select(col("doc_id"), col("n_words"), col("n_chars"))
       .join(top2, Seq("doc_id"), "left")
       .join(cov, Seq("doc_id"), "left")
@@ -190,6 +181,24 @@ object TextAnalysis {
           expr("(coalesce(cov, 0) * 1000000) div n_words"))
           .otherwise(lit(0L)).as("dup3_cov_frac_e6"))
       .orderBy("doc_id")
+  }
+
+  /** (doc_id, cov) — word positions covered by any within-doc 3-gram
+    * occurring ≥ 2×: [[gopherRepetition]]'s coverage leg, shared with
+    * [[t34CurationPipeline]]'s repetition gate. Count + semi-join
+    * re-scan, linear in tokens. Docs with zero duplicated 3-grams have
+    * no row (callers left-join + coalesce). */
+  private[graft] def dup3Coverage(docs: DataFrame): DataFrame = {
+    val g3 = docs.select(col("doc_id"), posexplode(shingles(tokens(col("text")), 3)))
+      .toDF("doc_id", "start", "g")
+    val dup3 = g3.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select(col("doc_id"), col("g"))
+    g3.join(dup3, Seq("doc_id", "g"), "left_semi")
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + 2)).as("p"))
+      .distinct()
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
   }
 
   /** PII + blocklist scrubbing — the C4-style cleanup pass every public
@@ -299,15 +308,26 @@ object TextAnalysis {
     * the only data-sized shuffle, map-side combined on doc_id. */
   def t33LmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val base = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val uni = base.select(explode(col("toks")).as("u"))
+    lmScore(docs, docs).orderBy("doc_id")
+  }
+
+  /** Frame-level core of [[t33LmScore]]: train the bigram LM on `train`,
+    * score every doc of `score` — (doc_id, n_bigrams, lm_inv_e4).
+    * Requires score's bigrams ⊆ train's (true whenever score is a
+    * subset of the training corpus, as in [[t34CurationPipeline]]); a
+    * reference-LM deployment would left-join with a c = 0 default. */
+  private[graft] def lmScore(train: DataFrame, score: DataFrame): DataFrame = {
+    val trainToks = train.select(tokens(col("text")).as("toks"))
+    val uni = trainToks.select(explode(col("toks")).as("u"))
       .groupBy(col("u")).agg(count(lit(1)).as("cu"))
     val vocab = uni.groupBy().agg(count(lit(1)).as("v"))
-    val big = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
-    val bigCounts = big.groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    val bigCounts = trainToks.select(explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cg"))
     // tokens contain no whitespace, so the shingle's first word IS the
     // conditioning prefix
-    val pos = big.withColumn("u", substring_index(col("g"), " ", 1))
+    val pos = score.select(col("doc_id"),
+        explode(shingles(tokens(col("text")), 2)).as("g"))
+      .withColumn("u", substring_index(col("g"), " ", 1))
     val scored = pos
       .join(broadcast(uni), Seq("u"))
       .join(broadcast(bigCounts), Seq("g"))
@@ -316,11 +336,72 @@ object TextAnalysis {
         least(expr("((cu + v) * 10000) div (cg + 1)"), lit(1000000000000L)).as("invp"))
     val per = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(col("invp")).as("sp"))
-    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+    score.select(col("doc_id")).join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(expr("sp div n_bigrams"), lit(0L)).as("lm_inv_e4"))
-      .orderBy("doc_id")
+  }
+
+  /** The round-7 curation battery as ONE end-to-end pipeline — the
+    * public pretraining-cleanup recipe stages chained the way CCNet/C4/
+    * Gopher chain them, each stage feeding the next without
+    * materialization:
+    *
+    *  1. **PII/blocklist gate** (t31's keep rule): drop docs with any
+    *     email/IPv4/phone match or blocked term.
+    *  2. **Repetition gate** (t30's signal): drop docs whose words are
+    *     majority-covered by repeated 3-grams (2·cov < n_toks —
+    *     integer, empty docs drop too).
+    *  3. **LM predictability gate** (t33 + CCNet §3's percentile cut):
+    *     score survivors under the FULL-corpus bigram LM, keep the
+    *     predictable half (score ≤ exact median of survivor scores).
+    *  4. **Exact dedup keep-first**: min-doc_id representative per text
+    *     (orderable-struct min, cross-source).
+    *  5. **Source mixing** (t32): per-source kept-token mass → exact
+    *     isqrt α = 0.5 weights → e6 allocation shares.
+    *
+    * Scale shape: gates 1–2 are map-side + per-doc aggs; the LM tables
+    * broadcast; the median is a bounded per-value count aggregate
+    * (ExactPercentile — never a whole-corpus sort); dedup and the
+    * per-source rollup are ordinary key shuffles. Zero float surface. */
+  def t34CurationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val piiOk = docs.filter(
+        call_function("regexp_count", col("text"), lit(EmailRe)) +
+        call_function("regexp_count", col("text"), lit(Ipv4Re)) +
+        call_function("regexp_count", col("text"), lit(PhoneRe)) +
+        call_function("regexp_count", col("text"), lit(BlockRe)) === 0)
+      .select(col("doc_id"), col("source"), col("text"),
+        size(tokens(col("text"))).cast("long").as("n_toks"))
+    val repOk = piiOk
+      .join(dup3Coverage(piiOk.select(col("doc_id"), col("text"))), Seq("doc_id"), "left")
+      .filter(coalesce(col("cov"), lit(0L)) * 2 < col("n_toks"))
+      .drop("cov")
+    val scoredDocs = repOk.join(
+      lmScore(docs, repOk.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("lm_inv_e4")), Seq("doc_id"))
+    val med = ExactPercentile.discByKey(
+      scoredDocs.select(lit(1).as("k"), col("lm_inv_e4")),
+      "k", "lm_inv_e4", Seq(0.5), Seq("med_e4"))
+    val lmOk = scoredDocs.crossJoin(broadcast(med.select(col("med_e4"))))
+      .filter(col("lm_inv_e4") <= col("med_e4"))
+    val kept = lmOk.groupBy(col("text"))
+      .agg(min(struct(col("doc_id"), col("source"), col("n_toks"))).as("r"))
+      .select(col("r.source").as("source"), col("r.n_toks").as("n_toks"))
+    val per = kept.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+    val s0 = floor(sqrt(col("kept_tokens").cast("double"))).cast("long")
+    val w = per.withColumn("s0", s0)
+      .withColumn("w_sqrt",
+        when((col("s0") + 1) * (col("s0") + 1) <= col("kept_tokens"), col("s0") + 1)
+          .when(col("s0") * col("s0") > col("kept_tokens"), col("s0") - 1)
+          .otherwise(col("s0")))
+      .drop("s0")
+    val total = w.groupBy().agg(sum(col("w_sqrt")).as("tw"))
+    w.crossJoin(broadcast(total))
+      .select(col("source"), col("n_kept"), col("kept_tokens"), col("w_sqrt"),
+        expr("(w_sqrt * 1000000) div tw").as("alloc_e6"))
+      .orderBy("source")
   }
 
   /** Corpus-level n-gram frequency: bigrams occurring ≥ 10 times.
@@ -998,6 +1079,7 @@ object TextAnalysis {
     "t31_pii_redact" -> (t31PiiRedact _),
     "t32_source_mixing" -> (t32SourceMixing _),
     "t33_lm_score" -> (t33LmScore _),
+    "t34_curation_pipeline" -> (t34CurationPipeline _),
   )
 
   private val ChunkTokens = 64
@@ -1323,6 +1405,71 @@ object TextAnalysis {
         |  CAST(coalesce(per.sp // per.n_bigrams, 0) AS BIGINT) AS lm_inv_e4
         |FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
         |ORDER BY d.doc_id""".stripMargin,
+    // composition of the t31/t30/t33/t01/t32 oracle fragments, stage
+    // for stage; quantile_disc == ExactPercentile.discByKey (t27 parity)
+    "t34_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |pii AS (
+        |  SELECT doc_id, source, text, toks, CAST(len(toks) AS BIGINT) AS n_toks
+        |  FROM base
+        |  WHERE len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |      + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |      + len(regexp_extract_all(text, '\b(customer|dup)\b')) = 0),
+        |g3 AS (
+        |  SELECT doc_id, u.s AS s, u.g AS g FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, CAST(len(toks) AS INTEGER) - 1),
+        |             i -> struct_pack(s := i, g := toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+        |      ELSE [] END) AS u
+        |    FROM pii)),
+        |d3 AS (SELECT doc_id, g FROM g3 GROUP BY doc_id, g HAVING count(*) >= 2),
+        |covp AS (SELECT g3.doc_id AS doc_id, unnest(range(g3.s, g3.s + 3)) AS p
+        |         FROM g3 JOIN d3 ON g3.doc_id = d3.doc_id AND g3.g = d3.g),
+        |cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT) AS cov FROM covp GROUP BY doc_id),
+        |rep AS (SELECT pii.* FROM pii LEFT JOIN cov USING (doc_id)
+        |        WHERE coalesce(cov.cov, 0) * 2 < pii.n_toks),
+        |uni AS (SELECT u, CAST(count(*) AS BIGINT) AS cu
+        |        FROM (SELECT unnest(toks) AS u FROM base) GROUP BY u),
+        |voc AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+        |bc AS (SELECT g, CAST(count(*) AS BIGINT) AS cg FROM (
+        |         SELECT unnest(CASE WHEN len(toks) >= 2
+        |           THEN list_transform(range(1, CAST(len(toks) AS INTEGER)), i -> toks[i] || ' ' || toks[i+1])
+        |           ELSE [] END) AS g FROM base) GROUP BY g),
+        |sgg AS (SELECT doc_id, p.u AS u, p.g AS g FROM (
+        |          SELECT doc_id, unnest(CASE WHEN len(toks) >= 2
+        |            THEN list_transform(range(1, CAST(len(toks) AS INTEGER)),
+        |                   i -> struct_pack(u := toks[i], g := toks[i] || ' ' || toks[i+1]))
+        |            ELSE [] END) AS p FROM rep)),
+        |sj AS (SELECT sgg.doc_id,
+        |         least(((uni.cu + voc.v) * 10000) // (bc.cg + 1), 1000000000000) AS invp
+        |       FROM sgg JOIN uni ON sgg.u = uni.u JOIN bc ON sgg.g = bc.g CROSS JOIN voc),
+        |sper AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nb, CAST(sum(invp) AS BIGINT) AS sp
+        |         FROM sj GROUP BY doc_id),
+        |scored AS (SELECT rep.doc_id, rep.source, rep.text, rep.n_toks,
+        |             CAST(coalesce(sper.sp // sper.nb, 0) AS BIGINT) AS lm
+        |           FROM rep LEFT JOIN sper USING (doc_id)),
+        |med AS (SELECT quantile_disc(lm, 0.5) AS med FROM scored),
+        |lmok AS (SELECT scored.* FROM scored, med WHERE lm <= med),
+        |ded AS (SELECT source, n_toks FROM (
+        |          SELECT source, n_toks,
+        |            row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |          FROM lmok) WHERE rn = 1),
+        |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |          CAST(sum(n_toks) AS BIGINT) AS kept_tokens
+        |        FROM ded GROUP BY source),
+        |w AS (SELECT source, n_kept, kept_tokens,
+        |        CAST(CASE WHEN (s0 + 1) * (s0 + 1) <= kept_tokens THEN s0 + 1
+        |                  WHEN s0 * s0 > kept_tokens THEN s0 - 1
+        |                  ELSE s0 END AS BIGINT) AS w_sqrt
+        |      FROM (SELECT per.*, CAST(floor(sqrt(CAST(kept_tokens AS DOUBLE))) AS BIGINT) AS s0 FROM per)),
+        |tot AS (SELECT CAST(sum(w_sqrt) AS BIGINT) AS tw FROM w)
+        |SELECT source, n_kept, kept_tokens, w_sqrt,
+        |  CAST((w_sqrt * 1000000) // tw AS BIGINT) AS alloc_e6
+        |FROM w, tot ORDER BY source""".stripMargin,
     "t08_ngram_freq" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

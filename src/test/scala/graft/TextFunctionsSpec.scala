@@ -320,4 +320,70 @@ class TextFunctionsSpec extends SparkSpec {
       (1L, 1L, 23333L), (2L, 1L, 23333L), (3L, 1L, 35000L), (4L, 0L, 0L))
     assert(got.sameElements(expected), got.mkString("\n"))
   }
+
+  test("t34 curation pipeline equals a plain-Scala reference over a planted corpus") {
+    // planted: d3 email (gate 1), d4 blocklist (gate 1), d5 majority
+    // 3-gram repeats (gate 2), d8 rare-word doc (LM tail), d2/d6 exact
+    // dups of d1 across sources (dedup keeps min doc_id's source)
+    val fixture = Seq(
+      (1L, "srcA", "the cat sat on the mat"),
+      (2L, "srcA", "the cat sat on the mat"),
+      (3L, "srcA", "mail bob@example.com spam here"),
+      (4L, "srcB", "the customer is here"),
+      (5L, "srcB", "x y z x y z x y z"),
+      (6L, "srcB", "the cat sat on the mat"),
+      (7L, "srcB", "the dog sat on the mat"),
+      (8L, "srcA", "qq ww ee rr tt"),
+      (9L, "srcB", "the cat sat on a rug"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-t34").toString
+    fixture.toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // ---- plain-Scala reference (collections, integer arithmetic) ----
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).toSeq
+    val pii = fixture.filter { case (_, _, t) =>
+      !java.util.regex.Pattern.compile(
+        "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b|\\b\\d{3}-\\d{3}-\\d{4}\\b|\\b(customer|dup)\\b")
+        .matcher(t).find()
+    }
+    val rep = pii.filter { case (_, _, t) =>
+      val w = toks(t)
+      val g3 = w.sliding(3).filter(_.size == 3).map(_.mkString(" ")).zipWithIndex.toSeq
+      val dups = g3.groupBy(_._1).filter(_._2.size >= 2).keySet
+      val cov = g3.filter(x => dups(x._1)).flatMap(x => x._2 to x._2 + 2).distinct.size
+      2L * cov < w.size
+    }
+    val all = fixture.flatMap { case (_, _, t) => toks(t) }
+    val cu = all.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val v = cu.size.toLong
+    val cg = fixture.flatMap { case (_, _, t) => toks(t).sliding(2).filter(_.size == 2).map(_.mkString(" ")) }
+      .groupBy(identity).map { case (k, vs) => k -> vs.size.toLong }
+    def lm(t: String): Long = {
+      val ps = toks(t).sliding(2).filter(_.size == 2).toSeq
+      if (ps.isEmpty) 0L
+      else ps.map { p =>
+        math.min((cu(p.head) + v) * 10000L / (cg(p.mkString(" ")) + 1), 1000000000000L)
+      }.sum / ps.size
+    }
+    val scored = rep.map { case (id, s, t) => (id, s, t, lm(t)) }
+    val sortedLm = scored.map(_._4).sorted
+    val med = sortedLm(math.ceil(0.5 * sortedLm.size).toInt - 1)
+    val lmOk = scored.filter(_._4 <= med)
+    val kept = lmOk.groupBy(_._3).map(_._2.minBy(_._1)).toSeq
+    def isqrt(n: Long) = { val s = math.sqrt(n.toDouble).toLong
+      if ((s + 1) * (s + 1) <= n) s + 1 else if (s * s > n) s - 1 else s }
+    val per = kept.groupBy(_._2).map { case (src, ds) =>
+      val tok = ds.map(d => toks(d._3).size.toLong).sum
+      (src, ds.size.toLong, tok, isqrt(tok))
+    }.toSeq.sortBy(_._1)
+    val tw = per.map(_._4).sum
+    val expected = per.map { case (src, n, tok, w) => (src, n, tok, w, w * 1000000L / tw) }
+
+    val got = graft.operators.TextAnalysis.t34CurationPipeline(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == expected, s"got=$got expected=$expected")
+    // the planted drops actually dropped: srcA keeps ≤ 2 distinct docs,
+    // and the heavy-repeat/blocklist/email docs contribute nothing
+    assert(got.map(_._2).sum < fixture.size)
+  }
 }
