@@ -189,7 +189,11 @@ object TextAnalysis {
     * re-scan, linear in tokens. Docs with zero duplicated 3-grams have
     * no row (callers left-join + coalesce). */
   private[graft] def dup3Coverage(docs: DataFrame): DataFrame = {
-    val g3 = docs.select(col("doc_id"), posexplode(shingles(tokens(col("text")), 3)))
+    // stage toks as an attribute: shingles() references it repeatedly
+    // and an inlined tokens(text) would re-tokenize per reference (the
+    // t03/t04 staging lesson — measured 4-5× on this leg)
+    val g3 = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), posexplode(shingles(col("toks"), 3)))
       .toDF("doc_id", "start", "g")
     val dup3 = g3.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
@@ -324,9 +328,10 @@ object TextAnalysis {
     val bigCounts = trainToks.select(explode(shingles(col("toks"), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cg"))
     // tokens contain no whitespace, so the shingle's first word IS the
-    // conditioning prefix
-    val pos = score.select(col("doc_id"),
-        explode(shingles(tokens(col("text")), 2)).as("g"))
+    // conditioning prefix; toks staged as an attribute (re-tokenize-per-
+    // reference trap, see dup3Coverage)
+    val pos = score.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
       .withColumn("u", substring_index(col("g"), " ", 1))
     val scored = pos
       .join(broadcast(uni), Seq("u"))
@@ -373,10 +378,15 @@ object TextAnalysis {
         call_function("regexp_count", col("text"), lit(BlockRe)) === 0)
       .select(col("doc_id"), col("source"), col("text"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
+    // cached: this subtree (4 regex gates + the coverage join) is read
+    // three times below — as the survivor frame, as lmScore's scoring
+    // set, and as its doc universe (query-scoped; Verify/Bench
+    // clearCache after)
     val repOk = piiOk
       .join(dup3Coverage(piiOk.select(col("doc_id"), col("text"))), Seq("doc_id"), "left")
       .filter(coalesce(col("cov"), lit(0L)) * 2 < col("n_toks"))
       .drop("cov")
+      .cache()
     val scoredDocs = repOk.join(
       lmScore(docs, repOk.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("lm_inv_e4")), Seq("doc_id"))
