@@ -28,6 +28,7 @@ object ScaleSmoke {
     if (a.contains("a100")) { a100(spark); spark.stop(); return }
     if (a.contains("v100")) { v100(spark); spark.stop(); return }
     if (a.contains("b100")) { b100(spark); spark.stop(); return }
+    if (a.contains("c100")) { c100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -430,6 +431,32 @@ object ScaleSmoke {
     println(f"I100SPAN inline=$spanInline%.2f s build=$spanBuild%.2f s (amortized) " +
       f"query=$spanQuery%.2f s per-batch diff_rows=$spanDiff")
     assert(spanDiff == 0, s"span index path diverged by $spanDiff rows")
+  }
+
+  /** ~85× curation-battery smoke: the t100 corpus (skewed sources,
+    * replica-unique texts, ~425k docs) through the round-7 signals and
+    * the composed t34 pipeline. Checks the battery's linearity story
+    * holds when source skew is 16:1 and the LM vocabulary grows with
+    * the replica suffixes: each stage's cost axis is tokens (scan) or
+    * vocabulary (broadcast tables), never doc pairs. */
+  private def c100(spark: SparkSession): Unit = {
+    val out = "/tmp/sft100"
+    if (!new java.io.File(s"$out/documents.parquet").exists())
+      sys.error("run the t100 smoke first to build /tmp/sft100")
+    val n = spark.read.parquet(s"$out/documents.parquet").count()
+    println(s"ROWS documents=$n")
+    Seq("t30_gopher_repetition", "t31_pii_redact", "t33_lm_score",
+        "t32_source_mixing", "t34_curation_pipeline").foreach { q =>
+      val t0 = System.nanoTime()
+      SparkEntry.queries(q)(spark, out).write.format("noop").mode("overwrite").save()
+      println(f"SCALE100 $q ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      spark.catalog.clearCache()
+    }
+    val kept = SparkEntry.queries("t34_curation_pipeline")(spark, out)
+      .agg(sum(col("n_kept")), sum(col("alloc_e6"))).collect().head
+    spark.catalog.clearCache()
+    println(s"T34 kept=${kept.getLong(0)} alloc_sum_e6=${kept.getLong(1)}")
+    assert(kept.getLong(0) > 0 && kept.getLong(1) <= 1000000L)
   }
 
   /** 100× dedup-family smoke (see object Scaladoc). */

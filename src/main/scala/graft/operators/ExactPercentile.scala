@@ -59,6 +59,45 @@ object ExactPercentile {
         sum(col("_c")).over(wAll).as("_n"))
   }
 
+  /** Exact GLOBAL `percentile_disc` over a non-negative BIGINT column
+    * WITHOUT a global window — the distributed-CDF shape for a corpus-
+    * wide cut (a constant partition key would fold away and leave an
+    * unbounded single-reducer WindowExec, which PlanShapeSpec bans):
+    *
+    *  1. per-value counts (map-side combined);
+    *  2. per-SHARD totals, shard = value div `shardSpan` — the shard
+    *     count is bounded by `maxValue/shardSpan + 1` BY ARITHMETIC, so
+    *     collecting it is driver-bounded by construction (the IVF-seed
+    *     precedent), and the running offsets are computed in one pass;
+    *  3. the cumulative window partitions by SHARD (non-empty partition
+    *     spec, distributes across reducers) and adds the broadcast
+    *     shard offset — a global CDF with no global sort.
+    *
+    * Returns ONE row (`outName`): the smallest value whose global
+    * cumulative count reaches ceil(p·n) — same rank rule as
+    * [[discByKey]], bit-identical to DuckDB `quantile_disc`. Empty
+    * input → one all-NULL row (callers' comparisons are then never
+    * true, matching an empty-survivor cut). */
+  def discGlobal(df: DataFrame, value: String, p: Double, outName: String,
+      shardSpan: Long = 1000000000L): DataFrame = {
+    val spark = df.sparkSession
+    val vc = df.filter(col(value).isNotNull)
+      .groupBy(col(value)).agg(count(lit(1)).as("_c"))
+      .withColumn("_sh", expr(s"$value div $shardSpan"))
+    val totals = vc.groupBy(col("_sh")).agg(sum(col("_c")).as("_t"))
+      .orderBy("_sh").collect()
+    var acc = 0L
+    val offs = totals.map { r => val o = (r.getLong(0), acc); acc += r.getLong(1); o }
+    val n = acc
+    val offDf = spark.createDataFrame(offs.toSeq).toDF("_sh", "_off")
+    val w = Window.partitionBy(col("_sh")).orderBy(col(value))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vc.join(broadcast(offDf), "_sh")
+      .withColumn("_cum", sum(col("_c")).over(w) + col("_off"))
+      .filter(col("_cum") >= lit(math.ceil(p * n).toLong))
+      .agg(min(col(value)).as(outName))
+  }
+
   /** Exact discrete percentiles (`percentile_disc`): one output column per
     * fraction, named by `outNames`. */
   def discByKey(df: DataFrame, key: String, value: String,

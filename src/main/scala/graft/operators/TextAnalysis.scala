@@ -366,9 +366,11 @@ object TextAnalysis {
     *     isqrt α = 0.5 weights → e6 allocation shares.
     *
     * Scale shape: gates 1–2 are map-side + per-doc aggs; the LM tables
-    * broadcast; the median is a bounded per-value count aggregate
-    * (ExactPercentile — never a whole-corpus sort); dedup and the
-    * per-source rollup are ordinary key shuffles. Zero float surface. */
+    * broadcast; the median is [[ExactPercentile.discGlobal]]'s
+    * distributed CDF (per-value counts, shard-offset window — no global
+    * window, no whole-corpus sort, driver state bounded by arithmetic);
+    * dedup and the per-source rollup are ordinary key shuffles. Zero
+    * float surface. */
   def t34CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val piiOk = docs.filter(
@@ -387,13 +389,16 @@ object TextAnalysis {
       .filter(coalesce(col("cov"), lit(0L)) * 2 < col("n_toks"))
       .drop("cov")
       .cache()
+    // cached like repOk: the distributed-CDF median pass executes the
+    // scoring subtree eagerly at build time; the survivor filter reads
+    // it again at materialization
     val scoredDocs = repOk.join(
       lmScore(docs, repOk.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("lm_inv_e4")), Seq("doc_id"))
-    val med = ExactPercentile.discByKey(
-      scoredDocs.select(lit(1).as("k"), col("lm_inv_e4")),
-      "k", "lm_inv_e4", Seq(0.5), Seq("med_e4"))
-    val lmOk = scoredDocs.crossJoin(broadcast(med.select(col("med_e4"))))
+      .cache()
+    val med = ExactPercentile.discGlobal(
+      scoredDocs.select(col("lm_inv_e4")), "lm_inv_e4", 0.5, "med_e4")
+    val lmOk = scoredDocs.crossJoin(broadcast(med))
       .filter(col("lm_inv_e4") <= col("med_e4"))
     val kept = lmOk.groupBy(col("text"))
       .agg(min(struct(col("doc_id"), col("source"), col("n_toks"))).as("r"))
