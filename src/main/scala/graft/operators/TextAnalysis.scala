@@ -162,11 +162,21 @@ object TextAnalysis {
       .withColumn("n_words", size(col("toks")).cast("long"))
     val g2 = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
-    // orderable-struct argmax (the d16 pattern): min over (-n, g) is
-    // (max n, min g) — accumulation-order invariant
-    val top2 = g2.groupBy(col("doc_id"))
-      .agg(min(struct((-col("n")).as("nn"), col("g").as("g"), col("n").as("n"))).as("t"))
-      .select(col("doc_id"), col("t.g").as("top2_gram"), col("t.n").as("top2_n"))
+    // order-invariant argmax as a SINGLE SORTABLE STRING: min over
+    // lpad(1e8-1-n) ∥ g is (max n, lexicographic-min g), same total
+    // order as the d16 struct-min — but min(string) runs in a
+    // HashAggregate, where min(struct) falls back to SortAggregate and
+    // sorts the whole exploded gram stream (measured 153 s → hash path
+    // at the c100 smoke; the cap is unreachable: 1e8 within-doc
+    // occurrences of one bigram needs a ~1e8-token document)
+    val top2 = g2
+      .withColumn("k", concat(
+        lpad((lit(99999999L) - least(col("n"), lit(99999999L))).cast("string"), 8, "0"),
+        col("g")))
+      .groupBy(col("doc_id")).agg(min(col("k")).as("k"))
+      .select(col("doc_id"),
+        expr("substring(k, 9)").as("top2_gram"),
+        (lit(99999999L) - expr("CAST(substring(k, 1, 8) AS BIGINT)")).as("top2_n"))
     val cov = dup3Coverage(docs)
     base.select(col("doc_id"), col("n_words"), col("n_chars"))
       .join(top2, Seq("doc_id"), "left")
@@ -192,9 +202,13 @@ object TextAnalysis {
     // stage toks as an attribute: shingles() references it repeatedly
     // and an inlined tokens(text) would re-tokenize per reference (the
     // t03/t04 staging lesson — measured 4-5× on this leg)
+    // cached: referenced by both the ≥2 count and the coverage re-scan —
+    // without it each reference re-tokenizes and re-explodes the corpus
+    // (query-scoped; Verify/Bench clearCache after)
     val g3 = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), posexplode(shingles(col("toks"), 3)))
       .toDF("doc_id", "start", "g")
+      .cache()
     val dup3 = g3.groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
       .select(col("doc_id"), col("g"))
