@@ -433,6 +433,45 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** The curation gates in the INGEST path — the streaming twin of
+    * [[t31PiiRedact]]'s keep rule, proving the cleanup battery runs as
+    * an arrival-time filter with per-source running admission stats
+    * (the d12 gate pattern: a real Structured Streaming query executes
+    * inside the builder, Complete-mode counts land in a memory sink,
+    * the result returns as a local relation). The gates are STATELESS
+    * — regex admission costs nothing per-row beyond the batch path —
+    * and the only state is the per-source count aggregate, bounded by
+    * #sources. Corpus bounded to doc_id < 1000 (mirrored in the
+    * oracle): streaming more distractors through the micro-batch
+    * machinery buys bench seconds, not assurance — arrival-order
+    * robustness and scale live in the streaming specs. */
+  def t35StreamCurateGate(s: SparkSession, dir: String): DataFrame = {
+    val rows = Tables.documents(s, dir)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toIndexedSeq
+    import s.implicits._
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)](s)
+    if (rows.nonEmpty) in.addData(rows)
+    val name = "t35_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val kept = in.toDF().toDF("doc_id", "source", "text")
+      .filter(
+        call_function("regexp_count", col("text"), lit(EmailRe)) +
+        call_function("regexp_count", col("text"), lit(Ipv4Re)) +
+        call_function("regexp_count", col("text"), lit(PhoneRe)) +
+        call_function("regexp_count", col("text"), lit(BlockRe)) === 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"))
+    val q = kept.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val out = s.table(name).orderBy("source")
+    val outRows = out.collect()
+    s.catalog.dropTempView(name)
+    s.createDataFrame(java.util.Arrays.asList(outRows: _*), out.schema)
+  }
+
   /** Corpus-level n-gram frequency: bigrams occurring ≥ 10 times.
     * Explode → hash agg: the corpus-wide shuffle carries only
     * (bigram, partial-count) pairs thanks to map-side combine. */
@@ -1109,6 +1148,7 @@ object TextAnalysis {
     "t32_source_mixing" -> (t32SourceMixing _),
     "t33_lm_score" -> (t33LmScore _),
     "t34_curation_pipeline" -> (t34CurationPipeline _),
+    "t35_stream_curate_gate" -> (t35StreamCurateGate _),
   )
 
   private val ChunkTokens = 64
@@ -1499,6 +1539,17 @@ object TextAnalysis {
         |SELECT source, n_kept, kept_tokens, w_sqrt,
         |  CAST((w_sqrt * 1000000) // tw AS BIGINT) AS alloc_e6
         |FROM w, tot ORDER BY source""".stripMargin,
+    // DuckDB recomputes the stream's admission counts batch-side; the
+    // doc_id < 1000 bound mirrors the gate's documented corpus bound
+    "t35_stream_curate_gate" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_kept
+        |FROM documents
+        |WHERE doc_id < 1000
+        |  AND len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |    + len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b'))
+        |    + len(regexp_extract_all(text, '\b(customer|dup)\b')) = 0
+        |GROUP BY source ORDER BY source""".stripMargin,
     "t08_ngram_freq" ->
       """WITH t AS (
         |  SELECT list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks

@@ -386,4 +386,17 @@ class TextFunctionsSpec extends SparkSpec {
     // and the heavy-repeat/blocklist/email docs contribute nothing
     assert(got.map(_._2).sum < fixture.size)
   }
+
+  test("t35 streaming curation gate equals the batch admission counts") {
+    val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 1000)
+    val keepIds = graft.operators.TextAnalysis.piiRedact(docs)
+      .filter(col("keep") === 1).select("doc_id")
+    val expected = docs.join(keepIds, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source").collect().map(r => (r.getString(0), r.getLong(1)))
+    val got = graft.operators.TextAnalysis.t35StreamCurateGate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(expected.nonEmpty && got.sameElements(expected),
+      s"got=${got.toSeq} expected=${expected.toSeq}")
+  }
 }
