@@ -304,9 +304,20 @@ object Similarity {
     // shorter books and the offsets would misalign — fall back to the
     // exact path rather than score against a skewed table
     if (books.exists(_.size != PqK)) return s01CosineTopK(s, dir)
+    annPqInline(corpus, q, books)
+  }
+
+  /** Frame-level PQ-ADC over arbitrary corpus/query frames (codebooks
+    * already validated PqK-complete) — shared by s05 and the full-probe
+    * IVF-PQ equality pin in PropertySpec. */
+  private[graft] def annPqInline(corpus: DataFrame, q: DataFrame,
+      books: Seq[Seq[Array[Double]]]): DataFrame =
     pqTopK(pqEncode(corpus, books),
       corpus.select(col("vec_id"), col("emb"), col("nrm")), q, books)
-  }
+
+  /** Codebook trainer exposed for the PropertySpec pin. */
+  private[graft] def trainPqCodebooks(corpus: DataFrame): Seq[Seq[Array[Double]]] =
+    pqCodebooks(corpus)
 
   /** PQ-encode a corpus: per-subspace staged d² + argmin code, then the
     * reconstruction norm from the codebook's centroid norms. Output
@@ -355,7 +366,16 @@ object Similarity {
   private def pqTopK(coded: DataFrame, vecs: DataFrame, q: DataFrame,
       books: Seq[Seq[Array[Double]]]): DataFrame = {
     val ql = q.select(col("query_id"), pqLut(col("qe"), books).as("lut"), col("qn"))
-    val approx = coded.join(broadcast(ql))
+    adcTail(coded.join(broadcast(ql)), vecs, q)
+  }
+
+  /** ADC ranking tail over a joined (vec_id, codes, recon_n, query_id,
+    * lut, qn) candidate frame — shared by [[pqTopK]] (every vector ×
+    * every query) and [[annIvfPqInline]] (only probed cells' members):
+    * LUT-fold approximate cosine, per-query bounded-heap candidate cut,
+    * exact rerank against the full-width vectors. */
+  private def adcTail(joined: DataFrame, vecs: DataFrame, q: DataFrame): DataFrame = {
+    val approx = joined
       .withColumn("adot", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
         (acc, m) => acc + element_at(col("lut"), m * PqK + element_at(col("codes"), m + lit(1)) + lit(1))))
       .withColumn("approx",
@@ -371,6 +391,40 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         round6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
     topKWithRank(sims)
+  }
+
+  /** IVF-PQ composition — the production vector-search shape (Jégou et
+    * al. 2011; FAISS `IVFPQ`): route each query to its `nProbe` nearest
+    * cells, ADC-score ONLY those cells' members, exact-rerank the
+    * survivors. IVF cuts WHICH vectors are scanned, PQ cuts the BYTES
+    * per scanned vector (4 B of codes) — the composition bounds both
+    * I/O axes at once, which neither s02 (full-width vectors in probed
+    * cells) nor s05 (codes of the WHOLE corpus) does alone. Probes ×
+    * LUTs broadcast (|q|·nprobe rows), so the corpus side never
+    * exchanges. Sub-codebook corpora fall back to IVF with exact
+    * scoring (same guard as s05). */
+  private[graft] def annIvfPqInline(corpus: DataFrame, q: DataFrame,
+      nProbe: Int = NProbe): DataFrame = {
+    val books = pqCodebooks(corpus)
+    if (books.exists(_.size != PqK)) return annIvfInline(corpus, q, nProbe)
+    val cents = ivfCentroids(corpus)
+    val coded = pqEncode(corpus, books)
+      .join(withCell(corpus, cents).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val ql = q.select(col("query_id"), pqLut(col("qe"), books).as("lut"), col("qn"),
+      explode(nearestCells(col("qe"), cents, nProbe)).as("cell"))
+    adcTail(coded.join(broadcast(ql), Seq("cell")),
+      corpus.select(col("vec_id"), col("emb"), col("nrm")), q)
+  }
+
+  /** Driver entry for [[annIvfPqInline]] — same corpus/query split as
+    * s01/s02/s05 so SimilaritySpec measures recall against the exact
+    * baseline and the s04 gate lifts it into the driver gate. */
+  def s09AnnIvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    annIvfPqInline(corpus, q)
   }
 
   /** Oracle companion for rows-only s02/s03 (round-4 pattern): one row of
@@ -391,10 +445,11 @@ object Similarity {
       Future(s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))),
       Future(s02AnnIvf(s, dir).select(col("query_id"), col("vec_id"))),
       Future(s03AnnSrp(s, dir).select(col("query_id"), col("vec_id"))),
-      Future(s05AnnPq(s, dir).select(col("query_id"), col("vec_id"))))
+      Future(s05AnnPq(s, dir).select(col("query_id"), col("vec_id"))),
+      Future(s09AnnIvfPq(s, dir).select(col("query_id"), col("vec_id"))))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     parts.collectFirst { case scala.util.Failure(e) => throw e }
-    val Seq(exact, ivf, srp, pq) = parts.map(_.get)
+    val Seq(exact, ivf, srp, pq, ivfpq) = parts.map(_.get)
     val base = exact.agg(
       countDistinct(col("query_id")).cast("long").as("n_queries"),
       count(lit(1)).as("n_exact"))
@@ -404,11 +459,14 @@ object Similarity {
       .agg(count(lit(1)).as("hit_srp"))
     val hitPq = pq.join(exact, Seq("query_id", "vec_id"), "left_semi")
       .agg(count(lit(1)).as("hit_pq"))
-    base.crossJoin(hitIvf).crossJoin(hitSrp).crossJoin(hitPq)
+    val hitIvfPq = ivfpq.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hit_ivfpq"))
+    base.crossJoin(hitIvf).crossJoin(hitSrp).crossJoin(hitPq).crossJoin(hitIvfPq)
       .select(col("n_queries"),
         (col("hit_ivf") * 10 >= col("n_exact") * 6).as("ivf_recall_ge_60"),
         (col("hit_srp") * 10 >= col("n_exact") * 6).as("srp_recall_ge_60"),
-        (col("hit_pq") * 10 >= col("n_exact") * 6).as("pq_recall_ge_60"))
+        (col("hit_pq") * 10 >= col("n_exact") * 6).as("pq_recall_ge_60"),
+        (col("hit_ivfpq") * 10 >= col("n_exact") * 6).as("ivfpq_recall_ge_60"))
   }
 
   // ------------------------------------------- persisted ANN index (s07)
@@ -786,6 +844,7 @@ object Similarity {
     "s06_filtered_topk" -> (s06FilteredTopK _),
     "s07_ann_index_gate" -> (s07AnnIndexGate _),
     "s08_filtered_index_gate" -> (s08FilteredIndexGate _),
+    "s09_ann_ivfpq" -> (s09AnnIvfPq _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -818,7 +877,7 @@ object Similarity {
     "s04_ann_recall_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS ivf_recall_ge_60, true AS srp_recall_ge_60,
-        |  true AS pq_recall_ge_60
+        |  true AS pq_recall_ge_60, true AS ivfpq_recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // indexed-vs-inline equality is asserted Spark-side (exceptAll both
     // ways over every column); DuckDB anchors the probe count and the

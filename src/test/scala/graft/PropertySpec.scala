@@ -126,6 +126,33 @@ class PropertySpec extends SparkSpec {
     assert(full == brute, s"full-probe IVF != brute force:\n$full\n$brute")
   }
 
+  test("IVF-PQ with full probing equals corpus-wide PQ-ADC (routing never changes ADC scores)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    // 64-d (PQ's 8×8 subspace contract); probing ALL 16 cells makes the
+    // candidate universe identical to s05's corpus-wide ADC, so results
+    // must match row for row — the cell join can only restrict, never
+    // rescore
+    val dim = 64
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val corpus = gen(spark.range(10, 150).toDF("id"), 11)
+    val q = gen(spark.range(0, 6).toDF("id"), 78)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val books = graft.operators.Similarity.trainPqCodebooks(corpus)
+    assume(books.forall(_.size == 16), "codebooks complete on this corpus")
+    val composed = graft.operators.Similarity.annIvfPqInline(corpus, q, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val corpusWide = graft.operators.Similarity.annPqInline(corpus, q, books)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(composed == corpusWide,
+      s"full-probe IVF-PQ != corpus-wide ADC:\n$composed\n$corpusWide")
+  }
+
   test("pipeline: no loss, no duplication, batch bound for generated workloads") {
     val sizesGen = Gen.chooseNum(1, 700)
     val workloads = samples(sizesGen, 3)

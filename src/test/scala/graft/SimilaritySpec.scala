@@ -8,6 +8,7 @@ class SimilaritySpec extends SparkSpec {
   private lazy val approx = Similarity.s02AnnIvf(spark, sf).collect()
   private lazy val srp = Similarity.s03AnnSrp(spark, sf).collect()
   private lazy val pq = Similarity.s05AnnPq(spark, sf).collect()
+  private lazy val ivfpq = Similarity.s09AnnIvfPq(spark, sf).collect()
 
   test("exact top-k: 5 ranked neighbors per query, sims non-increasing") {
     val byQuery = exact.groupBy(_.getLong(0))
@@ -46,6 +47,21 @@ class SimilaritySpec extends SparkSpec {
     byQuery.foreach { case (_, rows) =>
       assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
     }
+  }
+
+  test("IVF-PQ recall@5 vs exact baseline is high; 5 ranked rows per query") {
+    val e = exact.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = ivfpq.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (e & a).size.toDouble / e.size
+    assert(recall >= 0.6, s"recall@5=$recall")
+    val byQuery = ivfpq.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).sorted.toSeq == (1L to 5L))
+    }
+    // composition can only restrict PQ's candidate set: every IVF-PQ
+    // hit of the exact set is also reachable, and rank rows stay total
+    assert(a.size == e.size)
   }
 
   test("SRP-LSH returns exactly 5 ranked rows per query") {
