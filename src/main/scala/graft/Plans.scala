@@ -44,7 +44,8 @@ object Plans {
     "t30_gopher_repetition" -> "Gopher repetition: one scan, three map-combined (doc_id[, gram]) branches; dup coverage = count + semi-join re-scan (the d14 shape within-doc), never pairwise, no corpus window",
     "t31_pii_redact" -> "PII/blocklist scrub: one narrow scan, all regex counts + 4-stage replace inside WholeStageCodegen — no shuffle but the output sort",
     "t33_lm_score" -> "bigram LM scoring: vocabulary-sized unigram/bigram tables broadcast, token stream scored map-side, per-doc integer mean is the only data-sized shuffle",
-    "t34_curation_pipeline" -> "end-to-end curation: PII/blocklist gates fused into the scan, coverage + LM stages reuse the cached survivor frame, exact median via bounded per-value counts, dedup + per-source rollup are the only corpus-keyed shuffles")
+    "t34_curation_pipeline" -> "end-to-end curation: PII/blocklist gates fused into the scan, coverage + LM stages reuse the cached survivor frame, exact median via bounded per-value counts, dedup + per-source rollup are the only corpus-keyed shuffles",
+    "s09_ann_ivfpq" -> "IVF-PQ composition: probes × LUTs broadcast into the cell join, ADC fold + bounded-heap candidates, exact rerank — corpus side never exchanges")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

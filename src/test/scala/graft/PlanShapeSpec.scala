@@ -223,6 +223,38 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("t31: one narrow scan, no shuffle except the output sort") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = TextAnalysis.t31PiiRedact(spark, sf).queryExecution.executedPlan
+      val p = exec.toString
+      // column pruning: the scan reads only doc_id + text
+      assert(!p.contains("ReadSchema") || !p.contains("source"), p)
+      val exchanges = exec.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+      }
+      assert(exchanges.size == 1, s"expected only the output-sort exchange:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("t33: LM tables broadcast; the token stream shuffles only for the per-doc mean") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = TextAnalysis.t33LmScore(spark, sf).queryExecution.executedPlan
+      val p = exec.toString
+      // unigram + bigram lookups and the vocab cross: all broadcast
+      assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+      assert(!p.contains("SortMergeJoin"), p)
+      // shuffles: two LM count aggs + per-doc agg + final doc-universe
+      // join keying + output sort — the corpus-sized STREAM crosses only
+      // the map-combined per-doc aggregate
+      val smj = exec.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(smj.isEmpty, s"LM lookup degraded to a sort-merge join:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.
