@@ -323,7 +323,8 @@ object Similarity {
     * reconstruction norm from the codebook's centroid norms. Output
     * (vec_id, codes, recon_n) — 4 bytes of codes per vector, the only
     * thing the ranking stage ever scans. */
-  private def pqEncode(corpus: DataFrame, books: Seq[Seq[Array[Double]]]): DataFrame = {
+  private def pqEncode(corpus: DataFrame, books: Seq[Seq[Array[Double]]],
+      carry: Seq[String] = Nil): DataFrame = {
     val coded0 = (0 until PqM).foldLeft(corpus) { (acc, m) =>
       acc.withColumn(s"_d$m",
           centroidDists(slice(col("emb"), m * PqSub + 1, PqSub), books(m)))
@@ -336,7 +337,8 @@ object Similarity {
       .withColumn("codes", array((0 until PqM).map(m => col(s"_c$m")): _*))
       .withColumn("recon_n", sqrt(aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
         (acc, m) => acc + element_at(centNorm2, m * PqK + element_at(col("codes"), m + lit(1)) + lit(1)))))
-      .select(col("vec_id"), col("codes"), col("recon_n"))
+      .select((Seq(col("vec_id")) ++ carry.map(col) ++
+        Seq(col("codes"), col("recon_n"))): _*)
   }
 
   /** MAP-SIDE ADC lookup table: the M×K array of sub-vector · centroid
@@ -408,8 +410,10 @@ object Similarity {
     val books = pqCodebooks(corpus)
     if (books.exists(_.size != PqK)) return annIvfInline(corpus, q, nProbe)
     val cents = ivfCentroids(corpus)
-    val coded = pqEncode(corpus, books)
-      .join(withCell(corpus, cents).select(col("vec_id"), col("cell")), Seq("vec_id"))
+    // cell + codes in ONE scan pass — an encode-then-join formulation
+    // shuffles two corpus-sized frames into a sort-merge join (measured
+    // 17 s vs 3 s at the p100 200k smoke)
+    val coded = pqEncode(withCell(corpus, cents), books, carry = Seq("cell"))
     val ql = q.select(col("query_id"), pqLut(col("qe"), books).as("lut"), col("qn"),
       explode(nearestCells(col("qe"), cents, nProbe)).as("cell"))
     adcTail(coded.join(broadcast(ql), Seq("cell")),
