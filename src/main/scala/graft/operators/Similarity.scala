@@ -485,10 +485,12 @@ object Similarity {
     *    IVF routing + the full-width rerank source;
     *  - `<name>_srp`   (vec_id, sig0, sig1)       bucketBy(vec_id) —
     *    the narrow hamming-ranking table (16 B/vector);
-    *  - `<name>_pq`    (vec_id, codes, recon_n)   bucketBy(vec_id) —
-    *    the ADC table (4 B of codes/vector); empty when the corpus is
-    *    smaller than one codebook (PqK), in which case the PQ query
-    *    path falls back to exact scoring;
+    *  - `<name>_pq`    (cell, vec_id, codes, recon_n) bucketBy(cell) —
+    *    the ADC table (4 B of codes/vector), laid out by cell so the
+    *    IVF-PQ composition reads ONLY probed cells' codes
+    *    ([[annIvfPqIndexed]]); empty when the corpus is smaller than
+    *    one codebook (PqK), in which case the PQ query paths fall back
+    *    to exact scoring;
     *  - `<name>_side`  (kind, idx, vec) — the O(k·d) centroid/codebook
     *    sidecar, the only driver-held state, re-read (bounded collect)
     *    at query time.
@@ -550,12 +552,17 @@ object Similarity {
           .saveAsTable(name + "_srp")
       }),
       if (!families.contains("pq")) None else Some(Future {
+        // cell rides in _pq and the table buckets by CELL: the IVF-PQ
+        // indexed path ([[annIvfPqIndexed]]) broadcasts probes into a
+        // pruned ADC scan — only probed cells' CODES are read
         val coded =
           if (books.exists(_.size != PqK))
-            Seq.empty[(Long, Seq[Int], Double)].toDF("vec_id", "codes", "recon_n")
-          else pqEncode(corpus, books)
+            Seq.empty[(Int, Long, Seq[Int], Double)]
+              .toDF("cell", "vec_id", "codes", "recon_n")
+          else pqEncode(withCell(corpus, cents), books, carry = Seq("cell"))
+            .select(col("cell"), col("vec_id"), col("codes"), col("recon_n"))
         coded.write.mode("overwrite")
-          .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+          .bucketBy(numBuckets, "cell").sortBy("cell")
           .saveAsTable(name + "_pq")
       })).flatten
     // await EVERY write before surfacing a failure: a fail-fast rethrow
@@ -607,9 +614,10 @@ object Similarity {
     // codebooks exist
     if (s.catalog.tableExists(name + "_pq") &&
         books.nonEmpty && books.forall(_.size == PqK)) {
-      pqEncode(newVecs, books)
+      pqEncode(withCell(newVecs, cents), books, carry = Seq("cell"))
+        .select(col("cell"), col("vec_id"), col("codes"), col("recon_n"))
         .write.mode("append")
-        .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
+        .bucketBy(numBuckets, "cell").sortBy("cell")
         .saveAsTable(name + "_pq")
     }
   }
@@ -630,7 +638,7 @@ object Similarity {
   def deleteFromAnnIndex(s: SparkSession, name: String, deleted: DataFrame,
       numBuckets: Int = 8): Unit = {
     val del = deleted.select(col("vec_id").as("_del_id"))
-    val specs = Seq(("_cells", "cell"), ("_srp", "vec_id"), ("_pq", "vec_id"))
+    val specs = Seq(("_cells", "cell"), ("_srp", "vec_id"), ("_pq", "cell"))
     specs.foreach { case (sfx, _) =>
       if (!s.catalog.tableExists(name + sfx) &&
           s.catalog.tableExists(name + sfx + "_tmp")) {
@@ -771,6 +779,23 @@ object Similarity {
     * order-invariant arithmetic). An index that silently drifted from
     * what a fresh computation produces is corrupt — this is the
     * contract that makes the amortized artifact trustworthy. */
+  /** IVF-PQ top-k from the artifact — the production layout s09's scale
+    * story promises: probes (with map-side LUTs) broadcast into the
+    * cell-bucketed `_pq` scan, so only probed cells' CODES are read —
+    * both ANN I/O axes cut, zero index-side Exchange — and the exact
+    * rerank reads `_cells`. Falls back to indexed IVF when the build
+    * wrote empty codebooks. */
+  def annIvfPqIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
+    val (cents, books) = readAnnSidecar(s, name)
+    if (books.isEmpty || books.exists(_.size != PqK))
+      return annIvfIndexed(s, queries, name)
+    val ql = queries.select(col("query_id"), pqLut(col("qe"), books).as("lut"),
+      col("qn"), explode(nearestCells(col("qe"), cents, NProbe)).as("cell"))
+    adcTail(s.table(name + "_pq").join(broadcast(ql), Seq("cell")),
+      s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm")),
+      queries)
+  }
+
   def s07AnnIndexGate(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
     val corpus = e.filter(col("vec_id") >= 10)
@@ -797,7 +822,9 @@ object Similarity {
       Future(flag(annSrpIndexed(s, q, "graft_s07_index"),
         s03AnnSrp(s, dir), "srp_indexed_matches_inline")),
       Future(flag(annPqIndexed(s, q, "graft_s07_index"),
-        s05AnnPq(s, dir), "pq_indexed_matches_inline")))
+        s05AnnPq(s, dir), "pq_indexed_matches_inline")),
+      Future(flag(annIvfPqIndexed(s, q, "graft_s07_index"),
+        s09AnnIvfPq(s, dir), "ivfpq_indexed_matches_inline")))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     flags.collectFirst { case scala.util.Failure(e) => throw e }
     flags.map(_.get).foldLeft(base)(_.crossJoin(_))
@@ -890,7 +917,8 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS ivf_indexed_matches_inline,
         |  true AS srp_indexed_matches_inline,
-        |  true AS pq_indexed_matches_inline
+        |  true AS pq_indexed_matches_inline,
+        |  true AS ivfpq_indexed_matches_inline
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // label consistency is exact (integer labels), recall is an integer
     // hit-count comparison vs the hash-gated s06 — the s04 flag pattern

@@ -129,6 +129,34 @@ class SimilaritySpec extends SparkSpec {
         rows(Similarity.s03AnnSrp(spark, sf)), "SRP indexed != inline")
       assert(rows(Similarity.annPqIndexed(spark, q, "graft_ann_spec")) ==
         rows(Similarity.s05AnnPq(spark, sf)), "PQ indexed != inline")
+      assert(rows(Similarity.annIvfPqIndexed(spark, q, "graft_ann_spec")) ==
+        rows(Similarity.s09AnnIvfPq(spark, sf)), "IVF-PQ indexed != inline")
+      // the IVF-PQ indexed plan answers from the cell-bucketed _pq scan
+      // whose broadcast-join leg has zero Exchange (probes broadcast in;
+      // the only shuffles are the candidate heap and output sort)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        val exec = Similarity.annIvfPqIndexed(spark, q, "graft_ann_spec")
+          .queryExecution.executedPlan
+        val pqScans = exec.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains("graft_ann_spec_pq")) => f }
+        assert(pqScans.nonEmpty, s"no _pq table scan in plan:\n$exec")
+        pqScans.foreach(f => assert(f.bucketedScan, s"_pq scan not bucket-aware:\n$f"))
+        // the probe join's streamed leg is the _pq scan with NO exchange
+        // between them (the rerank join upstream re-references candidates
+        // through the heap exchange — that's a different, expected leg)
+        val directLegs = exec.collect { case j: BroadcastHashJoinExec => j }
+          .flatMap(_.children).filter(c =>
+            c.collect { case x: ShuffleExchangeExec => x }.isEmpty &&
+            c.collectFirst { case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table.contains("graft_ann_spec_pq")) => f
+            }.isDefined)
+        assert(directLegs.nonEmpty,
+          s"no shuffle-free broadcast-join leg scans _pq:\n$exec")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
     } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_ann_spec$sfx"))
   }
