@@ -795,6 +795,58 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Contamination REPORT — the EVAL-side inverse of [[t19Decontaminate]]
+    * (which flags training docs to drop): per eval document, how much of
+    * it leaked into the training corpus and from where — the artifact a
+    * real pipeline publishes next to its benchmark numbers. Per eval
+    * doc: distinct 3-grams, how many appear anywhere in training, the
+    * e4-scaled leak fraction, the count of distinct training docs
+    * sharing ≥ 1 gram, and the worst offender (most shared grams, ties
+    * → lowest doc id — orderable-struct argmax over per-eval-doc groups,
+    * which stay small on real corpora where overlap is sparse).
+    *
+    * Scale shape: the eval side broadcasts (t19's contract — benchmark
+    * suites are broadcast-sized); the training corpus appears only as
+    * map-combined gram streams, never as raw text through a shuffle.
+    * All outputs integer. */
+  def t36ContaminationReport(s: SparkSession, dir: String): DataFrame = {
+    // cached: eval and train branches each read this twice (query-scoped;
+    // Verify/Bench clearCache after)
+    val sh = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        array_distinct(shingleHashesNative(tokenHashes(tokens(col("text"))), 3)).as("sh"))
+      .cache()
+    val evalDocs = sh.filter(col("doc_id") % 17 === 0)
+      .select(col("doc_id").as("eval_doc"), col("sh"))
+    val evG = evalDocs.select(col("eval_doc"), explode(col("sh")).as("h"))
+    val trainH = sh.filter(col("doc_id") % 17 =!= 0)
+      .select(explode(col("sh")).as("h")).distinct()
+    val leak = trainH.join(broadcast(evG), "h")
+      .groupBy(col("eval_doc")).agg(count(lit(1)).as("n_leaked"))
+    val trD = sh.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id").as("train_doc"), explode(col("sh")).as("h"))
+    val pairs = trD.join(broadcast(evG), "h")
+      .groupBy(col("eval_doc"), col("train_doc")).agg(count(lit(1)).as("n_shared"))
+    val nSrc = pairs.groupBy(col("eval_doc")).agg(count(lit(1)).as("n_sources"))
+    val top = pairs.groupBy(col("eval_doc"))
+      .agg(min(struct((-col("n_shared")).as("nn"), col("train_doc").as("d"),
+        col("n_shared").as("n"))).as("t"))
+      .select(col("eval_doc"), col("t.d").as("top_source"), col("t.n").as("top_shared"))
+    evalDocs.select(col("eval_doc"), size(col("sh")).cast("long").as("n_sh"))
+      .join(leak, Seq("eval_doc"), "left")
+      .join(nSrc, Seq("eval_doc"), "left")
+      .join(top, Seq("eval_doc"), "left")
+      .select(col("eval_doc"), col("n_sh"),
+        coalesce(col("n_leaked"), lit(0L)).as("n_leaked"),
+        when(col("n_sh") > 0,
+          expr("(coalesce(n_leaked, 0) * 10000) div n_sh"))
+          .otherwise(lit(0L)).as("leak_frac_e4"),
+        coalesce(col("n_sources"), lit(0L)).as("n_sources"),
+        coalesce(col("top_source"), lit(-1L)).as("top_source"),
+        coalesce(col("top_shared"), lit(0L)).as("top_shared"))
+      .orderBy("eval_doc")
+  }
+
   /** Decontamination behind a BLOOM pre-filter — [[t19Decontaminate]]'s
     * scale path. t19 broadcasts the eval n-gram set, which holds while a
     * benchmark suite stays broadcast-sized; once it doesn't, the join
@@ -1149,6 +1201,7 @@ object TextAnalysis {
     "t33_lm_score" -> (t33LmScore _),
     "t34_curation_pipeline" -> (t34CurationPipeline _),
     "t35_stream_curate_gate" -> (t35StreamCurateGate _),
+    "t36_contamination_report" -> (t36ContaminationReport _),
   )
 
   private val ChunkTokens = 64
@@ -1800,6 +1853,38 @@ object TextAnalysis {
          |  floor(CAST(n_hit AS DOUBLE) / CAST(n_sh AS DOUBLE) * 10000.0 + 0.5) / 10000.0
          |    AS contam_frac
          |FROM h ORDER BY doc_id""".stripMargin,
+    // string grams mirror the hashed ones (t19's injectivity-at-SF
+    // precedent); mode tie-break (n_shared desc, train_doc asc) matches
+    // the struct-min total order
+    "t36_contamination_report" ->
+      s"""WITH ${Dedup.shingleCtes},
+         |ev AS (SELECT doc_id AS eval_doc, unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),
+         |trh AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 <> 0),
+         |leak AS (SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_leaked
+         |         FROM ev JOIN trh USING (g) GROUP BY eval_doc),
+         |trd AS (SELECT doc_id AS train_doc, unnest(sh) AS g FROM sh WHERE doc_id % 17 <> 0),
+         |pairs AS (SELECT ev.eval_doc AS eval_doc, trd.train_doc AS train_doc,
+         |            CAST(count(*) AS BIGINT) AS n_shared
+         |          FROM ev JOIN trd USING (g) GROUP BY 1, 2),
+         |srcs AS (SELECT eval_doc, CAST(count(*) AS BIGINT) AS n_sources
+         |         FROM pairs GROUP BY eval_doc),
+         |top AS (SELECT eval_doc, train_doc AS top_source, n_shared AS top_shared FROM (
+         |          SELECT eval_doc, train_doc, n_shared,
+         |            row_number() OVER (PARTITION BY eval_doc
+         |              ORDER BY n_shared DESC, train_doc) AS rn
+         |          FROM pairs) WHERE rn = 1),
+         |u AS (SELECT doc_id AS eval_doc, CAST(len(sh) AS BIGINT) AS n_sh
+         |      FROM sh WHERE doc_id % 17 = 0)
+         |SELECT u.eval_doc, u.n_sh,
+         |  CAST(coalesce(leak.n_leaked, 0) AS BIGINT) AS n_leaked,
+         |  CAST(CASE WHEN u.n_sh > 0 THEN (coalesce(leak.n_leaked, 0) * 10000) // u.n_sh
+         |            ELSE 0 END AS BIGINT) AS leak_frac_e4,
+         |  CAST(coalesce(srcs.n_sources, 0) AS BIGINT) AS n_sources,
+         |  CAST(coalesce(top.top_source, -1) AS BIGINT) AS top_source,
+         |  CAST(coalesce(top.top_shared, 0) AS BIGINT) AS top_shared
+         |FROM u LEFT JOIN leak USING (eval_doc) LEFT JOIN srcs USING (eval_doc)
+         |  LEFT JOIN top USING (eval_doc)
+         |ORDER BY u.eval_doc""".stripMargin,
     "t23_bloom_decontaminate" ->
       s"""WITH ${Dedup.shingleCtes},
          |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),

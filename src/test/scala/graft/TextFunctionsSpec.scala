@@ -387,6 +387,28 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.map(_._2).sum < fixture.size)
   }
 
+  test("t36 contamination report: hand-computed leaks, source counts, worst offender") {
+    // eval docs are doc_id % 17 == 0 (ids 0 and 17); doc 0's three
+    // 3-grams all leak (one via train doc 1, two via doc 2 → doc 2 is
+    // the worst offender); doc 17 is clean; doc 3 never overlaps
+    val docs = Seq(
+      (0L, "a b c d e"),
+      (1L, "a b c zz"),
+      (2L, "b c d e qq rr"),
+      (3L, "k l m n"),
+      (17L, "zz yy xx")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t36").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis.t36ContaminationReport(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    val expected = Array(
+      (0L, 3L, 3L, 10000L, 2L, 2L, 2L),
+      (17L, 1L, 0L, 0L, 0L, -1L, 0L))
+    assert(got.sameElements(expected), got.mkString("\n"))
+  }
+
   test("t35 streaming curation gate equals the batch admission counts") {
     val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 1000)
     val keepIds = graft.operators.TextAnalysis.piiRedact(docs)
