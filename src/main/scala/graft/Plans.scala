@@ -45,7 +45,8 @@ object Plans {
     "t31_pii_redact" -> "PII/blocklist scrub: one narrow scan, all regex counts + 4-stage replace inside WholeStageCodegen — no shuffle but the output sort",
     "t33_lm_score" -> "bigram LM scoring: vocabulary-sized unigram/bigram tables broadcast, token stream scored map-side, per-doc integer mean is the only data-sized shuffle",
     "t34_curation_pipeline" -> "end-to-end curation: PII/blocklist gates fused into the scan, coverage + LM stages reuse the cached survivor frame, exact median via bounded per-value counts, dedup + per-source rollup are the only corpus-keyed shuffles",
-    "s09_ann_ivfpq" -> "IVF-PQ composition: probes × LUTs broadcast into the cell join, ADC fold + bounded-heap candidates, exact rerank — corpus side never exchanges")
+    "s09_ann_ivfpq" -> "IVF-PQ composition: probes × LUTs broadcast into the cell join, ADC fold + bounded-heap candidates, exact rerank — corpus side never exchanges",
+    "t36_contamination_report" -> "eval-side contamination report: eval grams broadcast into both training-stream joins, per-eval aggregates map-combined — training corpus never shuffles raw text")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
