@@ -847,6 +847,51 @@ object TextAnalysis {
       .orderBy("eval_doc")
   }
 
+  /** Domain-affinity scoring for targeted data selection — the
+    * DSIR-style importance signal (Xie et al. 2023: weight corpus docs
+    * by how target-like their n-gram distribution is; DoReMi picks
+    * domain mixtures the same way). The target is the benchmark split
+    * (doc_id % 17 = 0, the t19/t36 convention); every CORPUS doc gets
+    * the integer mean of its tokens' smoothed target/corpus frequency
+    * ratios:
+    *
+    *   fr_t = (ct·1e9) div Nt, fr_c = (cc·1e9) div Nc   (≤ 1e9 each)
+    *   ratio_e4 = least(((fr_t + 1)·10000) div (fr_c + 1), 1e8)
+    *
+    * Normalizing to e9 frequencies FIRST keeps every product ≤ 1e13 —
+    * overflow-safe at any corpus size — and the cap is the log-loss-cap
+    * analogue (t33's trick). High score = target-like (select first).
+    * Both frequency tables are vocabulary-sized and broadcast; the
+    * corpus token stream shuffles only map-combined per-doc sums. */
+  def t37DomainAffinity(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val tgt = toks.filter(col("doc_id") % 17 === 0)
+      .select(explode(col("toks")).as("u"))
+    val crp = toks.filter(col("doc_id") % 17 =!= 0)
+      .select(col("doc_id"), explode(col("toks")).as("u"))
+    val ct = tgt.groupBy(col("u")).agg(count(lit(1)).as("ct"))
+    val nt = tgt.groupBy().agg(count(lit(1)).as("nt"))
+    val cc = crp.groupBy(col("u")).agg(count(lit(1)).as("cc"))
+    val nc = crp.groupBy().agg(count(lit(1)).as("nc"))
+    val scored = crp
+      .join(broadcast(ct), Seq("u"), "left")
+      .join(broadcast(cc), Seq("u"))
+      .crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
+      .select(col("doc_id"),
+        least(expr(
+          "(((coalesce(ct, 0) * 1000000000) div nt + 1) * 10000) div ((cc * 1000000000) div nc + 1)"),
+          lit(100000000L)).as("r"))
+    val per = scored.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_toks"), sum(col("r")).as("sr"))
+    toks.filter(col("doc_id") % 17 =!= 0).select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(expr("sr div n_toks"), lit(0L)).as("affinity_e4"))
+      .orderBy("doc_id")
+  }
+
   /** Decontamination behind a BLOOM pre-filter — [[t19Decontaminate]]'s
     * scale path. t19 broadcasts the eval n-gram set, which holds while a
     * benchmark suite stays broadcast-sized; once it doesn't, the join
@@ -1202,6 +1247,7 @@ object TextAnalysis {
     "t34_curation_pipeline" -> (t34CurationPipeline _),
     "t35_stream_curate_gate" -> (t35StreamCurateGate _),
     "t36_contamination_report" -> (t36ContaminationReport _),
+    "t37_domain_affinity" -> (t37DomainAffinity _),
   )
 
   private val ChunkTokens = 64
@@ -1885,6 +1931,34 @@ object TextAnalysis {
          |FROM u LEFT JOIN leak USING (eval_doc) LEFT JOIN srcs USING (eval_doc)
          |  LEFT JOIN top USING (eval_doc)
          |ORDER BY u.eval_doc""".stripMargin,
+    // e9 frequencies first (overflow-safe), then the capped smoothed
+    // ratio — every step BIGINT on both sides
+    "t37_domain_affinity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tg AS (SELECT unnest(toks) AS u FROM t WHERE doc_id % 17 = 0),
+        |cr AS (SELECT doc_id, unnest(toks) AS u FROM t WHERE doc_id % 17 <> 0),
+        |ct AS (SELECT u, CAST(count(*) AS BIGINT) AS ct FROM tg GROUP BY u),
+        |nt AS (SELECT CAST(count(*) AS BIGINT) AS nt FROM tg),
+        |cc AS (SELECT u, CAST(count(*) AS BIGINT) AS cc FROM cr GROUP BY u),
+        |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cr),
+        |j AS (SELECT cr.doc_id,
+        |        least((((coalesce(ct.ct, 0) * 1000000000) // nt.nt + 1) * 10000)
+        |                // ((cc.cc * 1000000000) // nc.nc + 1),
+        |              100000000) AS r
+        |      FROM cr LEFT JOIN ct USING (u) JOIN cc USING (u)
+        |        CROSS JOIN nt CROSS JOIN nc),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+        |          CAST(sum(r) AS BIGINT) AS sr
+        |        FROM j GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(per.n_toks, 0) AS BIGINT) AS n_toks,
+        |  CAST(coalesce(per.sr // per.n_toks, 0) AS BIGINT) AS affinity_e4
+        |FROM t LEFT JOIN per ON t.doc_id = per.doc_id
+        |WHERE t.doc_id % 17 <> 0
+        |ORDER BY t.doc_id""".stripMargin,
     "t23_bloom_decontaminate" ->
       s"""WITH ${Dedup.shingleCtes},
          |ev AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 17 = 0),

@@ -409,6 +409,27 @@ class TextFunctionsSpec extends SparkSpec {
     assert(got.sameElements(expected), got.mkString("\n"))
   }
 
+  test("t37 domain affinity: exact smoothed frequency ratios; target-like docs rank first") {
+    // target (doc 0): "x x y"; corpus: doc 1 all-x (target-like),
+    // doc 2 all-z (alien), doc 3 mixed — scores must order 1 > 3 > 2
+    val docs = Seq(
+      (0L, "x x y"), (1L, "x x x"), (2L, "z z z"), (3L, "x z")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t37").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def frq(c: Long, n: Long) = c * 1000000000L / n
+    def ratio(ct: Long, cc: Long, nt: Long, nc: Long) =
+      math.min((frq(ct, nt) + 1) * 10000L / (frq(cc, nc) + 1), 100000000L)
+    val rx = ratio(2, 4, 3, 8) // token x: target 2/3, corpus 4/8
+    val rz = ratio(0, 4, 3, 8) // token z: absent from target
+    val got = graft.operators.TextAnalysis.t37DomainAffinity(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = Array(
+      (1L, 3L, rx), (2L, 3L, rz), (3L, 2L, (rx + rz) / 2))
+    assert(got.sameElements(expected), got.mkString("\n"))
+    assert(rx > (rx + rz) / 2 && (rx + rz) / 2 > rz)
+  }
+
   test("t35 streaming curation gate equals the batch admission counts") {
     val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 1000)
     val keepIds = graft.operators.TextAnalysis.piiRedact(docs)
