@@ -75,7 +75,11 @@ object ExactPercentile {
     *
     * Returns ONE row (`outName`): the smallest value whose global
     * cumulative count reaches ceil(p·n) — same rank rule as
-    * [[discByKey]], bit-identical to DuckDB `quantile_disc`. Empty
+    * [[discByKey]], pinned against the sorted-multiset element across
+    * fractions and counts in ExactPercentileSpec; bit-identical to
+    * DuckDB `quantile_disc` at the driver-gated fractions (p=0.5).
+    * Other fractions follow the ceil(p·n) convention — verify against
+    * DuckDB before gating a new fraction. Empty
     * input → one all-NULL row (callers' comparisons are then never
     * true, matching an empty-survivor cut). */
   def discGlobal(df: DataFrame, value: String, p: Double, outName: String,

@@ -396,13 +396,14 @@ object Multimodal {
   }
 
   /** Image RESIZE: 4×4 mean-pooled luminance thumbnails from REAL
-    * decoded pixels (integer-exact cell means, e2-scaled). Rows-only —
-    * pixel content isn't SQL-expressible; [[m06ThumbGate]] is the
-    * hash-matched companion and MultimodalSpec pins exact cell values
-    * on crafted quadrant images. Plan: payload synthesis + decode +
-    * pool all inside one mapPartitions pass — embarrassingly parallel,
-    * one codec instance per partition. */
-  def m06Thumbnail(s: SparkSession, dir: String): DataFrame = {
+    * decoded pixels (integer-exact cell means, e2-scaled). This is the
+    * LIBRARY API — `thumb_e2` stays a typed `Array[Long]` of the 16
+    * cells. Rows-only — pixel content isn't SQL-expressible;
+    * [[m06ThumbGate]] is the hash-matched companion and MultimodalSpec
+    * pins exact cell values on crafted quadrant images. Plan: payload
+    * synthesis + decode + pool all inside one mapPartitions pass —
+    * embarrassingly parallel, one codec instance per partition. */
+  def thumbnails(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     mediaTableFiltered(s, dir, Seq("png", "jpeg")).as[MediaRecord]
       .mapPartitions { it =>
@@ -411,6 +412,16 @@ object Multimodal {
       }.toDF()
       .orderBy("media_id")
   }
+
+  /** Driver-registered face of [[thumbnails]]: the 16 cell values are
+    * flattened to one deterministic "|"-joined string so the rows-only
+    * harness (pandas canonicalization) can sort/hash the column —
+    * array-typed cells are unhashable there (the round-7 `err`). The
+    * array stays available through [[thumbnails]]. */
+  def m06Thumbnail(s: SparkSession, dir: String): DataFrame =
+    thumbnails(s, dir)
+      .withColumn("thumb_e2",
+        array_join(transform(col("thumb_e2"), _.cast("string")), "|"))
 
   /** [[m06Thumbnail]]'s oracle gate: per image, the REAL decoded
     * dimensions, the pooled pixel count, and the exact-tiling flag.

@@ -858,9 +858,14 @@ object TextAnalysis {
     *   fr_t = (ct·1e9) div Nt, fr_c = (cc·1e9) div Nc   (≤ 1e9 each)
     *   ratio_e4 = least(((fr_t + 1)·10000) div (fr_c + 1), 1e8)
     *
-    * Normalizing to e9 frequencies FIRST keeps every product ≤ 1e13 —
-    * overflow-safe at any corpus size — and the cap is the log-loss-cap
-    * analogue (t33's trick). High score = target-like (select first).
+    * The count·1e9 products run through a DECIMAL(38,0) intermediate
+    * (Spark) ↔ HUGEINT (DuckDB) — both exact 128-bit integer paths, so
+    * the frequency normalization is genuinely overflow-safe at any
+    * corpus size (the round-7 centroid-sum pattern; a bare BIGINT
+    * product would trip once a token count passed ~9.2e9). After the
+    * div both frequencies are ≤ 1e9, so the remaining ratio arithmetic
+    * stays ≤ 1e13 in BIGINT. The cap is the log-loss-cap analogue
+    * (t33's trick). High score = target-like (select first).
     * Both frequency tables are vocabulary-sized and broadcast; the
     * corpus token stream shuffles only map-combined per-doc sums. */
   def t37DomainAffinity(s: SparkSession, dir: String): DataFrame = {
@@ -880,7 +885,7 @@ object TextAnalysis {
       .crossJoin(broadcast(nt)).crossJoin(broadcast(nc))
       .select(col("doc_id"),
         least(expr(
-          "(((coalesce(ct, 0) * 1000000000) div nt + 1) * 10000) div ((cc * 1000000000) div nc + 1)"),
+          "(((cast(coalesce(ct, 0) as decimal(38,0)) * 1000000000) div nt + 1) * 10000) div ((cast(cc as decimal(38,0)) * 1000000000) div nc + 1)"),
           lit(100000000L)).as("r"))
     val per = scored.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_toks"), sum(col("r")).as("sr"))
@@ -1945,8 +1950,8 @@ object TextAnalysis {
         |cc AS (SELECT u, CAST(count(*) AS BIGINT) AS cc FROM cr GROUP BY u),
         |nc AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM cr),
         |j AS (SELECT cr.doc_id,
-        |        least((((coalesce(ct.ct, 0) * 1000000000) // nt.nt + 1) * 10000)
-        |                // ((cc.cc * 1000000000) // nc.nc + 1),
+        |        least((((CAST(coalesce(ct.ct, 0) AS HUGEINT) * 1000000000) // nt.nt + 1) * 10000)
+        |                // ((CAST(cc.cc AS HUGEINT) * 1000000000) // nc.nc + 1),
         |              100000000) AS r
         |      FROM cr LEFT JOIN ct USING (u) JOIN cc USING (u)
         |        CROSS JOIN nt CROSS JOIN nc),

@@ -92,6 +92,30 @@ class ExactPercentileSpec extends SparkSpec {
     assert(got == ref && got == 2.0)
   }
 
+  test("discGlobal matches element ceil(p*n) across fractions and counts (incl. exact-rank boundaries)") {
+    // round-7 ADVICE: the doc's convention claim was only exercised at
+    // p=0.5 — pin the rank rule across fractions whose p*n lands exactly
+    // on an integer (0.25*100, 0.5*64) and ones that don't, and across
+    // counts small enough that an off-by-one index is visible
+    val counts = Seq(7L, 64L, 100L, 1001L)
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+    for (n <- counts; p <- ps) {
+      // values 10*(i%k)+3: ties + non-contiguous, deterministic
+      val vals = (1L to n).map(i => 10L * (i % 17) + 3L)
+      val df = vals.toDF("v")
+      val got = ExactPercentile.discGlobal(df, "v", p, "d")
+        .collect().head.getLong(0)
+      val sorted = vals.sorted
+      val want = sorted(math.ceil(p * n).toInt - 1)
+      assert(got == want, s"n=$n p=$p: got $got want $want")
+    }
+    // multi-shard path: values spanning several shardSpan buckets
+    val wide = (1L to 500L).map(i => i * 7919L)
+    val gotW = ExactPercentile.discGlobal(wide.toDF("v"), "v", 0.9, "d",
+      shardSpan = 100000L).collect().head.getLong(0)
+    assert(gotW == wide.sorted.apply(math.ceil(0.9 * 500).toInt - 1))
+  }
+
   test("q29/q47/q69 plans carry no whole-group aggregation buffer on the value column") {
     // per query: the heavy value column that must NOT sit in a builtin
     // percentile/collect_list buffer. q47's percentile_approx

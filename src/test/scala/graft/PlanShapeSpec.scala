@@ -229,7 +229,8 @@ class PlanShapeSpec extends SparkSpec {
       val exec = TextAnalysis.t31PiiRedact(spark, sf).queryExecution.executedPlan
       val p = exec.toString
       // column pruning: the scan reads only doc_id + text
-      assert(!p.contains("ReadSchema") || !p.contains("source"), p)
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        "scan should prune to doc_id + text:\n" + p)
       val exchanges = exec.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }

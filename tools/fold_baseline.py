@@ -14,13 +14,23 @@ import sys
 
 base = json.load(open("BENCH_BASELINE.json"))
 b = base["queries"]
+live = set()
 for path in ["BENCH_LATEST.json"] + sys.argv[1:]:
     lat = json.load(open(path))
+    live |= set(lat["queries"])
     for k, v in lat["queries"].items():
         # receipts carry the adjudicated warm-probe value; prefer it
+        # (probe may legitimately be 0.0 — only None means absent)
         probe = lat.get("receipts", {}).get(k, {}).get("probe")
-        cand = min(v, probe) if probe else v
+        cand = min(v, probe) if probe is not None else v
         b[k] = min(b.get(k, cand), cand)
+# queries retired from the live suite would silently inflate the sum —
+# report and prune them so `value` tracks the suite actually benched
+stale = sorted(set(b) - live)
+if stale:
+    print(f"pruning stale baseline keys (not in any folded bench): {stale}")
+    for k in stale:
+        del b[k]
 base["value"] = sum(b.values())
 base["queries"] = dict(sorted(b.items()))
 json.dump(base, open("BENCH_BASELINE.json", "w"))
