@@ -112,16 +112,17 @@ class PropertySpec extends SparkSpec {
     val q = gen(spark.range(0, 6).toDF("id"), 77)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val full = graft.operators.Similarity.annIvfInline(corpus, q, nProbe = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val brute = {
       val sims = corpus.join(broadcast(q))
         .select(col("query_id"), col("vec_id"),
-          round6(VF.cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim"))
+          graft.functions.ExactRound.e6(
+            VF.cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-        .orderBy(col("sim").desc, col("vec_id"))
+        .orderBy(col("sim_e6").desc, col("vec_id"))
       sims.withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 5).orderBy("query_id", "rank")
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     }
     assert(full == brute, s"full-probe IVF != brute force:\n$full\n$brute")
   }
@@ -146,9 +147,9 @@ class PropertySpec extends SparkSpec {
     val books = graft.operators.Similarity.trainPqCodebooks(corpus)
     assume(books.forall(_.size == 16), "codebooks complete on this corpus")
     val composed = graft.operators.Similarity.annIvfPqInline(corpus, q, nProbe = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val corpusWide = graft.operators.Similarity.annPqInline(corpus, q, books)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     assert(composed == corpusWide,
       s"full-probe IVF-PQ != corpus-wide ADC:\n$composed\n$corpusWide")
   }

@@ -16,7 +16,7 @@ class SimilaritySpec extends SparkSpec {
     byQuery.foreach { case (_, rows) =>
       val sorted = rows.sortBy(_.getLong(3))
       assert(sorted.map(_.getLong(3)).toSeq == (1L to 5L))
-      val sims = sorted.map(_.getDouble(2)).toSeq
+      val sims = sorted.map(_.getLong(2)).toSeq
       assert(sims == sims.sorted.reverse, s"sims not sorted: $sims")
     }
   }
@@ -104,9 +104,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("IVF never returns a better-than-exact neighbor (sanity)") {
     val bestExact = exact.filter(_.getLong(3) == 1L)
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     approx.filter(_.getLong(3) == 1L).foreach { r =>
-      assert(r.getDouble(2) <= bestExact(r.getLong(0)) + 1e-9)
+      assert(r.getLong(2) <= bestExact(r.getLong(0)))
     }
   }
 
@@ -122,7 +122,7 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     try {
       def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
       assert(rows(Similarity.annIvfIndexed(spark, q, "graft_ann_spec")) ==
         rows(Similarity.s02AnnIvf(spark, sf)), "IVF indexed != inline")
       assert(rows(Similarity.annSrpIndexed(spark, q, "graft_ann_spec")) ==
@@ -247,7 +247,7 @@ class SimilaritySpec extends SparkSpec {
         val top = df.filter(col("query_id") === 0 && col("rank") === 1).collect()
         assert(top.length == 1 && top.head.getLong(1) == 9000L,
           s"$name: appended near-dup not the top hit: ${top.mkString(",")}")
-        assert(top.head.getDouble(2) > 0.999, s"$name: top sim ${top.head.getDouble(2)}")
+        assert(top.head.getLong(2) > 999000L, s"$name: top sim_e6 ${top.head.getLong(2)}")
       }
     } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_ann_app$sfx"))
@@ -382,8 +382,9 @@ class SimilaritySpec extends SparkSpec {
       }
       rows.take(200).foreach { r =>
         val want = cos(qemb(r.getLong(0)), emb(r.getLong(1)))
-        assert(math.abs(r.getDouble(2) - want) < 2e-6,
-          s"rerank sim off: got ${r.getDouble(2)} want $want")
+        val wantE6 = math.floor(want * 1e6 + 0.5).toLong
+        assert(math.abs(r.getLong(2) - wantE6) <= 2,
+          s"rerank sim off: got ${r.getLong(2)} want ~$wantE6")
       }
     } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_ann_batch$sfx"))
@@ -400,6 +401,148 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_s08_index$sfx"))
   }
 
+  test("ANN drift: heavy shifted appends, then retrain == fresh rebuild and recall recovers") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    val dim = 64
+    // raw hash values land in [0, 2]; emb = raw·scale + offset
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int,
+        offset: Double, scale: Double) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L))
+            .cast("double") / 1000000.0 * scale + offset).as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val base = gen(spark.range(100, 400).toDF("id"), 3, -1.0, 1.0)
+    val shifted = gen(spark.range(1000, 3000).toDF("id"), 9, 1.0, 1.0)
+    val names = Seq("graft_ann_drift", "graft_ann_fresh")
+    try {
+      Similarity.writeAnnIndex(spark, base, "graft_ann_drift", numBuckets = 4)
+      // 2000 appended on 300 base (87% new), a mode the frozen
+      // centroids/codebooks never saw
+      Similarity.appendToAnnIndex(spark, shifted, "graft_ann_drift", numBuckets = 4)
+      // queries: perturbed copies of 10 shifted vectors — their exact
+      // neighbors live entirely inside the appended mode
+      val q = gen(spark.range(1000, 1010).toDF("id"), 9, 1.0, 1.0)
+        .select((col("vec_id") - 1000).as("query_id"),
+          transform(col("emb"), x => x + lit(0.003)).as("qe"))
+        .withColumn("qn", VF.l2Norm(col("qe")))
+      // exact reference, computed in plain Scala over the 700 collected
+      // vectors (the t28 plain-reference pattern)
+      val all = base.unionByName(shifted).select("vec_id", "emb").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      val qv = q.select("query_id", "qe").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) { d += a(i)*b(i); na += a(i)*a(i); nb += b(i)*b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      // the decisive metric: is each query's TRUE nearest neighbor (its
+      // perturbed source, cos ≈ 0.9999 — a huge margin) inside the
+      // returned top-5? Ranks 2..5 of random vectors have ≈ 0 margins
+      // and measure quantization noise, not drift recovery.
+      val exactTop = qv.flatMap { case (qid, qe) =>
+        all.map { case (vid, v) => (qid, vid, cos(qe, v)) }
+          .sortBy(t => (-t._3, t._2)).take(1).map(t => (t._1, t._2))
+      }.toSet
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+        val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        (exactTop & got).size.toDouble / exactTop.size
+      }
+      val pqBefore = recallOf(Similarity.annPqIndexed(spark, q, "graft_ann_drift"))
+      val ivfBefore = recallOf(Similarity.annIvfIndexed(spark, q, "graft_ann_drift"))
+      Similarity.retrainAnnIndex(spark, "graft_ann_drift", numBuckets = 4)
+      val pqAfter = recallOf(Similarity.annPqIndexed(spark, q, "graft_ann_drift"))
+      val ivfAfter = recallOf(Similarity.annIvfIndexed(spark, q, "graft_ann_drift"))
+      info(f"drift recall@5 pq: before=$pqBefore%.2f after=$pqAfter%.2f; " +
+        f"ivf: before=$ivfBefore%.2f after=$ivfAfter%.2f")
+      assert(pqAfter >= 0.9, f"retrained PQ recall $pqAfter%.2f below 0.9")
+      assert(ivfAfter >= 0.9, f"retrained IVF recall $ivfAfter%.2f below 0.9")
+      assert(pqAfter >= pqBefore - 1e-9 && ivfAfter >= ivfBefore - 1e-9,
+        "retrain lost recall vs the drifted index")
+      // the strong contract: retrain ≡ fresh rebuild over the same
+      // corpus, bit-equal through every indexed family (order-invariant
+      // training makes this exact, not probabilistic)
+      Similarity.writeAnnIndex(spark, base.unionByName(shifted),
+        "graft_ann_fresh", numBuckets = 4)
+      for ((fam, f) <- Seq[(String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame)](
+          "ivf" -> (Similarity.annIvfIndexed _),
+          "srp" -> (Similarity.annSrpIndexed _),
+          "pq" -> (Similarity.annPqIndexed _),
+          "ivfpq" -> (Similarity.annIvfPqIndexed _))) {
+        val a = f(spark, q, "graft_ann_drift")
+        val b = f(spark, q, "graft_ann_fresh")
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert(diff == 0, s"$fam: retrained != fresh rebuild by $diff rows")
+      }
+    } finally names.foreach(n =>
+      Seq("_cells", "_srp", "_pq", "_side", "_rt_cells", "_rt_srp", "_rt_pq", "_rt_side")
+        .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
+  }
+
+  test("filtered IVF-PQ: label contract exact, recall holds, predicate rides the _pq join") {
+    val r = Similarity.s10FilteredIvfPqGate(spark, sf).collect()
+    try {
+      assert(r.length == 1)
+      assert(r.head.getLong(0) == 10L, s"n_queries ${r.head.getLong(0)}")
+      assert(r.head.getBoolean(1), "a filtered IVF-PQ hit crossed the label predicate")
+      assert(r.head.getBoolean(2), "filtered IVF-PQ recall fell below 0.6 vs exact s06")
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_s10_index$sfx"))
+  }
+
+  test("filtered IVF-PQ plan: bucketed _pq codes scan, zero index-side exchange") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"),
+        col("label"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    Similarity.writeAnnIndex(spark, e.filter(col("vec_id") >= 10),
+      "graft_pqf_plan", numBuckets = 4, meta = Seq("label"),
+      families = Set("ivf", "pq"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = Similarity.annIvfPqFilteredIndexed(spark, q, "graft_pqf_plan")
+      df.collect()
+      val p = df.queryExecution.executedPlan
+      // the ADC stage reads the _pq CODES table as a bucket-aware scan —
+      // only probed cells' codes, never the full-width _cells vectors
+      val pqScans = p.collect { case f: FileSourceScanExec
+        if f.tableIdentifier.exists(_.table.contains("graft_pqf_plan_pq")) => f }
+      assert(pqScans.nonEmpty, s"no _pq table scan in plan:\n$p")
+      pqScans.foreach(f => assert(f.bucketedScan, s"_pq scan not bucket-aware:\n$f"))
+      // probes (with label predicate in the join condition) broadcast
+      // into the _pq leg. Assert on the INNERMOST join above the _pq
+      // scan: outer joins (the exact rerank) legitimately carry the
+      // ≤ 96·q candidate top-k exchange inside their broadcast subtree
+      val joins = p.collect { case j: BroadcastHashJoinExec => j }
+      assert(joins.nonEmpty, s"probe join is not broadcast:\n$p")
+      val idxLegs = joins.flatMap(_.children).filter(c =>
+        c.collectFirst { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains("graft_pqf_plan_pq")) => f
+        }.isDefined)
+      assert(idxLegs.nonEmpty, s"_pq never feeds a broadcast join:\n$p")
+      // the smallest such leg is the ADC join's stream side — the path
+      // from the join down to the scan must carry no exchange (the
+      // corpus codes never move for a query batch)
+      val adcLeg = idxLegs.minBy(_.collect { case n => n }.size)
+      assert(adcLeg.collect { case x: ShuffleExchangeExec => x }.isEmpty,
+        s"ADC join's index leg shuffles:\n$adcLeg")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_pqf_plan$sfx"))
+    }
+  }
+
   test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
@@ -414,9 +557,9 @@ class SimilaritySpec extends SparkSpec {
     }
     // restricting the candidate set can never IMPROVE the best neighbor
     val bestExact = exact.filter(_.getLong(3) == 1L)
-      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
     f.filter(_.getLong(3) == 1L).foreach { r =>
-      assert(r.getDouble(2) <= bestExact(r.getLong(0)) + 1e-9)
+      assert(r.getLong(2) <= bestExact(r.getLong(0)))
     }
   }
 }
