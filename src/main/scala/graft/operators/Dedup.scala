@@ -699,7 +699,18 @@ object Dedup {
     * single-micro-batch MemoryStream — gate-only plumbing at fixture
     * scale; the operator under test is distributed (band-key shuffle +
     * state store). */
-  def d12StreamDedupGate(s: SparkSession, dir: String): DataFrame = {
+  def d12StreamDedupGate(s: SparkSession, dir: String): DataFrame =
+    StreamGates.d12(s, dir)
+
+  /** [[d12StreamDedupGate]]'s pipeline, parameterized for the
+    * [[StreamGates]] harness: all streaming machinery (provider conf,
+    * MemoryStream, memory-sink view) lives in the private `run` child
+    * session; the returned local relation binds to the caller's `out`
+    * session. Conf set on `run` needs no restore — the child session
+    * dies with the harness call. */
+  private[operators] def d12RunStreaming(
+      run: SparkSession, out: SparkSession, dir: String): DataFrame = {
+    val s = run
     // corpus bounded to doc_id < 500: the expected output is exactly the
     // planted (id < 100) pairs regardless of distractor count — clean
     // distractors are near-dup-free by construction and can never match
@@ -746,14 +757,14 @@ object Dedup {
     // Verify/Bench invocations must not accumulate UUID-named tables in
     // the session catalog (round-5 ADVICE), and the returned frame must
     // survive the drop — so it becomes a local relation of the rows
-    val out = s.table(name)
+    val res = s.table(name)
       .filter(col("doc_id") >= 1000000L)
       .select(col("doc_id"), col("dup_of"))
       .distinct()
       .orderBy("doc_id", "dup_of")
-    val outRows = out.collect()
+    val outRows = res.collect()
     s.catalog.dropTempView(name)
-    s.createDataFrame(java.util.Arrays.asList(outRows: _*), out.schema)
+    out.createDataFrame(java.util.Arrays.asList(outRows: _*), res.schema)
   }
 
   /** Oracle gate for the STREAMING VECTOR dedup operator
@@ -770,7 +781,15 @@ object Dedup {
     * anchors only the planted count). Corpus bounded to vec_id < 500 —
     * the d12 bound discipline; operator scale behavior lives in
     * StateStoreSpec. */
-  def d18StreamVectorGate(s: SparkSession, dir: String): DataFrame = {
+  def d18StreamVectorGate(s: SparkSession, dir: String): DataFrame =
+    StreamGates.d18(s, dir)
+
+  /** [[d18StreamVectorGate]]'s pipeline for the [[StreamGates]] harness
+    * — the d12RunStreaming contract (private `run` child session for
+    * every streaming resource, result bound to `out`). */
+  private[operators] def d18RunStreaming(
+      run: SparkSession, out: SparkSession, dir: String): DataFrame = {
+    val s = run
     import s.implicits._
     val rows = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
@@ -796,16 +815,16 @@ object Dedup {
       case Some(p) => s.conf.set(providerKey, p)
       case None    => s.conf.unset(providerKey)
     }
-    val out = s.table(name)
+    val res = s.table(name)
       .filter(col("vec_id") >= 1000000L)
       .agg(
         countDistinct(col("vec_id")).cast("long").as("n_flagged"),
         coalesce(min(col("cos_e6")) >= 990000L, lit(true)).as("all_ge_threshold"))
       .select(lit(rows.length.toLong).as("n_planted"),
         col("n_flagged"), col("all_ge_threshold"))
-    val outRows = out.collect()
+    val outRows = res.collect()
     s.catalog.dropTempView(name)
-    s.createDataFrame(java.util.Arrays.asList(outRows: _*), out.schema)
+    out.createDataFrame(java.util.Arrays.asList(outRows: _*), res.schema)
   }
 
   /** Incremental near-dup detection: flag each NEW (delta) document's

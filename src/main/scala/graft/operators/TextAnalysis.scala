@@ -445,7 +445,15 @@ object TextAnalysis {
     * oracle): streaming more distractors through the micro-batch
     * machinery buys bench seconds, not assurance — arrival-order
     * robustness and scale live in the streaming specs. */
-  def t35StreamCurateGate(s: SparkSession, dir: String): DataFrame = {
+  def t35StreamCurateGate(s: SparkSession, dir: String): DataFrame =
+    StreamGates.t35(s, dir)
+
+  /** [[t35StreamCurateGate]]'s pipeline for the [[StreamGates]] harness
+    * (the d12RunStreaming contract: streaming machinery in the private
+    * `run` child session, the local-relation result bound to `out`). */
+  private[operators] def t35RunStreaming(
+      run: SparkSession, out: SparkSession, dir: String): DataFrame = {
+    val s = run
     val rows = Tables.documents(s, dir)
       .filter(col("doc_id") < 1000)
       .select(col("doc_id"), col("source"), col("text"))
@@ -466,10 +474,10 @@ object TextAnalysis {
       .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
       .format("memory").queryName(name).start()
     try q.processAllAvailable() finally q.stop()
-    val out = s.table(name).orderBy("source")
-    val outRows = out.collect()
+    val res = s.table(name).orderBy("source")
+    val outRows = res.collect()
     s.catalog.dropTempView(name)
-    s.createDataFrame(java.util.Arrays.asList(outRows: _*), out.schema)
+    out.createDataFrame(java.util.Arrays.asList(outRows: _*), res.schema)
   }
 
   /** Corpus-level n-gram frequency: bigrams occurring ≥ 10 times.
