@@ -396,6 +396,43 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.7, s"recall=$recall (${ivf.size}/${exact.size})")
   }
 
+  test("semantic dedup: planted copies cluster with originals, one survivor per cluster, never all-pairs") {
+    val rows = Dedup.d19SemanticDedup(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // every planted copy (id+1000000, perturbed +0.01) must share its
+    // original's canonical — the cos ≈ 0.999 pair connects them
+    val planted = rows.keys.filter(_ >= 1000000L)
+    assert(planted.nonEmpty)
+    planted.foreach { c =>
+      val o = c - 1000000L
+      assert(rows(c)._1 == rows(o)._1,
+        s"copy $c canonical ${rows(c)._1} != original's ${rows(o)._1}")
+    }
+    // exactly one kept member per canonical, and it IS the canonical
+    rows.groupBy(_._2._1).foreach { case (canon, members) =>
+      val kept = members.filter(_._2._2).keys.toSeq
+      assert(kept == Seq(canon), s"cluster $canon kept $kept")
+    }
+    // the keep-best policy: the survivor has the max norm (ties min id)
+    // among its cluster — spot-check via recomputed norms
+    val e = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    def normE6(v: Seq[Double]): Long =
+      math.floor(math.sqrt(v.map(x => x * x).sum) * 1e6 + 0.5).toLong
+    def vecOf(id: Long): Seq[Double] =
+      if (id >= 1000000L) e(id - 1000000L).map(_ + 0.01) else e(id)
+    rows.groupBy(_._2._1).foreach { case (canon, members) =>
+      val best = members.keys.map(id => (-normE6(vecOf(id)), id)).min._2
+      assert(canon == best, s"canonical $canon != keep-best $best")
+    }
+    // never all-pairs: the candidate join is an equi-join on the cell
+    // key — no cartesian/broadcast-nested-loop over the corpus
+    val plan = Dedup.d19SemanticDedup(spark, sf).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "all-pairs cartesian in d19 plan:\n" + plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "theta-join over the corpus in d19 plan (d04's exact shape, not the cell index):\n" + plan)
+  }
+
   test("duplicate spans: cross-doc offset run, intra-doc repeat, gap split — exact boundaries") {
     import spark.implicits._
     // doc 1 & 2 share a 10-token run at offsets 0 / 2; doc 3 repeats its
