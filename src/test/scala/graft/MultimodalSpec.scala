@@ -237,14 +237,52 @@ class MultimodalSpec extends SparkSpec {
           col("emb").as("qe"), col("nrm").as("qn"))
       val top = Similarity.annIvfIndexed(spark, q, "graft_media_ann")
         .filter(col("rank") === 1).collect()
-        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
       assert(top.size == 5, s"expected 5 queries, got ${top.keySet}")
-      top.foreach { case (qid, (hit, sim)) =>
+      top.foreach { case (qid, (hit, simE6)) =>
         assert(hit == qid - 10000L, s"query $qid routed to $hit")
-        assert(sim > 0.999, s"query $qid top sim $sim")
+        assert(simE6 > 999000L, s"query $qid top sim_e6 $simE6")
       }
     } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_media_ann$sfx"))
+  }
+
+  test("media ANN lifecycle: re-upload appends route, delete forgets, second re-upload re-routes") {
+    import graft.operators.Similarity
+    val vecs = Multimodal.contentEmbeddings(spark, sf)
+    Similarity.writeAnnIndex(spark, vecs, "graft_media_lc", numBuckets = 4)
+    try {
+      val firstId = vecs.orderBy("vec_id").limit(1)
+        .collect().head.getLong(0)
+      // the same image re-uploaded under a new media id: identical
+      // bytes → identical embedding; APPEND it through the frozen
+      // sidecar and it must become its own query's rank-1 at cos 1
+      val reupload = vecs.filter(col("vec_id") === firstId)
+        .select((col("vec_id") + 50000L).as("vec_id"), col("emb"), col("nrm"))
+      Similarity.appendToAnnIndex(spark, reupload, "graft_media_lc", numBuckets = 4)
+      val q = vecs.filter(col("vec_id") === firstId)
+        .select(lit(0L).as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      def hits(): Set[Long] =
+        Similarity.annIvfIndexed(spark, q, "graft_media_lc")
+          .filter(col("sim_e6") >= 999000L).collect().map(_.getLong(1)).toSet
+      assert(hits() == Set(firstId, firstId + 50000L),
+        s"after append: ${hits()}")
+      // right-to-be-forgotten: delete the ORIGINAL; only the re-upload
+      // may still match
+      import spark.implicits._
+      Similarity.deleteFromAnnIndex(spark, "graft_media_lc",
+        Seq(firstId).toDF("vec_id"), numBuckets = 4)
+      assert(hits() == Set(firstId + 50000L), s"after delete: ${hits()}")
+      // a SECOND re-upload (the user puts the image back) re-routes
+      // alongside the surviving copy — frozen-state appends stay
+      // consistent across delete generations
+      Similarity.appendToAnnIndex(spark,
+        reupload.select((col("vec_id") + 10000L).as("vec_id"), col("emb"), col("nrm")),
+        "graft_media_lc", numBuckets = 4)
+      assert(hits() == Set(firstId + 50000L, firstId + 60000L),
+        s"after re-append: ${hits()}")
+    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_media_lc$sfx"))
   }
 
   test("thumbnail resize: exact quadrant means on a crafted image; gate tiles the fixture") {
