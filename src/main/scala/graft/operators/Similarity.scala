@@ -715,6 +715,50 @@ object Similarity {
     }
   }
 
+  /** SHARED per-fixture ANN artifact for the three index gates
+    * (s07/s08/s10): each used to build its OWN index per invocation —
+    * three writeAnnIndex jobs over the same corpus in every
+    * Verify/Bench run. One full build (all families, `label` meta so
+    * both filtered paths work) now serves all three; the name embeds
+    * the fixture fingerprint, so the check is a cheap catalog probe, a
+    * driver-side fixture regeneration forces a rebuild, and stale
+    * generations are dropped at build time. Extra meta columns in
+    * `_cells`/`_pq` are pass-through for the unfiltered query paths,
+    * so s07's indexed ≡ inline equality contract is unaffected.
+    * Synchronized: gates overlap internally with futures. */
+  private val sharedIndexLock = new Object
+  private[graft] def sharedAnnIndex(s: SparkSession, dir: String): String =
+    sharedIndexLock.synchronized {
+      def fp(nm: String): Long = {
+        val f = new java.io.File(dir, nm)
+        if (!f.exists()) 0L
+        else if (f.isDirectory) {
+          val parts = Option(f.listFiles()).getOrElse(Array.empty)
+          parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
+        } else f.lastModified() ^ f.length()
+      }
+      val name = "graft_shared_ann_" + java.lang.Long.toHexString(fp("embeddings.parquet"))
+      if (!s.catalog.tableExists(name + "_cells")) {
+        // retire older generations (stale fingerprints): catalog entry
+        // AND warehouse location (the d13 LOCATION_ALREADY_EXISTS lesson
+        // — and plain disk hygiene, these names never come back)
+        s.catalog.listTables().collect().map(_.name)
+          .filter(t => t.startsWith("graft_shared_ann_") && !t.startsWith(name))
+          .foreach { t =>
+            s.sql(s"DROP TABLE IF EXISTS `$t`")
+            val loc = new org.apache.hadoop.fs.Path(
+              s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
+            val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+            if (fs.exists(loc)) fs.delete(loc, true)
+          }
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+          .withColumn("nrm", l2Norm(col("emb")))
+        writeAnnIndex(s, e.filter(col("vec_id") >= 10), name, meta = Seq("label"))
+      }
+      name
+    }
+
   /** Read the bounded sidecar back: (IVF centroids, PQ codebooks) in
     * index order. The collect is O(k·d) — the same driver footprint the
     * inline paths accept for centroid/codebook state. */
@@ -772,14 +816,11 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
       .withColumn("nrm", l2Norm(col("emb")))
-    // IVF-only build: this gate never touches the SRP/PQ legs, and
-    // training codebooks it won't read was pure dead weight (review)
-    writeAnnIndex(s, e.filter(col("vec_id") >= 10), "graft_s08_index",
-      meta = Seq("label"), families = Set("ivf"))
+    val name = sharedAnnIndex(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("label").as("qlabel"))
-    val idx = annIvfFilteredIndexed(s, q, "graft_s08_index")
+    val idx = annIvfFilteredIndexed(s, q, name)
       .select(col("query_id"), col("vec_id")).cache()
     val exact = s06FilteredTopK(s, dir)
       .select(col("query_id"), col("vec_id")).cache()
@@ -882,12 +923,11 @@ object Similarity {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
       .withColumn("nrm", l2Norm(col("emb")))
-    writeAnnIndex(s, e.filter(col("vec_id") >= 10), "graft_s10_index",
-      meta = Seq("label"), families = Set("ivf", "pq"))
+    val name = sharedAnnIndex(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("label").as("qlabel"))
-    val idx = annIvfPqFilteredIndexed(s, q, "graft_s10_index")
+    val idx = annIvfPqFilteredIndexed(s, q, name)
       .select(col("query_id"), col("vec_id")).cache()
     val exact = s06FilteredTopK(s, dir)
       .select(col("query_id"), col("vec_id")).cache()
@@ -909,8 +949,7 @@ object Similarity {
 
   def s07AnnIndexGate(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))
-    val corpus = e.filter(col("vec_id") >= 10)
-    writeAnnIndex(s, corpus, "graft_s07_index")
+    val name = sharedAnnIndex(s, dir)
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     // cache: each flag references both sides twice (exceptAll each way);
@@ -928,13 +967,13 @@ object Similarity {
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val flags = Seq(
-      Future(flag(annIvfIndexed(s, q, "graft_s07_index"),
+      Future(flag(annIvfIndexed(s, q, name),
         s02AnnIvf(s, dir), "ivf_indexed_matches_inline")),
-      Future(flag(annSrpIndexed(s, q, "graft_s07_index"),
+      Future(flag(annSrpIndexed(s, q, name),
         s03AnnSrp(s, dir), "srp_indexed_matches_inline")),
-      Future(flag(annPqIndexed(s, q, "graft_s07_index"),
+      Future(flag(annPqIndexed(s, q, name),
         s05AnnPq(s, dir), "pq_indexed_matches_inline")),
-      Future(flag(annIvfPqIndexed(s, q, "graft_s07_index"),
+      Future(flag(annIvfPqIndexed(s, q, name),
         s09AnnIvfPq(s, dir), "ivfpq_indexed_matches_inline")))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     flags.collectFirst { case scala.util.Failure(e) => throw e }

@@ -397,8 +397,10 @@ class SimilaritySpec extends SparkSpec {
       assert(r.head.getLong(0) == 10L, s"n_queries ${r.head.getLong(0)}")
       assert(r.head.getBoolean(1), "an indexed hit crossed the label predicate")
       assert(r.head.getBoolean(2), "filtered recall fell below 0.6 vs exact s06")
-    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_s08_index$sfx"))
+    }
+    // no cleanup: the gate reads the SHARED fingerprint-keyed artifact
+    // (Similarity.sharedAnnIndex), which persists for the session by
+    // design — s07/s10 and repeat invocations reuse it
   }
 
   test("ANN drift: heavy shifted appends, then retrain == fresh rebuild and recall recovers") {
@@ -488,8 +490,8 @@ class SimilaritySpec extends SparkSpec {
       assert(r.head.getLong(0) == 10L, s"n_queries ${r.head.getLong(0)}")
       assert(r.head.getBoolean(1), "a filtered IVF-PQ hit crossed the label predicate")
       assert(r.head.getBoolean(2), "filtered IVF-PQ recall fell below 0.6 vs exact s06")
-    } finally Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
-      spark.sql(s"DROP TABLE IF EXISTS graft_s10_index$sfx"))
+    }
+    // shared artifact, no cleanup (see the s08 gate test)
   }
 
   test("filtered IVF-PQ plan: bucketed _pq codes scan, zero index-side exchange") {
