@@ -553,6 +553,41 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL delta-vs-corpus SEMANTIC dedup — [[d13IncrementalDedup]]'s
+    * production shape for the embedding side, and [[d19SemanticDedup]]'s
+    * steady state: an arriving batch is screened against the CORPUS's
+    * persisted ANN artifact ([[Similarity.sharedAnnIndex]] — the same
+    * bucketed `_cells` table the s07/s08/s10 gates amortize) instead of
+    * re-pairing the corpus with itself. Each delta vector probes its
+    * nearest cells ([[Similarity.annIvfIndexed]] — probes broadcast,
+    * zero corpus-side Exchange), and its rank-1 neighbor at cosine ≥
+    * 0.99 is flagged as the semantic duplicate's source. Cost scales
+    * with the delta, not the corpus — the d13 contract.
+    *
+    * The delta is SQL-plantable (the d19 discipline): perturbed copies
+    * (+0.01/dim) of corpus vectors 10 ≤ id < 110 arriving as ids
+    * +1000000. Every delta doc's true best match is its source at cos ≈
+    * 0.9999 (organic cross-vector cosine never exceeds 0.8 in the
+    * fixture, measured at every SF), the source shares its copy's
+    * probed cells, and best-match selection is integer (cos_e6 desc,
+    * id asc) — so DuckDB's brute-force delta × corpus reproduction
+    * HASH-matches the indexed path end to end. Output:
+    * (vec_id, match_id, cos_e6). */
+  def d20IncrementalSemantic(s: SparkSession, dir: String): DataFrame = {
+    val name = Similarity.sharedAnnIndex(s, dir)
+    val delta = Tables.embeddings(s, dir)
+      .filter(col("vec_id") >= 10 && col("vec_id") < 110)
+      .select((col("vec_id") + 1000000L).as("query_id"),
+        transform(VectorFunctions.toDouble(col("embedding")),
+          x => x + lit(0.01)).as("qe"))
+      .withColumn("qn", VectorFunctions.l2Norm(col("qe")))
+    Similarity.annIvfIndexed(s, delta, name)
+      .filter(col("rank") === 1 && col("sim_e6") >= 990000L)
+      .select(col("query_id").as("vec_id"), col("vec_id").as("match_id"),
+        col("sim_e6").as("cos_e6"))
+      .orderBy("vec_id")
+  }
+
   /** Group-level MinHash sketches via the typed [[graft.functions.MinHashUnionAgg]]
     * aggregator: one mergeable signature per source, then estimated
     * shingle-set Jaccard between every source pair from the sketches
@@ -1382,6 +1417,7 @@ object Dedup {
     "d17_incremental_spans" -> (d17IncrementalSpans _),
     "d18_stream_vector_gate" -> (d18StreamVectorGate _),
     "d19_semantic_dedup" -> (d19SemanticDedup _),
+    "d20_incr_semantic" -> (d20IncrementalSemantic _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -1540,6 +1576,30 @@ object Dedup {
         |  lab.vec_id = best.canonical_id AS kept
         |FROM lab JOIN best USING (cluster)
         |ORDER BY lab.vec_id""".stripMargin,
+    // brute-force delta × corpus best match (the oracle can afford it;
+    // the Spark path must produce the identical set through the
+    // persisted index's probed cells only)
+    "d20_incr_semantic" ->
+      """WITH c AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings WHERE vec_id >= 10),
+        |d AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01) AS emb
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 110),
+        |p AS (
+        |  SELECT d.vec_id, c.vec_id AS match_id,
+        |    CAST(floor(list_cosine_similarity(d.emb, c.emb) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS cos_e6
+        |  FROM d CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, match_id, cos_e6,
+        |    row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY cos_e6 DESC, match_id) AS rn
+        |  FROM p)
+        |SELECT vec_id, match_id, cos_e6 FROM r
+        |WHERE rn = 1 AND cos_e6 >= 990000
+        |ORDER BY vec_id""".stripMargin,
     "d10_simhash_dup_classes" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents

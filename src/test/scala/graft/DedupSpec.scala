@@ -433,6 +433,26 @@ class DedupSpec extends SparkSpec {
       "theta-join over the corpus in d19 plan (d04's exact shape, not the cell index):\n" + plan)
   }
 
+  test("incremental semantic dedup: every delta doc flags its source through the shared index, delta-only cost") {
+    val rows = Dedup.d20IncrementalSemantic(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted delta doc (ids 10..109 + 1000000) must flag exactly
+    // its perturbation source at near-1 cosine
+    assert(rows.length == 100, s"expected 100 flagged, got ${rows.length}")
+    rows.foreach { case (id, match_, cos) =>
+      assert(match_ == id - 1000000L, s"delta $id matched $match_")
+      assert(cos >= 990000L, s"delta $id cos_e6 $cos")
+    }
+    // the corpus side is the persisted bucketed _cells scan fed by
+    // broadcast probes — no corpus self-join, no cartesian; cost is
+    // delta-scaled (the d13 contract, semantic edition)
+    val plan = Dedup.d20IncrementalSemantic(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_shared_ann_"), "shared artifact not in the plan:\n" + plan)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "corpus re-paired in d20 plan:\n" + plan)
+  }
+
   test("duplicate spans: cross-doc offset run, intra-doc repeat, gap split — exact boundaries") {
     import spark.implicits._
     // doc 1 & 2 share a 10-token run at offsets 0 / 2; doc 3 repeats its
