@@ -546,7 +546,12 @@ object Similarity {
           .saveAsTable(name + "_cells")
       }),
       if (!families.contains("srp")) None else Some(Future {
-        withSigs(corpus).select(col("vec_id"), col("sig0"), col("sig1"))
+        // `meta` rides the narrow signature table too, so filtered
+        // search can pre-filter the hamming ranking itself
+        // ([[annSrpFilteredIndexed]]) — 16 B + labels per vector
+        withSigs(corpus)
+          .select(Seq(col("vec_id"), col("sig0"), col("sig1")) ++
+            meta.map(col): _*)
           .write.mode("overwrite")
           .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
           .saveAsTable(name + "_srp")
@@ -613,7 +618,9 @@ object Similarity {
     // partial-family builds (writeAnnIndex(families = ...)) skip the
     // srp/pq tables entirely — append only what exists
     if (s.catalog.tableExists(name + "_srp")) {
-      withSigs(newVecs).select(col("vec_id"), col("sig0"), col("sig1"))
+      withSigs(newVecs)
+        .select(Seq(col("vec_id"), col("sig0"), col("sig1")) ++
+          meta.map(col): _*)
         .write.mode("append")
         .bucketBy(numBuckets, "vec_id").sortBy("vec_id")
         .saveAsTable(name + "_srp")
@@ -847,6 +854,69 @@ object Similarity {
       s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm")),
       withQuerySigs(queries))
 
+  /** FILTERED SRP top-k from the artifact — the metadata predicate on
+    * the hamming-space family, completing the filtered matrix beside
+    * [[annIvfFilteredIndexed]] (`_cells`) and [[annIvfPqFilteredIndexed]]
+    * (`_pq`): the label condition sits on the probe join against the
+    * narrow `_srp` signature table (built with `meta = Seq("label")`),
+    * so non-matching vectors never enter the hamming ranking, and the
+    * exact rerank touches only the already-label-consistent
+    * SrpCandidates survivors. No probe widening needed — the candidate
+    * heap's k (96) is per QUERY over the filtered subset, which is
+    * sparser, not smaller-k. Queries carry (query_id, qe, qn, qlabel). */
+  def annSrpFilteredIndexed(s: SparkSession, queries: DataFrame,
+      name: String): DataFrame = {
+    val sigs = s.table(name + "_srp")
+    val q = withQuerySigs(queries)
+    val ham = sigs
+      .join(broadcast(q.select(col("query_id"), col("qsig0"), col("qsig1"),
+        col("qlabel"))), sigs("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        (graft.functions.TextFunctions.hamming64(col("sig0"), col("qsig0")) +
+          graft.functions.TextFunctions.hamming64(col("sig1"), col("qsig1"))).as("ham"))
+    val cand = org.apache.spark.sql.graft.relations.topKPerKey(
+        ham, Seq("query_id"), Seq(("ham", true), ("vec_id", true)), SrpCandidates)
+      .select(col("query_id"), col("vec_id"))
+    val vecs = s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm"))
+    val sims = vecs
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+    topKWithRank(sims)
+  }
+
+  /** Driver gate for filtered SRP search (the s08/s10 flag pattern):
+    * label consistency exact, recall@5 ≥ 0.6 vs the hash-gated exact
+    * filtered baseline, integer arithmetic only. */
+  def s11FilteredSrpGate(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val name = sharedAnnIndex(s, dir)
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val idx = annSrpFilteredIndexed(s, q, name)
+      .select(col("query_id"), col("vec_id")).cache()
+    val exact = s06FilteredTopK(s, dir)
+      .select(col("query_id"), col("vec_id")).cache()
+    val labels = e.select(col("vec_id"), col("label"))
+    val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val violations = idx
+      .join(labels, Seq("vec_id")).join(qLabels, Seq("query_id"))
+      .filter(col("label") =!= col("qlabel"))
+      .agg(count(lit(1)).as("n_viol"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = idx.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(violations).crossJoin(nExact).crossJoin(nHit)
+      .select(col("n_queries"),
+        (col("n_viol") === 0).as("all_hits_share_label"),
+        (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
+  }
+
   /** PQ top-k from the artifact: ADC-rank the `_pq` codes with map-side
     * LUTs from the sidecar codebooks, rerank against `_cells`. Falls
     * back to exact scoring over `_cells` when the build found the
@@ -1027,6 +1097,7 @@ object Similarity {
     "s08_filtered_index_gate" -> (s08FilteredIndexGate _),
     "s09_ann_ivfpq" -> (s09AnnIvfPq _),
     "s10_filtered_ivfpq_gate" -> (s10FilteredIvfPqGate _),
+    "s11_filtered_srp_gate" -> (s11FilteredSrpGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1081,6 +1152,12 @@ object Similarity {
     // same label-consistency + integer recall flags as s08, but the
     // predicate rides the _pq (codes) cell join — the cheapest index
     "s10_filtered_ivfpq_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS all_hits_share_label,
+        |  true AS recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // the SRP leg of the filtered matrix — same flags
+    "s11_filtered_srp_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS all_hits_share_label,
         |  true AS recall_ge_60

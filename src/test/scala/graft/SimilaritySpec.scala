@@ -545,6 +545,31 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("filtered SRP: label contract exact, recall holds, predicate below the hamming ranking") {
+    val r = Similarity.s11FilteredSrpGate(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) == 10L, s"n_queries ${r.head.getLong(0)}")
+    assert(r.head.getBoolean(1), "a filtered SRP hit crossed the label predicate")
+    assert(r.head.getBoolean(2), "filtered SRP recall fell below 0.6 vs exact s06")
+    // the label predicate joins BELOW the candidate heap: the heap's
+    // input is already label-filtered, so the TopKPerKeyPartial stage
+    // sits above the probe join, never above a post-filter
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"),
+        col("label"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val name = Similarity.sharedAnnIndex(spark, sf)
+    val p = Similarity.annSrpFilteredIndexed(spark, q, name)
+      .queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin \\[label#\\d+".r.findFirstIn(p).isDefined,
+      "label should be a JOIN KEY of the probe join (pre-filter), not a post-filter:\n" + p)
+  }
+
   test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
