@@ -46,7 +46,10 @@ object Plans {
     "t33_lm_score" -> "bigram LM scoring: vocabulary-sized unigram/bigram tables broadcast, token stream scored map-side, per-doc integer mean is the only data-sized shuffle",
     "t34_curation_pipeline" -> "end-to-end curation: PII/blocklist gates fused into the scan, coverage + LM stages reuse the cached survivor frame, exact median via bounded per-value counts, dedup + per-source rollup are the only corpus-keyed shuffles",
     "s09_ann_ivfpq" -> "IVF-PQ composition: probes × LUTs broadcast into the cell join, ADC fold + bounded-heap candidates, exact rerank — corpus side never exchanges",
-    "t36_contamination_report" -> "eval-side contamination report: eval grams broadcast into both training-stream joins, per-eval aggregates map-combined — training corpus never shuffles raw text")
+    "t36_contamination_report" -> "eval-side contamination report: eval grams broadcast into both training-stream joins, per-eval aggregates map-combined — training corpus never shuffles raw text",
+    "d19_semantic_dedup" -> "SemDeDup: IVF cell-key equi-join candidates → exact cosine ≥ τ verify → pointer-jumping components → keep-best-norm canonical — never all-pairs, policy is one map-combined aggregate",
+    "d20_incr_semantic" -> "incremental semantic dedup: delta probes broadcast into the shared PERSISTED index's Bucketed: true _cells scan — corpus never re-pairs, cost scales with the delta",
+    "s10_filtered_ivfpq_gate" -> "filtered IVF-PQ: label rides the (cell, label) probe join against the Bucketed: true _pq codes scan — non-matching vectors never get an ADC fold, only probed cells' codes read")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
