@@ -529,17 +529,43 @@ object Dedup {
     * exactly as d01's gate argues: a perturbed copy shares its
     * original's nearest cells with probability ≈ 1, and any miss
     * would fail the hash. Output: (vec_id, canonical_id, kept). */
-  def d19SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+  /** d19's corpus frame (fixture ∪ SQL-planted perturbed copies). */
+  private def d19Corpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
     val planted = base.filter(col("vec_id") < 100)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("emb"), x => x + lit(0.01)).as("emb"))
-    val e = base.unionByName(planted)
+    base.unionByName(planted)
       .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
-    val pairs = ivfNearDupPairs(e, DupCells, DupProbe, 0.9)
-      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val labels = clusterLabels(pairs)
+  }
+
+  /** d19's IVF-candidate → verify → component stage, memoized like
+    * [[minhashClusterLabels]] (same retention contract: the frame's
+    * lineage ends at the labels localCheckpoint, the retained state is
+    * one (id, label) row per paired vector, and the fixture
+    * fingerprint invalidates on a driver-side regeneration). The IVF
+    * training collect barriers + the pointer-jumping rounds are the
+    * bulk of d19's cost; the policy joins downstream are cheap. */
+  private val semLabelsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
+  private def embFingerprint(dir: String): Long = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    if (!f.exists()) 0L
+    else if (f.isDirectory) {
+      val parts = Option(f.listFiles()).getOrElse(Array.empty)
+      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
+    } else f.lastModified() ^ f.length()
+  }
+  private def semanticClusterLabels(s: SparkSession, dir: String): DataFrame =
+    semLabelsMemo.computeIfAbsent((s, dir, embFingerprint(dir)), { _ =>
+      clusterLabels(ivfNearDupPairs(d19Corpus(s, dir), DupCells, DupProbe, 0.9)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    })
+
+  def d19SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = d19Corpus(s, dir)
+    val labels = semanticClusterLabels(s, dir)
     val labeled = e
       .select(col("vec_id"),
         floor(col("nrm") * 1000000.0 + 0.5).cast("long").as("norm_e6"))
