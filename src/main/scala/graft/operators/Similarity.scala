@@ -502,10 +502,27 @@ object Similarity {
     * default matches the test SFs). */
   def writeAnnIndex(s: SparkSession, corpus: DataFrame, name: String,
       numBuckets: Int = 8, meta: Seq[String] = Seq.empty,
-      families: Set[String] = Set("ivf", "srp", "pq")): Unit = {
+      families: Set[String] = Set("ivf", "srp", "pq"),
+      storage: String = "f64", quantScale: Double = 0.005): Unit = {
     import s.implicits._
     require(families.contains("ivf"),
       "the cells table is every family's rerank source — 'ivf' is mandatory")
+    require(storage == "f64" || storage == "i8", s"unknown storage '$storage'")
+    // INT8 storage: `_cells` keeps 1 byte/dim (4× less rerank-source
+    // I/O than float32 embeddings, 8× less than these double fixtures)
+    // plus the constant scale in the sidecar. ALL derived state —
+    // centroids, cell routing, SRP signatures, PQ codes, norms — is
+    // computed from the DEQUANTIZED vectors, i.e. exactly what a query
+    // re-materializes from the stored bytes, so build-time and
+    // query-time views of the corpus are bit-identical and the
+    // append/delete/retrain lifecycle composes unchanged. Queries stay
+    // full precision (standard asymmetric-quantization practice).
+    val corpus0 =
+      if (storage == "i8")
+        corpus.withColumn("emb8", quantizeInt8(col("emb"), quantScale))
+          .withColumn("emb", toDouble(dequantizeInt8(col("emb8"), quantScale)))
+          .withColumn("nrm", l2Norm(col("emb")))
+      else corpus
     // drop ALL four names regardless of `families`: a partial build over
     // a stale full index must not leave old-family tables that look live
     Seq(name + "_cells", name + "_srp", name + "_pq", name + "_side").foreach { t =>
@@ -526,9 +543,9 @@ object Similarity {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
-    val centsF = Future(ivfCentroids(corpus))
+    val centsF = Future(ivfCentroids(corpus0))
     val booksF =
-      if (families.contains("pq")) Future(pqCodebooks(corpus))
+      if (families.contains("pq")) Future(pqCodebooks(corpus0))
       else Future.successful(Seq.empty[Seq[Array[Double]]])
     val cents = Await.result(centsF, Duration.Inf)
     val books = Await.result(booksF, Duration.Inf)
@@ -538,8 +555,9 @@ object Similarity {
         // _cells so filtered search can put its predicate ON the cell
         // join ([[annIvfFilteredIndexed]]) — the index-side analogue of
         // s06's pre-filter contract
-        withCell(corpus, cents)
-          .select((Seq(col("cell"), col("vec_id"), col("emb"), col("nrm")) ++
+        val embCol = if (storage == "i8") col("emb8") else col("emb")
+        withCell(corpus0, cents)
+          .select((Seq(col("cell"), col("vec_id"), embCol, col("nrm")) ++
             meta.map(col)): _*)
           .write.mode("overwrite")
           .bucketBy(numBuckets, "cell").sortBy("cell")
@@ -549,7 +567,7 @@ object Similarity {
         // `meta` rides the narrow signature table too, so filtered
         // search can pre-filter the hamming ranking itself
         // ([[annSrpFilteredIndexed]]) — 16 B + labels per vector
-        withSigs(corpus)
+        withSigs(corpus0)
           .select(Seq(col("vec_id"), col("sig0"), col("sig1")) ++
             meta.map(col): _*)
           .write.mode("overwrite")
@@ -569,11 +587,11 @@ object Similarity {
             // schema-only empty frame carrying the SAME meta columns a
             // full build writes, so the fallback table stays readable
             // by the filtered path
-            withCell(corpus.limit(0), cents)
+            withCell(corpus0.limit(0), cents)
               .select(pqCols ++ Seq(
                 array().cast("array<int>").as("codes"),
                 lit(0.0).as("recon_n")): _*)
-          else pqEncode(withCell(corpus, cents), books,
+          else pqEncode(withCell(corpus0, cents), books,
               carry = Seq("cell") ++ meta)
             .select(pqCols ++ Seq(col("codes"), col("recon_n")): _*)
         coded.write.mode("overwrite")
@@ -589,7 +607,8 @@ object Similarity {
       cents.zipWithIndex.map { case (c, i) => ("cent", i, c.toSeq) } ++
         (if (books.isEmpty || books.exists(_.size != PqK)) Seq.empty
          else books.zipWithIndex.flatMap { case (b, m) =>
-           b.zipWithIndex.map { case (c, j) => ("pq", m * PqK + j, c.toSeq) } })
+           b.zipWithIndex.map { case (c, j) => ("pq", m * PqK + j, c.toSeq) } }) ++
+        (if (storage == "i8") Seq(("qscale", 0, Seq(quantScale))) else Seq.empty)
     side.toDF("kind", "idx", "vec").repartition(1)
       .write.mode("overwrite").saveAsTable(name + "_side")
   }
@@ -609,8 +628,20 @@ object Similarity {
   def appendToAnnIndex(s: SparkSession, newVecs: DataFrame, name: String,
       numBuckets: Int = 8, meta: Seq[String] = Seq.empty): Unit = {
     val (cents, books) = readAnnSidecar(s, name)
-    withCell(newVecs, cents)
-      .select((Seq(col("cell"), col("vec_id"), col("emb"), col("nrm")) ++
+    // an i8 artifact quantizes the batch with the FROZEN sidecar scale
+    // and derives all state from the dequantized view — exactly the
+    // build-time staging, so routing stays consistent
+    val isI8 = s.table(name + "_cells").columns.contains("emb8")
+    val newVecs0 =
+      if (isI8)
+        newVecs.withColumn("emb8", quantizeInt8(col("emb"), quantScaleOf(s, name)))
+          .withColumn("emb", toDouble(dequantizeInt8(col("emb8"),
+            quantScaleOf(s, name))))
+          .withColumn("nrm", l2Norm(col("emb")))
+      else newVecs
+    val embCol = if (isI8) col("emb8") else col("emb")
+    withCell(newVecs0, cents)
+      .select((Seq(col("cell"), col("vec_id"), embCol, col("nrm")) ++
         meta.map(col)): _*)
       .write.mode("append")
       .bucketBy(numBuckets, "cell").sortBy("cell")
@@ -618,7 +649,7 @@ object Similarity {
     // partial-family builds (writeAnnIndex(families = ...)) skip the
     // srp/pq tables entirely — append only what exists
     if (s.catalog.tableExists(name + "_srp")) {
-      withSigs(newVecs)
+      withSigs(newVecs0)
         .select(Seq(col("vec_id"), col("sig0"), col("sig1")) ++
           meta.map(col): _*)
         .write.mode("append")
@@ -631,7 +662,7 @@ object Similarity {
     // codebooks exist
     if (s.catalog.tableExists(name + "_pq") &&
         books.nonEmpty && books.forall(_.size == PqK)) {
-      pqEncode(withCell(newVecs, cents), books, carry = Seq("cell") ++ meta)
+      pqEncode(withCell(newVecs0, cents), books, carry = Seq("cell") ++ meta)
         .select(Seq(col("cell"), col("vec_id")) ++ meta.map(col) ++
           Seq(col("codes"), col("recon_n")): _*)
         .write.mode("append")
@@ -706,7 +737,11 @@ object Similarity {
           s.catalog.tableExists(name + "_rt" + sfx))
         s.sql(s"ALTER TABLE `${name}_rt$sfx` RENAME TO `$name$sfx`")
     }
-    val cells = s.table(name + "_cells")
+    // storage kind persists across retrain: a raw schema probe (before
+    // the dequantizing reader) decides whether the rebuild re-quantizes
+    val isI8 = s.table(name + "_cells").columns.contains("emb8")
+    val qs = if (isI8) quantScaleOf(s, name) else 0.005
+    val cells = cellsTable(s, name)
     val meta = cells.columns.toSeq.filterNot(Set("cell", "vec_id", "emb", "nrm"))
     val families = Set("ivf") ++
       (if (s.catalog.tableExists(name + "_srp")) Set("srp") else Set.empty[String]) ++
@@ -715,7 +750,8 @@ object Similarity {
       (Seq(col("vec_id"), col("emb"), col("nrm")) ++ meta.map(col)): _*)
     // tmp build reads the LIVE _cells lazily — every read happens inside
     // writeAnnIndex's materializing writes, before any live table drops
-    writeAnnIndex(s, corpus, name + "_rt", numBuckets, meta, families)
+    writeAnnIndex(s, corpus, name + "_rt", numBuckets, meta, families,
+      storage = if (isI8) "i8" else "f64", quantScale = qs)
     sfxs.filter(sfx => s.catalog.tableExists(name + "_rt" + sfx)).foreach { sfx =>
       s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
       s.sql(s"ALTER TABLE `${name}_rt$sfx` RENAME TO `$name$sfx`")
@@ -734,7 +770,8 @@ object Similarity {
     * so s07's indexed ≡ inline equality contract is unaffected.
     * Synchronized: gates overlap internally with futures. */
   private val sharedIndexLock = new Object
-  private[graft] def sharedAnnIndex(s: SparkSession, dir: String): String =
+  private[graft] def sharedAnnIndex(s: SparkSession, dir: String,
+      storage: String = "f64"): String =
     sharedIndexLock.synchronized {
       def fp(nm: String): Long = {
         val f = new java.io.File(dir, nm)
@@ -744,13 +781,14 @@ object Similarity {
           parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
         } else f.lastModified() ^ f.length()
       }
-      val name = "graft_shared_ann_" + java.lang.Long.toHexString(fp("embeddings.parquet"))
+      val prefix = if (storage == "i8") "graft_shared_ann8_" else "graft_shared_ann_"
+      val name = prefix + java.lang.Long.toHexString(fp("embeddings.parquet"))
       if (!s.catalog.tableExists(name + "_cells")) {
         // retire older generations (stale fingerprints): catalog entry
         // AND warehouse location (the d13 LOCATION_ALREADY_EXISTS lesson
         // — and plain disk hygiene, these names never come back)
         s.catalog.listTables().collect().map(_.name)
-          .filter(t => t.startsWith("graft_shared_ann_") && !t.startsWith(name))
+          .filter(t => t.startsWith(prefix) && !t.startsWith(name))
           .foreach { t =>
             s.sql(s"DROP TABLE IF EXISTS `$t`")
             val loc = new org.apache.hadoop.fs.Path(
@@ -761,7 +799,15 @@ object Similarity {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
           .withColumn("nrm", l2Norm(col("emb")))
-        writeAnnIndex(s, e.filter(col("vec_id") >= 10), name, meta = Seq("label"))
+        // the i8 artifact skips the PQ family: int8 compresses the
+        // RERANK SOURCE, PQ codes are already a (4-bit) compressed
+        // ranking representation — stacking the two quantizations
+        // compounds error for no I/O win (measured: pq-over-i8 recall
+        // fell through the 0.6 gate at sf0.1 while ivf/srp held)
+        writeAnnIndex(s, e.filter(col("vec_id") >= 10), name,
+          meta = Seq("label"), storage = storage,
+          families = if (storage == "i8") Set("ivf", "srp")
+                     else Set("ivf", "srp", "pq"))
       }
       name
     }
@@ -781,13 +827,33 @@ object Similarity {
     (cents, books)
   }
 
+  /** The `_cells` table as the uniform (cell, vec_id, emb, nrm, meta…)
+    * frame every query path consumes: an INT8-storage artifact
+    * ([[writeAnnIndex]] `storage = "i8"`) re-materializes `emb` from
+    * the stored bytes + the sidecar scale — bit-identical to what the
+    * build derived its state from — while a float artifact passes
+    * through untouched. The storage probe is a schema check, no read. */
+  private def cellsTable(s: SparkSession, name: String): DataFrame = {
+    val t = s.table(name + "_cells")
+    if (!t.columns.contains("emb8")) t
+    else t
+      .withColumn("emb", toDouble(dequantizeInt8(col("emb8"), quantScaleOf(s, name))))
+      .withColumn("nrm", l2Norm(col("emb")))
+      .drop("emb8")
+  }
+
+  /** The constant quantization scale of an i8 artifact (sidecar row). */
+  private def quantScaleOf(s: SparkSession, name: String): Double =
+    s.table(name + "_side").filter(col("kind") === "qscale")
+      .select(col("vec")).collect().head.getSeq[Double](0).head
+
   /** IVF top-k answered from a [[writeAnnIndex]] artifact alone: the
     * corpus appears ONLY as the bucketed `_cells` scan (zero index-side
     * Exchange — probes broadcast into it; SimilaritySpec pins the plan).
     * `queries` is a (query_id, qe, qn) DataFrame end to end. */
   def annIvfIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
     val (cents, _) = readAnnSidecar(s, name)
-    ivfTopK(s.table(name + "_cells"), queries, cents)
+    ivfTopK(cellsTable(s, name), queries, cents)
   }
 
   /** FILTERED IVF top-k from the artifact — the composition s06's
@@ -802,7 +868,7 @@ object Similarity {
   def annIvfFilteredIndexed(s: SparkSession, queries: DataFrame,
       name: String): DataFrame = {
     val (cents, _) = readAnnSidecar(s, name)
-    val cells = s.table(name + "_cells")
+    val cells = cellsTable(s, name)
     val probes = queries
       .withColumn("cell", explode(nearestCells(col("qe"), cents,
         math.min(2 * NProbe, NCentroids))))
@@ -851,7 +917,7 @@ object Similarity {
     * rerank survivors against `_cells`' full vectors. */
   def annSrpIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame =
     srpTopK(s.table(name + "_srp"),
-      s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm")),
+      cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
       withQuerySigs(queries))
 
   /** FILTERED SRP top-k from the artifact — the metadata predicate on
@@ -877,7 +943,7 @@ object Similarity {
     val cand = org.apache.spark.sql.graft.relations.topKPerKey(
         ham, Seq("query_id"), Seq(("ham", true), ("vec_id", true)), SrpCandidates)
       .select(col("query_id"), col("vec_id"))
-    val vecs = s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm"))
+    val vecs = cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm"))
     val sims = vecs
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("qe"), col("qn"))), Seq("query_id"))
@@ -917,13 +983,47 @@ object Similarity {
         (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
   }
 
+  /** Driver gate for the INT8-storage index (the s04 flag pattern):
+    * build the quantized artifact (1 byte/dim `_cells` + sidecar
+    * scale), answer the IVF and PQ families from it with FULL-precision
+    * queries (asymmetric quantization — queries are never quantized),
+    * and assert recall@5 ≥ 0.6 against the exact full-precision s01
+    * baseline. The int8 brute-force recall bound (≥ 0.8, SimilaritySpec)
+    * says storage quantization alone barely moves neighbor quality;
+    * this gate proves the bound SURVIVES the full indexed path —
+    * routing and signatures derived from the dequantized view the
+    * query re-materializes. The PQ family is deliberately absent from
+    * the i8 artifact: PQ codes are already a 4-bit compressed ranking
+    * representation, and stacking it on int8 storage compounds
+    * quantization error for no additional I/O win (measured: the
+    * composition fell through the 0.6 gate at sf0.1). */
+  def s12QuantizedIndexGate(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedAnnIndex(s, dir, storage = "i8")
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val exact = s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))
+    val ivf8 = annIvfIndexed(s, q, name).select(col("query_id"), col("vec_id"))
+    val srp8 = annSrpIndexed(s, q, name).select(col("query_id"), col("vec_id"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val hitIvf = ivf8.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hit_ivf"))
+    val hitSrp = srp8.join(exact, Seq("query_id", "vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hit_srp"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(nExact).crossJoin(hitIvf).crossJoin(hitSrp)
+      .select(col("n_queries"),
+        (col("hit_ivf") * 10 >= col("n_exact") * 6).as("ivf8_recall_ge_60"),
+        (col("hit_srp") * 10 >= col("n_exact") * 6).as("srp8_recall_ge_60"))
+  }
+
   /** PQ top-k from the artifact: ADC-rank the `_pq` codes with map-side
     * LUTs from the sidecar codebooks, rerank against `_cells`. Falls
     * back to exact scoring over `_cells` when the build found the
     * corpus too small to seed full codebooks (empty `_pq`). */
   def annPqIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
     val (_, books) = readAnnSidecar(s, name)
-    val vecs = s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm"))
+    val vecs = cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm"))
     if (books.isEmpty || books.exists(_.size != PqK)) {
       val sims = vecs.join(broadcast(queries))
         .select(col("query_id"), col("vec_id"),
@@ -954,7 +1054,7 @@ object Similarity {
     val ql = queries.select(col("query_id"), pqLut(col("qe"), books).as("lut"),
       col("qn"), explode(nearestCells(col("qe"), cents, NProbe)).as("cell"))
     adcTail(s.table(name + "_pq").join(broadcast(ql), Seq("cell")),
-      s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm")),
+      cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
       queries)
   }
 
@@ -981,7 +1081,7 @@ object Similarity {
       explode(nearestCells(col("qe"), cents,
         math.min(2 * NProbe, NCentroids))).as("qcell")))
     adcTail(pq.join(ql, pq("cell") === ql("qcell") && pq("label") === ql("qlabel")),
-      s.table(name + "_cells").select(col("vec_id"), col("emb"), col("nrm")),
+      cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
       queries)
   }
 
@@ -1098,6 +1198,7 @@ object Similarity {
     "s09_ann_ivfpq" -> (s09AnnIvfPq _),
     "s10_filtered_ivfpq_gate" -> (s10FilteredIvfPqGate _),
     "s11_filtered_srp_gate" -> (s11FilteredSrpGate _),
+    "s12_quantized_index_gate" -> (s12QuantizedIndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1161,6 +1262,12 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS all_hits_share_label,
         |  true AS recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // int8-storage index recall flags vs exact full precision
+    "s12_quantized_index_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS ivf8_recall_ge_60,
+        |  true AS srp8_recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
   )
 }

@@ -570,6 +570,55 @@ class SimilaritySpec extends SparkSpec {
       "label should be a JOIN KEY of the probe join (pre-filter), not a post-filter:\n" + p)
   }
 
+  test("int8-storage index: bytes stored, recall gate, lifecycle preserves the storage kind") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    val r = Similarity.s12QuantizedIndexGate(spark, sf).collect()
+    assert(r.length == 1 && r.head.getLong(0) == 10L)
+    assert(r.head.getBoolean(1), "ivf recall through the i8 index below 0.6")
+    assert(r.head.getBoolean(2), "srp recall through the i8 index below 0.6")
+    // dedicated small i8 index for lifecycle mutation (the shared
+    // artifact must stay pristine for the gates)
+    val dim = 64
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(1000001L))
+            .cast("double") / 1000000.0 - 0.5).as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val corpus = gen(spark.range(100, 400).toDF("id"), 21)
+    try {
+      Similarity.writeAnnIndex(spark, corpus, "graft_i8_lc", numBuckets = 4,
+        storage = "i8")
+      // the stored column is bytes, not doubles
+      val cellsSchema = spark.table("graft_i8_lc_cells").schema
+      assert(cellsSchema.fieldNames.contains("emb8") &&
+        !cellsSchema.fieldNames.contains("emb"), cellsSchema.treeString)
+      // append a full-precision near-copy of vector 100; through the
+      // frozen scale it must route to (and match) its source
+      val re = gen(spark.range(100, 101).toDF("id"), 21)
+        .select((col("vec_id") + 50000L).as("vec_id"), col("emb"), col("nrm"))
+      Similarity.appendToAnnIndex(spark, re, "graft_i8_lc", numBuckets = 4)
+      val q = gen(spark.range(100, 101).toDF("id"), 21)
+        .select(lit(0L).as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      def topIds(): Seq[Long] = Similarity.annIvfIndexed(spark, q, "graft_i8_lc")
+        .filter(col("sim_e6") >= 999000L).collect().map(_.getLong(1)).toSeq
+      assert(topIds().sorted == Seq(100L, 50100L), s"after append: ${topIds()}")
+      // retrain preserves the i8 storage kind and the matches
+      Similarity.retrainAnnIndex(spark, "graft_i8_lc", numBuckets = 4)
+      assert(spark.table("graft_i8_lc_cells").schema.fieldNames.contains("emb8"),
+        "retrain lost the i8 storage kind")
+      assert(topIds().sorted == Seq(100L, 50100L), s"after retrain: ${topIds()}")
+      // delete forgets
+      import spark.implicits._
+      Similarity.deleteFromAnnIndex(spark, "graft_i8_lc",
+        Seq(100L).toDF("vec_id"), numBuckets = 4)
+      assert(topIds() == Seq(50100L), s"after delete: ${topIds()}")
+    } finally Seq("_cells", "_srp", "_pq", "_side",
+      "_rt_cells", "_rt_srp", "_rt_pq", "_rt_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_i8_lc$sfx"))
+  }
+
   test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
