@@ -32,6 +32,7 @@ object ScaleSmoke {
     if (a.contains("p100")) { p100(spark); spark.stop(); return }
     if (a.contains("dr100")) { dr100(spark); spark.stop(); return }
     if (a.contains("sd100")) { sd100(spark); spark.stop(); return }
+    if (a.contains("i8100")) { i8100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -284,6 +285,61 @@ object ScaleSmoke {
     assert(survivors <= n - (planted * 9) / 10, "semantic dups not collapsing")
     assert(plantedDropped + (got.filter(col("vec_id") < planted && !col("kept")).count())
       >= (planted * 9) / 10, "neither member dropped in ≥90% of planted pairs")
+  }
+
+  /** INT8-storage smoke: build the f64 and i8 artifacts over the same
+    * 200k × 64-d corpus, report the `_cells` on-disk bytes (the rerank
+    * source a 100 TB deployment scans), per-1000-query IVF batch
+    * seconds from each, and the hit overlap between the two paths'
+    * answers. The i8 story is storage: routing and ranking shapes are
+    * identical, the scan just reads ~1/5 the bytes (parquet-encoded
+    * bytes vs doubles; raw ratio is 8×). */
+  private def i8100(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    val n = 200000L
+    val dim = 64
+    val out = "/tmp/sfi8100"
+    val base = transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(col("id"), i), lit(1000001L)).cast("double") / 1000000.0 - 0.5)
+    spark.range(n)
+      .select(col("id").as("vec_id"), base.as("emb"))
+      .write.mode("overwrite").parquet(s"$out/vecs.parquet")
+    val e = spark.read.parquet(s"$out/vecs.parquet")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (_, tF) = time(Similarity.writeAnnIndex(spark, e, "graft_i8100_f",
+      families = Set("ivf", "srp")))
+    val (_, tQ) = time(Similarity.writeAnnIndex(spark, e, "graft_i8100_q",
+      families = Set("ivf", "srp"), storage = "i8"))
+    def cellsBytes(name: String): Long = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), (name + "_cells").toLowerCase)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.getContentSummary(loc).getLength
+    }
+    val q = e.filter(col("vec_id") < 1000)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val (hitsF, tBatchF) = time(
+      Similarity.annIvfIndexed(spark, q, "graft_i8100_f")
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val (hitsQ, tBatchQ) = time(
+      Similarity.annIvfIndexed(spark, q, "graft_i8100_q")
+        .select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val overlap = (hitsF & hitsQ).size.toDouble / hitsF.size
+    println(f"I8100 vectors=$n f64_cells=${cellsBytes("graft_i8100_f")}%d B " +
+      f"i8_cells=${cellsBytes("graft_i8100_q")}%d B " +
+      f"build f64=$tF%.1f s i8=$tQ%.1f s batch1000 f64=$tBatchF%.1f s " +
+      f"i8=$tBatchQ%.1f s hit_overlap=$overlap%.3f")
+    assert(cellsBytes("graft_i8100_q") * 3 < cellsBytes("graft_i8100_f"),
+      "i8 cells not at least 3x smaller on disk")
+    assert(overlap >= 0.8, s"i8 vs f64 hit overlap $overlap below 0.8")
+    Seq("graft_i8100_f", "graft_i8100_q").foreach(n0 =>
+      Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $n0$sfx")))
   }
 
   /** ANN drift smoke (the round-7 judge's #3): build the index at 200k
