@@ -1223,6 +1223,23 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** BPE round-trip gate — the property that makes [[t29BpeEncode]]'s
+    * segmentation a TOKENIZER rather than a hash: decoding (strip the
+    * separators, concatenate the symbols) must reproduce every learned
+    * word byte-for-byte, for every word in the vocabulary, after all
+    * merge rounds. One row: the vocabulary size (DuckDB re-derives it
+    * as the distinct separator-free corpus tokens — the [[bpeLearnedWords]]
+    * universe) and the all-words-round-trip flag. A merge bug that
+    * dropped or duplicated a symbol flips the flag; a vocabulary bug
+    * (lost word) breaks the count. */
+  def t38BpeRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val (words, _) = bpeLearnedWords(s, dir)
+    words.agg(
+      count(lit(1)).cast("long").as("n_words"),
+      (count(when(translate(col("rep"), BpeSep, "") =!= col("word"), 1))
+        === 0).as("all_roundtrip"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -1261,6 +1278,7 @@ object TextAnalysis {
     "t35_stream_curate_gate" -> (t35StreamCurateGate _),
     "t36_contamination_report" -> (t36ContaminationReport _),
     "t37_domain_affinity" -> (t37DomainAffinity _),
+    "t38_bpe_roundtrip" -> (t38BpeRoundtrip _),
   )
 
   private val ChunkTokens = 64
@@ -1946,6 +1964,17 @@ object TextAnalysis {
          |ORDER BY u.eval_doc""".stripMargin,
     // e9 frequencies first (overflow-safe), then the capped smoothed
     // ratio — every step BIGINT on both sides
+    // vocabulary anchor: the learned-word universe is exactly the
+    // distinct separator-free corpus tokens; the round-trip flag is
+    // literal-true (a decode defect flips it engine-side)
+    "t38_bpe_roundtrip" ->
+      """SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_words,
+        |  true AS all_roundtrip
+        |FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents)
+        |WHERE NOT contains(w, chr(31))""".stripMargin,
     "t37_domain_affinity" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -619,6 +619,50 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_i8_lc$sfx"))
   }
 
+  test("retrain self-heals a crashed swap (live tables dropped, _rt twins left)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    val dim = 64
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(1000001L))
+            .cast("double") / 1000000.0 - 0.5).as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val corpus = gen(spark.range(100, 350).toDF("id"), 33)
+    val q = gen(spark.range(0, 5).toDF("id"), 77)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    try {
+      Similarity.writeAnnIndex(spark, corpus, "graft_heal", numBuckets = 4)
+      // simulate a swap that crashed mid-way: the tmp build completed,
+      // live _cells and _side were dropped, but the renames never ran
+      Similarity.writeAnnIndex(spark, corpus, "graft_heal_rt", numBuckets = 4)
+      Seq("_cells", "_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_heal$sfx"))
+      assert(!spark.catalog.tableExists("graft_heal_cells"))
+      // retrain's preamble must adopt the orphaned _rt twins, then the
+      // rebuild leaves a fully consistent artifact
+      Similarity.retrainAnnIndex(spark, "graft_heal", numBuckets = 4)
+      assert(spark.catalog.tableExists("graft_heal_cells"))
+      assert(!spark.catalog.tableExists("graft_heal_rt_cells"),
+        "tmp generation left behind after the healing retrain")
+      // post-heal answers equal a fresh rebuild's, every family
+      Similarity.writeAnnIndex(spark, corpus, "graft_heal_fresh", numBuckets = 4)
+      for ((fam, f) <- Seq[(String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame)](
+          "ivf" -> (Similarity.annIvfIndexed _),
+          "srp" -> (Similarity.annSrpIndexed _),
+          "pq" -> (Similarity.annPqIndexed _))) {
+        val a = f(spark, q, "graft_heal")
+        val b = f(spark, q, "graft_heal_fresh")
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert(diff == 0, s"$fam: healed != fresh by $diff rows")
+      }
+    } finally Seq("graft_heal", "graft_heal_rt", "graft_heal_fresh").foreach(n0 =>
+      Seq("_cells", "_srp", "_pq", "_side", "_rt_cells", "_rt_srp", "_rt_pq",
+        "_rt_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $n0$sfx")))
+  }
+
   test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
