@@ -577,6 +577,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r.length == 1 && r.head.getLong(0) == 10L)
     assert(r.head.getBoolean(1), "ivf recall through the i8 index below 0.6")
     assert(r.head.getBoolean(2), "srp recall through the i8 index below 0.6")
+    // the filtered families compose with i8 storage unchanged: the
+    // shared i8 artifact carries the label meta, and every hit through
+    // the filtered path shares its query's label
+    val labels = Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    val e8 = Tables.embeddings(spark, sf)
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(
+          org.apache.spark.sql.functions.col("embedding")).as("emb"),
+        org.apache.spark.sql.functions.col("label"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(
+        org.apache.spark.sql.functions.col("emb")))
+    val q8 = e8.filter(org.apache.spark.sql.functions.col("vec_id") < 10)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("emb").as("qe"),
+        org.apache.spark.sql.functions.col("nrm").as("qn"),
+        org.apache.spark.sql.functions.col("label").as("qlabel"))
+    val name8 = Similarity.sharedAnnIndex(spark, sf, storage = "i8")
+    val filtered = Similarity.annIvfFilteredIndexed(spark, q8, name8).collect()
+    assert(filtered.nonEmpty)
+    filtered.foreach { x =>
+      assert(labels(x.getLong(1)) == labels(x.getLong(0)),
+        s"i8 filtered hit ${x.getLong(1)} crossed query ${x.getLong(0)}'s label")
+    }
     // dedicated small i8 index for lifecycle mutation (the shared
     // artifact must stay pristine for the gates)
     val dim = 64
