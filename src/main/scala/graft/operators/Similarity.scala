@@ -437,20 +437,41 @@ object Similarity {
     * recall@5 ≥ 0.6 bounds (vs the hash-matched exact s01 baseline) into
     * the driver gate. Recall compares semi-join hit counts in integer
     * arithmetic — no floats anywhere. */
+  /** The five ANN family results (≤ 50 rows each), memoized per
+    * (session, dir, fixture fingerprint) — the d05/d16 shared-stage
+    * contract: s04 (recall flags) and s07 (inline equality sides) both
+    * consume the SAME family outputs, and each family's training is
+    * deterministic/order-invariant, so one materialized local relation
+    * serves every consumer. Retained state: five ~50-row row sets per
+    * fixture. The standalone s02/s03/s05/s09 registered queries do NOT
+    * go through this memo — their own bench/verify costs stay honest. */
+  private val familyMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), DataFrame]()
+  private def memoFamily(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame =
+    familyMemo.computeIfAbsent((s, dir, embFp(dir), key), { _ =>
+      val df = build
+      val rows = df.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    })
+
   def s04AnnRecallGate(s: SparkSession, dir: String): DataFrame = {
     // constructing s02/s05 runs their centroid/codebook training jobs
-    // (driver collect barriers) — overlap the four constructions; safe
-    // because the pipelines are disjoint and refine is order-invariant
+    // (driver collect barriers) — overlap the four constructions on a
+    // memo miss; safe because the pipelines are disjoint and refine is
+    // order-invariant
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
     val parts = Seq(
-      Future(s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))),
-      Future(s02AnnIvf(s, dir).select(col("query_id"), col("vec_id"))),
-      Future(s03AnnSrp(s, dir).select(col("query_id"), col("vec_id"))),
-      Future(s05AnnPq(s, dir).select(col("query_id"), col("vec_id"))),
-      Future(s09AnnIvfPq(s, dir).select(col("query_id"), col("vec_id"))))
+      "s01" -> (() => s01CosineTopK(s, dir)),
+      "s02" -> (() => s02AnnIvf(s, dir)),
+      "s03" -> (() => s03AnnSrp(s, dir)),
+      "s05" -> (() => s05AnnPq(s, dir)),
+      "s09" -> (() => s09AnnIvfPq(s, dir)))
+      .map { case (k, b) => Future(
+        memoFamily(s, dir, k)(b()).select(col("query_id"), col("vec_id"))) }
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     parts.collectFirst { case scala.util.Failure(e) => throw e }
     val Seq(exact, ivf, srp, pq, ivfpq) = parts.map(_.get)
@@ -769,20 +790,24 @@ object Similarity {
     * `_cells`/`_pq` are pass-through for the unfiltered query paths,
     * so s07's indexed ≡ inline equality contract is unaffected.
     * Synchronized: gates overlap internally with futures. */
+  /** Mtime+length fingerprint of the embeddings fixture — shared by the
+    * artifact names and the family-result memo so a driver-side
+    * regeneration invalidates both. */
+  private def embFp(dir: String): Long = {
+    val f = new java.io.File(dir, "embeddings.parquet")
+    if (!f.exists()) 0L
+    else if (f.isDirectory) {
+      val parts = Option(f.listFiles()).getOrElse(Array.empty)
+      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
+    } else f.lastModified() ^ f.length()
+  }
+
   private val sharedIndexLock = new Object
   private[graft] def sharedAnnIndex(s: SparkSession, dir: String,
       storage: String = "f64"): String =
     sharedIndexLock.synchronized {
-      def fp(nm: String): Long = {
-        val f = new java.io.File(dir, nm)
-        if (!f.exists()) 0L
-        else if (f.isDirectory) {
-          val parts = Option(f.listFiles()).getOrElse(Array.empty)
-          parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
-        } else f.lastModified() ^ f.length()
-      }
       val prefix = if (storage == "i8") "graft_shared_ann8_" else "graft_shared_ann_"
-      val name = prefix + java.lang.Long.toHexString(fp("embeddings.parquet"))
+      val name = prefix + java.lang.Long.toHexString(embFp(dir))
       if (!s.catalog.tableExists(name + "_cells")) {
         // retire older generations (stale fingerprints): catalog entry
         // AND warehouse location (the d13 LOCATION_ALREADY_EXISTS lesson
@@ -895,8 +920,8 @@ object Similarity {
         col("nrm").as("qn"), col("label").as("qlabel"))
     val idx = annIvfFilteredIndexed(s, q, name)
       .select(col("query_id"), col("vec_id")).cache()
-    val exact = s06FilteredTopK(s, dir)
-      .select(col("query_id"), col("vec_id")).cache()
+    val exact = memoFamily(s, dir, "s06")(s06FilteredTopK(s, dir))
+      .select(col("query_id"), col("vec_id"))
     val labels = e.select(col("vec_id"), col("label"))
     val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
     val violations = idx
@@ -965,8 +990,8 @@ object Similarity {
         col("nrm").as("qn"), col("label").as("qlabel"))
     val idx = annSrpFilteredIndexed(s, q, name)
       .select(col("query_id"), col("vec_id")).cache()
-    val exact = s06FilteredTopK(s, dir)
-      .select(col("query_id"), col("vec_id")).cache()
+    val exact = memoFamily(s, dir, "s06")(s06FilteredTopK(s, dir))
+      .select(col("query_id"), col("vec_id"))
     val labels = e.select(col("vec_id"), col("label"))
     val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
     val violations = idx
@@ -1002,7 +1027,8 @@ object Similarity {
     val e = withNorm(Tables.embeddings(s, dir))
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
-    val exact = s01CosineTopK(s, dir).select(col("query_id"), col("vec_id"))
+    val exact = memoFamily(s, dir, "s01")(s01CosineTopK(s, dir))
+      .select(col("query_id"), col("vec_id"))
     val ivf8 = annIvfIndexed(s, q, name).select(col("query_id"), col("vec_id"))
     val srp8 = annSrpIndexed(s, q, name).select(col("query_id"), col("vec_id"))
     val nExact = exact.agg(count(lit(1)).as("n_exact"))
@@ -1099,8 +1125,8 @@ object Similarity {
         col("nrm").as("qn"), col("label").as("qlabel"))
     val idx = annIvfPqFilteredIndexed(s, q, name)
       .select(col("query_id"), col("vec_id")).cache()
-    val exact = s06FilteredTopK(s, dir)
-      .select(col("query_id"), col("vec_id")).cache()
+    val exact = memoFamily(s, dir, "s06")(s06FilteredTopK(s, dir))
+      .select(col("query_id"), col("vec_id"))
     val labels = e.select(col("vec_id"), col("label"))
     val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
     val violations = idx
@@ -1136,15 +1162,17 @@ object Similarity {
     import scala.concurrent.duration.Duration
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.global
+    // inline sides through the shared family memo (the SAME results
+    // s04 consumes — deterministic training makes the reuse sound)
     val flags = Seq(
       Future(flag(annIvfIndexed(s, q, name),
-        s02AnnIvf(s, dir), "ivf_indexed_matches_inline")),
+        memoFamily(s, dir, "s02")(s02AnnIvf(s, dir)), "ivf_indexed_matches_inline")),
       Future(flag(annSrpIndexed(s, q, name),
-        s03AnnSrp(s, dir), "srp_indexed_matches_inline")),
+        memoFamily(s, dir, "s03")(s03AnnSrp(s, dir)), "srp_indexed_matches_inline")),
       Future(flag(annPqIndexed(s, q, name),
-        s05AnnPq(s, dir), "pq_indexed_matches_inline")),
+        memoFamily(s, dir, "s05")(s05AnnPq(s, dir)), "pq_indexed_matches_inline")),
       Future(flag(annIvfPqIndexed(s, q, name),
-        s09AnnIvfPq(s, dir), "ivfpq_indexed_matches_inline")))
+        memoFamily(s, dir, "s09")(s09AnnIvfPq(s, dir)), "ivfpq_indexed_matches_inline")))
       .map(f => scala.util.Try(Await.result(f, Duration.Inf)))
     flags.collectFirst { case scala.util.Failure(e) => throw e }
     flags.map(_.get).foldLeft(base)(_.crossJoin(_))
