@@ -78,4 +78,22 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** Mtime+length fingerprint of one fixture file (or parquet dir) —
+    * THE shared invalidation key for every session-lifetime memo over a
+    * fixture (cluster labels, ANN family results, shared artifacts,
+    * streaming-gate results): the driver CAN regenerate /root/testdata
+    * mid-round, and a memo keyed only by path would replay state
+    * computed from the OLD bytes against oracles reading the new ones.
+    * One definition, so a future strengthening (e.g., folding file
+    * NAMES in against same-second same-length aliasing) lands in every
+    * memo at once (round-8 review finding — four copies had grown). */
+  def fixtureFingerprint(dir: String, fileName: String): Long = {
+    val f = new java.io.File(dir, fileName)
+    if (!f.exists()) 0L
+    else if (f.isDirectory) {
+      val parts = Option(f.listFiles()).getOrElse(Array.empty)
+      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
+    } else f.lastModified() ^ f.length()
+  }
 }

@@ -439,14 +439,8 @@ object Dedup {
     * the driver CAN regenerate /root/testdata mid-round (CLAUDE.md), and
     * a memo keyed only by path would replay labels computed from the OLD
     * bytes against oracles reading the new ones. */
-  private def docsFingerprint(dir: String): Long = {
-    val f = new java.io.File(dir, "documents.parquet")
-    if (!f.exists()) 0L
-    else if (f.isDirectory) {
-      val parts = Option(f.listFiles()).getOrElse(Array.empty)
-      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
-    } else f.lastModified() ^ f.length()
-  }
+  private def docsFingerprint(dir: String): Long =
+    Tables.fixtureFingerprint(dir, "documents.parquet")
 
   private[graft] def minhashClusterLabels(s: SparkSession, dir: String): DataFrame =
     labelsMemo.computeIfAbsent((s, dir, docsFingerprint(dir)), { _ =>
@@ -549,14 +543,8 @@ object Dedup {
     * bulk of d19's cost; the policy joins downstream are cheap. */
   private val semLabelsMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
-  private def embFingerprint(dir: String): Long = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    if (!f.exists()) 0L
-    else if (f.isDirectory) {
-      val parts = Option(f.listFiles()).getOrElse(Array.empty)
-      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
-    } else f.lastModified() ^ f.length()
-  }
+  private def embFingerprint(dir: String): Long =
+    Tables.fixtureFingerprint(dir, "embeddings.parquet")
   private def semanticClusterLabels(s: SparkSession, dir: String): DataFrame =
     semLabelsMemo.computeIfAbsent((s, dir, embFingerprint(dir)), { _ =>
       clusterLabels(ivfNearDupPairs(d19Corpus(s, dir), DupCells, DupProbe, 0.9)

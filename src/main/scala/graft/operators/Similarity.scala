@@ -448,12 +448,19 @@ object Similarity {
   private val familyMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), DataFrame]()
   private def memoFamily(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame =
-    familyMemo.computeIfAbsent((s, dir, embFp(dir), key), { _ =>
+      build: => DataFrame): DataFrame = {
+    val k = (s, dir, embFp(dir), key)
+    // NOT computeIfAbsent: its per-bin lock would serialize concurrent
+    // multi-second trainings whose keys collide in a bin (s04 launches
+    // five at once — review finding). Compute outside the map; a lost
+    // publish race just discards a deterministic duplicate.
+    Option(familyMemo.get(k)).getOrElse {
       val df = build
-      val rows = df.collect()
-      s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-    })
+      val local = s.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), df.schema)
+      Option(familyMemo.putIfAbsent(k, local)).getOrElse(local)
+    }
+  }
 
   def s04AnnRecallGate(s: SparkSession, dir: String): DataFrame = {
     // constructing s02/s05 runs their centroid/codebook training jobs
@@ -654,12 +661,12 @@ object Similarity {
     // build-time staging, so routing stays consistent
     val isI8 = s.table(name + "_cells").columns.contains("emb8")
     val newVecs0 =
-      if (isI8)
-        newVecs.withColumn("emb8", quantizeInt8(col("emb"), quantScaleOf(s, name)))
-          .withColumn("emb", toDouble(dequantizeInt8(col("emb8"),
-            quantScaleOf(s, name))))
+      if (isI8) {
+        val qs = quantScaleOf(s, name)
+        newVecs.withColumn("emb8", quantizeInt8(col("emb"), qs))
+          .withColumn("emb", toDouble(dequantizeInt8(col("emb8"), qs)))
           .withColumn("nrm", l2Norm(col("emb")))
-      else newVecs
+      } else newVecs
     val embCol = if (isI8) col("emb8") else col("emb")
     withCell(newVecs0, cents)
       .select((Seq(col("cell"), col("vec_id"), embCol, col("nrm")) ++
@@ -750,7 +757,7 @@ object Similarity {
     * [[refine]]'s means are order-invariant, the retrained artifact is
     * bit-identical to a fresh [[writeAnnIndex]] over the same corpus —
     * SimilaritySpec's drift case asserts that equality exactly. */
-  def retrainAnnIndex(s: SparkSession, name: String, numBuckets: Int = 8): Unit = {
+  def retrainAnnIndex(s: SparkSession, name: String): Unit = {
     val sfxs = Seq("_cells", "_srp", "_pq", "_side")
     // self-heal a crashed prior swap: live missing + tmp present → adopt
     sfxs.foreach { sfx =>
@@ -758,10 +765,16 @@ object Similarity {
           s.catalog.tableExists(name + "_rt" + sfx))
         s.sql(s"ALTER TABLE `${name}_rt$sfx` RENAME TO `$name$sfx`")
     }
-    // storage kind persists across retrain: a raw schema probe (before
-    // the dequantizing reader) decides whether the rebuild re-quantizes
+    // EVERY layout property persists across retrain: storage kind from
+    // a raw schema probe (before the dequantizing reader), and the
+    // bucket count from the catalog's bucket spec — a caller-supplied
+    // count could silently rewrite the layout and break the NEXT
+    // append's matching-bucketBy contract (review finding)
     val isI8 = s.table(name + "_cells").columns.contains("emb8")
     val qs = if (isI8) quantScaleOf(s, name) else 0.005
+    val numBuckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name + "_cells"))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
     val cells = cellsTable(s, name)
     val meta = cells.columns.toSeq.filterNot(Set("cell", "vec_id", "emb", "nrm"))
     val families = Set("ivf") ++
@@ -793,14 +806,8 @@ object Similarity {
   /** Mtime+length fingerprint of the embeddings fixture — shared by the
     * artifact names and the family-result memo so a driver-side
     * regeneration invalidates both. */
-  private def embFp(dir: String): Long = {
-    val f = new java.io.File(dir, "embeddings.parquet")
-    if (!f.exists()) 0L
-    else if (f.isDirectory) {
-      val parts = Option(f.listFiles()).getOrElse(Array.empty)
-      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
-    } else f.lastModified() ^ f.length()
-  }
+  private def embFp(dir: String): Long =
+    Tables.fixtureFingerprint(dir, "embeddings.parquet")
 
   private val sharedIndexLock = new Object
   private[graft] def sharedAnnIndex(s: SparkSession, dir: String,
@@ -808,19 +815,20 @@ object Similarity {
     sharedIndexLock.synchronized {
       val prefix = if (storage == "i8") "graft_shared_ann8_" else "graft_shared_ann_"
       val name = prefix + java.lang.Long.toHexString(embFp(dir))
-      if (!s.catalog.tableExists(name + "_cells")) {
-        // retire older generations (stale fingerprints): catalog entry
-        // AND warehouse location (the d13 LOCATION_ALREADY_EXISTS lesson
-        // — and plain disk hygiene, these names never come back)
-        s.catalog.listTables().collect().map(_.name)
-          .filter(t => t.startsWith(prefix) && !t.startsWith(name))
-          .foreach { t =>
-            s.sql(s"DROP TABLE IF EXISTS `$t`")
-            val loc = new org.apache.hadoop.fs.Path(
-              s.conf.get("spark.sql.warehouse.dir"), t.toLowerCase)
-            val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-            if (fs.exists(loc)) fs.delete(loc, true)
-          }
+      // COMPLETENESS probe, not just liveness: `_side` is written last,
+      // after every family write is awaited, so its presence proves the
+      // whole build landed. A build that died between the _cells commit
+      // and the sidecar would otherwise poison every dependent gate for
+      // the session (review finding) — instead it is torn down and
+      // rebuilt here. Other fingerprints'/dirs' generations are left
+      // alone: one session legitimately serves several fixture dirs
+      // (tests, multi-SF users), and dropping a sibling generation
+      // would break lazily-returned frames still reading it (d20) and
+      // thrash the amortization; per-session generation garbage is
+      // bounded by the handful of fixtures a session touches.
+      val complete = s.catalog.tableExists(name + "_cells") &&
+        s.catalog.tableExists(name + "_side")
+      if (!complete) {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
           .withColumn("nrm", l2Norm(col("emb")))
@@ -862,8 +870,10 @@ object Similarity {
     val t = s.table(name + "_cells")
     if (!t.columns.contains("emb8")) t
     else t
+      // the stored nrm was computed from exactly this dequantized view
+      // at build time (writeAnnIndex's corpus0) — bit-identical, so
+      // re-deriving it would tax every indexed scan for nothing
       .withColumn("emb", toDouble(dequantizeInt8(col("emb8"), quantScaleOf(s, name))))
-      .withColumn("nrm", l2Norm(col("emb")))
       .drop("emb8")
   }
 
@@ -910,7 +920,13 @@ object Similarity {
     * pre-filter contract, checkable exactly since labels are integers —
     * and (b) recall@5 ≥ 0.6 against the EXACT filtered baseline (the
     * hash-gated s06), via integer hit-count comparison. */
-  def s08FilteredIndexGate(s: SparkSession, dir: String): DataFrame = {
+  /** Shared body of the three filtered-search gates (s08/s10/s11 —
+    * review finding: three near-identical copies had grown): build/find
+    * the shared artifact, run `indexedFn`'s filtered path, and emit the
+    * one-row (n_queries, all_hits_share_label, recall_ge_60) contract
+    * vs the memoized exact-filtered s06 baseline. */
+  private def filteredGate(s: SparkSession, dir: String,
+      indexedFn: (SparkSession, DataFrame, String) => DataFrame): DataFrame = {
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
       .withColumn("nrm", l2Norm(col("emb")))
@@ -918,7 +934,7 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"),
         col("nrm").as("qn"), col("label").as("qlabel"))
-    val idx = annIvfFilteredIndexed(s, q, name)
+    val idx = indexedFn(s, q, name)
       .select(col("query_id"), col("vec_id")).cache()
     val exact = memoFamily(s, dir, "s06")(s06FilteredTopK(s, dir))
       .select(col("query_id"), col("vec_id"))
@@ -937,6 +953,9 @@ object Similarity {
         (col("n_viol") === 0).as("all_hits_share_label"),
         (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
   }
+
+  def s08FilteredIndexGate(s: SparkSession, dir: String): DataFrame =
+    filteredGate(s, dir, annIvfFilteredIndexed)
 
   /** SRP top-k from the artifact: hamming-rank the narrow `_srp` table,
     * rerank survivors against `_cells`' full vectors. */
@@ -980,33 +999,8 @@ object Similarity {
   /** Driver gate for filtered SRP search (the s08/s10 flag pattern):
     * label consistency exact, recall@5 ≥ 0.6 vs the hash-gated exact
     * filtered baseline, integer arithmetic only. */
-  def s11FilteredSrpGate(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
-      .withColumn("nrm", l2Norm(col("emb")))
-    val name = sharedAnnIndex(s, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-        col("nrm").as("qn"), col("label").as("qlabel"))
-    val idx = annSrpFilteredIndexed(s, q, name)
-      .select(col("query_id"), col("vec_id")).cache()
-    val exact = memoFamily(s, dir, "s06")(s06FilteredTopK(s, dir))
-      .select(col("query_id"), col("vec_id"))
-    val labels = e.select(col("vec_id"), col("label"))
-    val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
-    val violations = idx
-      .join(labels, Seq("vec_id")).join(qLabels, Seq("query_id"))
-      .filter(col("label") =!= col("qlabel"))
-      .agg(count(lit(1)).as("n_viol"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = idx.join(exact, Seq("query_id", "vec_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    q.agg(count(lit(1)).cast("long").as("n_queries"))
-      .crossJoin(violations).crossJoin(nExact).crossJoin(nHit)
-      .select(col("n_queries"),
-        (col("n_viol") === 0).as("all_hits_share_label"),
-        (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
-  }
+  def s11FilteredSrpGate(s: SparkSession, dir: String): DataFrame =
+    filteredGate(s, dir, annSrpFilteredIndexed)
 
   /** Driver gate for the INT8-storage index (the s04 flag pattern):
     * build the quantized artifact (1 byte/dim `_cells` + sidecar
@@ -1115,33 +1109,8 @@ object Similarity {
     * the `_pq` table instead of `_cells`): one row asserting every hit
     * shares its query's label AND recall@5 ≥ 0.6 vs the EXACT filtered
     * baseline (the hash-gated s06) — integer arithmetic only. */
-  def s10FilteredIvfPqGate(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(s, dir)
-      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
-      .withColumn("nrm", l2Norm(col("emb")))
-    val name = sharedAnnIndex(s, dir)
-    val q = e.filter(col("vec_id") < 10)
-      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
-        col("nrm").as("qn"), col("label").as("qlabel"))
-    val idx = annIvfPqFilteredIndexed(s, q, name)
-      .select(col("query_id"), col("vec_id")).cache()
-    val exact = memoFamily(s, dir, "s06")(s06FilteredTopK(s, dir))
-      .select(col("query_id"), col("vec_id"))
-    val labels = e.select(col("vec_id"), col("label"))
-    val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
-    val violations = idx
-      .join(labels, Seq("vec_id")).join(qLabels, Seq("query_id"))
-      .filter(col("label") =!= col("qlabel"))
-      .agg(count(lit(1)).as("n_viol"))
-    val nExact = exact.agg(count(lit(1)).as("n_exact"))
-    val nHit = idx.join(exact, Seq("query_id", "vec_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    q.agg(count(lit(1)).cast("long").as("n_queries"))
-      .crossJoin(violations).crossJoin(nExact).crossJoin(nHit)
-      .select(col("n_queries"),
-        (col("n_viol") === 0).as("all_hits_share_label"),
-        (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
-  }
+  def s10FilteredIvfPqGate(s: SparkSession, dir: String): DataFrame =
+    filteredGate(s, dir, annIvfPqFilteredIndexed)
 
   def s07AnnIndexGate(s: SparkSession, dir: String): DataFrame = {
     val e = withNorm(Tables.embeddings(s, dir))

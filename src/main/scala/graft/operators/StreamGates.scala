@@ -34,24 +34,27 @@ object StreamGates {
   /** Mtime+length fingerprint over BOTH fixture tables the gates read
     * (documents for d12/t35, embeddings for d18) — the driver can
     * regenerate /root/testdata mid-round. */
-  private def fingerprint(dir: String): Long = {
-    def fp(nm: String): Long = {
-      val f = new java.io.File(dir, nm)
-      if (!f.exists()) 0L
-      else if (f.isDirectory) {
-        val parts = Option(f.listFiles()).getOrElse(Array.empty)
-        parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
-      } else f.lastModified() ^ f.length()
-    }
-    fp("documents.parquet") ^ java.lang.Long.rotateLeft(fp("embeddings.parquet"), 17)
-  }
+  private def fingerprint(dir: String): Long =
+    graft.Tables.fixtureFingerprint(dir, "documents.parquet") ^
+      java.lang.Long.rotateLeft(
+        graft.Tables.fixtureFingerprint(dir, "embeddings.parquet"), 17)
 
   def d12(s: SparkSession, dir: String): DataFrame = get(s, dir).d12
   def d18(s: SparkSession, dir: String): DataFrame = get(s, dir).d18
   def t35(s: SparkSession, dir: String): DataFrame = get(s, dir).t35
 
-  private def get(s: SparkSession, dir: String): Results =
-    memo.computeIfAbsent((s, dir, fingerprint(dir)), { _ =>
+  private def get(s: SparkSession, dir: String): Results = {
+    val k = (s, dir, fingerprint(dir))
+    // not computeIfAbsent: the multi-second concurrent build must not
+    // run under the map's bin lock (review finding); a lost publish
+    // race just re-derives the same deterministic rows
+    Option(memo.get(k)).getOrElse {
+      val built = build(s, dir)
+      Option(memo.putIfAbsent(k, built)).getOrElse(built)
+    }
+  }
+
+  private def build(s: SparkSession, dir: String): Results = {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: scala.concurrent.ExecutionContext =
@@ -67,5 +70,5 @@ object StreamGates {
       parts.collectFirst { case scala.util.Failure(e) => throw e }
       val Seq(rd12, rd18, rt35) = parts.map(_.get)
       Results(rd12, rd18, rt35)
-    })
+  }
 }

@@ -454,7 +454,7 @@ class SimilaritySpec extends SparkSpec {
       }
       val pqBefore = recallOf(Similarity.annPqIndexed(spark, q, "graft_ann_drift"))
       val ivfBefore = recallOf(Similarity.annIvfIndexed(spark, q, "graft_ann_drift"))
-      Similarity.retrainAnnIndex(spark, "graft_ann_drift", numBuckets = 4)
+      Similarity.retrainAnnIndex(spark, "graft_ann_drift")
       val pqAfter = recallOf(Similarity.annPqIndexed(spark, q, "graft_ann_drift"))
       val ivfAfter = recallOf(Similarity.annIvfIndexed(spark, q, "graft_ann_drift"))
       info(f"drift recall@5 pq: before=$pqBefore%.2f after=$pqAfter%.2f; " +
@@ -630,7 +630,7 @@ class SimilaritySpec extends SparkSpec {
         .filter(col("sim_e6") >= 999000L).collect().map(_.getLong(1)).toSeq
       assert(topIds().sorted == Seq(100L, 50100L), s"after append: ${topIds()}")
       // retrain preserves the i8 storage kind and the matches
-      Similarity.retrainAnnIndex(spark, "graft_i8_lc", numBuckets = 4)
+      Similarity.retrainAnnIndex(spark, "graft_i8_lc")
       assert(spark.table("graft_i8_lc_cells").schema.fieldNames.contains("emb8"),
         "retrain lost the i8 storage kind")
       assert(topIds().sorted == Seq(100L, 50100L), s"after retrain: ${topIds()}")
@@ -667,7 +667,7 @@ class SimilaritySpec extends SparkSpec {
       assert(!spark.catalog.tableExists("graft_heal_cells"))
       // retrain's preamble must adopt the orphaned _rt twins, then the
       // rebuild leaves a fully consistent artifact
-      Similarity.retrainAnnIndex(spark, "graft_heal", numBuckets = 4)
+      Similarity.retrainAnnIndex(spark, "graft_heal")
       assert(spark.catalog.tableExists("graft_heal_cells"))
       assert(!spark.catalog.tableExists("graft_heal_rt_cells"),
         "tmp generation left behind after the healing retrain")
