@@ -688,6 +688,34 @@ class SimilaritySpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $n0$sfx")))
   }
 
+  test("shared artifact: an incomplete build self-heals; sibling generations coexist") {
+    import org.apache.spark.sql.functions.col
+    val name = Similarity.sharedAnnIndex(spark, sf)
+    // simulate a build that died between the family writes and the
+    // sidecar: _side missing must NOT poison later calls (the probe is
+    // completeness, not _cells liveness)
+    spark.sql(s"DROP TABLE IF EXISTS ${name}_side")
+    val healed = Similarity.sharedAnnIndex(spark, sf)
+    assert(healed == name)
+    assert(spark.catalog.tableExists(name + "_side"), "rebuild did not restore the sidecar")
+    // the i8 generation coexists with the f64 one — building one must
+    // not drop the other (multi-dir/multi-storage sessions are normal)
+    val name8 = Similarity.sharedAnnIndex(spark, sf, storage = "i8")
+    assert(name8 != name)
+    assert(spark.catalog.tableExists(name + "_cells") &&
+      spark.catalog.tableExists(name8 + "_cells"),
+      "building one storage generation dropped the other")
+    // both stay queryable
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    assert(Similarity.annIvfIndexed(spark, q, name).count() > 0)
+    assert(Similarity.annIvfIndexed(spark, q, name8).count() > 0)
+  }
+
   test("filtered top-k: every neighbor shares its query's label, never beats unfiltered") {
     val labels = Tables.embeddings(spark, sf)
       .select("vec_id", "label").collect()
