@@ -35,7 +35,7 @@ object Plans {
     "d14_duplicate_spans" -> "linear span dedup: 24-byte hashed-gram count shuffle, flagged-position doc-islands shuffle (stacked windows, one sort), span groupBy reuses doc partitioning — no pair join anywhere",
     "d17_incremental_spans" -> "incremental span dedup: delta gram counts merge against the PERSISTED bucketed gram table (Bucketed: true scan, zero corpus-side Exchange) — the corpus is never re-tokenized",
     "s06_filtered_topk" -> "filtered vector search through the bounded-heap operator: label-predicate broadcast join, partial+final TopKPerKey, rank window only over the reduced q×k rows",
-    "s07_ann_index_gate" -> "persisted ANN index gate: three indexed families answer from Bucketed: true table scans (probes/candidates broadcast; zero index-side Exchange), exceptAll parity vs the inline recomputations",
+    "s07_ann_index_gate" -> "persisted ANN index gate: four indexed families answer from Bucketed: true table scans (probes/candidates broadcast; zero index-side Exchange), exceptAll parity vs the memoized family results (local relations — the shared-stage memo)",
     "t24_model_quality" -> "model-scored quality filter: one narrow scan + projection, integer logit and decision inside WholeStageCodegen — no shuffle but the output sort",
     "t25_train_order" -> "deterministic training order: per-shard pack + shuffle-key windows (no SinglePartition stage), round-robin interleave is a map-side formula",
     "t26_semantic_decontaminate" -> "semantic decontamination: eval vectors broadcast (BroadcastNestedLoopJoin), corpus scored map-side, only e6-floored integer hits reach the partial+final agg",
