@@ -1223,6 +1223,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** HYBRID retrieval — BM25 text leg + exact-cosine vector leg fused
+    * by reciprocal-rank fusion (Cormack et al. 2009, the RRF every
+    * production RAG stack runs): per query (docs/vecs < 10 — the
+    * fixture aligns doc_id and vec_id), rank the corpus top-20 by
+    * per-query-term BM25 ([[t12Bm25]]'s exact formula, cross-engine
+    * parity already driver-proven) and top-20 by cosine (s01's), then
+    * fuse with Σ 1e6 div (60 + rank) and keep the fused top-10.
+    *
+    * The float-order trap this avoids: summing BM25 term scores as
+    * DOUBLES across a VARIABLE per-query term set is
+    * accumulation-order nondeterministic (the q41/q51 lesson) — so
+    * each per-term double (bit-identical cross-engine, the t12
+    * discipline) is e6-floored to BIGINT FIRST and the per-(query,
+    * doc) sum is integer. Ranks, RRF contributions, and the fused
+    * score are integers end to end. Legs rank top-20 before fusing
+    * (standard RRF-over-candidate-lists); a doc missing from one leg
+    * contributes only its other leg's term. */
+  def t39HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val t = Tables.documents(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val corpusT = t.filter(col("doc_id") >= 10)
+    val qTerms = t.filter(col("doc_id") < 10)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(col("toks"))).as("term"))
+    val n = corpusT.select(count(lit(1)).cast("double").as("nd"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    val tf = corpusT.select(col("doc_id"), explode(col("toks")).as("term"))
+      .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+    val c = tf.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val dlen = corpusT.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+    val dfT = tf.distinct().groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val perTerm = broadcast(qTerms).join(c, Seq("term"))
+      .join(dlen, "doc_id").join(broadcast(dfT), "term")
+      .crossJoin(broadcast(n))
+      // identical literal tree to t12's (proven bit-parity), floored to
+      // BIGINT per term BEFORE the per-(query, doc) sum
+      .select(col("query_id"), col("doc_id"),
+        floor((log(lit(1.0) + (col("nd") - col("df") + 0.5) / (col("df") + 0.5)) *
+          ((col("c") * lit(2.2)) /
+            (col("c") + lit(Bm25K1) * (lit(0.25) + lit(Bm25B) * col("dl") / col("avgdl")))))
+          * 1000000.0 + 0.5).cast("long").as("s_e6"))
+    val textScore = perTerm.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("s_e6")).as("bm_e6"))
+    val wT = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm_e6").desc, col("doc_id"))
+    val textRank = textScore.withColumn("rnk", row_number().over(wT))
+      .filter(col("rnk") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+    val qv = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val cv = e.filter(col("vec_id") >= 10)
+    val wV = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_e6").desc, col("doc_id"))
+    val vecRank = cv.join(broadcast(qv))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        floor(VectorFunctions.cosineWithNorms(col("qe"), col("emb"),
+          col("qn"), col("nrm")) * 1000000.0 + 0.5).cast("long").as("sim_e6"))
+      .withColumn("rnk", row_number().over(wV))
+      .filter(col("rnk") <= 20)
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val fused = textRank.unionByName(vecRank)
+      .select(col("query_id"), col("doc_id"),
+        expr("1000000 div (60 + rnk)").as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("rrf_e6"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    fused.withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 10)
+      .orderBy("query_id", "rank")
+  }
+
   /** BPE round-trip gate — the property that makes [[t29BpeEncode]]'s
     * segmentation a TOKENIZER rather than a hash: decoding (strip the
     * separators, concatenate the symbols) must reproduce every learned
@@ -1279,6 +1355,7 @@ object TextAnalysis {
     "t36_contamination_report" -> (t36ContaminationReport _),
     "t37_domain_affinity" -> (t37DomainAffinity _),
     "t38_bpe_roundtrip" -> (t38BpeRoundtrip _),
+    "t39_hybrid_rrf" -> (t39HybridRrf _),
   )
 
   private val ChunkTokens = 64
@@ -1964,6 +2041,62 @@ object TextAnalysis {
          |ORDER BY u.eval_doc""".stripMargin,
     // e9 frequencies first (overflow-safe), then the capped smoothed
     // ratio — every step BIGINT on both sides
+    // full pipeline reproduced brute-force: per-term BM25 e6-floored to
+    // BIGINT before the variable-arity sum (order-invariant), integer
+    // RRF over both legs' top-20 ranks
+    "t39_hybrid_rrf" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |ct AS (SELECT * FROM t WHERE doc_id >= 10),
+        |qt AS (
+        |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS term
+        |  FROM t WHERE doc_id < 10),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd,
+        |        avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM ct),
+        |tf AS (
+        |  SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM ct)
+        |  WHERE term IN (SELECT DISTINCT term FROM qt)),
+        |c AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c FROM tf GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM ct),
+        |dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT qt.query_id, c.doc_id,
+        |    CAST(floor((ln(1.0 + (n.nd - dft.df + 0.5) / (dft.df + 0.5)) *
+        |      ((c.c * 2.2) / (c.c + 1.2 * (0.25 + 0.75 * dlen.dl / n.avgdl))))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS s_e6
+        |  FROM qt JOIN c ON qt.term = c.term
+        |  JOIN dlen ON c.doc_id = dlen.doc_id
+        |  JOIN dft ON c.term = dft.term CROSS JOIN n),
+        |ts AS (SELECT query_id, doc_id, CAST(sum(s_e6) AS BIGINT) AS bm_e6
+        |       FROM sc GROUP BY 1, 2),
+        |tr AS (SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY bm_e6 DESC, doc_id) AS rnk
+        |       FROM ts QUALIFY rnk <= 20),
+        |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |vs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    CAST(floor(list_cosine_similarity(q.emb, c.emb) * 1000000.0 + 0.5)
+        |      AS BIGINT) AS sim_e6
+        |  FROM (SELECT * FROM v WHERE vec_id < 10) q
+        |  CROSS JOIN (SELECT * FROM v WHERE vec_id >= 10) c),
+        |vr AS (SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY sim_e6 DESC, doc_id) AS rnk
+        |       FROM vs QUALIFY rnk <= 20),
+        |legs AS (SELECT query_id, doc_id, 1000000 // (60 + rnk) AS contrib FROM tr
+        |         UNION ALL
+        |         SELECT query_id, doc_id, 1000000 // (60 + rnk) FROM vr),
+        |f AS (SELECT query_id, doc_id, CAST(sum(contrib) AS BIGINT) AS rrf_e6
+        |      FROM legs GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, rrf_e6,
+        |        CAST(row_number() OVER (PARTITION BY query_id
+        |          ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank
+        |      FROM f)
+        |SELECT query_id, doc_id, rrf_e6, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // vocabulary anchor: the learned-word universe is exactly the
     // distinct separator-free corpus tokens; the round-trip flag is
     // literal-true (a decode defect flips it engine-side)

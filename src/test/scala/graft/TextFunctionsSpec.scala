@@ -430,6 +430,34 @@ class TextFunctionsSpec extends SparkSpec {
     assert(rx > (rx + rz) / 2 && (rx + rz) / 2 > rz)
   }
 
+  test("t39 hybrid RRF: contiguous fused ranks, contributions bounded, both-leg docs sum both") {
+    import org.apache.spark.sql.functions.col
+    val rows = graft.operators.TextAnalysis.t39HybridRrf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    // per query: <= 10 rows, ranks contiguous from 1, fused scores
+    // non-increasing along ranks
+    rows.groupBy(_._1).foreach { case (qid, rs) =>
+      val sorted = rs.sortBy(_._4)
+      assert(sorted.map(_._4).toSeq == (1L to rs.length), s"q$qid ranks")
+      val scores = sorted.map(_._3).toSeq
+      assert(scores == scores.sorted.reverse, s"q$qid fused scores not sorted")
+    }
+    // RRF contribution bounds: one leg gives at most 1e6 div 61 = 16393
+    // (rank 1) and at least 1e6 div 80 = 12500 (rank 20); a fused score
+    // above one leg's max PROVES the doc appeared in both legs, and
+    // nothing can exceed two rank-1 contributions
+    val oneLegMax = 1000000L / 61
+    rows.foreach { case (_, doc, rrf, _) =>
+      assert(rrf <= 2 * oneLegMax, s"doc $doc rrf $rrf above two rank-1 legs")
+      assert(rrf >= 1000000L / 80, s"doc $doc rrf $rrf below one rank-20 leg")
+    }
+    // the fixture plants real overlap: at least one fused hit must have
+    // come from BOTH legs (text + vector agree on some neighbor)
+    assert(rows.exists(_._3 > oneLegMax),
+      "no document fused from both legs anywhere — legs look disjoint")
+  }
+
   test("t35 streaming curation gate equals the batch admission counts") {
     val docs = graft.Tables.documents(spark, sf).filter(col("doc_id") < 1000)
     val keepIds = graft.operators.TextAnalysis.piiRedact(docs)
