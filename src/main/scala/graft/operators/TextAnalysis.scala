@@ -1240,6 +1240,18 @@ object TextAnalysis {
     * score are integers end to end. Legs rank top-20 before fusing
     * (standard RRF-over-candidate-lists); a doc missing from one leg
     * contributes only its other leg's term. */
+  /** A retrieval leg's per-query top-20 (scoreCol desc, doc_id asc)
+    * through the bounded-heap operator, rank recomputed over the
+    * reduced rows. */
+  private def legTop20(scored: DataFrame, scoreCol: String): DataFrame = {
+    val top = org.apache.spark.sql.graft.relations.topKPerKey(
+      scored, Seq("query_id"), Seq((scoreCol, false), ("doc_id", true)), 20)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col(scoreCol).desc, col("doc_id"))
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+  }
+
   def t39HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val t = Tables.documents(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -1267,26 +1279,23 @@ object TextAnalysis {
           * 1000000.0 + 0.5).cast("long").as("s_e6"))
     val textScore = perTerm.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("s_e6")).as("bm_e6"))
-    val wT = Window.partitionBy(col("query_id"))
-      .orderBy(col("bm_e6").desc, col("doc_id"))
-    val textRank = textScore.withColumn("rnk", row_number().over(wT))
-      .filter(col("rnk") <= 20)
-      .select(col("query_id"), col("doc_id"), col("rnk"))
+    // leg top-20 via the bounded-heap operator (the s01 lesson: with few
+    // queries over a huge corpus a row_number window funnels the whole
+    // scored table through |queries| partitions); the contiguous rank is
+    // recomputed by a window over the ≤ 20·q surviving rows — bit-equal
+    // because (score desc, doc_id) is a total order
+    val textRank = legTop20(textScore, "bm_e6")
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
     val qv = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val cv = e.filter(col("vec_id") >= 10)
-    val wV = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_e6").desc, col("doc_id"))
-    val vecRank = cv.join(broadcast(qv))
+    val vecScore = cv.join(broadcast(qv))
       .select(col("query_id"), col("vec_id").as("doc_id"),
         floor(VectorFunctions.cosineWithNorms(col("qe"), col("emb"),
           col("qn"), col("nrm")) * 1000000.0 + 0.5).cast("long").as("sim_e6"))
-      .withColumn("rnk", row_number().over(wV))
-      .filter(col("rnk") <= 20)
-      .select(col("query_id"), col("doc_id"), col("rnk"))
+    val vecRank = legTop20(vecScore, "sim_e6")
     val fused = textRank.unionByName(vecRank)
       .select(col("query_id"), col("doc_id"),
         expr("1000000 div (60 + rnk)").as("contrib"))

@@ -238,6 +238,18 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("t39: both retrieval legs cut through the bounded-heap operator, not corpus windows") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val exec = TextAnalysis.t39HybridRrf(spark, sf).queryExecution.executedPlan
+      val p = exec.toString
+      // text and vector legs each run partial+final heaps; windows only
+      // rank the reduced <= 20*q rows and the fused <= 40*q rows
+      assert("TopKPerKeyPartial".r.findAllIn(p).size >= 2,
+        "a leg ranks without the bounded heap:\n" + p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("t33: LM tables broadcast; the token stream shuffles only for the per-doc mean") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
