@@ -49,7 +49,8 @@ object Plans {
     "t36_contamination_report" -> "eval-side contamination report: eval grams broadcast into both training-stream joins, per-eval aggregates map-combined — training corpus never shuffles raw text",
     "d19_semantic_dedup" -> "SemDeDup: IVF cell-key equi-join candidates → exact cosine ≥ τ verify → pointer-jumping components → keep-best-norm canonical — never all-pairs, policy is one map-combined aggregate",
     "d20_incr_semantic" -> "incremental semantic dedup: delta probes broadcast into the shared PERSISTED index's Bucketed: true _cells scan — corpus never re-pairs, cost scales with the delta",
-    "s10_filtered_ivfpq_gate" -> "filtered IVF-PQ: label rides the (cell, label) probe join against the Bucketed: true _pq codes scan — non-matching vectors never get an ADC fold, only probed cells' codes read")
+    "s10_filtered_ivfpq_gate" -> "filtered IVF-PQ: label rides the (cell, label) probe join against the Bucketed: true _pq codes scan — non-matching vectors never get an ADC fold, only probed cells' codes read",
+    "t39_hybrid_rrf" -> "hybrid BM25+vector RRF: query terms/vectors broadcast, per-term scores e6-floored before the integer sum, both legs cut top-20 through partial+final bounded heaps, windows only rank reduced rows")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
