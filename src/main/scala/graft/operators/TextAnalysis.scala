@@ -1239,7 +1239,17 @@ object TextAnalysis {
     * doc) sum is integer. Ranks, RRF contributions, and the fused
     * score are integers end to end. Legs rank top-20 before fusing
     * (standard RRF-over-candidate-lists); a doc missing from one leg
-    * contributes only its other leg's term. */
+    * contributes only its other leg's term.
+    *
+    * Scale: query terms, df, and the corpus stats broadcast; the only
+    * corpus-keyed shuffles are the two leg score aggregates, and both
+    * legs cut top-20 through the bounded-heap operator (plan-pinned)
+    * so no window ever sees the full scored corpus. At 100 TB the
+    * vector leg swaps for [[Similarity.annIvfIndexed]] over the shared
+    * artifact (identical (query_id, doc_id, rnk) contract — RRF fuses
+    * rank lists, so the legs are drop-in) and the text leg reads a
+    * pre-built inverted index; the fixture-scale exact legs are what
+    * make the query hash-ORACLEABLE. */
   /** A retrieval leg's per-query top-20 (scoreCol desc, doc_id asc)
     * through the bounded-heap operator, rank recomputed over the
     * reduced rows. */
