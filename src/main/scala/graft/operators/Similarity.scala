@@ -106,13 +106,24 @@ object Similarity {
     * contract `rank` column recomputed by a window over the ≤ q×k
     * surviving rows. Bit-equal to the old row_number formulation because
     * (sim desc, vec_id asc) is a total order. */
-  private def topKWithRank(sims: DataFrame): DataFrame = {
-    val top = org.apache.spark.sql.graft.relations.topKPerKey(
-      sims, Seq("query_id"), Seq(("sim_e6", false), ("vec_id", true)), TopK)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_e6").desc, col("vec_id"))
-    top.withColumn("rank", row_number().over(w).cast("long"))
+  private def topKWithRank(sims: DataFrame): DataFrame =
+    heapRanked(sims, "query_id", "sim_e6", "vec_id", TopK, "rank")
+      .withColumn("rank", col("rank").cast("long"))
       .orderBy("query_id", "rank")
+
+  /** The ONE bounded-heap-then-rank idiom (round-8 review: two copies
+    * had grown — here and t39's retrieval legs): per-`key` top-`k` by
+    * (`scoreCol` desc, `idCol` asc) through the partial+final heap
+    * operator, with the contiguous `rankCol` recomputed by a window
+    * over the reduced ≤ key-count × k rows — bit-equal to a full
+    * row_number formulation because the order is total. */
+  private[operators] def heapRanked(df: DataFrame, key: String,
+      scoreCol: String, idCol: String, k: Int, rankCol: String): DataFrame = {
+    val top = org.apache.spark.sql.graft.relations.topKPerKey(
+      df, Seq(key), Seq((scoreCol, false), (idCol, true)), k)
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    top.withColumn(rankCol, row_number().over(w))
   }
 
   /** The `n` nearest cell ids for a vector, nearest first: sort

@@ -1223,6 +1223,12 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** A retrieval leg's per-query top-20 (scoreCol desc, doc_id asc):
+    * [[Similarity.heapRanked]], projected to the leg contract. */
+  private def legTop20(scored: DataFrame, scoreCol: String): DataFrame =
+    Similarity.heapRanked(scored, "query_id", scoreCol, "doc_id", 20, "rnk")
+      .select(col("query_id"), col("doc_id"), col("rnk"))
+
   /** HYBRID retrieval — BM25 text leg + exact-cosine vector leg fused
     * by reciprocal-rank fusion (Cormack et al. 2009, the RRF every
     * production RAG stack runs): per query (docs/vecs < 10 — the
@@ -1250,18 +1256,6 @@ object TextAnalysis {
     * rank lists, so the legs are drop-in) and the text leg reads a
     * pre-built inverted index; the fixture-scale exact legs are what
     * make the query hash-ORACLEABLE. */
-  /** A retrieval leg's per-query top-20 (scoreCol desc, doc_id asc)
-    * through the bounded-heap operator, rank recomputed over the
-    * reduced rows. */
-  private def legTop20(scored: DataFrame, scoreCol: String): DataFrame = {
-    val top = org.apache.spark.sql.graft.relations.topKPerKey(
-      scored, Seq("query_id"), Seq((scoreCol, false), ("doc_id", true)), 20)
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col(scoreCol).desc, col("doc_id"))
-    top.withColumn("rnk", row_number().over(w))
-      .select(col("query_id"), col("doc_id"), col("rnk"))
-  }
-
   def t39HybridRrf(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val t = Tables.documents(s, dir).select(col("doc_id"), tokens(col("text")).as("toks"))
@@ -2058,8 +2052,6 @@ object TextAnalysis {
          |FROM u LEFT JOIN leak USING (eval_doc) LEFT JOIN srcs USING (eval_doc)
          |  LEFT JOIN top USING (eval_doc)
          |ORDER BY u.eval_doc""".stripMargin,
-    // e9 frequencies first (overflow-safe), then the capped smoothed
-    // ratio — every step BIGINT on both sides
     // full pipeline reproduced brute-force: per-term BM25 e6-floored to
     // BIGINT before the variable-arity sum (order-invariant), integer
     // RRF over both legs' top-20 ranks
@@ -2127,6 +2119,8 @@ object TextAnalysis {
         |    x -> len(x) > 0)) AS w
         |  FROM documents)
         |WHERE NOT contains(w, chr(31))""".stripMargin,
+    // e9 frequencies first (overflow-safe), then the capped smoothed
+    // ratio — every step BIGINT on both sides
     "t37_domain_affinity" ->
       """WITH t AS (
         |  SELECT doc_id,

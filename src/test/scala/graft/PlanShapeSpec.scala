@@ -247,6 +247,11 @@ class PlanShapeSpec extends SparkSpec {
       // rank the reduced <= 20*q rows and the fused <= 40*q rows
       assert("TopKPerKeyPartial".r.findAllIn(p).size >= 2,
         "a leg ranks without the bounded heap:\n" + p)
+      // the negative half of the contract (review): exactly the three
+      // reduced-row rank windows — a corpus-sized WindowExec sneaking
+      // back beside the heaps would raise this count
+      assert("\\bWindow\\b".r.findAllIn(p).size == 3,
+        "expected exactly the two leg-rank + one fused-rank windows:\n" + p)
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
