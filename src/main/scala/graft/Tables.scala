@@ -79,21 +79,33 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
-  /** Mtime+length fingerprint of one fixture file (or parquet dir) —
-    * THE shared invalidation key for every session-lifetime memo over a
-    * fixture (cluster labels, ANN family results, shared artifacts,
+  /** Mtime+length+name fingerprint of one fixture file (or parquet dir)
+    * — THE shared invalidation key for every session-lifetime memo over
+    * a fixture (cluster labels, ANN family results, shared artifacts,
     * streaming-gate results): the driver CAN regenerate /root/testdata
     * mid-round, and a memo keyed only by path would replay state
     * computed from the OLD bytes against oracles reading the new ones.
-    * One definition, so a future strengthening (e.g., folding file
-    * NAMES in against same-second same-length aliasing) lands in every
-    * memo at once (round-8 review finding — four copies had grown). */
+    * One definition, so every memo strengthens at once.
+    *
+    * The fold is an FNV-1a-style 64-bit mixing hash over (part count,
+    * then per part: name, mtime, length) in sorted-name order — NOT a
+    * bare XOR of (mtime ^ length): XOR is order- and duplicate-
+    * insensitive (two parts with equal mtime^length cancel to zero),
+    * and a regeneration preserving per-part sizes within mtime
+    * granularity would collide, silently replaying stale memo state
+    * against new oracle bytes (round-8 ADVICE). */
   def fixtureFingerprint(dir: String, fileName: String): Long = {
+    def mix(h: Long, v: Long): Long = (h ^ v) * 0x100000001b3L
+    def mixStr(h: Long, s: String): Long =
+      s.foldLeft(mix(h, s.length.toLong))((a, c) => mix(a, c.toLong))
     val f = new java.io.File(dir, fileName)
     if (!f.exists()) 0L
     else if (f.isDirectory) {
-      val parts = Option(f.listFiles()).getOrElse(Array.empty)
-      parts.map(p => p.lastModified() ^ p.length()).foldLeft(f.lastModified())(_ ^ _)
-    } else f.lastModified() ^ f.length()
+      val parts = Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      parts.foldLeft(
+        mix(mix(0xcbf29ce484222325L, f.lastModified()), parts.length.toLong)) {
+        (h, p) => mix(mix(mixStr(h, p.getName), p.lastModified()), p.length())
+      }
+    } else mix(mix(0xcbf29ce484222325L, f.lastModified()), f.length())
   }
 }

@@ -183,14 +183,31 @@ object Similarity {
     * nprobe rows — always broadcastable, so the corpus side never
     * exchanges. */
   private def ivfTopK(cells: DataFrame, q: DataFrame,
+      cents: Seq[Array[Double]], nProbe: Int = NProbe): DataFrame =
+    topKWithRank(ivfScores(cells, q, cents, nProbe))
+
+  /** The probed-cell candidate scores (query_id, vec_id, sim_e6) under
+    * an IVF routing — [[ivfTopK]] without the top-k tail, for consumers
+    * that cut a different k (t39's indexed vector leg ranks top-20). */
+  private def ivfScores(cells: DataFrame, q: DataFrame,
       cents: Seq[Array[Double]], nProbe: Int = NProbe): DataFrame = {
     val probes = q
       .withColumn("cell", explode(nearestCells(col("qe"), cents, nProbe)))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"))
-    val sims = cells.join(broadcast(probes), Seq("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
       .select(col("query_id"), col("vec_id"),
         e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
-    topKWithRank(sims)
+  }
+
+  /** [[ivfScores]] answered from a [[writeAnnIndex]] artifact alone —
+    * the un-cut candidate surface behind [[annIvfIndexed]]: probes
+    * broadcast into the bucketed `_cells` scan, zero index-side
+    * Exchange. TextAnalysis's indexed hybrid-retrieval vector leg
+    * ranks these top-20 (its RRF depth) instead of [[TopK]]. */
+  private[operators] def annIvfScoresIndexed(s: SparkSession,
+      queries: DataFrame, name: String): DataFrame = {
+    val (cents, _) = readAnnSidecar(s, name)
+    ivfScores(cellsTable(s, name), queries, cents)
   }
 
   // ------------------------------------------------------------ SRP-LSH ANN
