@@ -501,6 +501,35 @@ object Dedup {
       .agg(min(struct(betterFirst.as("ord"), col(id).as("id"))).as("b"))
       .select(col(cluster), col("b.id").as("canonical_id"))
 
+  /** [[keepBestCanonical]] for CORPUS-SIZED labeled frames (round-8
+    * ADVICE): min over a STRUCT falls back to SortAggregate (struct
+    * buffers aren't hash-aggregable) and sorts the whole pre-agg
+    * stream — fine for d16's small per-key table, wrong for d19's
+    * corpus-sized labeled frame (200k rows in the sd100 smoke). Here
+    * BOTH order fields are numeric, so the (betterFirst, id) total
+    * order packs into ONE BIGINT — (ord + 2³⁰)·2³² + id — whose min
+    * runs in a true HashAggregate (fixed-width mutable buffer; a
+    * STRING encode would still SortAggregate — min(string) buffers
+    * aren't mutable either, re-measured this round). Bit-equal to the
+    * struct form wherever the encode is defined (DedupSpec asserts
+    * equality and the plan shape). Domain: |betterFirst| < 2³⁰
+    * (metrics are e6-scaled unit-order values) and 0 ≤ id < 2³²;
+    * out-of-range rows raise_error loudly rather than mis-rank — at
+    * id spaces past 2³², shard the corpus or use the struct form. */
+  private[graft] def keepBestCanonicalWide(labeled: DataFrame,
+      cluster: String, id: String, betterFirst: Column): DataFrame = {
+    val enc = (betterFirst + lit(1073741824L)) * lit(4294967296L) + col(id)
+    val key = when(betterFirst > lit(-1073741824L) &&
+        betterFirst < lit(1073741824L) &&
+        col(id) >= 0 && col(id) < lit(4294967296L), enc)
+      .otherwise(expr("raise_error('keepBestCanonicalWide: (betterFirst, id) " +
+        "outside the single-BIGINT encode domain; use keepBestCanonical')")
+        .cast("long"))
+    labeled.groupBy(col(cluster)).agg(min(key).as("k"))
+      .select(col(cluster),
+        pmod(col("k"), lit(4294967296L)).cast("long").as("canonical_id"))
+  }
+
   /** SEMANTIC (embedding-cluster) dedup — SemDeDup (Abbas et al. 2023,
     * public paper: "SemDeDup: Data-efficient learning at web-scale
     * through semantic deduplication"), composed from the repo's own
@@ -560,7 +589,9 @@ object Dedup {
       .join(labels, col("vec_id") === col("id"), "left")
       .select(col("vec_id"),
         coalesce(col("label"), col("vec_id")).as("cluster"), col("norm_e6"))
-    val best = keepBestCanonical(labeled, "cluster", "vec_id", -col("norm_e6"))
+    // the WIDE (string-order HashAggregate) form: this labeled frame is
+    // corpus-sized, unlike d16's per-key table (round-8 ADVICE)
+    val best = keepBestCanonicalWide(labeled, "cluster", "vec_id", -col("norm_e6"))
     labeled.join(best, "cluster")
       .select(col("vec_id"), col("canonical_id"),
         (col("vec_id") === col("canonical_id")).as("kept"))

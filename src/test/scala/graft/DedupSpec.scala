@@ -532,6 +532,44 @@ class DedupSpec extends SparkSpec {
     assert(clustersOfRewritten.forall(c => byCanon(c).size > 1))
   }
 
+  test("keepBestCanonicalWide: bit-equal to the struct form, runs in a HashAggregate") {
+    import spark.implicits._
+    // planted clusters incl. negative-metric edge values, ties, a
+    // 0-metric member (offset-encoding boundary), and large ids
+    val labeled = Seq(
+      (1L, 10L, 500L), (1L, 11L, 900L), (1L, 12L, 900L), // tie on 900 -> min id 11
+      (2L, 20L, 0L), (2L, 21L, 7L),
+      (3L, 1000000030L, 123456789L), // id near the 2^32 bound
+      (4L, 40L, 1L), (4L, 41L, 1L), (4L, 42L, 2L)
+    ).toDF("cluster", "vec_id", "norm_e6")
+    val a = Dedup.keepBestCanonical(labeled, "cluster", "vec_id", -col("norm_e6"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    val wideDf = Dedup.keepBestCanonicalWide(labeled, "cluster", "vec_id", -col("norm_e6"))
+    val b = wideDf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b, s"struct=$a wide=$b")
+    assert(b == Seq((1L, 11L), (2L, 21L), (3L, 1000000030L), (4L, 42L)))
+    // out-of-domain ids fail LOUDLY (raise_error), never mis-rank
+    val huge = Seq((9L, 4294967296L, 5L)).toDF("cluster", "vec_id", "norm_e6")
+    intercept[Exception] {
+      Dedup.keepBestCanonicalWide(huge, "cluster", "vec_id", -col("norm_e6")).collect()
+    }
+    // the point of the wide form: the min runs in a HashAggregate —
+    // no SortAggregate anywhere in the plan (the struct form's
+    // fallback, which sorts the whole pre-agg stream). AQE off: the
+    // adaptive wrapper hides the aggregate nodes from plan collect
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, SortAggregateExec}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plain = Dedup.keepBestCanonicalWide(labeled, "cluster", "vec_id", -col("norm_e6"))
+      plain.collect()
+      val p = plain.queryExecution.executedPlan
+      assert(p.collect { case x: SortAggregateExec => x }.isEmpty,
+        s"wide form fell back to SortAggregate:\n$p")
+      assert(p.collect { case x: HashAggregateExec => x }.nonEmpty,
+        s"expected a HashAggregate:\n$p")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("incremental spans: delta-vs-index merge == global recompute; zero corpus-side exchange") {
     import spark.implicits._
     import org.apache.spark.sql.execution.FileSourceScanExec

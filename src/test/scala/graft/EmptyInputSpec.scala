@@ -24,8 +24,10 @@ class EmptyInputSpec extends SparkSpec {
 
   SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
     test(s"$name executes on empty tables") {
-      val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
-      assert(rows != null) // contract: no throw; zero rows is fine
+      try {
+        val rows = SparkEntry.queries(name)(spark, emptyDir).collect()
+        assert(rows != null) // contract: no throw; zero rows is fine
+      } finally spark.catalog.clearCache() // the driver-harness rule
     }
   }
 }

@@ -644,6 +644,85 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_i8_lc$sfx"))
   }
 
+  test("compact after appends: every family row-identical, bucket files strictly drop, sidecar untouched") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    val dim = 64
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(1000001L))
+            .cast("double") / 1000000.0 - 0.5).as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val q = gen(spark.range(0, 5).toDF("id"), 77)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    def files(t: String): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile)
+        .filter(_.getPath.getName.startsWith("part-"))
+        .map(f => f.getPath.getName -> f.getLen).toMap
+    }
+    try {
+      Similarity.writeAnnIndex(spark, gen(spark.range(100, 250).toDF("id"), 33),
+        "graft_ann_cmp", numBuckets = 4)
+      // five append batches: each lands new bucket files per table
+      (0 until 5).foreach(b => Similarity.appendToAnnIndex(spark,
+        gen(spark.range(250 + 50 * b, 300 + 50 * b).toDF("id"), 33),
+        "graft_ann_cmp", numBuckets = 4))
+      val fams = Seq[(String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame)](
+        "ivf" -> (Similarity.annIvfIndexed _),
+        "srp" -> (Similarity.annSrpIndexed _),
+        "pq" -> (Similarity.annPqIndexed _))
+      val beforeAnswers = fams.map { case (fam, f) =>
+        fam -> f(spark, q, "graft_ann_cmp").collect().map(_.toString).sorted.toSeq }
+      val beforeFiles = Seq("_cells", "_srp", "_pq")
+        .map(sfx => sfx -> files("graft_ann_cmp" + sfx)).toMap
+      val sideBefore = files("graft_ann_cmp_side")
+      Similarity.compactAnnIndex(spark, "graft_ann_cmp")
+      // layout: strictly fewer files per table (6 write jobs -> 1 file
+      // per bucket), sidecar files byte-identical
+      Seq("_cells", "_srp", "_pq").foreach { sfx =>
+        val after = files("graft_ann_cmp" + sfx)
+        assert(after.size < beforeFiles(sfx).size,
+          s"$sfx: ${beforeFiles(sfx).size} files -> ${after.size}, no drop")
+        assert(after.size <= 4, s"$sfx: expected <= 1 file per bucket, got ${after.size}")
+      }
+      assert(files("graft_ann_cmp_side") == sideBefore, "compact touched the sidecar")
+      // rows: every family answers identically from the compacted layout
+      fams.foreach { case (fam, f) =>
+        val after = f(spark, q, "graft_ann_cmp").collect().map(_.toString).sorted.toSeq
+        assert(after == beforeAnswers.toMap.apply(fam), s"$fam: answers changed")
+      }
+      // the swap preserved the bucket spec: a fresh append still lands
+      // with the matching-bucketBy contract, and scans stay bucket-aware
+      Similarity.appendToAnnIndex(spark,
+        gen(spark.range(900, 920).toDF("id"), 33), "graft_ann_cmp", numBuckets = 4)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        val qq = Similarity.annIvfIndexed(spark, q, "graft_ann_cmp")
+        qq.collect()
+        val scans = qq.queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+            if f.tableIdentifier.exists(_.table.startsWith("graft_ann_cmp")) => f }
+        assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+          "post-compact ANN table scans lost bucket-awareness")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // crashed-swap recovery: live dropped, fully-written _tmp left —
+      // the next compact adopts the tmp then compacts normally
+      spark.sql("ALTER TABLE `graft_ann_cmp_srp` RENAME TO `graft_ann_cmp_srp_tmp`")
+      assert(!spark.catalog.tableExists("graft_ann_cmp_srp"))
+      Similarity.compactAnnIndex(spark, "graft_ann_cmp")
+      assert(spark.catalog.tableExists("graft_ann_cmp_srp"))
+      assert(!spark.catalog.tableExists("graft_ann_cmp_srp_tmp"))
+      assert(Similarity.annSrpIndexed(spark, q, "graft_ann_cmp").count() == q.count() * 5)
+    } finally Seq("_cells", "_srp", "_pq", "_side",
+      "_cells_tmp", "_srp_tmp", "_pq_tmp").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_cmp$sfx"))
+  }
+
   test("retrain self-heals a crashed swap (live tables dropped, _rt twins left)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => VF}
@@ -683,6 +762,63 @@ class SimilaritySpec extends SparkSpec {
         assert(diff == 0, s"$fam: healed != fresh by $diff rows")
       }
     } finally Seq("graft_heal", "graft_heal_rt", "graft_heal_fresh").foreach(n0 =>
+      Seq("_cells", "_srp", "_pq", "_side", "_rt_cells", "_rt_srp", "_rt_pq",
+        "_rt_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $n0$sfx")))
+  }
+
+  test("retrain heals a MIXED-generation crash (some suffixes swapped, sidecar stale)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    val dim = 64
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(1000001L))
+            .cast("double") / 1000000.0 - 0.5).as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val corpusA = gen(spark.range(100, 300).toDF("id"), 11)
+    val corpusB = gen(spark.range(100, 340).toDF("id"), 12)
+    val q = gen(spark.range(0, 5).toDF("id"), 77)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    try {
+      Similarity.writeAnnIndex(spark, corpusA, "graft_mix", numBuckets = 4)
+      Similarity.writeAnnIndex(spark, corpusB, "graft_mix_rt", numBuckets = 4)
+      // simulate the round-8 ADVICE crash: _cells/_srp/_pq swapped to
+      // the new generation, the process died before the _side pair —
+      // new PQ codes are live against the OLD sidecar's codebooks
+      Seq("_cells", "_srp", "_pq").foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_mix$sfx")
+        spark.sql(s"ALTER TABLE `graft_mix_rt$sfx` RENAME TO `graft_mix$sfx`")
+      }
+      assert(spark.catalog.tableExists("graft_mix_rt_side"))
+      // the preamble must detect the surviving twin sidecar, finish the
+      // swap, and the rebuild must equal a fresh index over corpus B
+      Similarity.retrainAnnIndex(spark, "graft_mix")
+      assert(!spark.catalog.tableExists("graft_mix_rt_side"))
+      Similarity.writeAnnIndex(spark, corpusB, "graft_mix_fresh", numBuckets = 4)
+      for ((fam, f) <- Seq[(String, (org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame, String) => org.apache.spark.sql.DataFrame)](
+          "ivf" -> (Similarity.annIvfIndexed _),
+          "srp" -> (Similarity.annSrpIndexed _),
+          "pq" -> (Similarity.annPqIndexed _))) {
+        val a = f(spark, q, "graft_mix")
+        val b = f(spark, q, "graft_mix_fresh")
+        val diff = a.exceptAll(b).count() + b.exceptAll(a).count()
+        assert(diff == 0, s"$fam: healed-mixed != fresh-over-B by $diff rows")
+      }
+      // and a half-built twin generation (no _rt_side) is DISCARDED,
+      // not adopted: plant an orphan _rt_cells, retrain, artifact
+      // still answers like corpus B
+      Similarity.writeAnnIndex(spark, corpusA, "graft_mix_rt",
+        numBuckets = 4, families = Set("ivf"))
+      spark.sql("DROP TABLE IF EXISTS graft_mix_rt_side")
+      Similarity.retrainAnnIndex(spark, "graft_mix")
+      assert(!spark.catalog.tableExists("graft_mix_rt_cells"))
+      val a2 = Similarity.annIvfIndexed(spark, q, "graft_mix")
+      val b2 = Similarity.annIvfIndexed(spark, q, "graft_mix_fresh")
+      assert(a2.exceptAll(b2).count() + b2.exceptAll(a2).count() == 0,
+        "orphaned half-built twin polluted the artifact")
+    } finally Seq("graft_mix", "graft_mix_rt", "graft_mix_fresh").foreach(n0 =>
       Seq("_cells", "_srp", "_pq", "_side", "_rt_cells", "_rt_srp", "_rt_pq",
         "_rt_side").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $n0$sfx")))

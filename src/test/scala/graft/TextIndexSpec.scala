@@ -116,9 +116,11 @@ class TextIndexSpec extends SparkSpec {
   test("indexed hybrid legs against the fixture: text leg exact, fused overlap >= 0.6") {
     // the t42 gate itself, at the spec's smallest fixture — one row of
     // literal-true flags (driver re-proves at every SF)
-    val r = TextAnalysis.t42HybridIndexedGate(spark, sf).collect()
-    assert(r.length == 1)
-    assert(r.head.getBoolean(1), "indexed text leg drifted from inline")
-    assert(r.head.getBoolean(2), "fused overlap fell below 0.6")
+    try {
+      val r = TextAnalysis.t42HybridIndexedGate(spark, sf).collect()
+      assert(r.length == 1)
+      assert(r.head.getBoolean(1), "indexed text leg drifted from inline")
+      assert(r.head.getBoolean(2), "fused overlap fell below 0.6")
+    } finally spark.catalog.clearCache() // the driver-harness rule
   }
 }
