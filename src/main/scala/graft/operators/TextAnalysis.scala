@@ -711,13 +711,20 @@ object TextAnalysis {
 
   /** Corpus statistics from the 1-row-per-batch `_stats` sidecar:
     * integer sums, then ONE double division for avgdl — bit-identical
-    * to the inline paths' count()/avg() over exact-integer lengths. */
+    * to the inline paths' count()/avg() over exact-integer lengths.
+    * The n=0 guard mirrors avg()'s NULL on an empty corpus — and is
+    * load-bearing: ANSI mode raises DIVIDE_BY_ZERO even for double
+    * 0/0, and whether AQE's empty-relation propagation skips the
+    * stats broadcast before it evaluates is plan-order luck (measured
+    * failing only under suite ordering). */
   private def textStats(s: SparkSession, name: String): DataFrame =
     s.table(name + "_stats")
       .agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
         coalesce(sum(col("dl_sum")), lit(0L)).as("dl_sum"))
       .select(col("n_docs").cast("double").as("nd"),
-        (col("dl_sum").cast("double") / col("n_docs").cast("double")).as("avgdl"))
+        when(col("n_docs") > 0L,
+          col("dl_sum").cast("double") / col("n_docs").cast("double"))
+          .otherwise(lit(null).cast("double")).as("avgdl"))
 
   /** Fingerprint-keyed shared text index (the sharedAnnIndex pattern —
     * one build amortizes across every consumer in the session; a
@@ -1344,12 +1351,22 @@ object TextAnalysis {
     * learned word → segmentation map, `word`/`rep`/`n`) and the merge
     * table rows. */
   private def bpeLearnedWords(s: SparkSession, dir: String)
-      : (DataFrame, Seq[(Long, String, String, Long)]) = {
-    val sep = lit(BpeSep)
-    var words = Tables.documents(s, dir)
-      .select(explode(tokens(col("text"))).as("word"))
+      : (DataFrame, Seq[(Long, String, String, Long)]) =
+    bpeTrainFromCounts(bpeWordCounts(Tables.documents(s, dir)))
+
+  /** The (word, n) count table — BPE's SUFFICIENT STATISTIC: merge
+    * learning never looks at the corpus again once word frequencies
+    * exist, so this is exactly what the incremental index persists. */
+  private[graft] def bpeWordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(tokens(col("text"))).as("word"))
       .filter(!col("word").contains(BpeSep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** The merge-learning loop over any (word, n) frame. */
+  private[graft] def bpeTrainFromCounts(wordCounts: DataFrame)
+      : (DataFrame, Seq[(Long, String, String, Long)]) = {
+    val sep = lit(BpeSep)
+    var words = wordCounts
       .select(col("word"),
         regexp_replace(col("word"), "(.)", BpeSep + "$1").as("rep"), col("n"))
       // every round re-reads the base word table (round r = r narrow
@@ -1391,6 +1408,69 @@ object TextAnalysis {
     val (_, bests) = bpeLearnedWords(s, dir)
     import s.implicits._
     bests.toDF("round", "left", "right", "pair_n").orderBy("round")
+  }
+
+  // ------------------------------------- incremental BPE vocabulary (t41)
+
+  /** Persist BPE's word-frequency table as a bucketed artifact — the
+    * incremental-vocabulary story (round-8 verdict ask #7, the d17
+    * count-index shape applied to words): merge learning is a pure
+    * function of (word, n), so the index IS the training state. A
+    * delta batch appends its own word counts as new bucket files
+    * ([[appendToBpeWordIndex]]); readers re-aggregate per word
+    * (Exchange-free on the word buckets), and re-running the CHEAP
+    * merge loop over the vocabulary-sized table reproduces a full
+    * retrain over corpus + delta EXACTLY — the expensive stage a full
+    * retrain pays (re-tokenizing the whole corpus) costs only the
+    * delta here. */
+  def writeBpeWordIndex(corpus: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = {
+    dropManaged(corpus.sparkSession, name + "_words")
+    bpeWordCounts(corpus).write.mode("overwrite")
+      .bucketBy(numBuckets, "word").sortBy("word")
+      .saveAsTable(name + "_words")
+  }
+
+  /** APPEND a delta batch's word counts — prior bucket files are never
+    * read or rewritten; equivalence to a rebuild holds through the
+    * read-side re-aggregation (unlike doc-keyed indexes, the SAME word
+    * recurs across batches — the sum is the merge). */
+  def appendToBpeWordIndex(delta: DataFrame, name: String,
+      numBuckets: Int = 8): Unit =
+    bpeWordCounts(delta).write.mode("append")
+      .bucketBy(numBuckets, "word").sortBy("word")
+      .saveAsTable(name + "_words")
+
+  /** The re-aggregated (word, n) view of a [[writeBpeWordIndex]]
+    * artifact — multi-batch rows per word sum back to the rebuilt
+    * single row (the span-index read contract). */
+  private def bpeIndexCounts(s: SparkSession, name: String): DataFrame =
+    s.table(name + "_words").groupBy(col("word")).agg(sum(col("n")).as("n"))
+
+  /** Driver gate for the incremental BPE vocabulary (the s07/t40
+    * equality pattern): split the corpus 80/20, build the word index on
+    * the base, APPEND the delta's counts, train from the index, and
+    * assert the merge table — every round's (left, right, pair_n) — is
+    * IDENTICAL to a full retrain over the whole corpus. Also anchors
+    * the index's vocabulary size against DuckDB's distinct separator-
+    * free corpus tokens (the t38 universe), proving the re-aggregated
+    * counts cover the corpus exactly. Results return as a collected
+    * local relation; the index table is dropped before returning. */
+  def t41BpeIncrementalGate(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_t41_bpe"
+    val docs = Tables.documents(s, dir)
+    try {
+      writeBpeWordIndex(docs.filter(col("doc_id") % 5 =!= 0), name)
+      appendToBpeWordIndex(docs.filter(col("doc_id") % 5 === 0), name)
+      val idxCounts = bpeIndexCounts(s, name)
+      val nVocab = idxCounts.count()
+      val (incWords, incBests) = bpeTrainFromCounts(idxCounts)
+      val (fullWords, fullBests) = bpeLearnedWords(s, dir)
+      incWords.unpersist(); fullWords.unpersist()
+      import s.implicits._
+      Seq((nVocab, incBests == fullBests))
+        .toDF("n_vocab", "incremental_eq_full")
+    } finally s.sql(s"DROP TABLE IF EXISTS `${name}_words`")
   }
 
   /** BPE ENCODING — [[t28BpeMerges]]'s consumer: tokenize the corpus
@@ -1664,6 +1744,7 @@ object TextAnalysis {
     "t38_bpe_roundtrip" -> (t38BpeRoundtrip _),
     "t39_hybrid_rrf" -> (t39HybridRrf _),
     "t40_text_index_gate" -> (t40TextIndexGate _),
+    "t41_bpe_incremental" -> (t41BpeIncrementalGate _),
     "t42_hybrid_indexed_gate" -> (t42HybridIndexedGate _),
   )
 
@@ -2411,6 +2492,18 @@ object TextAnalysis {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  true AS bm25_indexed_matches_inline
         |FROM documents""".stripMargin,
+    // incremental-vs-full merge-table equality is asserted Spark-side
+    // (exact integer rounds); DuckDB anchors the index's vocabulary as
+    // the distinct separator-free corpus tokens (the t38 universe) and
+    // the literal-true flag
+    "t41_bpe_incremental" ->
+      """SELECT CAST(count(DISTINCT w) AS BIGINT) AS n_vocab,
+        |  true AS incremental_eq_full
+        |FROM (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents)
+        |WHERE NOT contains(w, chr(31))""".stripMargin,
     // text-leg equality is exact (Spark-side exceptAll); the fused
     // overlap vs the hash-gated exact t39 is an integer hit-count
     // bound (the s04 flag pattern); DuckDB anchors the query count

@@ -423,29 +423,113 @@ object StreamingOps {
     }
   }
 
+  /** [[VectorDedupProcessor]] with state RETENTION — the vector twin of
+    * [[MinHashDedupTtlProcessor]] (round-8 verdict "What's missing #5":
+    * a long-running vector ingest stream otherwise grows representative
+    * state without bound). Same check-on-read event-time design, NOT
+    * TimeMode timers/TTLConfig (the round-5 prototype's measured
+    * ~90 s/batch overhead): each stored representative carries its
+    * arrival event time; a visiting batch expires reps against its own
+    * max event time (purely data-derived — replays and backfills expire
+    * identically); state rewrites only when expiry shrank it or a new
+    * representative joined. Retention is from INSERTION (recurring
+    * content re-enters as a fresh rep once per window — one extra
+    * stored copy, bounded). Cold buckets age in place until next
+    * visit, auditable via the statestore source from the checkpoint. */
+  class VectorDedupTtlProcessor(threshold: Double, maxRepsPerBucket: Int,
+      retentionMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, (Long, Long, Seq[Double], Long), (Long, Long, Long)] {
+    @transient private var reps: org.apache.spark.sql.streaming.ListState[(Long, Seq[Double], Long)] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      reps = getHandle.getListState[(Long, Seq[Double], Long)]("vreps",
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Long, Seq[Double], Long)](),
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    private def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0.0 || nb == 0.0) -2.0 else d / math.sqrt(na * nb)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long, Seq[Double], Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Long)] = {
+      val batch = rows.toSeq.sortBy(_._2)
+      if (batch.isEmpty) return Iterator.empty
+      val now = batch.iterator.map(_._4).max
+      val cutoff = if (retentionMs >= Long.MaxValue - now) Long.MinValue
+        else now - retentionMs
+      val stored = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[Double], Long)]
+      var expired = 0
+      reps.get().foreach { case (id, emb, ts) =>
+        if (ts >= cutoff) stored += ((id, emb, ts)) else expired += 1
+      }
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var added = false
+      batch.foreach { case (_, vecId, emb, ts) =>
+        var bestId = Long.MaxValue
+        var bestC = -2.0
+        stored.foreach { case (rid, remb, _) =>
+          val c = cos(emb, remb)
+          if (c >= threshold && (c > bestC || (c == bestC && rid < bestId))) {
+            bestC = c; bestId = rid
+          }
+        }
+        if (bestC >= threshold) {
+          out += ((vecId, bestId, math.floor(bestC * 1e6 + 0.5).toLong))
+        } else if (stored.size < maxRepsPerBucket) {
+          stored += ((vecId, emb, ts)); added = true
+        }
+      }
+      if (expired > 0 || added) {
+        reps.clear()
+        stored.foreach(reps.appendValue)
+      }
+      out.result().iterator
+    }
+  }
+
+  /** The shared SRP 8 × 16-bit banding of a vector stream — band b of
+    * 8 takes 16 bits from signature word b>>2 at offset (b&3)*16
+    * (integer shift/mask, never Column '/' = double division). The
+    * `carry` columns ride beside (band_key, vec_id, emb). */
+  private def srpBanded(vecs: DataFrame, carry: Seq[String]): DataFrame = {
+    import graft.functions.VectorFunctions.srpSig
+    vecs
+      .select((Seq(col("vec_id"), col("emb"),
+        srpSig(col("emb"), 128).as("sig")) ++ carry.map(col)): _*)
+      .select((Seq(col("vec_id"), col("emb"), col("sig"),
+        explode(sequence(lit(0), lit(7))).as("b")) ++ carry.map(col)): _*)
+      .select((Seq(
+        xxhash64(col("b"),
+          call_function("shiftright",
+            element_at(col("sig"), call_function("shiftright", col("b"), lit(2)) + lit(1)),
+            col("b").bitwiseAND(lit(3)) * lit(16)).bitwiseAND(lit(0xFFFFL))).as("band_key"),
+        col("vec_id"), col("emb")) ++ carry.map(col)): _*)
+  }
+
   /** Wire [[VectorDedupProcessor]] over a (vec_id, emb) stream: SRP
     * signatures come from the same native expression the batch family
     * uses, split into 8 × 16-bit band keys. */
   def dedupStreamVectors(vecs: DataFrame, threshold: Double = 0.99,
       maxRepsPerBucket: Int = 1024): Dataset[(Long, Long, Long)] = {
     import vecs.sparkSession.implicits._
-    import graft.functions.VectorFunctions.srpSig
-    val sigged = vecs
-      .select(col("vec_id"), col("emb"), srpSig(col("emb"), 128).as("sig"))
-    // band b of 8: 16 bits from word b>>2 at offset (b&3)*16 — integer
-    // shift/mask, never Column '/' (double division)
-    val banded = sigged
-      .select(col("vec_id"), col("emb"), col("sig"),
-        explode(sequence(lit(0), lit(7))).as("b"))
-      .select(
-        xxhash64(col("b"),
-          call_function("shiftright",
-            element_at(col("sig"), call_function("shiftright", col("b"), lit(2)) + lit(1)),
-            col("b").bitwiseAND(lit(3)) * lit(16)).bitwiseAND(lit(0xFFFFL))).as("band_key"),
-        col("vec_id"), col("emb"))
-    banded.as[(Long, Long, Seq[Double])]
+    srpBanded(vecs, Seq.empty).as[(Long, Long, Seq[Double])]
       .groupByKey(_._1)
       .transformWithState(new VectorDedupProcessor(threshold, maxRepsPerBucket),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+  }
+
+  /** Wire [[VectorDedupTtlProcessor]] over a (vec_id, emb, ts_ms)
+    * stream — [[dedupStreamVectors]] plus the retention window
+    * ("dedup-within-N-days"). `ts_ms` is event-time epoch millis. */
+  def dedupStreamVectorsTtl(vecs: DataFrame, retentionMs: Long,
+      threshold: Double = 0.99,
+      maxRepsPerBucket: Int = 1024): Dataset[(Long, Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    srpBanded(vecs, Seq("ts_ms")).as[(Long, Long, Seq[Double], Long)]
+      .groupByKey(_._1)
+      .transformWithState(new VectorDedupTtlProcessor(threshold, maxRepsPerBucket, retentionMs),
         org.apache.spark.sql.streaming.TimeMode.None(),
         org.apache.spark.sql.streaming.OutputMode.Append())
   }

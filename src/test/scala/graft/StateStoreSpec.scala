@@ -98,6 +98,58 @@ class StateStoreSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("streaming vector dedup TTL: in-window dup flags, expired rep re-enters, depth stays bounded") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = Files.createTempDirectory("graft-vttl-ckpt").toString
+    val out = Files.createTempDirectory("graft-vttl-out").toString
+    try {
+      import org.apache.spark.sql.functions.{col, lit, pmod, sequence, transform, when, xxhash64}
+      val hour = 3600_000L
+      val in = MemoryStream[(Long, Int, Long)](spark)
+      // deterministic 64-d vector per group; re-uploads (vec_id >= 100)
+      // perturb by +0.001 — cos ≈ 1 vs their base, far from other groups
+      val vecs = in.toDF().toDF("vec_id", "grp", "ts_ms")
+        .select(col("vec_id"), col("ts_ms"),
+          transform(sequence(lit(0), lit(63)), i =>
+            pmod(xxhash64(col("grp"), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0 +
+              when(col("vec_id") >= 100, 0.001).otherwise(0.0)).as("emb"))
+      val q = StreamingOps.dedupStreamVectorsTtl(vecs, retentionMs = hour,
+          threshold = 0.99)
+        .toDF("vec_id", "dup_of", "cos_e6")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+      // t=0: vector 1 (group 10) becomes the representative
+      in.addData((1L, 10, 0L)); q.processAllAvailable()
+      // t=30min (inside retention): near-dup re-upload flags against 1
+      in.addData((101L, 10, hour / 2)); q.processAllAvailable()
+      // t=2h: rep 1 is > 1h old at visit → expired; vector 3 re-enters
+      // as the NEW representative, unflagged (the retention contract)
+      in.addData((3L, 10, 2 * hour)); q.processAllAvailable()
+      // t=2.5h (inside retention of rep 3): flags against rep 3
+      in.addData((103L, 10, 2 * hour + hour / 2)); q.processAllAvailable()
+      q.stop()
+      val flagged = spark.read.parquet(out)
+        .select("vec_id", "dup_of").distinct().collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(flagged == Set((101L, 1L), (103L, 3L)), s"flagged=$flagged")
+      // same-group vectors share band keys (identical base + tiny
+      // perturbation): vector 3 visited every bucket rep 1 lived in, so
+      // the expired generation is fully expunged — per-bucket depth
+      // stays at one generation, the bound that grows forever without
+      // retention
+      val state = spark.read.format("statestore")
+        .option("path", ckpt).option("stateVarName", "vreps").load()
+        .selectExpr("partition_id", "key", "list_element._1 AS rep")
+      val repIds = state.select("rep").distinct().collect().map(_.getLong(0)).toSet
+      assert(repIds == Set(3L), s"state holds $repIds")
+      val maxDepth = state.groupBy("partition_id", "key").count()
+        .agg(org.apache.spark.sql.functions.max("count")).collect().head.getLong(0)
+      assert(maxDepth <= 1, s"TTL bucket depth $maxDepth")
+    } finally spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   // ------------------------------------------------- streaming MinHash dedup
 
   // pairwise-distinct 12-token texts (J ≈ 0 between any two)

@@ -113,6 +113,34 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("incremental BPE: delta flips the winning merge exactly like a full retrain") {
+    // base: 'zq' dominates (9 occurrences) -> base-only round-1 merge
+    // involves z/q; delta floods 'xk' (20) -> the incremental result
+    // must FLIP to the x/k merge, proving the delta genuinely changes
+    // training (not a trivially-stable equality), and must equal the
+    // full retrain over base+delta bit-for-bit
+    val base = Seq((1L, "zq zq zq"), (2L, "zq zq zq"), (3L, "zq zq zq ab"))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, (1 to 20).map(_ => "xk").mkString(" ")))
+      .toDF("doc_id", "text")
+    TextAnalysis.writeBpeWordIndex(base, "graft_bpe_spec", numBuckets = 4)
+    TextAnalysis.appendToBpeWordIndex(delta, "graft_bpe_spec", numBuckets = 4)
+    try {
+      val idx = spark.table("graft_bpe_spec_words")
+        .groupBy(col("word")).agg(sum(col("n")).as("n"))
+      val (iw, inc) = TextAnalysis.bpeTrainFromCounts(idx)
+      val (fw, full) = TextAnalysis.bpeTrainFromCounts(
+        TextAnalysis.bpeWordCounts(base.unionByName(delta)))
+      val (bw, baseOnly) = TextAnalysis.bpeTrainFromCounts(
+        TextAnalysis.bpeWordCounts(base))
+      Seq(iw, fw, bw).foreach(_.unpersist())
+      assert(inc == full, s"inc=$inc full=$full")
+      assert(inc.head != baseOnly.head,
+        s"delta failed to flip the round-1 winner: ${inc.head}")
+      assert(inc.head._4 == 20L, s"round-1 pair count: ${inc.head}")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bpe_spec_words")
+  }
+
   test("indexed hybrid legs against the fixture: text leg exact, fused overlap >= 0.6") {
     // the t42 gate itself, at the spec's smallest fixture — one row of
     // literal-true flags (driver re-proves at every SF)
