@@ -63,8 +63,9 @@ object Bench {
     "s04_ann_recall_gate", "s07_ann_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
+    "s13_drift_retrain_gate", "m07_media_lifecycle_gate",
     "t35_stream_curate_gate", "t40_text_index_gate",
-    "t42_hybrid_indexed_gate")
+    "t41_bpe_incremental", "t42_hybrid_indexed_gate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
