@@ -33,6 +33,8 @@ object ScaleSmoke {
     if (a.contains("dr100")) { dr100(spark); spark.stop(); return }
     if (a.contains("sd100")) { sd100(spark); spark.stop(); return }
     if (a.contains("i8100")) { i8100(spark); spark.stop(); return }
+    if (a.contains("tx100")) { tx100(spark); spark.stop(); return }
+    if (a.contains("cp100")) { cp100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -480,6 +482,105 @@ object ScaleSmoke {
     * round after that is vocab-bounded (pair agg over distinct words),
     * so 100× the corpus does not cost 100× per round. Encode then pays
     * one more corpus scan with a broadcast map join. */
+  /** Text-index amortization smoke: 200k synthetic docs over a 100k-word
+    * vocabulary (the b100 lesson: the fixture's 31 distinct words are
+    * degenerate on every vocabulary axis — postings must GROW), every
+    * 100th doc carrying the BM25 query terms. Measures what the round-9
+    * posting-list index exists to prove: build once, then an indexed
+    * BM25 query reads bucket-pruned postings + 1-row stats instead of
+    * re-tokenizing the corpus — and answers ROW-IDENTICALLY. Also
+    * appends a 2k-doc delta and re-proves equality vs an inline
+    * recomputation over the full union (the append ≡ rebuild contract
+    * at scale). */
+  private def tx100(spark: SparkSession): Unit = {
+    val nDocs = 200000L
+    val vocab = 100000L
+    def synth(ids: DataFrame): DataFrame = ids
+      .select(col("doc_id"), concat_ws(" ",
+        (0 until 30).map(p =>
+          concat(lit("w"), pmod(xxhash64(col("doc_id"), lit(p)), lit(vocab)))): _*)
+        .as("body"))
+      .select(col("doc_id"), when(col("doc_id") % 100 === 0,
+        concat(lit("spark query window "), col("body")))
+        .otherwise(col("body")).as("text"))
+    val base = synth(spark.range(nDocs).toDF("doc_id"))
+    val delta = synth(spark.range(10000000L, 10002000L).toDF("doc_id"))
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    try {
+      val (_, buildS) = time(
+        graft.operators.TextAnalysis.writeTextIndex(base, "graft_tx100", numBuckets = 32))
+      val (idx, idxS) = time(
+        graft.operators.TextAnalysis.bm25TopIndexed(spark, "graft_tx100").collect())
+      val (inl, inlS) = time(
+        graft.operators.TextAnalysis.bm25Top(base).collect())
+      assert(idx.map(_.toString).toSeq == inl.map(_.toString).toSeq,
+        "indexed != inline at 200k docs")
+      val (_, appS) = time(
+        graft.operators.TextAnalysis.appendToTextIndex(delta, "graft_tx100", numBuckets = 32))
+      val (idx2, idx2S) = time(
+        graft.operators.TextAnalysis.bm25TopIndexed(spark, "graft_tx100").collect())
+      val inl2 = graft.operators.TextAnalysis.bm25Top(base.unionByName(delta)).collect()
+      assert(idx2.map(_.toString).toSeq == inl2.map(_.toString).toSeq,
+        "appended index != inline over union")
+      println(f"TX100 docs=$nDocs vocab~=$vocab build=$buildS%.1f s " +
+        f"indexed_query=$idxS%.2f s inline_query=$inlS%.2f s " +
+        f"append2k=$appS%.2f s indexed_after_append=$idx2S%.2f s " +
+        f"speedup=${inlS / idxS}%.1fx")
+    } finally Seq("_postings", "_doclen", "_stats").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_tx100$sfx"))
+  }
+
+  /** ANN compaction smoke: 100k-vector ivf+srp artifact + 20 append
+    * batches of 5k → hundreds of small bucket files; measures the
+    * indexed query before/after [[graft.operators.Similarity.compactAnnIndex]]
+    * (rows identical, per-table files collapse to one per bucket) —
+    * the small-file overhead the op exists to cut after months of
+    * appends. */
+  private def cp100(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    val dim = 64
+    def gen(ids: DataFrame): DataFrame = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f; (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def files(t: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    }
+    val q = gen(spark.range(0, 10).toDF("id"))
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    try {
+      Similarity.writeAnnIndex(spark, gen(spark.range(100, 100100).toDF("id")),
+        "graft_cp100", numBuckets = 16, families = Set("ivf", "srp"))
+      (0 until 20).foreach(b => Similarity.appendToAnnIndex(spark,
+        gen(spark.range(200000L + 5000L * b, 205000L + 5000L * b).toDF("id")),
+        "graft_cp100", numBuckets = 16))
+      val filesBefore = files("graft_cp100_cells")
+      val (before, qBeforeS) = time(
+        Similarity.annIvfIndexed(spark, q, "graft_cp100").collect())
+      val (_, compactS) = time(Similarity.compactAnnIndex(spark, "graft_cp100"))
+      val filesAfter = files("graft_cp100_cells")
+      val (after, qAfterS) = time(
+        Similarity.annIvfIndexed(spark, q, "graft_cp100").collect())
+      assert(before.map(_.toString).sorted.toSeq == after.map(_.toString).sorted.toSeq,
+        "compaction changed answers")
+      assert(filesAfter < filesBefore, s"files $filesBefore -> $filesAfter")
+      println(f"CP100 vectors=200k appends=20 cells_files=$filesBefore->$filesAfter " +
+        f"query_before=$qBeforeS%.2f s query_after=$qAfterS%.2f s compact=$compactS%.1f s")
+    } finally Seq("_cells", "_srp", "_pq", "_side", "_cells_tmp", "_srp_tmp",
+      "_pq_tmp").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_cp100$sfx"))
+  }
+
   private def b100(spark: SparkSession): Unit = {
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sfb100"
