@@ -65,7 +65,8 @@ object Bench {
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",
     "t35_stream_curate_gate", "t40_text_index_gate",
-    "t41_bpe_incremental", "t42_hybrid_indexed_gate")
+    "t41_bpe_incremental", "t42_hybrid_indexed_gate",
+    "t43_bm25_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -50,7 +50,9 @@ object Plans {
     "d19_semantic_dedup" -> "SemDeDup: IVF cell-key equi-join candidates → exact cosine ≥ τ verify → pointer-jumping components → keep-best-norm canonical — never all-pairs, policy is one map-combined aggregate",
     "d20_incr_semantic" -> "incremental semantic dedup: delta probes broadcast into the shared PERSISTED index's Bucketed: true _cells scan — corpus never re-pairs, cost scales with the delta",
     "s10_filtered_ivfpq_gate" -> "filtered IVF-PQ: label rides the (cell, label) probe join against the Bucketed: true _pq codes scan — non-matching vectors never get an ADC fold, only probed cells' codes read",
-    "t39_hybrid_rrf" -> "hybrid BM25+vector RRF: query terms/vectors broadcast, per-term scores e6-floored before the integer sum, both legs cut top-20 through partial+final bounded heaps, windows only rank reduced rows")
+    "t39_hybrid_rrf" -> "hybrid BM25+vector RRF: query terms/vectors broadcast, per-term scores e6-floored before the integer sum, both legs cut top-20 through partial+final bounded heaps, windows only rank reduced rows",
+    "t43_bm25_indexed" -> "BM25 from the PERSISTED posting-list index: bucket-PRUNED Bucketed: true _postings scan (term IN prunes bucket files), Exchange-free per-(term,doc) re-agg and df count on the bucket layout, 1-row stats broadcast — the corpus is never re-tokenized",
+    "q85_global_quartiles" -> "global exact quartiles: distributed CDF — per-value counts, arithmetic-bounded shard totals collected, offsets broadcast, cumulative window partitioned by shard (no single-reducer stage)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

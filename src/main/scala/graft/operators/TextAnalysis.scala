@@ -1786,6 +1786,7 @@ object TextAnalysis {
     "t40_text_index_gate" -> (t40TextIndexGate _),
     "t41_bpe_incremental" -> (t41BpeIncrementalGate _),
     "t42_hybrid_indexed_gate" -> (t42HybridIndexedGate _),
+    "t43_bm25_indexed" -> (t12Bm25Indexed _),
   )
 
   private val ChunkTokens = 64
@@ -2525,6 +2526,38 @@ object TextAnalysis {
         |      FROM f)
         |SELECT query_id, doc_id, rrf_e6, rank FROM r WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // the indexed path answers the SAME oracle as the inline t12 —
+    // stored integer tf/dl and integer-sum stats reproduce the inline
+    // doubles through the one bm25Score tree, so the hash gate holds
+    // against DuckDB DIRECTLY, not just against the inline twin (t40
+    // additionally pins row equality between the two Spark paths)
+    "t43_bm25_indexed" ->
+      """WITH t AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nd, avg(CAST(len(toks) AS DOUBLE)) AS avgdl FROM t),
+        |tf AS (
+        |  SELECT doc_id, term FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+        |  WHERE term IN ('spark', 'query', 'window')),
+        |c AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS c FROM tf GROUP BY 1, 2),
+        |dlen AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+        |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |sc AS (
+        |  SELECT c.doc_id, c.term,
+        |    ln(1.0 + (n.nd - df.df + 0.5) / (df.df + 0.5)) *
+        |      ((c.c * 2.2) / (c.c + 1.2 * (0.25 + 0.75 * dlen.dl / n.avgdl))) AS s
+        |  FROM c JOIN dlen ON c.doc_id = dlen.doc_id
+        |  JOIN df ON c.term = df.term CROSS JOIN n),
+        |agg AS (
+        |  SELECT doc_id,
+        |    coalesce(max(CASE WHEN term = 'spark' THEN s END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'query' THEN s END), 0.0)
+        |      + coalesce(max(CASE WHEN term = 'window' THEN s END), 0.0) AS score
+        |  FROM sc GROUP BY doc_id),
+        |rk AS (SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg)
+        |SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score, rank
+        |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // indexed-vs-inline t12 equality is asserted Spark-side (exceptAll
     // both ways, every column); DuckDB anchors the doc count and the
     // literal-true flag (the s07 oracle pattern)
