@@ -698,6 +698,84 @@ object TextAnalysis {
       .repartition(1).write.mode(mode).saveAsTable(name + "_stats")
   }
 
+  /** DELETE docs from a [[writeTextIndex]] artifact — right-to-be-
+    * forgotten for the retrieval index (the lifecycle op its ANN and
+    * dedup siblings already have): `_postings` and `_doclen` are
+    * rewritten without the deleted doc_ids via a broadcast anti-join
+    * (the deletion set is a DataFrame, never a plan literal), and
+    * `_stats` is REBUILT from the surviving doc lengths — one narrow
+    * corpus-sized agg per maintenance op, which keeps the 1-row
+    * read path for every query. The whole new generation swaps in
+    * with `_stats` LAST (the retrain marker rule: a surviving
+    * `_stats_tmp` marks a complete generation whose swap crashed, and
+    * the next maintenance op adopts every surviving tmp; tmp remnants
+    * WITHOUT it are a half-built generation and are discarded). */
+  def deleteFromTextIndex(s: SparkSession, name: String,
+      deleted: DataFrame): Unit = {
+    val del = broadcast(deleted.select(col("doc_id").as("_del_id")))
+    swapTextGeneration(s, name, (p, d) => (
+      p.join(del, col("doc_id") === col("_del_id"), "left_anti"),
+      d.join(del, col("doc_id") === col("_del_id"), "left_anti")))
+  }
+
+  /** COMPACT a [[writeTextIndex]] artifact after heavy appends: each
+    * table rewrites through its per-key re-aggregation into one file
+    * per bucket (the [[graft.operators.Similarity.compactAnnIndex]]
+    * machinery: the child session pins autoBucketedScan so the plan is
+    * read-bucket → write-bucket with zero Exchange), `_stats` collapses
+    * its per-batch rows to one. Answers are untouched — reads already
+    * re-aggregate, so compaction is pure layout (spec asserts). */
+  def compactTextIndex(s: SparkSession, name: String): Unit =
+    swapTextGeneration(s, name, (p, d) => (
+      p.groupBy(col("term"), col("doc_id"))
+        .agg(sum(col("tf")).as("tf"), max(col("dl")).as("dl")),
+      d.groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))))
+
+  /** Shared maintenance tail: build a full new generation from the live
+    * tables through `transform`, write it as `_tmp` twins (stats LAST,
+    * derived from the already-written tmp doclen), swap with stats
+    * last, self-heal crashed swaps via the stats-tmp marker, refresh
+    * the caller's relation cache (child-session DDL leaves it stale —
+    * the compactAnnIndex lesson). */
+  private def swapTextGeneration(s0: SparkSession, name: String,
+      transform: (DataFrame, DataFrame) => (DataFrame, DataFrame)): Unit = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val sfxs = Seq("_postings", "_doclen", "_stats")
+    // heal a crashed prior swap FIRST, then run the requested op on the
+    // healed live state: a surviving _stats_tmp marks a complete
+    // generation (written last) — adopt every surviving twin; without
+    // it any tmp remnants are half-built — discard them
+    if (s.catalog.tableExists(name + "_stats_tmp")) {
+      sfxs.foreach { sfx =>
+        if (s.catalog.tableExists(name + sfx + "_tmp")) {
+          s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+          s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+        }
+      }
+    }
+    sfxs.foreach(sfx => dropManaged(s, name + sfx + "_tmp"))
+    val numBuckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name + "_postings"))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val (p2, d2) = transform(s.table(name + "_postings"), s.table(name + "_doclen"))
+    p2.write.mode("overwrite")
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .saveAsTable(name + "_postings_tmp")
+    d2.write.mode("overwrite")
+      .bucketBy(numBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(name + "_doclen_tmp")
+    s.table(name + "_doclen_tmp")
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_sum"))
+      .repartition(1).write.mode("overwrite").saveAsTable(name + "_stats_tmp")
+    sfxs.foreach { sfx =>
+      s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+      s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+      s0.catalog.refreshTable(name + sfx)
+    }
+  }
+
   /** The postings read surface: per-(term, doc) re-aggregation so
     * multi-batch appends stay equivalent to a rebuilt single row (the
     * span-index read contract). With unique doc_ids per batch the
@@ -1467,11 +1545,32 @@ object TextAnalysis {
       .bucketBy(numBuckets, "word").sortBy("word")
       .saveAsTable(name + "_words")
 
+  /** REMOVE docs' contributions from a [[writeBpeWordIndex]] artifact —
+    * right-to-be-forgotten for the vocabulary, via RETRACTION: the
+    * removed docs' word counts land as a NEGATIVE batch (new bucket
+    * files; prior files never read or rewritten — the append
+    * machinery verbatim), and the read-side sum nets them out. A word
+    * whose count nets to zero drops from the vocabulary entirely
+    * ([[bpeIndexCounts]] filters n > 0), so training after a removal
+    * equals a full retrain over the surviving corpus (TextIndexSpec
+    * asserts). Only ever retract docs that were actually indexed —
+    * the standing provenance contract (a double retraction would go
+    * negative and the filter would over-drop). */
+  def removeFromBpeWordIndex(docs: DataFrame, name: String,
+      numBuckets: Int = 8): Unit =
+    bpeWordCounts(docs).select(col("word"), (-col("n")).as("n"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "word").sortBy("word")
+      .saveAsTable(name + "_words")
+
   /** The re-aggregated (word, n) view of a [[writeBpeWordIndex]]
     * artifact — multi-batch rows per word sum back to the rebuilt
-    * single row (the span-index read contract). */
+    * single row (the span-index read contract); retraction rows net
+    * against their appends, and a fully-retracted word (n ≤ 0) leaves
+    * the vocabulary. */
   private def bpeIndexCounts(s: SparkSession, name: String): DataFrame =
     s.table(name + "_words").groupBy(col("word")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0L)
 
   /** Driver gate for the incremental BPE vocabulary (the s07/t40
     * equality pattern): split the corpus 80/20, build the word index on

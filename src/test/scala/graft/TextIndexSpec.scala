@@ -113,6 +113,81 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("delete from text index: answers == rebuild without the docs; compact: pure layout, files collapse") {
+    TextAnalysis.writeTextIndex(planted.filter(col("doc_id") <= 3),
+      "graft_txt_lc", numBuckets = 4)
+    TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") > 3),
+      "graft_txt_lc", numBuckets = 4)
+    def files(t: String): Int = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    }
+    try {
+      def rows() = TextAnalysis.bm25TopIndexed(spark, "graft_txt_lc").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      // compact first: answers untouched, postings files collapse
+      val before = rows()
+      val filesBefore = files("graft_txt_lc_postings")
+      TextAnalysis.compactTextIndex(spark, "graft_txt_lc")
+      assert(files("graft_txt_lc_postings") < filesBefore,
+        s"compaction did not reduce files ($filesBefore)")
+      assert(rows() == before, "compaction changed answers")
+      // delete docs 1 and 5 (a top-ranked doc and the lone 'query' doc):
+      // the index must answer exactly like a rebuild without them —
+      // including the N/avgdl statistics, which the gate's score doubles
+      // are sensitive to
+      TextAnalysis.deleteFromTextIndex(spark, "graft_txt_lc",
+        Seq(1L, 5L).toDF("doc_id"))
+      val survivors = planted.filter(!col("doc_id").isin(1L, 5L))
+      TextAnalysis.writeTextIndex(survivors, "graft_txt_lc2", numBuckets = 4)
+      val rebuilt = TextAnalysis.bm25TopIndexed(spark, "graft_txt_lc2").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(rows() == rebuilt, s"deleted=${rows()} rebuilt=$rebuilt")
+      assert(rows().forall(r => r._1 != 1L && r._1 != 5L))
+      // inline parity over the survivor corpus (full-chain equality)
+      val inline = TextAnalysis.bm25Top(survivors).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(rows() == inline)
+      // crashed-swap recovery: a complete tmp generation left behind is
+      // adopted by the next maintenance op before it runs
+      spark.sql("ALTER TABLE `graft_txt_lc_stats` RENAME TO `graft_txt_lc_stats_tmp`")
+      TextAnalysis.compactTextIndex(spark, "graft_txt_lc")
+      assert(spark.catalog.tableExists("graft_txt_lc_stats"))
+      assert(!spark.catalog.tableExists("graft_txt_lc_stats_tmp"))
+      assert(rows() == rebuilt, "post-heal answers drifted")
+    } finally Seq("graft_txt_lc", "graft_txt_lc2").foreach(n =>
+      Seq("_postings", "_doclen", "_stats", "_postings_tmp", "_doclen_tmp",
+        "_stats_tmp").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
+  }
+
+  test("BPE word-index retraction: removed docs net out, vocabulary shrinks, training == retrain") {
+    val base = Seq((1L, "zq zq zq ab cd"), (2L, "zq zq xk xk"),
+      (3L, "only once here")).toDF("doc_id", "text")
+    TextAnalysis.writeBpeWordIndex(base, "graft_bpe_rm", numBuckets = 4)
+    try {
+      // retract doc 3: its unique words must leave the vocabulary
+      TextAnalysis.removeFromBpeWordIndex(
+        base.filter(col("doc_id") === 3L), "graft_bpe_rm", numBuckets = 4)
+      val counts = spark.table("graft_bpe_rm_words")
+        .groupBy(col("word")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts == Map("zq" -> 5L, "ab" -> 1L, "cd" -> 1L, "xk" -> 2L),
+        s"counts=$counts")
+      // training from the retracted index == full retrain without doc 3
+      val idx = spark.table("graft_bpe_rm_words")
+        .groupBy(col("word")).agg(sum(col("n")).as("n")).filter(col("n") > 0)
+      val (iw, inc) = TextAnalysis.bpeTrainFromCounts(idx)
+      val (fw, full) = TextAnalysis.bpeTrainFromCounts(
+        TextAnalysis.bpeWordCounts(base.filter(col("doc_id") =!= 3L)))
+      Seq(iw, fw).foreach(_.unpersist())
+      assert(inc == full, s"inc=$inc full=$full")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bpe_rm_words")
+  }
+
   test("incremental BPE: delta flips the winning merge exactly like a full retrain") {
     // base: 'zq' dominates (9 occurrences) -> base-only round-1 merge
     // involves z/q; delta floods 'xk' (20) -> the incremental result
