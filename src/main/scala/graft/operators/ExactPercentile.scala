@@ -83,11 +83,26 @@ object ExactPercentile {
     * Empty input → one all-NULL row (callers' comparisons are then
     * never true, matching an empty-survivor cut). */
   def discGlobal(df: DataFrame, value: String, p: Double, outName: String,
-      shardSpan: Long = 1000000000L): DataFrame = {
+      shardSpan: Long = 1000000000L): DataFrame =
+    discGlobalMulti(df, value, Seq(p), Seq(outName), shardSpan)
+
+  /** [[discGlobal]] for SEVERAL fractions in ONE CDF pass (review
+    * finding: three separate calls cost three corpus-sized count
+    * aggregations and three blocking collects — the [[discByKey]]
+    * multi-fraction shape applies globally too). The per-value count
+    * table is cached: it feeds the eager shard-totals collect AND the
+    * returned lazy plan, so the corpus aggregates once per call rather
+    * than twice (query-scoped; harnesses clearCache after — an
+    * unpersisted replay merely recomputes). One window pass serves
+    * every fraction via min(when(_cum ≥ ceil(pᵢ·n))). */
+  def discGlobalMulti(df: DataFrame, value: String, ps: Seq[Double],
+      outNames: Seq[String], shardSpan: Long = 1000000000L): DataFrame = {
+    require(ps.length == outNames.length)
     val spark = df.sparkSession
     val vc = df.filter(col(value).isNotNull)
       .groupBy(col(value)).agg(count(lit(1)).as("_c"))
       .withColumn("_sh", expr(s"$value div $shardSpan"))
+      .cache()
     val totals = vc.groupBy(col("_sh")).agg(sum(col("_c")).as("_t"))
       .orderBy("_sh").collect()
     var acc = 0L
@@ -96,10 +111,12 @@ object ExactPercentile {
     val offDf = spark.createDataFrame(offs.toSeq).toDF("_sh", "_off")
     val w = Window.partitionBy(col("_sh")).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val aggs = ps.zip(outNames).map { case (p, name) =>
+      min(when(col("_cum") >= lit(math.ceil(p * n).toLong), col(value))).as(name)
+    }
     vc.join(broadcast(offDf), "_sh")
       .withColumn("_cum", sum(col("_c")).over(w) + col("_off"))
-      .filter(col("_cum") >= lit(math.ceil(p * n).toLong))
-      .agg(min(col(value)).as(outName))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact discrete percentiles (`percentile_disc`): one output column per

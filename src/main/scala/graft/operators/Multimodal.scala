@@ -460,23 +460,15 @@ object Multimodal {
     * the image count and the literal-true flags. Results return as a
     * collected local relation; the artifact tables are dropped before
     * returning (the s13 rule). */
-  /** m07 result memo keyed (session, dir, documents fingerprint) — the
-    * media table derives from documents, so its fingerprint is the
-    * invalidation key (the StreamGates/s13 precedent: first invocation
-    * pays the decode + lifecycle, replays serve the collected one-row
-    * result; emitted under "amortized" in the bench JSON). */
-  private val m07Memo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), DataFrame]()
-
-  def m07MediaLifecycleGate(s: SparkSession, dir: String): DataFrame = {
-    val k = (s, dir, Tables.fixtureFingerprint(dir, "documents.parquet"))
-    Option(m07Memo.get(k)).getOrElse {
-      val df = m07Body(s, dir)
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-      Option(m07Memo.putIfAbsent(k, local)).getOrElse(local)
-    }
-  }
+  /** m07 result memo keyed on the documents fingerprint ([[GateMemo]] —
+    * the media table derives from documents, so that is the
+    * invalidation key): first invocation pays the decode + lifecycle,
+    * replays serve the collected one-row result; emitted under
+    * "amortized" in the bench JSON. */
+  def m07MediaLifecycleGate(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir,
+      Tables.fixtureFingerprint(dir, "documents.parquet"), "m07")(
+      m07Body(s, dir))
 
   private def m07Body(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

@@ -1532,13 +1532,15 @@ object Relational {
     * shard span is sized to the column's range (doc lengths ≪ the 1e9
     * default span would fold into ONE shard and a single-reducer
     * window) so the cumulative CDF distributes across ~20 reducers —
-    * exactly the knob a 100-TB deployment turns. One row. */
-  def q85GlobalQuartiles(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir).select(col("n_chars"))
-    ExactPercentile.discGlobal(d, "n_chars", 0.25, "q1_chars", shardSpan = 256L)
-      .crossJoin(ExactPercentile.discGlobal(d, "n_chars", 0.5, "med_chars", shardSpan = 256L))
-      .crossJoin(ExactPercentile.discGlobal(d, "n_chars", 0.75, "q3_chars", shardSpan = 256L))
-  }
+    * exactly the knob a 100-TB deployment turns. All three fractions
+    * ride ONE CDF pass ([[ExactPercentile.discGlobalMulti]] — review
+    * finding: three separate calls tripled the corpus aggregation).
+    * One row. */
+  def q85GlobalQuartiles(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.discGlobalMulti(
+      Tables.documents(s, dir).select(col("n_chars")), "n_chars",
+      Seq(0.25, 0.5, 0.75), Seq("q1_chars", "med_chars", "q3_chars"),
+      shardSpan = 256L)
 
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed

@@ -473,22 +473,9 @@ object Similarity {
     * serves every consumer. Retained state: five ~50-row row sets per
     * fixture. The standalone s02/s03/s05/s09 registered queries do NOT
     * go through this memo — their own bench/verify costs stay honest. */
-  private val familyMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), DataFrame]()
   private def memoFamily(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
-    val k = (s, dir, embFp(dir), key)
-    // NOT computeIfAbsent: its per-bin lock would serialize concurrent
-    // multi-second trainings whose keys collide in a bin (s04 launches
-    // five at once — review finding). Compute outside the map; a lost
-    // publish race just discards a deterministic duplicate.
-    Option(familyMemo.get(k)).getOrElse {
-      val df = build
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-      Option(familyMemo.putIfAbsent(k, local)).getOrElse(local)
-    }
-  }
+      build: => DataFrame): DataFrame =
+    GateMemo.cached(s, dir, embFp(dir), key)(build)
 
   def s04AnnRecallGate(s: SparkSession, dir: String): DataFrame = {
     // constructing s02/s05 runs their centroid/codebook training jobs
@@ -580,8 +567,17 @@ object Similarity {
           .withColumn("nrm", l2Norm(col("emb")))
       else corpus
     // drop ALL four names regardless of `families`: a partial build over
-    // a stale full index must not leave old-family tables that look live
-    Seq(name + "_cells", name + "_srp", name + "_pq", name + "_side").foreach { t =>
+    // a stale full index must not leave old-family tables that look
+    // live. The `_rt` twins drop too (review finding): a rebuild over
+    // an artifact whose retrain crashed after completing its _rt
+    // generation must not leave that stale generation for the next
+    // retrain's marker-based heal to ADOPT — it would silently revert
+    // the rebuild and resurrect deleted vectors. (Called as
+    // writeAnnIndex(name_rt) by retrain itself this also clears
+    // name_rt_rt_* — nonexistent, harmless.)
+    Seq(name + "_cells", name + "_srp", name + "_pq", name + "_side")
+      .flatMap(t => Seq(t,
+        name + "_rt" + t.stripPrefix(name))).foreach { t =>
       // drop both the catalog entry and any stale warehouse location
       // (saveAsTable would fail with LOCATION_ALREADY_EXISTS — the d13
       // lesson)

@@ -658,7 +658,13 @@ object TextAnalysis {
     * corpus size (local default 8 matches the test SFs). */
   def writeTextIndex(corpus: DataFrame, name: String, numBuckets: Int = 8): Unit = {
     val s = corpus.sparkSession
+    // drop the _tmp twins too (review finding): a rebuild over an
+    // artifact whose delete/compact crashed after completing its tmp
+    // generation must not leave that stale generation for the next
+    // maintenance op's heal preamble to ADOPT — it would silently
+    // revert the rebuild and resurrect deleted docs
     Seq(name + "_postings", name + "_doclen", name + "_stats")
+      .flatMap(t => Seq(t, t + "_tmp"))
       .foreach(dropManaged(s, _))
     textIndexBatch(corpus, name, numBuckets, "overwrite")
   }
@@ -672,7 +678,20 @@ object TextAnalysis {
     * (term, doc) posting rows never split across batches; `_stats`
     * accretes one row per batch and readers re-aggregate, so the
     * appended artifact answers every query EXACTLY like a full rebuild
-    * (TextIndexSpec asserts bit-equality). */
+    * (TextIndexSpec asserts bit-equality).
+    *
+    * Crash contract (review finding): an append is THREE table commits
+    * (postings, doclen, stats, in that order) with no cross-table
+    * transaction — a crash mid-append leaves the batch partially
+    * visible (e.g. its postings without its stats), which the
+    * completeness probe cannot detect since prior batches' stats rows
+    * exist. The remedy is the lifecycle's own delete:
+    * `deleteFromTextIndex(s, name, batchDocIds)` excises whatever
+    * parts of the batch landed AND rebuilds `_stats` from the
+    * surviving doclen rows (one generation swap, itself crash-safe),
+    * after which the batch re-appends cleanly. Ingest drivers should
+    * therefore record batch doc_id ranges before appending — the same
+    * write-ahead discipline every at-least-once sink needs. */
   def appendToTextIndex(newDocs: DataFrame, name: String,
       numBuckets: Int = 8): Unit =
     textIndexBatch(newDocs, name, numBuckets, "append")
@@ -857,18 +876,9 @@ object TextAnalysis {
     * the fixtures; first invocation pays it, replays serve the
     * collected rows. All three are listed under "amortized" in the
     * bench JSON. */
-  private val gateMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long, String), DataFrame]()
   private def memoGate(s: SparkSession, dir: String, fp: Long, key: String)(
-      build: => DataFrame): DataFrame = {
-    val k = (s, dir, fp, key)
-    Option(gateMemo.get(k)).getOrElse {
-      val df = build
-      val local = s.createDataFrame(
-        java.util.Arrays.asList(df.collect(): _*), df.schema)
-      Option(gateMemo.putIfAbsent(k, local)).getOrElse(local)
-    }
-  }
+      build: => DataFrame): DataFrame =
+    GateMemo.cached(s, dir, fp, key)(build)
   private def docsFp(dir: String): Long =
     Tables.fixtureFingerprint(dir, "documents.parquet")
 
@@ -1885,8 +1895,21 @@ object TextAnalysis {
     "t40_text_index_gate" -> (t40TextIndexGate _),
     "t41_bpe_incremental" -> (t41BpeIncrementalGate _),
     "t42_hybrid_indexed_gate" -> (t42HybridIndexedGate _),
-    "t43_bm25_indexed" -> (t12Bm25Indexed _),
+    "t43_bm25_indexed" -> (t43Bm25Indexed _),
   )
+
+  /** The driver-registered face of [[t12Bm25Indexed]]: the rounded
+    * score re-emerges as an e4-scaled BIGINT (review finding — NEW
+    * driver-gated registrations follow the round-4 no-raw-doubles rule
+    * even where the t12 precedent predates it). Exact recovery:
+    * round4(x)·1e4 is within one ulp of the integer floor(x·1e4+0.5),
+    * so the +0.5 floor lands on it exactly; the oracle applies the
+    * same floor to its raw score. */
+  def t43Bm25Indexed(s: SparkSession, dir: String): DataFrame =
+    t12Bm25Indexed(s, dir)
+      .select(col("doc_id"),
+        floor(col("score") * 10000.0 + 0.5).cast("long").as("score_e4"),
+        col("rank"))
 
   private val ChunkTokens = 64
   private val ChunkStride = 48
@@ -2655,7 +2678,7 @@ object TextAnalysis {
         |  FROM sc GROUP BY doc_id),
         |rk AS (SELECT doc_id, score,
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg)
-        |SELECT doc_id, floor(score * 10000.0 + 0.5) / 10000.0 AS score, rank
+        |SELECT doc_id, CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS score_e4, rank
         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // indexed-vs-inline t12 equality is asserted Spark-side (exceptAll
     // both ways, every column); DuckDB anchors the doc count and the
