@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,11 +18,11 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ TextAnalysis.queries ++ Dedup.queries ++
-      Similarity.queries ++ Multimodal.queries
+      Similarity.queries ++ Multimodal.queries ++ Graph.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalysis.oracleSql ++ Dedup.oracleSql ++
-      Similarity.oracleSql ++ Multimodal.oracleSql
+      Similarity.oracleSql ++ Multimodal.oracleSql ++ Graph.oracleSql
 }

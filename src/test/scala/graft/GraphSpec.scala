@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph family: differential tests against a plain-Scala integer
+  * reference on a hand-built graph (the t28 pattern), plus fixture-level
+  * structural properties of the registered g01/g02 queries. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Petersen-ish small graph: 6 nodes, undirected edges as both
+  // directions, irregular degrees so rank differences are real.
+  private val undirected = Seq(
+    (1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (3L, 6L))
+  private def biDf = {
+    val bi = undirected ++ undirected.map { case (a, b) => (b, a) }
+    bi.toDF("src", "dst")
+  }
+
+  /** The exact integer recurrence, plain Scala. */
+  private def refRanks(bi: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = bi.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    val n = deg.size.toLong
+    val e12 = 1000000000000L
+    val base = (15L * e12) / (100L * n)
+    var ranks: Map[Long, Long] = deg.map { case (k, _) => k -> e12 / n }
+    for (_ <- 1 to iters) {
+      val shares = ranks.map { case (u, r) => u -> (r * 85L) / (100L * deg(u)) }
+      ranks = bi.groupBy(_._2).map { case (v, es) =>
+        v -> (base + es.map(e => shares(e._1)).sum)
+      }
+    }
+    ranks
+  }
+
+  test("pageRankOn matches the plain-Scala integer recurrence exactly") {
+    val bi = undirected ++ undirected.map { case (a, b) => (b, a) }
+    val expected = refRanks(bi, 5)
+    val got = Graph.pageRankOn(biDf, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("bfsLevelsOn matches hand-computed levels on the small graph") {
+    // From node 1: dist0={1}, dist1={2,3}, dist2={4,6}, dist3={5}, dist4={}
+    val got = Graph.bfsLevelsOn(biDf, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 1L), (1L, 2L, 5L), (2L, 2L, 10L),
+      (3L, 1L, 5L), (4L, 0L, 0L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g01 fixture: 100 rows, total order, supplier hubs outrank customers") {
+    val rows = Graph.g01PageRank(spark, sf).collect()
+    assert(rows.length == 100)
+    val ranks = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ranks.toSeq == ranks.toSeq.sortBy { case (r, n) => (-r, n) })
+    // suppliers (odd ids) are the hubs of the bipartite purchase graph
+    // (far fewer suppliers than customers at every SF) — the top slot
+    // must be a supplier, with positive rank
+    assert(rows.head.getLong(0) % 2 == 1)
+    assert(rows.last.getLong(1) > 0)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g02 fixture: levels partition the reachable set and saturate") {
+    val rows = Graph.g02BfsLevels(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.head == ((0L, 1L, rows.head._3)))  // root level is one node
+    // dense purchase graph: saturated well before 4 hops
+    assert(rows.last._2 == 0L && rows.last._3 == 0L)
+    // every level after saturation stays empty (monotone)
+    val firstEmpty = rows.indexWhere(_._2 == 0L)
+    assert(rows.drop(firstEmpty).forall(_._2 == 0L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+}
