@@ -1896,6 +1896,7 @@ object TextAnalysis {
     "t41_bpe_incremental" -> (t41BpeIncrementalGate _),
     "t42_hybrid_indexed_gate" -> (t42HybridIndexedGate _),
     "t43_bm25_indexed" -> (t43Bm25Indexed _),
+    "t44_phrase_search" -> (t44PhraseSearch _),
   )
 
   /** The driver-registered face of [[t12Bm25Indexed]]: the rounded
@@ -1910,6 +1911,58 @@ object TextAnalysis {
       .select(col("doc_id"),
         floor(col("score") * 10000.0 + 0.5).cast("long").as("score_e4"),
         col("rank"))
+
+  /** The t44 phrase battery: fixed literals shared by the Spark plan and
+    * the generated oracle SQL (one constant, two mirrors — the literal-
+    * parity rule). "zebra data" is deliberately absent from the fixture
+    * vocabulary: the LEFT JOIN back to the phrase list must emit its
+    * (0, 0, 0) row rather than dropping it. */
+  private val PhraseSet = Seq(
+    "batch batch batch", "data slow", "hash scan join", "merge slow join",
+    "order order", "spark join vector", "the fast key", "zebra data")
+
+  /** Exact phrase search by POSITIONAL INTERSECTION — the posting-list
+    * plan shape, not a regex scan: corpus token positions join a
+    * broadcast (phrase, offset, word) table, and a candidate start
+    * position is a hit iff every offset matched (count == phrase
+    * length; a (doc, start, offset) triple can match at most one corpus
+    * token, so the count is exact even for repeated-word phrases like
+    * "order order", and overlapping occurrences count once per start).
+    * Per phrase: containing-doc count, total occurrences, and a
+    * distinct-doc-id sum checksum — all integers.
+    *
+    * Scale: the phrase table broadcasts; the position stream is
+    * map-side pruned to phrase words before the only shuffle (the
+    * candidate-start aggregation), which moves occurrences-of-phrase-
+    * words rows, not the corpus. On a real corpus that pruning is the
+    * whole game (query terms are rare); the persisted twin is a
+    * positions column on `<name>_postings` — same join, bucket-pruned
+    * scan instead of the inline tokenize. countDistinct and
+    * sum_distinct share ONE distinct child (doc_id), so no
+    * multi-distinct Expand (the q33/q84 trap). */
+  def t44PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pw = PhraseSet.flatMap { p =>
+      val ws = p.split(" ")
+      ws.zipWithIndex.map { case (w, k) => (p, k.toLong, w, ws.length.toLong) }
+    }.toDF("phrase", "k", "word", "plen")
+    val pos = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val occ = pos.join(broadcast(pw), pos("term") === pw("word"))
+      .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("k")).as("start"))
+      .agg(count(lit(1)).as("nk"), max(col("plen")).as("plen"))
+      .filter(col("nk") === col("plen"))
+    val agg = occ.groupBy(col("phrase"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        sum_distinct(col("doc_id")).as("doc_sum"))
+    PhraseSet.toDF("phrase").join(agg, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_occ"), lit(0L)).as("n_occ"),
+        coalesce(col("doc_sum"), lit(0L)).as("doc_sum"))
+      .orderBy("phrase")
+  }
 
   private val ChunkTokens = 64
   private val ChunkStride = 48
@@ -2680,6 +2733,34 @@ object TextAnalysis {
         |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank FROM agg)
         |SELECT doc_id, CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS score_e4, rank
         |FROM rk WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // generated from the SAME PhraseSet constant as the Spark plan —
+    // the two mirrors cannot drift
+    "t44_phrase_search" -> {
+      val pwValues = PhraseSet.flatMap { p =>
+        val ws = p.split(" ")
+        ws.zipWithIndex.map { case (w, k) => s"('$p', $k, '$w', ${ws.length})" }
+      }.mkString(", ")
+      val plValues = PhraseSet.map(p => s"('$p')").mkString(", ")
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+         |  FROM documents),
+         |pos AS (SELECT doc_id, unnest(toks) AS term,
+         |               generate_subscripts(toks, 1) - 1 AS pos FROM t),
+         |pw(phrase, k, word, plen) AS (VALUES $pwValues),
+         |occ AS (
+         |  SELECT p.phrase, s.doc_id, s.pos - p.k AS start
+         |  FROM pos s JOIN pw p ON s.term = p.word
+         |  GROUP BY p.phrase, s.doc_id, s.pos - p.k
+         |  HAVING COUNT(*) = MAX(p.plen)),
+         |pl(phrase) AS (VALUES $plValues),
+         |agg AS (SELECT phrase, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |               CAST(COUNT(*) AS BIGINT) AS n_occ,
+         |               CAST(SUM(DISTINCT doc_id) AS BIGINT) AS doc_sum
+         |        FROM occ GROUP BY phrase)
+         |SELECT pl.phrase, COALESCE(n_docs, 0) AS n_docs,
+         |       COALESCE(n_occ, 0) AS n_occ, COALESCE(doc_sum, 0) AS doc_sum
+         |FROM pl LEFT JOIN agg USING (phrase) ORDER BY phrase""".stripMargin
+    },
     // indexed-vs-inline t12 equality is asserted Spark-side (exceptAll
     // both ways, every column); DuckDB anchors the doc count and the
     // literal-true flag (the s07 oracle pattern)

@@ -216,6 +216,49 @@ class TextIndexSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_bpe_spec_words")
   }
 
+  test("t44 phrase search: differential vs plain-Scala counting at sf, overlap semantics") {
+    // plain-Scala reference: count starts where every phrase word
+    // matches, over the SAME whitespace tokenization
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").filter(_.nonEmpty))
+    val phrases = Seq(
+      "batch batch batch", "data slow", "hash scan join", "merge slow join",
+      "order order", "spark join vector", "the fast key", "zebra data")
+    val expected = phrases.map { p =>
+      val ws = p.split(" ")
+      val perDoc = docs.map { case (id, toks) =>
+        id -> (0 to toks.length - ws.length).count(s => ws.indices.forall(k => toks(s + k) == ws(k)))
+      }.filter(_._2 > 0)
+      (p, perDoc.length.toLong, perDoc.map(_._2.toLong).sum, perDoc.map(_._1).sum)
+    }
+    val got = operators.TextAnalysis.t44PhraseSearch(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == expected, "positional intersection drifted from the scan reference")
+    // the absent-vocab phrase must be PRESENT with zeros, not dropped
+    assert(got.find(_._1 == "zebra data").contains(("zebra data", 0L, 0L, 0L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("t44 overlap unit case: repeated-word phrase counts every start once") {
+    import spark.implicits._
+    // "batch batch batch" in a 4-run has starts 0 and 1 -> 2 occurrences
+    val d = Seq((1L, "batch batch batch batch x"), (2L, "batch batch x batch batch batch"))
+      .toDF("doc_id", "text")
+    d.createOrReplaceTempView("graft_t44_unit")
+    val pos = d.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+    val pw = Seq(("p", 0L, "batch", 3L), ("p", 1L, "batch", 3L), ("p", 2L, "batch", 3L))
+      .toDF("phrase", "k", "word", "plen")
+    val occ = pos.join(broadcast(pw), pos("term") === pw("word"))
+      .groupBy(col("phrase"), col("doc_id"), (col("pos") - col("k")).as("start"))
+      .agg(count(lit(1)).as("nk"), max(col("plen")).as("plen"))
+      .filter(col("nk") === col("plen"))
+    val byDoc = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byDoc == Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("indexed hybrid legs against the fixture: text leg exact, fused overlap >= 0.6") {
     // the t42 gate itself, at the spec's smallest fixture — one row of
     // literal-true flags (driver re-proves at every SF)
