@@ -1542,6 +1542,61 @@ object Relational {
       Seq(0.25, 0.5, 0.75), Seq("q1_chars", "med_chars", "q3_chars"),
       shardSpan = 256L)
 
+  /** Pearson correlation matrix over lineitem's numeric columns —
+    * EXACT cross-engine parity for a statistic whose textbook form
+    * (running double sums) is run-order nondeterministic. The trick is
+    * the round-7 s07 lesson applied to second moments: every input is
+    * scaled to an integer (quantity units, price cents, discount
+    * hundredths), all ten raw moments accumulate as DECIMAL(38,0) ↔
+    * HUGEINT (the t37 pattern — per-row products stay in BIGINT:
+    * max p² ≈ 1.1e14; the moment combinations n·Sxx − Sx² stay ≈ 1e25
+    * at sf0.1 and ≈ 3.6e33 even at n = 6e9 rows, inside 38 digits), and
+    * only the FINAL division runs in doubles: exact integers have one
+    * representation, the same integer converts to the same IEEE double
+    * in both engines, and the identical expression tree
+    * num / (sqrt(d1)·sqrt(d2)) is then bit-deterministic. One corpus
+    * scan, one reduce: all ten moments ride a single agg row, and the
+    * three matrix cells explode out of it (no re-scan per pair, no
+    * multi-distinct Expand — there is no distinct at all). */
+  def q86CorrMatrix(s: SparkSession, dir: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = Tables.lineitem(s, dir).select(
+      floor(col("l_quantity") + 0.5).cast("long").as("q"),
+      floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("p"),
+      floor(col("l_discount") * 100.0 + 0.5).cast("long").as("d"))
+    val m = base.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(col("q").cast(dec)).as("sq"),
+      sum(col("p").cast(dec)).as("sp"),
+      sum(col("d").cast(dec)).as("sd"),
+      sum((col("q") * col("q")).cast(dec)).as("sqq"),
+      sum((col("p") * col("p")).cast(dec)).as("spp"),
+      sum((col("d") * col("d")).cast(dec)).as("sdd"),
+      sum((col("q") * col("p")).cast(dec)).as("sqp"),
+      sum((col("q") * col("d")).cast(dec)).as("sqd"),
+      sum((col("p") * col("d")).cast(dec)).as("spd"))
+    def corrE6(sx: Column, sy: Column, sxx: Column, syy: Column,
+        sxy: Column): Column = {
+      val n = col("n")
+      // subtract in exact decimal, convert ONCE, divide in doubles
+      val num = (n * sxy - sx * sy).cast("double")
+      val d1 = (n * sxx - sx * sx).cast("double")
+      val d2 = (n * syy - sy * sy).cast("double")
+      when(d1 > 0.0 && d2 > 0.0,
+        floor(num / (sqrt(d1) * sqrt(d2)) * 1000000.0 + 0.5).cast("long"))
+    }
+    m.select(explode(array(
+        struct(lit("price_discount").as("pair"), col("n").cast("long").as("n"),
+          corrE6(col("sp"), col("sd"), col("spp"), col("sdd"), col("spd")).as("corr_e6")),
+        struct(lit("qty_discount").as("pair"), col("n").cast("long").as("n"),
+          corrE6(col("sq"), col("sd"), col("sqq"), col("sdd"), col("sqd")).as("corr_e6")),
+        struct(lit("qty_price").as("pair"), col("n").cast("long").as("n"),
+          corrE6(col("sq"), col("sp"), col("sqq"), col("spp"), col("sqp")).as("corr_e6"))
+      )).as("r"))
+      .select(col("r.pair").as("pair"), col("r.n").as("n"), col("r.corr_e6").as("corr_e6"))
+      .orderBy("pair")
+  }
+
   /** VARIANT battery (Spark 4 semi-structured type): parse_json once,
     * typed variant_get extraction, try_parse_json's NULL-on-malformed
     * contract — the open-schema ingestion path where VARIANT's shredded
@@ -1649,6 +1704,7 @@ object Relational {
     "q83_recursive_cte"   -> (q83RecursiveCte _),
     "q84_profile_hll_gate" -> (q84ProfileHllGate _),
     "q85_global_quartiles" -> (q85GlobalQuartiles _),
+    "q86_corr_matrix"     -> (q86CorrMatrix _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2203,6 +2259,35 @@ object Relational {
         |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars,
         |  CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3_chars
         |FROM documents""".stripMargin,
+    // moments in HUGEINT <-> Spark DECIMAL(38,0) (t37 parity), combined
+    // exactly, converted to DOUBLE once, divided through the identical
+    // num / (sqrt(d1)*sqrt(d2)) tree
+    "q86_corr_matrix" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_quantity + 0.5) AS BIGINT) AS q,
+        |         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS p,
+        |         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d
+        |  FROM lineitem),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |  CAST(SUM(q) AS HUGEINT) AS sq, CAST(SUM(p) AS HUGEINT) AS sp,
+        |  CAST(SUM(d) AS HUGEINT) AS sd,
+        |  CAST(SUM(q*q) AS HUGEINT) AS sqq, CAST(SUM(p*p) AS HUGEINT) AS spp,
+        |  CAST(SUM(d*d) AS HUGEINT) AS sdd,
+        |  CAST(SUM(q*p) AS HUGEINT) AS sqp, CAST(SUM(q*d) AS HUGEINT) AS sqd,
+        |  CAST(SUM(p*d) AS HUGEINT) AS spd FROM b)
+        |SELECT pair, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(n*sxx - sx*sx AS DOUBLE) > 0.0
+        |        AND CAST(n*syy - sy*sy AS DOUBLE) > 0.0
+        |  THEN CAST(floor(CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) END AS corr_e6
+        |FROM (
+        |  SELECT 'price_discount' AS pair, n, sp AS sx, sd AS sy, spp AS sxx, sdd AS syy, spd AS sxy FROM m
+        |  UNION ALL
+        |  SELECT 'qty_discount', n, sq, sd, sqq, sdd, sqd FROM m
+        |  UNION ALL
+        |  SELECT 'qty_price', n, sq, sp, sqq, spp, sqp FROM m) u
+        |ORDER BY pair""".stripMargin,
     "q70_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts,
