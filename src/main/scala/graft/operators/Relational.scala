@@ -1542,6 +1542,30 @@ object Relational {
       Seq(0.25, 0.5, 0.75), Seq("q1_chars", "med_chars", "q3_chars"),
       shardSpan = 256L)
 
+  /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
+    * not cover: trailing-30-day and centered ±7-day frames over each
+    * customer's order history, keyed on an integer day number
+    * (days since 1970-01-01) so the RANGE offsets mean calendar days in
+    * both engines and same-day orders are frame PEERS (the semantics
+    * ROWS frames cannot express). Sums ride integer cents; both frames
+    * share one (partition, order) spec → one WindowExec (the q69
+    * single-operator lesson — range bounds live per-function, not
+    * per-operator). Scale: per-customer partitions, no global window. */
+  def q87RangeFrames(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      datediff(to_date(col("o_orderdate")), lit("1970-01-01")).as("day"),
+      floor(col("o_totalprice") * 100.0 + 0.5).cast("long").as("cents"))
+    val spec = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+    val w30 = spec.rangeBetween(-29, 0)
+    val wpm7 = spec.rangeBetween(-7, 7)
+    base.select(col("o_orderkey"), col("o_custkey"), col("day").cast("long").as("day"),
+        count(lit(1)).over(w30).as("cnt_30d"),
+        sum(col("cents")).over(w30).as("cents_30d"),
+        count(lit(1)).over(wpm7).as("cnt_pm7"))
+      .orderBy(col("o_custkey"), col("day"), col("o_orderkey"))
+  }
+
   /** Pearson correlation matrix over lineitem's numeric columns —
     * EXACT cross-engine parity for a statistic whose textbook form
     * (running double sums) is run-order nondeterministic. The trick is
@@ -1705,6 +1729,7 @@ object Relational {
     "q84_profile_hll_gate" -> (q84ProfileHllGate _),
     "q85_global_quartiles" -> (q85GlobalQuartiles _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
+    "q87_range_frames"    -> (q87RangeFrames _),
   )
 
   /** DuckDB-runnable ANSI SQL oracles, column-name aligned with the plans
@@ -2288,6 +2313,23 @@ object Relational {
         |  UNION ALL
         |  SELECT 'qty_price', n, sq, sp, sqq, spp, sqp FROM m) u
         |ORDER BY pair""".stripMargin,
+    "q87_range_frames" ->
+      """WITH b AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        |  CAST(COUNT(*) OVER w30 AS BIGINT) AS cnt_30d,
+        |  CAST(SUM(cents) OVER w30 AS BIGINT) AS cents_30d,
+        |  CAST(COUNT(*) OVER wpm7 AS BIGINT) AS cnt_pm7
+        |FROM b
+        |WINDOW
+        |  w30 AS (PARTITION BY o_custkey ORDER BY day
+        |          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
+        |  wpm7 AS (PARTITION BY o_custkey ORDER BY day
+        |           RANGE BETWEEN 7 PRECEDING AND 7 FOLLOWING)
+        |ORDER BY o_custkey, day, o_orderkey""".stripMargin,
     "q70_session_window" ->
       """WITH e AS (
         |  SELECT user_id, ts,

@@ -43,6 +43,12 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 2, "no partial aggregation: " + p)
   }
 
+  test("q87: trailing and centered RANGE frames share ONE WindowExec") {
+    val p = plan(Relational.q87RangeFrames(spark, sf))
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1,
+      "same-spec range frames must plan one WindowExec:\n" + p)
+  }
+
   test("q69: cumulative and total percentile frames share ONE WindowExec (no totals join)") {
     val p = plan(Relational.q69PercentileDisc(spark, sf))
     assert("\\bWindow\\b".r.findAllIn(p).size == 1,
