@@ -35,6 +35,7 @@ object ScaleSmoke {
     if (a.contains("i8100")) { i8100(spark); spark.stop(); return }
     if (a.contains("tx100")) { tx100(spark); spark.stop(); return }
     if (a.contains("cp100")) { cp100(spark); spark.stop(); return }
+    if (a.contains("gr100")) { gr100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -579,6 +580,42 @@ object ScaleSmoke {
     } finally Seq("_cells", "_srp", "_pq", "_side", "_cells_tmp", "_srp_tmp",
       "_pq_tmp").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_cp100$sfx"))
+  }
+
+  /** Graph iteration smoke: synthetic directed graphs (every node 8
+    * out-edges via xxhash, so the out-degree precondition holds) at 1M
+    * and 4M edges; runs the g01 PageRank core (5 unrolled iterations)
+    * on each. Asserts node coverage and integer mass conservation (each
+    * `div` truncates < 1, so total rank loss per iteration is bounded by
+    * |E| + |V| + 100 — the arithmetic proof that scaled-BIGINT ranks
+    * cannot drift), and reports wall seconds per scale: the cost axis is
+    * the edge-side join, which reuses the one cached repartition across
+    * all five iterations (only node-sized frames shuffle per round). */
+  private def gr100(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    def run(v: Long, eOut: Int): (Long, Double) = {
+      val bi = spark.range(v).toDF("id")
+        .select(col("id").as("src"),
+          explode(transform(sequence(lit(0), lit(eOut - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(v)))).as("dst"))
+        .repartition(col("src")).cache()
+      val t0 = System.nanoTime()
+      val ranks = Graph.pageRankOn(bi, iters = 5).cache()
+      val n = ranks.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val mass = ranks.agg(sum(col("rank_e12"))).collect().head.getLong(0)
+      val lossBound = 6L * (v * eOut + v + 100)
+      assert(n == v, s"rank rows $n != $v nodes")
+      assert(mass <= 1000000000000L && mass >= 1000000000000L - lossBound,
+        s"mass $mass outside [1e12 - $lossBound, 1e12]")
+      ranks.unpersist(); bi.unpersist()
+      (mass, secs)
+    }
+    run(10000L, 4)                   // soak JVM/codegen warmup (TimeProbe lesson)
+    val (m1, s1) = run(125000L, 8)   // 1M edges
+    val (m4, s4) = run(500000L, 8)   // 4M edges
+    println(f"GR100 pagerank 1M_edges=$s1%.1f s (mass=$m1) 4M_edges=$s4%.1f s " +
+      f"(mass=$m4) ratio=${s4 / s1}%.1f x for 4x edges")
   }
 
   private def b100(spark: SparkSession): Unit = {

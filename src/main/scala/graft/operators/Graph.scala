@@ -82,11 +82,19 @@ object Graph {
       val contrib = ranks.alias("r").join(deg.alias("d"), col("r.node") === col("d.src"))
         .select(col("d.src").as("src"),
           expr("(r.rank_e12 * 85) div (100 * d.outdeg)").as("share"))
-      ranks = bi.join(contrib, "src")
+      val inSums = bi.join(contrib, "src")
         .groupBy(col("dst"))
         .agg(sum(col("share")).as("in_sum"))
-        .select(col("dst").as("node"),
-          (lit(base) + col("in_sum")).cast("long").as("rank_e12"))
+        .select(col("dst").as("node"), col("in_sum"))
+      // LEFT from the node set: a node with no IN-edges keeps the
+      // teleport base instead of vanishing (cannot happen on an
+      // undirected graph like g01's, but the core's contract is any
+      // directed graph with out-degree >= 1 — the gr100 smoke's random
+      // digraph exercises exactly this)
+      ranks = deg.select(col("src").as("node"))
+        .join(inSums, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_sum"), lit(0L))).cast("long").as("rank_e12"))
     }
     ranks
   }
