@@ -57,16 +57,17 @@ object Bench {
     * future rounds can't mistake replay cost for compute cost. The
     * standalone family queries (s02/s03/s05/s09) deliberately bypass
     * the memos and stay honest from-scratch numbers. */
-  private val amortized: Seq[String] = Seq(
+  private[graft] val amortized: Seq[String] = Seq(
     "d05_dedup_survivors", "d12_stream_dedup_gate", "d16_dedup_keep_best",
     "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
+    "g04_graph_index_gate",
     "s04_ann_recall_gate", "s07_ann_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",
     "t35_stream_curate_gate", "t40_text_index_gate",
     "t41_bpe_incremental", "t42_hybrid_indexed_gate",
-    "t43_bm25_indexed")
+    "t43_bm25_indexed", "t45_phrase_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -153,6 +154,15 @@ object Bench {
     val receiptsJson = receipts.toSeq.sortBy(_._1)
       .map { case (k, (_, _, j)) => "\"" + k + "\":" + j }
       .mkString("{", ",", "}")
+    // flag stale markers LOUDLY (round-9 ADVICE): a typo or a query
+    // rename silently dropping a name would misrepresent a memo replay
+    // as compute cost — the exact confusion this list exists to prevent.
+    // Warn here (a crash would cost the whole bench artifact) and fail
+    // structurally in QueriesSmokeSpec's marker-integrity test.
+    val staleAmortized = amortized.filterNot(SparkEntry.queries.contains)
+    if (staleAmortized.nonEmpty)
+      System.err.println(
+        s"[bench] STALE amortized markers (not registered queries): ${staleAmortized.mkString(", ")}")
     val amortizedJson = amortized.filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"receipts":$receiptsJson,"amortized":$amortizedJson,"sf":"$sfDir"}"""

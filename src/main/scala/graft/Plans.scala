@@ -52,7 +52,11 @@ object Plans {
     "s10_filtered_ivfpq_gate" -> "filtered IVF-PQ: label rides the (cell, label) probe join against the Bucketed: true _pq codes scan — non-matching vectors never get an ADC fold, only probed cells' codes read",
     "t39_hybrid_rrf" -> "hybrid BM25+vector RRF: query terms/vectors broadcast, per-term scores e6-floored before the integer sum, both legs cut top-20 through partial+final bounded heaps, windows only rank reduced rows",
     "t43_bm25_indexed" -> "BM25 from the PERSISTED posting-list index: bucket-PRUNED Bucketed: true _postings scan (term IN prunes bucket files), Exchange-free per-(term,doc) re-agg and df count on the bucket layout, 1-row stats broadcast — the corpus is never re-tokenized",
-    "q85_global_quartiles" -> "global exact quartiles: distributed CDF — per-value counts, arithmetic-bounded shard totals collected, offsets broadcast, cumulative window partitioned by shard (no single-reducer stage)")
+    "q85_global_quartiles" -> "global exact quartiles: distributed CDF — per-value counts, arithmetic-bounded shard totals collected, offsets broadcast, cumulative window partitioned by shard (no single-reducer stage)",
+    "g01_pagerank" -> "integer PageRank: edge set repartitioned+sorted+cached ONCE (InMemoryTableScan, no Exchange above it anywhere), 5 iterations shuffle only node-sized rank/contribution frames, in-sums map-combined before their Exchange",
+    "g02_bfs_levels" -> "label-frame BFS: per-hop frontier-only joins run as checkpointed jobs (this final plan shows the level aggregation over the flat hop relations + the distance spine left join); the hop shape itself is pinned in PlanShapeSpec",
+    "g03_components" -> "connected components: thresholded affinity pairs (map-combined count agg), pointer-jumping label rounds are checkpointed node-sized jobs, final per-component rollup",
+    "t45_phrase_indexed" -> "phrase search from the PERSISTED positional index: bucket-PRUNED Bucketed: true _positions scan (term IN prunes bucket files), phrase table broadcast, one candidate-start shuffle — the corpus is never re-tokenized (zero documents scan)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -529,7 +529,7 @@ object ScaleSmoke {
         f"indexed_query=$idxS%.2f s inline_query=$inlS%.2f s " +
         f"append2k=$appS%.2f s indexed_after_append=$idx2S%.2f s " +
         f"speedup=${inlS / idxS}%.1fx")
-    } finally Seq("_postings", "_doclen", "_stats").foreach(sfx =>
+    } finally Seq("_postings", "_doclen", "_positions", "_batches", "_stats").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_tx100$sfx"))
   }
 
@@ -616,6 +616,30 @@ object ScaleSmoke {
     val (m4, s4) = run(500000L, 8)   // 4M edges
     println(f"GR100 pagerank 1M_edges=$s1%.1f s (mass=$m1) 4M_edges=$s4%.1f s " +
       f"(mass=$m4) ratio=${s4 / s1}%.1f x for 4x edges")
+    // label-frame BFS (round-10 rewrite): per-hop cost follows the
+    // FRONTIER (~8^k nodes on this random digraph), not the edge count —
+    // 4x edges should move wall-clock far less than 4x
+    def runBfs(v: Long, eOut: Int): (Long, Double) = {
+      val bi = spark.range(v).toDF("id")
+        .select(col("id").as("src"),
+          explode(transform(sequence(lit(0), lit(eOut - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(v)))).as("dst"))
+        .repartition(col("src")).sortWithinPartitions(col("src")).cache()
+      val t0 = System.nanoTime()
+      val levels = Graph.bfsLevelsOn(bi, 4).collect()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val reach = levels.map(_.getLong(1)).sum
+      assert(levels.length == 5 && levels.head.getLong(1) == 1L,
+        s"bfs root level broken: ${levels.mkString(",")}")
+      assert(reach >= 1L && reach <= v, s"bfs reach $reach outside [1, $v]")
+      bi.unpersist()
+      (reach, secs)
+    }
+    runBfs(10000L, 4)                   // warm the hop plan shapes
+    val (r1, b1) = runBfs(125000L, 8)   // 1M edges
+    val (r4, b4) = runBfs(500000L, 8)   // 4M edges
+    println(f"GR100 bfs 1M_edges=$b1%.1f s (reach=$r1) 4M_edges=$b4%.1f s " +
+      f"(reach=$r4) ratio=${b4 / b1}%.1f x for 4x edges")
   }
 
   private def b100(spark: SparkSession): Unit = {

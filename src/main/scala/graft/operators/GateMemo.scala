@@ -32,6 +32,13 @@ private[graft] object GateMemo {
       val df = build
       val local = s.createDataFrame(
         java.util.Arrays.asList(df.collect(): _*), df.schema)
+      // evict stale generations on insert (round-9 ADVICE): an entry for
+      // the same (session, dir, key) under a DIFFERENT fingerprint can
+      // never be read again — the fixture it was computed from is gone —
+      // and would otherwise pin its rows (and SparkSession reference)
+      // for the process lifetime across driver-side regenerations
+      memo.keySet.removeIf(e =>
+        (e._1 eq s) && e._2 == dir && e._4 == key && e._3 != fp)
       Option(memo.putIfAbsent(k, local)).getOrElse(local)
     }
   }

@@ -78,4 +78,60 @@ class GraphSpec extends SparkSpec {
     assert(rows.drop(firstEmpty).forall(_._2 == 0L))
     spark.sharedState.cacheManager.clearCache()
   }
+
+  test("bfsLevelsOn saturation: trailing levels of a short path are (0, 0)") {
+    // path 1-2-3 exhausts at hop 2; hops 3 and 4 must come from the
+    // distance spine (the early-exit branch), not from running joins
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val got = Graph.bfsLevelsOn(path, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((0L, 1L, 1L), (1L, 1L, 2L), (2L, 1L, 3L),
+      (3L, 0L, 0L), (4L, 0L, 0L)))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  /** Plain-Scala union-find — the g03 reference implementation. */
+  private def refComponents(pairs: Seq[(Long, Long)]): Seq[(Long, Long, Long)] = {
+    val par = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = par.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); par(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) par(rb) = ra else par(ra) = rb }
+    }
+    par.keys.toSeq.groupBy(find).toSeq
+      .map { case (_, ns) => (ns.min, ns.size.toLong, ns.sum) }
+      .sortBy(_._1)
+  }
+
+  test("g03 matches a plain-Scala union-find over the same thresholded pairs") {
+    // replicate the whole pipeline (the t28/t34 differential pattern):
+    // Spark only reads the raw fact columns; grouping, thresholding, and
+    // the component fold are plain Scala integer code
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // NOT `.collect { case (p, occ) ... => p }`: on a Map that overload
+    // rebuilds a Map keyed by doc_a and silently DEDUPLICATES pairs
+    val pairs = li.toSeq.map { case (ok, sk) => (ord(ok) * 2, sk * 2 + 1) }
+      .groupBy(identity).filter(_._2.size >= 3).keys.toSeq
+    val expected = refComponents(pairs)
+    val got = Graph.g03Components(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.forall(_._2 >= 2)) // edges imply pairs at least
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g04 gate: indexed pagerank and bfs are row-identical to inline") {
+    val rows = Graph.g04GraphIndexGate(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) > 0)      // n_edges
+    assert(rows.head.getBoolean(1), "indexed pagerank drifted from inline")
+    assert(rows.head.getBoolean(2), "indexed bfs drifted from inline")
+    spark.sharedState.cacheManager.clearCache()
+  }
 }

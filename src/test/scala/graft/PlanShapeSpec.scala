@@ -279,6 +279,99 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("g01: raw edge rows never cross an Exchange; no nested-loop join anywhere") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.operators.Graph.g01PageRank(spark, sf)
+        .queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      // the (src, dst) edge cache is partitioned+sorted once; every
+      // iteration's src-keyed join/agg reuses it — a shuffle whose
+      // subtree reaches the edge scan without an intervening partial
+      // aggregate would mean |E|-sized rows re-crossing the network
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case s: InMemoryTableScanExec => s.output.exists(_.name == "dst")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"raw edge rows cross an Exchange:\n$e"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("g02 hop: the frontier joins the cached edges without re-shuffling them") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one expansion exactly as bfsLevelsOn runs it (the loop
+      // checkpoints each hop, so the final df's plan can't show them)
+      val bi = graft.operators.Graph.purchaseEdges(spark, sf)
+      val frontier = Seq(0L).toDF("node")
+      val acc = Seq((0L, 0L)).toDF("node", "dist")
+      val hop = graft.operators.Graph.bfsHop(bi, frontier.select(col("node")),
+        acc, 1)
+      val p = hop.queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case s: InMemoryTableScanExec => s.output.exists(_.name == "dst")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"the frontier expansion re-shuffles the edge set:\n$e"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("g04: the indexed iteration reads the bucketed edge table with zero edge-side Exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val name = graft.operators.Graph.sharedEdgeIndex(spark, sf)
+      val p = graft.operators.Graph.pageRankIndexed(spark, name)
+        .queryExecution.executedPlan
+      val scans = p.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "dst") => f
+      }
+      assert(scans.nonEmpty, "no edge-table scan in the indexed plan:\n" + p)
+      scans.foreach(f => assert(f.bucketedScan,
+        s"edge scan not bucket-aware (the bucketed layout IS the repartition):\n$f"))
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case f: FileSourceScanExec => f.output.exists(_.name == "dst")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"indexed edge rows cross an Exchange:\n$e"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.

@@ -20,6 +20,15 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("every Bench amortized marker names a registered query") {
+    // round-9 ADVICE: a typo/rename silently dropped from the marker
+    // list would misreport a memo replay as compute cost; Bench.main
+    // only warns (a crash there would cost the bench artifact) — the
+    // structural failure lives here
+    val stale = Bench.amortized.filterNot(SparkEntry.queries.contains)
+    assert(stale.isEmpty, s"stale amortized markers: $stale")
+  }
+
   test("entry() returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

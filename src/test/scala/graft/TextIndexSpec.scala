@@ -36,7 +36,7 @@ class TextIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
       assert(indexed == inline, s"indexed=$indexed inline=$inline")
       assert(inline.nonEmpty)
-    } finally Seq("_postings", "_doclen", "_stats").foreach(sfx =>
+    } finally Seq("_postings", "_doclen", "_positions", "_batches", "_stats").foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_txt_spec$sfx"))
   }
 
@@ -71,7 +71,7 @@ class TextIndexSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
       assert(appended == inline, s"appended=$appended inline=$inline")
     } finally Seq("graft_txt_app", "graft_txt_full").foreach(n =>
-      Seq("_postings", "_doclen", "_stats").foreach(sfx =>
+      Seq("_postings", "_doclen", "_positions", "_batches", "_stats").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
   }
 
@@ -108,7 +108,7 @@ class TextIndexSpec extends SparkSpec {
           s"raw postings rows cross an Exchange:\n$e"))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
-      Seq("_postings", "_doclen", "_stats").foreach(sfx =>
+      Seq("_postings", "_doclen", "_positions", "_batches", "_stats").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS graft_txt_plan$sfx"))
     }
   }
@@ -158,7 +158,8 @@ class TextIndexSpec extends SparkSpec {
       assert(!spark.catalog.tableExists("graft_txt_lc_stats_tmp"))
       assert(rows() == rebuilt, "post-heal answers drifted")
     } finally Seq("graft_txt_lc", "graft_txt_lc2").foreach(n =>
-      Seq("_postings", "_doclen", "_stats", "_postings_tmp", "_doclen_tmp",
+      Seq("_postings", "_doclen", "_positions", "_batches", "_stats",
+        "_postings_tmp", "_doclen_tmp", "_positions_tmp", "_batches_tmp",
         "_stats_tmp").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
   }
@@ -257,6 +258,96 @@ class TextIndexSpec extends SparkSpec {
     val byDoc = occ.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byDoc == Map(1L -> 2L, 2L -> 1L))
+  }
+
+  test("t45 indexed phrase search == inline t44; plan: zero corpus scan, bucket-pruned positions") {
+    try {
+      val a = TextAnalysis.t44PhraseSearch(spark, sf).collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.t45PhraseIndexed(spark, sf).collect().map(_.toSeq).toSeq
+      assert(a == b, s"indexed phrase battery drifted: inline=$a indexed=$b")
+      // the corpus never appears: the ONLY file scan is the bucketed
+      // `_positions` table, pruned by the phrase-word IN predicate
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = TextAnalysis.t45PhraseIndexed(spark, sf)
+      q.collect()
+      val scans = q.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 1, s"expected only the positions scan:\n${scans.mkString("\n")}")
+      val f = scans.head
+      assert(!f.toString.contains("documents"), s"corpus scan in indexed plan:\n$f")
+      assert(f.bucketedScan, s"positions scan not bucket-aware:\n$f")
+      assert(f.optionalBucketSet.isDefined, s"no bucket pruning applied:\n$f")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache() // the driver-harness rule
+    }
+  }
+
+  test("positions follow the lifecycle: delete excises, append+compact == rebuild") {
+    import spark.implicits._
+    def posRows(name: String): Set[(String, Long, Long)] =
+      spark.table(name + "_positions").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    TextAnalysis.writeTextIndex(planted.filter(col("doc_id") <= 3),
+      "graft_txt_pos", numBuckets = 4)
+    TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") > 3),
+      "graft_txt_pos", numBuckets = 4)
+    TextAnalysis.writeTextIndex(planted, "graft_txt_pos2", numBuckets = 4)
+    try {
+      assert(posRows("graft_txt_pos") == posRows("graft_txt_pos2"),
+        "appended positions differ from a rebuild")
+      TextAnalysis.deleteFromTextIndex(spark, "graft_txt_pos",
+        Seq(2L).toDF("doc_id"))
+      TextAnalysis.compactTextIndex(spark, "graft_txt_pos")
+      val expected = posRows("graft_txt_pos2").filterNot(_._2 == 2L)
+      assert(posRows("graft_txt_pos") == expected,
+        "positions after delete+compact differ from rebuild-without")
+    } finally Seq("graft_txt_pos", "graft_txt_pos2").foreach(n =>
+      Seq("_postings", "_doclen", "_positions", "_batches", "_stats",
+        "_postings_tmp", "_doclen_tmp", "_positions_tmp", "_batches_tmp",
+        "_stats_tmp").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
+  }
+
+  test("append WAL: a half-landed batch is detectable and heals from the artifact alone") {
+    import spark.implicits._
+    def rows(name: String) = TextAnalysis.bm25TopIndexed(spark, name).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    TextAnalysis.writeTextIndex(planted.filter(col("doc_id") <= 3),
+      "graft_txt_wal", numBuckets = 4)
+    TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") > 3),
+      "graft_txt_wal", numBuckets = 4)
+    try {
+      // a complete artifact heals to a no-op
+      assert(TextAnalysis.healTextIndexAppends(spark, "graft_txt_wal") == 0L)
+      // simulate a crash between the batch's data-table commits and its
+      // _stats commit: rewrite _stats without batch 1's row (the journal
+      // row and data rows are already visible — exactly the state a
+      // mid-append crash leaves)
+      val keep = spark.table("graft_txt_wal_stats")
+        .filter(col("batch_id") === 0L)
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(keep.collect(): _*), keep.schema)
+      local.repartition(1).write.mode("overwrite")
+        .saveAsTable("graft_txt_wal_stats")
+      // the artifact alone exposes the incomplete batch; heal excises it
+      assert(TextAnalysis.healTextIndexAppends(spark, "graft_txt_wal") == 3L)
+      val batch1Only = TextAnalysis.bm25Top(planted.filter(col("doc_id") <= 3))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(rows("graft_txt_wal") == batch1Only,
+        "healed artifact drifted from the committed-batches-only corpus")
+      // the excised batch re-appends cleanly and matches the inline full corpus
+      TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") > 3),
+        "graft_txt_wal", numBuckets = 4)
+      assert(TextAnalysis.healTextIndexAppends(spark, "graft_txt_wal") == 0L)
+      val inline = TextAnalysis.bm25Top(planted).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(rows("graft_txt_wal") == inline)
+    } finally Seq("graft_txt_wal").foreach(n =>
+      Seq("_postings", "_doclen", "_positions", "_batches", "_stats",
+        "_postings_tmp", "_doclen_tmp", "_positions_tmp", "_batches_tmp",
+        "_stats_tmp").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
   }
 
   test("indexed hybrid legs against the fixture: text leg exact, fused overlap >= 0.6") {
