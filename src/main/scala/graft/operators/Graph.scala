@@ -43,6 +43,12 @@ object Graph {
   private def rawEdges(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    rawEdgesFrom(ord, li)
+  }
+
+  /** The edge derivation over arbitrary (filtered) fact frames — the
+    * g05 lifecycle gate builds per-batch edge sets from order halves. */
+  private def rawEdgesFrom(ord: DataFrame, li: DataFrame): DataFrame = {
     val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .select((col("o_custkey").cast("long") * 2).as("a"),
         (col("l_suppkey").cast("long") * 2 + 1).as("b"))
@@ -111,6 +117,83 @@ object Graph {
         .join(inSums, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("in_sum"), lit(0L))).cast("long").as("rank_e12"))
+    }
+    ranks
+  }
+
+  /** DIRECTED PageRank over the customer → supplier purchase digraph —
+    * the variant [[pageRankOn]]'s contract excludes (it requires
+    * out-degree ≥ 1 everywhere; here every supplier is a PURE SINK, so
+    * half the mass dangles each iteration). Same damping/scaling/
+    * iteration count as g01; rank₀ = 10¹² div N over ALL nodes (sources
+    * ∪ sinks). */
+  def g06PageRankDirected(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val de = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("src"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .cache()
+    top100(pageRankDirectedOn(de, iters = 5))
+  }
+
+  /** The directed iteration core with DANGLING-MASS redistribution (the
+    * piece the undirected core's oracle cannot mirror — round-9 ADVICE
+    * noted the divergence; this registers the directed semantics in
+    * their own right):
+    *
+    * rankₖ₊₁(v) = base + Σ_{(u,v)} (rankₖ(u)·85) div (100·outdeg(u))
+    *                   + (85 · Σ_{outdeg(u)=0} rankₖ(u)) div (100·N)
+    *
+    * — sinks' damped mass returns uniformly (one integer division at
+    * the end, so the redistribution is exact-integer and run-order
+    * invariant: the sink-rank sum is a BIGINT sum of BIGINTs). The node
+    * set is sources ∪ sinks; the per-node update LEFT-joins in-sums so
+    * in-degree-0 nodes keep base + dangling share. Ranks are
+    * localCheckpointed per iteration: the dangling branch references
+    * rankₖ a second time, and without truncation the lazy tree doubles
+    * per iteration (2⁵ re-analysis by round 5). */
+  private[graft] def pageRankDirectedOn(de: DataFrame, iters: Int): DataFrame = {
+    val s = de.sparkSession
+    val outCnt = de.groupBy(col("src")).agg(count(lit(1)).as("od"))
+    val deg = de.select(col("src").as("node"))
+      .union(de.select(col("dst").as("node"))).distinct()
+      .join(outCnt.select(col("src").as("node"), col("od")), Seq("node"), "left")
+      .select(col("node"), coalesce(col("od"), lit(0L)).as("outdeg"))
+      .cache()
+    val n = deg.count()
+    if (n == 0) {
+      deg.unpersist()
+      return s.range(0).select(col("id").as("node"), col("id").as("rank_e12"))
+    }
+    val base = (15L * E12) / (100L * n)
+    var ranks = deg.select(col("node"), lit(E12 / n).as("rank_e12"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = ranks.alias("r")
+        .join(deg.filter(col("outdeg") > 0).alias("d"),
+          col("r.node") === col("d.node"))
+        .select(col("d.node").as("src"),
+          expr("(r.rank_e12 * 85) div (100 * d.outdeg)").as("share"))
+      val inSums = de.join(contrib, "src")
+        .groupBy(col("dst"))
+        .agg(sum(col("share")).as("in_sum"))
+        .select(col("dst").as("node"), col("in_sum"))
+      val dang = ranks.alias("r")
+        .join(deg.filter(col("outdeg") === 0).alias("d"),
+          col("r.node") === col("d.node"))
+        .agg(expr(s"(85 * coalesce(sum(r.rank_e12), 0)) div (100 * $n)")
+          .as("dang"))
+      ranks = deg.select(col("node"))
+        .join(inSums, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
+        .select(col("node"),
+          (lit(base) + coalesce(col("in_sum"), lit(0L)) + col("dang"))
+            .cast("long").as("rank_e12"))
+        .localCheckpoint(true)
     }
     ranks
   }
@@ -252,13 +335,107 @@ object Graph {
     * presence proves the whole build landed (the `_stats`-last
     * completeness-marker rule). `numBuckets` is the cluster knob. */
   def writeEdgeIndex(s: SparkSession, dir: String, name: String,
+      numBuckets: Int = 8): Unit =
+    writeEdgeIndexFrom(s, rawEdges(s, dir), name, numBuckets)
+
+  /** Build the artifact from an arbitrary distinct edge frame. */
+  def writeEdgeIndexFrom(s: SparkSession, edges: DataFrame, name: String,
       numBuckets: Int = 8): Unit = {
-    Seq(name + "_edges", name + "_stats").foreach(dropManaged(s, _))
-    rawEdges(s, dir).write.mode("overwrite")
+    Seq(name + "_edges", name + "_stats")
+      .flatMap(t => Seq(t, t + "_tmp"))
+      .foreach(dropManaged(s, _))
+    edges.write.mode("overwrite")
       .bucketBy(numBuckets, "src").sortBy("src")
       .saveAsTable(name + "_edges")
     s.table(name + "_edges").agg(count(lit(1)).as("n_edges"))
       .repartition(1).write.mode("overwrite").saveAsTable(name + "_stats")
+  }
+
+  /** APPEND new edges into a [[writeEdgeIndex]] artifact — index
+    * maintenance without a rebuild (the corpus/text-index shape): the
+    * delta anti-joins the existing table on (src, dst) so the DISTINCT
+    * edge-set invariant every reader assumes (deg counts!) survives
+    * overlapping batches, then lands as new bucket files beside the old
+    * ones; a per-batch `_stats` row commits the append (readers treat
+    * `_stats` as the completeness marker, n_edges from the table).
+    *
+    * Crash contract — idempotent BY CONSTRUCTION, no journal needed: a
+    * crashed append leaves a valid (distinct, both-direction... per
+    * whatever subset of the delta landed) edge set; RE-RUNNING the same
+    * append anti-joins away the rows that already landed and inserts
+    * the rest, converging to the complete state. This is why the edge
+    * artifact carries no `_batches` WAL where the text index needs one:
+    * its rows are self-identifying (the pair IS the key), while a
+    * posting row's (tf, dl) payload is not re-derivable from the row
+    * alone. */
+  def appendToEdgeIndex(s: SparkSession, newEdges: DataFrame,
+      name: String): Unit = {
+    val numBuckets = edgeBuckets(s, name)
+    newEdges
+      .join(s.table(name + "_edges"), Seq("src", "dst"), "left_anti")
+      .write.mode("append")
+      .bucketBy(numBuckets, "src").sortBy("src")
+      .saveAsTable(name + "_edges")
+    s.table(name + "_edges").agg(count(lit(1)).as("n_edges"))
+      .repartition(1).write.mode("append").saveAsTable(name + "_stats")
+  }
+
+  /** DELETE nodes from the artifact (right-to-be-forgotten for a
+    * customer/supplier): every edge touching a deleted node is removed
+    * through a crash-safe generation swap (stats-last marker, heal
+    * preamble — the text-index machinery, two tables wide). */
+  def deleteFromEdgeIndex(s: SparkSession, name: String,
+      nodes: DataFrame): Unit = {
+    val del = broadcast(nodes.select(col("node").as("_del_id")))
+    swapEdgeGeneration(s, name, e =>
+      e.join(del, col("src") === col("_del_id"), "left_anti")
+        .join(del, col("dst") === col("_del_id"), "left_anti"))
+  }
+
+  /** COMPACT append debris to one file per bucket; answers untouched
+    * (the edge set is already distinct — compaction is pure layout,
+    * Exchange-free in the pinned child session since HashPartitioning
+    * on `src` clusters every (src, dst) group). */
+  def compactEdgeIndex(s: SparkSession, name: String): Unit =
+    swapEdgeGeneration(s, name,
+      e => e.groupBy(col("src"), col("dst")).agg(count(lit(1)).as("_n"))
+        .select(col("src"), col("dst")))
+
+  private def edgeBuckets(s: SparkSession, name: String): Int =
+    s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name + "_edges"))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+
+  /** Maintenance tail (the swapTextGeneration pattern, two tables):
+    * write the new generation as `_tmp` twins with `_stats` LAST, swap
+    * by rename, adopt a crashed swap's complete tmp generation via the
+    * stats-tmp marker, refresh the caller's relation cache. */
+  private def swapEdgeGeneration(s0: SparkSession, name: String,
+      transform: DataFrame => DataFrame): Unit = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val sfxs = Seq("_edges", "_stats")
+    if (s.catalog.tableExists(name + "_stats_tmp")) {
+      sfxs.foreach { sfx =>
+        if (s.catalog.tableExists(name + sfx + "_tmp")) {
+          s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+          s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+        }
+      }
+    }
+    sfxs.foreach(sfx => dropManaged(s, name + sfx + "_tmp"))
+    val numBuckets = edgeBuckets(s, name)
+    transform(s.table(name + "_edges"))
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "src").sortBy("src")
+      .saveAsTable(name + "_edges_tmp")
+    s.table(name + "_edges_tmp").agg(count(lit(1)).as("n_edges"))
+      .repartition(1).write.mode("overwrite").saveAsTable(name + "_stats_tmp")
+    sfxs.foreach { sfx =>
+      s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+      s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+      s0.catalog.refreshTable(name + sfx)
+    }
   }
 
   /** Fingerprint-keyed shared edge index (the sharedAnnIndex pattern —
@@ -319,6 +496,54 @@ object Graph {
       .crossJoin(eq(bfA, bfB, "bfs_indexed_matches_inline"))
   }
 
+  /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
+    * two mirrors: the Spark frame and the generated oracle NOT IN). */
+  private val LifecycleDeleted = Seq(1L, 3L)
+
+  /** Driver gate for the edge-index LIFECYCLE (the m07/s13 pattern —
+    * maintenance ops lifted into the oracle-visible surface): build the
+    * artifact from the even-orderkey half of the purchase data, APPEND
+    * the odd half (anti-join dedupe keeps the distinct-edge invariant
+    * across the overlap — many pairs appear in both halves), DELETE two
+    * supplier nodes, COMPACT, asserting at each step that the table is
+    * bag-equal to the from-scratch derivation. All-integer/boolean
+    * output; DuckDB recomputes the post-delete edge count from the fact
+    * tables and pins the flags at literal TRUE. Memoized + amortized.
+    * Each flag is materialized BEFORE the next mutation (a lazy flag
+    * would re-read the post-swap table — the d12 drop-then-return
+    * lesson, applied to in-place mutation). */
+  def g05EdgeLifecycleGate(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir, graphFp(dir), "g05")(g05Body(s, dir))
+
+  private def g05Body(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_g05_lc"
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    writeEdgeIndexFrom(s,
+      rawEdgesFrom(ord.filter(col("o_orderkey") % 2 === 0), li), name)
+    appendToEdgeIndex(s,
+      rawEdgesFrom(ord.filter(col("o_orderkey") % 2 === 1), li), name)
+    // cache: every equality references the reference side twice
+    // (exceptAll both ways); query-scoped, harnesses clearCache() after
+    val full = rawEdges(s, dir).cache()
+    def eqNow(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
+    val appendEq = eqNow(s.table(name + "_edges"), full)
+    deleteFromEdgeIndex(s, name, LifecycleDeleted.toDF("node"))
+    val expected = full
+      .filter(!col("src").isin(LifecycleDeleted: _*) &&
+        !col("dst").isin(LifecycleDeleted: _*))
+      .cache()
+    val deleteEq = eqNow(s.table(name + "_edges"), expected)
+    compactEdgeIndex(s, name)
+    val compactEq = eqNow(s.table(name + "_edges"), expected)
+    val n = s.table(name + "_edges").count()
+    Seq((n, appendEq, deleteEq, compactEq))
+      .toDF("n_edges", "append_eq_rebuild", "delete_eq_rebuild",
+        "compact_preserves_edges")
+  }
+
   /** Shared CTE prefix: the purchase graph in DuckDB terms.
     *
     * UNDIRECTED-ONLY oracle contract (round-9 ADVICE): g01's p_k CTE
@@ -340,6 +565,8 @@ object Graph {
     "g02_bfs_levels" -> (g02BfsLevels _),
     "g03_components" -> (g03Components _),
     "g04_graph_index_gate" -> (g04GraphIndexGate _),
+    "g05_edge_lifecycle_gate" -> (g05EdgeLifecycleGate _),
+    "g06_pagerank_directed" -> (g06PageRankDirected _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -409,5 +636,50 @@ object Graph {
          |  TRUE AS pagerank_indexed_matches_inline,
          |  TRUE AS bfs_indexed_matches_inline
          |FROM bi""".stripMargin,
+    // the DIRECTED oracle mirrors the Spark core node-for-node: LEFT
+    // join from the node universe (in-degree-0 nodes keep base +
+    // dangling share — the divergence the undirected EdgeCtes oracle
+    // cannot express, round-9 ADVICE), sinks' damped mass folded
+    // through ONE integer division per iteration
+    "g06_pagerank_directed" -> {
+      val iters = (1 to 5).map { k =>
+        s"""c$k AS (SELECT p.node, (p.rank_e12 * 85) // (100 * d.outdeg) AS share
+           |        FROM p${k - 1} p JOIN deg d ON d.node = p.node AND d.outdeg > 0),
+           |x$k AS (SELECT CAST((85 * COALESCE(SUM(p.rank_e12), 0))
+           |          // (100 * (SELECT n FROM nn)) AS BIGINT) AS dang
+           |        FROM p${k - 1} p JOIN deg d ON d.node = p.node AND d.outdeg = 0),
+           |p$k AS (SELECT n.node,
+           |          CAST((15000000000000 // (100 * (SELECT n FROM nn)))
+           |            + COALESCE(i.in_sum, 0) + (SELECT dang FROM x$k) AS BIGINT) AS rank_e12
+           |        FROM nodes n LEFT JOIN
+           |          (SELECT de.dst AS node, CAST(SUM(c.share) AS BIGINT) AS in_sum
+           |           FROM de JOIN c$k c ON c.node = de.src GROUP BY de.dst) i
+           |          ON i.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH de AS (SELECT DISTINCT CAST(o_custkey AS BIGINT)*2 AS src,
+         |                            CAST(l_suppkey AS BIGINT)*2+1 AS dst
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |nodes AS (SELECT src AS node FROM de UNION SELECT dst FROM de),
+         |deg AS (SELECT n.node, COALESCE(o.od, 0) AS outdeg
+         |        FROM nodes n LEFT JOIN
+         |          (SELECT src, CAST(COUNT(*) AS BIGINT) AS od FROM de GROUP BY src) o
+         |          ON o.src = n.node),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+         |p0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_e12 FROM nodes),
+         |$iters
+         |SELECT node, rank_e12 FROM p5 ORDER BY rank_e12 DESC, node LIMIT 100""".stripMargin
+    },
+    // post-delete edge count recomputed from the fact tables (the gate
+    // reads the appended+deleted+compacted TABLE — anchoring the whole
+    // lifecycle), deletion set generated from the same constant
+    "g05_edge_lifecycle_gate" ->
+      s"""WITH $EdgeCtes
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |  TRUE AS append_eq_rebuild,
+         |  TRUE AS delete_eq_rebuild,
+         |  TRUE AS compact_preserves_edges
+         |FROM bi
+         |WHERE src NOT IN (${LifecycleDeleted.mkString(", ")})
+         |  AND dst NOT IN (${LifecycleDeleted.mkString(", ")})""".stripMargin,
   )
 }

@@ -44,6 +44,54 @@ class GraphSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  /** The directed recurrence with dangling redistribution, plain Scala. */
+  private def refDirected(de: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (de.map(_._1) ++ de.map(_._2)).distinct.sorted
+    val deg = de.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    val n = nodes.size.toLong
+    val e12 = 1000000000000L
+    val base = (15L * e12) / (100L * n)
+    var ranks: Map[Long, Long] = nodes.map(_ -> e12 / n).toMap
+    for (_ <- 1 to iters) {
+      val shares = ranks.collect { case (u, r) if deg.contains(u) =>
+        u -> (r * 85L) / (100L * deg(u)) }
+      val dang = (85L * ranks.collect {
+        case (u, r) if !deg.contains(u) => r }.sum) / (100L * n)
+      ranks = nodes.map { v =>
+        v -> (base + de.filter(_._2 == v).map(e => shares(e._1)).sum + dang)
+      }.toMap
+    }
+    ranks
+  }
+
+  test("pageRankDirectedOn matches the plain-Scala dangling recurrence exactly") {
+    // digraph with pure sinks (5 and 6 have no out-edges) and an
+    // in-degree-0 source (1) — both directed-only contract points
+    val de = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (4L, 6L), (2L, 5L))
+    val expected = refDirected(de, 5)
+    val got = Graph.pageRankDirectedOn(de.toDF("src", "dst"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // mass conservation up to integer-division loss: total stays within
+    // 6·(E+N+1) of 1e12 (each div drops < 1 unit per share/base/dang)
+    val mass = got.values.sum
+    assert(mass <= 1000000000000L &&
+      mass >= 1000000000000L - 6L * (de.size + expected.size + 1) * 5,
+      s"mass $mass drifted")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g06 fixture: 100 rows, total order, suppliers (sinks) still accumulate rank") {
+    val rows = Graph.g06PageRankDirected(spark, sf).collect()
+    assert(rows.length == 100)
+    val ranks = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ranks.toSeq == ranks.toSeq.sortBy { case (r, nd) => (-r, nd) })
+    // suppliers receive all customer mass each round — the top slot is a
+    // supplier (odd id) here too, despite being a pure sink
+    assert(rows.head.getLong(0) % 2 == 1)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("bfsLevelsOn matches hand-computed levels on the small graph") {
     // From node 1: dist0={1}, dist1={2,3}, dist2={4,6}, dist3={5}, dist4={}
     val got = Graph.bfsLevelsOn(biDf, 4)
@@ -133,5 +181,23 @@ class GraphSpec extends SparkSpec {
     assert(rows.head.getBoolean(1), "indexed pagerank drifted from inline")
     assert(rows.head.getBoolean(2), "indexed bfs drifted from inline")
     spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g05 gate: append==rebuild, delete==rebuild-without, compact is pure layout") {
+    try {
+      val rows = Graph.g05EdgeLifecycleGate(spark, sf).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) > 0)
+      assert(rows.head.getBoolean(1), "appended index drifted from a full rebuild")
+      assert(rows.head.getBoolean(2), "post-delete index drifted from rebuild-without")
+      assert(rows.head.getBoolean(3), "compaction changed the edge set")
+      // layout: the gate ends with a compaction — exactly one file/bucket
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "graft_g05_lc_edges")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val parts = fs.listStatus(loc)
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      assert(parts == 8, s"expected one file per bucket after compact, got $parts")
+    } finally spark.catalog.clearCache()
   }
 }
