@@ -56,6 +56,7 @@ object Plans {
     "g01_pagerank" -> "integer PageRank: edge set repartitioned+sorted+cached ONCE (InMemoryTableScan, no Exchange above it anywhere), 5 iterations shuffle only node-sized rank/contribution frames, in-sums map-combined before their Exchange",
     "g02_bfs_levels" -> "label-frame BFS: per-hop frontier-only joins run as checkpointed jobs (this final plan shows the level aggregation over the flat hop relations + the distance spine left join); the hop shape itself is pinned in PlanShapeSpec",
     "g03_components" -> "connected components: thresholded affinity pairs (map-combined count agg), pointer-jumping label rounds are checkpointed node-sized jobs, final per-component rollup",
+    "g07_shortest_paths" -> "bounded Bellman-Ford: weighted edges cached src-partitioned once, per-round frontier-only relaxation (map-combined per-dst min before its node-sized Exchange; shape pinned in PlanShapeSpec), final plan is the top-100 TakeOrderedAndProject over the flat checkpointed label frame",
     "t45_phrase_indexed" -> "phrase search from the PERSISTED positional index: bucket-PRUNED Bucketed: true _positions scan (term IN prunes bucket files), phrase table broadcast, one candidate-start shuffle — the corpus is never re-tokenized (zero documents scan)")
 
   def main(args: Array[String]): Unit = {

@@ -198,6 +198,91 @@ object Graph {
     ranks
   }
 
+  /** Bounded-hop WEIGHTED shortest paths (Bellman-Ford, 4 relaxation
+    * rounds) from the smallest node id, over the purchase graph with
+    * affinity distances: edge weight `1 + 10⁶ div n` where `n` is the
+    * pair's joint-lineitem count — repeat trade = short edge, so the
+    * 100 nearest nodes are the root's strongest indirect trading
+    * neighbourhood. Bounded unroll keeps the contract honest (the
+    * iterative-algorithm lesson) and the oracle a plain CTE chain; all
+    * arithmetic is BIGINT (weights via `div`, path sums exact). Output:
+    * the 100 nearest (dist_w asc, node asc — total order). */
+  def g07ShortestPaths(s: SparkSession, dir: String): DataFrame =
+    ssspOn(weightedEdges(s, dir), rounds = 4)
+      .orderBy(col("dist_w"), col("node")).limit(100)
+
+  /** Undirected weighted purchase edges (src, dst, w BIGINT), src-
+    * partitioned + sorted + cached — the [[purchaseEdges]] shape with a
+    * weight column. */
+  private[graft] def weightedEdges(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .agg(expr("1 + (1000000 div count(1))").as("w"))
+    pairs.select(col("a").as("src"), col("b").as("dst"), col("w"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst"), col("w")))
+      .repartition(col("src"))
+      .sortWithinPartitions(col("src"))
+      .cache()
+  }
+
+  /** Bellman-Ford core over an arbitrary weighted edge frame (src, dst,
+    * w ≥ 0 BIGINT), rooted at the smallest src — exposed for the
+    * differential spec. Label-frame shape (the g02 fix, with
+    * IMPROVEMENT instead of first-visit): per round only the FRONTIER —
+    * nodes whose distance improved last round — joins the cached
+    * src-partitioned edges; candidate distances min-merge into the
+    * (node, dist_w) label frame through a FULL join (`least` skips
+    * nulls), and the merged frame is localCheckpointed ONCE per round so
+    * the next-distances and the improved-frontier derive from one flat
+    * local relation (no double materialization). An empty frontier
+    * short-circuits: every remaining round would relax nothing. Unlike
+    * BFS, a node can re-enter the frontier when a longer-hop path is
+    * cheaper — which is why the merge is min over a full join, not an
+    * anti-join. Result rows are identical to the textbook full-relax
+    * unroll (relaxing a non-improved node re-derives candidates that
+    * lost a min-merge already), which is exactly what the oracle runs. */
+  private[graft] def ssspOn(we: DataFrame, rounds: Int): DataFrame = {
+    val s = we.sparkSession
+    val rootRow = we.agg(min(col("src"))).collect()(0)
+    if (rootRow.isNullAt(0))
+      return s.range(0).select(col("id").as("node"), col("id").as("dist_w"))
+    val root = rootRow.getAs[Number](0).longValue
+    var dist = s.range(1)
+      .select(lit(root).as("node"), lit(0L).as("dist_w"))
+      .localCheckpoint(true)
+    var frontier = dist
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val cand = ssspRelax(we, frontier)
+      val merged = dist.join(cand, Seq("node"), "full")
+        .select(col("node"),
+          least(col("dist_w"), col("_cand")).as("_nd"),
+          (col("dist_w").isNull ||
+            (col("_cand").isNotNull && col("_cand") < col("dist_w"))).as("_imp"))
+        .select(col("node"), col("_nd").as("dist_w"), col("_imp"))
+        .localCheckpoint(true)
+      dist = merged.select(col("node"), col("dist_w"))
+      frontier = merged.filter(col("_imp")).select(col("node"), col("dist_w"))
+      if (frontier.isEmpty) done = true
+      k += 1
+    }
+    dist
+  }
+
+  /** One relaxation round's candidate distances: frontier (node,
+    * dist_w) joins the edge frame on src — the edge side pre-partitioned
+    * by the cache, never re-shuffled — and the per-dst min map-combines
+    * before its node-sized Exchange. Exposed for PlanShapeSpec's pin. */
+  private[graft] def ssspRelax(we: DataFrame, frontier: DataFrame): DataFrame =
+    we.join(frontier.select(col("node").as("_fn"), col("dist_w").as("_fd")),
+        we("src") === col("_fn"))
+      .select(we("dst").as("node"), (col("_fd") + we("w")).as("_c"))
+      .groupBy(col("node")).agg(min(col("_c")).as("_cand"))
+
   /** BFS level profile from the smallest node id present in the graph:
     * up to 4 frontier expansions, then one row per distance 0–4 with the
     * node count and an id-sum checksum (empty levels emit (0, 0) — the
@@ -567,6 +652,7 @@ object Graph {
     "g04_graph_index_gate" -> (g04GraphIndexGate _),
     "g05_edge_lifecycle_gate" -> (g05EdgeLifecycleGate _),
     "g06_pagerank_directed" -> (g06PageRankDirected _),
+    "g07_shortest_paths" -> (g07ShortestPaths _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -668,6 +754,30 @@ object Graph {
          |p0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS rank_e12 FROM nodes),
          |$iters
          |SELECT node, rank_e12 FROM p5 ORDER BY rank_e12 DESC, node LIMIT 100""".stripMargin
+    },
+    // the textbook full-relax Bellman-Ford unroll: d_k min-merges
+    // d_{k-1} with every one-edge extension of d_{k-1} — row-identical
+    // to the Spark core's frontier-optimized rounds (a non-improved
+    // node's re-relaxations only re-derive candidates that already lost
+    // a min-merge); weights and path sums all BIGINT
+    "g07_shortest_paths" -> {
+      val relaxes = (1 to 4).map { k =>
+        s"""d$k AS (SELECT node, MIN(dist_w) AS dist_w FROM (
+           |  SELECT node, dist_w FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, d.dist_w + e.w AS dist_w
+           |  FROM d${k - 1} d JOIN we e ON e.src = d.node) u GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT CAST(o_custkey AS BIGINT)*2 AS a,
+         |                  CAST(l_suppkey AS BIGINT)*2+1 AS b,
+         |                  1 + (1000000 // CAST(COUNT(*) AS BIGINT)) AS w
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |            GROUP BY 1, 2),
+         |we AS (SELECT a AS src, b AS dst, w FROM p
+         |       UNION ALL SELECT b, a, w FROM p),
+         |d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist_w FROM we),
+         |$relaxes
+         |SELECT node, dist_w FROM d4 ORDER BY dist_w, node LIMIT 100""".stripMargin
     },
     // post-delete edge count recomputed from the fact tables (the gate
     // reads the appended+deleted+compacted TABLE — anchoring the whole

@@ -44,6 +44,51 @@ class GraphSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  /** Textbook full-relax Bellman-Ford, plain Scala — the oracle's shape. */
+  private def refSssp(we: Seq[(Long, Long, Long)], root: Long,
+      rounds: Int): Map[Long, Long] = {
+    var dist = Map(root -> 0L)
+    for (_ <- 1 to rounds) {
+      val cand = we.flatMap { case (s, d, w) => dist.get(s).map(ds => d -> (ds + w)) }
+      dist = (dist.toSeq ++ cand).groupBy(_._1)
+        .map { case (n, vs) => n -> vs.map(_._2).min }
+    }
+    dist
+  }
+
+  test("ssspOn matches full-relax Bellman-Ford; frontier re-entry on late improvement") {
+    // 1→2 direct costs 10 but 1→3→2 costs 3, so node 2 IMPROVES in round
+    // 2 and must re-enter the frontier for 4 and 5 to see the cheaper
+    // prefix (5 improves in round 4 — the last allowed round)
+    val we = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L),
+      (2L, 4L, 1L), (4L, 5L, 1L))
+    val expected = refSssp(we, root = 1L, rounds = 4)
+    val got = Graph.ssspOn(we.toDF("src", "dst", "w"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got(2L) == 3L && got(5L) == 5L)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("ssspOn short-circuits after saturation: extra rounds change nothing") {
+    val we = Seq((1L, 2L, 5L), (2L, 3L, 5L))
+    val at2 = Graph.ssspOn(we.toDF("src", "dst", "w"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val at6 = Graph.ssspOn(we.toDF("src", "dst", "w"), 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(at2 == at6 && at2 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g07 fixture: 100 rows, root at distance 0, total order") {
+    val rows = Graph.g07ShortestPaths(spark, sf).collect()
+    assert(rows.length == 100)
+    assert(rows.head.getLong(1) == 0L)
+    val ds = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ds.toSeq == ds.toSeq.sorted)
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   /** The directed recurrence with dangling redistribution, plain Scala. */
   private def refDirected(de: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val nodes = (de.map(_._1) ++ de.map(_._2)).distinct.sorted

@@ -343,6 +343,37 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g07 relax: weighted edges never re-shuffle; per-dst min map-combines first") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one relaxation exactly as ssspOn runs it (the loop checkpoints
+      // each round, so the final df's plan can't show them)
+      val we = graft.operators.Graph.weightedEdges(spark, sf)
+      val frontier = Seq((0L, 0L)).toDF("node", "dist_w")
+      val p = graft.operators.Graph.ssspRelax(we, frontier)
+        .queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case s: InMemoryTableScanExec => s.output.exists(_.name == "w")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"the relaxation re-shuffles the weighted edge set:\n$e"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("g04: the indexed iteration reads the bucketed edge table with zero edge-side Exchange") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
