@@ -98,6 +98,21 @@ object ExactPercentile {
   def discGlobalMulti(df: DataFrame, value: String, ps: Seq[Double],
       outNames: Seq[String], shardSpan: Long = 1000000000L): DataFrame = {
     require(ps.length == outNames.length)
+    val (cdf, n) = globalCdf(df, value, shardSpan)
+    val aggs = ps.zip(outNames).map { case (p, name) =>
+      min(when(col("_cum") >= lit(math.ceil(p * n).toLong), col(value))).as(name)
+    }
+    cdf.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The distributed global CDF both global variants read their ranks
+    * off: per-value counts (cached — feeds the eager shard-totals
+    * collect AND the returned lazy plan), arithmetic-bounded shard
+    * totals collected into running offsets, cumulative window
+    * partitioned by SHARD. Returns the per-value frame with `_cum` and
+    * the total count `n` as a driver scalar. */
+  private def globalCdf(df: DataFrame, value: String,
+      shardSpan: Long): (DataFrame, Long) = {
     val spark = df.sparkSession
     val vc = df.filter(col(value).isNotNull)
       .groupBy(col(value)).agg(count(lit(1)).as("_c"))
@@ -111,12 +126,45 @@ object ExactPercentile {
     val offDf = spark.createDataFrame(offs.toSeq).toDF("_sh", "_off")
     val w = Window.partitionBy(col("_sh")).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val aggs = ps.zip(outNames).map { case (p, name) =>
-      min(when(col("_cum") >= lit(math.ceil(p * n).toLong), col(value))).as(name)
+    (vc.join(broadcast(offDf), "_sh")
+      .withColumn("_cum", sum(col("_c")).over(w) + col("_off")), n)
+  }
+
+  /** Exact GLOBAL INTERPOLATED quantiles over a BIGINT column, in
+    * SCALED INTEGERS — the continuous twin of [[discGlobalMulti]], with
+    * the driver-gate float rule built into the contract: for fraction
+    * `num/den`, `pos = (num·(n−1)) / den` exactly (rational, never a
+    * double), the lo/hi bracket ranks are `⌊pos⌋+1` / `⌈pos⌉+1`, and
+    * the output column is `den·lo + (hi−lo)·((num·(n−1)) mod den)` —
+    * the interpolated value times `den`, ONE integer representation, so
+    * the hash gate cannot be flipped by float-repr skew at any
+    * parallelism (÷den client-side recovers the conventional value;
+    * `percentile_cont` parity up to that exact scaling). Ranks are
+    * driver literals (n comes off the shard-totals collect), so the
+    * bracket aggregation is one pass over the CDF frame. Empty input →
+    * one all-NULL row (the agg-over-empty path; negative intermediate
+    * ranks are harmless — `when` never fires). */
+  def contGlobalScaled(df: DataFrame, value: String,
+      fracs: Seq[(Long, Long)], outNames: Seq[String],
+      shardSpan: Long = 1000000000L): DataFrame = {
+    require(fracs.length == outNames.length)
+    require(fracs.forall { case (num, den) => den > 0 && num >= 0 && num <= den })
+    val (cdf, n) = globalCdf(df, value, shardSpan)
+    def split(num: Long, den: Long): (Long, Long) =
+      ((num * (n - 1)) / den, (num * (n - 1)) % den)
+    val aggs = fracs.zip(outNames).flatMap { case ((num, den), name) =>
+      val (fl, rem) = split(num, den)
+      val hiR = fl + (if (rem > 0) 1L else 0L) + 1L
+      Seq(min(when(col("_cum") >= lit(fl + 1), col(value))).as(s"_lo_$name"),
+        min(when(col("_cum") >= lit(hiR), col(value))).as(s"_hi_$name"))
     }
-    vc.join(broadcast(offDf), "_sh")
-      .withColumn("_cum", sum(col("_c")).over(w) + col("_off"))
-      .agg(aggs.head, aggs.tail: _*)
+    val bracketed = cdf.agg(aggs.head, aggs.tail: _*)
+    val outs = fracs.zip(outNames).map { case ((num, den), name) =>
+      val rem = split(num, den)._2
+      (lit(den) * col(s"_lo_$name") +
+        (col(s"_hi_$name") - col(s"_lo_$name")) * lit(rem)).as(name)
+    }
+    bracketed.select(outs: _*)
   }
 
   /** Exact discrete percentiles (`percentile_disc`): one output column per

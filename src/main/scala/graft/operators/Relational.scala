@@ -1542,6 +1542,24 @@ object Relational {
       Seq(0.25, 0.5, 0.75), Seq("q1_chars", "med_chars", "q3_chars"),
       shardSpan = 256L)
 
+  /** GLOBAL INTERPOLATED (continuous) quartiles of lineitem revenue
+    * cents — [[ExactPercentile.contGlobalScaled]]'s driver gate: where
+    * q85 pins the DISCRETE pick (an actual element), this pins the
+    * interpolation between bracket elements, made hash-gateable by the
+    * scaled-integer contract (output = interpolated value × 4; `pos =
+    * k·(n−1)/4` held as a rational — ⌊pos⌋/⌈pos⌉ bracket ranks off ONE
+    * distributed-CDF pass, never a double intermediate). The oracle
+    * mirrors rank-for-rank with ROW_NUMBER + integer `//`/`%`. Shard
+    * span sized to the cents range (~1e7) for a distributed cumulative
+    * window. One row, three BIGINTs. */
+  def q88GlobalContQuartiles(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.contGlobalScaled(
+      Tables.lineitem(s, dir).select(
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents")),
+      "cents", Seq((1L, 4L), (2L, 4L), (3L, 4L)),
+      Seq("q1_cents_x4", "med_cents_x4", "q3_cents_x4"),
+      shardSpan = 500000L)
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -1728,6 +1746,7 @@ object Relational {
     "q83_recursive_cte"   -> (q83RecursiveCte _),
     "q84_profile_hll_gate" -> (q84ProfileHllGate _),
     "q85_global_quartiles" -> (q85GlobalQuartiles _),
+    "q88_global_cont_quartiles" -> (q88GlobalContQuartiles _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2284,6 +2303,23 @@ object Relational {
         |  CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS med_chars,
         |  CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS q3_chars
         |FROM documents""".stripMargin,
+    // the continuous twin: ROW_NUMBER rank selection mirrors the CDF's
+    // smallest-value-with-cum>=rank pick (same value at a rank
+    // regardless of tie order); pos held rational via integer // and %
+    "q88_global_cont_quartiles" -> {
+      val cols = Seq(1 -> "q1_cents_x4", 2 -> "med_cents_x4", 3 -> "q3_cents_x4")
+        .map { case (k, name) =>
+          val pn = s"($k*((SELECT n FROM nn)-1))"
+          val lo = s"(SELECT c FROM o WHERE r = $pn//4 + 1)"
+          val hi = s"(SELECT c FROM o WHERE r = ($pn+3)//4 + 1)"
+          s"CAST(4*$lo + ($hi - $lo) * ($pn%4) AS BIGINT) AS $name"
+        }.mkString(",\n  ")
+      s"""WITH v AS (SELECT CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) AS c
+         |           FROM lineitem),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+         |o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM v)
+         |SELECT $cols""".stripMargin
+    },
     // moments in HUGEINT <-> Spark DECIMAL(38,0) (t37 parity), combined
     // exactly, converted to DOUBLE once, divided through the identical
     // num / (sqrt(d1)*sqrt(d2)) tree

@@ -116,6 +116,41 @@ class ExactPercentileSpec extends SparkSpec {
     assert(gotW == wide.sorted.apply(math.ceil(0.9 * 500).toInt - 1))
   }
 
+  test("contGlobalScaled equals den-scaled sorted-multiset interpolation across fractions and counts") {
+    // plain reference: pos = num*(n-1)/den rational; res_xden =
+    // den*lo + (hi-lo)*rem — exercises rem=0 boundaries (num*(n-1)
+    // divisible by den), ties, and multi-shard
+    def ref(vals: Seq[Long], num: Long, den: Long): Long = {
+      val s = vals.sorted
+      val fl = (num * (s.size - 1)) / den
+      val rem = (num * (s.size - 1)) % den
+      val lo = s(fl.toInt)
+      val hi = s(math.min(fl + (if (rem > 0) 1 else 0), s.size - 1L).toInt)
+      den * lo + (hi - lo) * rem
+    }
+    val counts = Seq(2L, 7L, 64L, 100L, 101L)
+    val fracs = Seq((0L, 4L), (1L, 4L), (2L, 4L), (3L, 4L), (4L, 4L),
+      (1L, 3L), (9L, 10L))
+    for (n <- counts) {
+      val vals = (1L to n).map(i => 10L * (i % 17) + 3L)
+      val got = ExactPercentile.contGlobalScaled(vals.toDF("v"), "v",
+        fracs, fracs.indices.map(i => s"o$i"))
+        .collect().head
+      fracs.zipWithIndex.foreach { case ((num, den), i) =>
+        assert(got.getLong(i) == ref(vals, num, den),
+          s"n=$n frac=$num/$den: got ${got.getLong(i)} want ${ref(vals, num, den)}")
+      }
+    }
+    // multi-shard path + empty input (one all-NULL row)
+    val wide = (1L to 500L).map(i => i * 7919L)
+    val gotW = ExactPercentile.contGlobalScaled(wide.toDF("v"), "v",
+      Seq((3L, 4L)), Seq("o"), shardSpan = 100000L).collect().head.getLong(0)
+    assert(gotW == ref(wide, 3L, 4L))
+    val empty = ExactPercentile.contGlobalScaled(
+      Seq.empty[Long].toDF("v"), "v", Seq((1L, 2L)), Seq("o")).collect()
+    assert(empty.length == 1 && empty.head.isNullAt(0))
+  }
+
   test("q29/q47/q69 plans carry no whole-group aggregation buffer on the value column") {
     // per query: the heavy value column that must NOT sit in a builtin
     // percentile/collect_list buffer. q47's percentile_approx
