@@ -112,10 +112,17 @@ object ExactPercentile {
     * partitioned by SHARD. Returns the per-value frame with `_cum` and
     * the total count `n` as a driver scalar. */
   private def globalCdf(df: DataFrame, value: String,
-      shardSpan: Long): (DataFrame, Long) = {
+      shardSpan: Long): (DataFrame, Long) =
+    globalCdfWeighted(df, value, lit(1L), shardSpan)
+
+  /** [[globalCdf]] with a per-row WEIGHT: `_cum` accumulates weight
+    * sums instead of row counts, and the returned scalar is the total
+    * weight. The unweighted CDF is the weight-1 special case. */
+  private def globalCdfWeighted(df: DataFrame, value: String,
+      weight: Column, shardSpan: Long): (DataFrame, Long) = {
     val spark = df.sparkSession
     val vc = df.filter(col(value).isNotNull)
-      .groupBy(col(value)).agg(count(lit(1)).as("_c"))
+      .groupBy(col(value)).agg(sum(weight).as("_c"))
       .withColumn("_sh", expr(s"$value div $shardSpan"))
       .cache()
     val totals = vc.groupBy(col("_sh")).agg(sum(col("_c")).as("_t"))
@@ -128,6 +135,32 @@ object ExactPercentile {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     (vc.join(broadcast(offDf), "_sh")
       .withColumn("_cum", sum(col("_c")).over(w) + col("_off")), n)
+  }
+
+  /** Exact GLOBAL WEIGHTED discrete quantiles over a BIGINT column with
+    * POSITIVE BIGINT weights: for fraction `num/den`, the smallest value
+    * whose cumulative WEIGHT reaches `⌈num·W/den⌉` (W = total weight) —
+    * definitionally the discrete quantile of the multiset where each row
+    * appears `weight` times, without ever expanding it (the expansion IS
+    * the naive formulation; a quantity-weighted price median at 100 TB
+    * cannot materialize per-unit rows). Thresholds are integer-exact
+    * (`(num·W + den − 1) div den`) driver literals off the shard-totals
+    * collect; one CDF pass serves every fraction. Weight-1 degenerates
+    * to [[discGlobalMulti]]'s ceil(p·n) rule exactly (spec-pinned).
+    * NULL values and NULL weights are excluded; empty input → one
+    * all-NULL row. */
+  def discGlobalWeighted(df: DataFrame, value: String, weight: String,
+      fracs: Seq[(Long, Long)], outNames: Seq[String],
+      shardSpan: Long = 1000000000L): DataFrame = {
+    require(fracs.length == outNames.length)
+    require(fracs.forall { case (num, den) => den > 0 && num >= 0 && num <= den })
+    val (cdf, tw) = globalCdfWeighted(df.filter(col(weight).isNotNull),
+      value, col(weight), shardSpan)
+    val aggs = fracs.zip(outNames).map { case ((num, den), name) =>
+      val thr = (num * tw + den - 1) / den
+      min(when(col("_cum") >= lit(thr), col(value))).as(name)
+    }
+    cdf.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact GLOBAL INTERPOLATED quantiles over a BIGINT column, in

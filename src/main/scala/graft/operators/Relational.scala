@@ -1560,6 +1560,21 @@ object Relational {
       Seq("q1_cents_x4", "med_cents_x4", "q3_cents_x4"),
       shardSpan = 500000L)
 
+  /** WEIGHTED global quartiles — quantity-weighted price quantiles
+    * through [[ExactPercentile.discGlobalWeighted]]: the quantile of
+    * the per-UNIT price multiset computed without expanding rows by
+    * quantity (the expansion is the naive formulation; at 100 TB the
+    * per-unit multiset cannot materialize). Same one-pass distributed
+    * CDF, `_cum` accumulating weight sums; thresholds ⌈num·W/den⌉ are
+    * integer-exact driver literals. One row, three BIGINTs. */
+  def q89WeightedQuartiles(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.discGlobalWeighted(
+      Tables.lineitem(s, dir).select(
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty")),
+      "cents", "qty", Seq((1L, 4L), (2L, 4L), (3L, 4L)),
+      Seq("wq1_cents", "wmed_cents", "wq3_cents"), shardSpan = 500000L)
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -1747,6 +1762,7 @@ object Relational {
     "q84_profile_hll_gate" -> (q84ProfileHllGate _),
     "q85_global_quartiles" -> (q85GlobalQuartiles _),
     "q88_global_cont_quartiles" -> (q88GlobalContQuartiles _),
+    "q89_weighted_quartiles" -> (q89WeightedQuartiles _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2320,6 +2336,19 @@ object Relational {
          |o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM v)
          |SELECT $cols""".stripMargin
     },
+    // weighted CDF in SQL: per-value weight sums, cumulative window,
+    // threshold ceil(num*W/den) via HUGEINT-safe (num*W+den-1)//den
+    "q89_weighted_quartiles" ->
+      """WITH v AS (SELECT CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) AS c,
+        |                  CAST(l_quantity AS BIGINT) AS w FROM lineitem),
+        |a AS (SELECT c, CAST(SUM(w) AS BIGINT) AS w FROM v GROUP BY c),
+        |cw AS (SELECT c, CAST(SUM(w) OVER (ORDER BY c) AS BIGINT) AS cum FROM a),
+        |t AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM v)
+        |SELECT
+        |  CAST(MIN(CASE WHEN cum >= (1*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wq1_cents,
+        |  CAST(MIN(CASE WHEN cum >= (2*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wmed_cents,
+        |  CAST(MIN(CASE WHEN cum >= (3*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wq3_cents
+        |FROM cw""".stripMargin,
     // moments in HUGEINT <-> Spark DECIMAL(38,0) (t37 parity), combined
     // exactly, converted to DOUBLE once, divided through the identical
     // num / (sqrt(d1)*sqrt(d2)) tree

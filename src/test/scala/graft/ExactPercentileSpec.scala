@@ -151,6 +151,34 @@ class ExactPercentileSpec extends SparkSpec {
     assert(empty.length == 1 && empty.head.isNullAt(0))
   }
 
+  test("discGlobalWeighted equals the expanded-multiset discrete quantile; weight-1 degenerates to discGlobal") {
+    // the contract: quantile of the multiset where each row appears
+    // `weight` times, never materialized — the reference expands it
+    val rows = (1L to 60L).map(i => (10L * (i % 13) + 3L, (i % 7) + 1L))
+    val df = rows.toDF("v", "w")
+    val fracs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (9L, 10L), (1L, 1L))
+    val got = ExactPercentile.discGlobalWeighted(df, "v", "w",
+      fracs, fracs.indices.map(i => s"o$i")).collect().head
+    val expanded = rows.flatMap { case (v, w) => Seq.fill(w.toInt)(v) }.sorted
+    fracs.zipWithIndex.foreach { case ((num, den), i) =>
+      val thr = (num * expanded.size + den - 1) / den
+      val want = expanded(math.max(thr, 1L).toInt - 1)
+      assert(got.getLong(i) == want, s"frac=$num/$den: got ${got.getLong(i)} want $want")
+    }
+    // weight-1 ≡ the unweighted ceil(p·n) rule
+    val ones = rows.map { case (v, _) => (v, 1L) }
+    val g1 = ExactPercentile.discGlobalWeighted(ones.toDF("v", "w"), "v", "w",
+      Seq((3L, 4L)), Seq("o")).collect().head.getLong(0)
+    val g2 = ExactPercentile.discGlobal(ones.map(_._1).toDF("v"), "v", 0.75, "o")
+      .collect().head.getLong(0)
+    assert(g1 == g2)
+    // empty input → one all-NULL row
+    val empty = ExactPercentile.discGlobalWeighted(
+      Seq.empty[(Long, Long)].toDF("v", "w"), "v", "w",
+      Seq((1L, 2L)), Seq("o")).collect()
+    assert(empty.length == 1 && empty.head.isNullAt(0))
+  }
+
   test("q29/q47/q69 plans carry no whole-group aggregation buffer on the value column") {
     // per query: the heavy value column that must NOT sit in a builtin
     // percentile/collect_list buffer. q47's percentile_approx
