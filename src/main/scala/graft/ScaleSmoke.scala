@@ -640,6 +640,31 @@ object ScaleSmoke {
     val (r4, b4) = runBfs(500000L, 8)   // 4M edges
     println(f"GR100 bfs 1M_edges=$b1%.1f s (reach=$r1) 4M_edges=$b4%.1f s " +
       f"(reach=$r4) ratio=${b4 / b1}%.1f x for 4x edges")
+    // weighted SSSP (g07): same label-frame shape as BFS but nodes can
+    // RE-ENTER the frontier on improvement — the re-entry rate, not the
+    // edge count, drives per-round cost; 4x edges ≪ 4x wall-clock
+    def runSssp(v: Long, eOut: Int): (Long, Double) = {
+      val we = spark.range(v).toDF("id")
+        .select(col("id").as("src"),
+          explode(transform(sequence(lit(0), lit(eOut - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(v)))).as("dst"))
+        .withColumn("w", pmod(xxhash64(col("src"), col("dst")), lit(100L)) + 1L)
+        .repartition(col("src")).sortWithinPartitions(col("src")).cache()
+      val t0 = System.nanoTime()
+      val d = Graph.ssspOn(we, 4).cache()
+      val n = d.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      val maxd = d.agg(max(col("dist_w"))).collect().head.getLong(0)
+      assert(n >= 1L && n <= v, s"sssp labelled $n outside [1, $v]")
+      assert(maxd <= 4L * 100L, s"max dist $maxd exceeds 4 hops x max weight")
+      d.unpersist(); we.unpersist()
+      (n, secs)
+    }
+    runSssp(10000L, 4)                   // warm the relax plan shapes
+    val (n1, c1) = runSssp(125000L, 8)   // 1M edges
+    val (n4, c4) = runSssp(500000L, 8)   // 4M edges
+    println(f"GR100 sssp 1M_edges=$c1%.1f s (labelled=$n1) 4M_edges=$c4%.1f s " +
+      f"(labelled=$n4) ratio=${c4 / c1}%.1f x for 4x edges")
   }
 
   private def b100(spark: SparkSession): Unit = {
