@@ -1560,6 +1560,46 @@ object Relational {
       Seq("q1_cents_x4", "med_cents_x4", "q3_cents_x4"),
       shardSpan = 500000L)
 
+  /** FUZZY self-join on edit distance ≤ 1 (entity resolution /
+    * near-identical name matching) via DELETION-NEIGHBORHOOD blocking
+    * (FastSS): each name emits itself plus every single-character
+    * deletion; two names within edit distance 1 ALWAYS share a variant
+    * (substitution at i ⇒ both δᵢ variants equal; insert/delete ⇒ one
+    * side's deletion equals the other's identity), so candidates come
+    * from an EQUI-join on the variant string — |name|+1 rows per name,
+    * never the all-pairs cross join the naive formulation runs — and
+    * exact `levenshtein` verifies each candidate once (blocking must be
+    * complete, not sound). The oracle IS the naive quadratic join —
+    * fine at the sf0.01 gate, 10⁸× the work at corpus scale, which is
+    * the point. Output (a_key, b_key, d), total order. */
+  def q90FuzzyNameJoin(s: SparkSession, dir: String): DataFrame =
+    fuzzyPairs(Tables.customer(s, dir)
+        .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm")))
+      .orderBy(col("a_key"), col("b_key"))
+
+  /** The blocking + verify core over any (k BIGINT, nm STRING) frame —
+    * exposed for PropertySpec's brute-force-equality pin. Returns
+    * (a_key, b_key, d) for every key pair with edit distance ≤ 1,
+    * a_key < b_key, unordered. */
+  private[graft] def fuzzyPairs(c: DataFrame): DataFrame = {
+    val variants = c.select(col("k"), col("nm"),
+      explode(array_distinct(transform(
+        sequence(lit(0), length(col("nm"))),
+        i => when(i === 0, col("nm"))
+          .otherwise(concat(
+            col("nm").substr(lit(1), i - 1),
+            col("nm").substr(i + 1, length(col("nm")))))))).as("v"))
+    val a = variants.select(col("k").as("a_key"), col("nm").as("a_name"), col("v"))
+    val b = variants.select(col("k").as("b_key"), col("nm").as("b_name"), col("v"))
+    a.join(b, Seq("v"))
+      .filter(col("a_key") < col("b_key"))
+      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+      .distinct()
+      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+      .select(col("a_key"), col("b_key"),
+        levenshtein(col("a_name"), col("b_name")).cast("long").as("d"))
+  }
+
   /** WEIGHTED global quartiles — quantity-weighted price quantiles
     * through [[ExactPercentile.discGlobalWeighted]]: the quantile of
     * the per-UNIT price multiset computed without expanding rows by
@@ -1763,6 +1803,7 @@ object Relational {
     "q85_global_quartiles" -> (q85GlobalQuartiles _),
     "q88_global_cont_quartiles" -> (q88GlobalContQuartiles _),
     "q89_weighted_quartiles" -> (q89WeightedQuartiles _),
+    "q90_fuzzy_name_join" -> (q90FuzzyNameJoin _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2336,6 +2377,16 @@ object Relational {
          |o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM v)
          |SELECT $cols""".stripMargin
     },
+    // the NAIVE quadratic fuzzy join — the oracle states the semantics,
+    // the Spark side proves the deletion-neighborhood blocking finds
+    // exactly the same pairs from an equi-join
+    "q90_fuzzy_name_join" ->
+      """SELECT CAST(a.c_custkey AS BIGINT) AS a_key,
+        |  CAST(b.c_custkey AS BIGINT) AS b_key,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS d
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY a_key, b_key""".stripMargin,
     // weighted CDF in SQL: per-value weight sums, cumulative window,
     // threshold ceil(num*W/den) via HUGEINT-safe (num*W+den-1)//den
     "q89_weighted_quartiles" ->

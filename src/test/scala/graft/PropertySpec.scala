@@ -264,4 +264,31 @@ class PropertySpec extends SparkSpec {
     // correlation is near zero (measured qty_price = -0.0098 at sf0.001)
     assert(got.values.forall(c => math.abs(c) < 0.1), got.toString)
   }
+
+  test("q90 deletion-neighborhood blocking finds EXACTLY the brute-force ed<=1 pairs") {
+    // short random strings over a 3-letter alphabet maximize collisions
+    // at every edit type (substitution / insert / delete / identity)
+    // AND distance-2 near-misses the verify step must reject
+    val name = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    samples(Gen.listOfN(60, name), 3).foreach { names =>
+      val df = names.zipWithIndex.map { case (nm, i) => (i.toLong, nm) }.toDF("k", "nm")
+      val got = operators.Relational.fuzzyPairs(df)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      def ed(a: String, b: String): Int = {
+        val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+          if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to a.length; j <- 1 to b.length)
+          d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+            d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        d(a.length)(b.length)
+      }
+      val want = (for {
+        i <- names.indices; j <- names.indices if i < j
+        d = ed(names(i), names(j)) if d <= 1
+      } yield (i.toLong, j.toLong, d.toLong)).toSet
+      assert(got == want,
+        s"blocking diverged: extra=${got -- want} missing=${want -- got}")
+    }
+  }
 }
