@@ -228,6 +228,15 @@ class GraphSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("g08 gate: sssp from the weighted edge table matches the inline computation") {
+    try {
+      val rows = Graph.g08SsspIndexGate(spark, sf).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) > 0)
+      assert(rows.head.getBoolean(1), "indexed sssp drifted from inline")
+    } finally spark.catalog.clearCache()
+  }
+
   test("g05 gate: append==rebuild, delete==rebuild-without, compact is pure layout") {
     try {
       val rows = Graph.g05EdgeLifecycleGate(spark, sf).collect()
