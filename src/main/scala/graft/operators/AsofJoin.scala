@@ -59,34 +59,8 @@ object AsofJoin {
     require(payload.nonEmpty, "asofJoin requires at least one payload column " +
       "(for existence-only semantics pass the right key or timestamp)")
 
-    val leftCols = left.columns.toSeq
-    val sideL = left
-      .filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
-      .withColumn("__graft_k", col(leftKey))
-      .withColumn("__graft_t", col(leftTs))
-      .withColumn("__graft_side", lit(1))
-    // right side: one non-null struct carries the whole payload row,
-    // plus the right timestamp for the tolerance check
-    val payloadStruct =
-      struct(payload.map(col) :+ col(rightTs).as("__graft_rt"): _*)
-    val sideR0 = right
-      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
-      .select(
-        (col(rightKey).as("__graft_k") +: col(rightTs).as("__graft_t") +:
-          lit(0).as("__graft_side") +: payloadStruct.as("__graft_p") +:
-          tieBreak.map(c => col(c).as(s"__graft_tb_$c"))): _*)
-    val payloadType = sideR0.schema("__graft_p").dataType
-    val withNullPayloadL = sideL.withColumn("__graft_p", lit(null).cast(payloadType))
-    val withTbL = tieBreak.foldLeft(withNullPayloadL) { (df, c) =>
-      df.withColumn(s"__graft_tb_$c", lit(null).cast(right.schema(c).dataType))
-    }
-    val withNullLeftR = leftCols.foldLeft(sideR0) { (df, c) =>
-      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
-    }
-    val unioned = withTbL.unionByName(withNullLeftR.select(withTbL.columns.map(col): _*))
-
-    val order: Seq[Column] =
-      col("__graft_t") +: col("__graft_side") +: tieBreak.map(c => col(s"__graft_tb_$c"))
+    val (unioned, order, leftCols) = unionSides(
+      left, leftTs, leftKey, right, rightTs, rightKey, payload, tieBreak)
     val filled = bucketSeconds match {
       case None =>
         val w = Window.partitionBy(col("__graft_k")).orderBy(order: _*)
@@ -134,5 +108,89 @@ object AsofJoin {
       .filter(col("__graft_side") === 1 && col("__graft_m").isNotNull && inTolerance)
       .select(leftCols.map(col) ++
         payload.map(c => col(s"__graft_m.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Tagged-union plumbing shared by [[asofJoin]] and [[asofNearest]]:
+    * both sides filtered null-key/null-ts, the right payload packed into
+    * one non-null struct (plus the right timestamp), left columns
+    * null-padded onto the right side. Returns (unioned frame, window
+    * order — (t, side, tieBreaks), the left's original columns). */
+  private def unionSides(
+      left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      payload: Seq[String], tieBreak: Seq[String])
+      : (DataFrame, Seq[Column], Seq[String]) = {
+    val leftCols = left.columns.toSeq
+    val sideL = left
+      .filter(col(leftKey).isNotNull && col(leftTs).isNotNull)
+      .withColumn("__graft_k", col(leftKey))
+      .withColumn("__graft_t", col(leftTs))
+      .withColumn("__graft_side", lit(1))
+    val payloadStruct =
+      struct(payload.map(col) :+ col(rightTs).as("__graft_rt"): _*)
+    val sideR0 = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        (col(rightKey).as("__graft_k") +: col(rightTs).as("__graft_t") +:
+          lit(0).as("__graft_side") +: payloadStruct.as("__graft_p") +:
+          tieBreak.map(c => col(c).as(s"__graft_tb_$c"))): _*)
+    val payloadType = sideR0.schema("__graft_p").dataType
+    val withNullPayloadL = sideL.withColumn("__graft_p", lit(null).cast(payloadType))
+    val withTbL = tieBreak.foldLeft(withNullPayloadL) { (df, c) =>
+      df.withColumn(s"__graft_tb_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val withNullLeftR = leftCols.foldLeft(sideR0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val unioned = withTbL.unionByName(withNullLeftR.select(withTbL.columns.map(col): _*))
+    val order: Seq[Column] =
+      col("__graft_t") +: col("__graft_side") +: tieBreak.map(c => col(s"__graft_tb_$c"))
+    (unioned, order, leftCols)
+  }
+
+  /** NEAREST-direction as-of join (pandas merge_asof
+    * `direction='nearest'`): each left row takes the same-key right row
+    * minimizing |leftTs − rightTs|, and BACKWARD WINS TIES — an
+    * exact-timestamp match is a backward match at distance 0, and
+    * equal-distance candidates on both sides resolve backward. Same
+    * union+window machinery as [[asofJoin]] — one shuffle, one sort —
+    * with the backward carry (`last` over unbounded-preceding) and the
+    * forward carry (`first` over current-row→unbounded-following)
+    * riding ONE WindowExec (same (partition, order) spec — the q69
+    * single-operator rule; only the frames differ). Right rows sort
+    * before left rows at equal timestamps, so exact matches land in the
+    * backward frame and the forward frame holds strictly-later right
+    * rows. Within an equal-timestamp right group the backward pick is
+    * the LAST (t, tieBreak) row and the forward pick the FIRST — supply
+    * a unique tie-break for determinism. Distances compare in integer
+    * microseconds. Inner semantics: left rows whose key has no right
+    * row at all drop. */
+  def asofNearest(
+      left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asofNearest requires at least one payload column")
+    val (unioned, order, leftCols) = unionSides(
+      left, leftTs, leftKey, right, rightTs, rightKey, payload, tieBreak)
+    val spec = Window.partitionBy(col("__graft_k")).orderBy(order: _*)
+    val wB = spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = spec.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = unioned
+      .withColumn("__graft_mb", last(col("__graft_p"), ignoreNulls = true).over(wB))
+      .withColumn("__graft_mf", first(col("__graft_p"), ignoreNulls = true).over(wF))
+    def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val lt = micros(col("__graft_t"))
+    val bt = micros(col("__graft_mb.__graft_rt"))
+    val ft = micros(col("__graft_mf.__graft_rt"))
+    val chosen = when(col("__graft_mb").isNull, col("__graft_mf"))
+      .when(col("__graft_mf").isNull, col("__graft_mb"))
+      .when(lt - bt <= ft - lt, col("__graft_mb"))
+      .otherwise(col("__graft_mf"))
+    filled
+      .filter(col("__graft_side") === 1)
+      .withColumn("__graft_m", chosen)
+      .filter(col("__graft_m").isNotNull)
+      .select(leftCols.map(col) ++
+        payload.map(c => col(s"__graft_m.$c").as(s"nearest_$c")): _*)
   }
 }

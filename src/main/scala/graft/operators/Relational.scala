@@ -1560,6 +1560,25 @@ object Relational {
       Seq("q1_cents_x4", "med_cents_x4", "q3_cents_x4"),
       shardSpan = 500000L)
 
+  /** NEAREST-direction as-of join (q23 backward / q54 tolerance close
+    * the pandas merge_asof matrix with this): each purchase matched to
+    * the temporally CLOSEST view by the same user, before or after,
+    * backward winning ties — [[AsofJoin.asofNearest]]'s one-shuffle
+    * union+window plan with both direction carries in ONE WindowExec.
+    * Output is ids only (no raw TIMESTAMP columns). */
+  def q91AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    AsofJoin.asofNearest(p, "ts", "user_id", v, "ts", "user_id",
+        payload = Seq("view_id"), tieBreak = Seq("view_id"))
+      .select(col("event_id"), col("user_id"),
+        col("nearest_view_id").as("nearest_view"))
+      .orderBy("event_id")
+  }
+
   /** FUZZY self-join on edit distance ≤ 1 (entity resolution /
     * near-identical name matching) via DELETION-NEIGHBORHOOD blocking
     * (FastSS): each name emits itself plus every single-character
@@ -1804,6 +1823,7 @@ object Relational {
     "q88_global_cont_quartiles" -> (q88GlobalContQuartiles _),
     "q89_weighted_quartiles" -> (q89WeightedQuartiles _),
     "q90_fuzzy_name_join" -> (q90FuzzyNameJoin _),
+    "q91_asof_nearest" -> (q91AsofNearest _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2377,6 +2397,21 @@ object Relational {
          |o AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS r FROM v)
          |SELECT $cols""".stripMargin
     },
+    // nearest = min |Δt| with backward preferred on ties; within an
+    // equal-ts group backward takes MAX view_id (the carry's last in
+    // ascending order), forward MIN — the CASE sort key mirrors both
+    "q91_asof_nearest" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, v.view_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY abs(date_diff('microsecond', v.ts, p.ts)) ASC,
+        |        CASE WHEN v.ts <= p.ts THEN 0 ELSE 1 END ASC,
+        |        CASE WHEN v.ts <= p.ts THEN -v.view_id ELSE v.view_id END ASC) AS rn
+        |  FROM p JOIN v ON v.user_id = p.user_id)
+        |SELECT event_id, user_id, view_id AS nearest_view
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // the NAIVE quadratic fuzzy join — the oracle states the semantics,
     // the Spark side proves the deletion-neighborhood blocking finds
     // exactly the same pairs from an equi-join

@@ -117,6 +117,62 @@ class AsofJoinSpec extends SparkSpec {
     assert(out == Map(1L -> 42.0, 2L -> 42.0), s"got $out")
   }
 
+  test("asofNearest picks min |dt| with backward winning ties") {
+    val quotes = Seq(
+      ("A", ts(2), 10L), ("A", ts(10), 11L),
+      ("B", ts(5), 20L), ("B", ts(5), 21L),  // equal-ts pair: backward takes MAX tie-break
+      ("C", ts(8), 30L))
+      .toDF("sym", "qts", "qid")
+    val trades = Seq(
+      ("A", ts(3), 1L),  // dist 1 back vs 7 fwd → 10
+      ("A", ts(9), 2L),  // dist 7 back vs 1 fwd → 11
+      ("A", ts(6), 3L),  // dist 4 both ways → backward wins → 10
+      ("A", ts(1), 4L),  // nothing before → forward 10
+      ("A", ts(99), 5L), // nothing after → backward 11
+      ("B", ts(5), 6L),  // exact ts, two candidates → max tie-break 21
+      ("C", ts(0), 7L),  // forward only → 30
+      ("D", ts(5), 8L))  // no right rows → dropped
+      .toDF("sym", "tts", "trade_id")
+    val out = AsofJoin.asofNearest(trades, "tts", "sym", quotes, "qts", "sym",
+      payload = Seq("qid"), tieBreak = Seq("qid"))
+      .select("trade_id", "nearest_qid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 10L, 2L -> 11L, 3L -> 10L, 4L -> 10L,
+      5L -> 11L, 6L -> 21L, 7L -> 30L))
+  }
+
+  test("asofNearest matches a brute-force nearest computation on generated data") {
+    // deterministic pseudo-random streams with shared keys and heavy
+    // timestamp collisions (mod 13 minutes)
+    val rights = (0 until 120).map { i =>
+      (s"K${i % 5}", ts((i * 7) % 13 + (i % 3) * 13), i.toLong)
+    }
+    val lefts = (0 until 80).map { i =>
+      (s"K${i % 6}", ts((i * 11) % 29), 1000L + i)
+    }
+    val got = AsofJoin.asofNearest(
+      lefts.toDF("k", "lts", "lid"), "lts", "k",
+      rights.toDF("k", "rts", "rid"), "rts", "k",
+      payload = Seq("rid"), tieBreak = Seq("rid"))
+      .select("lid", "nearest_rid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = lefts.flatMap { case (k, lt, lid) =>
+      val cand = rights.filter(_._1 == k)
+      if (cand.isEmpty) None
+      else {
+        val best = cand.minBy { case (_, rt, rid) =>
+          val d = math.abs(rt.getTime - lt.getTime)
+          val back = rt.getTime <= lt.getTime
+          // min dist; backward preferred; backward max rid, forward min rid
+          (d, if (back) 0 else 1, if (back) -rid else rid)
+        }
+        Some(lid -> best._3)
+      }
+    }.toMap
+    assert(got == want,
+      s"diff: ${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+  }
+
   test("asof join matches a brute-force computation on the real tables") {
     // epoch-seconds views sidestep the java.time vs java.sql accessor split
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts").limit(200)
