@@ -170,6 +170,45 @@ object AsofJoin {
       right: DataFrame, rightTs: String, rightKey: String,
       payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
     require(payload.nonEmpty, "asofNearest requires at least one payload column")
+    bothCarries(left, leftTs, leftKey, right, rightTs, rightKey,
+      payload, tieBreak, "nearest") { (lt, bt, ft) =>
+      when(col("__graft_mb").isNull, col("__graft_mf"))
+        .when(col("__graft_mf").isNull, col("__graft_mb"))
+        .when(lt - bt <= ft - lt, col("__graft_mb"))
+        .otherwise(col("__graft_mf"))
+    }
+  }
+
+  /** FORWARD-direction as-of join (pandas merge_asof
+    * `direction='forward'`): each left row takes the FIRST same-key
+    * right row with rightTs ≥ leftTs (inclusive). Exact-timestamp
+    * matches resolve through the backward carry (right rows sort before
+    * left at equal timestamps, so the forward frame holds only
+    * strictly-later rows) — at equal timestamps the pick is the LAST
+    * (t, tieBreak) right row of the group, strictly later it is the
+    * FIRST; supply a unique tie-break for determinism. Same
+    * one-WindowExec two-carry plan as [[asofNearest]]. */
+  def asofForward(
+      left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      payload: Seq[String], tieBreak: Seq[String] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asofForward requires at least one payload column")
+    bothCarries(left, leftTs, leftKey, right, rightTs, rightKey,
+      payload, tieBreak, "fwd") { (lt, bt, ft) =>
+      when(col("__graft_mb").isNotNull && bt === lt, col("__graft_mb"))
+        .otherwise(col("__graft_mf"))
+    }
+  }
+
+  /** The two-carry tail shared by [[asofNearest]] and [[asofForward]]:
+    * backward and forward payload carries over one (partition, order)
+    * spec — ONE WindowExec, frames differ — then `choose` picks the
+    * match from (left, backward, forward) microsecond timestamps. */
+  private def bothCarries(
+      left: DataFrame, leftTs: String, leftKey: String,
+      right: DataFrame, rightTs: String, rightKey: String,
+      payload: Seq[String], tieBreak: Seq[String], prefix: String)(
+      choose: (Column, Column, Column) => Column): DataFrame = {
     val (unioned, order, leftCols) = unionSides(
       left, leftTs, leftKey, right, rightTs, rightKey, payload, tieBreak)
     val spec = Window.partitionBy(col("__graft_k")).orderBy(order: _*)
@@ -179,18 +218,13 @@ object AsofJoin {
       .withColumn("__graft_mb", last(col("__graft_p"), ignoreNulls = true).over(wB))
       .withColumn("__graft_mf", first(col("__graft_p"), ignoreNulls = true).over(wF))
     def micros(c: Column): Column = unix_micros(c.cast("timestamp"))
-    val lt = micros(col("__graft_t"))
-    val bt = micros(col("__graft_mb.__graft_rt"))
-    val ft = micros(col("__graft_mf.__graft_rt"))
-    val chosen = when(col("__graft_mb").isNull, col("__graft_mf"))
-      .when(col("__graft_mf").isNull, col("__graft_mb"))
-      .when(lt - bt <= ft - lt, col("__graft_mb"))
-      .otherwise(col("__graft_mf"))
     filled
       .filter(col("__graft_side") === 1)
-      .withColumn("__graft_m", chosen)
+      .withColumn("__graft_m", choose(micros(col("__graft_t")),
+        micros(col("__graft_mb.__graft_rt")),
+        micros(col("__graft_mf.__graft_rt"))))
       .filter(col("__graft_m").isNotNull)
       .select(leftCols.map(col) ++
-        payload.map(c => col(s"__graft_m.$c").as(s"nearest_$c")): _*)
+        payload.map(c => col(s"__graft_m.$c").as(s"${prefix}_$c")): _*)
   }
 }

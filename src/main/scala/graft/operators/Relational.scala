@@ -1579,6 +1579,23 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** FORWARD-direction as-of join (with q23/q54/q91 the full pandas
+    * merge_asof direction matrix): each purchase matched to the first
+    * view AT-or-after it by the same user — post-purchase browsing
+    * attribution. Same one-shuffle two-carry plan as q91. */
+  def q92AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    AsofJoin.asofForward(p, "ts", "user_id", v, "ts", "user_id",
+        payload = Seq("view_id"), tieBreak = Seq("view_id"))
+      .select(col("event_id"), col("user_id"),
+        col("fwd_view_id").as("next_view"))
+      .orderBy("event_id")
+  }
+
   /** FUZZY self-join on edit distance ≤ 1 (entity resolution /
     * near-identical name matching) via DELETION-NEIGHBORHOOD blocking
     * (FastSS): each name emits itself plus every single-character
@@ -1824,6 +1841,7 @@ object Relational {
     "q89_weighted_quartiles" -> (q89WeightedQuartiles _),
     "q90_fuzzy_name_join" -> (q90FuzzyNameJoin _),
     "q91_asof_nearest" -> (q91AsofNearest _),
+    "q92_asof_forward" -> (q92AsofForward _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2411,6 +2429,20 @@ object Relational {
         |        CASE WHEN v.ts <= p.ts THEN -v.view_id ELSE v.view_id END ASC) AS rn
         |  FROM p JOIN v ON v.user_id = p.user_id)
         |SELECT event_id, user_id, view_id AS nearest_view
+        |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // forward: first view at-or-after; the equal-ts group resolves
+    // through the backward carry (max view_id), strictly-later through
+    // the forward carry (min) — the CASE key mirrors both
+    "q92_asof_forward" ->
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, event_id AS view_id FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.event_id, p.user_id, v.view_id,
+        |    row_number() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts ASC,
+        |        CASE WHEN v.ts = p.ts THEN -v.view_id ELSE v.view_id END ASC) AS rn
+        |  FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts)
+        |SELECT event_id, user_id, view_id AS next_view
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
     // the NAIVE quadratic fuzzy join — the oracle states the semantics,
     // the Spark side proves the deletion-neighborhood blocking finds

@@ -173,6 +173,25 @@ class AsofJoinSpec extends SparkSpec {
       s"diff: ${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
   }
 
+  test("asofForward picks first right row at-or-after; equal ts resolves like an inclusive match") {
+    val quotes = Seq(
+      ("A", ts(2), 10L), ("A", ts(10), 11L),
+      ("B", ts(5), 20L), ("B", ts(5), 21L))
+      .toDF("sym", "qts", "qid")
+    val trades = Seq(
+      ("A", ts(3), 1L),  // next at-or-after → 11
+      ("A", ts(2), 2L),  // exact → 10
+      ("A", ts(11), 3L), // nothing after → dropped
+      ("B", ts(5), 4L),  // exact, two candidates → max tie-break 21
+      ("B", ts(1), 5L))  // strictly later pair → min tie-break 20
+      .toDF("sym", "tts", "trade_id")
+    val out = AsofJoin.asofForward(trades, "tts", "sym", quotes, "qts", "sym",
+      payload = Seq("qid"), tieBreak = Seq("qid"))
+      .select("trade_id", "fwd_qid")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 11L, 2L -> 10L, 4L -> 21L, 5L -> 20L))
+  }
+
   test("asof join matches a brute-force computation on the real tables") {
     // epoch-seconds views sidestep the java.time vs java.sql accessor split
     val ev = Tables.events(spark, sf).select($"event_id", $"user_id", $"ts").limit(200)
