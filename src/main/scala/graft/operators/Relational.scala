@@ -1596,6 +1596,54 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** 2-D SKYLINE (Pareto frontier): the (price, size) pairs no other
+    * part weakly dominates (price ≤ AND size ≥, one strict) — minimize
+    * price, maximize size. The textbook formulation is the quadratic
+    * NOT EXISTS self-join (the oracle); the 2-D structure makes it a
+    * SWEEP: only the per-price MAX size can survive, and a pair
+    * survives iff its size strictly exceeds the running max over all
+    * strictly-smaller prices. The running max distributes exactly like
+    * the q85 CDF: price-range shards, per-shard maxima collected under
+    * an arithmetic bound, strict-prefix maxima broadcast back, the
+    * within-shard window partitioned by shard — no single-reducer
+    * WindowExec, no pair joins. Equal-(price, size) duplicates survive
+    * together (`n_parts`); skyline prices are unique by construction so
+    * ORDER BY price is total. */
+  def q93Skyline(s: SparkSession, dir: String): DataFrame =
+    skylineOf(Tables.part(s, dir).select(
+      floor(col("p_retailprice") * 100.0 + 0.5).cast("long").as("price_cents"),
+      col("p_size").cast("long").as("size")))
+
+  /** The sharded sweep over any (price_cents, size) BIGINT frame —
+    * exposed for PropertySpec's brute-force dominance pin. */
+  private[graft] def skylineOf(pr: DataFrame): DataFrame = {
+    val s = pr.sparkSession
+    val pairs = pr.groupBy(col("price_cents"), col("size"))
+      .agg(count(lit(1)).as("n_parts"))
+      .cache()
+    val perPrice = pairs.groupBy(col("price_cents"))
+      .agg(max(col("size")).as("max_size"))
+      .withColumn("_sh", expr("price_cents div 10000"))
+    val shardMax = perPrice.groupBy(col("_sh")).agg(max(col("max_size")).as("_m"))
+      .orderBy("_sh").collect()
+    var run = Long.MinValue
+    val offs = shardMax.map { r =>
+      val o = (r.getLong(0), run); run = math.max(run, r.getLong(1)); o
+    }
+    val offDf = s.createDataFrame(offs.toSeq).toDF("_sh", "_pm")
+    val w = Window.partitionBy(col("_sh")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val sky = perPrice.join(broadcast(offDf), "_sh")
+      .withColumn("_prev",
+        greatest(coalesce(max(col("max_size")).over(w), lit(Long.MinValue)),
+          col("_pm")))
+      .filter(col("max_size") > col("_prev"))
+      .select(col("price_cents"), col("max_size").as("size"))
+    sky.join(pairs, Seq("price_cents", "size"))
+      .select(col("price_cents"), col("size"), col("n_parts"))
+      .orderBy(col("price_cents"))
+  }
+
   /** FUZZY self-join on edit distance ≤ 1 (entity resolution /
     * near-identical name matching) via DELETION-NEIGHBORHOOD blocking
     * (FastSS): each name emits itself plus every single-character
@@ -1842,6 +1890,7 @@ object Relational {
     "q90_fuzzy_name_join" -> (q90FuzzyNameJoin _),
     "q91_asof_nearest" -> (q91AsofNearest _),
     "q92_asof_forward" -> (q92AsofForward _),
+    "q93_skyline" -> (q93Skyline _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2444,6 +2493,18 @@ object Relational {
         |  FROM p JOIN v ON v.user_id = p.user_id AND v.ts >= p.ts)
         |SELECT event_id, user_id, view_id AS next_view
         |FROM j WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    // the textbook quadratic dominance test — the Spark side proves the
+    // sharded sweep finds exactly the non-dominated pairs
+    "q93_skyline" ->
+      """WITH pr AS (SELECT CAST(floor(p_retailprice*100.0+0.5) AS BIGINT) AS price_cents,
+        |                   CAST(p_size AS BIGINT) AS size FROM part),
+        |pairs AS (SELECT price_cents, size, CAST(COUNT(*) AS BIGINT) AS n_parts
+        |          FROM pr GROUP BY 1, 2)
+        |SELECT price_cents, size, n_parts FROM pairs p
+        |WHERE NOT EXISTS (SELECT 1 FROM pairs q
+        |  WHERE q.price_cents <= p.price_cents AND q.size >= p.size
+        |    AND (q.price_cents < p.price_cents OR q.size > p.size))
+        |ORDER BY price_cents""".stripMargin,
     // the NAIVE quadratic fuzzy join — the oracle states the semantics,
     // the Spark side proves the deletion-neighborhood blocking finds
     // exactly the same pairs from an equi-join

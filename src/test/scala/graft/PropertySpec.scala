@@ -265,6 +265,27 @@ class PropertySpec extends SparkSpec {
     assert(got.values.forall(c => math.abs(c) < 0.1), got.toString)
   }
 
+  test("q93 sharded skyline sweep finds EXACTLY the brute-force non-dominated pairs") {
+    // coarse grids force duplicate pairs, same-price ties, same-size
+    // ties, and shard-boundary crossings (span 10000 → prices straddle)
+    val pt = for {
+      p <- Gen.chooseNum(0L, 45000L)
+      z <- Gen.chooseNum(0L, 20L)
+    } yield (p / 1000L * 1000L, z) // snap prices to a 1000-grid for collisions
+    samples(Gen.listOfN(200, pt), 3).foreach { pts =>
+      val got = operators.Relational.skylineOf(pts.toDF("price_cents", "size"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val counts = pts.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val want = counts.collect {
+        case ((p, z), n) if !counts.keys.exists { case (p2, z2) =>
+          p2 <= p && z2 >= z && (p2 < p || z2 > z) } => (p, z, n)
+      }.toSet
+      assert(got == want,
+        s"skyline diverged: extra=${got -- want} missing=${want -- got}")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("q90 deletion-neighborhood blocking finds EXACTLY the brute-force ed<=1 pairs") {
     // short random strings over a 3-letter alphabet maximize collisions
     // at every edit type (substitution / insert / delete / identity)
