@@ -57,6 +57,10 @@ object Plans {
     "g02_bfs_levels" -> "label-frame BFS: per-hop frontier-only joins run as checkpointed jobs (this final plan shows the level aggregation over the flat hop relations + the distance spine left join); the hop shape itself is pinned in PlanShapeSpec",
     "g03_components" -> "connected components: thresholded affinity pairs (map-combined count agg), pointer-jumping label rounds are checkpointed node-sized jobs, final per-component rollup",
     "g07_shortest_paths" -> "bounded Bellman-Ford: weighted edges cached src-partitioned once, per-round frontier-only relaxation (map-combined per-dst min before its node-sized Exchange; shape pinned in PlanShapeSpec), final plan is the top-100 TakeOrderedAndProject over the flat checkpointed label frame",
+    "q88_global_cont_quartiles" -> "global interpolated quantiles: the q85 distributed CDF (per-value counts, shard-partitioned cumulative window, broadcast offsets) with lo/hi bracket ranks as driver literals — one pass serves all three fractions, output scaled-BIGINT",
+    "q90_fuzzy_name_join" -> "fuzzy ed<=1 join: deletion-variant explode -> variant string EQUI-join (broadcast at this SF, shuffle hash/SMJ at scale - never a cross join) -> distinct candidate pairs -> exact levenshtein verify inside codegen",
+    "q91_asof_nearest" -> "nearest as-of: tagged union shuffled once by key, backward last() + forward first() carries share ONE Window operator (same spec, frames differ), direction chosen by integer-microsecond distance — no range nested-loop",
+    "q93_skyline" -> "2-D skyline: per-(price,size) counts + per-price max (both map-combined), shard-partitioned prefix-max window + broadcast strict-prefix shard maxima, survivors equi-join back — no quadratic dominance join",
     "t45_phrase_indexed" -> "phrase search from the PERSISTED positional index: bucket-PRUNED Bucketed: true _positions scan (term IN prunes bucket files), phrase table broadcast, one candidate-start shuffle — the corpus is never re-tokenized (zero documents scan)")
 
   def main(args: Array[String]): Unit = {
