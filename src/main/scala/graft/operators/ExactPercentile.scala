@@ -200,6 +200,40 @@ object ExactPercentile {
     bracketed.select(outs: _*)
   }
 
+  /** Exact GLOBAL EQUI-DEPTH histogram (quantile binning) over a
+    * non-negative BIGINT column — the distributed replacement for a
+    * global `ntile(B)` (whose empty partitionSpec is the banned
+    * single-reducer WindowExec) and the exact, value-atomic contract
+    * approximate binners don't give: every DISTINCT value lands wholly
+    * in bucket `⌈cum·B/n⌉ ∈ [1, B]` where `cum` is the value's LAST
+    * position in the sorted multiset, so equal values never split
+    * across buckets and the assignment is a pure integer function of
+    * the CDF — deterministic at any parallelism (ML feature
+    * bucketization at 100 TB with no global sort; same one-pass CDF as
+    * [[discGlobalMulti]]). Depths are ~n/B, distorted only by heavy
+    * values — which MUST distort: a value outweighing a bucket cannot
+    * split under the value-atomic contract. Returns
+    * (bucket, n_rows, lo, hi) per non-empty bucket, ordered by bucket.
+    * Empty input → empty frame (the div-by-n expression is never built:
+    * n comes off the shard-totals collect before the plan is closed). */
+  def equidepthGlobal(df: DataFrame, value: String, buckets: Int,
+      shardSpan: Long = 1000000000L): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val (cdf, n) = globalCdf(df, value, shardSpan)
+    if (n == 0)
+      // empty CDF: reuse its (value, _c) columns for an empty frame of
+      // the contract schema — no div-by-zero expression ever exists
+      cdf.select(col(value).as("bucket"), col("_c").as("n_rows"),
+        col(value).as("lo"), col(value).as("hi")).limit(0)
+    else
+      cdf.withColumn("bucket",
+          expr(s"(_cum * ${buckets}L + ${n - 1}L) div ${n}L"))
+        .groupBy(col("bucket"))
+        .agg(sum(col("_c")).as("n_rows"),
+          min(col(value)).as("lo"), max(col(value)).as("hi"))
+        .orderBy(col("bucket"))
+  }
+
   /** Exact discrete percentiles (`percentile_disc`): one output column per
     * fraction, named by `outNames`. */
   def discByKey(df: DataFrame, key: String, value: String,

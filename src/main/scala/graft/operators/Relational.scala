@@ -1699,6 +1699,24 @@ object Relational {
       "cents", "qty", Seq((1L, 4L), (2L, 4L), (3L, 4L)),
       Seq("wq1_cents", "wmed_cents", "wq3_cents"), shardSpan = 500000L)
 
+  /** GLOBAL EQUI-DEPTH histogram (quantile binning) through
+    * [[ExactPercentile.equidepthGlobal]] — 16 exact depth-16ths of the
+    * price-cents distribution, the ML feature-bucketization primitive a
+    * global `ntile(16)` would express as the banned single-reducer
+    * window. Value-atomic contract: a distinct value lands wholly in
+    * bucket ⌈cum·16/n⌉, so equal prices never split across bucket
+    * boundaries and the whole assignment is integer arithmetic off the
+    * one-pass distributed CDF (the q85/q88/q89/q93 machine, fifth
+    * consumer). Output (bucket, n_rows, lo_cents, hi_cents); bucket ids
+    * are unique so ORDER BY bucket is total. */
+  def q94EquidepthBins(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.equidepthGlobal(
+      Tables.lineitem(s, dir).select(
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents")),
+      "cents", 16, shardSpan = 500000L)
+      .select(col("bucket"), col("n_rows"),
+        col("lo").as("lo_cents"), col("hi").as("hi_cents"))
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -1891,6 +1909,7 @@ object Relational {
     "q91_asof_nearest" -> (q91AsofNearest _),
     "q92_asof_forward" -> (q92AsofForward _),
     "q93_skyline" -> (q93Skyline _),
+    "q94_equidepth_bins" -> (q94EquidepthBins _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2528,6 +2547,19 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= (2*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wmed_cents,
         |  CAST(MIN(CASE WHEN cum >= (3*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wq3_cents
         |FROM cw""".stripMargin,
+    // equi-depth bins off the cumulative CDF: HUGEINT-safe bucket id
+    // (cum*16 + n-1)//n mirrors Spark's BIGINT `div` (t37 `//` parity);
+    // v is the GROUP BY key so the default RANGE cum frame has no peers
+    "q94_equidepth_bins" ->
+      """WITH li AS (SELECT CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT) AS v
+        |            FROM lineitem),
+        |vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM li GROUP BY 1),
+        |cum AS (SELECT v, c, SUM(c) OVER (ORDER BY v) AS cum,
+        |               SUM(c) OVER () AS n FROM vc)
+        |SELECT CAST((cum*16 + n - 1) // n AS BIGINT) AS bucket,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       MIN(v) AS lo_cents, MAX(v) AS hi_cents
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     // moments in HUGEINT <-> Spark DECIMAL(38,0) (t37 parity), combined
     // exactly, converted to DOUBLE once, divided through the identical
     // num / (sqrt(d1)*sqrt(d2)) tree

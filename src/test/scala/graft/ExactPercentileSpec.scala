@@ -179,6 +179,48 @@ class ExactPercentileSpec extends SparkSpec {
     assert(empty.length == 1 && empty.head.isNullAt(0))
   }
 
+  test("equidepthGlobal equals the sorted-multiset bucket rule across counts, B, ties, and skew") {
+    // plain reference: bucket of a distinct value = ceil(lastpos*B/n)
+    // over the sorted multiset; aggregate rows/min/max per bucket
+    def reference(vals: Seq[Long], b: Int): Seq[(Long, Long, Long, Long)] = {
+      val n = vals.size.toLong
+      val byVal = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      byVal.map { case (v, c) =>
+        cum += c
+        ((cum * b + n - 1) / n, v, c)
+      }.groupBy(_._1).toSeq.map { case (bk, g) =>
+        (bk, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max)
+      }.sortBy(_._1)
+    }
+    val fixtures = Seq(
+      (1L to 100L).map(i => 10L * (i % 17) + 3L),           // tie-heavy
+      (1L to 7L).map(i => i * 5L),                          // n < B cases
+      (1L to 5000L).map(i => if (i <= 4000L) 42L else i),   // heavy value spans buckets
+      (1L to 500L).map(i => i * 7919L))                     // multi-shard values
+    for (vals <- fixtures; b <- Seq(1, 4, 16)) {
+      val got = ExactPercentile.equidepthGlobal(vals.toDF("v"), "v", b,
+          shardSpan = 100000L).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == reference(vals, b),
+        s"n=${vals.size} B=$b: got $got want ${reference(vals, b)}")
+    }
+    // contract edges: buckets are 1..B, non-empty, rows sum to n,
+    // value ranges are disjoint and ordered
+    val vals = (1L to 1000L).map(i => (i * 37L) % 400L)
+    val rows = ExactPercentile.equidepthGlobal(vals.toDF("v"), "v", 16).collect()
+    assert(rows.map(_.getLong(1)).sum == 1000L)
+    assert(rows.forall(r => r.getLong(0) >= 1L && r.getLong(0) <= 16L))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(3) < b.getLong(2), "bucket value ranges must be disjoint, ordered")
+    case _ => }
+    // empty input → empty frame with the contract schema
+    val empty = ExactPercentile.equidepthGlobal(Seq.empty[Long].toDF("v"), "v", 16)
+    assert(empty.columns.toSeq == Seq("bucket", "n_rows", "lo", "hi"))
+    assert(empty.collect().isEmpty)
+  }
+
   test("q29/q47/q69 plans carry no whole-group aggregation buffer on the value column") {
     // per query: the heavy value column that must NOT sit in a builtin
     // percentile/collect_list buffer. q47's percentile_approx
