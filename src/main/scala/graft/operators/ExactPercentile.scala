@@ -234,6 +234,44 @@ object ExactPercentile {
         .orderBy(col("bucket"))
   }
 
+  /** Exact GLOBAL ROBUST STATISTICS over a BIGINT column: median, MAD
+    * (median absolute deviation), and the count of k·MAD outliers —
+    * the adaptive outlier cut curation pipelines reach for when fixed
+    * thresholds (t30's Gopher bounds) don't transfer across corpora.
+    * Median and MAD are inherently SEQUENTIAL (the deviation multiset
+    * needs the median first), so each lands as a driver literal off its
+    * own one-pass distributed CDF (two blocking rounds — the BPE-winner
+    * / IVF-seed precedent for 1-row round results), and a final
+    * map-combined aggregation counts `|v − med| > k·MAD`. Everything is
+    * BIGINT end-to-end: the discrete-median rank rule (ceil(n/2), the
+    * [[discGlobal]] contract DuckDB `quantile_disc` matches
+    * rank-for-rank) on both passes, absolute deviations exact, the
+    * threshold an integer product — no float surface anywhere. Returns
+    * ONE row (med, mad, n_outliers, n); empty input → one all-NULL row
+    * (the [[discGlobal]] convention). */
+  def robustStatsGlobal(df: DataFrame, value: String, k: Long,
+      outNames: Seq[String], shardSpan: Long = 1000000000L): DataFrame = {
+    require(outNames.length == 4 && k > 0)
+    val medRow = discGlobal(df, value, 0.5, "m", shardSpan).collect().head
+    if (medRow.isNullAt(0)) {
+      val nulls = outNames.map(n => lit(null).cast("long").as(n))
+      df.sparkSession.range(1).select(nulls: _*)
+    } else {
+      val med = medRow.getLong(0)
+      val dev = df.filter(col(value).isNotNull)
+        .select(abs(col(value) - lit(med)).as("_d"))
+      val mad = discGlobal(dev, "_d", 0.5, "md", shardSpan)
+        .collect().head.getLong(0)
+      df.filter(col(value).isNotNull)
+        .agg(
+          sum(when(abs(col(value) - lit(med)) > lit(k * mad), 1L)
+            .otherwise(0L)).as("_o"),
+          count(lit(1)).as("_n"))
+        .select(lit(med).as(outNames(0)), lit(mad).as(outNames(1)),
+          col("_o").as(outNames(2)), col("_n").as(outNames(3)))
+    }
+  }
+
   /** Exact discrete percentiles (`percentile_disc`): one output column per
     * fraction, named by `outNames`. */
   def discByKey(df: DataFrame, key: String, value: String,

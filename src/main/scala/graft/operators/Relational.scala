@@ -1717,6 +1717,25 @@ object Relational {
       .select(col("bucket"), col("n_rows"),
         col("lo").as("lo_cents"), col("hi").as("hi_cents"))
 
+  /** GLOBAL ROBUST STATISTICS (median / MAD / 3·MAD outlier count) over
+    * per-part revenue through [[ExactPercentile.robustStatsGlobal]] —
+    * the ADAPTIVE outlier cut (t30's Gopher thresholds are fixed
+    * constants; a MAD cut rescales itself to the corpus). Per-part
+    * revenue is the one fixture distribution with a genuine tail
+    * (2 / 87 / 894 outliers at the three SFs — prices, quantities, and
+    * doc lengths are bounded-uniform and would make the outlier leg
+    * vacuous). Two sequential CDF passes (median, then deviation
+    * median) land as driver literals; the outlier count is one
+    * map-combined aggregation. One row, four BIGINTs. */
+  def q95RobustStats(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.robustStatsGlobal(
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("v"))
+        .select(col("v")),
+      "v", 3L, Seq("med_cents", "mad_cents", "n_outliers", "n_parts"),
+      shardSpan = 100000000L)
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -1910,6 +1929,7 @@ object Relational {
     "q92_asof_forward" -> (q92AsofForward _),
     "q93_skyline" -> (q93Skyline _),
     "q94_equidepth_bins" -> (q94EquidepthBins _),
+    "q95_robust_stats" -> (q95RobustStats _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2547,6 +2567,20 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= (2*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wmed_cents,
         |  CAST(MIN(CASE WHEN cum >= (3*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wq3_cents
         |FROM cw""".stripMargin,
+    // robust stats: quantile_disc matches the ceil(p*n) rank rule
+    // rank-for-rank (q85 precedent); deviations and the 3*MAD
+    // threshold are exact BIGINT arithmetic on both sides
+    "q95_robust_stats" ->
+      """WITH li AS (SELECT CAST(SUM(CAST(floor(l_extendedprice*100.0+0.5) AS BIGINT)) AS BIGINT) AS v
+        |            FROM lineitem GROUP BY l_partkey),
+        |med AS (SELECT quantile_disc(v, 0.5) AS m FROM li),
+        |mad AS (SELECT quantile_disc(abs(v - (SELECT m FROM med)), 0.5) AS md FROM li)
+        |SELECT CAST((SELECT m FROM med) AS BIGINT) AS med_cents,
+        |       CAST((SELECT md FROM mad) AS BIGINT) AS mad_cents,
+        |       CAST(SUM(CASE WHEN abs(v - (SELECT m FROM med)) > 3*(SELECT md FROM mad)
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_parts
+        |FROM li""".stripMargin,
     // equi-depth bins off the cumulative CDF: HUGEINT-safe bucket id
     // (cum*16 + n-1)//n mirrors Spark's BIGINT `div` (t37 `//` parity);
     // v is the GROUP BY key so the default RANGE cum frame has no peers

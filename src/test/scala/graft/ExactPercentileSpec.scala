@@ -221,6 +221,34 @@ class ExactPercentileSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
   }
 
+  test("robustStatsGlobal equals the plain-Scala median/MAD/outlier reference") {
+    def reference(vals: Seq[Long], k: Long): (Long, Long, Long, Long) = {
+      def medOf(xs: Seq[Long]): Long = {
+        val s = xs.sorted
+        s(math.ceil(0.5 * s.size).toInt - 1)  // the ceil(p*n) disc rule
+      }
+      val m = medOf(vals)
+      val md = medOf(vals.map(v => math.abs(v - m)))
+      (m, md, vals.count(v => math.abs(v - m) > k * md).toLong, vals.size.toLong)
+    }
+    val fixtures = Seq(
+      (1L to 100L).map(i => 10L * (i % 17) + 3L),          // tie-heavy, no tail
+      (1L to 200L).map(i => if (i % 50 == 0) i * 1000L else i % 40L), // genuine outliers
+      Seq.fill(30)(7L),                                    // all-equal: MAD 0, outliers = non-median values (none)
+      (1L to 500L).map(i => i * 7919L))                    // multi-shard
+    for (vals <- fixtures; k <- Seq(1L, 3L)) {
+      val got = ExactPercentile.robustStatsGlobal(vals.toDF("v"), "v", k,
+          Seq("m", "md", "o", "n"), shardSpan = 100000L).collect().head
+      val want = reference(vals, k)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) == want,
+        s"n=${vals.size} k=$k: got $got want $want")
+    }
+    // empty input → one all-NULL row (the discGlobal convention)
+    val empty = ExactPercentile.robustStatsGlobal(
+      Seq.empty[Long].toDF("v"), "v", 3L, Seq("m", "md", "o", "n")).collect()
+    assert(empty.length == 1 && (0 to 3).forall(empty.head.isNullAt))
+  }
+
   test("q29/q47/q69 plans carry no whole-group aggregation buffer on the value column") {
     // per query: the heavy value column that must NOT sit in a builtin
     // percentile/collect_list buffer. q47's percentile_approx
