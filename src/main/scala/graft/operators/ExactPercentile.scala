@@ -272,6 +272,35 @@ object ExactPercentile {
     }
   }
 
+  /** [[robustStatsGlobal]] BY KEY — per-group median / MAD / k·MAD
+    * outlier count, completing the global/by-key matrix the disc/cont
+    * quantiles already have. Unlike the global variant nothing touches
+    * the driver: the per-key medians stay distributed and join back
+    * onto the rows (every shuffle — both [[discByKey]] passes, both
+    * joins, the final count — keys on the SAME group column, so the
+    * planner reuses the partitioning), deviations re-rank per key, and
+    * one aggregation counts `|v − med| > k·mad` per group. All-BIGINT
+    * end-to-end like the global twin. NON-NULL KEY contract: the
+    * medians join back with an equi-join, which would drop a NULL-key
+    * group ([[discByKey]] alone keeps it) — callers on nullable keys
+    * must pre-coalesce the key. Returns (key, med, mad, n_outliers, n)
+    * per group, unordered. */
+  def robustStatsByKey(df: DataFrame, key: String, value: String, k: Long,
+      outNames: Seq[String]): DataFrame = {
+    require(outNames.length == 4 && k > 0)
+    val base = df.filter(col(value).isNotNull)
+    val med = discByKey(base, key, value, Seq(0.5), Seq("_med"))
+    val dev = base.join(med, Seq(key))
+      .withColumn("_d", abs(col(value) - col("_med")))
+    val mad = discByKey(dev, key, "_d", Seq(0.5), Seq("_mad"))
+    dev.join(mad, Seq(key))
+      .groupBy(col(key))
+      .agg(max(col("_med")).as(outNames(0)), max(col("_mad")).as(outNames(1)),
+        sum(when(col("_d") > lit(k) * col("_mad"), 1L).otherwise(0L))
+          .as(outNames(2)),
+        count(lit(1)).as(outNames(3)))
+  }
+
   /** Exact discrete percentiles (`percentile_disc`): one output column per
     * fraction, named by `outNames`. */
   def discByKey(df: DataFrame, key: String, value: String,

@@ -1736,6 +1736,24 @@ object Relational {
       "v", 3L, Seq("med_cents", "mad_cents", "n_outliers", "n_parts"),
       shardSpan = 100000000L)
 
+  /** PER-KEY ROBUST STATISTICS — q95's adaptive MAD outlier cut BY
+    * GROUP through [[ExactPercentile.robustStatsByKey]]: per-nation
+    * supplier-revenue median/MAD/3·MAD-outlier-count (18 / 47 genuine
+    * outliers at sf0.01/0.1; the sf0.001 zeros still hash the med/mad
+    * legs). Fully distributed — no driver literals: medians join back
+    * on the group key, every shuffle keys on `nation`. 25 rows, total
+    * order on the unique key. */
+  def q96RobustStatsByKey(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.robustStatsByKey(
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"), col("s_nationkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("v"))
+        .select(col("s_nationkey").cast("long").as("nation"), col("v")),
+      "nation", "v", 3L,
+      Seq("med_cents", "mad_cents", "n_outliers", "n_suppliers"))
+      .orderBy(col("nation"))
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -1930,6 +1948,7 @@ object Relational {
     "q93_skyline" -> (q93Skyline _),
     "q94_equidepth_bins" -> (q94EquidepthBins _),
     "q95_robust_stats" -> (q95RobustStats _),
+    "q96_robust_by_key" -> (q96RobustStatsByKey _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2567,6 +2586,25 @@ object Relational {
         |  CAST(MIN(CASE WHEN cum >= (2*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wmed_cents,
         |  CAST(MIN(CASE WHEN cum >= (3*(SELECT tw FROM t)+3)//4 THEN c END) AS BIGINT) AS wq3_cents
         |FROM cw""".stripMargin,
+    // per-key robust stats: quantile_disc per group, deviations joined
+    // back on the key — same exact-BIGINT contract as q95
+    "q96_robust_by_key" ->
+      """WITH sup AS (SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+        |                    CAST(SUM(CAST(floor(l.l_extendedprice*100.0+0.5) AS BIGINT)) AS BIGINT) AS v
+        |             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             GROUP BY l.l_suppkey, s.s_nationkey),
+        |med AS (SELECT nation, quantile_disc(v, 0.5) AS m FROM sup GROUP BY nation),
+        |dev AS (SELECT sup.nation AS nation, v, abs(v - m) AS d
+        |        FROM sup JOIN med ON sup.nation = med.nation),
+        |mad AS (SELECT nation, quantile_disc(d, 0.5) AS md FROM dev GROUP BY nation)
+        |SELECT dev.nation AS nation,
+        |       CAST(MAX(m) AS BIGINT) AS med_cents,
+        |       CAST(MAX(md) AS BIGINT) AS mad_cents,
+        |       CAST(SUM(CASE WHEN d > 3*md THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        |FROM dev JOIN mad ON dev.nation = mad.nation
+        |         JOIN med ON dev.nation = med.nation
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // robust stats: quantile_disc matches the ceil(p*n) rank rule
     // rank-for-rank (q85 precedent); deviations and the 3*MAD
     // threshold are exact BIGINT arithmetic on both sides

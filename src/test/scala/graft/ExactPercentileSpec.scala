@@ -249,6 +249,35 @@ class ExactPercentileSpec extends SparkSpec {
     assert(empty.length == 1 && (0 to 3).forall(empty.head.isNullAt))
   }
 
+  test("robustStatsByKey equals the per-group plain-Scala reference; null values excluded") {
+    def medOf(xs: Seq[Long]): Long = {
+      val s = xs.sorted; s(math.ceil(0.5 * s.size).toInt - 1)
+    }
+    val rows = (1L to 300L).map { i =>
+      val key = s"k${i % 5}"
+      val v = if (i % 60 == 0) i * 1000L else (i * 37L) % 200L // per-key tails
+      (key, v)
+    } ++ Seq(("k0", -50L)) // negative values: abs matters
+    val got = ExactPercentile.robustStatsByKey(rows.toDF("k", "v"), "k", "v", 3L,
+        Seq("m", "md", "o", "n")).orderBy("k").collect()
+    val want = rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (k, g) =>
+      val vs = g.map(_._2)
+      val m = medOf(vs); val md = medOf(vs.map(v => math.abs(v - m)))
+      (k, m, md, vs.count(v => math.abs(v - m) > 3 * md).toLong, vs.size.toLong)
+    }
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, w) =>
+      assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) == w)
+    }
+    // null VALUES are excluded per key (the discByKey convention)
+    val withNulls = Seq(("a", Some(1L)), ("a", None), ("a", Some(3L)), ("b", Some(5L)))
+      .toDF("k", "v")
+    val g2 = ExactPercentile.robustStatsByKey(withNulls, "k", "v", 3L,
+      Seq("m", "md", "o", "n")).orderBy("k").collect()
+    assert(g2.map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSeq ==
+      Seq(("a", 1L, 2L), ("b", 5L, 1L)))
+  }
+
   test("q29/q47/q69 plans carry no whole-group aggregation buffer on the value column") {
     // per query: the heavy value column that must NOT sit in a builtin
     // percentile/collect_list buffer. q47's percentile_approx
