@@ -62,6 +62,7 @@ object Plans {
     "q91_asof_nearest" -> "nearest as-of: tagged union shuffled once by key, backward last() + forward first() carries share ONE Window operator (same spec, frames differ), direction chosen by integer-microsecond distance — no range nested-loop",
     "q93_skyline" -> "2-D skyline: per-(price,size) counts + per-price max (both map-combined), shard-partitioned prefix-max window + broadcast strict-prefix shard maxima, survivors equi-join back — no quadratic dominance join",
     "q94_equidepth_bins" -> "global equi-depth histogram: the q85 CDF pass with integer bucket ids (cum*B + n-1) div n — per-value counts map-combined, shard-partitioned cumulative window, tiny bucket agg; exact global ntile with NO single-reducer window, no global sort",
+    "q96_robust_by_key" -> "per-key robust stats: two discByKey passes + med/mad joins + final count, EVERY shuffle keyed on the group column (one partitioning reused end-to-end, no driver round-trips — contrast q95's global twin where 1-row pass results become literals)",
     "t45_phrase_indexed" -> "phrase search from the PERSISTED positional index: bucket-PRUNED Bucketed: true _positions scan (term IN prunes bucket files), phrase table broadcast, one candidate-start shuffle — the corpus is never re-tokenized (zero documents scan)")
 
   def main(args: Array[String]): Unit = {
