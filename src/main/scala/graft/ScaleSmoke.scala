@@ -36,6 +36,7 @@ object ScaleSmoke {
     if (a.contains("tx100")) { tx100(spark); spark.stop(); return }
     if (a.contains("cp100")) { cp100(spark); spark.stop(); return }
     if (a.contains("gr100")) { gr100(spark); spark.stop(); return }
+    if (a.contains("cdf100")) { cdf100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -928,5 +929,51 @@ object ScaleSmoke {
       graft.operators.Dedup.clusterLabelsWithRounds(chain, maxIters = 8)
     println(s"CHAIN200K maxIters=8 converged=$truncated (expected false)")
     assert(!truncated, "an 8-round cap cannot converge a 200k chain — flag is broken")
+  }
+
+  /** CDF-machine smoke (SCALE.md item 35's knob, measured): grow the
+    * VALUE RANGE 100× at constant row count with a FIXED shard span —
+    * the driver-side shard collect grows linearly in range (bounded by
+    * arithmetic: range/span rows), the quantiles stay exact (uniform
+    * hash values → quartiles within 1% of range·p), equi-depth bucket
+    * depths stay within 5% of n/B (near-distinct values), and
+    * wall-clock follows ROWS, not range (the extra shards only widen
+    * the window's partition count). At 100 TB: pick span ≈
+    * range / (10–100× reducer count); the collect stays a few KB. */
+  private def cdf100(spark: SparkSession): Unit = {
+    import graft.operators.ExactPercentile
+    val n = 2000000L
+    val span = 100000L
+    def run(range: Long): Double = {
+      val vals = spark.range(n)
+        .select(pmod(xxhash64(col("id")), lit(range)).as("v"))
+      val t0 = System.nanoTime()
+      val q = ExactPercentile.discGlobalMulti(vals, "v",
+        Seq(0.25, 0.5, 0.75), Seq("q1", "q2", "q3"), shardSpan = span)
+        .collect().head
+      val secs = (System.nanoTime() - t0) / 1e9
+      Seq(0.25, 0.5, 0.75).zipWithIndex.foreach { case (p, i) =>
+        val got = q.getLong(i); val want = (range * p).toLong
+        assert(math.abs(got - want) <= range / 100,
+          s"range=$range p=$p: quantile $got not within 1% of $want")
+      }
+      val bins = ExactPercentile.equidepthGlobal(vals, "v", 16, shardSpan = span)
+        .collect()
+      assert(bins.length == 16, s"range=$range: ${bins.length} buckets != 16")
+      bins.foreach { b =>
+        assert(math.abs(b.getLong(1) - n / 16) <= n / 16 / 20,
+          s"range=$range bucket ${b.getLong(0)}: depth ${b.getLong(1)} " +
+            s"outside 5% of ${n / 16}")
+      }
+      spark.catalog.clearCache()
+      secs
+    }
+    run(10000000L) // soak JVM/codegen warmup (TimeProbe lesson)
+    val s1 = run(10000000L)     // 100 shards
+    val s100 = run(1000000000L) // 10,000 shards — collect still ~100 KB
+    println(f"CDF100 quartiles+bins 100_shards=$s1%.1f s 10000_shards=$s100%.1f s " +
+      f"ratio=${s100 / s1}%.1f x for 100x value range (rows constant)")
+    assert(s100 / s1 < 3.0,
+      f"100x range cost ${s100 / s1}%.1f x — shard count is leaking into row work")
   }
 }
