@@ -290,8 +290,13 @@ object ExactPercentile {
     require(outNames.length == 4 && k > 0)
     val base = df.filter(col(value).isNotNull)
     val med = discByKey(base, key, value, Seq(0.5), Seq("_med"))
+    // dev is referenced TWICE (the MAD pass and the final join) — cache
+    // it or its whole lineage (scan, aggs, median window) plans twice
+    // (query-scoped; Verify/Bench/spec harnesses clearCache after —
+    // the exceptAll-gate precedent)
     val dev = base.join(med, Seq(key))
       .withColumn("_d", abs(col(value) - col("_med")))
+      .cache()
     val mad = discByKey(dev, key, "_d", Seq(0.5), Seq("_mad"))
     dev.join(mad, Seq(key))
       .groupBy(col(key))

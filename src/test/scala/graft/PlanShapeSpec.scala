@@ -97,6 +97,35 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size == 2, p)
   }
 
+  test("q94: the equi-depth CDF window shuffles by SHARD, never a single reducer") {
+    val p = plan(Relational.q94EquidepthBins(spark, sf))
+    // the global cumulative window must ride the arithmetic-bounded
+    // shard key (a constant/empty partition spec would fold to the
+    // banned single-reducer WindowExec)
+    assert(p.contains("hashpartitioning(_sh"),
+      "CDF window is not shard-partitioned:\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    spark.catalog.clearCache() // globalCdf caches the per-value counts
+  }
+
+  test("q96: by-key robust stats reuse the group-key partitioning end-to-end") {
+    val p = plan(Relational.q96RobustStatsByKey(spark, sf))
+    // no stage collapses to one reducer (the final sort is a range
+    // partition); every exchange keys on the nation group column
+    assert(!p.contains("SinglePartition"),
+      "per-key robust stats serialized through one reducer:\n" + p)
+    assert(p.contains("hashpartitioning(nation"),
+      "shuffles must key on the group column:\n" + p)
+    // dev is referenced twice (MAD pass + final join): it must be
+    // CACHED — computed once, read twice — not re-planned from the scan
+    // (the plan string inlines the cached lineage per reference, so a
+    // window count over the string can't distinguish reuse from
+    // recompute; the InMemoryTableScan pair can)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "dev subtree is recomputed instead of cache-reused:\n" + p)
+    spark.catalog.clearCache() // dev's cache is query-scoped
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
