@@ -37,6 +37,7 @@ object ScaleSmoke {
     if (a.contains("cp100")) { cp100(spark); spark.stop(); return }
     if (a.contains("gr100")) { gr100(spark); spark.stop(); return }
     if (a.contains("cdf100")) { cdf100(spark); spark.stop(); return }
+    if (a.contains("fz100")) { fz100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -975,5 +976,65 @@ object ScaleSmoke {
       f"ratio=${s100 / s1}%.1f x for 100x value range (rows constant)")
     assert(s100 / s1 < 3.0,
       f"100x range cost ${s100 / s1}%.1f x — shard count is leaking into row work")
+  }
+
+  /** fz100: duplicate-heavy fuzzy-join smoke. 1000 distinct names each
+    * duplicated c times (the shape TPC-H's unique names can't exercise):
+    * the NAIVE variant join emits ~(len+1)·c² candidate rows per class
+    * through a distinct() + levenshtein, the collapsed form blocks on
+    * DISTINCT names and expands key pairs output-proportionally. Names
+    * carry a digit-sum CHECK DIGIT, so any single-character edit leaves
+    * the pool (no two distinct names are within edit distance 1) and
+    * cost concentrates on the duplicate-class path being smoked. */
+  private def fz100(spark: SparkSession): Unit = {
+    import graft.operators.Relational
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def corpus(dup: Long) = {
+      val c = spark.range(1000L * dup)
+        .withColumn("v", col("id") % 1000L)
+        .select(col("id").as("k"),
+          format_string("nm%03d%d", col("v"),
+            expr("(v div 100 + v div 10 % 10 + v % 10) % 10")).as("nm"))
+        .cache()
+      c.count(); c
+    }
+    def naive(c: org.apache.spark.sql.DataFrame) = {
+      // the pre-round-11 fuzzyPairs shape, inlined for comparison only
+      val variants = c.select(col("k"), col("nm"),
+        explode(array_distinct(transform(
+          sequence(lit(0), length(col("nm"))),
+          i => when(i === 0, col("nm"))
+            .otherwise(concat(col("nm").substr(lit(1), i - 1),
+              col("nm").substr(i + 1, length(col("nm")))))))).as("v"))
+      val a = variants.select(col("k").as("a_key"), col("nm").as("a_name"), col("v"))
+      val b = variants.select(col("k").as("b_key"), col("nm").as("b_name"), col("v"))
+      a.join(b, Seq("v")).filter(col("a_key") < col("b_key"))
+        .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+        .distinct()
+        .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
+    }
+    val warm = corpus(10)
+    Relational.fuzzyPairs(warm).count() // soak JVM/codegen warmup
+    warm.unpersist()
+    val c40 = corpus(40)
+    val (n40, t40) = time(Relational.fuzzyPairs(c40).count())
+    val c80 = corpus(80)
+    val (n80, t80) = time(Relational.fuzzyPairs(c80).count())
+    val (nNaive, tNaive) = time(naive(c80).count())
+    c40.unpersist(); c80.unpersist()
+    assert(n40 == 1000L * 40 * 39 / 2, s"dup=40 pairs $n40")
+    assert(n80 == 1000L * 80 * 79 / 2, s"dup=80 pairs $n80")
+    assert(nNaive == n80, s"naive $nNaive != collapsed $n80")
+    val outRatio = n80.toDouble / n40
+    println(f"FZ100 collapsed dup40=$t40%.1f s ($n40 pairs) dup80=$t80%.1f s " +
+      f"($n80 pairs, ${outRatio}%.1fx output, ${t80 / t40}%.1fx time); " +
+      f"naive dup80=$tNaive%.1f s -> ${tNaive / t80}%.1fx slower")
+    assert(t80 / t40 < 2 * outRatio,
+      f"collapsed time ${t80 / t40}%.1fx for ${outRatio}%.1fx output — not output-linear")
+    assert(tNaive > t80,
+      f"naive $tNaive%.1f s not slower than collapsed $t80%.1f s on duplicate-heavy corpus")
   }
 }

@@ -1664,24 +1664,50 @@ object Relational {
   /** The blocking + verify core over any (k BIGINT, nm STRING) frame —
     * exposed for PropertySpec's brute-force-equality pin. Returns
     * (a_key, b_key, d) for every key pair with edit distance ≤ 1,
-    * a_key < b_key, unordered. */
+    * a_key < b_key, unordered.
+    *
+    * Exact-duplicate CLASS COLLAPSE (the d03/d08 inverted-index pattern)
+    * keeps real-world name duplication from going quadratic: the
+    * deletion-variant equi-join runs over DISTINCT names only, so a
+    * duplicate class of size c contributes ONE row to the blocking join
+    * instead of the naive ~(len+1)·c² candidate rows it would emit
+    * before `distinct()`. Key pairs are expanded from class pairs at the
+    * END — intra-class pairs (d = 0) come straight from a name-keyed
+    * self-join with no blocking or levenshtein at all, cross-class pairs
+    * from two name-keyed expansion joins — so every join's output is
+    * proportional to the RESULT size, never to Σ count(name)². */
   private[graft] def fuzzyPairs(c: DataFrame): DataFrame = {
-    val variants = c.select(col("k"), col("nm"),
+    val keys = c.select(col("k"), col("nm"))
+    val classes = keys.select(col("nm")).distinct()
+    val variants = classes.select(col("nm"),
       explode(array_distinct(transform(
         sequence(lit(0), length(col("nm"))),
         i => when(i === 0, col("nm"))
           .otherwise(concat(
             col("nm").substr(lit(1), i - 1),
             col("nm").substr(i + 1, length(col("nm")))))))).as("v"))
-    val a = variants.select(col("k").as("a_key"), col("nm").as("a_name"), col("v"))
-    val b = variants.select(col("k").as("b_key"), col("nm").as("b_name"), col("v"))
-    a.join(b, Seq("v"))
-      .filter(col("a_key") < col("b_key"))
-      .select(col("a_key"), col("b_key"), col("a_name"), col("b_name"))
+    val a = variants.select(col("nm").as("a_name"), col("v"))
+    val b = variants.select(col("nm").as("b_name"), col("v"))
+    // cross-class candidates: DISTINCT names sharing a deletion variant;
+    // levenshtein staged ONCE in a projection, filtered after.
+    val classPairs = a.join(b, Seq("v"))
+      .filter(col("a_name") < col("b_name"))
+      .select(col("a_name"), col("b_name"))
       .distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) <= 1)
-      .select(col("a_key"), col("b_key"),
-        levenshtein(col("a_name"), col("b_name")).cast("long").as("d"))
+      .withColumn("d", levenshtein(col("a_name"), col("b_name")).cast("long"))
+      .filter(col("d") <= 1)
+    val cross = classPairs
+      .join(keys.select(col("nm").as("a_name"), col("k").as("ka")), Seq("a_name"))
+      .join(keys.select(col("nm").as("b_name"), col("k").as("kb")), Seq("b_name"))
+      .select(least(col("ka"), col("kb")).as("a_key"),
+        greatest(col("ka"), col("kb")).as("b_key"), col("d"))
+    // intra-class pairs: identical names, d = 0 by definition — the join
+    // keys on the class name itself and its size IS the output size.
+    val intra = keys.select(col("nm"), col("k").as("ka"))
+      .join(keys.select(col("nm"), col("k").as("kb")), Seq("nm"))
+      .filter(col("ka") < col("kb"))
+      .select(col("ka").as("a_key"), col("kb").as("b_key"), lit(0L).as("d"))
+    cross.unionAll(intra)
   }
 
   /** WEIGHTED global quartiles — quantity-weighted price quantiles

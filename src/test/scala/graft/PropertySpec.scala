@@ -312,4 +312,40 @@ class PropertySpec extends SparkSpec {
         s"blocking diverged: extra=${got -- want} missing=${want -- got}")
     }
   }
+
+  test("q90 class collapse is brute-force-exact on a DUPLICATE-HEAVY corpus") {
+    // count(name) up to 10^3 — the shape the variant join must never
+    // see raw (it would emit ~(len+1)·c² candidates per class). The
+    // collapsed form blocks on DISTINCT names and expands key pairs at
+    // the end; this pins exact multiset equality with arithmetic
+    // expansion of a distinct-pool brute force.
+    val pool = Seq("ab" -> 1000, "ac" -> 700, "abc" -> 300, "xyz" -> 5, "b" -> 1)
+    val names = pool.flatMap { case (nm, c) => Seq.fill(c)(nm) }
+    val df = names.zipWithIndex.map { case (nm, i) => (i.toLong, nm) }.toDF("k", "nm")
+    val gotByD = operators.Relational.fuzzyPairs(df)
+      .groupBy("d").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ed1(a: String, b: String): Boolean = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length) == 1
+    }
+    val wantIntra = pool.map { case (_, c) => c.toLong * (c - 1) / 2 }.sum
+    val wantCross = (for {
+      (a, ca) <- pool; (b, cb) <- pool if a < b && ed1(a, b)
+    } yield ca.toLong * cb).sum
+    assert(gotByD.getOrElse(0L, 0L) == wantIntra,
+      s"intra d=0: got ${gotByD.get(0L)} want $wantIntra")
+    assert(gotByD.getOrElse(1L, 0L) == wantCross,
+      s"cross d=1: got ${gotByD.get(1L)} want $wantCross")
+    assert(gotByD.keySet == Set(0L, 1L).filter(gotByD.getOrElse(_, 0L) > 0),
+      s"unexpected distances: $gotByD")
+    // distinct-pair contract: every (a_key, b_key) appears exactly once
+    val total = operators.Relational.fuzzyPairs(df)
+      .select("a_key", "b_key").distinct().count()
+    assert(total == wantIntra + wantCross, s"pairs not distinct: $total")
+  }
 }
