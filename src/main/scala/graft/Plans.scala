@@ -58,8 +58,11 @@ object Plans {
     "g03_components" -> "connected components: thresholded affinity pairs (map-combined count agg), pointer-jumping label rounds are checkpointed node-sized jobs, final per-component rollup",
     "g07_shortest_paths" -> "bounded Bellman-Ford: weighted edges cached src-partitioned once, per-round frontier-only relaxation (map-combined per-dst min before its node-sized Exchange; shape pinned in PlanShapeSpec), final plan is the top-100 TakeOrderedAndProject over the flat checkpointed label frame",
     "q88_global_cont_quartiles" -> "global interpolated quantiles: the q85 distributed CDF (per-value counts, shard-partitioned cumulative window, broadcast offsets) with lo/hi bracket ranks as driver literals — one pass serves all three fractions, output scaled-BIGINT",
-    "q90_fuzzy_name_join" -> "fuzzy ed<=1 join: deletion-variant explode -> variant string EQUI-join (broadcast at this SF, shuffle hash/SMJ at scale - never a cross join) -> distinct candidate pairs -> exact levenshtein verify inside codegen",
+    "q90_fuzzy_name_join" -> "fuzzy ed<=1 join: exact-duplicate names collapse to DISTINCT classes first, deletion-variant explode + variant EQUI-join run on classes only (never a cross join, never Sum(count(name)^2) candidates), levenshtein staged once, key pairs expand output-proportionally at the end (intra-class d=0 via a name-keyed self-join)",
     "q91_asof_nearest" -> "nearest as-of: tagged union shuffled once by key, backward last() + forward first() carries share ONE Window operator (same spec, frames differ), direction chosen by integer-microsecond distance — no range nested-loop",
+    "q92_asof_forward" -> "forward as-of: the q23 one-shuffle tagged-union shape mirrored — first() over the FOLLOWING frame instead of last() over PRECEDING, one WindowExec, no range nested-loop",
+    "g06_pagerank_directed" -> "directed PageRank with dangling redistribution: edges src-partitioned+cached once (no Exchange above the edge scan), per-iteration sink-mass fold is a 1-row BIGINT agg broadcast back (single division — run-order exact), node frames localCheckpointed so this final plan is the top-100 TakeOrderedAndProject over a flat local relation",
+    "g09_personalized_pagerank" -> "personalized PageRank from the PERSISTED weighted edge index: Bucketed: true _edges scan, zero edge-side Exchange (pinned), seed set broadcast, weighted shares staged multiply-then-divide (overflow-safe), per-dst sums map-combined — final plan is the top-100 over the flat checkpointed rank frame",
     "q93_skyline" -> "2-D skyline: per-(price,size) counts + per-price max (both map-combined), shard-partitioned prefix-max window + broadcast strict-prefix shard maxima, survivors equi-join back — no quadratic dominance join",
     "q94_equidepth_bins" -> "global equi-depth histogram: the q85 CDF pass with integer bucket ids (cum*B + n-1) div n — per-value counts map-combined, shard-partitioned cumulative window, tiny bucket agg; exact global ntile with NO single-reducer window, no global sort",
     "q96_robust_by_key" -> "per-key robust stats: two discByKey passes + med/mad joins + final count, EVERY shuffle keyed on the group column (one partitioning reused end-to-end, no driver round-trips — contrast q95's global twin where 1-row pass results become literals)",

@@ -173,15 +173,7 @@ object Graph {
     var ranks = deg.select(col("node"), lit(E12 / n).as("rank_e12"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val contrib = ranks.alias("r")
-        .join(deg.filter(col("outdeg") > 0).alias("d"),
-          col("r.node") === col("d.node"))
-        .select(col("d.node").as("src"),
-          expr("(r.rank_e12 * 85) div (100 * d.outdeg)").as("share"))
-      val inSums = de.join(contrib, "src")
-        .groupBy(col("dst"))
-        .agg(sum(col("share")).as("in_sum"))
-        .select(col("dst").as("node"), col("in_sum"))
+      val inSums = directedInSums(de, deg, ranks)
       val dang = ranks.alias("r")
         .join(deg.filter(col("outdeg") === 0).alias("d"),
           col("r.node") === col("d.node"))
@@ -196,6 +188,23 @@ object Graph {
         .localCheckpoint(true)
     }
     ranks
+  }
+
+  /** One directed-PageRank iteration's in-flow: out-degree-scaled shares
+    * per source, summed per dst (map-combined before the node-sized
+    * Exchange); the edge side is pre-partitioned on src by the cache and
+    * never re-shuffles. Exposed for PlanShapeSpec's pin. */
+  private[graft] def directedInSums(de: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = ranks.alias("r")
+      .join(deg.filter(col("outdeg") > 0).alias("d"),
+        col("r.node") === col("d.node"))
+      .select(col("d.node").as("src"),
+        expr("(r.rank_e12 * 85) div (100 * d.outdeg)").as("share"))
+    de.join(contrib, "src")
+      .groupBy(col("dst"))
+      .agg(sum(col("share")).as("in_sum"))
+      .select(col("dst").as("node"), col("in_sum"))
   }
 
   /** Bounded-hop WEIGHTED shortest paths (Bellman-Ford, 4 relaxation
@@ -633,6 +642,84 @@ object Graph {
       .crossJoin(eq)
   }
 
+  /** PERSONALIZED PageRank over the weighted purchase graph, answered
+    * from the persisted [[writeWeightedEdgeIndex]] artifact (the shared
+    * g08 `_edges` table — the fact tables never appear): teleport mass
+    * goes to a SEED set instead of uniformly, so ranks measure affinity
+    * TO THE SEEDS (the "more like these" recommendation primitive).
+    * Seeds are the 3 smallest customer nodes (even ids — deterministic,
+    * SF-stable, mirrored in the oracle as a plain ORDER BY/LIMIT).
+    * Random-walk steps follow EDGE WEIGHT (the index's affinity
+    * distances): share(u→v) = ((rank·85) div 100 · w(u,v)) div W(u),
+    * where W(u) = Σ w(u,·) — the multiply-then-divide is staged so the
+    * widest intermediate is ≤ 0.85·10¹²·(1+10⁶) < 2⁶³ (rank·85·w raw
+    * would overflow BIGINT), and the oracle mirrors the tree
+    * node-for-node. Every node has out-degree ≥ 1 (undirected edges),
+    * so no dangling term; non-seed nodes get NO base — only in-flow. */
+  def g09PersonalizedPageRank(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedWeightedEdgeIndex(s, dir)
+    val we = s.table(name + "_edges")
+    val seeds = we.filter(col("src") % 2 === 0)
+      .select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(3)
+    top100(personalizedPageRankOn(we, seeds, iters = 5))
+  }
+
+  /** The seed-teleport iteration core over an arbitrary weighted edge
+    * frame (src, dst, w ≥ 1 BIGINT) where every node has out-degree ≥ 1
+    * and seeds ⊆ nodes — exposed for the differential spec. Returns ALL
+    * node ranks (non-seed nodes that receive no in-flow sit at 0). */
+  private[graft] def personalizedPageRankOn(we: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame = {
+    val s = we.sparkSession
+    val wd = we.groupBy(col("src")).agg(sum(col("w")).as("tw")).cache()
+    // seed set is small by contract (driver literal count, broadcast
+    // flag join — the IVF-seed collect precedent)
+    val sd = seeds.select(col("node")).distinct()
+      .withColumn("_seed", lit(1L)).cache()
+    val ns = sd.count()
+    if (ns == 0 || wd.isEmpty) {
+      wd.unpersist(); sd.unpersist()
+      return s.range(0).select(col("id").as("node"), col("id").as("rank_e12"))
+    }
+    val base = (15L * E12) / (100L * ns)
+    val nodes = wd.select(col("src").as("node"))
+    def withBase(inSums: DataFrame): DataFrame = nodes
+      .join(inSums, Seq("node"), "left")
+      .join(broadcast(sd), Seq("node"), "left")
+      .select(col("node"),
+        (when(col("_seed").isNotNull, lit(base)).otherwise(lit(0L))
+          + coalesce(col("in_sum"), lit(0L))).cast("long").as("rank_e12"))
+    var ranks = nodes
+      .join(broadcast(sd), Seq("node"), "left")
+      .select(col("node"),
+        when(col("_seed").isNotNull, lit(E12 / ns)).otherwise(lit(0L))
+          .as("rank_e12"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      ranks = withBase(pprInSums(we, wd, ranks)).localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** One personalized-PageRank iteration's weighted in-flow: damped mass
+    * staged per SOURCE ((rank·85) div 100 — overflow headroom), split
+    * per edge proportional to weight, per-dst sum map-combined before
+    * its node-sized Exchange; the edge side (cached frame or bucketed
+    * table) is pre-partitioned on src and never re-shuffles. Exposed for
+    * PlanShapeSpec's pin. */
+  private[graft] def pprInSums(we: DataFrame, wd: DataFrame,
+      ranks: DataFrame): DataFrame = {
+    val contrib = ranks.alias("r").join(wd.alias("d"),
+        col("r.node") === col("d.src"))
+      .select(col("d.src").as("src"),
+        expr("(r.rank_e12 * 85) div 100").as("m"), col("d.tw"))
+    we.join(contrib, "src")
+      .select(col("dst"), expr("(m * w) div tw").as("share"))
+      .groupBy(col("dst")).agg(sum(col("share")).as("in_sum"))
+      .select(col("dst").as("node"), col("in_sum"))
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -706,6 +793,7 @@ object Graph {
     "g06_pagerank_directed" -> (g06PageRankDirected _),
     "g07_shortest_paths" -> (g07ShortestPaths _),
     "g08_sssp_index_gate" -> (g08SsspIndexGate _),
+    "g09_personalized_pagerank" -> (g09PersonalizedPageRank _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -841,6 +929,45 @@ object Graph {
         |SELECT CAST(2*COUNT(*) AS BIGINT) AS n_edges,
         |  TRUE AS sssp_indexed_matches_inline
         |FROM p""".stripMargin,
+    // seed-teleport, weight-proportional walk: the oracle mirrors the
+    // Spark core node-for-node — the staged multiply-then-divide share
+    // (overflow-safe), the seed-only base, LEFT joins from the node
+    // universe (non-seed, no-inflow nodes sit at 0)
+    "g09_personalized_pagerank" -> {
+      val iters = (1 to 5).map { k =>
+        s"""c$k AS (SELECT e.dst AS node,
+           |          CAST(SUM((((p.rank_e12 * 85) // 100) * e.w) // d.tw) AS BIGINT) AS in_sum
+           |        FROM p${k - 1} p JOIN wd d ON d.src = p.node
+           |                        JOIN we e ON e.src = p.node
+           |        GROUP BY e.dst),
+           |p$k AS (SELECT n.node,
+           |          CAST(CASE WHEN s.node IS NOT NULL
+           |                 THEN 15000000000000 // (100 * (SELECT n FROM ns))
+           |                 ELSE 0 END
+           |            + COALESCE(c.in_sum, 0) AS BIGINT) AS rank_e12
+           |        FROM (SELECT src AS node FROM wd) n
+           |        LEFT JOIN c$k c ON c.node = n.node
+           |        LEFT JOIN seeds s ON s.node = n.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH p AS (SELECT CAST(o_custkey AS BIGINT)*2 AS a,
+         |                  CAST(l_suppkey AS BIGINT)*2+1 AS b,
+         |                  1 + (1000000 // CAST(COUNT(*) AS BIGINT)) AS w
+         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |            GROUP BY 1, 2),
+         |we AS (SELECT a AS src, b AS dst, w FROM p
+         |       UNION ALL SELECT b, a, w FROM p),
+         |wd AS (SELECT src, CAST(SUM(w) AS BIGINT) AS tw FROM we GROUP BY src),
+         |seeds AS (SELECT DISTINCT src AS node FROM we WHERE src % 2 = 0
+         |          ORDER BY node LIMIT 3),
+         |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM seeds),
+         |p0 AS (SELECT d.src AS node,
+         |         CAST(CASE WHEN s.node IS NOT NULL
+         |                THEN 1000000000000 // (SELECT n FROM ns)
+         |                ELSE 0 END AS BIGINT) AS rank_e12
+         |       FROM wd d LEFT JOIN seeds s ON s.node = d.src),
+         |$iters
+         |SELECT node, rank_e12 FROM p5 ORDER BY rank_e12 DESC, node LIMIT 100""".stripMargin
+    },
     // post-delete edge count recomputed from the fact tables (the gate
     // reads the appended+deleted+compacted TABLE — anchoring the whole
     // lifecycle), deletion set generated from the same constant

@@ -126,6 +126,62 @@ class GraphSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  /** The weighted seed-teleport recurrence, plain Scala — mirrors the
+    * staged multiply-then-divide share exactly. */
+  private def refPersonalized(we: Seq[(Long, Long, Long)], seeds: Seq[Long],
+      iters: Int): Map[Long, Long] = {
+    val nodes = we.map(_._1).distinct
+    val tw = we.groupBy(_._1).map { case (u, es) => u -> es.map(_._3).sum }
+    val ns = seeds.size.toLong
+    val e12 = 1000000000000L
+    val base = (15L * e12) / (100L * ns)
+    var ranks: Map[Long, Long] =
+      nodes.map(v => v -> (if (seeds.contains(v)) e12 / ns else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val m = ranks.map { case (u, r) => u -> (r * 85L) / 100L }
+      ranks = nodes.map { v =>
+        val in = we.filter(_._2 == v)
+          .map { case (u, _, w) => (m(u) * w) / tw(u) }.sum
+        v -> ((if (seeds.contains(v)) base else 0L) + in)
+      }.toMap
+    }
+    ranks
+  }
+
+  test("personalizedPageRankOn matches the plain-Scala weighted seed recurrence") {
+    // weighted undirected graph with seeds {1, 4}: teleport mass returns
+    // ONLY to seeds, walk steps follow edge weight (1-2 heavy, 1-3
+    // light), node 6 reachable only through 5 so its rank is pure
+    // decayed in-flow
+    val und = Seq((1L, 2L, 5L), (1L, 3L, 1L), (2L, 3L, 2L),
+      (3L, 4L, 7L), (4L, 5L, 1L), (5L, 6L, 3L))
+    val we = und ++ und.map { case (a, b, w) => (b, a, w) }
+    val seeds = Seq(1L, 4L)
+    val expected = refPersonalized(we, seeds, 5)
+    val got = Graph.personalizedPageRankOn(
+        we.toDF("src", "dst", "w"), seeds.toDF("node"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    assert(got(6L) > 0L && got(6L) < got(1L))
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g09 fixture: 100 rows, total order, all three seeds surface in the top 100") {
+    val rows = Graph.g09PersonalizedPageRank(spark, sf).collect()
+    assert(rows.length == 100)
+    val ranks = rows.map(r => (r.getLong(1), r.getLong(0)))
+    assert(ranks.toSeq == ranks.toSeq.sortBy { case (r, nd) => (-r, nd) })
+    // the 3 smallest customer nodes get the teleport base every
+    // iteration (~5e10 each) — far above the diffuse non-hub mass
+    val nodes = rows.map(_.getLong(0)).toSet
+    val seeds = Graph.g09PersonalizedPageRank(spark, sf).sparkSession
+      .table(operators.Graph.sharedWeightedEdgeIndex(spark, sf) + "_edges")
+      .filter(col("src") % 2 === 0).select(col("src")).distinct()
+      .orderBy(col("src")).limit(3).collect().map(_.getLong(0))
+    assert(seeds.forall(nodes.contains), s"seeds ${seeds.toSeq} not all in top 100")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("g06 fixture: 100 rows, total order, suppliers (sinks) still accumulate rank") {
     val rows = Graph.g06PageRankDirected(spark, sf).collect()
     assert(rows.length == 100)

@@ -432,6 +432,96 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g06: directed in-flow never re-shuffles the cached edge set; per-dst sums map-combine") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one iteration's in-flow exactly as pageRankDirectedOn runs it
+      // (the loop checkpoints each round, so the final df's plan can't
+      // show them); edge set cached src-partitioned as g06 builds it
+      val ord = graft.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = graft.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val de = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
+        .distinct()
+        .repartition(col("src"))
+        .sortWithinPartitions(col("src"))
+        .cache()
+      val deg = Seq((0L, 2L)).toDF("node", "outdeg")
+      val ranks = Seq((0L, 1000000000L)).toDF("node", "rank_e12")
+      val p = graft.operators.Graph.directedInSums(de, deg, ranks)
+        .queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case s: InMemoryTableScanExec => s.output.exists(_.name == "dst")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"directed edge rows cross an Exchange:\n$e"))
+      // the per-dst sum must PARTIAL-aggregate below its Exchange
+      val partialAggs = p.collect {
+        case a: BaseAggregateExec if a.aggregateExpressions
+          .exists(_.mode == org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partialAggs.nonEmpty, "in-sums not map-combined:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("g09: personalized in-flow reads the bucketed weighted edges with zero edge-side Exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.{col, sum}
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one iteration's in-flow exactly as personalizedPageRankOn runs
+      // it (the loop checkpoints each round, so the final df's plan
+      // can't show them) — over the persisted weighted edge table
+      val name = graft.operators.Graph.sharedWeightedEdgeIndex(spark, sf)
+      val we = spark.table(name + "_edges")
+      val wd = we.groupBy(col("src")).agg(sum(col("w")).as("tw"))
+      val ranks = Seq((0L, 1000000000L)).toDF("node", "rank_e12")
+      val p = graft.operators.Graph.pprInSums(we, wd, ranks)
+        .queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      val scans = p.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "w") => f
+      }
+      assert(scans.nonEmpty, "no weighted-edge-table scan in the plan:\n" + p)
+      scans.foreach(f => assert(f.bucketedScan,
+        s"edge scan not bucket-aware (the bucketed layout IS the repartition):\n$f"))
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case f: FileSourceScanExec => f.output.exists(_.name == "w")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"weighted edge rows cross an Exchange:\n$e"))
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.
