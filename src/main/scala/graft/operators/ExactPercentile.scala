@@ -54,7 +54,7 @@ object ExactPercentile {
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.filter(col(value).isNotNull)
       .groupBy(col(key), col(value)).agg(count(lit(1)).as("_c"))
-      .select(col(key), col(value),
+      .select(col(key), col(value), col("_c"),
         sum(col("_c")).over(wCum).as("_cum"),
         sum(col("_c")).over(wAll).as("_n"))
   }
@@ -304,6 +304,62 @@ object ExactPercentile {
         sum(when(col("_d") > lit(k) * col("_mad"), 1L).otherwise(0L))
           .as(outNames(2)),
         count(lit(1)).as(outNames(3)))
+  }
+
+  /** [[equidepthGlobal]] BY KEY — exact per-group quantile binning off
+    * the per-key CDF ([[ranked]]): every distinct value lands wholly in
+    * bucket `(_cum·B + _n−1) div _n ∈ [1, B]` within its group (the
+    * value-atomic contract), the data-profiling shape users reach for
+    * first (per-source length histograms). NO driver round-trips — the
+    * by-key CDF needs no shard-offset collect because the window
+    * partitions on the REAL group key — and every shuffle keys on the
+    * group column (the q96 discipline; pinned in PlanShapeSpec).
+    * Returns (key, bucket, n_rows, lo, hi) per non-empty bucket,
+    * unordered. */
+  def equidepthByKey(df: DataFrame, key: String, value: String,
+      buckets: Int): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    ranked(df, key, value)
+      .withColumn("bucket",
+        expr(s"(_cum * ${buckets}L + _n - 1L) div _n"))
+      .groupBy(col(key), col("bucket"))
+      .agg(sum(col("_c")).as("n_rows"),
+        min(col(value)).as("lo"), max(col(value)).as("hi"))
+  }
+
+  /** [[contGlobalScaled]] BY KEY — per-group exact interpolated
+    * quantiles in SCALED INTEGERS: for fraction `num/den`,
+    * `pos = num·(n−1)/den` is kept rational PER KEY (`n` varies by
+    * group, so the bracket ranks are integer COLUMNS, not driver
+    * literals — nothing touches the driver), and the output is
+    * `den·lo + (hi−lo)·((num·(n−1)) mod den)` — `percentile_cont`
+    * times `den` in ONE integer representation, immune to float-repr
+    * skew at any parallelism. Same one-partitioning discipline as
+    * [[equidepthByKey]]. Returns (key, outNames…), unordered. */
+  def contScaledByKey(df: DataFrame, key: String, value: String,
+      fracs: Seq[(Long, Long)], outNames: Seq[String]): DataFrame = {
+    require(fracs.length == outNames.length)
+    require(fracs.forall { case (num, den) => den > 0 && num >= 0 && num <= den })
+    var r = ranked(df, key, value)
+    val aggs = scala.collection.mutable.ArrayBuffer[Column]()
+    fracs.zip(outNames).foreach { case ((num, den), name) =>
+      // integer bracket ranks per key: lo rank = fl+1; hi rank adds 1
+      // only when the rational position has a remainder
+      r = r.withColumn(s"_fl_$name", expr(s"($num * (_n - 1)) div $den"))
+        .withColumn(s"_rem_$name", expr(s"($num * (_n - 1)) % $den"))
+      aggs += min(when(col("_cum") >= col(s"_fl_$name") + 1, col(value)))
+        .as(s"_lo_$name")
+      aggs += min(when(col("_cum") >= col(s"_fl_$name")
+          + when(col(s"_rem_$name") > 0, 2L).otherwise(1L), col(value)))
+        .as(s"_hi_$name")
+      aggs += max(col(s"_rem_$name")).as(s"_r_$name")
+    }
+    val bracketed = r.groupBy(col(key)).agg(aggs.head, aggs.tail.toSeq: _*)
+    val outs = fracs.zip(outNames).map { case ((_, den), name) =>
+      (lit(den) * col(s"_lo_$name")
+        + (col(s"_hi_$name") - col(s"_lo_$name")) * col(s"_r_$name")).as(name)
+    }
+    bracketed.select(col(key) +: outs: _*)
   }
 
   /** Exact discrete percentiles (`percentile_disc`): one output column per

@@ -1780,6 +1780,39 @@ object Relational {
       Seq("med_cents", "mad_cents", "n_outliers", "n_suppliers"))
       .orderBy(col("nation"))
 
+  /** PER-KEY EQUI-DEPTH histogram — q94's quantile binning BY GROUP
+    * through [[ExactPercentile.equidepthByKey]]: 8 exact depth-eighths
+    * of each source's document-length distribution, the per-source data
+    * profile users reach for first. No shard machinery, no driver
+    * round-trips — the window partitions on the REAL key; every shuffle
+    * keys on `source` (pinned). (source, bucket) unique → total order. */
+  def q97EquidepthByKey(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.equidepthByKey(
+      Tables.documents(s, dir).select(col("source"),
+        length(col("text")).cast("long").as("len")),
+      "source", "len", 8)
+      .select(col("source"), col("bucket"), col("n_rows"),
+        col("lo").as("lo_len"), col("hi").as("hi_len"))
+      .orderBy(col("source"), col("bucket"))
+
+  /** PER-KEY INTERPOLATED quartiles in scaled integers — q88's
+    * continuous quantiles BY GROUP through
+    * [[ExactPercentile.contScaledByKey]]: per-nation supplier-revenue
+    * quartiles ×4 (the fixture's genuinely tailed distribution, the q96
+    * input frame), `percentile_cont`·4 in ONE BIGINT representation.
+    * Bracket ranks are integer COLUMNS (n varies per key) — nothing
+    * touches the driver, one group-key partitioning end-to-end. */
+  def q98ContQuartilesByKey(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.contScaledByKey(
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_suppkey"), col("s_nationkey"))
+        .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("v"))
+        .select(col("s_nationkey").cast("long").as("nation"), col("v")),
+      "nation", "v", Seq((1L, 4L), (2L, 4L), (3L, 4L)),
+      Seq("q1_x4", "med_x4", "q3_x4"))
+      .orderBy(col("nation"))
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -1975,6 +2008,8 @@ object Relational {
     "q94_equidepth_bins" -> (q94EquidepthBins _),
     "q95_robust_stats" -> (q95RobustStats _),
     "q96_robust_by_key" -> (q96RobustStatsByKey _),
+    "q97_equidepth_by_key" -> (q97EquidepthByKey _),
+    "q98_cont_quartiles_by_key" -> (q98ContQuartilesByKey _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2631,6 +2666,47 @@ object Relational {
         |FROM dev JOIN mad ON dev.nation = mad.nation
         |         JOIN med ON dev.nation = med.nation
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-key equi-depth bins: the q94 bucket formula off a per-key
+    // cumulative window (HUGEINT-safe // mirrors Spark's div)
+    "q97_equidepth_by_key" ->
+      """WITH vc AS (SELECT source AS k, CAST(LENGTH(text) AS BIGINT) AS v,
+        |                   CAST(COUNT(*) AS BIGINT) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |cd AS (SELECT k, v, c,
+        |         SUM(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+        |         SUM(c) OVER (PARTITION BY k) AS n FROM vc)
+        |SELECT k AS source, CAST((cum*8 + n - 1) // n AS BIGINT) AS bucket,
+        |       CAST(SUM(c) AS BIGINT) AS n_rows,
+        |       MIN(v) AS lo_len, MAX(v) AS hi_len
+        |FROM cd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // per-key scaled interpolated quartiles: integer bracket-rank
+    // window math mirrors contScaledByKey node-for-node (verified
+    // against quantile_cont*4 in the prototype); all HUGEINT-exact
+    "q98_cont_quartiles_by_key" ->
+      """WITH sup AS (SELECT CAST(s.s_nationkey AS BIGINT) AS k,
+        |                    CAST(SUM(CAST(floor(l.l_extendedprice*100.0+0.5) AS BIGINT)) AS BIGINT) AS v
+        |             FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |             GROUP BY l.l_suppkey, s.s_nationkey),
+        |vc AS (SELECT k, v, CAST(COUNT(*) AS BIGINT) AS c FROM sup GROUP BY 1, 2),
+        |cd AS (SELECT k, v, c,
+        |         SUM(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+        |         SUM(c) OVER (PARTITION BY k) AS n FROM vc),
+        |br AS (SELECT k,
+        |  MIN(CASE WHEN cum >= (1*(n-1))//4 + 1 THEN v END) AS lo1,
+        |  MIN(CASE WHEN cum >= (1*(n-1))//4 + CASE WHEN (1*(n-1))%4 > 0 THEN 2 ELSE 1 END THEN v END) AS hi1,
+        |  MAX((1*(n-1))%4) AS r1,
+        |  MIN(CASE WHEN cum >= (2*(n-1))//4 + 1 THEN v END) AS lo2,
+        |  MIN(CASE WHEN cum >= (2*(n-1))//4 + CASE WHEN (2*(n-1))%4 > 0 THEN 2 ELSE 1 END THEN v END) AS hi2,
+        |  MAX((2*(n-1))%4) AS r2,
+        |  MIN(CASE WHEN cum >= (3*(n-1))//4 + 1 THEN v END) AS lo3,
+        |  MIN(CASE WHEN cum >= (3*(n-1))//4 + CASE WHEN (3*(n-1))%4 > 0 THEN 2 ELSE 1 END THEN v END) AS hi3,
+        |  MAX((3*(n-1))%4) AS r3
+        |  FROM cd GROUP BY k)
+        |SELECT k AS nation,
+        |  CAST(4*lo1 + (hi1-lo1)*r1 AS BIGINT) AS q1_x4,
+        |  CAST(4*lo2 + (hi2-lo2)*r2 AS BIGINT) AS med_x4,
+        |  CAST(4*lo3 + (hi3-lo3)*r3 AS BIGINT) AS q3_x4
+        |FROM br ORDER BY 1""".stripMargin,
     // robust stats: quantile_disc matches the ceil(p*n) rank rule
     // rank-for-rank (q85 precedent); deviations and the 3*MAD
     // threshold are exact BIGINT arithmetic on both sides

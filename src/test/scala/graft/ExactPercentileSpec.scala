@@ -221,6 +221,66 @@ class ExactPercentileSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
   }
 
+  test("equidepthByKey equals the per-group sorted-multiset bucket rule") {
+    def reference(vals: Seq[Long], b: Int): Seq[(Long, Long, Long, Long)] = {
+      val n = vals.size.toLong
+      val byVal = vals.groupBy(identity).view.mapValues(_.size.toLong)
+        .toSeq.sortBy(_._1)
+      var cum = 0L
+      byVal.map { case (v, c) =>
+        cum += c
+        ((cum * b + n - 1) / n, v, c)
+      }.groupBy(_._1).toSeq.map { case (bk, g) =>
+        (bk, g.map(_._3).sum, g.map(_._2).min, g.map(_._2).max)
+      }
+    }
+    // per-key shapes: tie-heavy, n < B, one heavy value spanning buckets
+    val data = Map(
+      "a" -> (1L to 100L).map(i => 10L * (i % 17) + 3L),
+      "b" -> (1L to 3L).map(_ * 5L),
+      "c" -> (1L to 800L).map(i => if (i <= 600L) 42L else i))
+    val df = data.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }.toDF("k", "v")
+    for (b <- Seq(1, 4, 8)) {
+      val got = ExactPercentile.equidepthByKey(df, "k", "v", b).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      val want = data.flatMap { case (k, vs) =>
+        reference(vs, b).map { case (bk, n, lo, hi) => (k, bk, n, lo, hi) }
+      }.toSet
+      assert(got == want, s"B=$b: extra=${got -- want} missing=${want -- got}")
+    }
+  }
+
+  test("contScaledByKey equals den-scaled per-group interpolation (incl. rem=0 exact ranks)") {
+    def reference(vals: Seq[Long], num: Long, den: Long): Long = {
+      val sorted = vals.sorted
+      val n = sorted.size.toLong
+      val posNum = num * (n - 1)
+      val fl = (posNum / den).toInt
+      val rem = posNum % den
+      val lo = sorted(fl)
+      val hi = sorted(fl + (if (rem > 0) 1 else 0))
+      den * lo + (hi - lo) * rem
+    }
+    // group sizes chosen so (n-1) hits rem=0 (n=5: q1 pos exact) and
+    // rem>0 brackets; ties included
+    val data = Map(
+      "a" -> Seq(10L, 20L, 30L, 40L, 50L),
+      "b" -> (1L to 7L).map(i => (i * 31L) % 50L).toSeq,
+      "c" -> Seq(5L, 5L, 5L, 9L),
+      "d" -> Seq(100L))
+    val df = data.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }.toDF("k", "v")
+    val fracs = Seq((1L, 4L), (2L, 4L), (3L, 4L))
+    val got = ExactPercentile.contScaledByKey(df, "k", "v", fracs,
+        Seq("q1", "q2", "q3")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    data.foreach { case (k, vs) =>
+      val want = (reference(vs, 1, 4), reference(vs, 2, 4), reference(vs, 3, 4))
+      assert(got(k) == want, s"key=$k: got ${got(k)} want $want")
+    }
+  }
+
   test("robustStatsGlobal equals the plain-Scala median/MAD/outlier reference") {
     def reference(vals: Seq[Long], k: Long): (Long, Long, Long, Long) = {
       def medOf(xs: Seq[Long]): Long = {

@@ -126,6 +126,27 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache() // dev's cache is query-scoped
   }
 
+  test("q97: per-key equi-depth bins — group-key exchanges, one WindowExec, no single reducer") {
+    val p = plan(Relational.q97EquidepthByKey(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "per-key binning serialized through one reducer:\n" + p)
+    // counts agg keys on (source, len), the CDF window and the bucket
+    // agg on source — every exchange carries the group column
+    assert(p.contains("hashpartitioning(source"),
+      "shuffles must key on the group column:\n" + p)
+    // cum + n share one (partitionBy, orderBy) spec → ONE WindowExec
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q98: per-key scaled quantiles — group-key exchanges, one WindowExec, no driver literals") {
+    val p = plan(Relational.q98ContQuartilesByKey(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "per-key quantiles serialized through one reducer:\n" + p)
+    assert(p.contains("hashpartitioning(nation"),
+      "shuffles must key on the group column:\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
