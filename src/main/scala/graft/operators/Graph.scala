@@ -720,6 +720,75 @@ object Graph {
       .select(col("dst").as("node"), col("in_sum"))
   }
 
+  /** TRIANGLE COUNTING over the part co-occurrence graph — parts are
+    * adjacent when they appear in the SAME ORDER (the "bought together"
+    * graph). This is the SF-stable sparse definition the round-10 note
+    * asked for: the customer–supplier purchase graph is BIPARTITE (zero
+    * triangles by construction) and supplier co-occurrence saturates at
+    * sf ≤ 0.01 (100 suppliers), while part co-occurrence measures
+    * density 0.45 / 0.058 / 0.006 with 1.3·10⁵ / 4.1·10⁵ / 1.9·10⁶
+    * triangles at sf0.001/0.01/0.1 — non-degenerate everywhere. Edge
+    * derivation cost is bounded per order (≤ ~7 lineitems → ≤ 21
+    * pairs), so the self-join on `l_orderkey` is linear in the fact
+    * table. Output: ONE row (n_nodes, n_edges, n_triangles), all
+    * BIGINT. */
+  def g10Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
+    val a = li.select(col("l_orderkey"), col("p").as("u"))
+    val b = li.select(col("l_orderkey"), col("p").as("v"))
+    trianglesOn(a.join(b, "l_orderkey").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct())
+  }
+
+  /** The node-iterator triangle core over a DISTINCT undirected edge
+    * frame in canonical (u < v) form — exposed for the differential
+    * spec. DEGREE-ORDERED ORIENTATION: each edge is directed from its
+    * (degree, id)-smaller endpoint to the larger — packed into one
+    * BIGINT okey = deg·2³² + id (raise_error outside the id domain, the
+    * d19 pack rule) so the orientation is a codegen'd flat comparison —
+    * which (a) counts each triangle EXACTLY once as an ordered wedge
+    * (b <ₒ c out of apex a) closed by the oriented edge b→c, and (b)
+    * bounds every node's OUT-degree by O(√E), so the wedge self-join is
+    * Σ outdeg² — never the unfiltered 3-way edge self-join whose
+    * intermediate is Σ deg² with hubs unbounded. The oriented edge set
+    * is repartitioned by src and cached: both wedge sides read the SAME
+    * partitioning (zero Exchange on the self-join), and the closure is
+    * one output-bounded (b, c)-keyed semi join. Caches are
+    * query-scoped (harnesses clearCache after). */
+  private[graft] def trianglesOn(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    val e = edges.cache()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val keyed = deg.select(col("node"),
+      expr("""CASE WHEN node < 0 OR node >= 4294967296
+              THEN raise_error('triangle okey: node id outside [0, 2^32)')
+              ELSE d * 4294967296 + node END""").as("okey"))
+    val oe = e
+      .join(keyed.select(col("node").as("u"), col("okey").as("uk")), Seq("u"))
+      .join(keyed.select(col("node").as("v"), col("okey").as("vk")), Seq("v"))
+      .select(
+        when(col("uk") < col("vk"), col("u")).otherwise(col("v")).as("src"),
+        when(col("uk") < col("vk"), col("v")).otherwise(col("u")).as("dst"),
+        when(col("uk") < col("vk"), col("vk")).otherwise(col("uk")).as("dstk"))
+      .repartition(col("src"))
+      .cache()
+    val wedges = oe.select(col("src"), col("dst").as("b"), col("dstk").as("bk"))
+      .join(oe.select(col("src"), col("dst").as("c"), col("dstk").as("ck")),
+        Seq("src"))
+      .filter(col("bk") < col("ck"))
+      .select(col("src"), col("b"), col("c"))
+    val closed = wedges.join(
+      oe.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -794,6 +863,7 @@ object Graph {
     "g07_shortest_paths" -> (g07ShortestPaths _),
     "g08_sssp_index_gate" -> (g08SsspIndexGate _),
     "g09_personalized_pagerank" -> (g09PersonalizedPageRank _),
+    "g10_triangles" -> (g10Triangles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -968,6 +1038,22 @@ object Graph {
          |$iters
          |SELECT node, rank_e12 FROM p5 ORDER BY rank_e12 DESC, node LIMIT 100""".stripMargin
     },
+    // the oracle IS the unfiltered 3-way edge join (the q90 rule: the
+    // oracle states the semantics, not the scale shape): on u<v
+    // canonical edges each triangle {a<b<c} matches exactly one
+    // (e1,e2,e3) assignment
+    "g10_triangles" ->
+      """WITH e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |                           CAST(b.l_partkey AS BIGINT) AS v
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey)
+        |SELECT
+        |  CAST((SELECT COUNT(*) FROM
+        |    (SELECT u AS x FROM e UNION SELECT v FROM e) nd) AS BIGINT) AS n_nodes,
+        |  CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+        |  CAST((SELECT COUNT(*) FROM e e1
+        |        JOIN e e2 ON e1.v = e2.u
+        |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin,
     // post-delete edge count recomputed from the fact tables (the gate
     // reads the appended+deleted+compacted TABLE — anchoring the whole
     // lifecycle), deletion set generated from the same constant

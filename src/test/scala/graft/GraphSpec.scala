@@ -182,6 +182,43 @@ class GraphSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  /** Plain-Scala triangle counter over canonical (u < v) edges. */
+  private def refTriangles(edges: Seq[(Long, Long)]): (Long, Long, Long) = {
+    val es = edges.toSet
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val tri = (for {
+      (a, b) <- es.toSeq; c <- nodes
+      if c > b && es.contains((a, c)) && es.contains((b, c))
+    } yield 1).size.toLong
+    (nodes.size.toLong, es.size.toLong, tri)
+  }
+
+  test("trianglesOn matches brute force: K4, hub star (0 triangles), mixed graph") {
+    // K4 = 4 triangles; a star has wedges but no closures (the
+    // orientation must not count open wedges); mixed graph exercises
+    // degree ties broken by id
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val star = (2L to 8L).map(i => (1L, i))
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L), (1L, 4L))
+    for (g <- Seq(k4, star, mixed)) {
+      val got = Graph.trianglesOn(g.toDF("u", "v")).collect().head
+      val want = refTriangles(g)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) == want,
+        s"graph $g: got $got want $want")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("g10 fixture: one row, bipartite-free edge definition yields triangles") {
+    val r = Graph.g10Triangles(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(2) > 0L, "part co-occurrence graph lost its triangles")
+    assert(r.head.getLong(1) < r.head.getLong(0) * (r.head.getLong(0) - 1) / 2,
+      "co-occurrence graph is COMPLETE at this SF — the degenerate case g10 must avoid")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("g06 fixture: 100 rows, total order, suppliers (sinks) still accumulate rank") {
     val rows = Graph.g06PageRankDirected(spark, sf).collect()
     assert(rows.length == 100)

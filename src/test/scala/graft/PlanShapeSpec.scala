@@ -543,6 +543,63 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g10: the wedge self-join reuses one src partitioning; no cartesian anywhere") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // the oriented-edge cache is repartitioned by src BEFORE caching:
+      // both wedge sides read the same InMemoryRelation partitioning,
+      // so the self-join plans ZERO exchanges above the cached scans
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+      val p = graft.operators.Graph.trianglesOn(edges)
+        .queryExecution.executedPlan
+      val str = p.toString
+      // the only nested-loop joins are the intentional 1-row crossJoins
+      // combining the three stat aggregates — every data-sized join
+      // must be an equi-join
+      assert(!str.contains("CartesianProduct"), str)
+      import org.apache.spark.sql.execution.SparkPlan
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+      }.foreach { j =>
+        def isOneRowAgg(n: SparkPlan): Boolean = n match {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+            a.groupingExpressions.isEmpty
+          case other if other.children.size == 1 => isOneRowAgg(other.children.head)
+          case other => other.children.nonEmpty && other.children.forall(isOneRowAgg)
+        }
+        assert(isOneRowAgg(j), s"data-sized nested-loop join:\n$j")
+      }
+      // cache substitution renames the oriented-edge scan's outputs to
+      // the wedge aliases (bk / ck)
+      def cachedScans(n: SparkPlan, okey: String) = n.collect {
+        case s: InMemoryTableScanExec
+          if s.output.exists(a => a.name == okey || a.name == "dstk") => s
+      }
+      def exchanges(n: SparkPlan) = n.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      // the wedge self-join: some binary node whose BOTH subtrees read
+      // the oriented-edge cache with NO exchange in between (the
+      // closure join's (b, c) shuffle above wedge rows is expected —
+      // it moves output-bounded rows, not the edge set)
+      val wedgeJoins = p.collect {
+        case j: org.apache.spark.sql.execution.BinaryExecNode
+          if cachedScans(j.left, "bk").nonEmpty &&
+            cachedScans(j.right, "ck").nonEmpty => j
+      }
+      assert(wedgeJoins.nonEmpty, "no wedge self-join over the cache found:\n" + p)
+      assert(wedgeJoins.exists(j =>
+        exchanges(j.left).isEmpty && exchanges(j.right).isEmpty),
+        "the wedge self-join re-shuffles the oriented-edge cache:\n" + p)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.
