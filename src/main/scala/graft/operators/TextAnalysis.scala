@@ -701,25 +701,58 @@ object TextAnalysis {
     * in `_stats`; [[healTextIndexAppends]] detects journaled-but-
     * uncommitted batches from the artifact alone and excises whatever
     * parts landed through the (crash-safe) delete swap, after which the
-    * batch re-appends cleanly. */
+    * batch re-appends cleanly.
+    *
+    * Heal-then-retry is ENFORCED here (round-10 ADVICE), not left to
+    * caller convention: every append heals first, so an at-least-once
+    * retry of a crashed batch can never stack its rows on top of the
+    * crashed batch's partial data (double-counted tf on the re-agg
+    * read), and the crashed journal row is gone before the retry
+    * commits the same doc_ids under a new batch_id. */
   def appendToTextIndex(newDocs: DataFrame, name: String,
-      numBuckets: Int = 8): Unit =
+      numBuckets: Int = 8): Unit = {
+    healTextIndexAppends(newDocs.sparkSession, name)
     textIndexBatch(newDocs, name, numBuckets, "append")
+  }
 
   /** Detect and excise incomplete appends (crashed between the
     * `_batches` journal write and the `_stats` commit): batch_ids
     * present in the journal but absent from `_stats` are incomplete —
-    * their doc_ids are removed from every table through
-    * [[deleteFromTextIndex]]'s generation swap (which also collapses
-    * the journal to the surviving generation). Returns the number of
-    * excised doc_ids; 0 means the artifact was complete. */
+    * their doc_ids are removed from every table through the generation
+    * swap (which also collapses the journal to the surviving
+    * generation, dropping the stale journal rows). Excision is
+    * restricted to doc_ids with NO committed batch (round-10 ADVICE):
+    * if a crashed batch was retried without healing (an old-version
+    * caller — [[appendToTextIndex]] now heals first), the retry's
+    * committed docs survive and only the stale journal row is dropped
+    * (the double-landed partial rows of that legacy state are not
+    * reconstructible — documented, unreachable through the current
+    * append path). Returns the number of excised doc_ids; 0 means no
+    * data rows needed excision (stale journal rows may still have been
+    * cleaned). */
   def healTextIndexAppends(s: SparkSession, name: String): Long = {
     val committed = s.table(name + "_stats").select(col("batch_id")).distinct()
-    val stale = s.table(name + "_batches")
+    val staleJournal = s.table(name + "_batches")
       .join(committed, Seq("batch_id"), "left_anti")
-      .select(col("doc_id")).distinct()
-    val n = stale.count()
-    if (n > 0) deleteFromTextIndex(s, name, stale)
+    val committedDocs = s.table(name + "_batches")
+      .join(committed, Seq("batch_id"), "left_semi")
+      .select(col("doc_id"))
+    // excise referenced twice (count + the swap's anti-joins) — cache,
+    // query-scoped (unpersisted before return)
+    val excise = staleJournal.select(col("doc_id"))
+      .join(committedDocs, Seq("doc_id"), "left_anti").distinct().cache()
+    val n = excise.count()
+    val nStale = staleJournal.count()
+    if (nStale > 0) {
+      val del = broadcast(excise.select(col("doc_id").as("_del_id")))
+      val ok = broadcast(committed.select(col("batch_id").as("_ok_id")))
+      def anti(df: DataFrame) =
+        df.join(del, col("doc_id") === col("_del_id"), "left_anti")
+      swapTextGeneration(s, name, (p, d, ps, b) =>
+        (anti(p), anti(d), anti(ps),
+          b.join(ok, col("batch_id") === col("_ok_id"), "left_semi")))
+    }
+    excise.unpersist()
     n
   }
 

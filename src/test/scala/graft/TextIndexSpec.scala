@@ -309,6 +309,115 @@ class TextIndexSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
   }
 
+  /** Simulate a crash between a batch's data-table commits and its
+    * `_stats` commit: drop the batch's stats row (journal + data rows
+    * stay visible — exactly the state a mid-append crash leaves). */
+  private def cutStatsRow(name: String, batchId: Long): Unit = {
+    val keep = spark.table(name + "_stats")
+      .filter(col("batch_id") =!= batchId)
+    val local = spark.createDataFrame(
+      java.util.Arrays.asList(keep.collect(): _*), keep.schema)
+    local.repartition(1).write.mode("overwrite").saveAsTable(name + "_stats")
+  }
+
+  private def dropIndex(names: String*): Unit = names.foreach(n =>
+    Seq("_postings", "_doclen", "_positions", "_batches", "_stats",
+      "_postings_tmp", "_doclen_tmp", "_positions_tmp", "_batches_tmp",
+      "_stats_tmp").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
+
+  test("streaming ingest maintains the text index: foreachBatch appends; a crashed micro-batch heals on the next append") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = Seq(
+      (1L, "spark spark query alpha beta gamma"),
+      (2L, "window query " + (1 to 40).map(i => s"f$i").mkString(" ")),
+      (3L, "spark window window window delta"),
+      (4L, (1 to 25).map(i => s"g$i").mkString(" ")),
+      (5L, "query"))
+    def indexed = TextAnalysis.bm25TopIndexed(spark, "graft_txt_stream")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def inline(ds: Seq[(Long, String)]) =
+      TextAnalysis.bm25Top(ds.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    def uncommitted = spark.table("graft_txt_stream_batches")
+      .join(spark.table("graft_txt_stream_stats").select(col("batch_id")),
+        Seq("batch_id"), "left_anti")
+      .select(col("batch_id")).distinct().count()
+    // bootstrap an empty artifact, then the STREAM owns all content:
+    // the ingest pipeline and the maintenance API are the same code
+    // (the corpus-index streaming-integration pattern)
+    TextAnalysis.writeTextIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "graft_txt_stream", numBuckets = 4)
+    val in = MemoryStream[(Long, String)](spark)
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextAnalysis.appendToTextIndex(b, "graft_txt_stream", numBuckets = 4)
+      }.start()
+    try {
+      in.addData(docs.take(2))
+      q.processAllAvailable()
+      in.addData(Seq(docs(2)))
+      q.processAllAvailable()
+      assert(indexed == inline(docs.take(3)),
+        "stream-accumulated batches drifted from the inline corpus")
+      // crash the NEXT micro-batch mid-append (doc 4's stats row cut):
+      // the WAL exposes it — one journaled batch_id is uncommitted
+      TextAnalysis.appendToTextIndex(
+        Seq(docs(3)).toDF("doc_id", "text"), "graft_txt_stream", numBuckets = 4)
+      val crashedId = spark.table("graft_txt_stream_stats")
+        .agg(max(col("batch_id"))).collect().head.getLong(0)
+      cutStatsRow("graft_txt_stream", crashedId)
+      assert(uncommitted == 1L, "crashed batch not detectable from the WAL")
+      // the next micro-batch through the SAME ingest path heals first,
+      // then lands: doc 4's partial rows are excised, doc 5 commits
+      in.addData(Seq(docs(4)))
+      q.processAllAvailable()
+      // the heal's generation swap ran in the MICRO-BATCH session — its
+      // child-session DDL refresh reaches that session, not this one
+      // (the compactAnnIndex cross-session staleness lesson)
+      Seq("_postings", "_doclen", "_positions", "_batches", "_stats")
+        .foreach(sfx => spark.catalog.refreshTable("graft_txt_stream" + sfx))
+      assert(uncommitted == 0L, "journal-stats invariant not restored")
+      assert(indexed == inline(Seq(docs(0), docs(1), docs(2), docs(4))),
+        "healed stream index drifted from committed-docs-only corpus")
+    } finally {
+      q.stop()
+      dropIndex("graft_txt_stream")
+    }
+  }
+
+  test("at-least-once retry WITHOUT explicit heal: appendToTextIndex self-heals the crashed batch first") {
+    import spark.implicits._
+    def rows(name: String) = TextAnalysis.bm25TopIndexed(spark, name)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    TextAnalysis.writeTextIndex(planted.filter(col("doc_id") <= 3),
+      "graft_txt_retry", numBuckets = 4)
+    try {
+      // batch 1 (docs 4-6) crashes after its data tables land
+      TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") > 3),
+        "graft_txt_retry", numBuckets = 4)
+      cutStatsRow("graft_txt_retry", 1L)
+      // the at-least-once RETRY calls append directly — no manual heal.
+      // Without the built-in heal the crashed batch's partial postings
+      // would stack under a new batch_id (double tf on the re-agg read)
+      // and a later heal would excise the retried docs via the stale
+      // journal rows; with it the result is exactly the full corpus
+      TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") > 3),
+        "graft_txt_retry", numBuckets = 4)
+      val inline = TextAnalysis.bm25Top(planted).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(rows("graft_txt_retry") == inline,
+        "retried batch drifted from the inline corpus (double-landed rows?)")
+      // journal-stats invariant holds and a later heal is a no-op that
+      // does NOT delete the retried docs
+      assert(TextAnalysis.healTextIndexAppends(spark, "graft_txt_retry") == 0L)
+      assert(rows("graft_txt_retry") == inline,
+        "heal after retry deleted committed docs")
+    } finally dropIndex("graft_txt_retry")
+  }
+
   test("append WAL: a half-landed batch is detectable and heals from the artifact alone") {
     import spark.implicits._
     def rows(name: String) = TextAnalysis.bm25TopIndexed(spark, name).collect()
