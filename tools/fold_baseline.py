@@ -6,14 +6,24 @@ New queries enter at their observed value; existing entries only ever
 decrease. The top-level `value` is recomputed as the sum of the map, so
 the file stays internally consistent (round-6 ADVICE).
 
+Since round 11 the file also carries `history`: the last N (8) per-query
+HEADLINE values from folded benches, oldest first. Bench.scala reads it
+to self-adjudicate receipts (verdict "weather" when a warm probe sits
+inside the committed band / within 2x the historical median even though
+it exceeds 2x the best-ever floor — the q85/d10 pattern that burned a
+manual triage every round).
+
 Usage: tools/fold_baseline.py [extra.json ...]
   Folds BENCH_LATEST.json plus any extra bench-format files given.
 """
 import json
 import sys
 
+HIST_N = 8
+
 base = json.load(open("BENCH_BASELINE.json"))
 b = base["queries"]
+hist = base.setdefault("history", {})
 live = set()
 for path in ["BENCH_LATEST.json"] + sys.argv[1:]:
     lat = json.load(open(path))
@@ -24,6 +34,12 @@ for path in ["BENCH_LATEST.json"] + sys.argv[1:]:
         probe = lat.get("receipts", {}).get(k, {}).get("probe")
         cand = min(v, probe) if probe is not None else v
         b[k] = min(b.get(k, cand), cand)
+        # history records the headline value (already probe-adjusted
+        # for noise/weather slots) — the band a quiet-vs-hot host
+        # actually produces, which is what adjudication compares against
+        h = hist.setdefault(k, [])
+        h.append(round(v, 3))
+        del h[:-HIST_N]
 # queries retired from the live suite would silently inflate the sum —
 # report and prune them so `value` tracks the suite actually benched
 stale = sorted(set(b) - live)
@@ -31,7 +47,12 @@ if stale:
     print(f"pruning stale baseline keys (not in any folded bench): {stale}")
     for k in stale:
         del b[k]
+        hist.pop(k, None)
+for k in sorted(set(hist) - set(b)):
+    del hist[k]
 base["value"] = sum(b.values())
 base["queries"] = dict(sorted(b.items()))
+base["history"] = dict(sorted(hist.items()))
 json.dump(base, open("BENCH_BASELINE.json", "w"))
-print(f"folded: {len(b)} queries, sum {base['value']:.1f}s")
+print(f"folded: {len(b)} queries, sum {base['value']:.1f}s, "
+      f"history depth {max((len(v) for v in hist.values()), default=0)}")
