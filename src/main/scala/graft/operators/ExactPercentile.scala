@@ -154,8 +154,18 @@ object ExactPercentile {
       shardSpan: Long = 1000000000L): DataFrame = {
     require(fracs.length == outNames.length)
     require(fracs.forall { case (num, den) => den > 0 && num >= 0 && num <= den })
+    // the POSITIVE-weight contract is enforced, not just documented
+    // (round-10 ADVICE): a zero/negative weight breaks the cumulative-
+    // weight monotonicity the threshold rule depends on, silently
+    // yielding wrong quantiles — raise loudly instead (the
+    // keepBestCanonicalWide out-of-domain rule). NULL weights stay
+    // excluded like NULL values.
+    val checked = when(col(weight) <= 0,
+      expr(s"raise_error('discGlobalWeighted: non-positive weight " +
+        s"(the contract is weight > 0)')").cast("long"))
+      .otherwise(col(weight))
     val (cdf, tw) = globalCdfWeighted(df.filter(col(weight).isNotNull),
-      value, col(weight), shardSpan)
+      value, checked, shardSpan)
     val aggs = fracs.zip(outNames).map { case ((num, den), name) =>
       val thr = (num * tw + den - 1) / den
       min(when(col("_cum") >= lit(thr), col(value))).as(name)

@@ -177,6 +177,25 @@ class ExactPercentileSpec extends SparkSpec {
       Seq.empty[(Long, Long)].toDF("v", "w"), "v", "w",
       Seq((1L, 2L)), Seq("o")).collect()
     assert(empty.length == 1 && empty.head.isNullAt(0))
+    // the positive-weight contract RAISES on zero/negative weights
+    // instead of silently breaking cumulative-weight monotonicity
+    for (bad <- Seq(0L, -2L)) {
+      val ex = intercept[Exception] {
+        ExactPercentile.discGlobalWeighted(
+          Seq((1L, bad), (2L, 3L)).toDF("v", "w"), "v", "w",
+          Seq((1L, 2L)), Seq("m")).collect()
+      }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(ex).exists(_.contains("non-positive weight")),
+        s"weight=$bad: ${chain(ex)}")
+    }
+    // NULL weights stay excluded (never hit the guard)
+    val withNull = ExactPercentile.discGlobalWeighted(
+      (rows.map { case (v, w) => (v, Some(w)) } :+ ((999L, None: Option[Long])))
+        .toDF("v", "w"), "v", "w", Seq((1L, 1L)), Seq("o"))
+      .collect().head.getLong(0)
+    assert(withNull == expanded.last, "NULL-weight row leaked into the CDF")
   }
 
   test("equidepthGlobal equals the sorted-multiset bucket rule across counts, B, ties, and skew") {
