@@ -732,13 +732,47 @@ object Graph {
     * pairs), so the self-join on `l_orderkey` is linear in the fact
     * table. Output: ONE row (n_nodes, n_edges, n_triangles), all
     * BIGINT. */
-  def g10Triangles(s: SparkSession, dir: String): DataFrame = {
+  def g10Triangles(s: SparkSession, dir: String): DataFrame =
+    trianglesOn(partEdges(s, dir))
+
+  /** The canonical (u < v) part co-occurrence edge set g10/g11 share. */
+  private def partEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
     val a = li.select(col("l_orderkey"), col("p").as("u"))
     val b = li.select(col("l_orderkey"), col("p").as("v"))
-    trianglesOn(a.join(b, "l_orderkey").filter(col("u") < col("v"))
-      .select(col("u"), col("v")).distinct())
+    a.join(b, "l_orderkey").filter(col("u") < col("v"))
+      .select(col("u"), col("v")).distinct()
+  }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node over the same part
+    * co-occurrence graph — "how interconnected is each part's
+    * bought-together neighbourhood": coef(v) = 2·tri(v) / (deg(v)·
+    * (deg(v)−1)), emitted SCALED (coef_e6 = that ×10⁶ through one
+    * integer division — no float surface, the e12-rank rule). Per-node
+    * triangle participation comes off [[triangleCore]]'s closed wedges
+    * (each triangle credits its three vertices — an explode of the
+    * output-bounded closure, never a second wedge pass). Top 100 by
+    * (coef_e6 desc, node) — a total order. */
+  def g11ClusteringCoeff(s: SparkSession, dir: String): DataFrame =
+    clusteringCoeffOn(partEdges(s, dir))
+
+  /** The per-node coefficient core — exposed for the differential
+    * spec. Nodes with deg < 2 get coef 0 (no possible wedge). */
+  private[graft] def clusteringCoeffOn(edges: DataFrame): DataFrame = {
+    val (closed, deg, _) = triangleCore(edges)
+    val tn = closed
+      .select(explode(array(col("src"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    deg.select(col("node"), col("d").as("deg"))
+      .join(tn, Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri"), lit(0L)).as("tri"))
+      .withColumn("coef_e6",
+        when(col("deg") >= 2,
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("coef_e6").desc, col("node")).limit(100)
   }
 
   /** The node-iterator triangle core over a DISTINCT undirected edge
@@ -757,7 +791,19 @@ object Graph {
     * one output-bounded (b, c)-keyed semi join. Caches are
     * query-scoped (harnesses clearCache after). */
   private[graft] def trianglesOn(edges: DataFrame): DataFrame = {
-    val s = edges.sparkSession
+    val (closed, deg, e) = triangleCore(edges)
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+
+  /** The orientation + wedge-closure core g10/g11 share: returns the
+    * closed wedges (src, b, c) — one row per triangle — the per-node
+    * degree frame (node, d), and the cached canonical edge frame.
+    * Caches are query-scoped (harnesses clearCache after). */
+  private[graft] def triangleCore(
+      edges: DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val e = edges.cache()
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
@@ -783,10 +829,7 @@ object Graph {
     val closed = wedges.join(
       oe.select(col("src").as("b"), col("dst").as("c")),
       Seq("b", "c"), "left_semi")
-    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-    val nEdges = e.agg(count(lit(1)).as("n_edges"))
-    val nTri = closed.agg(count(lit(1)).as("n_triangles"))
-    nNodes.crossJoin(nEdges).crossJoin(nTri)
+    (closed, deg, e)
   }
 
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
@@ -864,6 +907,7 @@ object Graph {
     "g08_sssp_index_gate" -> (g08SsspIndexGate _),
     "g09_personalized_pagerank" -> (g09PersonalizedPageRank _),
     "g10_triangles" -> (g10Triangles _),
+    "g11_clustering_coeff" -> (g11ClusteringCoeff _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1054,6 +1098,29 @@ object Graph {
         |  CAST((SELECT COUNT(*) FROM e e1
         |        JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin,
+    // per-node coefficient: each canonical (a<b<c) triangle credits its
+    // three vertices; the scaled division mirrors Spark's div (// on
+    // HUGEINT-safe integer products)
+    "g11_clustering_coeff" ->
+      """WITH e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |                           CAST(b.l_partkey AS BIGINT) AS v
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey),
+        |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |       FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                 JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |         SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+        |         UNION ALL SELECT c FROM tr) x GROUP BY node),
+        |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |         SELECT u AS node FROM e UNION ALL SELECT v FROM e) x
+        |       GROUP BY node)
+        |SELECT d.node AS node, d.deg AS deg, COALESCE(t.tri, 0) AS tri,
+        |       CAST(CASE WHEN d.deg >= 2
+        |         THEN (2 * COALESCE(t.tri, 0) * 1000000) // (d.deg * (d.deg - 1))
+        |         ELSE 0 END AS BIGINT) AS coef_e6
+        |FROM dg d LEFT JOIN tn t ON t.node = d.node
+        |ORDER BY coef_e6 DESC, d.node LIMIT 100""".stripMargin,
     // post-delete edge count recomputed from the fact tables (the gate
     // reads the appended+deleted+compacted TABLE — anchoring the whole
     // lifecycle), deletion set generated from the same constant

@@ -210,6 +210,35 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("clusteringCoeffOn matches the per-node brute force (K4, star, mixed)") {
+    def ref(edges: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val es = edges.toSet
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      def nbrs(n: Long) = edges.collect {
+        case (a, b) if a == n => b
+        case (a, b) if b == n => a
+      }.distinct
+      nodes.map { n =>
+        val nb = nbrs(n)
+        val deg = nb.size.toLong
+        val tri = (for (b <- nb; c <- nb if b < c && es.contains((b, c)))
+          yield 1).size.toLong
+        val coef = if (deg >= 2) (2 * tri * 1000000L) / (deg * (deg - 1)) else 0L
+        (n, deg, tri, coef)
+      }.sortBy(r => (-r._4, r._1)).take(100)
+    }
+    val k4 = for (i <- 1L to 4L; j <- (i + 1) to 4L) yield (i, j)
+    val star = (2L to 8L).map(i => (1L, i))
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (5L, 6L), (1L, 4L))
+    for (g <- Seq(k4, star, mixed)) {
+      val got = Graph.clusteringCoeffOn(g.toDF("u", "v")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      assert(got == ref(g), s"graph $g: got $got want ${ref(g)}")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("g10 fixture: one row, bipartite-free edge definition yields triangles") {
     val r = Graph.g10Triangles(spark, sf).collect()
     assert(r.length == 1)
