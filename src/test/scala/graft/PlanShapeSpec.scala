@@ -543,15 +543,10 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  test("g10: the wedge self-join reuses one src partitioning; no cartesian anywhere") {
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+  test("g10: edge-iterator triangles — no wedge materialization, every data join an equi-join") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      // the oriented-edge cache is repartitioned by src BEFORE caching:
-      // both wedge sides read the same InMemoryRelation partitioning,
-      // so the self-join plans ZERO exchanges above the cached scans
       val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
       val p = graft.operators.Graph.trianglesOn(edges)
         .queryExecution.executedPlan
@@ -572,28 +567,20 @@ class PlanShapeSpec extends SparkSpec {
         }
         assert(isOneRowAgg(j), s"data-sized nested-loop join:\n$j")
       }
-      // cache substitution renames the oriented-edge scan's outputs to
-      // the wedge aliases (bk / ck)
-      def cachedScans(n: SparkPlan, okey: String) = n.collect {
-        case s: InMemoryTableScanExec
-          if s.output.exists(a => a.name == okey || a.name == "dstk") => s
+      // the closure is the per-edge array_intersect over the joined
+      // adjacency arrays — wedges are never materialized as rows, so
+      // NO operator in the plan outputs a wedge-shaped (apex, b, c)
+      // row set and the intersect runs inside the projection
+      assert(str.contains("array_intersect"),
+        "per-edge closure lost its array_intersect:\n" + str)
+      // the triangle count aggregates the intersect SIZES map-side:
+      // a partial agg must sit below the final 1-row agg
+      val partials = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
       }
-      def exchanges(n: SparkPlan) = n.collect {
-        case e: ShuffleExchangeExec => e
-      }
-      // the wedge self-join: some binary node whose BOTH subtrees read
-      // the oriented-edge cache with NO exchange in between (the
-      // closure join's (b, c) shuffle above wedge rows is expected —
-      // it moves output-bounded rows, not the edge set)
-      val wedgeJoins = p.collect {
-        case j: org.apache.spark.sql.execution.BinaryExecNode
-          if cachedScans(j.left, "bk").nonEmpty &&
-            cachedScans(j.right, "ck").nonEmpty => j
-      }
-      assert(wedgeJoins.nonEmpty, "no wedge self-join over the cache found:\n" + p)
-      assert(wedgeJoins.exists(j =>
-        exchanges(j.left).isEmpty && exchanges(j.right).isEmpty),
-        "the wedge self-join re-shuffles the oriented-edge cache:\n" + p)
+      assert(partials.nonEmpty, "triangle sum not map-combined:\n" + str)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.catalog.clearCache()
