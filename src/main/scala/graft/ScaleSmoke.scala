@@ -38,6 +38,7 @@ object ScaleSmoke {
     if (a.contains("gr100")) { gr100(spark); spark.stop(); return }
     if (a.contains("cdf100")) { cdf100(spark); spark.stop(); return }
     if (a.contains("fz100")) { fz100(spark); spark.stop(); return }
+    if (a.contains("tr100")) { tr100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -1036,5 +1037,45 @@ object ScaleSmoke {
       f"collapsed time ${t80 / t40}%.1fx for ${outRatio}%.1fx output — not output-linear")
     assert(tNaive > t80,
       f"naive $tNaive%.1f s not slower than collapsed $t80%.1f s on duplicate-heavy corpus")
+  }
+
+  /** tr100: triangle-family scale smoke. Random multigraph-free edge
+    * sets at E and 4E (xxhash endpoints over a fixed node universe, so
+    * degree structure stays comparable); the edge-iterator core's work
+    * is Σ d(b)+d(c) over edges — for a near-uniform degree sequence
+    * that grows ~quadratically in average degree, so 4× edges at fixed
+    * V costs ≤ ~16× intersect work in the worst frame; we grow V with
+    * E (V = √E·50) to hold average degree ~constant, where the honest
+    * expectation is ~linear. Asserts the time ratio stays near-linear
+    * (correctness is the oracle gate's job; this smokes the SHAPE). */
+  private def tr100(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    def gen(nEdges: Long): DataFrame = {
+      val v = math.max(4L, math.sqrt(nEdges.toDouble).toLong * 50L)
+      spark.range(nEdges * 2) // oversample: self-loops and dups drop
+        .select(pmod(xxhash64(col("id")), lit(v)).as("a"),
+          pmod(xxhash64(col("id") + 1000000007L), lit(v)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(nEdges: Long): (Long, Double) = {
+      val e = gen(nEdges)
+      val (row, secs) = time(Graph.trianglesOn(e).collect().head)
+      spark.catalog.clearCache()
+      (row.getLong(2), secs)
+    }
+    run(200000L) // soak warmup
+    val (t1, s1) = run(500000L)
+    val (t4, s4) = run(2000000L)
+    println(f"TR100 E=500k tri=$t1 ${s1}%.1f s; E=2M tri=$t4 ${s4}%.1f s; " +
+      f"ratio=${s4 / s1}%.1f x for 4x edges (avg degree held)")
+    assert(s4 / s1 < 8.0,
+      f"4x edges cost ${s4 / s1}%.1f x — super-linear blowup in the triangle core")
   }
 }
