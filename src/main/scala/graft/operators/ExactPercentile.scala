@@ -47,13 +47,20 @@ object ExactPercentile {
     * second WindowExec, the trap the old comment warned about.) A NULL
     * key forms its own window partition, so NULL-key groups survive
     * with no join to get right. */
-  private def ranked(df: DataFrame, key: String, value: String): DataFrame = {
+  private def ranked(df: DataFrame, key: String, value: String): DataFrame =
+    rankedWeighted(df, key, value, lit(1L))
+
+  /** [[ranked]] with a per-row WEIGHT: `_c`/`_cum`/`_n` accumulate
+    * weight sums instead of row counts (weight-1 IS the unweighted
+    * frame). */
+  private def rankedWeighted(df: DataFrame, key: String, value: String,
+      weight: Column): DataFrame = {
     val wCum = Window.partitionBy(col(key)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col(key)).orderBy(col(value))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     df.filter(col(value).isNotNull)
-      .groupBy(col(key), col(value)).agg(count(lit(1)).as("_c"))
+      .groupBy(col(key), col(value)).agg(sum(weight).as("_c"))
       .select(col(key), col(value), col("_c"),
         sum(col("_c")).over(wCum).as("_cum"),
         sum(col("_c")).over(wAll).as("_n"))
@@ -370,6 +377,32 @@ object ExactPercentile {
         + (col(s"_hi_$name") - col(s"_lo_$name")) * col(s"_r_$name")).as(name)
     }
     bracketed.select(col(key) +: outs: _*)
+  }
+
+  /** [[discGlobalWeighted]] BY KEY — per-group exact weighted discrete
+    * quantiles, completing the disc/cont/weighted × global/by-key
+    * matrix: for fraction `num/den`, the smallest value whose per-key
+    * cumulative WEIGHT reaches `⌈num·W(key)/den⌉` — the quantile of
+    * the per-key multiset where each row appears `weight` times,
+    * never expanded. Thresholds are integer COLUMNS (W varies per
+    * key — no driver round-trips), the positive-weight contract
+    * raises like the global twin, NULL weights are excluded, and
+    * every shuffle keys on the group column. */
+  def discWeightedByKey(df: DataFrame, key: String, value: String,
+      weight: String, fracs: Seq[(Long, Long)],
+      outNames: Seq[String]): DataFrame = {
+    require(fracs.length == outNames.length)
+    require(fracs.forall { case (num, den) => den > 0 && num >= 0 && num <= den })
+    val checked = when(col(weight) <= 0,
+      expr("raise_error('discWeightedByKey: non-positive weight " +
+        "(the contract is weight > 0)')").cast("long"))
+      .otherwise(col(weight))
+    val aggs = fracs.zip(outNames).map { case ((num, den), name) =>
+      min(when(col("_cum") >= expr(s"($num * _n + ${den - 1}) div $den"),
+        col(value))).as(name)
+    }
+    rankedWeighted(df.filter(col(weight).isNotNull), key, value, checked)
+      .groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** Exact discrete percentiles (`percentile_disc`): one output column per

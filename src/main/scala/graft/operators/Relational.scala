@@ -1813,6 +1813,24 @@ object Relational {
       Seq("q1_x4", "med_x4", "q3_x4"))
       .orderBy(col("nation"))
 
+  /** PER-KEY WEIGHTED quantiles — q89's quantity-weighted price
+    * quartiles BY GROUP through [[ExactPercentile.discWeightedByKey]],
+    * completing the disc/cont/weighted × global/by-key quantile
+    * matrix: per-nation quartiles of the per-UNIT price multiset,
+    * never expanded. Thresholds ⌈num·W/den⌉ are integer COLUMNS (W
+    * varies per nation — no driver round-trips); one group-key
+    * partitioning end-to-end. 25 rows, total order on the key. */
+  def q99WeightedByKey(s: SparkSession, dir: String): DataFrame =
+    ExactPercentile.discWeightedByKey(
+      Tables.lineitem(s, dir)
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").cast("long").as("nation"),
+          floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("cents"),
+          floor(col("l_quantity") + 0.5).cast("long").as("qty")),
+      "nation", "cents", "qty", Seq((1L, 4L), (2L, 4L), (3L, 4L)),
+      Seq("wq1_cents", "wmed_cents", "wq3_cents"))
+      .orderBy(col("nation"))
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -2010,6 +2028,7 @@ object Relational {
     "q96_robust_by_key" -> (q96RobustStatsByKey _),
     "q97_equidepth_by_key" -> (q97EquidepthByKey _),
     "q98_cont_quartiles_by_key" -> (q98ContQuartilesByKey _),
+    "q99_weighted_by_key" -> (q99WeightedByKey _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2666,6 +2685,23 @@ object Relational {
         |FROM dev JOIN mad ON dev.nation = mad.nation
         |         JOIN med ON dev.nation = med.nation
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-key weighted quantiles: cumulative-weight window math per
+    // key, threshold ceil(num*W/den) as (num*tw + den-1)//den —
+    // verified against the expanded per-unit multiset in the prototype
+    "q99_weighted_by_key" ->
+      """WITH b AS (SELECT CAST(s.s_nationkey AS BIGINT) AS k,
+        |                  CAST(floor(l.l_extendedprice*100.0+0.5) AS BIGINT) AS v,
+        |                  CAST(floor(l.l_quantity+0.5) AS BIGINT) AS w
+        |           FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |vc AS (SELECT k, v, CAST(SUM(w) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+        |cd AS (SELECT k, v, c,
+        |         SUM(c) OVER (PARTITION BY k ORDER BY v) AS cum,
+        |         SUM(c) OVER (PARTITION BY k) AS tw FROM vc)
+        |SELECT k AS nation,
+        |  MIN(CASE WHEN cum >= (1*tw + 3)//4 THEN v END) AS wq1_cents,
+        |  MIN(CASE WHEN cum >= (2*tw + 3)//4 THEN v END) AS wmed_cents,
+        |  MIN(CASE WHEN cum >= (3*tw + 3)//4 THEN v END) AS wq3_cents
+        |FROM cd GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-key equi-depth bins: the q94 bucket formula off a per-key
     // cumulative window (HUGEINT-safe // mirrors Spark's div)
     "q97_equidepth_by_key" ->

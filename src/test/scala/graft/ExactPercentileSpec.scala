@@ -240,6 +240,33 @@ class ExactPercentileSpec extends SparkSpec {
     assert(empty.collect().isEmpty)
   }
 
+  test("discWeightedByKey equals the per-group expanded-multiset quantile; raises on weight<=0") {
+    val rows = (1L to 80L).map(i =>
+      (s"k${i % 3}", 10L * (i % 13) + 3L, (i % 7) + 1L))
+    val df = rows.toDF("k", "v", "w")
+    val fracs = Seq((1L, 4L), (1L, 2L), (3L, 4L), (1L, 1L))
+    val got = ExactPercentile.discWeightedByKey(df, "k", "v", "w",
+        fracs, fracs.indices.map(i => s"o$i")).collect()
+      .map(r => r.getString(0) -> fracs.indices.map(i => r.getLong(i + 1))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val expanded = g.flatMap { case (_, v, w) => Seq.fill(w.toInt)(v) }.sorted
+      fracs.zipWithIndex.foreach { case ((num, den), i) =>
+        val thr = (num * expanded.size + den - 1) / den
+        val want = expanded(math.max(thr, 1L).toInt - 1)
+        assert(got(k)(i) == want, s"key=$k frac=$num/$den: got ${got(k)(i)} want $want")
+      }
+    }
+    // positive-weight contract raises (the discGlobalWeighted rule)
+    val ex = intercept[Exception] {
+      ExactPercentile.discWeightedByKey(
+        Seq(("a", 1L, 0L)).toDF("k", "v", "w"), "k", "v", "w",
+        Seq((1L, 2L)), Seq("m")).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(ex).exists(_.contains("non-positive weight")), chain(ex))
+  }
+
   test("equidepthByKey equals the per-group sorted-multiset bucket rule") {
     def reference(vals: Seq[Long], b: Int): Seq[(Long, Long, Long, Long)] = {
       val n = vals.size.toLong

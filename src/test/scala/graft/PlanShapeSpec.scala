@@ -147,6 +147,15 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
   }
 
+  test("q99: per-key weighted quantiles — group-key exchanges, one WindowExec, no single reducer") {
+    val p = plan(Relational.q99WeightedByKey(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "per-key weighted quantiles serialized through one reducer:\n" + p)
+    assert(p.contains("hashpartitioning(nation"),
+      "shuffles must key on the group column:\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
