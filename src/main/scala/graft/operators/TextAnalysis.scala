@@ -1992,6 +1992,8 @@ object TextAnalysis {
     "t43_bm25_indexed" -> (t43Bm25Indexed _),
     "t44_phrase_search" -> (t44PhraseSearch _),
     "t45_phrase_indexed" -> (t45PhraseIndexed _),
+    "t46_proximity_search" -> (t46ProximitySearch _),
+    "t47_proximity_indexed" -> (t47ProximityIndexed _),
   )
 
   /** The driver-registered face of [[t12Bm25Indexed]]: the rounded
@@ -2110,6 +2112,97 @@ object TextAnalysis {
         coalesce(col("n_occ"), lit(0L)).as("n_occ"),
         coalesce(col("doc_sum"), lit(0L)).as("doc_sum"))
       .orderBy("phrase")
+  }
+
+  /** Proximity (NEAR/k) battery constants: (label, word_a, word_b, k) —
+    * fixed literals shared by the Spark plans and the generated oracle.
+    * Includes a rare word (dup, 26 corpus hits), a hot pair, and a
+    * zero-hit pair (zebra never occurs). */
+  private val ProximitySet: Seq[(String, String, String, Long)] = Seq(
+    ("dup NEAR/6 key", "dup", "key", 6L),
+    ("hash NEAR/2 scan", "hash", "scan", 2L),
+    ("spark NEAR/3 join", "spark", "join", 3L),
+    ("zebra NEAR/4 data", "zebra", "data", 4L))
+
+  private val ProximityWords: Seq[String] =
+    ProximitySet.flatMap(p => Seq(p._2, p._3)).distinct
+
+  /** PROXIMITY search (the retrieval NEAR/k operator): documents where
+    * the two query words co-occur within k token positions, per query
+    * pair — (pair, n_docs, doc_sum, min_dist), min_dist −1 for zero-hit
+    * pairs. The positional-join shape: occurrences of each side join a
+    * broadcast pair table, per-(pair, doc) min |posₐ − pos_b| is one
+    * map-combined aggregate — per-doc cost bounded by occurrence counts,
+    * never a corpus window or regex scan. */
+  def t46ProximitySearch(s: SparkSession, dir: String): DataFrame =
+    proximityBattery(s, Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term"))))
+
+  /** [[t46ProximitySearch]] answered from the [[writeTextIndex]]
+    * `_positions` table alone (the t45 pattern): corpus appears only as
+    * the bucket-PRUNED positional scan — zero documents scan. */
+  def t47ProximityIndexed(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedTextIndex(s, dir, corpusOnly = false)
+    proximityBattery(s, s.table(name + "_positions")
+      .filter(col("term").isin(ProximityWords: _*)))
+  }
+
+  /** The proximity core over any (doc_id, pos, term) occurrence
+    * stream — shared by the inline and indexed twins. */
+  private def proximityBattery(s: SparkSession, pos: DataFrame): DataFrame = {
+    import s.implicits._
+    val pr = ProximitySet.toDF("pair", "wa", "wb", "k")
+    val a = pos.join(broadcast(pr.select(col("pair"), col("wa").as("term"),
+        col("k"))), Seq("term"))
+      .select(col("pair"), col("k"), col("doc_id"),
+        col("pos").cast("long").as("pa"))
+    val b = pos.join(broadcast(pr.select(col("pair"), col("wb").as("term"))),
+        Seq("term"))
+      .select(col("pair"), col("doc_id"), col("pos").cast("long").as("pb"))
+    val perDoc = a.join(b, Seq("pair", "doc_id"))
+      .groupBy(col("pair"), col("k"), col("doc_id"))
+      .agg(min(abs(col("pa") - col("pb"))).as("mind"))
+      .filter(col("mind") <= col("k"))
+    val agg = perDoc.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("doc_sum"),
+        min(col("mind")).as("min_dist"))
+    ProximitySet.map(_._1).toDF("pair").join(agg, Seq("pair"), "left")
+      .select(col("pair"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("doc_sum"), lit(0L)).as("doc_sum"),
+        coalesce(col("min_dist"), lit(-1L)).as("min_dist"))
+      .orderBy("pair")
+  }
+
+  /** The one DuckDB recomputation both proximity twins gate against —
+    * generated from the SAME ProximitySet constant as the Spark plans. */
+  private lazy val t46OracleSql: String = {
+    val prValues = ProximitySet
+      .map { case (p, wa, wb, k) => s"('$p', '$wa', '$wb', $k)" }
+      .mkString(", ")
+    val plValues = ProximitySet.map(p => s"('${p._1}')").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |pos AS (SELECT doc_id, unnest(toks) AS term,
+       |               generate_subscripts(toks, 1) - 1 AS pos FROM t),
+       |pr(pair, wa, wb, k) AS (VALUES $prValues),
+       |a AS (SELECT pr.pair, pr.k, pos.doc_id, pos.pos AS pa
+       |      FROM pos JOIN pr ON pos.term = pr.wa),
+       |b AS (SELECT pr.pair, pos.doc_id, pos.pos AS pb
+       |      FROM pos JOIN pr ON pos.term = pr.wb),
+       |pd AS (SELECT a.pair, a.k, a.doc_id, MIN(ABS(a.pa - b.pb)) AS mind
+       |       FROM a JOIN b ON a.pair = b.pair AND a.doc_id = b.doc_id
+       |       GROUP BY 1, 2, 3),
+       |q AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |             CAST(SUM(doc_id) AS BIGINT) AS doc_sum,
+       |             CAST(MIN(mind) AS BIGINT) AS min_dist
+       |      FROM pd WHERE mind <= k GROUP BY 1),
+       |pl(pair) AS (VALUES $plValues)
+       |SELECT pl.pair, COALESCE(n_docs, 0) AS n_docs,
+       |       COALESCE(doc_sum, 0) AS doc_sum,
+       |       COALESCE(min_dist, -1) AS min_dist
+       |FROM pl LEFT JOIN q USING (pair) ORDER BY pair""".stripMargin
   }
 
   private val ChunkTokens = 64
@@ -2889,6 +2982,9 @@ object TextAnalysis {
     // the `_positions` table alone, and the driver hash-compares both
     // against the same DuckDB recomputation
     "t45_phrase_indexed" -> t44OracleSql,
+    "t46_proximity_search" -> t46OracleSql,
+    // the indexed twin gates against the SAME recomputation (t45 rule)
+    "t47_proximity_indexed" -> t46OracleSql,
     // indexed-vs-inline t12 equality is asserted Spark-side (exceptAll
     // both ways, every column); DuckDB anchors the doc count and the
     // literal-true flag (the s07 oracle pattern)

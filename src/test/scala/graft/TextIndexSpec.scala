@@ -283,6 +283,36 @@ class TextIndexSpec extends SparkSpec {
     }
   }
 
+  test("t47 indexed proximity == inline t46; plan: zero corpus scan, bucket-pruned positions") {
+    try {
+      val a = TextAnalysis.t46ProximitySearch(spark, sf).collect().map(_.toSeq).toSeq
+      val b = TextAnalysis.t47ProximityIndexed(spark, sf).collect().map(_.toSeq).toSeq
+      assert(a == b, s"indexed proximity battery drifted: inline=$a indexed=$b")
+      // zero-hit pair surfaces with (0, 0, -1) — the left-join contract
+      assert(a.exists(r => r.head.toString.startsWith("zebra") &&
+        r(1) == 0L && r(3) == -1L), s"zero-hit pair missing: $a")
+      // the corpus never appears: the ONLY file scan is the bucketed
+      // `_positions` table, pruned by the pair-word IN predicate
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val q = TextAnalysis.t47ProximityIndexed(spark, sf)
+      q.collect()
+      // the a-side and b-side joins each scan the positions table —
+      // BOTH scans must be the bucket-pruned positions table and
+      // nothing else (no documents scan anywhere)
+      val scans = q.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }
+      assert(scans.size == 2, s"expected the two positions scans:\n${scans.mkString("\n")}")
+      scans.foreach { f =>
+        assert(!f.toString.contains("documents"), s"corpus scan in indexed plan:\n$f")
+        assert(f.bucketedScan, s"positions scan not bucket-aware:\n$f")
+        assert(f.optionalBucketSet.isDefined, s"no bucket pruning applied:\n$f")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache() // the driver-harness rule
+    }
+  }
+
   test("positions follow the lifecycle: delete excises, append+compact == rebuild") {
     import spark.implicits._
     def posRows(name: String): Set[(String, Long, Long)] =
