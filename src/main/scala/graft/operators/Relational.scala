@@ -1657,8 +1657,14 @@ object Relational {
     * fine at the sf0.01 gate, 10⁸× the work at corpus scale, which is
     * the point. Output (a_key, b_key, d), total order. */
   def q90FuzzyNameJoin(s: SparkSession, dir: String): DataFrame =
+    // cache before the total-order sort: the range exchange SAMPLES its
+    // child, and the expansion stage above the last shuffle would
+    // re-execute wholesale (measured ~2x the query at sf0.1) —
+    // query-scoped, harnesses clearCache after (the robustStatsByKey
+    // precedent); the cached frame is output-sized
     fuzzyPairs(Tables.customer(s, dir)
         .select(col("c_custkey").cast("long").as("k"), col("c_name").as("nm")))
+      .cache()
       .orderBy(col("a_key"), col("b_key"))
 
   /** The blocking + verify core over any (k BIGINT, nm STRING) frame —
