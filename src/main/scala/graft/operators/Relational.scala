@@ -1837,6 +1837,34 @@ object Relational {
       Seq("wq1_cents", "wmed_cents", "wq3_cents"))
       .orderBy(col("nation"))
 
+  /** PER-KEY WINSORIZED robust mean — the outlier-CLIPPING curation
+    * shape (q96's MAD cut REJECTS rows; winsorization keeps them at
+    * the per-key P5/P95 fence): per-brand part revenue clipped to the
+    * group's exact [P5, P95] through [[ExactPercentile.discByKey]],
+    * then one aggregation emits the fences, the clip count, and the
+    * winsorized SUM (integer cents — mean = wsum/n client-side, no
+    * float surface). The revenue frame is referenced twice (quantile
+    * pass + clip join) — cached, query-scoped; every shuffle keys on
+    * `brand`. 25 rows, total order on the unique key. */
+  def q100WinsorizedByKey(s: SparkSession, dir: String): DataFrame = {
+    val pr = Tables.lineitem(s, dir)
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("p_brand"))
+      .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("v"))
+      .select(col("p_brand").as("brand"), col("v"))
+      .cache()
+    val qs = ExactPercentile.discByKey(pr, "brand", "v",
+      Seq(0.05, 0.95), Seq("p05", "p95"))
+    pr.join(qs, Seq("brand"))
+      .groupBy(col("brand"))
+      .agg(max(col("p05")).as("p05_cents"), max(col("p95")).as("p95_cents"),
+        count(lit(1)).as("n_parts"),
+        sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        sum(greatest(least(col("v"), col("p95")), col("p05"))).as("wsum_cents"))
+      .orderBy(col("brand"))
+  }
+
   /** VALUE-RANGE window frames — the frame type q41's ROWS battery does
     * not cover: trailing-30-day and centered ±7-day frames over each
     * customer's order history, keyed on an integer day number
@@ -2035,6 +2063,7 @@ object Relational {
     "q97_equidepth_by_key" -> (q97EquidepthByKey _),
     "q98_cont_quartiles_by_key" -> (q98ContQuartilesByKey _),
     "q99_weighted_by_key" -> (q99WeightedByKey _),
+    "q100_winsorized_by_key" -> (q100WinsorizedByKey _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2690,6 +2719,22 @@ object Relational {
         |       CAST(COUNT(*) AS BIGINT) AS n_suppliers
         |FROM dev JOIN mad ON dev.nation = mad.nation
         |         JOIN med ON dev.nation = med.nation
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // per-key winsorization: quantile_disc matches the ceil(p*n) rank
+    // rule at ANY fraction (q85 precedent); fences/clip/sum all BIGINT
+    "q100_winsorized_by_key" ->
+      """WITH pr AS (SELECT p.p_brand AS k,
+        |                   CAST(SUM(CAST(floor(l.l_extendedprice*100.0+0.5) AS BIGINT)) AS BIGINT) AS v
+        |            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |            GROUP BY l.l_partkey, p.p_brand),
+        |qs AS (SELECT k, CAST(quantile_disc(v, 0.05) AS BIGINT) AS p05,
+        |              CAST(quantile_disc(v, 0.95) AS BIGINT) AS p95
+        |       FROM pr GROUP BY 1)
+        |SELECT pr.k AS brand, MAX(p05) AS p05_cents, MAX(p95) AS p95_cents,
+        |       CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |       CAST(SUM(CASE WHEN v < p05 OR v > p95 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+        |       CAST(SUM(GREATEST(LEAST(v, p95), p05)) AS BIGINT) AS wsum_cents
+        |FROM pr JOIN qs ON pr.k = qs.k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-key weighted quantiles: cumulative-weight window math per
     // key, threshold ceil(num*W/den) as (num*tw + den-1)//den —

@@ -327,6 +327,33 @@ class ExactPercentileSpec extends SparkSpec {
     }
   }
 
+  test("winsorization composition (q100 shape) equals the plain-Scala clip reference") {
+    // the q100 pipeline over a generated frame: per-key P5/P95 via
+    // discByKey, clip, count, sum — referenced against a plain-Scala
+    // sorted-multiset winsorization
+    val rows = (1 to 400).map { i =>
+      val k = s"k${i % 4}"
+      val v = if (i % 37 == 0) 100000L + i else ((i * 131) % 997).toLong
+      (k, v)
+    }
+    val df = rows.toDF("k", "v").cache()
+    val qs = ExactPercentile.discByKey(df, "k", "v", Seq(0.05, 0.95), Seq("p05", "p95"))
+    val got = df.join(qs, Seq("k")).groupBy(col("k"))
+      .agg(sum(when(col("v") < col("p05") || col("v") > col("p95"), 1L)
+        .otherwise(0L)).as("nc"),
+        sum(greatest(least(col("v"), col("p95")), col("p05"))).as("ws"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.groupBy(_._1).foreach { case (k, g) =>
+      val vs = g.map(_._2).sorted
+      def fence(p: Double) = vs(math.max(math.ceil(p * vs.size).toLong, 1L).toInt - 1)
+      val (lo, hi) = (fence(0.05), fence(0.95))
+      val nc = vs.count(v => v < lo || v > hi).toLong
+      val ws = vs.map(v => math.max(math.min(v, hi), lo)).sum
+      assert(got(k) == ((nc, ws)), s"key=$k: got ${got(k)} want ${(nc, ws)}")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("robustStatsGlobal equals the plain-Scala median/MAD/outlier reference") {
     def reference(vals: Seq[Long], k: Long): (Long, Long, Long, Long) = {
       def medOf(xs: Seq[Long]): Long = {

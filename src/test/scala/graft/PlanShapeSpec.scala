@@ -156,6 +156,20 @@ class PlanShapeSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
   }
 
+  test("q100: winsorization — group-key exchanges, one WindowExec, cached revenue reused") {
+    val p = plan(Relational.q100WinsorizedByKey(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "winsorization serialized through one reducer:\n" + p)
+    assert(p.contains("hashpartitioning(brand"),
+      "shuffles must key on the group column:\n" + p)
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    // pr is referenced twice (quantile pass + clip join) — must be
+    // cache-reused, not re-derived from the fact scans
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2,
+      "revenue subtree recomputed instead of cache-reused:\n" + p)
+    spark.catalog.clearCache()
+  }
+
   test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
     import org.apache.spark.sql.functions.col
     // below threshold (the driver-gate SFs): exact countDistinct — the
