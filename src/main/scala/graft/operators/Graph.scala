@@ -845,6 +845,68 @@ object Graph {
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
 
+  /** The part co-occurrence graph persisted (g10/g11's amortization
+    * twin, through the SAME generic [[writeEdgeIndexFrom]] machinery as
+    * the purchase graph): the lineitem self-join derivation runs once
+    * per fixture; both directions land bucketBy(src) and the triangle
+    * family reads the canonical (u < v) half back with one filter. */
+  private[graft] def sharedCooccurIndex(s: SparkSession, dir: String): String =
+    sharedGraphLock.synchronized {
+      val name = "graft_shared_cograph_" +
+        java.lang.Long.toHexString(
+          Tables.fixtureFingerprint(dir, "lineitem.parquet"))
+      val complete = s.catalog.tableExists(name + "_edges") &&
+        s.catalog.tableExists(name + "_stats")
+      if (!complete) {
+        val e = partEdges(s, dir)
+        writeEdgeIndexFrom(s,
+          e.select(col("u").as("src"), col("v").as("dst"))
+            .unionAll(e.select(col("v").as("src"), col("u").as("dst"))),
+          name)
+      }
+      name
+    }
+
+  /** The canonical (u < v) edge half off the persisted table. */
+  private def cooccurEdges(s: SparkSession, name: String): DataFrame =
+    s.table(name + "_edges").filter(col("src") < col("dst"))
+      .select(col("src").as("u"), col("dst").as("v"))
+
+  /** [[g10Triangles]] / [[g11ClusteringCoeff]] answered from the
+    * persisted co-occurrence edge table alone — the fact tables never
+    * appear. */
+  def trianglesIndexed(s: SparkSession, name: String): DataFrame =
+    trianglesOn(cooccurEdges(s, name))
+  def clusteringCoeffIndexed(s: SparkSession, name: String): DataFrame =
+    clusteringCoeffOn(cooccurEdges(s, name))
+
+  /** Driver gate for the co-occurrence edge artifact (the g04 pattern):
+    * one row asserting both indexed triangle operators are
+    * ROW-IDENTICAL to their inline recomputations (exceptAll both ways,
+    * sound — all-integer outputs), `n_edges` read from the TABLE so the
+    * oracle's fact-table recomputation anchors the build. Memoized +
+    * bench-amortized. */
+  def g12CooccurIndexGate(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir,
+      Tables.fixtureFingerprint(dir, "lineitem.parquet"), "g12")(
+      g12Body(s, dir))
+
+  private def g12Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedCooccurIndex(s, dir)
+    // cache: each equality flag references its side twice (exceptAll
+    // both ways); query-scoped, harnesses clearCache() after
+    val trA = g10Triangles(s, dir).cache()
+    val trB = trianglesIndexed(s, name).cache()
+    val ccA = g11ClusteringCoeff(s, dir).cache()
+    val ccB = clusteringCoeffIndexed(s, name).cache()
+    def eq(a: DataFrame, b: DataFrame, flag: String) =
+      a.exceptAll(b).unionByName(b.exceptAll(a))
+        .agg((count(lit(1)) === 0).as(flag))
+    s.table(name + "_edges").agg(count(lit(1)).as("n_edges"))
+      .crossJoin(eq(trA, trB, "triangles_indexed_matches_inline"))
+      .crossJoin(eq(ccA, ccB, "coeff_indexed_matches_inline"))
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -921,6 +983,7 @@ object Graph {
     "g09_personalized_pagerank" -> (g09PersonalizedPageRank _),
     "g10_triangles" -> (g10Triangles _),
     "g11_clustering_coeff" -> (g11ClusteringCoeff _),
+    "g12_cooccur_index_gate" -> (g12CooccurIndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1111,6 +1174,17 @@ object Graph {
         |  CAST((SELECT COUNT(*) FROM e e1
         |        JOIN e e2 ON e1.v = e2.u
         |        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v) AS BIGINT) AS n_triangles""".stripMargin,
+    // n_edges recomputed from the fact tables (2x the canonical pairs —
+    // both directions), equality flags pinned TRUE (the g04 pattern)
+    "g12_cooccur_index_gate" ->
+      """WITH e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |                           CAST(b.l_partkey AS BIGINT) AS v
+        |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |           WHERE a.l_partkey < b.l_partkey)
+        |SELECT CAST(2*COUNT(*) AS BIGINT) AS n_edges,
+        |  TRUE AS triangles_indexed_matches_inline,
+        |  TRUE AS coeff_indexed_matches_inline
+        |FROM e""".stripMargin,
     // per-node coefficient: each canonical (a<b<c) triangle credits its
     // three vertices; the scaled division mirrors Spark's div (// on
     // HUGEINT-safe integer products)

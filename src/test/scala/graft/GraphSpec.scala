@@ -350,6 +350,15 @@ class GraphSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("g12 gate: indexed triangles and clustering coeff are row-identical to inline") {
+    val rows = Graph.g12CooccurIndexGate(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) > 0)      // n_edges
+    assert(rows.head.getBoolean(1), "indexed triangles drifted from inline")
+    assert(rows.head.getBoolean(2), "indexed clustering coeff drifted from inline")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("g08 gate: sssp from the weighted edge table matches the inline computation") {
     try {
       val rows = Graph.g08SsspIndexGate(spark, sf).collect()
