@@ -101,7 +101,7 @@ object Bench {
     "d05_dedup_survivors", "d12_stream_dedup_gate", "d16_dedup_keep_best",
     "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
     "g04_graph_index_gate", "g05_edge_lifecycle_gate", "g08_sssp_index_gate",
-    "g12_cooccur_index_gate",
+    "g10_triangles", "g11_clustering_coeff", "g12_cooccur_index_gate",
     "s04_ann_recall_gate", "s07_ann_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",

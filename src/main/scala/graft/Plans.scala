@@ -63,10 +63,15 @@ object Plans {
     "q92_asof_forward" -> "forward as-of: the q23 one-shuffle tagged-union shape mirrored — first() over the FOLLOWING frame instead of last() over PRECEDING, one WindowExec, no range nested-loop",
     "g06_pagerank_directed" -> "directed PageRank with dangling redistribution: edges src-partitioned+cached once (no Exchange above the edge scan), per-iteration sink-mass fold is a 1-row BIGINT agg broadcast back (single division — run-order exact), node frames localCheckpointed so this final plan is the top-100 TakeOrderedAndProject over a flat local relation",
     "g09_personalized_pagerank" -> "personalized PageRank from the PERSISTED weighted edge index: Bucketed: true _edges scan, zero edge-side Exchange (pinned), seed set broadcast, weighted shares staged multiply-then-divide (overflow-safe), per-dst sums map-combined — final plan is the top-100 over the flat checkpointed rank frame",
-    "g10_triangles" -> "edge-iterator triangle counting: degree-ordered orientation (okey = deg*2^32 + id) bounds out-degree by O(sqrt E); per-edge closure is array_intersect over sorted out-neighbor arrays joined onto the edge frame — wedges are NEVER materialized as rows (1.9x faster than the wedge+semi-join shape at sf0.1), intersect sizes sum map-side; never the unfiltered 3-way edge self-join",
+    "g10_triangles" -> "triangle count SERVED from the shared memoized core (persisted co-occurrence artifact + once-per-fixture oriented-adjacency closure — this final plan is two 1-row aggs over the flat checkpointed perEdge/deg relations); the core's edge-iterator shape (degree-ordered orientation okey = deg*2^32 + id bounding out-degree O(sqrt E), array_intersect over sorted out-neighbor arrays, wedges NEVER materialized, map-side intersect-size sum) is pinned in PlanShapeSpec on the inline twin g12 keeps row-identical",
+    "g11_clustering_coeff" -> "clustering coefficient SERVED from the same shared core as g10: triangle-count-bounded credit explode (src/dst get witness-set sizes, witnesses get 1) unions into ONE map-combined per-node sum, degree left-join, integer coef_e6 division, top-100 TakeOrderedAndProject — no second wedge pass, no CartesianProduct; the credit/tail shape is pinned in PlanShapeSpec on the inline twin",
     "q93_skyline" -> "2-D skyline: per-(price,size) counts + per-price max (both map-combined), shard-partitioned prefix-max window + broadcast strict-prefix shard maxima, survivors equi-join back — no quadratic dominance join",
     "q94_equidepth_bins" -> "global equi-depth histogram: the q85 CDF pass with integer bucket ids (cum*B + n-1) div n — per-value counts map-combined, shard-partitioned cumulative window, tiny bucket agg; exact global ntile with NO single-reducer window, no global sort",
     "q96_robust_by_key" -> "per-key robust stats: two discByKey passes + med/mad joins + final count, EVERY shuffle keyed on the group column (one partitioning reused end-to-end, no driver round-trips — contrast q95's global twin where 1-row pass results become literals)",
+    "q97_equidepth_by_key" -> "per-key equi-depth bins: per-(key,value) counts map-combined, ONE cumulative window partitioned on the REAL group key (no shard machinery — the key set is the parallelism), bucket ids (cum*B + n-1) div n with per-key n as an integer COLUMN joined on the key — no driver round-trips, every shuffle on the group column",
+    "q98_cont_quartiles_by_key" -> "per-key interpolated quartiles x4: one per-(key,value) count pass + cumulative window on the group key serves all four fractions; lo/hi bracket ranks are integer COLUMNS (per-key n varies — contrast q88's global twin where they are driver literals), interpolation in scaled BIGINT — every shuffle keyed on the group column",
+    "q99_weighted_by_key" -> "per-key WEIGHTED quartiles: cumulative-WEIGHT window over per-(key,value) weight sums (the per-unit multiset is never expanded), threshold ranks as integer columns off the per-key weight totals join — every shuffle on the group key, no driver round-trips",
+    "q100_winsorized_by_key" -> "per-key winsorized mean: a discByKey pass computes exact per-key P5/P95 fences, the clip join re-reads the CACHED revenue frame (one scan feeds both quantile pass and clip), clipped values sum as integer cents — every shuffle on the group key",
     "t45_phrase_indexed" -> "phrase search from the PERSISTED positional index: bucket-PRUNED Bucketed: true _positions scan (term IN prunes bucket files), phrase table broadcast, one candidate-start shuffle — the corpus is never re-tokenized (zero documents scan)")
 
   def main(args: Array[String]): Unit = {

@@ -610,6 +610,47 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g11: clustering coeff — credit explode bounded by closures, one map-combined credit sum, top-100 heap") {
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+      val p = graft.operators.Graph.clusteringCoeffOn(edges)
+        .queryExecution.executedPlan
+      val str = p.toString
+      // per-node output — there is NO intentional 1-row crossJoin here,
+      // so ANY nested-loop join is a defect (stricter than g10's walk)
+      assert(!str.contains("CartesianProduct"), str)
+      assert(!str.contains("BroadcastNestedLoopJoin"),
+        "data-sized nested-loop join in the coefficient tail:\n" + str)
+      // the closure still comes from the shared edge-iterator core
+      assert(str.contains("array_intersect"),
+        "per-edge closure lost its array_intersect:\n" + str)
+      // witness credits surface through ONE explode of the intersect
+      // arrays (triangle-count-bounded) — never a second wedge pass
+      val gens = p.collect {
+        case g: org.apache.spark.sql.execution.GenerateExec => g
+      }
+      assert(gens.size == 1,
+        s"expected exactly one explode (the witness credit), got ${gens.size}:\n" + str)
+      // the per-node credit sum map-combines below its node-keyed
+      // Exchange (partial agg present)
+      val partials = p.collect {
+        case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+          if a.aggregateExpressions.exists(_.mode ==
+            org.apache.spark.sql.catalyst.expressions.aggregate.Partial) => a
+      }
+      assert(partials.nonEmpty, "credit sum not map-combined:\n" + str)
+      // top-100 by (coef_e6, node) runs as a bounded heap, never a
+      // global sort over all nodes
+      assert(str.contains("TakeOrderedAndProject"),
+        "top-100 is not a TakeOrderedAndProject:\n" + str)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("s01: native vector_dot runs inside whole-stage codegen") {
     // AQE wraps the plan until execution; disable it so WholeStageCodegen
     // nodes are visible in the static physical plan.

@@ -13,33 +13,61 @@ inside the committed band / within 2x the historical median even though
 it exceeds 2x the best-ever floor — the q85/d10 pattern that burned a
 manual triage every round).
 
+Round-12 hardening (both ADVICE lows):
+ - a slot whose receipt verdict was "regressed" does NOT enter history:
+   its headline carries the raw (regressed) bench value, and folding it
+   would let a persistent regression self-exonerate as "weather" one
+   round later (the adjudication-ratchet hole). The floor min-fold is
+   unaffected — a genuinely regressed value never lowers a min.
+ - folding is idempotent per bench artifact: each folded file's content
+   hash is recorded under `folded_hashes` (bounded list); re-running the
+   fold on the same BENCH_LATEST skips its history append (duplicate
+   entries would skew the median/max band), while the min-fold is
+   idempotent by construction.
+
 Usage: tools/fold_baseline.py [extra.json ...]
   Folds BENCH_LATEST.json plus any extra bench-format files given.
 """
+import hashlib
 import json
 import sys
 
 HIST_N = 8
+FOLDED_N = 16
 
 base = json.load(open("BENCH_BASELINE.json"))
 b = base["queries"]
 hist = base.setdefault("history", {})
+folded = base.setdefault("folded_hashes", [])
 live = set()
 for path in ["BENCH_LATEST.json"] + sys.argv[1:]:
-    lat = json.load(open(path))
+    raw = open(path, "rb").read()
+    lat = json.loads(raw)
     live |= set(lat["queries"])
+    fh = hashlib.sha256(raw).hexdigest()[:16]
+    already = fh in folded
+    if already:
+        print(f"{path}: already folded (hash {fh}) — skipping history append")
+    else:
+        folded.append(fh)
+        del folded[:-FOLDED_N]
     for k, v in lat["queries"].items():
+        receipt = lat.get("receipts", {}).get(k, {})
         # receipts carry the adjudicated warm-probe value; prefer it
         # (probe may legitimately be 0.0 — only None means absent)
-        probe = lat.get("receipts", {}).get(k, {}).get("probe")
+        probe = receipt.get("probe")
         cand = min(v, probe) if probe is not None else v
         b[k] = min(b.get(k, cand), cand)
         # history records the headline value (already probe-adjusted
         # for noise/weather slots) — the band a quiet-vs-hot host
-        # actually produces, which is what adjudication compares against
-        h = hist.setdefault(k, [])
-        h.append(round(v, 3))
-        del h[:-HIST_N]
+        # actually produces, which is what adjudication compares against.
+        # "regressed" slots are excluded: their headline is the raw
+        # regressed value, and appending it would pull the band up to
+        # meet the regression.
+        if not already and receipt.get("verdict") != "regressed":
+            h = hist.setdefault(k, [])
+            h.append(round(v, 3))
+            del h[:-HIST_N]
 # queries retired from the live suite would silently inflate the sum —
 # report and prune them so `value` tracks the suite actually benched
 stale = sorted(set(b) - live)
