@@ -49,8 +49,20 @@ object Bench {
   /** Parse the `"history":{"name":[v,...],...}` object BENCH_BASELINE
     * carries since round 11 (maintained by tools/fold_baseline.py: the
     * last N per-query headline values from recent committed benches).
-    * The object nests only ARRAYS, so brace-matching stays flat. */
+    * The object nests only ARRAYS, so brace-matching stays flat —
+    * [[historyFormatFlat]] guards that assumption LOUDLY (round-11
+    * ADVICE: if the object ever gained nested braces, `[^}]*` would
+    * silently truncate at the first inner `}` and every verdict would
+    * degrade to the floor-only rule with no error). */
+  private[graft] def historyFormatFlat(json: String): Boolean =
+    """"history"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
+      .forall(!_.group(1).contains("{"))
   private[graft] def parseHistory(json: String): Map[String, Seq[Double]] = {
+    if (!historyFormatFlat(json))
+      System.err.println("[bench] BENCH_BASELINE history contains nested " +
+        "braces — the flat-object parse TRUNCATED and receipt " +
+        "adjudication is degraded to the floor-only rule; fix the file " +
+        "format or teach parseHistory the new shape")
     val obj = """"history"\s*:\s*\{([^}]*)\}""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     """"([A-Za-z0-9_]+)"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(obj)
@@ -102,6 +114,7 @@ object Bench {
     "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
     "g04_graph_index_gate", "g05_edge_lifecycle_gate", "g08_sssp_index_gate",
     "g10_triangles", "g11_clustering_coeff", "g12_cooccur_index_gate",
+    "g13_edge_ingest_gate",
     "s04_ann_recall_gate", "s07_ann_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",

@@ -708,11 +708,37 @@ object TextAnalysis {
     * retry of a crashed batch can never stack its rows on top of the
     * crashed batch's partial data (double-counted tf on the re-agg
     * read), and the crashed journal row is gone before the retry
-    * commits the same doc_ids under a new batch_id. */
+    * commits the same doc_ids under a new batch_id.
+    *
+    * ALREADY-COMMITTED doc_ids are dropped from the incoming batch
+    * (round-11 ADVICE — the one crash path heal could not cover: a
+    * crashed batch re-submitting a doc committed by an EARLIER batch
+    * would land its partial rows permanently, because heal rightly
+    * exempts committed doc_ids from excision). The duplicate set is
+    * committed-journal ∩ incoming — bounded by the batch size, usually
+    * empty — collected and anti-joined as a LOCAL relation, so the
+    * batch's table writes never carry a plan that reads the journal
+    * they append to. A fully-redelivered committed batch degenerates
+    * to an empty append (journal + (0,0) stats row — harmless). */
   def appendToTextIndex(newDocs: DataFrame, name: String,
       numBuckets: Int = 8): Unit = {
-    healTextIndexAppends(newDocs.sparkSession, name)
-    textIndexBatch(newDocs, name, numBuckets, "append")
+    val s = newDocs.sparkSession
+    healTextIndexAppends(s, name)
+    import org.apache.spark.sql.functions.broadcast
+    val dupIds = s.table(name + "_batches")
+      .join(s.table(name + "_stats").select(col("batch_id")).distinct(),
+        Seq("batch_id"), "left_semi")
+      .select(col("doc_id")).distinct()
+      .join(newDocs.select(col("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+      .collect().map(_.getLong(0))
+    val fresh =
+      if (dupIds.isEmpty) newDocs
+      else {
+        import s.implicits._
+        newDocs.join(broadcast(dupIds.toSeq.toDF("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }
+    textIndexBatch(fresh, name, numBuckets, "append")
   }
 
   /** Detect and excise incomplete appends (crashed between the
@@ -726,8 +752,10 @@ object TextAnalysis {
     * caller — [[appendToTextIndex]] now heals first), the retry's
     * committed docs survive and only the stale journal row is dropped
     * (the double-landed partial rows of that legacy state are not
-    * reconstructible — documented, unreachable through the current
-    * append path). Returns the number of excised doc_ids; 0 means no
+    * reconstructible — documented; unreachable through the current
+    * append path, which also drops already-committed doc_ids from the
+    * incoming batch, closing the committed-doc re-submission crash —
+    * round-11 ADVICE). Returns the number of excised doc_ids; 0 means no
     * data rows needed excision (stale journal rows may still have been
     * cleaned). */
   def healTextIndexAppends(s: SparkSession, name: String): Long = {

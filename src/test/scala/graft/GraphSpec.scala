@@ -239,6 +239,84 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  /** Plain-Scala synchronous LPA over a both-direction weighted edge
+    * list (the t28 plain-reference pattern): per round every node takes
+    * the label with the largest weighted in-neighbour vote, ties to the
+    * smallest label. */
+  private def refLpa(we: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
+    var labels = we.map(_._1).distinct.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = we.groupBy(_._2).map { case (dst, es) =>
+        val votes = es.groupBy(e => labels(e._1))
+          .map { case (l, g) => (l, g.map(_._3).sum) }
+        dst -> votes.toSeq.sortBy { case (l, ws) => (-ws, l) }.head._1
+      }
+    }
+    labels
+  }
+
+  private def biW(es: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
+    es ++ es.map(e => (e._2, e._1, e._3))
+
+  test("lpaOn matches the plain-Scala reference: bridged triangles, tie-break, star, oscillator") {
+    // two heavy triangles joined by a weak bridge → two communities;
+    // an equal-weight path exercises the smallest-label tie-break; a
+    // star collapses to the hub's star-of-ids dynamics; a single edge
+    // OSCILLATES under synchronous LPA (labels swap each round) — the
+    // bounded-round contract must reproduce it, not hide it
+    val bridged = biW(Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L), (3L, 4L, 1L)))
+    val tiePath = biW(Seq((1L, 2L, 3L), (2L, 3L, 3L)))
+    val star = biW((2L to 8L).map(i => (1L, i, 2L)))
+    val oscillator = biW(Seq((1L, 2L, 7L)))
+    for (g <- Seq(bridged, tiePath, star, oscillator)) {
+      val got = Graph.lpaOn(g.toDF("src", "dst", "w"), rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = refLpa(g, rounds = 4)
+      assert(got == want, s"graph $g: got $got want $want")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("g14 fixture: more than one community, fewer communities than nodes (non-degenerate)") {
+    val rows = Graph.g14LpaCommunities(spark, sf).collect()
+    val nComm = rows.length.toLong
+    val nNodes = rows.map(_.getLong(1)).sum
+    assert(nComm > 1L, "LPA percolated to ONE community — degenerate fixture")
+    assert(nComm < nNodes, "every node kept its own label — vacuous propagation")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("appendToEdgeIndex is idempotent: the same batch delivered twice inserts zero duplicates") {
+    import spark.implicits._
+    val name = "graft_spec_ingest_idem"
+    try {
+      Graph.writeEdgeIndexFrom(spark,
+        Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"), name, numBuckets = 2)
+      val batch = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+      Graph.appendToEdgeIndex(spark, batch, name)
+      val n1 = spark.table(name + "_edges").count()
+      assert(n1 == 4L, "overlap row (1,2) re-inserted on first append")
+      Graph.appendToEdgeIndex(spark, batch, name) // at-least-once redelivery
+      assert(spark.table(name + "_edges").count() == n1,
+        "redelivered batch inserted duplicate edges")
+      assert(spark.table(name + "_edges")
+        .groupBy(col("src"), col("dst")).count()
+        .filter(col("count") > 1).isEmpty, "distinct-edge invariant broken")
+    } finally Seq("_edges", "_stats").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $name$sfx"))
+  }
+
+  test("g13 gate: streamed ingest converges — mid-crash queryable, redelivery zero, stream == rebuild") {
+    val r = Graph.g13EdgeIngestGate(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(0) > 0L)
+    assert(r.head.getBoolean(1), "table not queryable with crash debris in place")
+    assert(r.head.getBoolean(2), "redelivered micro-batch inserted rows")
+    assert(r.head.getBoolean(3), "streamed index drifted from the from-scratch rebuild")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("g10 fixture: one row, bipartite-free edge definition yields triangles") {
     val r = Graph.g10Triangles(spark, sf).collect()
     assert(r.length == 1)

@@ -566,6 +566,50 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g14: LPA vote reads the bucketed weighted co-occurrence edges with zero edge-side Exchange, argmax is a HashAggregate") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one round's vote exactly as lpaOn runs it (the loop checkpoints
+      // each round, so the final df's plan can't show them) — over the
+      // persisted weighted co-occurrence table
+      val name = graft.operators.Graph.sharedWeightedCooccurIndex(spark, sf)
+      val we = spark.table(name + "_edges")
+      val labels = Seq((0L, 0L)).toDF("node", "label")
+      val p = graft.operators.Graph.lpaVote(we, labels)
+        .queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      val scans = p.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "w") => f
+      }
+      assert(scans.nonEmpty, "no weighted-edge-table scan in the plan:\n" + p)
+      scans.foreach(f => assert(f.bucketedScan,
+        s"edge scan not bucket-aware (the bucketed layout IS the repartition):\n$f"))
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case f: FileSourceScanExec => f.output.exists(_.name == "w")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"weighted co-occurrence edge rows cross an Exchange:\n$e"))
+      // the packed-BIGINT argmax must stay hash-aggregable (the d19
+      // numeric-pack rule: a struct/min buffer would SortAggregate the
+      // whole vote stream)
+      assert(!str.contains("SortAggregate"),
+        "LPA argmax fell back to SortAggregate:\n" + str)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("g10: edge-iterator triangles — no wedge materialization, every data join an equi-join") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "false")

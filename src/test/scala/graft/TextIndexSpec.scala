@@ -448,6 +448,40 @@ class TextIndexSpec extends SparkSpec {
     } finally dropIndex("graft_txt_retry")
   }
 
+  test("append drops already-committed doc_ids: the committed-doc re-submission crash cannot double rows") {
+    import spark.implicits._
+    def rows(name: String) = TextAnalysis.bm25TopIndexed(spark, name).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val inline = TextAnalysis.bm25Top(planted).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    TextAnalysis.writeTextIndex(planted.filter(col("doc_id") <= 3),
+      "graft_txt_dup", numBuckets = 4)
+    try {
+      // batch 1 OVERLAPS the committed corpus (doc 3 re-submitted beside
+      // new docs 4-6): the input dedupe drops doc 3 up-front, so the
+      // overlap cannot double its postings even before any crash
+      TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") >= 3),
+        "graft_txt_dup", numBuckets = 4)
+      assert(rows("graft_txt_dup") == inline,
+        "overlapping append double-landed a committed doc")
+      assert(spark.table("graft_txt_dup_batches")
+        .filter(col("batch_id") === 1L && col("doc_id") === 3L).isEmpty,
+        "journal recorded the dropped duplicate doc under the new batch")
+      // now the round-11 ADVICE crash path: crash batch 1 mid-append
+      // (its stats row cut), then RETRY the same overlapping batch.
+      // Pre-fix, doc 3's partial rows would survive heal (committed
+      // exemption) and the retry would stack a second copy.
+      cutStatsRow("graft_txt_dup", 1L)
+      TextAnalysis.appendToTextIndex(planted.filter(col("doc_id") >= 3),
+        "graft_txt_dup", numBuckets = 4)
+      assert(rows("graft_txt_dup") == inline,
+        "committed-doc re-submission crash left doubled rows")
+      assert(TextAnalysis.healTextIndexAppends(spark, "graft_txt_dup") == 0L)
+      assert(rows("graft_txt_dup") == inline,
+        "post-retry heal excised retried docs")
+    } finally dropIndex("graft_txt_dup")
+  }
+
   test("append WAL: a half-landed batch is detectable and heals from the artifact alone") {
     import spark.implicits._
     def rows(name: String) = TextAnalysis.bm25TopIndexed(spark, name).collect()
