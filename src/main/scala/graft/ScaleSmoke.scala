@@ -39,6 +39,7 @@ object ScaleSmoke {
     if (a.contains("cdf100")) { cdf100(spark); spark.stop(); return }
     if (a.contains("fz100")) { fz100(spark); spark.stop(); return }
     if (a.contains("tr100")) { tr100(spark); spark.stop(); return }
+    if (a.contains("lp100")) { lp100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -1077,5 +1078,48 @@ object ScaleSmoke {
       f"ratio=${s4 / s1}%.1f x for 4x edges (avg degree held)")
     assert(s4 / s1 < 8.0,
       f"4x edges cost ${s4 / s1}%.1f x — super-linear blowup in the triangle core")
+  }
+
+  /** lp100: LPA scale smoke. Per round the core moves one edge-sized
+    * join output plus a (node, label)-bounded vote frame — linear in E
+    * at a fixed round count; V grows with E to hold average degree
+    * (the tr100 protocol), and weights are deterministic xxhash in
+    * [1, 9]. Asserts the 4×-edges time ratio stays near-linear
+    * (correctness is the g14 oracle's job; this smokes the SHAPE). */
+  private def lp100(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    def gen(nEdges: Long): DataFrame = {
+      val v = math.max(4L, math.sqrt(nEdges.toDouble).toLong * 50L)
+      val p = spark.range(nEdges * 2) // oversample: self-loops and dups drop
+        .select(pmod(xxhash64(col("id")), lit(v)).as("a"),
+          pmod(xxhash64(col("id") + 1000000007L), lit(v)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+        .select(col("u"), col("v"),
+          (pmod(xxhash64(col("u") * 31L + col("v")), lit(9L)) + 1L).as("w"))
+      p.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(p.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        .repartition(col("src")).sortWithinPartitions(col("src")).cache()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(nEdges: Long): (Long, Double) = {
+      val we = gen(nEdges)
+      val (n, secs) = time(Graph.lpaOn(we, rounds = 4)
+        .agg(countDistinct(col("label"))).collect().head.getLong(0))
+      spark.catalog.clearCache()
+      (n, secs)
+    }
+    run(200000L) // soak warmup
+    val (c1, s1) = run(500000L)
+    val (c4, s4) = run(2000000L)
+    println(f"LP100 E=500k comm=$c1 ${s1}%.1f s; E=2M comm=$c4 ${s4}%.1f s; " +
+      f"ratio=${s4 / s1}%.1f x for 4x edges (avg degree held)")
+    assert(s4 / s1 < 8.0,
+      f"4x edges cost ${s4 / s1}%.1f x — super-linear blowup in the LPA core")
   }
 }

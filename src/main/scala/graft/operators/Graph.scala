@@ -1241,6 +1241,82 @@ object Graph {
     } finally q.stop()
   }
 
+  /** Shared oracle prefix for the LPA family: the weighted thresholded
+    * co-occurrence graph and the 4 unrolled synchronous rounds (l4 =
+    * the final labelling — see the g14 oracle note on pack parity). */
+  private def LpaCtes: String = {
+    val iters = (1 to 4).map { k =>
+      s"""s$k AS (SELECT we.dst AS node, l.label, CAST(SUM(we.w) AS BIGINT) AS ws
+         |        FROM we JOIN l${k - 1} l ON l.node = we.src GROUP BY 1, 2),
+         |l$k AS (SELECT node,
+         |          4294967295 - (MAX(ws * 4294967296 + (4294967295 - label))
+         |            % 4294967296) AS label
+         |        FROM s$k GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (SELECT DISTINCT a.l_orderkey AS ok,
+       |                  CAST(a.l_partkey AS BIGINT) AS u,
+       |                  CAST(b.l_partkey AS BIGINT) AS v
+       |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |           WHERE a.l_partkey < b.l_partkey),
+       |p AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM t
+       |      GROUP BY u, v HAVING COUNT(*) >= $CooccurTh),
+       |we AS (SELECT u AS src, v AS dst, w FROM p
+       |       UNION ALL SELECT v, u, w FROM p),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM we),
+       |$iters""".stripMargin
+  }
+
+  /** MODULARITY of the g14 LPA partition — the community-QUALITY metric
+    * (Newman Q) that tells a pipeline whether the labelling is worth
+    * acting on, in EXACT integers: over the both-direction weighted
+    * adjacency, Q = intra/2m − Σ_c (tot_c/2m)² = (intra·2m − Σ tot_c²)
+    * / (2m)², emitted as q_e9 = ⌊(Q+1)·10⁹⌋ − 10⁹ through 128-bit
+    * arithmetic (DECIMAL(38,0) `div` ↔ DuckDB HUGEINT `//`, the t37
+    * parity pattern — intra·2m·10⁹ overflows BIGINT at sf0.1 scale).
+    * The +D offset keeps the dividend non-negative (Q ≥ −1 always), so
+    * truncating and flooring division agree in both engines. Strengths
+    * come off the src-grouped edge frame (tot_c = Σ_{i∈c} k_i falls out
+    * of grouping outgoing weight by the SOURCE's community). One row:
+    * (n_communities, m2, intra, q_e9), all BIGINT. */
+  def g15Modularity(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedWeightedCooccurIndex(s, dir)
+    val we = s.table(name + "_edges")
+    modularityOn(we, lpaOn(we, rounds = 4))
+  }
+
+  /** The modularity core over an arbitrary both-direction weighted edge
+    * frame and a (node, label) partition — exposed for the differential
+    * spec. The labels frame is a projection of [[lpaOn]]'s checkpointed
+    * relation (cheap to reference twice); the edge frame is read once
+    * per label side. */
+  private[graft] def modularityOn(we: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val lw = we
+      .join(labels.select(col("node").as("_s"), col("label").as("cs")),
+        we("src") === col("_s"))
+      .join(labels.select(col("node").as("_d"), col("label").as("cd")),
+        we("dst") === col("_d"))
+      .select(we("w").as("w"), col("cs"), col("cd"))
+    val sums = lw.agg(sum(col("w")).as("m2"),
+      sum(when(col("cs") === col("cd"), col("w")).otherwise(lit(0L)))
+        .as("intra"))
+    val tot = lw.groupBy(col("cs"))
+      .agg(sum(col("w")).as("k"))
+      .agg(count(lit(1)).as("n_communities"),
+        sum(expr("CAST(k AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0))"))
+          .as("sumtot2"))
+    sums.crossJoin(tot)
+      .select(col("n_communities"), col("m2"), col("intra"),
+        expr("""CASE WHEN m2 > 0 THEN
+                  CAST(((CAST(intra AS DECIMAL(38,0)) * CAST(m2 AS DECIMAL(38,0))
+                         - sumtot2
+                         + CAST(m2 AS DECIMAL(38,0)) * CAST(m2 AS DECIMAL(38,0)))
+                        * 1000000000)
+                    div (CAST(m2 AS DECIMAL(38,0)) * CAST(m2 AS DECIMAL(38,0)))
+                    - 1000000000 AS BIGINT)
+                ELSE NULL END""").as("q_e9"))
+  }
+
   /** Shared CTE prefix: the purchase graph in DuckDB terms.
     *
     * UNDIRECTED-ONLY oracle contract (round-9 ADVICE): g01's p_k CTE
@@ -1272,6 +1348,7 @@ object Graph {
     "g12_cooccur_index_gate" -> (g12CooccurIndexGate _),
     "g13_edge_ingest_gate" -> (g13EdgeIngestGate _),
     "g14_lpa_communities" -> (g14LpaCommunities _),
+    "g15_modularity" -> (g15Modularity _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1515,30 +1592,33 @@ object Graph {
     // vote's HashAggregate fold; DuckDB % on positive BIGINTs matches
     // Spark's % here). Early-stop parity: the Spark core only skips
     // rounds that provably change nothing.
-    "g14_lpa_communities" -> {
-      val iters = (1 to 4).map { k =>
-        s"""s$k AS (SELECT we.dst AS node, l.label, CAST(SUM(we.w) AS BIGINT) AS ws
-           |        FROM we JOIN l${k - 1} l ON l.node = we.src GROUP BY 1, 2),
-           |l$k AS (SELECT node,
-           |          4294967295 - (MAX(ws * 4294967296 + (4294967295 - label))
-           |            % 4294967296) AS label
-           |        FROM s$k GROUP BY node)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH t AS (SELECT DISTINCT a.l_orderkey AS ok,
-         |                  CAST(a.l_partkey AS BIGINT) AS u,
-         |                  CAST(b.l_partkey AS BIGINT) AS v
-         |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-         |           WHERE a.l_partkey < b.l_partkey),
-         |p AS (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM t
-         |      GROUP BY u, v HAVING COUNT(*) >= $CooccurTh),
-         |we AS (SELECT u AS src, v AS dst, w FROM p
-         |       UNION ALL SELECT v, u, w FROM p),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM we),
-         |$iters
+    "g14_lpa_communities" ->
+      s"""$LpaCtes
          |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
          |  CAST(SUM(node) AS BIGINT) AS node_sum
-         |FROM l4 GROUP BY label ORDER BY community""".stripMargin
-    },
+         |FROM l4 GROUP BY label ORDER BY community""".stripMargin,
+    // modularity in exact 128-bit integers (the t37 HUGEINT ↔
+    // DECIMAL(38,0) parity pattern): Q = (intra·2m − Σ tot_c²)/(2m)²
+    // folded through the nonneg-offset floor ((num + D)·10⁹ // D − 10⁹
+    // — Q ≥ −1 keeps the dividend ≥ 0, where truncation and floor
+    // agree in both engines)
+    "g15_modularity" ->
+      s"""$LpaCtes,
+         |lw AS (SELECT we.w AS w, ls.label AS cs, ld.label AS cd
+         |       FROM we JOIN l4 ls ON ls.node = we.src
+         |               JOIN l4 ld ON ld.node = we.dst),
+         |sm AS (SELECT CAST(SUM(w) AS HUGEINT) AS m2,
+         |              CAST(SUM(CASE WHEN cs = cd THEN w ELSE 0 END) AS HUGEINT) AS intra
+         |       FROM lw),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |              CAST(SUM(k * k) AS HUGEINT) AS sumtot2
+         |       FROM (SELECT CAST(SUM(CAST(w AS HUGEINT)) AS HUGEINT) AS k
+         |             FROM lw GROUP BY cs) x)
+         |SELECT tt.n_communities, CAST(sm.m2 AS BIGINT) AS m2,
+         |  CAST(sm.intra AS BIGINT) AS intra,
+         |  CAST(((sm.intra * sm.m2 - tt.sumtot2 + sm.m2 * sm.m2) * 1000000000)
+         |       // (sm.m2 * sm.m2) - 1000000000 AS BIGINT) AS q_e9
+         |FROM sm, tt""".stripMargin,
     // post-delete edge count recomputed from the fact tables (the gate
     // reads the appended+deleted+compacted TABLE — anchoring the whole
     // lifecycle), deletion set generated from the same constant

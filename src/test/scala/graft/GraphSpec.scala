@@ -278,6 +278,45 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("modularityOn matches an exact BigInt reference (bridged triangles, star, single triangle)") {
+    import spark.implicits._
+    def refQ(we: Seq[(Long, Long, Long)],
+        lab: Map[Long, Long]): (Long, Long, Long, Long) = {
+      val m2 = BigInt(we.map(_._3).sum)
+      val intra = BigInt(we.filter(e => lab(e._1) == lab(e._2)).map(_._3).sum)
+      val tot = we.groupBy(e => lab(e._1)).values
+        .map(es => BigInt(es.map(_._3).sum))
+      val d = m2 * m2
+      val q = ((intra * m2 - tot.map(k => k * k).sum + d) *
+        BigInt(1000000000)) / d - BigInt(1000000000)
+      (tot.size.toLong, m2.toLong, intra.toLong, q.toLong)
+    }
+    val bridged = biW(Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (4L, 5L, 5L), (4L, 6L, 5L), (5L, 6L, 5L), (3L, 4L, 1L)))
+    val star = biW((2L to 8L).map(i => (1L, i, 2L)))
+    val triangle = biW(Seq((1L, 2L, 3L), (1L, 3L, 3L), (2L, 3L, 3L)))
+    for (g <- Seq(bridged, star, triangle)) {
+      val lab = refLpa(g, 4)
+      val got = Graph.modularityOn(g.toDF("src", "dst", "w"),
+        lab.toSeq.toDF("node", "label")).collect().head
+      val want = refQ(g, lab)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2),
+        got.getLong(3)) == want, s"graph $g labels $lab: got $got want $want")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
+  test("g15 fixture: one row, exact-integer Q defined and above the all-singletons floor") {
+    val r = Graph.g15Modularity(spark, sf).collect()
+    assert(r.length == 1)
+    assert(r.head.getLong(1) > 0L, "empty weighted co-occurrence graph")
+    // Q of the LPA partition must beat Q of all-singletons (= -sum
+    // tot_i^2/(2m)^2 < 0): a labelling with ANY intra mass clears it
+    assert(r.head.getLong(3) > -1000000000L && r.head.getLong(3) <= 1000000000L)
+    assert(r.head.getLong(2) > 0L, "LPA partition captured zero intra-community weight")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("g14 fixture: more than one community, fewer communities than nodes (non-degenerate)") {
     val rows = Graph.g14LpaCommunities(spark, sf).collect()
     val nComm = rows.length.toLong
