@@ -53,15 +53,15 @@ object Plans {
     "t39_hybrid_rrf" -> "hybrid BM25+vector RRF: query terms/vectors broadcast, per-term scores e6-floored before the integer sum, both legs cut top-20 through partial+final bounded heaps, windows only rank reduced rows",
     "t43_bm25_indexed" -> "BM25 from the PERSISTED posting-list index: bucket-PRUNED Bucketed: true _postings scan (term IN prunes bucket files), Exchange-free per-(term,doc) re-agg and df count on the bucket layout, 1-row stats broadcast — the corpus is never re-tokenized",
     "q85_global_quartiles" -> "global exact quartiles: distributed CDF — per-value counts, arithmetic-bounded shard totals collected, offsets broadcast, cumulative window partitioned by shard (no single-reducer stage)",
-    "g01_pagerank" -> "integer PageRank: edge set repartitioned+sorted+cached ONCE (InMemoryTableScan, no Exchange above it anywhere), 5 iterations shuffle only node-sized rank/contribution frames, in-sums map-combined before their Exchange",
-    "g02_bfs_levels" -> "label-frame BFS: per-hop frontier-only joins run as checkpointed jobs (this final plan shows the level aggregation over the flat hop relations + the distance spine left join); the hop shape itself is pinned in PlanShapeSpec",
+    "g01_pagerank" -> "integer PageRank SERVED from the persisted edge index (round 12): every iteration's edge side is the Bucketed: true _edges scan — zero edge-side Exchange, pinned — and only node-sized rank/contribution frames shuffle, in-sums map-combined; the fact tables never appear (g04 pins served == fresh inline)",
+    "g02_bfs_levels" -> "label-frame BFS from the persisted edge index: per-hop frontier-only joins against the Bucketed: true _edges scan run as checkpointed jobs (this final plan shows the level aggregation over the flat hop relations + the distance spine left join); the hop shape itself is pinned in PlanShapeSpec",
     "g03_components" -> "connected components: thresholded affinity pairs (map-combined count agg), pointer-jumping label rounds are checkpointed node-sized jobs, final per-component rollup",
-    "g07_shortest_paths" -> "bounded Bellman-Ford: weighted edges cached src-partitioned once, per-round frontier-only relaxation (map-combined per-dst min before its node-sized Exchange; shape pinned in PlanShapeSpec), final plan is the top-100 TakeOrderedAndProject over the flat checkpointed label frame",
+    "g07_shortest_paths" -> "bounded Bellman-Ford from the PERSISTED weighted edge index (round 12): per-round frontier-only relaxation against the Bucketed: true _edges scan (map-combined per-dst min before its node-sized Exchange; shape pinned in PlanShapeSpec), final plan is the top-100 TakeOrderedAndProject over the flat checkpointed label frame",
     "q88_global_cont_quartiles" -> "global interpolated quantiles: the q85 distributed CDF (per-value counts, shard-partitioned cumulative window, broadcast offsets) with lo/hi bracket ranks as driver literals — one pass serves all three fractions, output scaled-BIGINT",
     "q90_fuzzy_name_join" -> "fuzzy ed<=1 join: exact-duplicate names collapse to DISTINCT classes first, deletion-variant explode + variant EQUI-join run on classes only (never a cross join, never Sum(count(name)^2) candidates), levenshtein staged once, key pairs expand output-proportionally at the end (intra-class d=0 via a name-keyed self-join)",
     "q91_asof_nearest" -> "nearest as-of: tagged union shuffled once by key, backward last() + forward first() carries share ONE Window operator (same spec, frames differ), direction chosen by integer-microsecond distance — no range nested-loop",
     "q92_asof_forward" -> "forward as-of: the q23 one-shuffle tagged-union shape mirrored — first() over the FOLLOWING frame instead of last() over PRECEDING, one WindowExec, no range nested-loop",
-    "g06_pagerank_directed" -> "directed PageRank with dangling redistribution: edges src-partitioned+cached once (no Exchange above the edge scan), per-iteration sink-mass fold is a 1-row BIGINT agg broadcast back (single division — run-order exact), node frames localCheckpointed so this final plan is the top-100 TakeOrderedAndProject over a flat local relation",
+    "g06_pagerank_directed" -> "directed PageRank with dangling redistribution, SERVED from the persisted edge index (round 12): the customer->supplier digraph is the even-src filter of the Bucketed: true _edges scan (filter preserves the bucketed HashPartitioning — pinned), per-iteration sink-mass fold is a 1-row BIGINT agg broadcast back (single division — run-order exact), node frames localCheckpointed so this final plan is the top-100 TakeOrderedAndProject over a flat local relation",
     "g09_personalized_pagerank" -> "personalized PageRank from the PERSISTED weighted edge index: Bucketed: true _edges scan, zero edge-side Exchange (pinned), seed set broadcast, weighted shares staged multiply-then-divide (overflow-safe), per-dst sums map-combined — final plan is the top-100 over the flat checkpointed rank frame",
     "g10_triangles" -> "triangle count SERVED from the shared memoized core (persisted co-occurrence artifact + once-per-fixture oriented-adjacency closure — this final plan is two 1-row aggs over the flat checkpointed perEdge/deg relations); the core's edge-iterator shape (degree-ordered orientation okey = deg*2^32 + id bounding out-degree O(sqrt E), array_intersect over sorted out-neighbor arrays, wedges NEVER materialized, map-side intersect-size sum) is pinned in PlanShapeSpec on the inline twin g12 keeps row-identical",
     "g11_clustering_coeff" -> "clustering coefficient SERVED from the same shared core as g10: triangle-count-bounded credit explode (src/dst get witness-set sizes, witnesses get 1) unions into ONE map-combined per-node sum, degree left-join, integer coef_e6 division, top-100 TakeOrderedAndProject — no second wedge pass, no CartesianProduct; the credit/tail shape is pinned in PlanShapeSpec on the inline twin",

@@ -77,11 +77,20 @@ object Graph {
     * edge endpoints), so no dangling-mass term is needed. N and the
     * teleport base are driver scalars (one count — integer, one
     * representation, the IVF-seed collect precedent). Top 100 by
-    * (rank desc, node) — a total order. */
+    * (rank desc, node) — a total order.
+    *
+    * ANSWERED FROM THE PERSISTED ARTIFACT (round 12, the g10/g11
+    * precedent): the registered query is [[pageRankIndexed]] over
+    * [[sharedEdgeIndex]] — the edge derivation (fact join + distinct +
+    * repartition) runs once per fixture in the artifact build instead
+    * of once per query AND per bench pass (the query-scoped cache was
+    * cleared between both). [[g04GraphIndexGate]] pins served ≡ a
+    * fresh fact-table inline recomputation; rows (and hashes) are
+    * identical by construction. */
   def g01PageRank(s: SparkSession, dir: String): DataFrame =
-    top100(pageRankOn(purchaseEdges(s, dir), iters = 5))
+    pageRankIndexed(s, sharedEdgeIndex(s, dir))
 
-  private def top100(ranks: DataFrame): DataFrame =
+  private[graft] def top100(ranks: DataFrame): DataFrame =
     ranks.orderBy(col("rank_e12").desc, col("node")).limit(100)
 
   /** The iteration core over an arbitrary directed edge frame (src, dst)
@@ -127,7 +136,24 @@ object Graph {
     * half the mass dangles each iteration). Same damping/scaling/
     * iteration count as g01; rank₀ = 10¹² div N over ALL nodes (sources
     * ∪ sinks). */
-  def g06PageRankDirected(s: SparkSession, dir: String): DataFrame = {
+  def g06PageRankDirected(s: SparkSession, dir: String): DataFrame =
+    pageRankDirectedIndexed(s, sharedEdgeIndex(s, dir))
+
+  /** The directed variant answered from a [[writeEdgeIndex]] artifact:
+    * the customer → supplier digraph is exactly the even-src half of
+    * the persisted undirected table (customer ids are even, supplier
+    * ids odd by construction, and the table holds both directions of
+    * each pair), and the filter preserves the bucketed HashPartitioning
+    * on `src` — zero edge-side Exchange per iteration, fact tables
+    * never appear. Registered g06 serves this (round 12, the g01
+    * note); [[g04GraphIndexGate]]'s directed flag pins it against the
+    * fresh inline derivation. */
+  def pageRankDirectedIndexed(s: SparkSession, name: String): DataFrame =
+    top100(pageRankDirectedOn(
+      s.table(name + "_edges").filter(col("src") % 2 === 0), iters = 5))
+
+  /** The fresh fact-table inline shape — the g04 gate's anchor. */
+  private def g06Inline(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
     val de = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
@@ -215,8 +241,13 @@ object Graph {
     * neighbourhood. Bounded unroll keeps the contract honest (the
     * iterative-algorithm lesson) and the oracle a plain CTE chain; all
     * arithmetic is BIGINT (weights via `div`, path sums exact). Output:
-    * the 100 nearest (dist_w asc, node asc — total order). */
+    * the 100 nearest (dist_w asc, node asc — total order). Served from
+    * the persisted weighted artifact (the g01 note; g08 pins it). */
   def g07ShortestPaths(s: SparkSession, dir: String): DataFrame =
+    ssspIndexed(s, sharedWeightedEdgeIndex(s, dir))
+
+  /** The fresh fact-table inline shape — the g08 gate's anchor. */
+  private def g07Inline(s: SparkSession, dir: String): DataFrame =
     ssspOn(weightedEdges(s, dir), rounds = 4)
       .orderBy(col("dist_w"), col("node")).limit(100)
 
@@ -296,9 +327,10 @@ object Graph {
     * up to 4 frontier expansions, then one row per distance 0–4 with the
     * node count and an id-sum checksum (empty levels emit (0, 0) — the
     * dense purchase graph's diameter is ~3, and the trailing empty
-    * levels prove saturation rather than vanishing from the output). */
+    * levels prove saturation rather than vanishing from the output).
+    * Served from the persisted artifact (the g01 note; g04 pins it). */
   def g02BfsLevels(s: SparkSession, dir: String): DataFrame =
-    bfsLevelsOn(purchaseEdges(s, dir), hops = 4)
+    bfsLevelsIndexed(s, sharedEdgeIndex(s, dir))
 
   /** BFS core over an arbitrary directed edge frame (src, dst BIGINT),
     * rooted at the smallest src id — exposed for the differential spec.
@@ -576,18 +608,24 @@ object Graph {
   private def g04Body(s: SparkSession, dir: String): DataFrame = {
     val name = sharedEdgeIndex(s, dir)
     val edges = s.table(name + "_edges")
+    // Inline sides recompute FRESH from the fact tables (round 12: the
+    // registered g01/g02/g06 now serve the artifact, so the gate's
+    // anchor must bypass the table — the g12 rule).
     // cache: each equality flag references its side twice (exceptAll
     // both ways); query-scoped, harnesses clearCache() after
-    val prA = g01PageRank(s, dir).cache()
-    val prB = pageRankIndexed(s, name).cache()
-    val bfA = g02BfsLevels(s, dir).cache()
-    val bfB = bfsLevelsIndexed(s, name).cache()
+    val prA = top100(pageRankOn(purchaseEdges(s, dir), iters = 5)).cache()
+    val prB = g01PageRank(s, dir).cache()
+    val bfA = bfsLevelsOn(purchaseEdges(s, dir), hops = 4).cache()
+    val bfB = g02BfsLevels(s, dir).cache()
+    val diA = g06Inline(s, dir).cache()
+    val diB = g06PageRankDirected(s, dir).cache()
     def eq(a: DataFrame, b: DataFrame, flag: String) =
       a.exceptAll(b).unionByName(b.exceptAll(a))
         .agg((count(lit(1)) === 0).as(flag))
     edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(eq(prA, prB, "pagerank_indexed_matches_inline"))
       .crossJoin(eq(bfA, bfB, "bfs_indexed_matches_inline"))
+      .crossJoin(eq(diA, diB, "directed_indexed_matches_inline"))
   }
 
   /** Persist the WEIGHTED purchase edge set — g07's amortization twin
@@ -634,8 +672,10 @@ object Graph {
 
   private def g08Body(s: SparkSession, dir: String): DataFrame = {
     val name = sharedWeightedEdgeIndex(s, dir)
-    val inline = g07ShortestPaths(s, dir).cache()
-    val indexed = ssspIndexed(s, name).cache()
+    // inline recomputes FRESH from the fact tables (the g12 rule —
+    // registered g07 serves the artifact since round 12)
+    val inline = g07Inline(s, dir).cache()
+    val indexed = g07ShortestPaths(s, dir).cache()
     val eq = inline.exceptAll(indexed).unionByName(indexed.exceptAll(inline))
       .agg((count(lit(1)) === 0).as("sssp_indexed_matches_inline"))
     s.table(name + "_edges").agg(count(lit(1)).as("n_edges"))
@@ -1416,7 +1456,8 @@ object Graph {
       s"""WITH $EdgeCtes
          |SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
          |  TRUE AS pagerank_indexed_matches_inline,
-         |  TRUE AS bfs_indexed_matches_inline
+         |  TRUE AS bfs_indexed_matches_inline,
+         |  TRUE AS directed_indexed_matches_inline
          |FROM bi""".stripMargin,
     // the DIRECTED oracle mirrors the Spark core node-for-node: LEFT
     // join from the node universe (in-degree-0 nodes keep base +

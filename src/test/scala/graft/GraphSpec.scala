@@ -458,12 +458,13 @@ class GraphSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
-  test("g04 gate: indexed pagerank and bfs are row-identical to inline") {
+  test("g04 gate: served pagerank, bfs, and directed pagerank are row-identical to fresh inline") {
     val rows = Graph.g04GraphIndexGate(spark, sf).collect()
     assert(rows.length == 1)
     assert(rows.head.getLong(0) > 0)      // n_edges
-    assert(rows.head.getBoolean(1), "indexed pagerank drifted from inline")
-    assert(rows.head.getBoolean(2), "indexed bfs drifted from inline")
+    assert(rows.head.getBoolean(1), "served pagerank drifted from inline")
+    assert(rows.head.getBoolean(2), "served bfs drifted from inline")
+    assert(rows.head.getBoolean(3), "served directed pagerank drifted from inline")
     spark.sharedState.cacheManager.clearCache()
   }
 

@@ -352,14 +352,17 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("g01: raw edge rows never cross an Exchange; no nested-loop join anywhere") {
+  test("g01 inline core: raw edge rows never cross an Exchange; no nested-loop join anywhere") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = graft.operators.Graph.g01PageRank(spark, sf)
+      // the g04 gate's fresh-inline anchor (registered g01 serves the
+      // bucketed artifact since round 12 — that shape has its own pin)
+      val p = graft.operators.Graph.top100(graft.operators.Graph.pageRankOn(
+          graft.operators.Graph.purchaseEdges(spark, sf), iters = 5))
         .queryExecution.executedPlan
       val str = p.toString
       assert(!str.contains("BroadcastNestedLoopJoin") &&
@@ -470,6 +473,25 @@ class PlanShapeSpec extends SparkSpec {
       p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
         assert(!e.children.exists(edgeScanBelow),
           s"indexed edge rows cross an Exchange:\n$e"))
+      // the DIRECTED serving shape: the even-src filter must preserve
+      // the bucketed HashPartitioning (round 12 — registered g06 reads
+      // the same table through this filter)
+      import org.apache.spark.sql.functions.{col, lit}
+      import spark.implicits._
+      val de = spark.table(name + "_edges").filter(col("src") % 2 === 0)
+      val deg = Seq((0L, 2L)).toDF("node", "outdeg")
+      val ranks = Seq((0L, 1000000000L)).toDF("node", "rank_e12")
+      val pd = graft.operators.Graph.directedInSums(de, deg, ranks)
+        .queryExecution.executedPlan
+      val dScans = pd.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "dst") => f
+      }
+      assert(dScans.nonEmpty, "no edge-table scan in the directed in-flow:\n" + pd)
+      dScans.foreach(f => assert(f.bucketedScan,
+        s"directed edge scan not bucket-aware:\n$f"))
+      pd.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"filtered directed edge rows cross an Exchange:\n$e"))
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.catalog.clearCache()
