@@ -277,7 +277,14 @@ object Similarity {
   private val PqM = 8    // subspaces (64-d → 8 × 8-d)
   private val PqSub = 8  // dims per subspace
   private val PqK = 16   // codes per subspace (4 bits)
-  private val PqCandidates = 96
+  /** ADC shortlist depth before the exact rerank (FAISS's k·k_factor
+    * knob). 96 left PQ/IVF-PQ recall@5 at 0.50/0.52 on the round-12
+    * regenerated sf0.1 fixture (20k vectors — 4-bit ADC error pushes
+    * true neighbours past a 96-deep shortlist roughly half the time);
+    * 256 restores 0.76/0.72 with a negligible rerank (shortlist ×
+    * |queries| rows broadcast). Cost scales with the shortlist, not
+    * the corpus — the honest quality/cost parameter, like nProbe. */
+  private val PqCandidates = 256
 
   /** Per-subspace codebooks: slice the corpus to each 8-dim sub-vector,
     * seed with the PqK lowest-id sub-vectors, one Lloyd pass each
