@@ -8,6 +8,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.core._
+import graft.operators.Graph
 import graft.functions.TextFunctions._
 
 /** Property-style invariants over generated inputs (SURVEY.md §5.2 #4).
@@ -347,5 +348,41 @@ class PropertySpec extends SparkSpec {
     val total = operators.Relational.fuzzyPairs(df)
       .select("a_key", "b_key").distinct().count()
     assert(total == wantIntra + wantCross, s"pairs not distinct: $total")
+  }
+
+  test("lpaOn matches the plain-Scala reference on seeded random weighted graphs") {
+    // the GraphSpec differential covers hand-built shapes; this sweeps
+    // seeded random graphs (varying density, weight ties, isolated-pair
+    // oscillators arising by chance) against the same reference rule:
+    // argmax weighted in-neighbour vote, ties to the smallest label
+    def refLpa(we: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
+      var labels = we.map(_._1).distinct.map(n => n -> n).toMap
+      for (_ <- 1 to rounds) {
+        labels = we.groupBy(_._2).map { case (dst, es) =>
+          val votes = es.groupBy(e => labels(e._1))
+            .map { case (l, g) => (l, g.map(_._3).sum) }
+          dst -> votes.toSeq.sortBy { case (l, ws) => (-ws, l) }.head._1
+        }
+      }
+      labels
+    }
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(1000L + seed)
+      val v = 8 + rnd.nextInt(17)           // 8..24 nodes
+      val nE = v + rnd.nextInt(2 * v)       // sparse to ~3x nodes
+      val canon = (0 until nE).map { _ =>
+        val a = rnd.nextInt(v).toLong; val b = rnd.nextInt(v).toLong
+        (math.min(a, b), math.max(a, b), 1L + rnd.nextInt(5))
+      }.filter(e => e._1 != e._2)
+        .groupBy(e => (e._1, e._2)).map(_._2.head).toSeq  // distinct pairs
+      val bi = canon ++ canon.map(e => (e._2, e._1, e._3))
+      if (bi.nonEmpty) {
+        val got = Graph.lpaOn(bi.toDF("src", "dst", "w"), rounds = 4)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val want = refLpa(bi, rounds = 4)
+        assert(got == want, s"seed $seed (v=$v, e=${canon.size}): got $got want $want")
+        spark.sharedState.cacheManager.clearCache()
+      }
+    }
   }
 }
