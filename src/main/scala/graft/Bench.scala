@@ -50,19 +50,20 @@ object Bench {
     * carries since round 11 (maintained by tools/fold_baseline.py: the
     * last N per-query headline values from recent committed benches).
     * The object nests only ARRAYS, so brace-matching stays flat —
-    * [[historyFormatFlat]] guards that assumption LOUDLY (round-11
-    * ADVICE: if the object ever gained nested braces, `[^}]*` would
-    * silently truncate at the first inner `}` and every verdict would
-    * degrade to the floor-only rule with no error). */
+    * [[historyFormatFlat]] guards that assumption and a violation now
+    * FAILS the parse (round-12 verdict #5: the previous stderr warning
+    * proceeded with the truncated parse, silently degrading every
+    * receipt verdict to the floor-only rule — a warning nobody reads).
+    * Bench.main catches the failure, adjudicates with NO history, and
+    * surfaces `"history_degraded":true` in the emitted JSON itself. */
   private[graft] def historyFormatFlat(json: String): Boolean =
     """"history"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(json)
       .forall(!_.group(1).contains("{"))
   private[graft] def parseHistory(json: String): Map[String, Seq[Double]] = {
-    if (!historyFormatFlat(json))
-      System.err.println("[bench] BENCH_BASELINE history contains nested " +
-        "braces — the flat-object parse TRUNCATED and receipt " +
-        "adjudication is degraded to the floor-only rule; fix the file " +
-        "format or teach parseHistory the new shape")
+    require(historyFormatFlat(json),
+      "BENCH_BASELINE history contains nested braces — the flat-object " +
+        "parse would truncate; fix the file format or teach parseHistory " +
+        "the new shape")
     val obj = """"history"\s*:\s*\{([^}]*)\}""".r
       .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
     """"([A-Za-z0-9_]+)"\s*:\s*\[([^\]]*)\]""".r.findAllMatchIn(obj)
@@ -112,9 +113,10 @@ object Bench {
   private[graft] val amortized: Seq[String] = Seq(
     "d05_dedup_survivors", "d12_stream_dedup_gate", "d16_dedup_keep_best",
     "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
+    "g03_components",
     "g04_graph_index_gate", "g05_edge_lifecycle_gate", "g08_sssp_index_gate",
     "g10_triangles", "g11_clustering_coeff", "g12_cooccur_index_gate",
-    "g13_edge_ingest_gate",
+    "g13_edge_ingest_gate", "g16_affinity_index_gate",
     "s04_ann_recall_gate", "s07_ann_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
@@ -179,7 +181,16 @@ object Bench {
       try java.nio.file.Files.readString(java.nio.file.Paths.get(baselinePath))
       catch { case _: Exception => "" }
     val baseline: Map[String, Double] = parseBaseline(baselineJson)
-    val history: Map[String, Seq[Double]] = parseHistory(baselineJson)
+    // a malformed history FAILS the parse (round-12 verdict #5); the
+    // bench still runs — a crash here would cost the whole artifact —
+    // but adjudication loses the history softeners (weather needs
+    // history) and the degradation is recorded IN the JSON, not stderr
+    val (history, historyDegraded) =
+      try (parseHistory(baselineJson), false)
+      catch { case e: IllegalArgumentException =>
+        System.err.println("[bench] " + e.getMessage)
+        (Map.empty[String, Seq[Double]], true)
+      }
     val probePasses = sys.env.getOrElse("SPARK_GRAFT_PROBE_PASSES", "3").toInt
     val receipts = results.flatMap { case (n, v) =>
       baseline.get(n).filter(b => b > 0 && v > 2 * b).map { b =>
@@ -222,7 +233,9 @@ object Bench {
         s"[bench] STALE amortized markers (not registered queries): ${staleAmortized.mkString(", ")}")
     val amortizedJson = amortized.filter(SparkEntry.queries.contains)
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"receipts":$receiptsJson,"amortized":$amortizedJson,"sf":"$sfDir"}"""
+    val degradedField =
+      if (historyDegraded) ""","history_degraded":true""" else ""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"receipts":$receiptsJson,"amortized":$amortizedJson$degradedField,"sf":"$sfDir"}"""
     println(json)
     // stdout tails get truncated by log capture (round 2 lost 36 per-query
     // numbers that way; round 3's driver artifact parsed null) — ALWAYS

@@ -418,21 +418,46 @@ object Graph {
     * between rounds); this registers the graph-family surface a user
     * reaches for directly, where d05/d19 only exercise it inside dedup
     * policies. All-integer output; ORDER BY component is total (one row
-    * per component). */
-  def g03Components(s: SparkSession, dir: String): DataFrame = {
+    * per component).
+    *
+    * ANSWERED FROM THE SHARED CORE (round 13 — the last iterative graph
+    * query still paying a per-call AND per-pass edge rebuild, VERDICT
+    * r12 #1): the affinity pair derivation (fact join + repeat-count
+    * threshold) runs once per fixture in the [[sharedAffinityIndex]]
+    * artifact build, and the pointer-jumping fixpoint is memoized per
+    * (session, dir, fixture-fingerprint) ([[sharedComponentLabels]] —
+    * the sharedTriangleCore pattern). [[g16AffinityIndexGate]] pins
+    * served ≡ a fresh fact-table inline recomputation (the g12 rule —
+    * covers artifact AND memo); rows and hashes are identical by
+    * construction. */
+  def g03Components(s: SparkSession, dir: String): DataFrame =
+    componentSummary(sharedComponentLabels(s, dir))
+
+  /** The grouping tail shared by the served and inline shapes. */
+  private def componentSummary(labels: DataFrame): DataFrame =
+    labels
+      .groupBy(col("label").as("component"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("node_sum"))
+      .orderBy(col("component"))
+
+  /** The ≥ [[RepeatTh]]-joint-lineitem affinity pair set, fresh off the
+    * fact tables — the artifact build's input and the g16 gate's inline
+    * anchor. Pairs are (even customer id, odd supplier id). */
+  private def affinityPairs(s: SparkSession, dir: String): DataFrame = {
     val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
     val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
       .groupBy((col("o_custkey").cast("long") * 2).as("doc_a"),
         (col("l_suppkey").cast("long") * 2 + 1).as("doc_b"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= RepeatTh)
       .select(col("doc_a"), col("doc_b"))
-    Dedup.clusterLabels(pairs)
-      .groupBy(col("label").as("component"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("node_sum"))
-      .orderBy(col("component"))
   }
+
+  /** The fresh fact-table inline shape — the g16 gate's anchor
+    * (bypasses the artifact AND the label memo). */
+  private def g03Inline(s: SparkSession, dir: String): DataFrame =
+    componentSummary(Dedup.clusterLabels(affinityPairs(s, dir)))
 
   // ---------------------------------------------------------------------
   // Persisted edge artifact (the d13 corpus-index pattern): a production
@@ -936,14 +961,21 @@ object Graph {
       s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val fp = Tables.fixtureFingerprint(dir, "lineitem.parquet")
     val k = (s, dir, fp)
-    Option(triCoreMemo.get(k)).getOrElse {
-      val name = sharedCooccurIndex(s, dir)
-      val (perEdge, deg, _) = triangleCore(cooccurEdges(s, name))
-      val v = (perEdge.localCheckpoint(true), deg.localCheckpoint(true))
-      triCoreMemo.keySet.removeIf(e =>
-        (e._1 eq s) && e._2 == dir && e._3 != fp)
-      Option(triCoreMemo.putIfAbsent(k, v)).getOrElse(v)
-    }
+    // build under the shared lock (r12 ADVICE): two concurrent first
+    // callers would both pay the expensive core, and the putIfAbsent
+    // loser's localCheckpointed perEdge/deg blocks would stay pinned
+    // for the session with no owner. Double-checked: a hit never locks.
+    Option(triCoreMemo.get(k)).getOrElse(sharedGraphLock.synchronized {
+      Option(triCoreMemo.get(k)).getOrElse {
+        val name = sharedCooccurIndex(s, dir)
+        val (perEdge, deg, _) = triangleCore(cooccurEdges(s, name))
+        val v = (perEdge.localCheckpoint(true), deg.localCheckpoint(true))
+        triCoreMemo.keySet.removeIf(e =>
+          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        triCoreMemo.put(k, v)
+        v
+      }
+    })
   }
 
   /** The part co-occurrence graph persisted (g10/g11's amortization
@@ -1012,6 +1044,80 @@ object Graph {
     s.table(name + "_edges").agg(count(lit(1)).as("n_edges"))
       .crossJoin(eq(trA, trB, "triangles_indexed_matches_inline"))
       .crossJoin(eq(ccA, ccB, "coeff_indexed_matches_inline"))
+  }
+
+  /** The repeat-affinity graph persisted (g03's amortization twin —
+    * VERDICT r12 #1, through the same generic [[writeEdgeIndexFrom]]
+    * machinery): the fact join + repeat-count threshold runs once per
+    * fixture; both directions land bucketBy(src) with the `_stats`-last
+    * completeness marker. Pairs are (even, odd) by construction, so the
+    * canonical half reads back with one `src % 2 = 0` filter. */
+  private[graft] def sharedAffinityIndex(s: SparkSession, dir: String): String =
+    sharedGraphLock.synchronized {
+      val name = "graft_shared_agraph_" + java.lang.Long.toHexString(graphFp(dir))
+      val complete = s.catalog.tableExists(name + "_edges") &&
+        s.catalog.tableExists(name + "_stats")
+      if (!complete) {
+        val p = affinityPairs(s, dir)
+        writeEdgeIndexFrom(s,
+          p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .unionAll(p.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+          name)
+      }
+      name
+    }
+
+  /** The once-per-fixture component labelling g03 serves (the
+    * sharedTriangleCore pattern): [[Dedup.clusterLabels]] over the
+    * persisted affinity artifact's canonical half — the fixpoint's
+    * lineage already ends at clusterLabels' eager localCheckpoint, so a
+    * memo hit replays nothing and the retained state is the (id, label)
+    * frame itself (node-sized, bounded session-lifetime retention —
+    * the labelsMemo precedent). Built under [[sharedGraphLock]] so two
+    * concurrent first callers can't both pay the fixpoint and leak the
+    * loser's checkpoint blocks (the r12 ADVICE triangle-core finding).
+    * Stale fingerprints evicted on insert (the GateMemo rule). */
+  private val compLabelsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  private[graft] def sharedComponentLabels(
+      s: SparkSession, dir: String): DataFrame = {
+    val fp = graphFp(dir)
+    val k = (s, dir, fp)
+    Option(compLabelsMemo.get(k)).getOrElse(sharedGraphLock.synchronized {
+      Option(compLabelsMemo.get(k)).getOrElse {
+        val name = sharedAffinityIndex(s, dir)
+        val v = Dedup.clusterLabels(
+          s.table(name + "_edges").filter(col("src") % 2 === 0)
+            .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+        compLabelsMemo.keySet.removeIf(e =>
+          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        compLabelsMemo.put(k, v)
+        v
+      }
+    })
+  }
+
+  /** Driver gate for the affinity-component artifact + label memo (the
+    * g04/g12 pattern): one row asserting served [[g03Components]] ≡ the
+    * fresh fact-table inline recomputation (exceptAll both ways, sound —
+    * all-integer output; the inline side bypasses the table AND the
+    * memo, so the flag covers both), with `n_edges` read from the TABLE
+    * so the oracle's fact-table recomputation anchors the build.
+    * Memoized + bench-amortized. */
+  def g16AffinityIndexGate(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir, graphFp(dir), "g16")(g16Body(s, dir))
+
+  private def g16Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedAffinityIndex(s, dir)
+    // cache: the equality references each side twice (exceptAll both
+    // ways); query-scoped, harnesses clearCache() after
+    val inline = g03Inline(s, dir).cache()
+    val served = g03Components(s, dir).cache()
+    val eq = inline.exceptAll(served).unionByName(served.exceptAll(inline))
+      .agg((count(lit(1)) === 0).as("components_indexed_matches_inline"))
+    s.table(name + "_edges").agg(count(lit(1)).as("n_edges"))
+      .crossJoin(eq)
   }
 
   /** Joint-order threshold for the WEIGHTED co-occurrence graph: a
@@ -1331,12 +1437,17 @@ object Graph {
     * per label side. */
   private[graft] def modularityOn(we: DataFrame,
       labels: DataFrame): DataFrame = {
+    // cache: lw (the double label join over the full edge frame) feeds
+    // BOTH the sums agg and the per-community tot agg — the
+    // referenced-twice rule (r12 ADVICE); query-scoped, harnesses
+    // clearCache() after
     val lw = we
       .join(labels.select(col("node").as("_s"), col("label").as("cs")),
         we("src") === col("_s"))
       .join(labels.select(col("node").as("_d"), col("label").as("cd")),
         we("dst") === col("_d"))
       .select(we("w").as("w"), col("cs"), col("cd"))
+      .cache()
     val sums = lw.agg(sum(col("w")).as("m2"),
       sum(when(col("cs") === col("cd"), col("w")).otherwise(lit(0L)))
         .as("intra"))
@@ -1389,6 +1500,7 @@ object Graph {
     "g13_edge_ingest_gate" -> (g13EdgeIngestGate _),
     "g14_lpa_communities" -> (g14LpaCommunities _),
     "g15_modularity" -> (g15Modularity _),
+    "g16_affinity_index_gate" -> (g16AffinityIndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1449,6 +1561,18 @@ object Graph {
          |SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes,
          |  CAST(SUM(id) AS BIGINT) AS node_sum
          |FROM comp GROUP BY label ORDER BY component""".stripMargin,
+    // the oracle recomputes n_edges from the fact tables where the gate
+    // reads the persisted table (both directions = 2·|pairs|) — anchoring
+    // the build — and pins the equality flag at literal TRUE (t40 pattern)
+    "g16_affinity_index_gate" ->
+      s"""WITH p AS (
+         |  SELECT CAST(o_custkey AS BIGINT)*2 AS a,
+         |         CAST(l_suppkey AS BIGINT)*2+1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $RepeatTh)
+         |SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_edges,
+         |  TRUE AS components_indexed_matches_inline
+         |FROM p""".stripMargin,
     // the oracle recomputes n_edges from the fact tables where the gate
     // reads the persisted table — anchoring the index build — and pins
     // the equality flags at literal TRUE (the t40 pattern)

@@ -239,21 +239,10 @@ class GraphSpec extends SparkSpec {
     }
   }
 
-  /** Plain-Scala synchronous LPA over a both-direction weighted edge
-    * list (the t28 plain-reference pattern): per round every node takes
-    * the label with the largest weighted in-neighbour vote, ties to the
-    * smallest label. */
-  private def refLpa(we: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
-    var labels = we.map(_._1).distinct.map(n => n -> n).toMap
-    for (_ <- 1 to rounds) {
-      labels = we.groupBy(_._2).map { case (dst, es) =>
-        val votes = es.groupBy(e => labels(e._1))
-          .map { case (l, g) => (l, g.map(_._3).sum) }
-        dst -> votes.toSeq.sortBy { case (l, ws) => (-ws, l) }.head._1
-      }
-    }
-    labels
-  }
+  // the plain-Scala LPA reference lives in GraphRefs (shared with
+  // PropertySpec's random-graph sweep — r12 ADVICE: one contract, one copy)
+  private def refLpa(we: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] =
+    GraphRefs.refLpa(we, rounds)
 
   private def biW(es: Seq[(Long, Long, Long)]): Seq[(Long, Long, Long)] =
     es ++ es.map(e => (e._2, e._1, e._3))
@@ -455,6 +444,14 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == expected)
     assert(got.nonEmpty && got.forall(_._2 >= 2)) // edges imply pairs at least
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("g16 gate: served components are row-identical to a fresh fact-table inline") {
+    val rows = Graph.g16AffinityIndexGate(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) > 0)      // n_edges
+    assert(rows.head.getBoolean(1), "served components drifted from inline")
     spark.sharedState.cacheManager.clearCache()
   }
 

@@ -355,17 +355,9 @@ class PropertySpec extends SparkSpec {
     // seeded random graphs (varying density, weight ties, isolated-pair
     // oscillators arising by chance) against the same reference rule:
     // argmax weighted in-neighbour vote, ties to the smallest label
-    def refLpa(we: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] = {
-      var labels = we.map(_._1).distinct.map(n => n -> n).toMap
-      for (_ <- 1 to rounds) {
-        labels = we.groupBy(_._2).map { case (dst, es) =>
-          val votes = es.groupBy(e => labels(e._1))
-            .map { case (l, g) => (l, g.map(_._3).sum) }
-          dst -> votes.toSeq.sortBy { case (l, ws) => (-ws, l) }.head._1
-        }
-      }
-      labels
-    }
+    // (the one shared copy in GraphRefs — r12 ADVICE)
+    def refLpa(we: Seq[(Long, Long, Long)], rounds: Int): Map[Long, Long] =
+      GraphRefs.refLpa(we, rounds)
     for (seed <- 1 to 6) {
       val rnd = new scala.util.Random(1000L + seed)
       val v = 8 + rnd.nextInt(17)           // 8..24 nodes

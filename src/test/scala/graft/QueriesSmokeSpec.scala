@@ -43,13 +43,17 @@ class QueriesSmokeSpec extends SparkSpec {
       """{"queries":{"a":1.0},"history":{"a":[0.5, 0.7],"b_x":[1.25]}}""")
     assert(h == Map("a" -> Seq(0.5, 0.7), "b_x" -> Seq(1.25)))
     assert(parseHistory("""{"queries":{"a":1.0}}""") == Map.empty)
-    // format-drift guard (round-11 ADVICE): nested braces inside the
-    // history object mean the flat parse truncated — loud, not silent
+    // format-drift guard (round-11 ADVICE, hardened round 13): nested
+    // braces inside the history object mean the flat parse would
+    // truncate — parseHistory now REFUSES instead of proceeding with a
+    // silently truncated map (Bench.main catches, adjudicates with no
+    // history, and emits "history_degraded":true in the JSON)
     assert(Bench.historyFormatFlat(
       """{"history":{"a":[0.5],"b":[1.0]}}"""))
     assert(Bench.historyFormatFlat("""{"queries":{"a":1.0}}"""))
-    assert(!Bench.historyFormatFlat(
-      """{"history":{"a":{"vals":[0.5]},"b":{"vals":[1.0]}}}"""))
+    val nested = """{"history":{"a":{"vals":[0.5]},"b":{"vals":[1.0]}}}"""
+    assert(!Bench.historyFormatFlat(nested))
+    assertThrows[IllegalArgumentException](parseHistory(nested))
     // the committed baseline itself must satisfy the flat assumption
     assert(Bench.historyFormatFlat(java.nio.file.Files.readString(
       java.nio.file.Paths.get("BENCH_BASELINE.json"))))

@@ -253,6 +253,61 @@ class SimilaritySpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS graft_ann_app$sfx"))
   }
 
+  test("ANN append: redelivery inserts zero rows; a mid-append crash heals through the retry") {
+    import org.apache.spark.sql.functions._
+    val dim = 64
+    def vecs(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val sfxs = Seq("_cells", "_srp", "_pq")
+    def counts(n: String): Seq[Long] = sfxs.map(x => spark.table(n + x).count())
+    val base = vecs(spark.range(10, 210).toDF("id"), 1)
+    val batch = vecs(spark.range(210, 290).toDF("id"), 2)
+    try {
+      Similarity.writeAnnIndex(spark, base, "graft_ann_rd", numBuckets = 4)
+      // clean single-append reference index off the same frozen state
+      // (refine is order-invariant, so both builds share centroids)
+      Similarity.writeAnnIndex(spark, base, "graft_ann_rd_ref", numBuckets = 4)
+      Similarity.appendToAnnIndex(spark, batch, "graft_ann_rd_ref", numBuckets = 4)
+      // crash debris: a strict prefix (half, sorted) of the batch's
+      // _cells delta landed with NO _srp/_pq rows — the state a crash
+      // mid-_cells append leaves. The planted rows are the reference
+      // index's own _cells rows for those ids: bit-identical to what
+      // the real append's _cells write lands (both derive from the same
+      // frozen sidecar state), through the same bucketed layout.
+      val prefixIds = batch.select("vec_id").collect().map(_.getLong(0)).sorted.take(40)
+      spark.table("graft_ann_rd_ref_cells")
+        .filter(col("vec_id").isin(prefixIds: _*))
+        .write.mode("append").bucketBy(4, "cell").sortBy("cell")
+        .saveAsTable("graft_ann_rd_cells")
+      // mid-crash: every table internally valid (unique vec_ids)
+      sfxs.foreach { x =>
+        val dup = spark.table("graft_ann_rd" + x)
+          .groupBy(col("vec_id")).count().filter(col("count") > 1).count()
+        assert(dup == 0, s"$x has duplicate vec_ids mid-crash")
+      }
+      // the retry IS the heal: each table converges independently
+      Similarity.appendToAnnIndex(spark, batch, "graft_ann_rd", numBuckets = 4)
+      val afterRetry = counts("graft_ann_rd")
+      // redelivery of the fully-committed batch inserts zero rows
+      Similarity.appendToAnnIndex(spark, batch, "graft_ann_rd", numBuckets = 4)
+      assert(counts("graft_ann_rd") == afterRetry, "redelivery inserted rows")
+      // final ≡ clean single-append reference, per family
+      sfxs.foreach { x =>
+        val a = spark.table("graft_ann_rd" + x)
+        val b = spark.table("graft_ann_rd_ref" + x)
+        assert(a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty,
+          s"$x drifted from the clean single-append reference")
+      }
+    } finally (sfxs :+ "_side").foreach { x =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_rd$x")
+      spark.sql(s"DROP TABLE IF EXISTS graft_ann_rd_ref$x")
+    }
+  }
+
   test("delete from ANN index: deleted vectors vanish from every family; sidecar frozen; buckets intact") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

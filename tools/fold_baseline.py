@@ -33,7 +33,13 @@ import json
 import sys
 
 HIST_N = 8
-FOLDED_N = 16
+# r12 ADVICE: the idempotency guarantee is only as wide as this window —
+# a hash evicted from it lets the same artifact double-append history on
+# a re-fold. 512 is ~two orders of magnitude above any plausible
+# per-round artifact count (a round folds a handful of benches) and
+# costs ~8 KB of file, so the window can no longer be outlived in
+# practice.
+FOLDED_N = 512
 
 base = json.load(open("BENCH_BASELINE.json"))
 b = base["queries"]
