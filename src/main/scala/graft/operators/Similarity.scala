@@ -1417,6 +1417,124 @@ object Similarity {
         s.sql(s"DROP TABLE IF EXISTS `$n0$sfx`")))
   }
 
+  /** Vec-id bound for s14's corpus subset — one constant, two mirrors
+    * (the Spark filters and the oracle WHERE): vec_ids are dense from 0
+    * at every SF, so the bound yields non-empty bootstrap/batch splits
+    * everywhere while keeping the streamed batches driver-bounded (the
+    * g13 IngestBound precedent: the gate proves the COMPOSITION, not
+    * scale — ScaleSmoke territory). */
+  private val S14Bound = 4096L
+
+  /** Driver gate for the STREAMING ANN-index ingest composition
+    * (VERDICT r12 #2, the g13 gate's vector edition): the artifact
+    * bootstraps from the even-vec_id half of the bounded corpus, then
+    * the odd half arrives through a foreachBatch → [[appendToAnnIndex]]
+    * pipeline as two micro-batches, with (a) a CRASHED append's debris
+    * planted before batch 2 — a strict prefix of its `_cells` delta
+    * landed with NO `_srp`/`_pq` rows, exactly the state a crash
+    * mid-`_cells` append leaves (the g13 strict-prefix lesson: plant
+    * only states the real op can produce; the planted rows are the
+    * clean reference index's own `_cells` rows for those ids —
+    * bit-identical to what the real append lands, same frozen sidecar)
+    * — and (b) batch 2 DELIVERED TWICE (at-least-once redelivery,
+    * `.../core/v2/Worker.java:258-311`'s whole retry contract). The
+    * per-table anti-join append is idempotent BY CONSTRUCTION (every
+    * family row is self-identifying by vec_id — the appendToAnnIndex
+    * crash contract), so the debris converges through the same ingest
+    * path and the redelivery inserts zero rows in all three tables.
+    * Flags: the mid-crash index is internally valid (unique vec_ids per
+    * table — each family stays queryable, a vector missing from a
+    * sibling family simply doesn't surface there yet); the redelivery
+    * added nothing anywhere; the final artifact is bag-equal PER FAMILY
+    * to a clean bootstrap + single-append reference (same frozen
+    * centroids — refine is order-invariant, so both builds share them).
+    * n_vecs reads the TABLE (the oracle recomputes it from the bounded
+    * corpus, anchoring the whole composition). Memoized +
+    * bench-amortized. */
+  def s14AnnIngestGate(s: SparkSession, dir: String): DataFrame =
+    memoFamily(s, dir, "s14")(s14Body(s, dir))
+
+  private def s14Body(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val name = "graft_s14_ingest"
+    val ref = "graft_s14_ref"
+    val e = withNorm(Tables.embeddings(s, dir))
+      .filter(col("vec_id") < S14Bound)
+      .select(col("vec_id"), col("emb"), col("nrm"))
+    try {
+      writeAnnIndex(s, e.filter(col("vec_id") % 2 === 0), name)
+      // the clean single-append reference: same bootstrap corpus →
+      // same frozen centroids/codebooks, then ALL odd ids in one append
+      writeAnnIndex(s, e.filter(col("vec_id") % 2 === 0), ref)
+      appendToAnnIndex(s, e.filter(col("vec_id") % 2 === 1), ref)
+      // the arriving halves, driver-bounded by S14Bound (collected so
+      // the MemoryStream owns them — the d12/g13 shape)
+      def batchRows(m: Long) = e.filter(col("vec_id") % 4 === m)
+        .select(col("vec_id"), col("emb")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toIndexedSeq
+      val b1 = batchRows(1)
+      val b2 = batchRows(3)
+      val sfxs = Seq("_cells", "_srp", "_pq")
+      def refreshAll(): Unit =
+        sfxs.foreach(x => s.catalog.refreshTable(name + x))
+      def counts(): Seq[Long] = sfxs.map(x => s.table(name + x).count())
+      // the ingest pipeline: foreachBatch drives the SAME maintenance
+      // API a batch caller uses; child session so stream machinery
+      // never touches the caller's conf
+      val run = s.newSession()
+      val in = {
+        import run.implicits._
+        org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])](run)
+      }
+      val q = in.toDF().toDF("vec_id", "emb")
+        .withColumn("nrm", l2Norm(col("emb")))
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          appendToAnnIndex(b.sparkSession, b, name)
+        }.start()
+      try {
+        if (b1.nonEmpty) { in.addData(b1); q.processAllAvailable() }
+        // crash debris: a strict prefix (sorted half) of batch 2's
+        // _cells delta — batch 2's ids are disjoint from the table by
+        // construction, so its delta is the whole batch
+        val debrisIds = b2.map(_._1).sorted.take(b2.size / 2)
+        if (debrisIds.nonEmpty) {
+          refreshAll()
+          s.table(ref + "_cells")
+            .filter(col("vec_id").isin(debrisIds: _*))
+            .write.mode("append")
+            .bucketBy(8, "cell").sortBy("cell")
+            .saveAsTable(name + "_cells")
+        }
+        refreshAll()
+        val queryableMidCrash = sfxs.forall { x =>
+          s.table(name + x).groupBy(col("vec_id"))
+            .agg(count(lit(1)).as("c")).filter(col("c") > 1).isEmpty
+        }
+        if (b2.nonEmpty) { in.addData(b2); q.processAllAvailable() }
+        refreshAll()
+        val afterB2 = counts()
+        if (b2.nonEmpty) { in.addData(b2); q.processAllAvailable() } // redelivery
+        refreshAll()
+        val afterRedelivery = counts()
+        val finalEqRef = sfxs.forall { x =>
+          // cache: the equality references each side twice (exceptAll
+          // both ways); query-scoped, released with the gate's memo
+          val a = s.table(name + x).cache()
+          val b = s.table(ref + x).cache()
+          a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
+        }
+        Seq((afterRedelivery.head, queryableMidCrash,
+          afterB2 == afterRedelivery, finalEqRef))
+          .toDF("n_vecs", "queryable_mid_crash",
+            "redelivery_inserted_zero", "final_eq_clean_append")
+      } finally q.stop()
+    } finally Seq(name, ref).foreach(n0 =>
+      Seq("_cells", "_srp", "_pq", "_side", "_rt_cells", "_rt_srp",
+        "_rt_pq", "_rt_side").foreach(sfx =>
+        s.sql(s"DROP TABLE IF EXISTS `$n0$sfx`")))
+  }
+
   /** FILTERED vector search — the metadata-predicate top-k every real
     * vector store serves (tenancy, category, language filters): top-5
     * cosine per query among corpus vectors sharing the query's `label`.
@@ -1467,6 +1585,7 @@ object Similarity {
     "s11_filtered_srp_gate" -> (s11FilteredSrpGate _),
     "s12_quantized_index_gate" -> (s12QuantizedIndexGate _),
     "s13_drift_retrain_gate" -> (s13DriftRetrainGate _),
+    "s14_ann_ingest_gate" -> (s14AnnIngestGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1548,5 +1667,16 @@ object Similarity {
         |  true AS ivf8_recall_ge_60,
         |  true AS srp8_recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // streaming ingest flags (crash debris, redelivery, final ≡ clean
+    // single-append) are asserted Spark-side over the sequenced
+    // pipeline; DuckDB recomputes the final vector count from the
+    // bounded corpus — anchoring the composition — and pins the
+    // literal trues (the g13 pattern)
+    "s14_ann_ingest_gate" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  true AS queryable_mid_crash,
+        |  true AS redelivery_inserted_zero,
+        |  true AS final_eq_clean_append
+        |FROM embeddings WHERE vec_id < $S14Bound""".stripMargin,
   )
 }
