@@ -311,7 +311,19 @@ object Dedup {
     * (vec_id, emb: array<double>, nrm). ScaleSmoke's e100 mode drives
     * this at 200k vectors / 1024 cells / probe 2. */
   private[graft] def ivfNearDupPairs(
-      e: DataFrame, nCells: Int, nProbe: Int, threshold: Double): DataFrame = {
+      e: DataFrame, nCells: Int, nProbe: Int, threshold: Double): DataFrame =
+    ivfCandidateVecs(e, nCells, nProbe)
+      .select(col("vec_a"), col("vec_b"),
+        round6(VectorFunctions.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb"))).as("sim"))
+      .filter(col("sim") >= threshold)
+
+  /** The shared IVF candidate stage (factored for d21's kNN graph): the
+    * distinct cell-sharing (vec_a < vec_b) pairs with both sides' full
+    * vectors joined back on — callers pick the similarity representation
+    * (round6 double for d09/d19's legacy pair surface, floored e6 BIGINT
+    * for d21's rank arithmetic). */
+  private[graft] def ivfCandidateVecs(
+      e: DataFrame, nCells: Int, nProbe: Int): DataFrame = {
     val seeds: Seq[Array[Double]] = e.orderBy("vec_id").limit(nCells)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     // two Lloyd passes (like s02): tighter cells cost nothing at candidate
@@ -331,9 +343,6 @@ object Dedup {
     val va = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
     val vb = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
     cand.join(va, Seq("vec_a")).join(vb, Seq("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round6(VectorFunctions.cosineWithNorms(col("ea"), col("eb"), col("na"), col("nb"))).as("sim"))
-      .filter(col("sim") >= threshold)
   }
 
   /** Near-dup pairs → connected components → keep-first survivors: the
@@ -631,6 +640,114 @@ object Dedup {
       .select(col("query_id").as("vec_id"), col("vec_id").as("match_id"),
         col("sim_e6").as("cos_e6"))
       .orderBy("vec_id")
+  }
+
+  /** Corpus bound for the kNN-graph family (one constant, two mirrors —
+    * the S14Bound/g13 precedent): vec_ids are dense from 0 at every SF,
+    * so the bound keeps the brute-force oracle and the d22 exact anchor
+    * affordable everywhere while the operator's scale path (IVF cell
+    * equi-join) is what the registered query actually runs. */
+  private val KnnBound = 4096L
+
+  /** Neighbors kept per vector — deliberately SMALLER than the planted
+    * family size minus one, so the rank cutoff is BINDING on the fixture
+    * (each family of 4 keeps 5 of its 6 possible edges — a wrong top-k
+    * ranking changes n_edges and fails the hash), unlike a pure
+    * τ-threshold which d19 already registers. */
+  private val KnnK = 2
+
+  /** d21's corpus: the bounded fixture slice ∪ SQL-plantable perturbed
+    * families (the d19 discipline, widened to CHAINS): every vec_id <
+    * 50 gains three copies at +0.01/+0.02/+0.03 per dimension (ids
+    * +1/2/3·10⁶) — pairwise cosines ≈ 0.999 ≥ τ inside a family, while
+    * organic cross-vector cosine measures ≤ 0.61 at every SF (bounded
+    * slice, re-measured round 13), so the τ = 0.9 kNN graph is exactly
+    * the 50 planted families and IVF ≡ exact holds by the d19 cell-
+    * sharing argument (any miss fails the hash AND d22's equality). */
+  private def d21Corpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .filter(col("vec_id") < KnnBound)
+      .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+    val planted = Seq((1000000L, 0.01), (2000000L, 0.02), (3000000L, 0.03))
+      .map { case (off, d) =>
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50)
+          .select((col("vec_id") + off).as("vec_id"),
+            transform(VectorFunctions.toDouble(col("embedding")),
+              x => x + lit(d)).as("emb"))
+      }.reduce(_.unionByName(_))
+    base.unionByName(planted)
+      .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+  }
+
+  /** The τ-filtered top-[[KnnK]] kNN edge set off an (vec_a, vec_b, ea,
+    * eb, na, nb) candidate frame: floored-e6 cosines, both directions
+    * ranked per source with the bounded-heap operator (sim_e6 desc, dst
+    * asc — a total order, mirrored by the oracle's row_number), kept
+    * edges canonicalized (u < v) and distinct. Shared by d21 (IVF
+    * candidates) and d22's exact anchor (all-pairs). */
+  private[graft] def knnEdges(cand: DataFrame): DataFrame = {
+    val sims = cand
+      .select(col("vec_a"), col("vec_b"),
+        floor(VectorFunctions.cosineWithNorms(col("ea"), col("eb"),
+          col("na"), col("nb")) * 1000000.0 + 0.5).cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= 900000L)
+    val directed = sims
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"), col("sim_e6"))
+      .unionAll(sims
+        .select(col("vec_b").as("src"), col("vec_a").as("dst"), col("sim_e6")))
+    Similarity.heapRanked(directed, "src", "sim_e6", "dst", KnnK, "rank")
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+  }
+
+  /** k-NN-GRAPH construction + semantic clusters (VERDICT r12 #4 — the
+    * standard LLM-pipeline primitive between the ANN machinery and the
+    * clustering): top-[[KnnK]] neighbors per vector at cosine ≥ 0.9
+    * from IVF candidates (cell equi-join, NEVER all-pairs — the d09
+    * candidate stage), symmetrized into an undirected graph, components
+    * via [[clusterLabels]] — semantic clusters COARSER than d19's
+    * τ-dedup (the rank cutoff shapes the edge set; chains connect what
+    * a single threshold pair would not). Output: one row per cluster
+    * (min-id label, node count, EDGE count — the column that makes the
+    * top-k ranking hash-visible — and id-sum checksum), total order on
+    * the unique cluster id. DuckDB reproduces the whole pipeline from
+    * brute-force pairs + recursive-CTE components (the d19 precedent);
+    * at 100 TB only the candidate equi-join and node/edge-sized frames
+    * move — the scale contract d09/e100 already smoke. */
+  def d21KnnClusters(s: SparkSession, dir: String): DataFrame = {
+    val e = d21Corpus(s, dir)
+    // cache: the edge frame feeds the label fixpoint AND the per-cluster
+    // edge count; query-scoped, harnesses clearCache() after
+    val edges = knnEdges(ivfCandidateVecs(e, DupCells, DupProbe)).cache()
+    val labels = clusterLabels(
+      edges.select(col("u").as("doc_a"), col("v").as("doc_b")))
+    val stats = labels.groupBy(col("label").as("cluster"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("node_sum"))
+    val ec = edges.join(labels, edges("u") === labels("id"))
+      .groupBy(col("label").as("cluster")).agg(count(lit(1)).as("n_edges"))
+    stats.join(ec, Seq("cluster"))
+      .select(col("cluster"), col("n_nodes"), col("n_edges"), col("node_sum"))
+      .orderBy("cluster")
+  }
+
+  /** d21's recall-style companion (the d11 pattern): the IVF-candidate
+    * kNN edge set is ROW-IDENTICAL to the exact all-pairs anchor
+    * (exceptAll both ways — stronger than a recall bound; the bounded
+    * corpus makes the exact side affordable at every driver SF, exactly
+    * like d11's d04 anchor). n_edges reads the IVF set; the oracle
+    * recomputes it from brute-force pairs, anchoring both sides. */
+  def d22KnnGate(s: SparkSession, dir: String): DataFrame = {
+    val e = d21Corpus(s, dir).cache()
+    val a = e.select(col("vec_id").as("vec_a"), col("emb").as("ea"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("emb").as("eb"), col("nrm").as("nb"))
+    // cache both edge sets: the equality references each twice
+    // (exceptAll both ways); query-scoped, harnesses clearCache() after
+    val exactE = knnEdges(a.join(broadcast(b), col("vec_a") < col("vec_b"))).cache()
+    val ivfE = knnEdges(ivfCandidateVecs(e, DupCells, DupProbe)).cache()
+    val eq = ivfE.exceptAll(exactE).unionByName(exactE.exceptAll(ivfE))
+      .agg((count(lit(1)) === 0).as("knn_edges_match_exact"))
+    ivfE.agg(count(lit(1)).as("n_edges")).crossJoin(eq)
   }
 
   /** Group-level MinHash sketches via the typed [[graft.functions.MinHashUnionAgg]]
@@ -1463,6 +1580,8 @@ object Dedup {
     "d18_stream_vector_gate" -> (d18StreamVectorGate _),
     "d19_semantic_dedup" -> (d19SemanticDedup _),
     "d20_incr_semantic" -> (d20IncrementalSemantic _),
+    "d21_knn_clusters" -> (d21KnnClusters _),
+    "d22_knn_gate" -> (d22KnnGate _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -1621,6 +1740,78 @@ object Dedup {
         |  lab.vec_id = best.canonical_id AS kept
         |FROM lab JOIN best USING (cluster)
         |ORDER BY lab.vec_id""".stripMargin,
+    // brute-force kNN-graph reproduction (the d19 precedent, bounded
+    // corpus): all-pairs floored-e6 cosines (a cheap raw-cosine 0.89
+    // pre-filter keeps the directed frame small — semantics-neutral
+    // below the 0.9 e6 threshold), top-2 per source by (sim_e6 DESC,
+    // dst), canonical distinct edges, recursive-CTE components, and the
+    // per-cluster (nodes, edges, id-sum) stats the Spark side emits
+    "d21_knn_clusters" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 4096
+        |  UNION ALL SELECT vec_id + 1000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL SELECT vec_id + 2000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02)
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL SELECT vec_id + 3000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.03)
+        |  FROM embeddings WHERE vec_id < 50),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.89),
+        |pp AS (SELECT va AS src, vb AS dst, sim_e6 FROM p WHERE sim_e6 >= 900000
+        |       UNION ALL SELECT vb, va, sim_e6 FROM p WHERE sim_e6 >= 900000),
+        |r AS (SELECT src, dst,
+        |        row_number() OVER (PARTITION BY src ORDER BY sim_e6 DESC, dst) AS rn
+        |      FROM pp),
+        |ke AS (SELECT src, dst FROM r WHERE rn <= 2),
+        |ed AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM ke),
+        |bi AS (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed),
+        |cc AS (
+        |  SELECT s AS id, s AS label FROM bi
+        |  UNION
+        |  SELECT e.d, cc.label FROM cc JOIN bi e ON e.s = cc.id),
+        |comp AS (SELECT id, min(label) AS label FROM cc GROUP BY id),
+        |ne AS (SELECT c.label, CAST(count(*) AS BIGINT) AS n_edges
+        |       FROM ed JOIN comp c ON ed.u = c.id GROUP BY c.label)
+        |SELECT comp.label AS cluster, CAST(count(*) AS BIGINT) AS n_nodes,
+        |  ne.n_edges, CAST(sum(comp.id) AS BIGINT) AS node_sum
+        |FROM comp JOIN ne ON ne.label = comp.label
+        |GROUP BY comp.label, ne.n_edges ORDER BY cluster""".stripMargin,
+    // the IVF≡exact equality is asserted Spark-side (exceptAll both
+    // ways); DuckDB recomputes the exact kNN edge count from
+    // brute-force pairs — anchoring both sides — and pins the flag
+    "d22_knn_gate" ->
+      """WITH v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 4096
+        |  UNION ALL SELECT vec_id + 1000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL SELECT vec_id + 2000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02)
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL SELECT vec_id + 3000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.03)
+        |  FROM embeddings WHERE vec_id < 50),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.89),
+        |pp AS (SELECT va AS src, vb AS dst, sim_e6 FROM p WHERE sim_e6 >= 900000
+        |       UNION ALL SELECT vb, va, sim_e6 FROM p WHERE sim_e6 >= 900000),
+        |r AS (SELECT src, dst,
+        |        row_number() OVER (PARTITION BY src ORDER BY sim_e6 DESC, dst) AS rn
+        |      FROM pp),
+        |ed AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM r WHERE rn <= 2)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  TRUE AS knn_edges_match_exact
+        |FROM ed""".stripMargin,
     // brute-force delta × corpus best match (the oracle can afford it;
     // the Spark path must produce the identical set through the
     // persisted index's probed cells only)

@@ -871,6 +871,32 @@ class DedupSpec extends SparkSpec {
       a.queryExecution.optimizedPlan)
   }
 
+  test("d21 kNN clusters: 50 planted 4-families, binding rank cutoff (5 of 6 edges), exact checksums") {
+    // the planted structure is fully predictable: cluster label = the
+    // base vec_id (min of the family), 4 nodes, node_sum = 4·base +
+    // 6·10⁶, and n_edges = 5 — k=2 keeps 5 of the 6 possible K4 edges,
+    // proving the top-k cutoff actually bit (a pure τ-threshold graph
+    // would emit 6; validated against DuckDB brute force at all SFs)
+    val rows = Dedup.d21KnnClusters(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val c = r.getLong(0)
+      assert(c >= 0 && c < 50, s"cluster label $c is not a base vec_id")
+      assert(r.getLong(1) == 4, s"cluster $c size ${r.getLong(1)}")
+      assert(r.getLong(2) == 5, s"cluster $c edges ${r.getLong(2)}")
+      assert(r.getLong(3) == 4 * c + 6000000L, s"cluster $c checksum")
+    }
+    spark.sharedState.cacheManager.clearCache()
+  }
+
+  test("d22 gate: IVF-candidate kNN edges are row-identical to the exact all-pairs anchor") {
+    val rows = Dedup.d22KnnGate(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 250L, "50 families x 5 edges expected")
+    assert(rows.head.getBoolean(1), "IVF kNN edges drifted from exact")
+    spark.sharedState.cacheManager.clearCache()
+  }
+
   test("duplicate spans on the real corpus: every span covers only flagged gram starts") {
     // structural invariants at sf0.001: spans are disjoint per doc,
     // ordered, length ≥ gram, and end-start+1 == span_len
