@@ -754,12 +754,24 @@ object Dedup {
     * aggregator: one mergeable signature per source, then estimated
     * shingle-set Jaccard between every source pair from the sketches
     * alone — the sketch never re-reads the documents. */
-  def sourceSketchEstimates(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val agg = new graft.functions.MinHashUnionAgg(K).toColumn
-    val docs = Tables.documents(s, dir)
+  /** The per-document distinct shingle-hash stage BOTH d06 sides
+    * consume — tokenize + hash + shingle is the corpus-sized dominant
+    * cost, so d06 stages it once (query-scoped cache) instead of
+    * re-deriving it per side (round-13 probe: the two-pass shape was
+    * the gap between d06's warm time and its floor). */
+  private def sourceShingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
       .select(col("source"), tokenHashes(tokens(col("text"))).as("th"))
       .select(col("source"), array_distinct(shingleHashesNative(col("th"), 3)).as("sh"))
+
+  def sourceSketchEstimates(s: SparkSession, dir: String): DataFrame =
+    sketchEstimatesFrom(sourceShingles(s, dir))
+
+  private def sketchEstimatesFrom(shingles: DataFrame): DataFrame = {
+    val s = shingles.sparkSession
+    import s.implicits._
+    val agg = new graft.functions.MinHashUnionAgg(K).toColumn
+    val docs = shingles
       .select(col("source"), minhashSignature(col("sh"), K).as("sig"))
     val sketches = docs.as[(String, Seq[Long])]
       .groupByKey(_._1)
@@ -779,10 +791,9 @@ object Dedup {
     * never-all-pairs shape as d03, one level up. Pairs with zero overlap
     * come from the all-pairs count join (sources are few; at 100 TB the
     * group grid is still tiny even when the corpus isn't). */
-  private def sourceExactJaccard(s: SparkSession, dir: String): DataFrame = {
-    val inv = Tables.documents(s, dir)
-      .select(col("source"), tokenHashes(tokens(col("text"))).as("th"))
-      .select(col("source"), explode(shingleHashesNative(col("th"), 3)).as("h"))
+  private def exactJaccardFrom(shingles: DataFrame): DataFrame = {
+    val inv = shingles
+      .select(col("source"), explode(col("sh")).as("h"))
       .distinct()
     val cnts = inv.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val inter = inv.as("a").join(inv.as("b"),
@@ -806,12 +817,16 @@ object Dedup {
     * estimates are deterministic per input set, so the flag can't flap
     * across runs/partitionings). DedupSpec bounds the raw estimates
     * tighter (0.12) via [[sourceSketchEstimates]]. */
-  def d06SourceSketchSim(s: SparkSession, dir: String): DataFrame =
-    sourceSketchEstimates(s, dir)
-      .join(sourceExactJaccard(s, dir), Seq("src_a", "src_b"))
+  def d06SourceSketchSim(s: SparkSession, dir: String): DataFrame = {
+    // stage the shared shingle derivation once for both sides
+    // (query-scoped cache; Verify/Bench clearCache after)
+    val sh = sourceShingles(s, dir).cache()
+    sketchEstimatesFrom(sh)
+      .join(exactJaccardFrom(sh), Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"), col("jaccard"),
         (abs(col("est_jaccard") - col("jaccard")) <= 0.2).as("est_within_bound"))
       .orderBy("src_a", "src_b")
+  }
 
   /** Cross-document exact passage duplication: cut each document into
     * non-overlapping 10-token chunks and surface passages appearing in
