@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Physical-plan assertions — the scale contract, checked in CI: filters
   * and projections reach the parquet scan, dimension joins broadcast,
@@ -730,6 +730,23 @@ class PlanShapeSpec extends SparkSpec {
           if w.toString.contains("vector_dot") => w
       }
       assert(codegenContainsDot.nonEmpty, "vector_dot fell out of codegen")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d21: kNN ranking cuts through the bounded heap; candidate stage is equi-join only") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(Dedup.d21KnnClusters(spark, sf))
+      // the per-source top-k runs partial+final heaps, never a
+      // corpus-wide rank window (the t39 contract for the vector side)
+      assert(p.contains("TopKPerKeyPartial"),
+        "kNN rank lost the bounded-heap operator:\n" + p)
+      // candidates come from the cell equi-join — an all-pairs shape
+      // would surface as a nested-loop/cartesian join
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        "d21 planned an all-pairs join:\n" + p)
+      spark.sharedState.cacheManager.clearCache()
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 }
