@@ -113,6 +113,7 @@ object Bench {
   private[graft] val amortized: Seq[String] = Seq(
     "d05_dedup_survivors", "d12_stream_dedup_gate", "d16_dedup_keep_best",
     "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
+    "d21_knn_clusters", "d22_knn_gate",
     "g03_components",
     "g04_graph_index_gate", "g05_edge_lifecycle_gate", "g08_sssp_index_gate",
     "g10_triangles", "g11_clustering_coeff", "g12_cooccur_index_gate",

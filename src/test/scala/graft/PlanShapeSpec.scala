@@ -736,7 +736,16 @@ class PlanShapeSpec extends SparkSpec {
   test("d21: kNN ranking cuts through the bounded heap; candidate stage is equi-join only") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val p = plan(Dedup.d21KnnClusters(spark, sf))
+      // pin the CORE construction, not the registered query — d21
+      // serves the memoized checkpointed core (its replay plan is a
+      // flat rollup by design; this is the shape the memo build runs)
+      val e = Tables.embeddings(spark, sf)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(
+            org.apache.spark.sql.functions.col("embedding")).as("emb"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(
+          org.apache.spark.sql.functions.col("emb")))
+      val p = plan(Dedup.knnEdges(Dedup.ivfCandidateVecs(e, 32, 4)))
       // the per-source top-k runs partial+final heaps, never a
       // corpus-wide rank window (the t39 contract for the vector side)
       assert(p.contains("TopKPerKeyPartial"),
