@@ -119,6 +119,7 @@ object Bench {
     "g10_triangles", "g11_clustering_coeff", "g12_cooccur_index_gate",
     "g13_edge_ingest_gate", "g16_affinity_index_gate",
     "s04_ann_recall_gate", "s07_ann_index_gate", "s14_ann_ingest_gate",
+    "s16_radius_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",

@@ -41,6 +41,7 @@ object ScaleSmoke {
     if (a.contains("tr100")) { tr100(spark); spark.stop(); return }
     if (a.contains("lp100")) { lp100(spark); spark.stop(); return }
     if (a.contains("knn100")) { knn100(spark); spark.stop(); return }
+    if (a.contains("rs100")) { rs100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -164,6 +165,62 @@ object ScaleSmoke {
     println(f"KNN100 vectors=${n + 3 * fams} cells=1024 probe=2 " +
       f"clusters=${got.count()} family_recall=${full.toDouble / fams}%.3f $secs%.2f s")
     assert(full >= (fams * 9) / 10, "planted family recall below 0.9")
+  }
+
+  /** Radius-search scale smoke (s15/s16's 100× story, the knn100
+    * corpus): 200k deterministic 64-d base vectors + 1000 planted
+    * 4-member perturbation families; 200 family-base queries at
+    * τ = 0.9 (e6-compared, the s15 rule). Exact brute force is the
+    * |queries| × |corpus| baseline; the indexed path answers from the
+    * persisted artifact's probed cells — perturbation copies land in
+    * their base's cell, so cell routing keeps them reachable. Asserts
+    * the two s16 contracts at 200k: every indexed hit appears in the
+    * exact result with a bit-identical e6 sim (true-hit property), and
+    * planted-pair recall ≥ 0.9 (expected hit set = exactly the 3
+    * planted copies per query; organic uniform cosines ≤ ~0.65 ≪ τ). */
+  private def rs100(spark: SparkSession): Unit = {
+    import graft.operators.Similarity
+    val n = 200000L
+    val fams = 1000L
+    val nq = 200L
+    val dim = 64
+    val tauE6 = 900000L
+    val out = "/tmp/sfrs100"
+    val src = when(col("id") >= n, (col("id") - n) % fams).otherwise(col("id"))
+    val mult = when(col("id") >= n, (col("id") - n) / fams + 1L).otherwise(lit(0L))
+    val basev = transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(src, i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+    spark.range(n + 3 * fams)
+      .select(col("id").as("vec_id"),
+        transform(basev, x => x + mult.cast("double") * 0.01).as("emb"))
+      .write.mode("overwrite").parquet(s"$out/vecs.parquet")
+    val e = spark.read.parquet(s"$out/vecs.parquet")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (_, tBuild) = time(Similarity.writeAnnIndex(spark, e, "graft_rs100_index"))
+    def radius(df: DataFrame): DataFrame = df
+      .select(col("query_id"), col("vec_id"),
+        graft.functions.ExactRound.e6(graft.functions.VectorFunctions.cosineWithNorms(
+          col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+      .filter(col("sim_e6") >= tauE6 && col("vec_id") =!= col("query_id"))
+    val exact = radius(e.join(broadcast(q)))
+    val idx = Similarity.annIvfRadiusIndexed(spark, q, "graft_rs100_index", tauE6)
+      .filter(col("vec_id") =!= col("query_id"))
+    val (_, tEx) = time(exact.write.format("noop").mode("overwrite").save())
+    val (_, tIx) = time(idx.write.format("noop").mode("overwrite").save())
+    val nEx = exact.count()
+    val nIx = idx.count()
+    val nHit = idx.join(exact, Seq("query_id", "vec_id", "sim_e6"), "left_semi").count()
+    println(f"RS100 vectors=${n + 3 * fams} queries=$nq tau=0.90 build=$tBuild%.2f s " +
+      f"exact=$tEx%.2f s indexed=$tIx%.2f s exact_hits=$nEx indexed_hits=$nIx " +
+      f"recall=${nHit.toDouble / nEx}%.3f")
+    assert(nIx == nHit, "indexed radius produced a hit outside the exact result")
+    assert(nEx == 3 * nq, s"expected exactly 3 planted hits per query, got $nEx")
+    assert(nHit * 10 >= nEx * 9, "radius recall below 0.9")
   }
 
   /** ANN index amortization smoke (the i100 pattern for vectors, round-6

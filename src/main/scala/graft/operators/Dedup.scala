@@ -1562,6 +1562,51 @@ object Dedup {
       .bucketBy(numBuckets, "gh").sortBy("gh")
       .saveAsTable(name + "_grams")
 
+  /** COMPACT a [[writeSpanIndex]] artifact — the lifecycle op the other
+    * two index families already carry ([[compactCorpusIndex]],
+    * `Similarity.compactAnnIndex`): appends land one count row per
+    * (batch, gram) and deletes append NEGATED tombstone rows, so the
+    * table grows with ingest history while every reader pays the per-gh
+    * re-aggregation. Compaction nets each gram hash to ONE row and
+    * DROPS grams whose counts net to 0 — exactly the table a fresh
+    * [[writeSpanIndex]] over the surviving corpus would produce, but
+    * without re-tokenizing a byte of text (cost ∝ index, 16 B per
+    * distinct gram, not corpus). The rewrite runs in a child session
+    * with autoBucketedScan disabled (the compactAnnIndex rule) so the
+    * bucketed read's HashPartitioning(gh) satisfies both the net agg's
+    * clustering AND the bucketed write — zero Exchange, one file per
+    * bucket. tmp-write + rename swap with crash recovery; bucket count
+    * read from the catalog (the retrain rule — a caller-supplied count
+    * could silently rewrite the layout under future appends). */
+  def compactSpanIndex(s0: SparkSession, name: String): Unit = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val live = name + "_grams"
+    // finish a crashed previous swap first (live dropped, _tmp complete)
+    if (!s.catalog.tableExists(live) && s.catalog.tableExists(live + "_tmp"))
+      s.sql(s"ALTER TABLE `${live}_tmp` RENAME TO `$live`")
+    val numBuckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(live))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    val tmp = live + "_tmp"
+    s.sql(s"DROP TABLE IF EXISTS `$tmp`")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), tmp.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    s.table(live)
+      .groupBy(col("gh")).agg(sum(col("n_occ")).as("n_occ"))
+      .filter(col("n_occ") =!= 0L)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, "gh").sortBy("gh")
+      .saveAsTable(tmp)
+    s.sql(s"DROP TABLE IF EXISTS `$live`")
+    s.sql(s"ALTER TABLE `$tmp` RENAME TO `$live`")
+    // the swap ran in the child session — refresh the caller's relation
+    // cache or its next scan throws FILE_NOT_EXIST (the r9 rule)
+    s0.catalog.refreshTable(live)
+  }
+
   /** Driver gate for incremental span dedup: the d13 fixture split
     * (doc_id % 10 = 0 as the arriving batch) run through the PERSISTED
     * shape end-to-end — build the gram-count index over the corpus

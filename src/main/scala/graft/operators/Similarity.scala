@@ -1571,6 +1571,85 @@ object Similarity {
     topKWithRank(sims)
   }
 
+  /** Radius (range) search threshold: cosine ≥ 0.30, compared on the
+    * e6-ROUNDED value in BOTH engines so threshold membership can never
+    * split on a last-ulp difference. Fixture validated at all three SFs
+    * (the g10/g14 protocol): 37/43/147 hit rows at sf0.001/0.01/0.1 —
+    * non-degenerate (every SF returns rows) and bounded (max organic
+    * cosine 0.39/0.49/0.45 keeps result sets |queries|-scaled). */
+  private val RadiusTauE6 = 300000L
+
+  /** Radius (range) similarity search — the standard ANN API next to
+    * top-k (FAISS `range_search`): ALL corpus vectors within cosine ≥ τ
+    * of each query, not a fixed k. This is the exact brute-force
+    * baseline (the s01 shape: queries broadcast, corpus streams map-side
+    * with zero shuffle — the threshold filter rides INSIDE the same
+    * projection, so at 100 TB non-matching rows die in the scan stage
+    * and only |hits| rows ever move); [[annIvfRadiusIndexed]] is the
+    * indexed scale path, gated by s16. Output keyed (query_id, vec_id) —
+    * a total order with no rank column to tie-break. */
+  def s15RadiusSearch(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 10)
+    c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+      .filter(col("sim_e6") >= RadiusTauE6)
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  /** Radius search answered from a [[writeAnnIndex]] artifact: probe the
+    * query's nearest cells (the IVF contract — only ~nprobe/ncentroids
+    * of the corpus is scanned), exact-verify every candidate's cosine,
+    * keep those at ≥ τ. Candidates are exact-scored, so every returned
+    * hit is a TRUE hit with its exact similarity (no false positives by
+    * construction — the property s16 pins); recall is bounded by cell
+    * routing exactly as for top-k. The corpus appears only as the
+    * bucketed `_cells` scan with probes broadcast into it — zero
+    * index-side Exchange, the annIvfIndexed shape. */
+  def annIvfRadiusIndexed(s: SparkSession, queries: DataFrame, name: String,
+      tauE6: Long = RadiusTauE6): DataFrame = {
+    val (cents, _) = readAnnSidecar(s, name)
+    val probes = queries
+      .withColumn("cell", explode(nearestCells(col("qe"), cents, NProbe)))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+    cellsTable(s, name).join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+      .filter(col("sim_e6") >= tauE6)
+  }
+
+  /** Driver gate for indexed radius search (the s04/s08 flag pattern):
+    * one row asserting (a) every indexed hit appears in the exact radius
+    * result WITH a bit-identical e6 similarity — the exact-verify
+    * contract, checked as one semi-join on (query_id, vec_id, sim_e6) —
+    * and (b) hit recall ≥ 0.6 vs the hash-gated exact s15, in integer
+    * arithmetic. Whole-gate memoized (the s04 rule). */
+  def s16RadiusIndexGate(s: SparkSession, dir: String): DataFrame =
+    memoFamily(s, dir, "s16")(s16Body(s, dir))
+
+  private def s16Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedAnnIndex(s, dir)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    // both sides referenced twice below (count + semi-join) → cache,
+    // query-scoped; Verify/Bench clearCache after (the repo rule)
+    val idx = annIvfRadiusIndexed(s, q, name).cache()
+    val exact = s15RadiusSearch(s, dir).cache()
+    val nIdx = idx.agg(count(lit(1)).as("n_idx"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = idx.join(exact, Seq("query_id", "vec_id", "sim_e6"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(nIdx).crossJoin(nExact).crossJoin(nHit)
+      .select(col("n_queries"),
+        (col("n_hit") === col("n_idx")).as("indexed_hits_exact_sims"),
+        (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
@@ -1586,6 +1665,8 @@ object Similarity {
     "s12_quantized_index_gate" -> (s12QuantizedIndexGate _),
     "s13_drift_retrain_gate" -> (s13DriftRetrainGate _),
     "s14_ann_ingest_gate" -> (s14AnnIngestGate _),
+    "s15_radius_search" -> (s15RadiusSearch _),
+    "s16_radius_index_gate" -> (s16RadiusIndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1678,5 +1759,25 @@ object Similarity {
         |  true AS redelivery_inserted_zero,
         |  true AS final_eq_clean_append
         |FROM embeddings WHERE vec_id < $S14Bound""".stripMargin,
+    // radius (range) search: the full exact result hash-matches — the
+    // threshold compares the e6-ROUNDED value in both engines, so
+    // membership can never split on a last-ulp cosine difference
+    "s15_radius_search" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= 10),
+        |s AS (SELECT query_id, vec_id,
+        |        CAST(floor(list_cosine_similarity(qe, emb) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+        |      FROM q CROSS JOIN c)
+        |SELECT query_id, vec_id, sim_e6 FROM s WHERE sim_e6 >= 300000
+        |ORDER BY query_id, vec_id""".stripMargin,
+    // indexed-radius contract flags are asserted Spark-side (exact-sim
+    // semi-join + integer recall vs the hash-gated s15); DuckDB anchors
+    // the probe count and the literal trues (the s04 pattern)
+    "s16_radius_index_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS indexed_hits_exact_sims,
+        |  true AS recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
   )
 }

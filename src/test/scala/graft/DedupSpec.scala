@@ -855,6 +855,63 @@ class DedupSpec extends SparkSpec {
       spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("compact span index: == rebuild over survivors, zero-net grams vanish, layout kept, crashed swap heals") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val block = (200 to 210).map(i => s"p$i").mkString(" ") // 11-token run
+    val batch1 = Seq(
+      (1L, (20 to 40).map(i => s"u$i").mkString(" "))).toDF("doc_id", "text")
+    val batch2 = Seq((5L, s"b1 b2 b3 $block b4")).toDF("doc_id", "text")
+    val batch3 = Seq((11L, s"d1 d2 $block d3 d4")).toDF("doc_id", "text")
+    val delta = Seq((10L, s"c1 c2 $block c3 c4")).toDF("doc_id", "text")
+    def files(t: String): Map[String, Long] = {
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(loc).filter(_.isFile).map(f => f.getPath.getName -> f.getLen).toMap
+    }
+    def rows(name: String) =
+      Dedup.incrementalSpansIndexed(spark, delta, name, gram = 8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    try {
+      Dedup.writeSpanIndex(batch1, "graft_spancomp", gram = 8, numBuckets = 4)
+      Dedup.appendToSpanIndex(batch2, "graft_spancomp", gram = 8, numBuckets = 4)
+      Dedup.appendToSpanIndex(batch3, "graft_spancomp", gram = 8, numBuckets = 4)
+      Dedup.deleteFromSpanIndex(batch3, "graft_spancomp", gram = 8, numBuckets = 4)
+      val preCompact = rows("graft_spancomp")
+      assert(preCompact.map(_._1).toSet == Set(10L),
+        "precondition: block should flag off its surviving batch2 copy")
+      val filesBefore = files("graft_spancomp_grams")
+      Dedup.compactSpanIndex(spark, "graft_spancomp")
+      // reads unchanged; table == a fresh build over the SURVIVING corpus
+      assert(rows("graft_spancomp") == preCompact, "compact changed answers")
+      Dedup.writeSpanIndex(batch1.union(batch2), "graft_spancomp_ref",
+        gram = 8, numBuckets = 4)
+      val got = spark.table("graft_spancomp_grams").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ref = spark.table("graft_spancomp_ref_grams").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == ref, "compacted table != rebuild over survivors")
+      // one row per gram, no zero-net tombstone survivors, fewer files
+      assert(spark.table("graft_spancomp_grams")
+        .groupBy(col("gh")).count().filter(col("count") > 1).count() == 0)
+      assert(files("graft_spancomp_grams").size < filesBefore.size,
+        "compact did not shrink the file count")
+      // layout preserved: the NEXT append still matches the bucket spec
+      // and multi-row re-aggregation keeps answering correctly
+      Dedup.appendToSpanIndex(batch3, "graft_spancomp", gram = 8, numBuckets = 4)
+      assert(rows("graft_spancomp").map(_._1).toSet == Set(10L))
+      // crashed swap: live dropped, _tmp complete -> next compact heals
+      spark.sql("ALTER TABLE graft_spancomp_grams RENAME TO graft_spancomp_grams_tmp")
+      Dedup.compactSpanIndex(spark, "graft_spancomp")
+      assert(spark.catalog.tableExists("graft_spancomp_grams"))
+      assert(rows("graft_spancomp").map(_._1).toSet == Set(10L),
+        "healed index answers diverged")
+    } finally Seq("graft_spancomp_grams", "graft_spancomp_grams_tmp",
+      "graft_spancomp_ref_grams").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("cluster-label memo: second call replays nothing (same checkpointed frame)") {
     val a = Dedup.minhashClusterLabels(spark, sf)
     val b = Dedup.minhashClusterLabels(spark, sf)

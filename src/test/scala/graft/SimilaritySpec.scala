@@ -926,4 +926,34 @@ class SimilaritySpec extends SparkSpec {
       assert(r.getLong(2) <= bestExact(r.getLong(0)))
     }
   }
+
+  test("radius search: exact result complete at tau, indexed hits are exact-sim true hits, recall holds") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val ex = Similarity.s15RadiusSearch(spark, sf).collect()
+      assert(ex.nonEmpty) // fixture-validated: every SF has hits at tau=0.30
+      // completeness + threshold contract vs an independent per-pair
+      // recompute: exact radius == ALL pairs at sim_e6 >= tau
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val all = e.filter(col("vec_id") >= 10).crossJoin(q)
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.ExactRound.e6(
+            graft.functions.VectorFunctions.cosineWithNorms(
+              col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+        .collect()
+      val expected = all.filter(_.getLong(2) >= 300000L)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(ex.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected)
+      // indexed path: subset with bit-identical sims, recall >= 0.6
+      val gate = Similarity.s16RadiusIndexGate(spark, sf).collect()
+      assert(gate.length == 1)
+      assert(gate.head.getBoolean(1), "indexed hit outside exact radius result")
+      assert(gate.head.getBoolean(2), "indexed radius recall < 0.6")
+    } finally spark.catalog.clearCache() // gate body caches (harness rule)
+  }
 }
