@@ -113,13 +113,13 @@ object Bench {
   private[graft] val amortized: Seq[String] = Seq(
     "d05_dedup_survivors", "d12_stream_dedup_gate", "d16_dedup_keep_best",
     "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
-    "d21_knn_clusters", "d22_knn_gate",
+    "d21_knn_clusters", "d22_knn_gate", "d23_incremental_knn",
     "g03_components",
     "g04_graph_index_gate", "g05_edge_lifecycle_gate", "g08_sssp_index_gate",
     "g10_triangles", "g11_clustering_coeff", "g12_cooccur_index_gate",
     "g13_edge_ingest_gate", "g16_affinity_index_gate",
     "s04_ann_recall_gate", "s07_ann_index_gate", "s14_ann_ingest_gate",
-    "s16_radius_index_gate",
+    "s16_radius_index_gate", "s18_filtered_radius_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",

@@ -74,7 +74,8 @@ object Plans {
     "q100_winsorized_by_key" -> "per-key winsorized mean: a discByKey pass computes exact per-key P5/P95 fences, the clip join re-reads the CACHED revenue frame (one scan feeds both quantile pass and clip), clipped values sum as integer cents — every shuffle on the group key",
     "t45_phrase_indexed" -> "phrase search from the PERSISTED positional index: bucket-PRUNED Bucketed: true _positions scan (term IN prunes bucket files), phrase table broadcast, one candidate-start shuffle — the corpus is never re-tokenized (zero documents scan)",
     "g14_lpa_communities" -> "label-propagation communities from the PERSISTED weighted co-occurrence index: per-round vote = map-combined (node, label) weight sums off the Bucketed: true _edges scan (zero edge-side Exchange, pinned) folded through ONE packed-BIGINT HashAggregate argmax (ws*2^32 + (2^32-1-label), ties to smallest label); rounds localCheckpointed with early stop — this final plan is the per-community rollup over the flat label relation; the vote shape is pinned in PlanShapeSpec",
-    "d21_knn_clusters" -> "kNN-graph + semantic clusters: IVF cell equi-join candidates (narrow rows, never all-pairs) → e6 cosine verify → partial+final TopKPerKey heaps per source (no corpus-wide rank window) → canonical-edge distinct → per-cluster rollup over the pointer-jumping label relation; the heap/no-cartesian shape is pinned in PlanShapeSpec")
+    "d21_knn_clusters" -> "kNN-graph + semantic clusters: IVF cell equi-join candidates (narrow rows, never all-pairs) → e6 cosine verify → partial+final TopKPerKey heaps per source (no corpus-wide rank window) → canonical-edge distinct → per-cluster rollup over the pointer-jumping label relation; the heap/no-cartesian shape is pinned in PlanShapeSpec",
+    "s15_radius_search" -> "radius (range) search: queries broadcast, native vector_dot cosine + e6 threshold inside WholeStageCodegen — non-matching rows die in the scan stage, only |hits| rows reach the output sort; the indexed path (s16) answers the same contract from the Bucketed: true _cells scan")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

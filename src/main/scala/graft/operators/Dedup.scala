@@ -783,6 +783,150 @@ object Dedup {
     ivfE.agg(count(lit(1)).as("n_edges")).crossJoin(eq)
   }
 
+  /** Delta slice of the d21 corpus for the incremental twin: the +0.03
+    * perturbation family members arrive AFTER the rest is indexed. */
+  private val KnnDeltaOff = 3000000L
+
+  /** The frozen-centroid kNN machinery d23 and its rebuild anchor
+    * share. Centroids are trained on the CORPUS ONLY (two Lloyd passes,
+    * the d21 recipe) and FROZEN — the append contract every persisted
+    * quantization artifact in this repo honors (appendToAnnIndex
+    * encodes against frozen centroids; drift is retrain's job). That
+    * freeze is what makes the incremental recompute PROVABLY equal to
+    * a full rebuild: cell assignments never move, so a delta vector can
+    * only change the top-k of sources sharing one of its cells.
+    *
+    * `full = true` ranks every source over the merged index (the
+    * rebuild anchor); `full = false` is the incremental path — keep the
+    * pre-delta directed edges of UNAFFECTED sources verbatim, re-rank
+    * only sources with a cell in the delta's cell set. Affected work is
+    * bounded by the hot cells' populations, not the corpus. */
+  /** Per-row probe-cell index rows against frozen centroids. */
+  private def d23CellIdx(df: DataFrame, cents: Seq[Array[Double]]): DataFrame = df
+    .withColumn("cell", explode(Similarity.nearestCells(col("emb"), cents, DupProbe)))
+    .select(col("cell"), col("vec_id"))
+
+  /** Directed τ-filtered top-[[KnnK]] of every source in `srcIdx`,
+    * candidates drawn from `fullIdx` by cell equi-join (never
+    * all-pairs); `vecs` supplies full-width rows per candidate side. */
+  private def d23DirectedFrom(srcIdx: DataFrame, fullIdx: DataFrame,
+      vecs: DataFrame): DataFrame = {
+    val va = vecs.select(col("vec_id").as("src"), col("emb").as("ea"), col("nrm").as("na"))
+    val vb = vecs.select(col("vec_id").as("dst"), col("emb").as("eb"), col("nrm").as("nb"))
+    val cand = srcIdx
+      .join(fullIdx.select(col("cell"), col("vec_id").as("dst")), Seq("cell"))
+      .filter(col("vec_id") =!= col("dst"))
+      .select(col("vec_id").as("src"), col("dst")).distinct()
+    val sims = cand.join(va, Seq("src")).join(vb, Seq("dst"))
+      .select(col("src"), col("dst"),
+        floor(VectorFunctions.cosineWithNorms(col("ea"), col("eb"),
+          col("na"), col("nb")) * 1000000.0 + 0.5).cast("long").as("sim_e6"))
+      .filter(col("sim_e6") >= 900000L)
+    Similarity.heapRanked(sims, "src", "sim_e6", "dst", KnnK, "rank")
+      .select(col("src"), col("dst"))
+  }
+
+  /** The frozen BASE state a production deployment holds as its index
+    * artifact between delta batches: corpus-trained centroids (two
+    * Lloyd passes, the d21 recipe) + the pre-delta directed edge set,
+    * memoized per (session, dir, fingerprint) with the edge frame
+    * localCheckpointed (the sharedKnnCore pattern, built under the same
+    * lock) — so the incremental path's per-call cost really is bounded
+    * by the delta's hot cells, not a silent base rebuild. */
+  private val knnBaseMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), (Seq[Array[Double]], DataFrame)]()
+
+  private def knnFrozenBase(s: SparkSession,
+      dir: String): (Seq[Array[Double]], DataFrame) = {
+    val fp = embFingerprint(dir)
+    val k = (s, dir, fp)
+    Option(knnBaseMemo.get(k)).getOrElse(knnLock.synchronized {
+      Option(knnBaseMemo.get(k)).getOrElse {
+        val corpus = d21Corpus(s, dir).filter(col("vec_id") < KnnDeltaOff)
+        val narrow = corpus.select(col("vec_id"), col("emb"))
+        val seeds: Seq[Array[Double]] = corpus.orderBy("vec_id").limit(DupCells)
+          .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
+        val cents = Similarity.refine(narrow, Similarity.refine(narrow, seeds))
+        val idxC = d23CellIdx(corpus, cents)
+        val base = d23DirectedFrom(idxC, idxC, corpus).localCheckpoint(true)
+        knnBaseMemo.keySet.removeIf(e =>
+          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        knnBaseMemo.put(k, (cents, base))
+        (cents, base)
+      }
+    })
+  }
+
+  private[graft] def incrementalKnnEdges(s: SparkSession, dir: String,
+      full: Boolean): DataFrame = {
+    val all = d21Corpus(s, dir)
+    val corpus = all.filter(col("vec_id") < KnnDeltaOff)
+    val delta = all.filter(col("vec_id") >= KnnDeltaOff)
+    // BOTH paths share the frozen base: the rebuild anchor must rank
+    // against the SAME centroids or the equivalence claim is vacuous
+    val (cents, baseDirected) = knnFrozenBase(s, dir)
+    val idxC = d23CellIdx(corpus, cents)
+    val idxD = d23CellIdx(delta, cents)
+    val idxAll = idxC.unionByName(idxD)
+    val directed =
+      if (full) d23DirectedFrom(idxAll, idxAll, all)
+      else {
+        val hotCells = idxD.select(col("cell")).distinct()
+        val affected = idxAll.join(hotCells, Seq("cell"), "left_semi")
+          .select(col("vec_id")).distinct()
+        val keep = baseDirected
+          .join(affected.select(col("vec_id").as("src")), Seq("src"), "left_anti")
+        val redo = d23DirectedFrom(
+          idxAll.join(affected, Seq("vec_id"), "left_semi"), idxAll, all)
+        keep.unionByName(redo)
+      }
+    directed
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
+      .distinct()
+  }
+
+  /** INCREMENTAL kNN-graph maintenance — d21's steady-state twin (the
+    * d13/d17/d20 pattern: every index family carries its delta shape):
+    * the +0.03 family members arrive after the corpus's kNN graph is
+    * built; only sources sharing a cell with a delta vector re-rank
+    * ([[incrementalKnnEdges]] — the frozen-centroid cell-locality
+    * argument makes this EXACTLY a full rebuild, displaced edges
+    * included, which DedupSpec pins by exceptAll), then components
+    * re-label and each delta vector reports its post-merge cluster:
+    * (delta_id, cluster label, cluster size, edges incident to the
+    * delta vector). DuckDB recomputes everything from brute-force
+    * exact pairs (the d21/d22 anchor chain — sound because the cell
+    * candidates recover every τ-pair on this corpus, which d22 pins). */
+  def d23IncrementalKnn(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir, embFingerprint(dir), "d23")(d23Body(s, dir))
+
+  private def d23Body(s: SparkSession, dir: String): DataFrame = {
+    // referenced twice (labels input + incident counting) → cache,
+    // query-scoped; Verify/Bench clearCache after (the repo rule) —
+    // GateMemo materializes the final rows before any later query runs
+    val edges = incrementalKnnEdges(s, dir, full = false).cache()
+    val labels = clusterLabels(
+      edges.select(col("u").as("doc_a"), col("v").as("doc_b")))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("n_nodes"))
+    val deltas = d21Corpus(s, dir).filter(col("vec_id") >= KnnDeltaOff)
+      .select(col("vec_id").as("delta_id"))
+    val perDelta = edges
+      .filter(col("u") >= KnnDeltaOff || col("v") >= KnnDeltaOff)
+      .select(explode(array(col("u"), col("v"))).as("delta_id"))
+      .filter(col("delta_id") >= KnnDeltaOff)
+      .groupBy(col("delta_id")).agg(count(lit(1)).as("n_new"))
+    deltas
+      .join(labels.select(col("id").as("delta_id"), col("label")), Seq("delta_id"), "left")
+      .join(sizes, Seq("label"), "left")
+      .join(perDelta, Seq("delta_id"), "left")
+      .select(col("delta_id"),
+        coalesce(col("label"), col("delta_id")).as("cluster"),
+        coalesce(col("n_nodes"), lit(1L)).as("n_nodes"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .orderBy("delta_id")
+  }
+
   /** Group-level MinHash sketches via the typed [[graft.functions.MinHashUnionAgg]]
     * aggregator: one mergeable signature per source, then estimated
     * shingle-set Jaccard between every source pair from the sketches
@@ -1675,6 +1819,7 @@ object Dedup {
     "d20_incr_semantic" -> (d20IncrementalSemantic _),
     "d21_knn_clusters" -> (d21KnnClusters _),
     "d22_knn_gate" -> (d22KnnGate _),
+    "d23_incremental_knn" -> (d23IncrementalKnn _),
   )
 
   /** Shared DuckDB CTE prefix: distinct 3-gram shingle sets per doc.
@@ -1905,6 +2050,56 @@ object Dedup {
         |SELECT CAST(count(*) AS BIGINT) AS n_edges,
         |  TRUE AS knn_edges_match_exact
         |FROM ed""".stripMargin,
+    // the d21 anchor chain (brute-force exact pairs → directed top-k →
+    // canonical edges → components), then the DELTA view: per +0.03
+    // arrival, its post-merge cluster, cluster size, and incident edge
+    // count — sound for the frozen-cell incremental path because cell
+    // candidates recover every τ-pair on this corpus (d22's pin)
+    "d23_incremental_knn" ->
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings WHERE vec_id < 4096
+        |  UNION ALL SELECT vec_id + 1000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.01)
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL SELECT vec_id + 2000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.02)
+        |  FROM embeddings WHERE vec_id < 50
+        |  UNION ALL SELECT vec_id + 3000000,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.03)
+        |  FROM embeddings WHERE vec_id < 50),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    CAST(floor(list_cosine_similarity(a.emb, b.emb) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.89),
+        |pp AS (SELECT va AS src, vb AS dst, sim_e6 FROM p WHERE sim_e6 >= 900000
+        |       UNION ALL SELECT vb, va, sim_e6 FROM p WHERE sim_e6 >= 900000),
+        |r AS (SELECT src, dst,
+        |        row_number() OVER (PARTITION BY src ORDER BY sim_e6 DESC, dst) AS rn
+        |      FROM pp),
+        |ed AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |       FROM r WHERE rn <= 2),
+        |bi AS (SELECT u AS s, v AS d FROM ed UNION SELECT v, u FROM ed),
+        |cc AS (
+        |  SELECT s AS id, s AS label FROM bi
+        |  UNION
+        |  SELECT e.d, cc.label FROM cc JOIN bi e ON e.s = cc.id),
+        |comp AS (SELECT id, min(label) AS label FROM cc GROUP BY id),
+        |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes FROM comp GROUP BY label),
+        |dd AS (SELECT vec_id AS delta_id FROM v WHERE vec_id >= 3000000),
+        |inc AS (SELECT u, v FROM ed WHERE u >= 3000000 OR v >= 3000000),
+        |cnt AS (SELECT delta_id, CAST(count(inc.u) AS BIGINT) AS n_new
+        |        FROM dd LEFT JOIN inc ON inc.u = dd.delta_id OR inc.v = dd.delta_id
+        |        GROUP BY delta_id),
+        |lab AS (SELECT dd.delta_id, comp.label FROM dd
+        |        LEFT JOIN comp ON comp.id = dd.delta_id)
+        |SELECT cnt.delta_id,
+        |  CAST(coalesce(lab.label, cnt.delta_id) AS BIGINT) AS cluster,
+        |  CAST(coalesce(sz.n_nodes, 1) AS BIGINT) AS n_nodes,
+        |  cnt.n_new
+        |FROM cnt JOIN lab ON lab.delta_id = cnt.delta_id
+        |LEFT JOIN sz ON sz.label = lab.label
+        |ORDER BY cnt.delta_id""".stripMargin,
     // brute-force delta × corpus best match (the oracle can afford it;
     // the Spark path must produce the identical set through the
     // persisted index's probed cells only)

@@ -1650,6 +1650,86 @@ object Similarity {
         (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
   }
 
+  /** FILTERED radius search — the radius row of the filtered-search
+    * matrix (s06's contract at range semantics): all corpus vectors at
+    * cosine ≥ τ of each query AMONG vectors sharing the query's label.
+    * The predicate sits below the similarity computation as the
+    * broadcast-join condition (pre-filter, never post-filter — with
+    * range semantics a post-filter doesn't just return fewer rows, it
+    * silently narrows the radius), and the τ comparison stays on the
+    * e6-rounded value (the s15 rule). */
+  def s17FilteredRadius(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val c = e.filter(col("vec_id") >= 10)
+    c.join(broadcast(q), col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+      .filter(col("sim_e6") >= RadiusTauE6)
+      .orderBy(col("query_id"), col("vec_id"))
+  }
+
+  /** Filtered radius from the artifact: the label predicate rides the
+    * cell equi-join against the bucketed `_cells` table (pre-filter at
+    * index granularity — only probed cells' label-matching vectors are
+    * ever scored), candidates exact-verified at τ. Probe count doubles
+    * exactly as [[annIvfFilteredIndexed]] — the filtered candidate set
+    * is sparser, and with range semantics a missed cell doesn't degrade
+    * rank quality, it LOSES hits outright. */
+  def annIvfRadiusFilteredIndexed(s: SparkSession, queries: DataFrame,
+      name: String, tauE6: Long = RadiusTauE6): DataFrame = {
+    val (cents, _) = readAnnSidecar(s, name)
+    val cells = cellsTable(s, name)
+    val probes = queries
+      .withColumn("cell", explode(nearestCells(col("qe"), cents,
+        math.min(2 * NProbe, NCentroids))))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"), col("qlabel"))
+    cells.join(broadcast(probes),
+        cells("cell") === probes("cell") && cells("label") === probes("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+      .filter(col("sim_e6") >= tauE6)
+  }
+
+  /** Driver gate for filtered-indexed radius (the s08 flags at range
+    * semantics): label contract exact, indexed ⊆ exact with
+    * bit-identical sims, hit recall ≥ 0.6 — all integer arithmetic.
+    * Whole-gate memoized (the s04 rule). */
+  def s18FilteredRadiusGate(s: SparkSession, dir: String): DataFrame =
+    memoFamily(s, dir, "s18")(s18Body(s, dir))
+
+  private def s18Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedAnnIndex(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val idx = annIvfRadiusFilteredIndexed(s, q, name).cache()
+    val exact = s17FilteredRadius(s, dir).cache()
+    val labels = e.select(col("vec_id"), col("label"))
+    val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val violations = idx
+      .join(labels, Seq("vec_id")).join(qLabels, Seq("query_id"))
+      .filter(col("label") =!= col("qlabel"))
+      .agg(count(lit(1)).as("n_viol"))
+    val nIdx = idx.agg(count(lit(1)).as("n_idx"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = idx.join(exact, Seq("query_id", "vec_id", "sim_e6"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(violations).crossJoin(nIdx).crossJoin(nExact).crossJoin(nHit)
+      .select(col("n_queries"),
+        (col("n_viol") === 0).as("all_hits_share_label"),
+        (col("n_hit") === col("n_idx")).as("indexed_hits_exact_sims"),
+        (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
@@ -1667,6 +1747,8 @@ object Similarity {
     "s14_ann_ingest_gate" -> (s14AnnIngestGate _),
     "s15_radius_search" -> (s15RadiusSearch _),
     "s16_radius_index_gate" -> (s16RadiusIndexGate _),
+    "s17_filtered_radius" -> (s17FilteredRadius _),
+    "s18_filtered_radius_gate" -> (s18FilteredRadiusGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1776,6 +1858,25 @@ object Similarity {
     // the probe count and the literal trues (the s04 pattern)
     "s16_radius_index_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS indexed_hits_exact_sims,
+        |  true AS recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // s15 with the label predicate as the join condition (the s06
+    // pre-filter contract at range semantics)
+    "s17_filtered_radius" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, label AS qlabel FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb, label FROM v WHERE vec_id >= 10),
+        |s AS (SELECT query_id, vec_id,
+        |        CAST(floor(list_cosine_similarity(qe, emb) * 1000000.0 + 0.5) AS BIGINT) AS sim_e6
+        |      FROM q JOIN c ON q.qlabel = c.label)
+        |SELECT query_id, vec_id, sim_e6 FROM s WHERE sim_e6 >= 300000
+        |ORDER BY query_id, vec_id""".stripMargin,
+    // filtered-radius flags (label contract + exact-sim subset +
+    // integer recall) asserted Spark-side vs the hash-gated s17
+    "s18_filtered_radius_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS all_hits_share_label,
         |  true AS indexed_hits_exact_sims,
         |  true AS recall_ge_60
         |FROM embeddings WHERE vec_id < 10""".stripMargin,

@@ -946,6 +946,32 @@ class DedupSpec extends SparkSpec {
     spark.sharedState.cacheManager.clearCache()
   }
 
+  test("d23 incremental kNN: affected-cell recompute == frozen-centroid full rebuild; planted deltas join their families") {
+    import org.apache.spark.sql.functions.col
+    try {
+      // the equivalence that makes the incremental path sound: keeping
+      // unaffected sources' edges + re-ranking affected sources equals
+      // ranking EVERYTHING over the merged index (displacements included)
+      val inc = Dedup.incrementalKnnEdges(spark, sf, full = false).cache()
+      val reb = Dedup.incrementalKnnEdges(spark, sf, full = true).cache()
+      val diff = inc.exceptAll(reb).count() + reb.exceptAll(inc).count()
+      assert(diff == 0, s"incremental kNN edges diverged from full rebuild by $diff rows")
+      // planted structure: each +0.03 arrival joins its 4-member family
+      // cluster (label = base id), contributing exactly its 2 directed
+      // picks (+0.02, +0.01) as canonical edges — no member ranks the
+      // farthest copy into ITS top-2, so no displacement either
+      val rows = Dedup.d23IncrementalKnn(spark, sf).collect()
+      assert(rows.length == 50)
+      rows.foreach { r =>
+        val f = r.getLong(0) - 3000000L
+        assert(f >= 0 && f < 50, s"unexpected delta id ${r.getLong(0)}")
+        assert(r.getLong(1) == f, s"delta $f cluster ${r.getLong(1)}")
+        assert(r.getLong(2) == 4, s"delta $f cluster size ${r.getLong(2)}")
+        assert(r.getLong(3) == 2, s"delta $f incident edges ${r.getLong(3)}")
+      }
+    } finally spark.catalog.clearCache()
+  }
+
   test("d22 gate: IVF-candidate kNN edges are row-identical to the exact all-pairs anchor") {
     val rows = Dedup.d22KnnGate(spark, sf).collect()
     assert(rows.length == 1)

@@ -758,4 +758,21 @@ class PlanShapeSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
+
+  test("d23: incremental kNN recompute keeps the bounded heap and equi-join-only candidates") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // pin the incremental CONSTRUCTION (the registered query serves
+      // the GateMemo local relation — the d21 rule): affected-source
+      // re-ranking must still run through the partial+final heaps and
+      // draw candidates by cell equi-join, never an all-pairs shape
+      val p = plan(Dedup.incrementalKnnEdges(spark, sf, full = false))
+      assert(p.contains("TopKPerKeyPartial"),
+        "d23 rank lost the bounded-heap operator:\n" + p)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"),
+        "d23 planned an all-pairs join:\n" + p)
+      spark.sharedState.cacheManager.clearCache()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

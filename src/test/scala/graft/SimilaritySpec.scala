@@ -956,4 +956,25 @@ class SimilaritySpec extends SparkSpec {
       assert(gate.head.getBoolean(2), "indexed radius recall < 0.6")
     } finally spark.catalog.clearCache() // gate body caches (harness rule)
   }
+
+  test("filtered radius: exact == unfiltered restricted to matching labels; indexed flags hold") {
+    try {
+      val labels = Tables.embeddings(spark, sf)
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val unf = Similarity.s15RadiusSearch(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val f = Similarity.s17FilteredRadius(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // pre-filter radius semantics == the unfiltered result restricted
+      // to label-matching pairs (same tau, same rounding)
+      assert(f.toSet == unf.filter(t => labels(t._1) == labels(t._2)).toSet,
+        "filtered radius diverged from label-restricted unfiltered radius")
+      val gate = Similarity.s18FilteredRadiusGate(spark, sf).collect()
+      assert(gate.length == 1)
+      assert(gate.head.getBoolean(1), "a hit crossed the label predicate")
+      assert(gate.head.getBoolean(2), "indexed hit outside exact filtered result")
+      assert(gate.head.getBoolean(3), "filtered radius recall < 0.6")
+    } finally spark.catalog.clearCache() // gate body caches (harness rule)
+  }
 }
