@@ -111,7 +111,8 @@ object Bench {
     * standalone family queries (s02/s03/s05/s09) deliberately bypass
     * the memos and stay honest from-scratch numbers. */
   private[graft] val amortized: Seq[String] = Seq(
-    "d05_dedup_survivors", "d12_stream_dedup_gate", "d16_dedup_keep_best",
+    "d05_dedup_survivors", "d11_ivf_gate", "d12_stream_dedup_gate",
+    "d16_dedup_keep_best",
     "d18_stream_vector_gate", "d19_semantic_dedup", "d20_incr_semantic",
     "d21_knn_clusters", "d22_knn_gate", "d23_incremental_knn",
     "g03_components",

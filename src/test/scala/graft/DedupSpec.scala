@@ -972,6 +972,48 @@ class DedupSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("d23 displacement: a delta that evicts an edge from BOTH endpoints' top-k removes it; incremental == rebuild") {
+    // the planted fixture only ADDS edges; this crafted 2-d corpus
+    // witnesses the harder path — a canonical edge dies only when the
+    // delta displaces it from both endpoints' top-k lists — plus a
+    // non-trivial keep side (the far cluster shares no probed cell
+    // with the delta, so its edges must arrive via the anti-join)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, least, greatest}
+    def vec(deg: Double): Seq[Double] =
+      Seq(math.cos(math.toRadians(deg)), math.sin(math.toRadians(deg)))
+    // near cluster: A(1)@0°, B(2)@21.6°, D(3)@-23.1°, G(4)@-43.3°
+    //   base top-2: A→{B,D}, D→{G,A} ⇒ canonical A-B, A-D, D-G
+    // far cluster H(10..13)@165/175/185/195° — unaffected by the delta
+    val corpus = Seq(
+      1L -> vec(0), 2L -> vec(21.6), 3L -> vec(-23.1), 4L -> vec(-43.3),
+      10L -> vec(165), 11L -> vec(175), 12L -> vec(185), 13L -> vec(195))
+      .toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    // delta C(100)@-9°: sim .988 to A and .970 to D — beats B in A's
+    // list AND beats A in D's list, so A-D must vanish
+    val delta = Seq(100L -> vec(-9.0)).toDF("vec_id", "emb")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val (cents, base) = Dedup.knnTrainBase(corpus)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val baseE = canon(base)
+    assert(baseE.contains((1L, 3L)), s"precondition: base lacks A-D: $baseE")
+    assert(baseE.contains((10L, 11L)), s"precondition: base lacks H1-H2: $baseE")
+    def edges(full: Boolean) =
+      Dedup.incrementalKnnEdgesFrom(corpus, delta, cents, base, full)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = edges(full = false)
+    val reb = edges(full = true)
+    assert(inc == reb, s"incremental $inc != rebuild $reb")
+    assert(!inc.contains((1L, 3L)), s"displaced edge A-D survived: $inc")
+    assert(inc.contains((1L, 100L)) && inc.contains((3L, 100L)),
+      s"delta edges missing: $inc")
+    assert(inc.contains((10L, 11L)), s"kept far-cluster edge lost: $inc")
+  }
+
   test("d22 gate: IVF-candidate kNN edges are row-identical to the exact all-pairs anchor") {
     val rows = Dedup.d22KnnGate(spark, sf).collect()
     assert(rows.length == 1)
