@@ -42,6 +42,7 @@ object ScaleSmoke {
     if (a.contains("lp100")) { lp100(spark); spark.stop(); return }
     if (a.contains("knn100")) { knn100(spark); spark.stop(); return }
     if (a.contains("rs100")) { rs100(spark); spark.stop(); return }
+    if (a.contains("iknn100")) { iknn100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -165,6 +166,64 @@ object ScaleSmoke {
     println(f"KNN100 vectors=${n + 3 * fams} cells=1024 probe=2 " +
       f"clusters=${got.count()} family_recall=${full.toDouble / fams}%.3f $secs%.2f s")
     assert(full >= (fams * 9) / 10, "planted family recall below 0.9")
+  }
+
+  /** Incremental-kNN scale smoke (d23's 100× story): 200k base vectors
+    * + 1000 planted families with their first TWO perturbation copies
+    * already indexed (202k-vector corpus, 1024 frozen cells / probe 2);
+    * a 50-vector micro-batch (the first 50 families' +0.03 copies)
+    * then arrives. The incremental path re-ranks only sources sharing
+    * a probed cell with the delta — ~hot-cells/1024 of the corpus —
+    * while the rebuild anchor re-ranks everything. Asserts incremental
+    * ≡ rebuild (exceptAll both ways, displacements included) and that
+    * every delta vector joins its family; reports base-build,
+    * incremental, and rebuild seconds — the delta-boundedness evidence
+    * at scale. */
+  private def iknn100(spark: SparkSession): Unit = {
+    import graft.operators.Dedup
+    val n = 200000L
+    val fams = 1000L
+    val dBatch = 50L
+    val dim = 64
+    val out = "/tmp/sfiknn100"
+    // ids: base 0..n-1; copy m (1..3) of family f = n + (m-1)*fams + f
+    val src = when(col("id") >= n, (col("id") - n) % fams).otherwise(col("id"))
+    val mult = when(col("id") >= n, (col("id") - n) / fams + 1L).otherwise(lit(0L))
+    val basev = transform(sequence(lit(0), lit(dim - 1)),
+      i => pmod(xxhash64(src, i), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+    spark.range(n + 3 * fams)
+      .select(col("id").as("vec_id"),
+        transform(basev, x => x + mult.cast("double") * 0.01).as("emb"))
+      .write.mode("overwrite").parquet(s"$out/vecs.parquet")
+    val all = spark.read.parquet(s"$out/vecs.parquet")
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    val deltaLo = n + 2 * fams
+    val corpus = all.filter(col("vec_id") < deltaLo)
+    val delta = all.filter(col("vec_id") >= deltaLo && col("vec_id") < deltaLo + dBatch)
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val ((cents, base0), tTrain) =
+      time(Dedup.knnTrainBase(corpus, nCells = 1024, nProbe = 2))
+    val (base, tBase) = time(base0.localCheckpoint(true))
+    def run(full: Boolean): (DataFrame, Double) = {
+      val df = Dedup.incrementalKnnEdgesFrom(corpus, delta, cents, base,
+        full, nProbe = 2)
+      val (_, t) = time(df.write.format("noop").mode("overwrite").save())
+      (df, t)
+    }
+    val (inc, tInc) = run(full = false)
+    val (reb, tReb) = run(full = true)
+    val diff = inc.exceptAll(reb).count() + reb.exceptAll(inc).count()
+    val joined = inc
+      .filter(col("u") >= deltaLo || col("v") >= deltaLo)
+      .select(when(col("u") >= deltaLo, col("u")).otherwise(col("v")).as("d"))
+      .distinct().count()
+    println(f"IKNN100 corpus=${n + 2 * fams} delta=$dBatch cells=1024 probe=2 " +
+      f"train=$tTrain%.2f s base_edges=$tBase%.2f s incremental=$tInc%.2f s " +
+      f"rebuild=$tReb%.2f s diff_rows=$diff deltas_joined=$joined")
+    assert(diff == 0, s"incremental diverged from rebuild by $diff rows")
+    assert(joined >= (dBatch * 9) / 10, s"only $joined/$dBatch deltas joined a family")
   }
 
   /** Radius-search scale smoke (s15/s16's 100× story, the knn100

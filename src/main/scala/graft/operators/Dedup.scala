@@ -802,8 +802,9 @@ object Dedup {
     * only sources with a cell in the delta's cell set. Affected work is
     * bounded by the hot cells' populations, not the corpus. */
   /** Per-row probe-cell index rows against frozen centroids. */
-  private def d23CellIdx(df: DataFrame, cents: Seq[Array[Double]]): DataFrame = df
-    .withColumn("cell", explode(Similarity.nearestCells(col("emb"), cents, DupProbe)))
+  private def d23CellIdx(df: DataFrame, cents: Seq[Array[Double]],
+      nProbe: Int = DupProbe): DataFrame = df
+    .withColumn("cell", explode(Similarity.nearestCells(col("emb"), cents, nProbe)))
     .select(col("cell"), col("vec_id"))
 
   /** Directed τ-filtered top-[[KnnK]] of every source in `srcIdx`,
@@ -839,13 +840,14 @@ object Dedup {
   /** Train the frozen base state from a (vec_id, emb, nrm) corpus:
     * corpus-trained centroids (two Lloyd passes, the d21 recipe) + the
     * pre-delta directed edge set. */
-  private[graft] def knnTrainBase(
-      corpus: DataFrame): (Seq[Array[Double]], DataFrame) = {
+  private[graft] def knnTrainBase(corpus: DataFrame,
+      nCells: Int = DupCells,
+      nProbe: Int = DupProbe): (Seq[Array[Double]], DataFrame) = {
     val narrow = corpus.select(col("vec_id"), col("emb"))
-    val seeds: Seq[Array[Double]] = corpus.orderBy("vec_id").limit(DupCells)
+    val seeds: Seq[Array[Double]] = corpus.orderBy("vec_id").limit(nCells)
       .select(col("emb")).collect().map(_.getSeq[Double](0).toArray).toSeq
     val cents = Similarity.refine(narrow, Similarity.refine(narrow, seeds))
-    val idxC = d23CellIdx(corpus, cents)
+    val idxC = d23CellIdx(corpus, cents, nProbe)
     (cents, d23DirectedFrom(idxC, idxC, corpus))
   }
 
@@ -875,10 +877,10 @@ object Dedup {
     * vacuous. */
   private[graft] def incrementalKnnEdgesFrom(corpus: DataFrame,
       delta: DataFrame, cents: Seq[Array[Double]], baseDirected: DataFrame,
-      full: Boolean): DataFrame = {
+      full: Boolean, nProbe: Int = DupProbe): DataFrame = {
     val all = corpus.unionByName(delta)
-    val idxC = d23CellIdx(corpus, cents)
-    val idxD = d23CellIdx(delta, cents)
+    val idxC = d23CellIdx(corpus, cents, nProbe)
+    val idxD = d23CellIdx(delta, cents, nProbe)
     val idxAll = idxC.unionByName(idxD)
     val directed =
       if (full) d23DirectedFrom(idxAll, idxAll, all)

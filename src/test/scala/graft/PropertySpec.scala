@@ -128,6 +128,52 @@ class PropertySpec extends SparkSpec {
     assert(full == brute, s"full-probe IVF != brute force:\n$full\n$brute")
   }
 
+  test("radius search equals a plain-Scala reference for random corpora across thresholds") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.{VectorFunctions => VF}
+    // engine-independent differential (the t28 plain-reference rule):
+    // VectorDot folds sequentially and cosineWithNorms is dot/(na*nb),
+    // so a scalar JVM loop must reproduce every e6-floored similarity
+    // bit-for-bit — and therefore the exact radius membership at ANY
+    // threshold, including ones near the organic similarity ceiling
+    val dim = 16
+    def gen(ids: org.apache.spark.sql.DataFrame, seed: Int) = ids
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dim - 1)),
+          i => pmod(xxhash64(col("id"), i, lit(seed)), lit(2000001L)).cast("double") / 1000000.0 - 1.0)
+          .as("emb"))
+      .withColumn("nrm", VF.l2Norm(col("emb")))
+    val corpus = gen(spark.range(10, 200).toDF("id"), 11)
+    val q = gen(spark.range(0, 5).toDF("id"), 23)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    def scalaSide(df: org.apache.spark.sql.DataFrame): Array[(Long, Array[Double])] =
+      df.collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val cv = scalaSide(corpus.select(col("vec_id"), col("emb")))
+    val qv = scalaSide(q.select(col("query_id"), col("qe")))
+    def dotS(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    for (tau <- Seq(150000L, 250000L, 400000L)) {
+      val got = corpus.join(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          graft.functions.ExactRound.e6(
+            VF.cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
+        .filter(col("sim_e6") >= tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val exp = (for {
+        (qid, qe) <- qv
+        (vid, ce) <- cv
+        sim = math.floor(dotS(qe, ce) /
+          (math.sqrt(dotS(qe, qe)) * math.sqrt(dotS(ce, ce))) * 1000000.0 + 0.5).toLong
+        if sim >= tau
+      } yield (qid, vid, sim)).toSet
+      assert(got == exp, s"tau=$tau: Spark radius != Scala reference " +
+        s"(spark ${got.size} rows, scala ${exp.size} rows)")
+      assert(exp.nonEmpty || tau > 300000L, s"tau=$tau produced no rows — vacuous case")
+    }
+  }
+
   test("IVF-PQ with full probing equals corpus-wide PQ-ADC (routing never changes ADC scores)") {
     import org.apache.spark.sql.functions._
     import graft.functions.{VectorFunctions => VF}
