@@ -835,7 +835,7 @@ object Dedup {
     * lock) — so the incremental path's per-call cost really is bounded
     * by the delta's hot cells, not a silent base rebuild. */
   private val knnBaseMemo = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String, Long), (Seq[Array[Double]], DataFrame)]()
+    (SparkSession, String, Long), (Seq[Array[Double]], DataFrame, DataFrame)]()
 
   /** Train the frozen base state from a (vec_id, emb, nrm) corpus:
     * corpus-trained centroids (two Lloyd passes, the d21 recipe) + the
@@ -852,7 +852,7 @@ object Dedup {
   }
 
   private def knnFrozenBase(s: SparkSession,
-      dir: String): (Seq[Array[Double]], DataFrame) = {
+      dir: String): (Seq[Array[Double]], DataFrame, DataFrame) = {
     val fp = embFingerprint(dir)
     val k = (s, dir, fp)
     Option(knnBaseMemo.get(k)).getOrElse(knnLock.synchronized {
@@ -860,10 +860,15 @@ object Dedup {
         val corpus = d21Corpus(s, dir).filter(col("vec_id") < KnnDeltaOff)
         val (cents, base0) = knnTrainBase(corpus)
         val base = base0.localCheckpoint(true)
+        // the (cell, vec_id) index IS part of the persisted base state
+        // (production: the artifact's narrow index table) — holding it
+        // checkpointed spares the incremental path the full-corpus
+        // re-assignment pass
+        val idxC = d23CellIdx(corpus, cents).localCheckpoint(true)
         knnBaseMemo.keySet.removeIf(e =>
           (e._1 eq s) && e._2 == dir && e._3 != fp)
-        knnBaseMemo.put(k, (cents, base))
-        (cents, base)
+        knnBaseMemo.put(k, (cents, base, idxC))
+        (cents, base, idxC)
       }
     })
   }
@@ -877,9 +882,10 @@ object Dedup {
     * vacuous. */
   private[graft] def incrementalKnnEdgesFrom(corpus: DataFrame,
       delta: DataFrame, cents: Seq[Array[Double]], baseDirected: DataFrame,
-      full: Boolean, nProbe: Int = DupProbe): DataFrame = {
+      full: Boolean, nProbe: Int = DupProbe,
+      corpusIdx: Option[DataFrame] = None): DataFrame = {
     val all = corpus.unionByName(delta)
-    val idxC = d23CellIdx(corpus, cents, nProbe)
+    val idxC = corpusIdx.getOrElse(d23CellIdx(corpus, cents, nProbe))
     val idxD = d23CellIdx(delta, cents, nProbe)
     val idxAll = idxC.unionByName(idxD)
     val directed =
@@ -905,8 +911,9 @@ object Dedup {
     val all = d21Corpus(s, dir)
     val corpus = all.filter(col("vec_id") < KnnDeltaOff)
     val delta = all.filter(col("vec_id") >= KnnDeltaOff)
-    val (cents, baseDirected) = knnFrozenBase(s, dir)
-    incrementalKnnEdgesFrom(corpus, delta, cents, baseDirected, full)
+    val (cents, baseDirected, idxC) = knnFrozenBase(s, dir)
+    incrementalKnnEdgesFrom(corpus, delta, cents, baseDirected, full,
+      corpusIdx = Some(idxC))
   }
 
   /** INCREMENTAL kNN-graph maintenance — d21's steady-state twin (the
