@@ -119,13 +119,16 @@ object Bench {
     "g04_graph_index_gate", "g05_edge_lifecycle_gate", "g08_sssp_index_gate",
     "g10_triangles", "g11_clustering_coeff", "g12_cooccur_index_gate",
     "g13_edge_ingest_gate", "g16_affinity_index_gate",
+    "g17_incr_components",
     "s04_ann_recall_gate", "s07_ann_index_gate", "s14_ann_ingest_gate",
     "s16_radius_index_gate", "s18_filtered_radius_gate",
+    "s20_l2_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",
     "t35_stream_curate_gate", "t40_text_index_gate",
     "t41_bpe_incremental", "t42_hybrid_indexed_gate",
+    "t48_lm_index_gate",
     "t43_bm25_indexed", "t45_phrase_indexed")
 
   def main(args: Array[String]): Unit = {
@@ -253,6 +256,12 @@ object Bench {
         System.err.println(s"[bench] could not write $p: ${e.getMessage}")
       }
     }
+    // emit the line AGAIN as the very last stdout of the run (round-13
+    // verdict #2: the driver's tail capture truncated the HEAD of the
+    // single emission two rounds running — with two copies bracketing
+    // the file-write diagnostics, a tail window that clips the first
+    // copy's head still contains the second copy whole)
+    println(json)
     spark.stop()
   }
 }

@@ -75,7 +75,10 @@ object Plans {
     "t45_phrase_indexed" -> "phrase search from the PERSISTED positional index: bucket-PRUNED Bucketed: true _positions scan (term IN prunes bucket files), phrase table broadcast, one candidate-start shuffle — the corpus is never re-tokenized (zero documents scan)",
     "g14_lpa_communities" -> "label-propagation communities from the PERSISTED weighted co-occurrence index: per-round vote = map-combined (node, label) weight sums off the Bucketed: true _edges scan (zero edge-side Exchange, pinned) folded through ONE packed-BIGINT HashAggregate argmax (ws*2^32 + (2^32-1-label), ties to smallest label); rounds localCheckpointed with early stop — this final plan is the per-community rollup over the flat label relation; the vote shape is pinned in PlanShapeSpec",
     "d21_knn_clusters" -> "kNN-graph + semantic clusters: IVF cell equi-join candidates (narrow rows, never all-pairs) → e6 cosine verify → partial+final TopKPerKey heaps per source (no corpus-wide rank window) → canonical-edge distinct → per-cluster rollup over the pointer-jumping label relation; the heap/no-cartesian shape is pinned in PlanShapeSpec",
-    "s15_radius_search" -> "radius (range) search: queries broadcast, native vector_dot cosine + e6 threshold inside WholeStageCodegen — non-matching rows die in the scan stage, only |hits| rows reach the output sort; the indexed path (s16) answers the same contract from the Bucketed: true _cells scan")
+    "s15_radius_search" -> "radius (range) search: queries broadcast, native vector_dot cosine + e6 threshold inside WholeStageCodegen — non-matching rows die in the scan stage, only |hits| rows reach the output sort; the indexed path (s16) answers the same contract from the Bucketed: true _cells scan",
+    "g17_incr_components" -> "incremental connected components: the frozen base label table remaps through a BROADCAST of the delta-sized contracted super-graph fixpoint (edge addition only merges — contraction preserves connectivity, min labels compose) — the corpus-sized edge set is never re-scanned; delta derivation is one map-combined fact-join agg; affected-component restriction is a second broadcast semi-join on the label",
+    "s19_l2_topk" -> "exact L2 top-5 (the metric option's brute-force baseline): queries broadcast, native vector_dot d² composition inside WholeStageCodegen, bounded per-query heaps under the FLIPPED order (d2_e6 asc) — never a corpus-wide rank window; the indexed path (s20) answers from the bucketed L2 artifact's _cells scan",
+    "t48_lm_index_gate" -> "persisted bigram-LM gate: the corpus-sized tokenize+count train passes live in the bucketed _uni/_big artifact (built once per fixture); every t33/t34 scoring call broadcasts the re-aggregated vocabulary-sized tables (Exchange-free on the buckets) — the scoring pass is the only data-sized work left on their plans")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -43,6 +43,7 @@ object ScaleSmoke {
     if (a.contains("knn100")) { knn100(spark); spark.stop(); return }
     if (a.contains("rs100")) { rs100(spark); spark.stop(); return }
     if (a.contains("iknn100")) { iknn100(spark); spark.stop(); return }
+    if (a.contains("icc100")) { icc100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -226,6 +227,52 @@ object ScaleSmoke {
     assert(joined >= (dBatch * 9) / 10, s"only $joined/$dBatch deltas joined a family")
   }
 
+  /** Incremental-components scale smoke (g17's 100× story): 1M nodes in
+    * 100k 10-node path components (900k base edges); a 500-edge delta
+    * merges family pairs (2k, 2k+1) for k < 500 — 1 000 touched
+    * components out of 100 000. The incremental path pays a fixpoint
+    * over the 500-edge CONTRACTED super-graph plus one broadcast remap
+    * of the node-sized label table; the rebuild anchor re-runs pointer
+    * jumping over all 900.5k edges. Asserts incremental ≡ rebuild
+    * (exceptAll both ways) and exactly 500 merged 20-node components;
+    * reports base/incremental/rebuild seconds — the evidence that
+    * maintenance cost tracks the delta, not the graph. */
+  private def icc100(spark: SparkSession): Unit = {
+    import graft.operators.{Dedup, Graph}
+    val fams = 100000L
+    val m = 10L
+    val nDelta = 500L
+    val ids = spark.range(fams * m)
+    val base = ids.filter(col("id") % m =!= (m - 1))
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val delta = spark.range(nDelta)
+      .select((col("id") * 2 * m).as("doc_a"),
+        (col("id") * 2 * m + m).as("doc_b"))
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val (baseLabels, tBase) = time {
+      val l = Dedup.clusterLabels(base)
+      l.write.format("noop").mode("overwrite").save(); l
+    }
+    val (inc, tInc) = time {
+      val l = Graph.incrementalComponentLabels(baseLabels, delta)
+      l.write.format("noop").mode("overwrite").save(); l
+    }
+    val (reb, tReb) = time {
+      val l = Dedup.clusterLabels(base.unionByName(delta))
+      l.write.format("noop").mode("overwrite").save(); l
+    }
+    val diff = inc.exceptAll(reb).count() + reb.exceptAll(inc).count()
+    val merged = inc.groupBy(col("label")).agg(count(lit(1)).as("nn"))
+      .filter(col("nn") === 2 * m).count()
+    println(f"ICC100 nodes=${fams * m} base_edges=${fams * (m - 1)} " +
+      f"delta=$nDelta touched=${2 * nDelta} base=$tBase%.2f s " +
+      f"incremental=$tInc%.2f s rebuild=$tReb%.2f s diff_rows=$diff merged=$merged")
+    assert(diff == 0, s"incremental diverged from rebuild by $diff rows")
+    assert(merged == nDelta, s"expected $nDelta merged 20-node components, got $merged")
+  }
+
   /** Radius-search scale smoke (s15/s16's 100× story, the knn100
     * corpus): 200k deterministic 64-d base vectors + 1000 planted
     * 4-member perturbation families; 200 family-base queries at
@@ -280,6 +327,10 @@ object ScaleSmoke {
     assert(nIx == nHit, "indexed radius produced a hit outside the exact result")
     assert(nEx == 3 * nq, s"expected exactly 3 planted hits per query, got $nEx")
     assert(nHit * 10 >= nEx * 9, "radius recall below 0.9")
+    // drop the smoke's artifact tables (round-13 ADVICE: leaving them
+    // relied on writeAnnIndex's overwrite for rerun hygiene)
+    Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_rs100_index$sfx"))
   }
 
   /** ANN index amortization smoke (the i100 pattern for vectors, round-6

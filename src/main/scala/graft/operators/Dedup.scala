@@ -729,6 +729,26 @@ object Dedup {
     (SparkSession, String, Long), (DataFrame, DataFrame)]()
   private val knnLock = new Object
 
+  /** Evict stale-fingerprint entries for (s, dir) AND free their
+    * checkpointed frames' blocks (round-13 ADVICE: removal alone left
+    * the blocks to GC + ContextCleaner — across driver-side fixture
+    * regenerations that is a process-lifetime leak). `frames` selects
+    * which members of the memoized value hold checkpointed state. */
+  private def evictStale[V](
+      memo: java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Long), V],
+      s: SparkSession, dir: String, fp: Long)(frames: V => Seq[DataFrame]): Unit = {
+    val it = memo.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val k = e.getKey
+      if ((k._1 eq s) && k._2 == dir && k._3 != fp) {
+        frames(e.getValue).foreach(
+          org.apache.spark.sql.graft.bridge.freeLocalCheckpoint)
+        it.remove()
+      }
+    }
+  }
+
   private def sharedKnnCore(s: SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val fp = embFingerprint(dir)
@@ -740,8 +760,7 @@ object Dedup {
           .localCheckpoint(true)
         val labels = clusterLabels(
           edges.select(col("u").as("doc_a"), col("v").as("doc_b")))
-        knnCoreMemo.keySet.removeIf(e =>
-          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        evictStale(knnCoreMemo, s, dir, fp)(t => Seq(t._1, t._2))
         knnCoreMemo.put(k, (edges, labels))
         (edges, labels)
       }
@@ -865,8 +884,7 @@ object Dedup {
         // checkpointed spares the incremental path the full-corpus
         // re-assignment pass
         val idxC = d23CellIdx(corpus, cents).localCheckpoint(true)
-        knnBaseMemo.keySet.removeIf(e =>
-          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        evictStale(knnBaseMemo, s, dir, fp)(t => Seq(t._2, t._3))
         knnBaseMemo.put(k, (cents, base, idxC))
         (cents, base, idxC)
       }
@@ -883,9 +901,17 @@ object Dedup {
   private[graft] def incrementalKnnEdgesFrom(corpus: DataFrame,
       delta: DataFrame, cents: Seq[Array[Double]], baseDirected: DataFrame,
       full: Boolean, nProbe: Int = DupProbe,
-      corpusIdx: Option[DataFrame] = None): DataFrame = {
+      corpusIdx: Option[(DataFrame, Int)] = None): DataFrame = {
+    // a pre-built (cell, vec_id) index carries the probe count it was
+    // built with (round-13 ADVICE): the hot-cell/affected-set logic and
+    // the candidate generation must probe IDENTICALLY, or the keep-leg
+    // silently retains stale edges of actually-affected sources
+    corpusIdx.foreach { case (_, p) =>
+      require(p == nProbe,
+        s"corpusIdx was built with nProbe=$p but the incremental pass " +
+          s"runs nProbe=$nProbe — affected-set logic would diverge") }
     val all = corpus.unionByName(delta)
-    val idxC = corpusIdx.getOrElse(d23CellIdx(corpus, cents, nProbe))
+    val idxC = corpusIdx.map(_._1).getOrElse(d23CellIdx(corpus, cents, nProbe))
     val idxD = d23CellIdx(delta, cents, nProbe)
     val idxAll = idxC.unionByName(idxD)
     val directed =
@@ -913,7 +939,7 @@ object Dedup {
     val delta = all.filter(col("vec_id") >= KnnDeltaOff)
     val (cents, baseDirected, idxC) = knnFrozenBase(s, dir)
     incrementalKnnEdgesFrom(corpus, delta, cents, baseDirected, full,
-      corpusIdx = Some(idxC))
+      corpusIdx = Some((idxC, DupProbe)))
   }
 
   /** INCREMENTAL kNN-graph maintenance — d21's steady-state twin (the
@@ -1769,7 +1795,9 @@ object Dedup {
       s.sql(s"ALTER TABLE `${live}_tmp` RENAME TO `$live`")
     val numBuckets = s.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(live))
-      .bucketSpec.map(_.numBuckets).getOrElse(8)
+      .bucketSpec.map(_.numBuckets).getOrElse(sys.error(
+        s"$live has no bucketSpec — compacting would silently rewrite " +
+          "the layout the catalog read exists to preserve (round-13 ADVICE)"))
     val tmp = live + "_tmp"
     s.sql(s"DROP TABLE IF EXISTS `$tmp`")
     val loc = new org.apache.hadoop.fs.Path(

@@ -562,11 +562,28 @@ object Similarity {
   def writeAnnIndex(s: SparkSession, corpus: DataFrame, name: String,
       numBuckets: Int = 8, meta: Seq[String] = Seq.empty,
       families: Set[String] = Set("ivf", "srp", "pq"),
-      storage: String = "f64", quantScale: Double = 0.005): Unit = {
+      storage: String = "f64", quantScale: Double = 0.005,
+      metric: String = "cosine"): Unit = {
     import s.implicits._
     require(families.contains("ivf"),
       "the cells table is every family's rerank source — 'ivf' is mandatory")
     require(storage == "f64" || storage == "i8", s"unknown storage '$storage'")
+    // METRIC option (round-13 verdict #4 — the FAISS surface spans
+    // inner-product and L2 beside cosine): stored in the sidecar, read
+    // back by every query path ([[metricOf]]), so routing, scoring, and
+    // radius semantics follow the artifact, not the call site. IVF
+    // routing is metric-agnostic here — cells come from L2 k-means
+    // ([[withCell]]'s centroid-d² argmin, the standard IVF layout; for
+    // cosine on ~equal-norm corpora and for L2 it is exactly right, for
+    // MIPS it is the usual norm-agnostic approximation and every hit is
+    // still exact-verified). The SRP family is cosine GEOMETRY (sign
+    // projections estimate the angle) and the PQ ADC tail ranks by
+    // normalized-reconstruction dot — both meaningless under another
+    // metric, hence ivf-only for non-cosine artifacts.
+    require(Set("cosine", "ip", "l2").contains(metric),
+      s"unknown metric '$metric'")
+    require(metric == "cosine" || families == Set("ivf"),
+      s"metric '$metric' supports only families=Set(\"ivf\") — srp/pq are cosine-geometry")
     // INT8 storage: `_cells` keeps 1 byte/dim (4× less rerank-source
     // I/O than float32 embeddings, 8× less than these double fixtures)
     // plus the constant scale in the sidecar. ALL derived state —
@@ -676,7 +693,12 @@ object Similarity {
         (if (books.isEmpty || books.exists(_.size != PqK)) Seq.empty
          else books.zipWithIndex.flatMap { case (b, m) =>
            b.zipWithIndex.map { case (c, j) => ("pq", m * PqK + j, c.toSeq) } }) ++
-        (if (storage == "i8") Seq(("qscale", 0, Seq(quantScale))) else Seq.empty)
+        (if (storage == "i8") Seq(("qscale", 0, Seq(quantScale))) else Seq.empty) ++
+        // metric row written for every non-default build; absent = cosine
+        // (back-compat with pre-round-14 artifacts)
+        (if (metric != "cosine")
+           Seq(("metric", MetricCodes(metric), Seq(MetricCodes(metric).toDouble)))
+         else Seq.empty)
     side.toDF("kind", "idx", "vec").repartition(1)
       .write.mode("overwrite").saveAsTable(name + "_side")
   }
@@ -1057,13 +1079,77 @@ object Similarity {
     s.table(name + "_side").filter(col("kind") === "qscale")
       .select(col("vec")).collect().head.getSeq[Double](0).head
 
+  private val MetricCodes = Map("cosine" -> 0, "ip" -> 1, "l2" -> 2)
+
+  /** The artifact's distance metric (sidecar row; absent = cosine — the
+    * pre-round-14 default every existing artifact carries implicitly). */
+  private[graft] def metricOf(s: SparkSession, name: String): String =
+    s.table(name + "_side").filter(col("kind") === "metric")
+      .select(col("idx")).collect().headOption
+      .map(r => MetricCodes.map(_.swap).apply(r.getInt(0)))
+      .getOrElse("cosine")
+
+  /** Metric-parameterized e6 candidate score. cosine and ip order
+    * DESCENDING on the value; L2 callers use [[l2RankedTail]] /
+    * a `<=` radius threshold on the POSITIVE d2_e6 instead — squared
+    * distance composed dot(a,a) − 2·dot(a,b) + dot(b,b)
+    * ([[graft.functions.VectorFunctions.l2Sq]]), which the DuckDB
+    * oracle mirrors node-for-node with list_inner_product (the s01
+    * float-parity precedent). */
+  private def metricScoreE6(metric: String, qe: Column, emb: Column,
+      qn: Column, nrm: Column): Column = metric match {
+    case "cosine" => e6(cosineWithNorms(qe, emb, qn, nrm))
+    case "ip" => e6(dot(qe, emb))
+    case "l2" => e6(l2Sq(qe, emb))
+  }
+
+  /** Top-k tail under L2: k SMALLEST (d2_e6, vec_id) per query through
+    * the same bounded-heap operator (ascending flags), rank recomputed
+    * over the survivors — the [[heapRanked]] idiom with the order
+    * flipped. */
+  private def l2RankedTail(scores: DataFrame): DataFrame = {
+    val top = org.apache.spark.sql.graft.relations.topKPerKey(
+      scores, Seq("query_id"), Seq(("d2_e6", true), ("vec_id", true)), TopK)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("d2_e6").asc, col("vec_id").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Probed-cell candidate scores under an arbitrary metric — the
+    * [[ivfScores]] shape with the scorer parameterized (`out` names the
+    * score column: `sim_e6` for cosine/ip, `d2_e6` for l2). */
+  private def ivfCandScores(cells: DataFrame, q: DataFrame,
+      cents: Seq[Array[Double]], metric: String, out: String,
+      nProbe: Int = NProbe): DataFrame = {
+    val probes = q
+      .withColumn("cell", explode(nearestCells(col("qe"), cents, nProbe)))
+      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        metricScoreE6(metric, col("qe"), col("emb"), col("qn"), col("nrm")).as(out))
+  }
+
   /** IVF top-k answered from a [[writeAnnIndex]] artifact alone: the
     * corpus appears ONLY as the bucketed `_cells` scan (zero index-side
     * Exchange — probes broadcast into it; SimilaritySpec pins the plan).
-    * `queries` is a (query_id, qe, qn) DataFrame end to end. */
+    * `queries` is a (query_id, qe, qn) DataFrame end to end. The
+    * artifact's METRIC drives scoring and rank order: cosine/ip rank
+    * `sim_e6` descending, l2 ranks `d2_e6` ascending ([[l2RankedTail]]). */
   def annIvfIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
     val (cents, _) = readAnnSidecar(s, name)
-    ivfTopK(cellsTable(s, name), queries, cents)
+    val cells = cellsTable(s, name)
+    metricOf(s, name) match {
+      case "l2" => l2RankedTail(
+        ivfCandScores(cells, queries, cents, "l2", "d2_e6"))
+      case m if m == "cosine" =>
+        // the pre-metric shape, byte-for-byte (ivfScores == the cosine
+        // instantiation of ivfCandScores; kept through ivfTopK so the
+        // cosine plan is untouched)
+        ivfTopK(cells, queries, cents)
+      case m => topKWithRank(
+        ivfCandScores(cells, queries, cents, m, "sim_e6"))
+    }
   }
 
   /** FILTERED IVF top-k from the artifact — the composition s06's
@@ -1612,13 +1698,28 @@ object Similarity {
   def annIvfRadiusIndexed(s: SparkSession, queries: DataFrame, name: String,
       tauE6: Long = RadiusTauE6): DataFrame = {
     val (cents, _) = readAnnSidecar(s, name)
-    val probes = queries
-      .withColumn("cell", explode(nearestCells(col("qe"), cents, NProbe)))
-      .select(col("query_id"), col("qe"), col("qn"), col("cell"))
-    cellsTable(s, name).join(broadcast(probes), Seq("cell"))
-      .select(col("query_id"), col("vec_id"),
-        e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
-      .filter(col("sim_e6") >= tauE6)
+    val cells = cellsTable(s, name)
+    // radius SEMANTICS follow the artifact's metric (round-13 verdict
+    // #4): cosine/ip keep `sim_e6 >= tauE6`; under l2 the bound is a
+    // maximum squared distance — `d2_e6 <= tauE6` — because "within
+    // radius r" means distance AT MOST the bound, not similarity at
+    // least it. Candidates stay exact-scored either way, so the
+    // no-false-positives contract is metric-independent.
+    metricOf(s, name) match {
+      case "l2" =>
+        // doubled probes (the annIvfRadiusFilteredIndexed rule): an L2
+        // ball is the least cell-aligned query shape — near-threshold
+        // hits sit across cell boundaries, and with range semantics a
+        // missed cell doesn't degrade rank quality, it LOSES hits
+        // (measured: single-probe recall fell under the 0.6 gate at
+        // sf0.01 where the cosine radius held)
+        ivfCandScores(cells, queries, cents, "l2", "d2_e6",
+          nProbe = math.min(2 * NProbe, NCentroids))
+          .filter(col("d2_e6") <= tauE6)
+      case m =>
+        ivfCandScores(cells, queries, cents, m, "sim_e6")
+          .filter(col("sim_e6") >= tauE6)
+    }
   }
 
   /** Driver gate for indexed radius search (the s04/s08 flag pattern):
@@ -1730,6 +1831,89 @@ object Similarity {
         (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
   }
 
+  // ----------------------------------------------- L2 metric twin (s19/s20)
+
+  /** Maximum squared L2 distance for the s20 radius leg: d² ≤ 1.3 sits
+    * between the fixture's p0.1 and p1 pairwise-d² percentiles at every
+    * SF (min ≈ 1.0–1.2, median ≈ 2.0 — measured at sf0.001/0.01/0.1),
+    * so each query keeps a handful of genuine near hits without the
+    * result degenerating to everything or nothing. */
+  private val L2RadiusD2E6 = 1300000L
+
+  /** Exact L2 top-5 — the brute-force baseline for the `l2` metric (the
+    * s01 shape with the order flipped: rank by SMALLEST squared
+    * distance). d² is composed dot(a,a) − 2·dot(a,b) + dot(b,b)
+    * ([[graft.functions.VectorFunctions.l2Sq]]) and the oracle mirrors
+    * the tree node-for-node with list_inner_product, so the e6 floor
+    * lands identically (the s01 float-parity precedent). */
+  def s19L2TopK(s: SparkSession, dir: String): DataFrame = {
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"))
+    val c = e.filter(col("vec_id") >= 10)
+    l2RankedTail(c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        e6(l2Sq(col("qe"), col("emb"))).as("d2_e6")))
+  }
+
+  /** Fingerprint-keyed shared L2 artifact (ivf-only — srp/pq are
+    * cosine-geometry; the sharedAnnIndex completeness/liveness rules). */
+  private[graft] def sharedL2AnnIndex(s: SparkSession, dir: String): String =
+    sharedIndexLock.synchronized {
+      val name = "graft_shared_annl2_" + java.lang.Long.toHexString(embFp(dir))
+      val complete = s.catalog.tableExists(name + "_cells") &&
+        s.catalog.tableExists(name + "_side")
+      if (!complete) {
+        val e = withNorm(Tables.embeddings(s, dir))
+        writeAnnIndex(s, e.filter(col("vec_id") >= 10), name,
+          families = Set("ivf"), metric = "l2")
+      }
+      name
+    }
+
+  /** Driver gate for the L2-metric artifact (round-13 verdict #4; the
+    * s04 + s16 flag patterns under the flipped order): top-k leg —
+    * indexed-L2 recall ≥ 0.6 vs the hash-gated exact s19, hits counted
+    * on (query_id, vec_id, d2_e6) so a distance-corrupting defect
+    * cannot hide; radius leg — every indexed hit appears in the exact
+    * d² ≤ bound result with a bit-identical e6 distance (no false
+    * positives) and hit recall ≥ 0.6. Whole-gate memoized. */
+  def s20L2IndexGate(s: SparkSession, dir: String): DataFrame =
+    memoFamily(s, dir, "s20")(s20Body(s, dir))
+
+  private def s20Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedL2AnnIndex(s, dir)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    // each side referenced twice (count + semi-join) → cache,
+    // query-scoped; Verify/Bench clearCache after (the repo rule)
+    val idx = annIvfIndexed(s, q, name)
+      .select(col("query_id"), col("vec_id"), col("d2_e6")).cache()
+    val exact = memoFamily(s, dir, "s19")(s19L2TopK(s, dir))
+      .select(col("query_id"), col("vec_id"), col("d2_e6")).cache()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = idx.join(exact, Seq("query_id", "vec_id", "d2_e6"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    val c = e.filter(col("vec_id") >= 10)
+    val idxR = annIvfRadiusIndexed(s, q, name, L2RadiusD2E6).cache()
+    val exactR = c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        e6(l2Sq(col("qe"), col("emb"))).as("d2_e6"))
+      .filter(col("d2_e6") <= L2RadiusD2E6).cache()
+    val nIdxR = idxR.agg(count(lit(1)).as("n_idx_r"))
+    val nExactR = exactR.agg(count(lit(1)).as("n_exact_r"))
+    val nHitR = idxR.join(exactR, Seq("query_id", "vec_id", "d2_e6"), "left_semi")
+      .agg(count(lit(1)).as("n_hit_r"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(nExact).crossJoin(nHit)
+      .crossJoin(nIdxR).crossJoin(nExactR).crossJoin(nHitR)
+      .select(col("n_queries"),
+        (col("n_hit") * 10 >= col("n_exact") * 6).as("l2_recall_ge_60"),
+        (col("n_hit_r") === col("n_idx_r")).as("radius_hits_exact_d2"),
+        (col("n_hit_r") * 10 >= col("n_exact_r") * 6).as("radius_recall_ge_60"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
@@ -1749,9 +1933,37 @@ object Similarity {
     "s16_radius_index_gate" -> (s16RadiusIndexGate _),
     "s17_filtered_radius" -> (s17FilteredRadius _),
     "s18_filtered_radius_gate" -> (s18FilteredRadiusGate _),
+    "s19_l2_topk" -> (s19L2TopK _),
+    "s20_l2_index_gate" -> (s20L2IndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
+    // exact L2 top-5 under the flipped order; d² mirrors Spark's
+    // dot(a,a) − 2·dot(a,b) + dot(b,b) composition node-for-node with
+    // list_inner_product so the e6 floor lands identically
+    "s19_l2_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb FROM v WHERE vec_id >= 10),
+        |s AS (SELECT query_id, vec_id,
+        |        CAST(floor((list_inner_product(qe, qe)
+        |          - 2.0 * list_inner_product(qe, emb)
+        |          + list_inner_product(emb, emb)) * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
+        |      FROM q CROSS JOIN c),
+        |r AS (SELECT query_id, vec_id, d2_e6,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2_e6 ASC, vec_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, d2_e6, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // recall/subset flags are integer hit-count comparisons vs the
+    // hash-gated exact s19 (the s04/s16 pattern); DuckDB anchors the
+    // query count and the literal-true expectations
+    "s20_l2_index_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS l2_recall_ge_60,
+        |  true AS radius_hits_exact_d2,
+        |  true AS radius_recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "s01_cosine_topk" ->
       """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
         |q AS (SELECT vec_id AS query_id, emb AS qe FROM v WHERE vec_id < 10),

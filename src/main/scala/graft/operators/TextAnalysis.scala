@@ -332,7 +332,10 @@ object TextAnalysis {
     * the only data-sized shuffle, map-side combined on doc_id. */
   def t33LmScore(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    lmScore(docs, docs).orderBy("doc_id")
+    // served from the persisted LM artifact since round 14 (the g12
+    // serve-the-persisted-shape rule; t48 pins served ≡ fresh inline) —
+    // the per-call cost is the honest scoring pass alone
+    lmScoreIndexed(s, sharedLmIndex(s, dir), docs).orderBy("doc_id")
   }
 
   /** Frame-level core of [[t33LmScore]]: train the bigram LM on `train`,
@@ -344,9 +347,17 @@ object TextAnalysis {
     val trainToks = train.select(tokens(col("text")).as("toks"))
     val uni = trainToks.select(explode(col("toks")).as("u"))
       .groupBy(col("u")).agg(count(lit(1)).as("cu"))
-    val vocab = uni.groupBy().agg(count(lit(1)).as("v"))
     val bigCounts = trainToks.select(explode(shingles(col("toks"), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cg"))
+    lmScoreWith(uni, bigCounts, score)
+  }
+
+  /** The scoring tail [[lmScore]] (fresh counts) and [[lmScoreIndexed]]
+    * (persisted counts) share: both feed exact-integer (u, cu) / (g, cg)
+    * tables, so served ≡ fresh holds bit-for-bit by construction. */
+  private def lmScoreWith(uni: DataFrame, bigCounts: DataFrame,
+      score: DataFrame): DataFrame = {
+    val vocab = uni.groupBy().agg(count(lit(1)).as("v"))
     // tokens contain no whitespace, so the shingle's first word IS the
     // conditioning prefix; toks staged as an attribute (re-tokenize-per-
     // reference trap, see dup3Coverage)
@@ -413,7 +424,8 @@ object TextAnalysis {
     // scoring subtree eagerly at build time; the survivor filter reads
     // it again at materialization
     val scoredDocs = repOk.join(
-      lmScore(docs, repOk.select(col("doc_id"), col("text")))
+      lmScoreIndexed(s, sharedLmIndex(s, dir),
+        repOk.select(col("doc_id"), col("text")))
         .select(col("doc_id"), col("lm_inv_e4")), Seq("doc_id"))
       .cache()
     val med = ExactPercentile.discGlobal(
@@ -1733,6 +1745,144 @@ object TextAnalysis {
     } finally s.sql(s"DROP TABLE IF EXISTS `${name}_words`")
   }
 
+  // ------------------------------------ persisted bigram LM index (t48)
+
+  /** Persist the bigram LM's sufficient statistics as bucketed tables —
+    * the text family's LAST un-persisted derived structure (round-13
+    * verdict #2; the t41 `writeBpeWordIndex` pattern applied to the LM):
+    * `<name>_uni` (u, cu) bucketBy(u) and `<name>_big` (g, cg)
+    * bucketBy(g), `_big` written LAST as the completeness marker.
+    * Counts are ADDITIVE, so maintenance is the BPE shape verbatim:
+    * appends land new bucket files, retraction is a negative batch,
+    * readers re-aggregate per key (Exchange-free on the buckets) and a
+    * zero-netted entry leaves the vocabulary. Training (the corpus-sized
+    * tokenize + count passes) is paid ONCE per corpus generation;
+    * every scoring call pays only its own corpus-sized scoring pass —
+    * the vocabulary-sized tables broadcast exactly as the fresh shape's
+    * did. */
+  def writeLmIndex(corpus: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = {
+    val s = corpus.sparkSession
+    Seq("_uni", "_big").foreach(sfx => dropManaged(s, name + sfx))
+    val toks = corpus.select(tokens(col("text")).as("toks"))
+    toks.select(explode(col("toks")).as("u"))
+      .groupBy(col("u")).agg(count(lit(1)).as("cu"))
+      .write.mode("overwrite").bucketBy(numBuckets, "u").sortBy("u")
+      .saveAsTable(name + "_uni")
+    toks.select(explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cg"))
+      .write.mode("overwrite").bucketBy(numBuckets, "g").sortBy("g")
+      .saveAsTable(name + "_big")
+  }
+
+  /** Shared delta writer: sign = +1 append, −1 retraction (the BPE
+    * negative-batch rule — only retract docs that were actually
+    * indexed, or the net goes negative and the read filter over-drops). */
+  private def lmIndexDelta(docs: DataFrame, name: String, sign: Int,
+      numBuckets: Int): Unit = {
+    val toks = docs.select(tokens(col("text")).as("toks"))
+    toks.select(explode(col("toks")).as("u"))
+      .groupBy(col("u")).agg((count(lit(1)) * sign).as("cu"))
+      .write.mode("append").bucketBy(numBuckets, "u").sortBy("u")
+      .saveAsTable(name + "_uni")
+    toks.select(explode(shingles(col("toks"), 2)).as("g"))
+      .groupBy(col("g")).agg((count(lit(1)) * sign).as("cg"))
+      .write.mode("append").bucketBy(numBuckets, "g").sortBy("g")
+      .saveAsTable(name + "_big")
+  }
+
+  /** APPEND a delta batch's unigram/bigram counts — prior bucket files
+    * are never read or rewritten. */
+  def appendToLmIndex(delta: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = lmIndexDelta(delta, name, 1, numBuckets)
+
+  /** RETRACT docs' contributions (right-to-be-forgotten for the LM):
+    * negative batch, read-side nets it out; a fully-retracted entry
+    * leaves the table. */
+  def removeFromLmIndex(docs: DataFrame, name: String,
+      numBuckets: Int = 8): Unit = lmIndexDelta(docs, name, -1, numBuckets)
+
+  /** Re-aggregated read views (the span/BPE-index read contract). */
+  private def lmUniCounts(s: SparkSession, name: String): DataFrame =
+    s.table(name + "_uni").groupBy(col("u")).agg(sum(col("cu")).as("cu"))
+      .filter(col("cu") > 0L)
+  private def lmBigCounts(s: SparkSession, name: String): DataFrame =
+    s.table(name + "_big").groupBy(col("g")).agg(sum(col("cg")).as("cg"))
+      .filter(col("cg") > 0L)
+
+  /** [[lmScore]] answered from a persisted [[writeLmIndex]] artifact —
+    * the training passes never run. */
+  private[graft] def lmScoreIndexed(s: SparkSession, name: String,
+      score: DataFrame): DataFrame =
+    lmScoreWith(lmUniCounts(s, name), lmBigCounts(s, name), score)
+
+  /** Fingerprint-keyed shared LM artifact (the sharedAffinityIndex
+    * pattern): one corpus-sized training per fixture, every t33/t34
+    * call serves the tables. `_big` exists ⇒ the build completed
+    * (written last); a crashed build rebuilds from scratch. */
+  private val lmLock = new Object
+  private[graft] def sharedLmIndex(s: SparkSession, dir: String): String =
+    lmLock.synchronized {
+      val name = "graft_shared_lm_" + java.lang.Long.toHexString(docsFp(dir))
+      val complete = s.catalog.tableExists(name + "_uni") &&
+        s.catalog.tableExists(name + "_big")
+      if (!complete) writeLmIndex(Tables.documents(s, dir), name)
+      name
+    }
+
+  /** Driver gate for the persisted LM (the g16/g12 rule — served ≡ a
+    * FRESH inline recomputation covers the artifact; plus the full
+    * lifecycle: base+append ≡ full build, retract ≡ rebuild-without).
+    * All equality legs are exact-integer exceptAll both ways, evaluated
+    * eagerly (the round-6 drop-then-return rule: the scratch twin is
+    * dropped before returning, so nothing lazy escapes). DuckDB anchors
+    * the vocabulary and distinct-bigram counts recomputed from the
+    * corpus — the artifact's re-aggregated coverage — and pins the
+    * flags at literal TRUE (the t40 pattern). */
+  def t48LmIndexGate(s: SparkSession, dir: String): DataFrame =
+    memoGate(s, dir, docsFp(dir), "t48")(t48Body(s, dir))
+
+  private def t48Body(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val name = sharedLmIndex(s, dir)
+    def eqEmpty(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
+    // served (artifact) vs fresh inline — covers the shared build
+    val servedEq = {
+      val served = lmScoreIndexed(s, name, docs).cache()
+      val inline = lmScore(docs, docs).cache()
+      try eqEmpty(served, inline)
+      finally { served.unpersist(); inline.unpersist() }
+    }
+    val nVocab = lmUniCounts(s, name).count()
+    val nBigrams = lmBigCounts(s, name).count()
+    // lifecycle on a scratch twin: 80/20 split append, %7 retraction
+    val tn = "graft_t48_lm"
+    val (appendEq, retractEq) =
+      try {
+        writeLmIndex(docs.filter(col("doc_id") % 5 =!= 0), tn)
+        appendToLmIndex(docs.filter(col("doc_id") % 5 === 0), tn)
+        val appEq = {
+          val a = lmScoreIndexed(s, tn, docs).cache()
+          val b = lmScore(docs, docs).cache()
+          try eqEmpty(a, b) finally { a.unpersist(); b.unpersist() }
+        }
+        removeFromLmIndex(docs.filter(col("doc_id") % 7 === 0), tn)
+        val rest = docs.filter(col("doc_id") % 7 =!= 0)
+        val retEq = {
+          val a = lmScoreIndexed(s, tn, rest).cache()
+          val b = lmScore(rest, rest).cache()
+          try eqEmpty(a, b) finally { a.unpersist(); b.unpersist() }
+        }
+        (appEq, retEq)
+      } finally Seq("_uni", "_big").foreach(sfx =>
+        s.sql(s"DROP TABLE IF EXISTS `$tn$sfx`"))
+    import s.implicits._
+    Seq((nVocab, nBigrams, servedEq, appendEq, retractEq))
+      .toDF("n_vocab", "n_bigrams", "served_eq_inline",
+        "append_eq_rebuild", "retract_eq_rebuild_without")
+  }
+
   /** BPE ENCODING — [[t28BpeMerges]]'s consumer: tokenize the corpus
     * with the learned vocabulary and report per-doc token counts (the
     * number every packing/mixture/cost calculation downstream actually
@@ -2022,6 +2172,7 @@ object TextAnalysis {
     "t45_phrase_indexed" -> (t45PhraseIndexed _),
     "t46_proximity_search" -> (t46ProximitySearch _),
     "t47_proximity_indexed" -> (t47ProximityIndexed _),
+    "t48_lm_index_gate" -> (t48LmIndexGate _),
   )
 
   /** The driver-registered face of [[t12Bm25Indexed]]: the rounded
@@ -3020,6 +3171,25 @@ object TextAnalysis {
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  true AS bm25_indexed_matches_inline
         |FROM documents""".stripMargin,
+    // served/append/retract equalities are exact-integer exceptAll
+    // Spark-side; DuckDB anchors the artifact's re-aggregated coverage:
+    // n_vocab = distinct corpus tokens, n_bigrams = distinct bigrams
+    // (the t41 vocabulary-anchor pattern, two tables wide)
+    "t48_lm_index_gate" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |uni AS (SELECT DISTINCT unnest(toks) AS u FROM t),
+        |big AS (SELECT DISTINCT unnest(CASE WHEN len(toks) >= 2
+        |  THEN list_transform(range(1, CAST(len(toks) AS INTEGER)),
+        |         i -> toks[i] || ' ' || toks[i+1])
+        |  ELSE [] END) AS g FROM t)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS n_vocab,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM big) AS n_bigrams,
+        |  true AS served_eq_inline,
+        |  true AS append_eq_rebuild,
+        |  true AS retract_eq_rebuild_without""".stripMargin,
     // incremental-vs-full merge-table equality is asserted Spark-side
     // (exact integer rounds); DuckDB anchors the index's vocabulary as
     // the distinct separator-free corpus tokens (the t38 universe) and

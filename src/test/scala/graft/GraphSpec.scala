@@ -483,6 +483,85 @@ class GraphSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("g17: incremental labels == full fixpoint on the fixture, whole label set") {
+    import graft.operators.Dedup
+    try {
+      val base = Graph.affinityPairs(spark, sf)
+      val delta = Graph.affinityDeltaPairs(spark, sf)
+      assert(delta.count() > 0, "fixture delta is empty — the gate would be vacuous")
+      val incremental =
+        Graph.incrementalComponentLabels(Dedup.clusterLabels(base), delta).cache()
+      val full = Dedup.clusterLabels(base.unionByName(delta)).cache()
+      val diff = incremental.exceptAll(full).count() + full.exceptAll(incremental).count()
+      assert(diff == 0, s"incremental labels diverged from the full fixpoint by $diff rows")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g17: crafted multi-component merge — displaced minima, fresh nodes, no-op internal edge") {
+    import graft.operators.Dedup
+    try {
+      // base components: {2,4,6} label 2, {10,12} label 10, {30,32} label 30
+      val base = Seq((2L, 4L), (4L, 6L), (10L, 12L), (30L, 32L))
+        .toDF("doc_a", "doc_b")
+      // delta: (6,10) merges two components (displacing 10's label),
+      // (40,4) attaches a fresh node, (20,22) is a fresh-only component,
+      // (2,6) is an intra-component no-op
+      val delta = Seq((6L, 10L), (40L, 4L), (20L, 22L), (2L, 6L))
+        .toDF("doc_a", "doc_b")
+      val got = Graph.incrementalComponentLabels(Dedup.clusterLabels(base), delta)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      val expected = Map(
+        2L -> 2L, 4L -> 2L, 6L -> 2L, 10L -> 2L, 12L -> 2L, 40L -> 2L,
+        20L -> 20L, 22L -> 20L, 30L -> 30L, 32L -> 30L)
+      assert(got == expected, s"got $got")
+      // and the full fixpoint agrees (the equivalence claim, in miniature)
+      val full = Dedup.clusterLabels(base.unionByName(delta))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == full)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g17: registered query == full recompute restricted to delta-touched components") {
+    import graft.operators.Dedup
+    try {
+      val base = Graph.affinityPairs(spark, sf)
+      val delta = Graph.affinityDeltaPairs(spark, sf).cache()
+      val full = Dedup.clusterLabels(base.unionByName(delta)).cache()
+      val deltaNodes = delta.select(col("doc_a").as("id"))
+        .unionByName(delta.select(col("doc_b").as("id"))).distinct()
+      val affected = full.join(deltaNodes, Seq("id"), "left_semi")
+        .select(col("label")).distinct()
+      val expected = full.join(affected, Seq("label"), "left_semi")
+        .groupBy(col("label").as("component"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("id")).as("node_sum"))
+      val got = Graph.g17IncrementalComponents(spark, sf).cache()
+      val diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+      assert(diff == 0, s"g17 diverged from the restricted full recompute by $diff rows")
+      assert(got.count() > 0)
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g17: incremental after a real appendToEdgeIndex matches the post-append table fixpoint") {
+    import graft.operators.Dedup
+    try {
+      val name = "graft_g17_spec"
+      val base = Seq((2L, 4L), (10L, 12L), (30L, 32L)).toDF("src", "dst")
+      Graph.writeEdgeIndexFrom(spark, base, name)
+      val pre = Dedup.clusterLabels(spark.table(name + "_edges")
+        .select(col("src").as("doc_a"), col("dst").as("doc_b")))
+      val delta = Seq((4L, 10L), (50L, 52L)).toDF("src", "dst")
+      Graph.appendToEdgeIndex(spark, delta, name)
+      val incremental = Graph.incrementalComponentLabels(
+        pre, delta.select(col("src").as("doc_a"), col("dst").as("doc_b"))).cache()
+      val post = Dedup.clusterLabels(spark.table(name + "_edges")
+        .select(col("src").as("doc_a"), col("dst").as("doc_b"))).cache()
+      val diff = incremental.exceptAll(post).count() + post.exceptAll(incremental).count()
+      assert(diff == 0, s"incremental diverged from the post-append fixpoint by $diff rows")
+      Seq("_edges", "_stats").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $name$sfx"))
+    } finally spark.catalog.clearCache()
+  }
+
   test("g05 gate: append==rebuild, delete==rebuild-without, compact is pure layout") {
     try {
       val rows = Graph.g05EdgeLifecycleGate(spark, sf).collect()

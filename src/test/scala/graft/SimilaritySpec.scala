@@ -957,6 +957,87 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.catalog.clearCache() // gate body caches (harness rule)
   }
 
+  test("L2 metric: exact top-k orders by smallest distance; indexed artifact gate flags hold") {
+    import org.apache.spark.sql.functions.col
+    try {
+      val ex = Similarity.s19L2TopK(spark, sf).collect()
+      assert(ex.nonEmpty)
+      // per query: exactly 5 rows, d2 non-decreasing with rank, total order
+      ex.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+        val sorted = rows.sortBy(_.getLong(3))
+        assert(sorted.length == 5)
+        assert(sorted.map(_.getLong(2)).sliding(2).forall(p => p.head <= p.last),
+          "d2_e6 not non-decreasing with rank")
+      }
+      // differential: top-5 against an independent plain-Scala brute force
+      val vecs = Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def d2e6(a: Array[Double], b: Array[Double]): Long = {
+        def dot(x: Array[Double], y: Array[Double]) = {
+          var s = 0.0; var i = 0
+          while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+        }
+        math.floor((dot(a, a) - 2.0 * dot(a, b) + dot(b, b)) * 1e6 + 0.5).toLong
+      }
+      val expected = vecs.keys.filter(_ < 10).flatMap { qid =>
+        vecs.toSeq.filter(_._1 >= 10)
+          .map { case (vid, v) => (qid, vid, d2e6(vecs(qid), v)) }
+          .sortBy(t => (t._3, t._2)).take(5)
+      }.toSet
+      assert(ex.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet == expected)
+      // indexed artifact: recall + radius flags (the s20 contract)
+      val gate = Similarity.s20L2IndexGate(spark, sf).collect()
+      assert(gate.length == 1)
+      assert(gate.head.getBoolean(1), "indexed L2 recall < 0.6")
+      assert(gate.head.getBoolean(2), "indexed L2 radius hit outside exact result")
+      assert(gate.head.getBoolean(3), "indexed L2 radius recall < 0.6")
+      // the artifact self-describes its metric
+      assert(Similarity.metricOf(spark, Similarity.sharedL2AnnIndex(spark, sf)) == "l2")
+      assert(Similarity.metricOf(spark, Similarity.sharedAnnIndex(spark, sf)) == "cosine",
+        "cosine artifacts must read back as cosine (sidecar back-compat)")
+    } finally spark.catalog.clearCache() // gate body caches (harness rule)
+  }
+
+  test("IP metric: indexed hits carry exact dot scores; non-cosine builds reject srp/pq families") {
+    import org.apache.spark.sql.functions.col
+    try {
+      // srp/pq are cosine-geometry — the build must refuse them
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+        .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+      intercept[IllegalArgumentException] {
+        Similarity.writeAnnIndex(spark, e, "graft_ipspec_bad", metric = "ip")
+      }
+      Similarity.writeAnnIndex(spark, e.filter(col("vec_id") >= 10),
+        "graft_ipspec", families = Set("ivf"), metric = "ip")
+      assert(Similarity.metricOf(spark, "graft_ipspec") == "ip")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val idx = Similarity.annIvfIndexed(spark, q, "graft_ipspec").collect()
+      assert(idx.nonEmpty)
+      // every indexed hit's sim_e6 IS the exact e6 dot product (true-hit
+      // contract — routing can cut candidates, never corrupt scores)
+      val vecs = e.select(col("vec_id"), col("emb")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      def dotE6(a: Array[Double], b: Array[Double]): Long = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { s += a(i) * b(i); i += 1 }
+        math.floor(s * 1e6 + 0.5).toLong
+      }
+      idx.foreach { r =>
+        assert(r.getLong(2) == dotE6(vecs(r.getLong(0)), vecs(r.getLong(1))),
+          s"indexed ip score diverged from the exact dot for ${(r.getLong(0), r.getLong(1))}")
+      }
+    } finally {
+      Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_ipspec$sfx"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("filtered radius: exact == unfiltered restricted to matching labels; indexed flags hold") {
     try {
       val labels = Tables.embeddings(spark, sf)

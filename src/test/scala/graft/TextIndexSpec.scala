@@ -523,6 +523,41 @@ class TextIndexSpec extends SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $n$sfx")))
   }
 
+  test("LM index lifecycle: build+append == fresh train; retraction nets out, zero-net entries leave") {
+    val name = "graft_lmspec"
+    // 'qq' and 'zz' appear ONLY in the doc to be retracted — after the
+    // negative batch they must net to zero and LEAVE the tables, or the
+    // rebuilt-without equality below breaks through the vocabulary size
+    val d1 = Seq((1L, "aa bb aa"), (2L, "bb cc aa bb")).toDF("doc_id", "text")
+    val d2 = Seq((3L, "cc aa"), (4L, "zz zz qq")).toDF("doc_id", "text")
+    val all = d1.unionByName(d2)
+    try {
+      TextAnalysis.writeLmIndex(d1, name)
+      TextAnalysis.appendToLmIndex(d2, name)
+      val served = TextAnalysis.lmScoreIndexed(spark, name, all)
+      val fresh = TextAnalysis.lmScore(all, all)
+      assert(served.exceptAll(fresh).unionByName(fresh.exceptAll(served)).isEmpty,
+        "append-built index diverged from a fresh train over the union")
+      TextAnalysis.removeFromLmIndex(d2.filter(col("doc_id") === 4L), name)
+      val rest = all.filter(col("doc_id") =!= 4L)
+      val after = TextAnalysis.lmScoreIndexed(spark, name, rest)
+      val rebuilt = TextAnalysis.lmScore(rest, rest)
+      assert(after.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(after)).isEmpty,
+        "post-retraction index diverged from a rebuild over survivors")
+      // the raw table still carries the negative rows; the READ netting
+      // must drop zz/qq entirely (vocabulary-size-sensitive smoothing
+      // is why the equality above is only sound if it does)
+      val netted = spark.table(name + "_uni").groupBy(col("u"))
+        .agg(sum(col("cu")).as("cu")).filter(col("cu") > 0)
+        .select("u").collect().map(_.getString(0)).toSet
+      assert(netted == Set("aa", "bb", "cc"), s"got $netted")
+    } finally {
+      Seq("_uni", "_big").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_lmspec$sfx"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("indexed hybrid legs against the fixture: text leg exact, fused overlap >= 0.6") {
     // the t42 gate itself, at the spec's smallest fixture — one row of
     // literal-true flags (driver re-proves at every SF)
