@@ -122,7 +122,7 @@ object Bench {
     "g17_incr_components",
     "s04_ann_recall_gate", "s07_ann_index_gate", "s14_ann_ingest_gate",
     "s16_radius_index_gate", "s18_filtered_radius_gate",
-    "s20_l2_index_gate",
+    "s20_l2_index_gate", "s22_l2_filtered_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",

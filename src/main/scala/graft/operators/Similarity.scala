@@ -1169,11 +1169,19 @@ object Similarity {
       .withColumn("cell", explode(nearestCells(col("qe"), cents,
         math.min(2 * NProbe, NCentroids))))
       .select(col("query_id"), col("qe"), col("qn"), col("cell"), col("qlabel"))
-    val sims = cells.join(broadcast(probes),
-        cells("cell") === probes("cell") && cells("label") === probes("qlabel"))
-      .select(col("query_id"), col("vec_id"),
-        e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
-    topKWithRank(sims)
+    val joined = cells.join(broadcast(probes),
+      cells("cell") === probes("cell") && cells("label") === probes("qlabel"))
+    // the artifact's metric drives scoring and rank order here exactly
+    // as in [[annIvfIndexed]] (cosine emits the pre-metric plan
+    // byte-for-byte — metricScoreE6("cosine") IS the old expression)
+    metricOf(s, name) match {
+      case "l2" => l2RankedTail(joined
+        .select(col("query_id"), col("vec_id"),
+          e6(l2Sq(col("qe"), col("emb"))).as("d2_e6")))
+      case m => topKWithRank(joined
+        .select(col("query_id"), col("vec_id"),
+          metricScoreE6(m, col("qe"), col("emb"), col("qn"), col("nrm")).as("sim_e6")))
+    }
   }
 
   /** Driver gate for filtered-indexed search (the s04/s07 pattern): one
@@ -1857,16 +1865,23 @@ object Similarity {
   }
 
   /** Fingerprint-keyed shared L2 artifact (ivf-only — srp/pq are
-    * cosine-geometry; the sharedAnnIndex completeness/liveness rules). */
+    * cosine-geometry; the sharedAnnIndex completeness/liveness rules).
+    * Built with the `label` meta column so the filtered matrix (s22)
+    * shares it; the completeness probe includes the column, so a
+    * label-less generation from an older session self-heals into a
+    * rebuild instead of being adopted. */
   private[graft] def sharedL2AnnIndex(s: SparkSession, dir: String): String =
     sharedIndexLock.synchronized {
       val name = "graft_shared_annl2_" + java.lang.Long.toHexString(embFp(dir))
       val complete = s.catalog.tableExists(name + "_cells") &&
-        s.catalog.tableExists(name + "_side")
+        s.catalog.tableExists(name + "_side") &&
+        s.table(name + "_cells").columns.contains("label")
       if (!complete) {
-        val e = withNorm(Tables.embeddings(s, dir))
+        val e = Tables.embeddings(s, dir)
+          .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+          .withColumn("nrm", l2Norm(col("emb")))
         writeAnnIndex(s, e.filter(col("vec_id") >= 10), name,
-          families = Set("ivf"), metric = "l2")
+          meta = Seq("label"), families = Set("ivf"), metric = "l2")
       }
       name
     }
@@ -1914,6 +1929,57 @@ object Similarity {
         (col("n_hit_r") * 10 >= col("n_exact_r") * 6).as("radius_recall_ge_60"))
   }
 
+  /** FILTERED exact L2 top-5 — s06's pre-filter contract under the l2
+    * metric (the filtered-matrix row the metric option completes): the
+    * label predicate is the broadcast-join condition, rank by smallest
+    * d² among label-matching vectors only. Hash-gated at every SF. */
+  def s21L2FilteredTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("label").as("qlabel"))
+    val c = e.filter(col("vec_id") >= 10)
+    l2RankedTail(c.join(broadcast(q), col("label") === col("qlabel"))
+      .select(col("query_id"), col("vec_id"),
+        e6(l2Sq(col("qe"), col("emb"))).as("d2_e6")))
+  }
+
+  /** Driver gate for filtered-indexed L2 (the s08 flags under the
+    * flipped order): label contract exact, recall ≥ 0.6 vs the
+    * hash-gated exact s21 counted on (query_id, vec_id, d2_e6).
+    * Whole-gate memoized. */
+  def s22L2FilteredGate(s: SparkSession, dir: String): DataFrame =
+    memoFamily(s, dir, "s22")(s22Body(s, dir))
+
+  private def s22Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedL2AnnIndex(s, dir)
+    val e = Tables.embeddings(s, dir)
+      .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
+      .withColumn("nrm", l2Norm(col("emb")))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"),
+        col("nrm").as("qn"), col("label").as("qlabel"))
+    val idx = annIvfFilteredIndexed(s, q, name)
+      .select(col("query_id"), col("vec_id"), col("d2_e6")).cache()
+    val exact = memoFamily(s, dir, "s21")(s21L2FilteredTopK(s, dir))
+      .select(col("query_id"), col("vec_id"), col("d2_e6"))
+    val labels = e.select(col("vec_id"), col("label"))
+    val qLabels = labels.select(col("vec_id").as("query_id"), col("label").as("qlabel"))
+    val violations = idx
+      .join(labels, Seq("vec_id")).join(qLabels, Seq("query_id"))
+      .filter(col("label") =!= col("qlabel"))
+      .agg(count(lit(1)).as("n_viol"))
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = idx.join(exact, Seq("query_id", "vec_id", "d2_e6"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(violations).crossJoin(nExact).crossJoin(nHit)
+      .select(col("n_queries"),
+        (col("n_viol") === 0).as("all_hits_share_label"),
+        (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
@@ -1935,6 +2001,8 @@ object Similarity {
     "s18_filtered_radius_gate" -> (s18FilteredRadiusGate _),
     "s19_l2_topk" -> (s19L2TopK _),
     "s20_l2_index_gate" -> (s20L2IndexGate _),
+    "s21_l2_filtered_topk" -> (s21L2FilteredTopK _),
+    "s22_l2_filtered_gate" -> (s22L2FilteredGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1955,6 +2023,29 @@ object Similarity {
         |      FROM s)
         |SELECT query_id, vec_id, d2_e6, rank FROM r WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // s06's oracle under the flipped order: the label predicate is the
+    // join condition, d² mirrored with list_inner_product, rank ASC
+    "s21_l2_filtered_topk" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, emb AS qe, label AS qlabel FROM v WHERE vec_id < 10),
+        |c AS (SELECT vec_id, emb, label FROM v WHERE vec_id >= 10),
+        |s AS (SELECT query_id, vec_id,
+        |        CAST(floor((list_inner_product(qe, qe)
+        |          - 2.0 * list_inner_product(qe, emb)
+        |          + list_inner_product(emb, emb)) * 1000000.0 + 0.5) AS BIGINT) AS d2_e6
+        |      FROM q JOIN c ON q.qlabel = c.label),
+        |r AS (SELECT query_id, vec_id, d2_e6,
+        |        CAST(row_number() OVER (PARTITION BY query_id ORDER BY d2_e6 ASC, vec_id) AS BIGINT) AS rank
+        |      FROM s)
+        |SELECT query_id, vec_id, d2_e6, rank FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // label consistency is exact (integer labels), recall is an integer
+    // hit-count comparison vs the hash-gated s21 — the s08 flag pattern
+    "s22_l2_filtered_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS all_hits_share_label,
+        |  true AS recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // recall/subset flags are integer hit-count comparisons vs the
     // hash-gated exact s19 (the s04/s16 pattern); DuckDB anchors the
     // query count and the literal-true expectations

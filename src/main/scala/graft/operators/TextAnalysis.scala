@@ -1802,6 +1802,53 @@ object TextAnalysis {
   def removeFromLmIndex(docs: DataFrame, name: String,
       numBuckets: Int = 8): Unit = lmIndexDelta(docs, name, -1, numBuckets)
 
+  /** Net a bucketed count table to ONE row per key and drop zero-net
+    * (fully-retracted) entries — [[graft.operators.Dedup.compactSpanIndex]]
+    * applied to the LM/BPE count artifacts (round 14: the count-table
+    * families' last missing lifecycle op): pure layout + debris removal,
+    * answers unchanged because every reader already re-aggregates per
+    * key, and the `> 0` keep condition is EXACTLY the read views'
+    * filter. Child-session autoBucketedScan pin → read-bucket →
+    * write-bucket with zero Exchange, one file per bucket; tmp-write +
+    * rename swap with crashed-swap self-heal; bucket count from the
+    * catalog, fail-loud if absent (the round-13 ADVICE rule). */
+  private def compactCountTable(s0: SparkSession, live: String,
+      keyCol: String, cntCol: String): Unit = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // finish a crashed previous swap first (live dropped, _tmp complete)
+    if (!s.catalog.tableExists(live) && s.catalog.tableExists(live + "_tmp"))
+      s.sql(s"ALTER TABLE `${live}_tmp` RENAME TO `$live`")
+    val numBuckets = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(live))
+      .bucketSpec.map(_.numBuckets).getOrElse(sys.error(
+        s"$live has no bucketSpec — compacting would silently rewrite " +
+          "the layout the catalog read exists to preserve"))
+    val tmp = live + "_tmp"
+    dropManaged(s, tmp)
+    s.table(live)
+      .groupBy(col(keyCol)).agg(sum(col(cntCol)).as(cntCol))
+      .filter(col(cntCol) > 0L)
+      .write.mode("overwrite")
+      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
+      .saveAsTable(tmp)
+    s.sql(s"DROP TABLE IF EXISTS `$live`")
+    s.sql(s"ALTER TABLE `$tmp` RENAME TO `$live`")
+    // the swap ran in the child session — refresh the caller's relation
+    // cache or its next scan throws FILE_NOT_EXIST (the r9 rule)
+    s0.catalog.refreshTable(live)
+  }
+
+  /** COMPACT both LM count tables to one row per key. */
+  def compactLmIndex(s: SparkSession, name: String): Unit = {
+    compactCountTable(s, name + "_uni", "u", "cu")
+    compactCountTable(s, name + "_big", "g", "cg")
+  }
+
+  /** COMPACT the BPE word index to one row per word. */
+  def compactBpeWordIndex(s: SparkSession, name: String): Unit =
+    compactCountTable(s, name + "_words", "word", "n")
+
   /** Re-aggregated read views (the span/BPE-index read contract). */
   private def lmUniCounts(s: SparkSession, name: String): DataFrame =
     s.table(name + "_uni").groupBy(col("u")).agg(sum(col("cu")).as("cu"))
@@ -1858,7 +1905,7 @@ object TextAnalysis {
     val nBigrams = lmBigCounts(s, name).count()
     // lifecycle on a scratch twin: 80/20 split append, %7 retraction
     val tn = "graft_t48_lm"
-    val (appendEq, retractEq) =
+    val (appendEq, retractEq, compactEq) =
       try {
         writeLmIndex(docs.filter(col("doc_id") % 5 =!= 0), tn)
         appendToLmIndex(docs.filter(col("doc_id") % 5 === 0), tn)
@@ -1869,18 +1916,23 @@ object TextAnalysis {
         }
         removeFromLmIndex(docs.filter(col("doc_id") % 7 === 0), tn)
         val rest = docs.filter(col("doc_id") % 7 =!= 0)
-        val retEq = {
+        def restEq: Boolean = {
           val a = lmScoreIndexed(s, tn, rest).cache()
           val b = lmScore(rest, rest).cache()
           try eqEmpty(a, b) finally { a.unpersist(); b.unpersist() }
         }
-        (appEq, retEq)
+        val retEq = restEq
+        // compact nets append + retraction debris to one row per key;
+        // answers must not move (the read views already re-aggregate)
+        compactLmIndex(s, tn)
+        (appEq, retEq, restEq)
       } finally Seq("_uni", "_big").foreach(sfx =>
         s.sql(s"DROP TABLE IF EXISTS `$tn$sfx`"))
     import s.implicits._
-    Seq((nVocab, nBigrams, servedEq, appendEq, retractEq))
+    Seq((nVocab, nBigrams, servedEq, appendEq, retractEq, compactEq))
       .toDF("n_vocab", "n_bigrams", "served_eq_inline",
-        "append_eq_rebuild", "retract_eq_rebuild_without")
+        "append_eq_rebuild", "retract_eq_rebuild_without",
+        "compact_preserves_answers")
   }
 
   /** BPE ENCODING — [[t28BpeMerges]]'s consumer: tokenize the corpus
@@ -3189,7 +3241,8 @@ object TextAnalysis {
         |  (SELECT CAST(count(*) AS BIGINT) FROM big) AS n_bigrams,
         |  true AS served_eq_inline,
         |  true AS append_eq_rebuild,
-        |  true AS retract_eq_rebuild_without""".stripMargin,
+        |  true AS retract_eq_rebuild_without,
+        |  true AS compact_preserves_answers""".stripMargin,
     // incremental-vs-full merge-table equality is asserted Spark-side
     // (exact integer rounds); DuckDB anchors the index's vocabulary as
     // the distinct separator-free corpus tokens (the t38 universe) and

