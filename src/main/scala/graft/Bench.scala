@@ -122,13 +122,13 @@ object Bench {
     "g17_incr_components",
     "s04_ann_recall_gate", "s07_ann_index_gate", "s14_ann_ingest_gate",
     "s16_radius_index_gate", "s18_filtered_radius_gate",
-    "s20_l2_index_gate", "s22_l2_filtered_gate",
+    "s20_l2_index_gate", "s22_l2_filtered_gate", "s23_ip_index_gate",
     "s08_filtered_index_gate", "s10_filtered_ivfpq_gate",
     "s11_filtered_srp_gate", "s12_quantized_index_gate",
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",
     "t35_stream_curate_gate", "t40_text_index_gate",
     "t41_bpe_incremental", "t42_hybrid_indexed_gate",
-    "t48_lm_index_gate",
+    "t48_lm_index_gate", "t49_lm_ingest_gate",
     "t43_bm25_indexed", "t45_phrase_indexed")
 
   def main(args: Array[String]): Unit = {

@@ -1980,6 +1980,65 @@ object Similarity {
         (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
   }
 
+  /** Fingerprint-keyed shared INNER-PRODUCT artifact (ivf-only, the
+    * sharedL2AnnIndex rules). MIPS routing note: cells are still the
+    * L2 k-means layout — the standard norm-agnostic approximation —
+    * so the s23 gate holds the recall bar the honest way, through the
+    * exact-verified candidate scores. */
+  private[graft] def sharedIpAnnIndex(s: SparkSession, dir: String): String =
+    sharedIndexLock.synchronized {
+      val name = "graft_shared_annip_" + java.lang.Long.toHexString(embFp(dir))
+      val complete = s.catalog.tableExists(name + "_cells") &&
+        s.catalog.tableExists(name + "_side")
+      if (!complete) {
+        val e = withNorm(Tables.embeddings(s, dir))
+        writeAnnIndex(s, e.filter(col("vec_id") >= 10), name,
+          families = Set("ivf"), metric = "ip")
+      }
+      name
+    }
+
+  /** Driver gate for the INNER-PRODUCT metric — the metric matrix's
+    * third row made driver-visible (cosine: the whole s-family; l2:
+    * s19–s22): exact MIPS top-5 computed inline (the s04 pattern — the
+    * brute-force dot ranking is the gate's own anchor), indexed path
+    * answered from the shared ip artifact; flags = recall ≥ 0.6 on
+    * (query_id, vec_id, sim_e6) and every indexed hit carrying its
+    * EXACT e6 dot (scores computed from full vectors — routing can cut
+    * candidates, never corrupt values). Whole-gate memoized. */
+  def s23IpIndexGate(s: SparkSession, dir: String): DataFrame =
+    memoFamily(s, dir, "s23")(s23Body(s, dir))
+
+  private def s23Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedIpAnnIndex(s, dir)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    val c = e.filter(col("vec_id") >= 10)
+    val scores = c.join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        e6(dot(col("qe"), col("emb"))).as("sim_e6"))
+    // both sides referenced twice (count + semi-join) → cache,
+    // query-scoped; Verify/Bench clearCache after (the repo rule)
+    val exact = topKWithRank(scores)
+      .select(col("query_id"), col("vec_id"), col("sim_e6")).cache()
+    val idx = annIvfIndexed(s, q, name)
+      .select(col("query_id"), col("vec_id"), col("sim_e6")).cache()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val nHit = idx.join(exact, Seq("query_id", "vec_id", "sim_e6"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    // true-hit: every indexed score matches the brute-force dot for
+    // its pair (semi-join against the FULL scored surface)
+    val nIdx = idx.agg(count(lit(1)).as("n_idx"))
+    val nTrue = idx.join(scores, Seq("query_id", "vec_id", "sim_e6"), "left_semi")
+      .agg(count(lit(1)).as("n_true"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(nExact).crossJoin(nHit).crossJoin(nIdx).crossJoin(nTrue)
+      .select(col("n_queries"),
+        (col("n_hit") * 10 >= col("n_exact") * 6).as("ip_recall_ge_60"),
+        (col("n_true") === col("n_idx")).as("hits_exact_dots"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s01_cosine_topk" -> (s01CosineTopK _),
     "s02_ann_ivf"     -> (s02AnnIvf _),
@@ -2003,6 +2062,7 @@ object Similarity {
     "s20_l2_index_gate" -> (s20L2IndexGate _),
     "s21_l2_filtered_topk" -> (s21L2FilteredTopK _),
     "s22_l2_filtered_gate" -> (s22L2FilteredGate _),
+    "s23_ip_index_gate" -> (s23IpIndexGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2045,6 +2105,13 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS all_hits_share_label,
         |  true AS recall_ge_60
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // the MIPS gate's exact ranking is its own inline anchor (the s04
+    // pattern); DuckDB anchors the query count + literal-true flags
+    "s23_ip_index_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS ip_recall_ge_60,
+        |  true AS hits_exact_dots
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // recall/subset flags are integer hit-count comparisons vs the
     // hash-gated exact s19 (the s04/s16 pattern); DuckDB anchors the

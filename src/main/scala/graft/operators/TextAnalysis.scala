@@ -1763,44 +1763,145 @@ object TextAnalysis {
   def writeLmIndex(corpus: DataFrame, name: String,
       numBuckets: Int = 8): Unit = {
     val s = corpus.sparkSession
-    Seq("_uni", "_big").foreach(sfx => dropManaged(s, name + sfx))
+    Seq("_uni", "_big", "_stats").flatMap(x => Seq(x, x + "_tmp"))
+      .foreach(sfx => dropManaged(s, name + sfx))
     val toks = corpus.select(tokens(col("text")).as("toks"))
     toks.select(explode(col("toks")).as("u"))
       .groupBy(col("u")).agg(count(lit(1)).as("cu"))
+      .select(col("u"), col("cu"), lit(0L).as("batch_id"))
       .write.mode("overwrite").bucketBy(numBuckets, "u").sortBy("u")
       .saveAsTable(name + "_uni")
     toks.select(explode(shingles(col("toks"), 2)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("cg"))
+      .select(col("g"), col("cg"), lit(0L).as("batch_id"))
       .write.mode("overwrite").bucketBy(numBuckets, "g").sortBy("g")
       .saveAsTable(name + "_big")
+    // commit marker for batch 0, written LAST (the `_stats`-last rule —
+    // its presence proves the whole build landed)
+    import s.implicits._
+    Seq(0L).toDF("batch_id").repartition(1)
+      .write.mode("overwrite").saveAsTable(name + "_stats")
   }
 
-  /** Shared delta writer: sign = +1 append, −1 retraction (the BPE
-    * negative-batch rule — only retract docs that were actually
-    * indexed, or the net goes negative and the read filter over-drops). */
-  private def lmIndexDelta(docs: DataFrame, name: String, sign: Int,
-      numBuckets: Int): Unit = {
+  /** The per-batch (uni, big) count frames a delta lands — shared by
+    * the append path and t49's debris planting so planted crash states
+    * use the REAL physical layout. */
+  private def lmBatchCounts(docs: DataFrame, sign: Int,
+      batchId: Long): (DataFrame, DataFrame) = {
     val toks = docs.select(tokens(col("text")).as("toks"))
-    toks.select(explode(col("toks")).as("u"))
+    (toks.select(explode(col("toks")).as("u"))
       .groupBy(col("u")).agg((count(lit(1)) * sign).as("cu"))
-      .write.mode("append").bucketBy(numBuckets, "u").sortBy("u")
+      .select(col("u"), col("cu"), lit(batchId).as("batch_id")),
+      toks.select(explode(shingles(col("toks"), 2)).as("g"))
+        .groupBy(col("g")).agg((count(lit(1)) * sign).as("cg"))
+        .select(col("g"), col("cg"), lit(batchId).as("batch_id")))
+  }
+
+  /** JOURNALED delta writer — the at-least-once crash/redelivery
+    * contract the ADDITIVE count tables need (round 14; the text
+    * index's WAL idea with batch-granular excision): count rows carry
+    * their `batch_id`, the batch's `_stats` row commits it LAST, and
+    * READERS see committed batches only ([[lmCommitted]] semi-join) —
+    * so a mid-crash artifact answers exactly as if the batch had not
+    * arrived (partial ADDITIVE counts would otherwise be silently
+    * WRONG values, not just missing docs — the reason the edge/ANN
+    * anti-join trick cannot work here: a count row is not
+    * self-identifying). Sequence per call: (1) HEAL — batch_ids with
+    * rows but no commit marker are excised through the crash-safe
+    * generation swap; (2) a batch_id already committed returns false
+    * (the redelivered duplicate); (3) land rows, then the marker.
+    * `batchId` is the caller's delivery identity — a streaming sink
+    * passes its foreachBatch id (the g13 wiring). Single-writer, like
+    * every artifact here. */
+  private def lmIndexBatch(docs: DataFrame, name: String, batchId: Long,
+      sign: Int, numBuckets: Int): Boolean = {
+    val s = docs.sparkSession
+    healLmIndexAppends(s, name)
+    if (!s.table(name + "_stats")
+        .filter(col("batch_id") === batchId).isEmpty) return false
+    val (uni, big) = lmBatchCounts(docs, sign, batchId)
+    uni.write.mode("append").bucketBy(numBuckets, "u").sortBy("u")
       .saveAsTable(name + "_uni")
-    toks.select(explode(shingles(col("toks"), 2)).as("g"))
-      .groupBy(col("g")).agg((count(lit(1)) * sign).as("cg"))
-      .write.mode("append").bucketBy(numBuckets, "g").sortBy("g")
+    big.write.mode("append").bucketBy(numBuckets, "g").sortBy("g")
       .saveAsTable(name + "_big")
+    import s.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").saveAsTable(name + "_stats")
+    true
   }
 
   /** APPEND a delta batch's unigram/bigram counts — prior bucket files
-    * are never read or rewritten. */
-  def appendToLmIndex(delta: DataFrame, name: String,
-      numBuckets: Int = 8): Unit = lmIndexDelta(delta, name, 1, numBuckets)
+    * are never read or rewritten. Returns false iff `batchId` was
+    * already committed (the redelivered duplicate — zero rows land). */
+  def appendToLmIndex(delta: DataFrame, name: String, batchId: Long,
+      numBuckets: Int = 8): Boolean =
+    lmIndexBatch(delta, name, batchId, 1, numBuckets)
 
   /** RETRACT docs' contributions (right-to-be-forgotten for the LM):
     * negative batch, read-side nets it out; a fully-retracted entry
-    * leaves the table. */
-  def removeFromLmIndex(docs: DataFrame, name: String,
-      numBuckets: Int = 8): Unit = lmIndexDelta(docs, name, -1, numBuckets)
+    * leaves the table. Retraction is a journaled batch like any other. */
+  def removeFromLmIndex(docs: DataFrame, name: String, batchId: Long,
+      numBuckets: Int = 8): Boolean =
+    lmIndexBatch(docs, name, batchId, -1, numBuckets)
+
+  /** Detect and excise crashed appends: batch_ids carrying rows in
+    * `_uni`/`_big` but absent from `_stats`. Returns the number of
+    * excised batch_ids. */
+  def healLmIndexAppends(s: SparkSession, name: String): Long = {
+    val committed = s.table(name + "_stats")
+      .select(col("batch_id")).distinct()
+    val debris = s.table(name + "_uni").select(col("batch_id"))
+      .unionByName(s.table(name + "_big").select(col("batch_id")))
+      .distinct()
+      .join(committed, Seq("batch_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    if (debris.nonEmpty) {
+      val bad = (c: Column) => c.isInCollection(debris)
+      lmSwapGeneration(s, name,
+        u => u.filter(!bad(col("batch_id"))),
+        b => b.filter(!bad(col("batch_id"))),
+        identity)
+    }
+    debris.size.toLong
+  }
+
+  /** Crash-safe generation swap for the three LM tables (the
+    * swapEdgeGeneration shape): `_tmp` twins written with `_stats_tmp`
+    * LAST (complete-generation marker), rename in fixed order, adopt a
+    * crashed swap's complete tmp generation, refresh the caller's
+    * relation cache. Bucket count from the catalog, fail-loud. */
+  private def lmSwapGeneration(s0: SparkSession, name: String,
+      tUni: DataFrame => DataFrame, tBig: DataFrame => DataFrame,
+      tStats: DataFrame => DataFrame): Unit = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val sfxs = Seq("_uni", "_big", "_stats")
+    if (s.catalog.tableExists(name + "_stats_tmp")) {
+      sfxs.foreach { sfx =>
+        if (s.catalog.tableExists(name + sfx + "_tmp")) {
+          s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+          s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+        }
+      }
+    }
+    sfxs.foreach(sfx => dropManaged(s, name + sfx + "_tmp"))
+    val nb = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name + "_uni"))
+      .bucketSpec.map(_.numBuckets).getOrElse(sys.error(
+        s"${name}_uni has no bucketSpec — rewriting would silently " +
+          "change the layout (the round-13 ADVICE rule)"))
+    tUni(s.table(name + "_uni")).write.mode("overwrite")
+      .bucketBy(nb, "u").sortBy("u").saveAsTable(name + "_uni_tmp")
+    tBig(s.table(name + "_big")).write.mode("overwrite")
+      .bucketBy(nb, "g").sortBy("g").saveAsTable(name + "_big_tmp")
+    tStats(s.table(name + "_stats")).repartition(1)
+      .write.mode("overwrite").saveAsTable(name + "_stats_tmp")
+    sfxs.foreach { sfx =>
+      s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+      s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+      s0.catalog.refreshTable(name + sfx)
+    }
+  }
 
   /** Net a bucketed count table to ONE row per key and drop zero-net
     * (fully-retracted) entries — [[graft.operators.Dedup.compactSpanIndex]]
@@ -1839,22 +1940,55 @@ object TextAnalysis {
     s0.catalog.refreshTable(live)
   }
 
-  /** COMPACT both LM count tables to one row per key. */
+  /** COMPACT both LM count tables to one row per key — committed rows
+    * net under batch 0, zero-net entries drop (the `> 0` keep condition
+    * IS the read views' filter), uncommitted debris is excised, and the
+    * journal NORMALIZES to the single batch 0 alongside (the round-10
+    * text-index lesson: a rewrite that keeps historical batch ids makes
+    * every batch look uncommitted — or here, resurrect-able). One
+    * crash-safe three-table swap. */
   def compactLmIndex(s: SparkSession, name: String): Unit = {
-    compactCountTable(s, name + "_uni", "u", "cu")
-    compactCountTable(s, name + "_big", "g", "cg")
+    val committed = s.table(name + "_stats")
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val keep = (c: Column) => c.isInCollection(committed)
+    lmSwapGeneration(s, name,
+      u => u.filter(keep(col("batch_id")))
+        .groupBy(col("u")).agg(sum(col("cu")).as("cu"))
+        .filter(col("cu") > 0L)
+        .select(col("u"), col("cu"), lit(0L).as("batch_id")),
+      b => b.filter(keep(col("batch_id")))
+        .groupBy(col("g")).agg(sum(col("cg")).as("cg"))
+        .filter(col("cg") > 0L)
+        .select(col("g"), col("cg"), lit(0L).as("batch_id")),
+      st => {
+        import st.sparkSession.implicits._
+        Seq(0L).toDF("batch_id")
+      })
   }
 
   /** COMPACT the BPE word index to one row per word. */
   def compactBpeWordIndex(s: SparkSession, name: String): Unit =
     compactCountTable(s, name + "_words", "word", "n")
 
-  /** Re-aggregated read views (the span/BPE-index read contract). */
+  /** Re-aggregated read views (the span/BPE-index read contract), over
+    * COMMITTED batches only: the broadcast `_stats` semi-join is what
+    * makes a mid-crash artifact answer exactly as if the crashed batch
+    * had not arrived — for additive counts, partial rows are wrong
+    * VALUES, not just missing docs, so read-side commit filtering is
+    * correctness, not hygiene. The journal is batch-count-sized —
+    * the join broadcasts and the bucketed scan shape is untouched. */
+  private def lmCommitted(s: SparkSession, name: String): DataFrame =
+    broadcast(s.table(name + "_stats").select(col("batch_id")).distinct())
   private def lmUniCounts(s: SparkSession, name: String): DataFrame =
-    s.table(name + "_uni").groupBy(col("u")).agg(sum(col("cu")).as("cu"))
+    s.table(name + "_uni")
+      .join(lmCommitted(s, name), Seq("batch_id"), "left_semi")
+      .groupBy(col("u")).agg(sum(col("cu")).as("cu"))
       .filter(col("cu") > 0L)
   private def lmBigCounts(s: SparkSession, name: String): DataFrame =
-    s.table(name + "_big").groupBy(col("g")).agg(sum(col("cg")).as("cg"))
+    s.table(name + "_big")
+      .join(lmCommitted(s, name), Seq("batch_id"), "left_semi")
+      .groupBy(col("g")).agg(sum(col("cg")).as("cg"))
       .filter(col("cg") > 0L)
 
   /** [[lmScore]] answered from a persisted [[writeLmIndex]] artifact —
@@ -1872,7 +2006,8 @@ object TextAnalysis {
     lmLock.synchronized {
       val name = "graft_shared_lm_" + java.lang.Long.toHexString(docsFp(dir))
       val complete = s.catalog.tableExists(name + "_uni") &&
-        s.catalog.tableExists(name + "_big")
+        s.catalog.tableExists(name + "_big") &&
+        s.catalog.tableExists(name + "_stats")
       if (!complete) writeLmIndex(Tables.documents(s, dir), name)
       name
     }
@@ -1908,13 +2043,13 @@ object TextAnalysis {
     val (appendEq, retractEq, compactEq) =
       try {
         writeLmIndex(docs.filter(col("doc_id") % 5 =!= 0), tn)
-        appendToLmIndex(docs.filter(col("doc_id") % 5 === 0), tn)
+        appendToLmIndex(docs.filter(col("doc_id") % 5 === 0), tn, batchId = 1L)
         val appEq = {
           val a = lmScoreIndexed(s, tn, docs).cache()
           val b = lmScore(docs, docs).cache()
           try eqEmpty(a, b) finally { a.unpersist(); b.unpersist() }
         }
-        removeFromLmIndex(docs.filter(col("doc_id") % 7 === 0), tn)
+        removeFromLmIndex(docs.filter(col("doc_id") % 7 === 0), tn, batchId = 2L)
         val rest = docs.filter(col("doc_id") % 7 =!= 0)
         def restEq: Boolean = {
           val a = lmScoreIndexed(s, tn, rest).cache()
@@ -1926,13 +2061,76 @@ object TextAnalysis {
         // answers must not move (the read views already re-aggregate)
         compactLmIndex(s, tn)
         (appEq, retEq, restEq)
-      } finally Seq("_uni", "_big").foreach(sfx =>
-        s.sql(s"DROP TABLE IF EXISTS `$tn$sfx`"))
+      } finally Seq("_uni", "_big", "_stats")
+        .flatMap(x => Seq(x, x + "_tmp"))
+        .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$tn$sfx`"))
     import s.implicits._
     Seq((nVocab, nBigrams, servedEq, appendEq, retractEq, compactEq))
       .toDF("n_vocab", "n_bigrams", "served_eq_inline",
         "append_eq_rebuild", "retract_eq_rebuild_without",
         "compact_preserves_answers")
+  }
+
+  /** Driver gate for the LM append's at-least-once contract (round 14;
+    * the s14/g13 planted-crash pattern for the JOURNALED count
+    * artifact): build on a quarter of the corpus, append a second
+    * quarter, plant batch 2's crash debris (HALF its `_uni` rows under
+    * batch_id 2, no `_big` rows, no commit marker — the exact physical
+    * layout [[lmIndexBatch]] writes, a state only a mid-append crash
+    * can produce), then drive the real API through retry, redelivery,
+    * and a further batch. Flags:
+    *  - mid-crash reads see COMMITTED batches only (scores over the
+    *    debris-bearing artifact ≡ a fresh train over batches 0–1 —
+    *    for additive counts this is correctness, not hygiene);
+    *  - retrying the crashed batch (same batch_id) heals then lands it;
+    *  - REDELIVERING a committed batch_id changes zero physical rows;
+    *  - the final artifact scores ≡ a fresh full-corpus train.
+    * DuckDB anchors n_docs + literal-true flags (the s14 pattern). */
+  def t49LmIngestGate(s: SparkSession, dir: String): DataFrame =
+    memoGate(s, dir, docsFp(dir), "t49")(t49Body(s, dir))
+
+  private def t49Body(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_t49_lm"
+    val docs = Tables.documents(s, dir)
+    def part(m: Long) = docs.filter(col("doc_id") % 4 === m)
+    def eqEmpty(a: DataFrame, b: DataFrame): Boolean =
+      a.exceptAll(b).unionByName(b.exceptAll(a)).isEmpty
+    try {
+      writeLmIndex(part(0), name)                      // batch 0
+      appendToLmIndex(part(1), name, batchId = 1L)     // batch 1
+      // plant batch 2's mid-append crash: half the uni rows, no marker
+      val (uni2, _) = lmBatchCounts(part(2), 1, 2L)
+      val half = uni2.count() / 2
+      uni2.orderBy(col("u")).limit(half.toInt)
+        .write.mode("append").bucketBy(8, "u").sortBy("u")
+        .saveAsTable(name + "_uni")
+      val midCrashCommitted = {
+        val a = lmScoreIndexed(s, name, part(0)).cache()
+        val b = lmScore(part(0).unionByName(part(1)), part(0)).cache()
+        try eqEmpty(a, b) finally { a.unpersist(); b.unpersist() }
+      }
+      // retry of the crashed batch: heal excises the debris, then lands
+      val retried = appendToLmIndex(part(2), name, batchId = 2L)
+      def physRows(): (Long, Long, Long) =
+        (s.table(name + "_uni").count(), s.table(name + "_big").count(),
+          s.table(name + "_stats").count())
+      val before = physRows()
+      // redelivery of the committed batch — must be a no-op
+      val redelivered = appendToLmIndex(part(2), name, batchId = 2L)
+      val redeliveryZero = !redelivered && physRows() == before
+      appendToLmIndex(part(3), name, batchId = 3L)
+      val finalEq = {
+        val a = lmScoreIndexed(s, name, docs).cache()
+        val b = lmScore(docs, docs).cache()
+        try eqEmpty(a, b) finally { a.unpersist(); b.unpersist() }
+      }
+      import s.implicits._
+      Seq((docs.count(), midCrashCommitted, retried && redeliveryZero, finalEq))
+        .toDF("n_docs", "midcrash_reads_committed_only",
+          "redelivery_zero_rows", "final_eq_rebuild")
+    } finally Seq("_uni", "_big", "_stats")
+      .flatMap(x => Seq(x, x + "_tmp"))
+      .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$name$sfx`"))
   }
 
   /** BPE ENCODING — [[t28BpeMerges]]'s consumer: tokenize the corpus
@@ -2225,6 +2423,7 @@ object TextAnalysis {
     "t46_proximity_search" -> (t46ProximitySearch _),
     "t47_proximity_indexed" -> (t47ProximityIndexed _),
     "t48_lm_index_gate" -> (t48LmIndexGate _),
+    "t49_lm_ingest_gate" -> (t49LmIngestGate _),
   )
 
   /** The driver-registered face of [[t12Bm25Indexed]]: the rounded
@@ -3222,6 +3421,14 @@ object TextAnalysis {
     "t40_text_index_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  true AS bm25_indexed_matches_inline
+        |FROM documents""".stripMargin,
+    // the crash/redelivery legs are Spark-side physical assertions;
+    // DuckDB anchors the doc count + literal-true flags (s14 pattern)
+    "t49_lm_ingest_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS midcrash_reads_committed_only,
+        |  true AS redelivery_zero_rows,
+        |  true AS final_eq_rebuild
         |FROM documents""".stripMargin,
     // served/append/retract equalities are exact-integer exceptAll
     // Spark-side; DuckDB anchors the artifact's re-aggregated coverage:

@@ -1054,6 +1054,11 @@ class SimilaritySpec extends SparkSpec {
         assert(r.getLong(2) == dotE6(vecs(r.getLong(0)), vecs(r.getLong(1))),
           s"indexed ip score diverged from the exact dot for ${(r.getLong(0), r.getLong(1))}")
       }
+      // the registered driver gate: recall + true-hit flags
+      val gate = Similarity.s23IpIndexGate(spark, sf).collect()
+      assert(gate.length == 1)
+      assert(gate.head.getBoolean(1), "indexed MIPS recall < 0.6")
+      assert(gate.head.getBoolean(2), "an indexed ip hit carried a non-exact dot")
     } finally {
       Seq("_cells", "_srp", "_pq", "_side").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS graft_ipspec$sfx"))

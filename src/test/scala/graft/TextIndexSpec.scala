@@ -553,12 +553,12 @@ class TextIndexSpec extends SparkSpec {
     val all = d1.unionByName(d2)
     try {
       TextAnalysis.writeLmIndex(d1, name)
-      TextAnalysis.appendToLmIndex(d2, name)
+      TextAnalysis.appendToLmIndex(d2, name, batchId = 1L)
       val served = TextAnalysis.lmScoreIndexed(spark, name, all)
       val fresh = TextAnalysis.lmScore(all, all)
       assert(served.exceptAll(fresh).unionByName(fresh.exceptAll(served)).isEmpty,
         "append-built index diverged from a fresh train over the union")
-      TextAnalysis.removeFromLmIndex(d2.filter(col("doc_id") === 4L), name)
+      TextAnalysis.removeFromLmIndex(d2.filter(col("doc_id") === 4L), name, batchId = 2L)
       val rest = all.filter(col("doc_id") =!= 4L)
       val after = TextAnalysis.lmScoreIndexed(spark, name, rest)
       val rebuilt = TextAnalysis.lmScore(rest, rest)
@@ -591,14 +591,14 @@ class TextIndexSpec extends SparkSpec {
       assert(parts() < before && parts() <= 8,
         s"expected debris to collapse (<$before files, <=8 buckets), got ${parts()}")
       // post-compact appendability: the layout survives further batches
-      TextAnalysis.appendToLmIndex(Seq((9L, "aa dd")).toDF("doc_id", "text"), name)
+      TextAnalysis.appendToLmIndex(Seq((9L, "aa dd")).toDF("doc_id", "text"), name, batchId = 3L)
       val grown = rest.unionByName(Seq((9L, "aa dd")).toDF("doc_id", "text"))
       val after2 = TextAnalysis.lmScoreIndexed(spark, name, grown)
       val fresh2 = TextAnalysis.lmScore(grown, grown)
       assert(after2.exceptAll(fresh2).unionByName(fresh2.exceptAll(after2)).isEmpty,
         "post-compact append diverged from a fresh train")
     } finally {
-      Seq("_uni", "_big").foreach(sfx =>
+      Seq("_uni", "_big", "_stats").flatMap(x => Seq(x, x + "_tmp")).foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS graft_lmspec$sfx"))
       spark.catalog.clearCache()
     }
