@@ -128,7 +128,7 @@ object Bench {
     "s13_drift_retrain_gate", "m07_media_lifecycle_gate",
     "t35_stream_curate_gate", "t40_text_index_gate",
     "t41_bpe_incremental", "t42_hybrid_indexed_gate",
-    "t48_lm_index_gate", "t49_lm_ingest_gate",
+    "t48_lm_index_gate", "t49_lm_ingest_gate", "t50_bpe_ingest_gate",
     "t43_bm25_indexed", "t45_phrase_indexed")
 
   def main(args: Array[String]): Unit = {

@@ -1673,47 +1673,127 @@ object TextAnalysis {
     * delta here. */
   def writeBpeWordIndex(corpus: DataFrame, name: String,
       numBuckets: Int = 8): Unit = {
-    dropManaged(corpus.sparkSession, name + "_words")
-    bpeWordCounts(corpus).write.mode("overwrite")
+    val s = corpus.sparkSession
+    Seq("_words", "_stats").flatMap(x => Seq(x, x + "_tmp"))
+      .foreach(sfx => dropManaged(s, name + sfx))
+    bpeWordCounts(corpus)
+      .select(col("word"), col("n"), lit(0L).as("batch_id"))
+      .write.mode("overwrite")
       .bucketBy(numBuckets, "word").sortBy("word")
       .saveAsTable(name + "_words")
+    // commit marker for batch 0, written LAST (the `_stats`-last rule)
+    import s.implicits._
+    Seq(0L).toDF("batch_id").repartition(1)
+      .write.mode("overwrite").saveAsTable(name + "_stats")
+  }
+
+  /** JOURNALED batch writer — the LM index's at-least-once contract
+    * ([[lmIndexBatch]]) applied to the single BPE count table: additive
+    * word counts have the same partial/redelivered-batch hazard as the
+    * LM's, so rows carry their batch_id, the `_stats` marker commits
+    * LAST, readers see committed batches only, heal-then-retry runs
+    * inside the append, and a committed batch_id returns false with
+    * zero rows landed. */
+  private def bpeIndexBatch(docs: DataFrame, name: String, batchId: Long,
+      sign: Int, numBuckets: Int): Boolean = {
+    val s = docs.sparkSession
+    healBpeIndexAppends(s, name)
+    if (!s.table(name + "_stats")
+        .filter(col("batch_id") === batchId).isEmpty) return false
+    bpeWordCounts(docs)
+      .select(col("word"), (col("n") * sign).as("n"),
+        lit(batchId).as("batch_id"))
+      .write.mode("append")
+      .bucketBy(numBuckets, "word").sortBy("word")
+      .saveAsTable(name + "_words")
+    import s.implicits._
+    Seq(batchId).toDF("batch_id")
+      .write.mode("append").saveAsTable(name + "_stats")
+    true
   }
 
   /** APPEND a delta batch's word counts — prior bucket files are never
     * read or rewritten; equivalence to a rebuild holds through the
     * read-side re-aggregation (unlike doc-keyed indexes, the SAME word
-    * recurs across batches — the sum is the merge). */
-  def appendToBpeWordIndex(delta: DataFrame, name: String,
-      numBuckets: Int = 8): Unit =
-    bpeWordCounts(delta).write.mode("append")
-      .bucketBy(numBuckets, "word").sortBy("word")
-      .saveAsTable(name + "_words")
+    * recurs across batches — the sum is the merge). Returns false iff
+    * `batchId` was already committed (redelivered duplicate). */
+  def appendToBpeWordIndex(delta: DataFrame, name: String, batchId: Long,
+      numBuckets: Int = 8): Boolean =
+    bpeIndexBatch(delta, name, batchId, 1, numBuckets)
 
   /** REMOVE docs' contributions from a [[writeBpeWordIndex]] artifact —
     * right-to-be-forgotten for the vocabulary, via RETRACTION: the
-    * removed docs' word counts land as a NEGATIVE batch (new bucket
-    * files; prior files never read or rewritten — the append
-    * machinery verbatim), and the read-side sum nets them out. A word
-    * whose count nets to zero drops from the vocabulary entirely
-    * ([[bpeIndexCounts]] filters n > 0), so training after a removal
-    * equals a full retrain over the surviving corpus (TextIndexSpec
-    * asserts). Only ever retract docs that were actually indexed —
-    * the standing provenance contract (a double retraction would go
-    * negative and the filter would over-drop). */
-  def removeFromBpeWordIndex(docs: DataFrame, name: String,
-      numBuckets: Int = 8): Unit =
-    bpeWordCounts(docs).select(col("word"), (-col("n")).as("n"))
-      .write.mode("append")
-      .bucketBy(numBuckets, "word").sortBy("word")
-      .saveAsTable(name + "_words")
+    * removed docs' word counts land as a NEGATIVE journaled batch, and
+    * the read-side sum nets them out. A word whose count nets to zero
+    * drops from the vocabulary entirely ([[bpeIndexCounts]] filters
+    * n > 0), so training after a removal equals a full retrain over the
+    * surviving corpus (TextIndexSpec asserts). Only ever retract docs
+    * that were actually indexed — the standing provenance contract (a
+    * double retraction would go negative and the filter would
+    * over-drop; the journal makes an accidental RE-DELIVERY of the same
+    * retraction batch a no-op, closing the sharpest instance). */
+  def removeFromBpeWordIndex(docs: DataFrame, name: String, batchId: Long,
+      numBuckets: Int = 8): Boolean =
+    bpeIndexBatch(docs, name, batchId, -1, numBuckets)
+
+  /** Detect and excise crashed appends (rows with no commit marker) —
+    * the [[healLmIndexAppends]] contract, one table wide. */
+  def healBpeIndexAppends(s: SparkSession, name: String): Long = {
+    val committed = s.table(name + "_stats")
+      .select(col("batch_id")).distinct()
+    val debris = s.table(name + "_words").select(col("batch_id")).distinct()
+      .join(committed, Seq("batch_id"), "left_anti")
+      .collect().map(_.getLong(0)).toSet
+    if (debris.nonEmpty)
+      bpeSwapGeneration(s, name,
+        w => w.filter(!col("batch_id").isInCollection(debris)), identity)
+    debris.size.toLong
+  }
+
+  /** Crash-safe generation swap for the BPE tables (`_stats_tmp` last =
+    * complete-generation marker; the lmSwapGeneration shape, one count
+    * table wide). */
+  private def bpeSwapGeneration(s0: SparkSession, name: String,
+      tWords: DataFrame => DataFrame,
+      tStats: DataFrame => DataFrame): Unit = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    val sfxs = Seq("_words", "_stats")
+    if (s.catalog.tableExists(name + "_stats_tmp")) {
+      sfxs.foreach { sfx =>
+        if (s.catalog.tableExists(name + sfx + "_tmp")) {
+          s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+          s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+        }
+      }
+    }
+    sfxs.foreach(sfx => dropManaged(s, name + sfx + "_tmp"))
+    val nb = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name + "_words"))
+      .bucketSpec.map(_.numBuckets).getOrElse(sys.error(
+        s"${name}_words has no bucketSpec — rewriting would silently " +
+          "change the layout (the round-13 ADVICE rule)"))
+    tWords(s.table(name + "_words")).write.mode("overwrite")
+      .bucketBy(nb, "word").sortBy("word").saveAsTable(name + "_words_tmp")
+    tStats(s.table(name + "_stats")).repartition(1)
+      .write.mode("overwrite").saveAsTable(name + "_stats_tmp")
+    sfxs.foreach { sfx =>
+      s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
+      s.sql(s"ALTER TABLE `$name$sfx${"_tmp"}` RENAME TO `$name$sfx`")
+      s0.catalog.refreshTable(name + sfx)
+    }
+  }
 
   /** The re-aggregated (word, n) view of a [[writeBpeWordIndex]]
-    * artifact — multi-batch rows per word sum back to the rebuilt
-    * single row (the span-index read contract); retraction rows net
-    * against their appends, and a fully-retracted word (n ≤ 0) leaves
-    * the vocabulary. */
+    * artifact, over COMMITTED batches only (the LM read contract) —
+    * multi-batch rows per word sum back to the rebuilt single row;
+    * retraction rows net against their appends, and a fully-retracted
+    * word (n ≤ 0) leaves the vocabulary. */
   private def bpeIndexCounts(s: SparkSession, name: String): DataFrame =
-    s.table(name + "_words").groupBy(col("word")).agg(sum(col("n")).as("n"))
+    s.table(name + "_words")
+      .join(broadcast(s.table(name + "_stats")
+        .select(col("batch_id")).distinct()), Seq("batch_id"), "left_semi")
+      .groupBy(col("word")).agg(sum(col("n")).as("n"))
       .filter(col("n") > 0L)
 
   /** Driver gate for the incremental BPE vocabulary (the s07/t40
@@ -1733,7 +1813,8 @@ object TextAnalysis {
     val docs = Tables.documents(s, dir)
     try {
       writeBpeWordIndex(docs.filter(col("doc_id") % 5 =!= 0), name)
-      appendToBpeWordIndex(docs.filter(col("doc_id") % 5 === 0), name)
+      appendToBpeWordIndex(docs.filter(col("doc_id") % 5 === 0), name,
+        batchId = 1L)
       val idxCounts = bpeIndexCounts(s, name)
       val nVocab = idxCounts.count()
       val (incWords, incBests) = bpeTrainFromCounts(idxCounts)
@@ -1742,7 +1823,55 @@ object TextAnalysis {
       import s.implicits._
       Seq((nVocab, incBests == fullBests))
         .toDF("n_vocab", "incremental_eq_full")
-    } finally s.sql(s"DROP TABLE IF EXISTS `${name}_words`")
+    } finally Seq("_words", "_stats").flatMap(x => Seq(x, x + "_tmp"))
+      .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$name$sfx`"))
+  }
+
+  /** Driver gate for the BPE append's at-least-once contract (the t49
+    * shape, one count table wide): planted mid-append debris (half of
+    * batch 2's word rows under batch_id 2, no commit marker), mid-crash
+    * TRAINING sees committed batches only, the retried batch heals then
+    * lands, a redelivered committed batch_id changes zero physical
+    * rows, and the final index trains the same merge table as a full
+    * retrain over the whole corpus. */
+  def t50BpeIngestGate(s: SparkSession, dir: String): DataFrame =
+    memoGate(s, dir, docsFp(dir), "t50")(t50Body(s, dir))
+
+  private def t50Body(s: SparkSession, dir: String): DataFrame = {
+    val name = "graft_t50_bpe"
+    val docs = Tables.documents(s, dir)
+    def part(m: Long) = docs.filter(col("doc_id") % 4 === m)
+    def merges(counts: DataFrame): Seq[(Long, String, String, Long)] = {
+      val (w, bests) = bpeTrainFromCounts(counts)
+      w.unpersist(); bests
+    }
+    try {
+      writeBpeWordIndex(part(0), name)                       // batch 0
+      appendToBpeWordIndex(part(1), name, batchId = 1L)      // batch 1
+      // plant batch 2's mid-append crash: half its word rows, no marker
+      val c2 = bpeWordCounts(part(2))
+        .select(col("word"), col("n"), lit(2L).as("batch_id"))
+      c2.orderBy(col("word")).limit((c2.count() / 2).toInt)
+        .write.mode("append").bucketBy(8, "word").sortBy("word")
+        .saveAsTable(name + "_words")
+      val midCrashCommitted =
+        merges(bpeIndexCounts(s, name)) ==
+          merges(bpeWordCounts(part(0).unionByName(part(1))))
+      val retried = appendToBpeWordIndex(part(2), name, batchId = 2L)
+      def physRows(): (Long, Long) =
+        (s.table(name + "_words").count(), s.table(name + "_stats").count())
+      val before = physRows()
+      val redelivered = appendToBpeWordIndex(part(2), name, batchId = 2L)
+      val redeliveryZero = !redelivered && physRows() == before
+      appendToBpeWordIndex(part(3), name, batchId = 3L)
+      val finalEq =
+        merges(bpeIndexCounts(s, name)) == merges(bpeWordCounts(docs))
+      import s.implicits._
+      Seq((docs.count(), midCrashCommitted, retried && redeliveryZero, finalEq))
+        .toDF("n_docs", "midcrash_trains_committed_only",
+          "redelivery_zero_rows", "final_eq_retrain")
+    } finally Seq("_words", "_stats").flatMap(x => Seq(x, x + "_tmp"))
+      .foreach(sfx => s.sql(s"DROP TABLE IF EXISTS `$name$sfx`"))
   }
 
   // ------------------------------------ persisted bigram LM index (t48)
@@ -1903,43 +2032,6 @@ object TextAnalysis {
     }
   }
 
-  /** Net a bucketed count table to ONE row per key and drop zero-net
-    * (fully-retracted) entries — [[graft.operators.Dedup.compactSpanIndex]]
-    * applied to the LM/BPE count artifacts (round 14: the count-table
-    * families' last missing lifecycle op): pure layout + debris removal,
-    * answers unchanged because every reader already re-aggregates per
-    * key, and the `> 0` keep condition is EXACTLY the read views'
-    * filter. Child-session autoBucketedScan pin → read-bucket →
-    * write-bucket with zero Exchange, one file per bucket; tmp-write +
-    * rename swap with crashed-swap self-heal; bucket count from the
-    * catalog, fail-loud if absent (the round-13 ADVICE rule). */
-  private def compactCountTable(s0: SparkSession, live: String,
-      keyCol: String, cntCol: String): Unit = {
-    val s = s0.newSession()
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    // finish a crashed previous swap first (live dropped, _tmp complete)
-    if (!s.catalog.tableExists(live) && s.catalog.tableExists(live + "_tmp"))
-      s.sql(s"ALTER TABLE `${live}_tmp` RENAME TO `$live`")
-    val numBuckets = s.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(live))
-      .bucketSpec.map(_.numBuckets).getOrElse(sys.error(
-        s"$live has no bucketSpec — compacting would silently rewrite " +
-          "the layout the catalog read exists to preserve"))
-    val tmp = live + "_tmp"
-    dropManaged(s, tmp)
-    s.table(live)
-      .groupBy(col(keyCol)).agg(sum(col(cntCol)).as(cntCol))
-      .filter(col(cntCol) > 0L)
-      .write.mode("overwrite")
-      .bucketBy(numBuckets, keyCol).sortBy(keyCol)
-      .saveAsTable(tmp)
-    s.sql(s"DROP TABLE IF EXISTS `$live`")
-    s.sql(s"ALTER TABLE `$tmp` RENAME TO `$live`")
-    // the swap ran in the child session — refresh the caller's relation
-    // cache or its next scan throws FILE_NOT_EXIST (the r9 rule)
-    s0.catalog.refreshTable(live)
-  }
-
   /** COMPACT both LM count tables to one row per key — committed rows
     * net under batch 0, zero-net entries drop (the `> 0` keep condition
     * IS the read views' filter), uncommitted debris is excised, and the
@@ -1967,9 +2059,24 @@ object TextAnalysis {
       })
   }
 
-  /** COMPACT the BPE word index to one row per word. */
-  def compactBpeWordIndex(s: SparkSession, name: String): Unit =
-    compactCountTable(s, name + "_words", "word", "n")
+  /** COMPACT the BPE word index to one row per word — committed rows
+    * net under batch 0, zero-net words drop, uncommitted debris is
+    * excised, and the journal normalizes to batch 0 (the compactLmIndex
+    * contract, one table wide). */
+  def compactBpeWordIndex(s: SparkSession, name: String): Unit = {
+    val committed = s.table(name + "_stats")
+      .select(col("batch_id")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    bpeSwapGeneration(s, name,
+      w => w.filter(col("batch_id").isInCollection(committed))
+        .groupBy(col("word")).agg(sum(col("n")).as("n"))
+        .filter(col("n") > 0L)
+        .select(col("word"), col("n"), lit(0L).as("batch_id")),
+      st => {
+        import st.sparkSession.implicits._
+        Seq(0L).toDF("batch_id")
+      })
+  }
 
   /** Re-aggregated read views (the span/BPE-index read contract), over
     * COMMITTED batches only: the broadcast `_stats` semi-join is what
@@ -2424,6 +2531,7 @@ object TextAnalysis {
     "t47_proximity_indexed" -> (t47ProximityIndexed _),
     "t48_lm_index_gate" -> (t48LmIndexGate _),
     "t49_lm_ingest_gate" -> (t49LmIngestGate _),
+    "t50_bpe_ingest_gate" -> (t50BpeIngestGate _),
   )
 
   /** The driver-registered face of [[t12Bm25Indexed]]: the rounded
@@ -3421,6 +3529,13 @@ object TextAnalysis {
     "t40_text_index_gate" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_docs,
         |  true AS bm25_indexed_matches_inline
+        |FROM documents""".stripMargin,
+    // the t49 contract, one count table wide — doc-count anchor + flags
+    "t50_bpe_ingest_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  true AS midcrash_trains_committed_only,
+        |  true AS redelivery_zero_rows,
+        |  true AS final_eq_retrain
         |FROM documents""".stripMargin,
     // the crash/redelivery legs are Spark-side physical assertions;
     // DuckDB anchors the doc count + literal-true flags (s14 pattern)

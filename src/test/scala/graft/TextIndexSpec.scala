@@ -171,7 +171,8 @@ class TextIndexSpec extends SparkSpec {
     try {
       // retract doc 3: its unique words must leave the vocabulary
       TextAnalysis.removeFromBpeWordIndex(
-        base.filter(col("doc_id") === 3L), "graft_bpe_rm", numBuckets = 4)
+        base.filter(col("doc_id") === 3L), "graft_bpe_rm", batchId = 1L,
+        numBuckets = 4)
       val counts = spark.table("graft_bpe_rm_words")
         .groupBy(col("word")).agg(sum(col("n")).as("n"))
         .filter(col("n") > 0)
@@ -206,7 +207,8 @@ class TextIndexSpec extends SparkSpec {
         spark.table("graft_bpe_rm_words"))
       cw.unpersist()
       assert(comp == full, "compaction changed the trained merges")
-    } finally spark.sql("DROP TABLE IF EXISTS graft_bpe_rm_words")
+    } finally Seq("_words", "_stats").flatMap(x => Seq(x, x + "_tmp")).foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_bpe_rm$sfx"))
   }
 
   test("incremental BPE: delta flips the winning merge exactly like a full retrain") {
@@ -220,7 +222,7 @@ class TextIndexSpec extends SparkSpec {
     val delta = Seq((10L, (1 to 20).map(_ => "xk").mkString(" ")))
       .toDF("doc_id", "text")
     TextAnalysis.writeBpeWordIndex(base, "graft_bpe_spec", numBuckets = 4)
-    TextAnalysis.appendToBpeWordIndex(delta, "graft_bpe_spec", numBuckets = 4)
+    TextAnalysis.appendToBpeWordIndex(delta, "graft_bpe_spec", batchId = 1L, numBuckets = 4)
     try {
       val idx = spark.table("graft_bpe_spec_words")
         .groupBy(col("word")).agg(sum(col("n")).as("n"))
@@ -234,7 +236,8 @@ class TextIndexSpec extends SparkSpec {
       assert(inc.head != baseOnly.head,
         s"delta failed to flip the round-1 winner: ${inc.head}")
       assert(inc.head._4 == 20L, s"round-1 pair count: ${inc.head}")
-    } finally spark.sql("DROP TABLE IF EXISTS graft_bpe_spec_words")
+    } finally Seq("_words", "_stats").flatMap(x => Seq(x, x + "_tmp")).foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_bpe_spec$sfx"))
   }
 
   test("t44 phrase search: differential vs plain-Scala counting at sf, overlap semantics") {
