@@ -44,6 +44,7 @@ object ScaleSmoke {
     if (a.contains("rs100")) { rs100(spark); spark.stop(); return }
     if (a.contains("iknn100")) { iknn100(spark); spark.stop(); return }
     if (a.contains("icc100")) { icc100(spark); spark.stop(); return }
+    if (a.contains("lm100")) { lm100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
     val reps = spark.range(10).toDF("rep")
@@ -225,6 +226,45 @@ object ScaleSmoke {
       f"rebuild=$tReb%.2f s diff_rows=$diff deltas_joined=$joined")
     assert(diff == 0, s"incremental diverged from rebuild by $diff rows")
     assert(joined >= (dBatch * 9) / 10, s"only $joined/$dBatch deltas joined a family")
+  }
+
+  /** Persisted-LM amortization smoke (t48's 100× story; the fixture's
+    * 31-word vocabulary is degenerate for LM cost — the b100 rule — so
+    * the corpus synthesizes vocabulary growth): 200k 20-word docs over
+    * a 50k-word vocabulary (~1M distinct bigrams). The inline path pays
+    * corpus-sized train passes (tokenize + two count aggs) INSIDE every
+    * scoring call; the artifact pays them once at build, after which a
+    * serving call is one scoring pass over the corpus plus two
+    * broadcast-sized table reads. Asserts served ≡ inline rows
+    * (exceptAll both ways — the vocabulary-sensitive smoothing makes
+    * this a real equality, not a smoke-and-mirrors count); reports
+    * build / inline / served seconds. */
+  private def lm100(spark: SparkSession): Unit = {
+    import graft.operators.TextAnalysis
+    val n = 200000L
+    val vocab = 50000L
+    val out = "/tmp/sflm100"
+    spark.range(n).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(0), lit(19)),
+        i => concat(lit("w"), pmod(xxhash64(col("id"), i), lit(vocab)))))
+        .as("text"))
+      .write.mode("overwrite").parquet(s"$out/docs.parquet")
+    val docs = spark.read.parquet(s"$out/docs.parquet")
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val inline = TextAnalysis.lmScore(docs, docs)
+    val (_, tInline) = time(inline.write.format("noop").mode("overwrite").save())
+    val (_, tBuild) = time(TextAnalysis.writeLmIndex(docs, "graft_lm100"))
+    val served = TextAnalysis.lmScoreIndexed(spark, "graft_lm100", docs)
+    val (_, tServed) = time(served.write.format("noop").mode("overwrite").save())
+    val diff = served.exceptAll(inline).count() + inline.exceptAll(served).count()
+    println(f"LM100 docs=$n vocab=$vocab build=$tBuild%.2f s " +
+      f"inline=$tInline%.2f s served=$tServed%.2f s diff_rows=$diff")
+    assert(diff == 0, s"served scores diverged from the inline train by $diff rows")
+    // drop the smoke's artifact tables (the rs100 cleanup rule)
+    Seq("_uni", "_big", "_stats").flatMap(x => Seq(x, x + "_tmp"))
+      .foreach(sfx => spark.sql(s"DROP TABLE IF EXISTS graft_lm100$sfx"))
   }
 
   /** Incremental-components scale smoke (g17's 100× story): 1M nodes in
