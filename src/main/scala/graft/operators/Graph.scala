@@ -1187,11 +1187,18 @@ object Graph {
       .select(col("id"), coalesce(col("merged"), col("label")).as("label"))
     // … plus rows for nodes the delta introduced (their super-node is
     // their own id; the coalesce fallback covers a node whose every
-    // delta edge contracted away — impossible today, but harmless)
+    // delta edge contracted away — impossible today, but harmless).
+    // "Not in base" is computed WITHOUT shuffling the node-sized label
+    // table (the PlanShapeSpec pin): base ⋉ broadcast(deltaNodes) is a
+    // map-side semi bounded by |delta|, and the anti-join then runs
+    // tiny-vs-tiny broadcast — a direct deltaNodes ANTI baseLabels
+    // would sort-merge the whole label table for a delta-sized answer
     val deltaNodes = deltaEdges.select(col("doc_a").as("id"))
       .unionByName(deltaEdges.select(col("doc_b").as("id"))).distinct()
+    val inBase = baseLabels.select(col("id"))
+      .join(broadcast(deltaNodes), Seq("id"), "left_semi")
     val fresh = deltaNodes
-      .join(baseLabels.select(col("id")), Seq("id"), "left_anti")
+      .join(broadcast(inBase), Seq("id"), "left_anti")
       .join(remap, col("id") === col("old"), "left")
       .select(col("id"), coalesce(col("merged"), col("id")).as("label"))
     rebased.unionByName(fresh)

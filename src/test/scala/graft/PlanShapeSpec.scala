@@ -759,6 +759,46 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("s19: L2 ranking cuts through the bounded heap under the flipped order") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = plan(Similarity.s19L2TopK(spark, sf))
+      // k smallest (d2, vec_id) per query through the heap operator —
+      // never a corpus-wide rank window over the scored surface
+      assert(p.contains("TopKPerKeyPartial"),
+        "s19 rank lost the bounded-heap operator:\n" + p)
+      assert(p.contains("vector_dot"),
+        "s19 d2 lost the native dot composition:\n" + p)
+      spark.sharedState.cacheManager.clearCache()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("g17: incremental relabel is broadcast-only — no full-graph fixpoint joins") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.col
+      // pin the incremental CONSTRUCTION (the registered query serves
+      // the GateMemo local relation — the d21/d23 rule): the frozen
+      // base remaps through BROADCAST joins of the delta-sized
+      // contracted fixpoint; a sort-merge join on the remap would mean
+      // the node-sized table is being shuffled for a delta-sized map
+      val base = Seq((2L, 4L), (4L, 6L), (10L, 12L), (30L, 32L))
+        .toDF("doc_a", "doc_b")
+      val delta = Seq((6L, 10L), (20L, 22L)).toDF("doc_a", "doc_b")
+      val labels = graft.operators.Dedup.clusterLabels(base)
+      val p = plan(graft.operators.Graph.incrementalComponentLabels(labels, delta))
+      assert(!p.contains("SortMergeJoin"),
+        "g17 remap fell to a shuffle join:\n" + p)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        "g17 planned an all-pairs join:\n" + p)
+      assert(p.contains("BroadcastHashJoin"),
+        "g17 remap lost its broadcast shape:\n" + p)
+      spark.sharedState.cacheManager.clearCache()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("d23: incremental kNN recompute keeps the bounded heap and equi-join-only candidates") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
