@@ -44,6 +44,7 @@ object ScaleSmoke {
     if (a.contains("rs100")) { rs100(spark); spark.stop(); return }
     if (a.contains("iknn100")) { iknn100(spark); spark.stop(); return }
     if (a.contains("icc100")) { icc100(spark); spark.stop(); return }
+    if (a.contains("itr100")) { itr100(spark); spark.stop(); return }
     if (a.contains("lm100")) { lm100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
@@ -311,6 +312,74 @@ object ScaleSmoke {
       f"incremental=$tInc%.2f s rebuild=$tReb%.2f s diff_rows=$diff merged=$merged")
     assert(diff == 0, s"incremental diverged from rebuild by $diff rows")
     assert(merged == nDelta, s"expected $nDelta merged 20-node components, got $merged")
+  }
+
+  /** Incremental-triangle scale smoke (g18's 100× story, the icc100
+    * shape): block-local chord graphs — node i carries edges (i, i+1)
+    * and (i, i+2) inside its m=10 block, so every interior node closes
+    * one triangle — at TWO base sizes (1M and 4M nodes ≈ 1.9M / 7.6M
+    * edges) with the SAME 500-edge delta ((u, u+3) chords, each closing
+    * two new A-triangles through the frozen adjacency). Claims measured:
+    * (a) incremental ≡ full recompute (diff 0) at both sizes, (b) the
+    * incremental update's cost tracks the TOUCHED adjacency, not |E| —
+    * 4× the base edges must not ~4× the delta update the way it
+    * does the rebuild. */
+  private def itr100(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    val m = 10L
+    val nDelta = 500L
+    def blockEdges(n: Long): DataFrame = {
+      val ids = spark.range(n)
+      ids.filter(col("id") % m < m - 1)
+        .select(col("id").as("u"), (col("id") + 1).as("v"))
+        .unionAll(ids.filter(col("id") % m < m - 2)
+          .select(col("id").as("u"), (col("id") + 2).as("v")))
+    }
+    def delta(n: Long): DataFrame =
+      // one (u, u+3) chord in every (n / nDelta)-th block — spread out,
+      // so the touched adjacency stays ∝ |delta| at every base size
+      spark.range(nDelta).select((col("id") * (n / nDelta / m) * m).as("u"))
+        .select(col("u"), (col("u") + 3).as("v"))
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    def fullTable(edges: DataFrame): DataFrame = {
+      val t = Graph.triangleCore(edges)
+      val tn = t._1.select(col("src").as("node"), size(col("inter")).cast("long").as("c"))
+        .unionAll(t._1.select(col("dst").as("node"), size(col("inter")).cast("long").as("c")))
+        .unionAll(t._1.select(explode(col("inter")).as("node"), lit(1L).as("c")))
+        .groupBy(col("node")).agg(sum(col("c")).as("tri"))
+      t._2.select(col("node"), col("d").as("deg"))
+        .join(tn, Seq("node"), "left")
+        .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+    }
+    val results = Seq(1000000L, 4000000L).map { n =>
+      val base = blockEdges(n).cache()
+      val d = delta(n).cache()
+      // the frozen state a deployment holds between batches — built once,
+      // localCheckpointed exactly like sharedTriangleCore retains it
+      val t = Graph.triangleCore(base)
+      val core = (t._1.localCheckpoint(true), t._2.localCheckpoint(true))
+      val (inc, tInc) = time {
+        val r = Graph.incrementalTriangleTable(core, base, d)
+        r.write.format("noop").mode("overwrite").save(); r
+      }
+      val (reb, tReb) = time {
+        val r = fullTable(base.unionByName(d))
+        r.write.format("noop").mode("overwrite").save(); r
+      }
+      val diff = inc.exceptAll(reb).count() + reb.exceptAll(inc).count()
+      spark.catalog.clearCache()
+      println(f"ITR100 n=$n edges~${2 * n - n / m * 3} delta=$nDelta " +
+        f"incremental=$tInc%.2f s rebuild=$tReb%.2f s diff_rows=$diff")
+      assert(diff == 0, s"incremental diverged from rebuild by $diff rows at n=$n")
+      (tInc, tReb)
+    }
+    val (i1, r1) = results.head
+    val (i4, r4) = results.last
+    println(f"ITR100 scaling: 4x edges -> incremental ${i4 / i1}%.2fx, rebuild ${r4 / r1}%.2fx")
+    assert(i4 < r4 / 2,
+      f"incremental ($i4%.2f s) should beat half the rebuild (${r4 / 2}%.2f s) at 4M nodes")
   }
 
   /** Radius-search scale smoke (s15/s16's 100× story, the knn100

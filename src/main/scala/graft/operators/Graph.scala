@@ -835,8 +835,9 @@ object Graph {
     trianglesFromCore(perEdge, deg)
   }
 
-  /** The canonical (u < v) part co-occurrence edge set g10/g11 share. */
-  private def partEdges(s: SparkSession, dir: String): DataFrame = {
+  /** The canonical (u < v) part co-occurrence edge set g10/g11 share
+    * (package-visible for g18's differential spec). */
+  private[graft] def partEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
     val a = li.select(col("l_orderkey"), col("p").as("u"))
@@ -1234,6 +1235,165 @@ object Graph {
       .orderBy("component")
   }
 
+  // ---------------------------------------------------------------------
+  // g18 — INCREMENTAL triangle / LCC maintenance under edge appends
+  // (round-14 top ask #4; the d23/g17 frozen-base pattern applied to the
+  // triangle family): a delta edge can only create triangles that pass
+  // through a delta ENDPOINT, so the update never re-runs the full
+  // oriented-adjacency closure. New triangles partition EXACTLY by how
+  // many delta edges they contain (base ∩ delta = ∅ by the append
+  // contract):
+  //   A (1 delta + 2 base): per delta edge (u,v), witnesses =
+  //     N_base(u) ∩ N_base(v) — base adjacency RESTRICTED to delta
+  //     endpoints (one pass over the bucketed edge table, broadcast-semi
+  //     on the endpoint set; never wedge-sized, never closed);
+  //   B (2 delta + 1 base): wedges WITHIN the delta (center w, ordered
+  //     endpoints u < v) whose closing edge (u,v) is base — delta-sized;
+  //   C (3 delta): [[triangleCore]] over the delta alone — delta-sized.
+  // Each new triangle lands in exactly one class, so per-node credits
+  // (every triangle credits its three vertices) and the total are exact.
+  // The formulation is ORIENTATION-FREE: the degree-ordered okeys of the
+  // frozen core never enter, so delta-induced degree changes cannot flip
+  // where counts live (the hazard a re-orient-and-merge design has).
+  // ---------------------------------------------------------------------
+
+  /** Per-node triangle credits from an appended delta batch.
+    * `baseEdges`/`delta` are canonical (u < v) DISTINCT edge frames with
+    * base ∩ delta = ∅ (the append path's anti-join guarantees it).
+    * Returns (node, dtri) for every node gaining triangles. */
+  private[graft] def incrementalTriangleCredits(
+      baseEdges: DataFrame, delta0: DataFrame): DataFrame = {
+    val delta = delta0.cache()
+    val dn = delta.select(col("u").as("n"))
+      .unionAll(delta.select(col("v").as("n"))).distinct()
+    // base adjacency restricted to delta endpoints: only rows incident
+    // to a delta node survive the broadcast semi — cost ∝ touched
+    // adjacency rows kept, one scan of the (bucketed) base, no closure
+    val baseBi = baseEdges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(baseEdges.select(col("v").as("a"), col("u").as("b")))
+    val adjBase = baseBi
+      .join(broadcast(dn.select(col("n").as("a"))), Seq("a"), "left_semi")
+      .groupBy(col("a")).agg(sort_array(collect_list(col("b"))).as("nbrs"))
+    val empty = array().cast("array<bigint>")
+    // A: witnesses of each delta edge in the BASE graph — referenced
+    // three times below (u/v/witness credits) → cache (query-scoped)
+    val aWit = delta
+      .join(adjBase.select(col("a").as("u"), col("nbrs").as("nu")), Seq("u"), "left")
+      .join(adjBase.select(col("a").as("v"), col("nbrs").as("nv")), Seq("v"), "left")
+      .select(col("u"), col("v"),
+        array_intersect(coalesce(col("nu"), empty),
+          coalesce(col("nv"), empty)).as("wit"))
+      .cache()
+    // B: delta wedges (center w, u < v) closed by a BASE edge — the
+    // semi-join key order matches both canonical forms
+    val dBi = delta.select(col("u").as("w"), col("v").as("x"))
+      .unionAll(delta.select(col("v").as("w"), col("u").as("x")))
+    val bTri = dBi.as("p")
+      .join(dBi.as("q"), col("p.w") === col("q.w") && col("p.x") < col("q.x"))
+      .select(col("p.w").as("w"), col("p.x").as("u"), col("q.x").as("v"))
+      .join(baseEdges, Seq("u", "v"), "left_semi")
+      .cache()
+    // C: triangles entirely within the delta (delta-sized closure)
+    val (cPer0, _, _) = triangleCore(delta)
+    val cPer = cPer0.cache()
+    aWit.select(col("u").as("node"), size(col("wit")).cast("long").as("c"))
+      .unionAll(aWit.select(col("v").as("node"), size(col("wit")).cast("long").as("c")))
+      .unionAll(aWit.select(explode(col("wit")).as("node"), lit(1L).as("c")))
+      .unionAll(bTri.select(col("w").as("node"), lit(1L).as("c")))
+      .unionAll(bTri.select(col("u").as("node"), lit(1L).as("c")))
+      .unionAll(bTri.select(col("v").as("node"), lit(1L).as("c")))
+      .unionAll(cPer.select(col("src").as("node"), size(col("inter")).cast("long").as("c")))
+      .unionAll(cPer.select(col("dst").as("node"), size(col("inter")).cast("long").as("c")))
+      .unionAll(cPer.select(explode(col("inter")).as("node"), lit(1L).as("c")))
+      .groupBy(col("node")).agg(sum(col("c")).as("dtri"))
+      .filter(col("dtri") > 0)
+  }
+
+  /** The COMPLETE post-delta (node, deg, tri) table: frozen per-node
+    * counts off the memoized core, outer-merged with the delta's degree
+    * and triangle credits (new nodes enter through the delta side).
+    * Provably ≡ re-running [[triangleCore]] over base ∪ delta (GraphSpec
+    * pins the equality on the fixture and on a crafted A/B/C mix). */
+  private[graft] def incrementalTriangleTable(
+      core: (DataFrame, DataFrame), baseEdges: DataFrame,
+      delta: DataFrame): DataFrame = {
+    val (perEdge0, deg) = core
+    val perEdge = perEdge0
+    val baseTri = perEdge
+      .select(col("src").as("node"), size(col("inter")).cast("long").as("c"))
+      .unionAll(perEdge
+        .select(col("dst").as("node"), size(col("inter")).cast("long").as("c")))
+      .unionAll(perEdge
+        .select(explode(col("inter")).as("node"), lit(1L).as("c")))
+      .groupBy(col("node")).agg(sum(col("c")).as("tri0"))
+    val dDeg = delta.select(col("u").as("node"))
+      .unionAll(delta.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("ddeg"))
+    val credits = incrementalTriangleCredits(baseEdges, delta)
+    deg.select(col("node"), col("d").as("deg0"))
+      .join(baseTri, Seq("node"), "full")
+      .join(dDeg, Seq("node"), "full")
+      .join(credits, Seq("node"), "full")
+      .select(col("node"),
+        (coalesce(col("deg0"), lit(0L)) + coalesce(col("ddeg"), lit(0L))).as("deg"),
+        (coalesce(col("tri0"), lit(0L)) + coalesce(col("dtri"), lit(0L))).as("tri"))
+  }
+
+  /** g18's "newly arrived" co-occurrence batch, fixture-derivable so
+    * DuckDB can replay it: for every part id p ≡ 3 (mod 7), the three
+    * canonical pairs {(p, p+1), (p+1, p+2), (p, p+2)} with both
+    * endpoints valid part ids, MINUS pairs already co-occurring — the
+    * triple seeds all three new-triangle classes at once (C when none
+    * of the three co-occur, B when exactly the closing pair does, A
+    * through each endpoint's existing adjacency), and the anti-join
+    * keeps the append contract (base ∩ delta = ∅) by construction. */
+  private[graft] def cooccurDeltaEdges(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.part(s, dir)
+      .select(col("p_partkey").cast("long").as("p"))
+    val seeds = ids.filter(col("p") % 7 === 3)
+    val cand = seeds.select(col("p").as("u"), (col("p") + 1).as("v"))
+      .unionAll(seeds.select((col("p") + 1).as("u"), (col("p") + 2).as("v")))
+      .unionAll(seeds.select(col("p").as("u"), (col("p") + 2).as("v")))
+    cand
+      .join(ids.select(col("p").as("u")), Seq("u"), "left_semi")
+      .join(ids.select(col("p").as("v")), Seq("v"), "left_semi")
+      .join(partEdges(s, dir), Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"))
+  }
+
+  /** g18 — the registered incremental-triangle query: frozen base = the
+    * persisted co-occurrence artifact's memoized triangle core (exactly
+    * the state g10/g11 hold between delta batches), delta =
+    * [[cooccurDeltaEdges]]. Output: the post-delta (node, deg, tri,
+    * coef_e6) row for every DELTA ENDPOINT, total node order — the
+    * nodes whose degree (and usually triangle count) the batch moved.
+    * DuckDB recomputes the UNION graph's per-node triangle counts from
+    * scratch with the g11 join and restricts to the same endpoint set,
+    * so the hash gate proves incremental ≡ full recompute at every SF.
+    * GateMemo'd (the frozen core is session-amortized state) +
+    * amortized-marked in Bench. */
+  def g18IncrementalTriangles(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir,
+      Tables.fixtureFingerprint(dir, "lineitem.parquet") ^
+        java.lang.Long.rotateLeft(
+          Tables.fixtureFingerprint(dir, "part.parquet"), 17),
+      "g18")(g18Body(s, dir))
+
+  private def g18Body(s: SparkSession, dir: String): DataFrame = {
+    val core = sharedTriangleCore(s, dir)
+    val baseEdges = cooccurEdges(s, sharedCooccurIndex(s, dir))
+    val delta = cooccurDeltaEdges(s, dir).cache()
+    val updated = incrementalTriangleTable(core, baseEdges, delta)
+    val dn = delta.select(col("u").as("node"))
+      .unionAll(delta.select(col("v").as("node"))).distinct()
+    updated.join(broadcast(dn), Seq("node"), "left_semi")
+      .withColumn("coef_e6",
+        when(col("deg") >= 2,
+          expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .orderBy(col("node"))
+  }
+
   /** Joint-order threshold for the WEIGHTED co-occurrence graph: a
     * (part, part) pair is an edge only when it appears in ≥ 2 orders.
     * The threshold is what keeps the community structure non-degenerate
@@ -1616,6 +1776,7 @@ object Graph {
     "g15_modularity" -> (g15Modularity _),
     "g16_affinity_index_gate" -> (g16AffinityIndexGate _),
     "g17_incr_components" -> (g17IncrementalComponents _),
+    "g18_incr_triangles" -> (g18IncrementalTriangles _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1706,6 +1867,42 @@ object Graph {
          |  CAST(SUM(c.id) AS BIGINT) AS node_sum
          |FROM comp c JOIN aff ON c.label = aff.label
          |GROUP BY 1 ORDER BY component""".stripMargin,
+    // incremental ≡ full recompute: DuckDB rebuilds the UNION graph's
+    // per-node triangle counts from scratch (the g11 join) and restricts
+    // to the delta's endpoint set — the hash gate proves the credit
+    // arithmetic at every SF
+    "g18_incr_triangles" ->
+      """WITH e AS MATERIALIZED (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |                  CAST(b.l_partkey AS BIGINT) AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |ids AS (SELECT CAST(p_partkey AS BIGINT) AS p FROM part),
+        |seeds AS (SELECT p FROM ids WHERE p % 7 = 3),
+        |cand AS (SELECT p AS u, p+1 AS v FROM seeds
+        |  UNION ALL SELECT p+1, p+2 FROM seeds
+        |  UNION ALL SELECT p, p+2 FROM seeds),
+        |d AS MATERIALIZED (SELECT u, v FROM cand
+        |  WHERE u IN (SELECT p FROM ids) AND v IN (SELECT p FROM ids)
+        |    AND NOT EXISTS (SELECT 1 FROM e WHERE e.u = cand.u AND e.v = cand.v)),
+        |un AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT u, v FROM d),
+        |dn AS (SELECT u AS node FROM d UNION SELECT v FROM d),
+        |tr AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |       FROM un e1 JOIN un e2 ON e1.v = e2.u
+        |                  JOIN un e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |         SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+        |         UNION ALL SELECT c FROM tr) x GROUP BY node),
+        |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |         SELECT u AS node FROM un UNION ALL SELECT v FROM un) x
+        |       GROUP BY node)
+        |SELECT g.node AS node, g.deg AS deg, COALESCE(t.tri, 0) AS tri,
+        |       CAST(CASE WHEN g.deg >= 2
+        |         THEN (2 * COALESCE(t.tri, 0) * 1000000) // (g.deg * (g.deg - 1))
+        |         ELSE 0 END AS BIGINT) AS coef_e6
+        |FROM dg g JOIN dn ON dn.node = g.node
+        |LEFT JOIN tn t ON t.node = g.node
+        |ORDER BY node""".stripMargin,
     // the oracle recomputes n_edges from the fact tables where the gate
     // reads the persisted table (both directions = 2·|pairs|) — anchoring
     // the build — and pins the equality flag at literal TRUE (t40 pattern)

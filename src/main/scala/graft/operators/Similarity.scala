@@ -396,6 +396,28 @@ object Similarity {
     })
   }
 
+  /** MAP-SIDE L2 ADC lookup table — the textbook FAISS formulation
+    * (Jégou et al. 2011, IVFADC): entry (m, j) is the squared L2
+    * distance between the query's m-th sub-vector and centroid j of
+    * codebook m, so the approximate distance of a coded vector is a
+    * pure M-term LUT sum: d̂²(q, x) = Σ_m lut[m][codes[m]]. Same
+    * flattened layout and per-ROW computation as [[pqLut]]; codebooks
+    * are the SAME per-subspace L2 k-means both metrics train —
+    * only the query-side table changes. */
+  private def pqLutL2(qe: Column, books: Seq[Seq[Array[Double]]]): Column = {
+    val flat = typedlit(books.flatMap(b => b.flatMap(_.toSeq))) // [m][j][t]
+    transform(sequence(lit(0), lit(PqM * PqK - 1)), i => {
+      val j = pmod(i.cast("int"), lit(PqK))
+      val m = ((i.cast("int") - j) / lit(PqK)).cast("int")
+      aggregate(sequence(lit(0), lit(PqSub - 1)), lit(0.0),
+        (acc, t) => {
+          val d = element_at(qe, m * PqSub + t + lit(1)) -
+            element_at(flat, (m * PqK + j) * PqSub + t + lit(1))
+          acc + d * d
+        })
+    })
+  }
+
   /** PQ query tail over a (vec_id, codes, recon_n) frame — inline
     * [[pqEncode]] output or the persisted `_pq` bucketed table: ADC
     * approximate ranking via per-query bounded heaps, exact rerank of
@@ -428,6 +450,29 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
     topKWithRank(sims)
+  }
+
+  /** L2 twin of [[adcTail]] over a joined (vec_id, codes, query_id, lut)
+    * candidate frame: the approximate distance is the bare M-term LUT
+    * sum (no norms — [[pqLutL2]]'s entries are already squared
+    * sub-distances), candidates are the PqCandidates SMALLEST d̂² per
+    * query through the same bounded heap with ascending flags, and the
+    * survivors exact-rerank against the full-width vectors under
+    * [[l2RankedTail]]'s flipped order. Output (query_id, vec_id,
+    * d2_e6, rank) — the s19 contract. */
+  private def adcTailL2(joined: DataFrame, vecs: DataFrame, q: DataFrame): DataFrame = {
+    val approx = joined
+      .withColumn("ad2", aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0),
+        (acc, m) => acc + element_at(col("lut"), m * PqK + element_at(col("codes"), m + lit(1)) + lit(1))))
+    val cand = org.apache.spark.sql.graft.relations.topKPerKey(
+        approx.select(col("query_id"), col("vec_id"), col("ad2")),
+        Seq("query_id"), Seq(("ad2", true), ("vec_id", true)), PqCandidates)
+      .select(col("query_id"), col("vec_id"))
+    l2RankedTail(vecs
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("qe"))), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        e6(l2Sq(col("qe"), col("emb"))).as("d2_e6")))
   }
 
   /** IVF-PQ composition — the production vector-search shape (Jégou et
@@ -577,13 +622,19 @@ object Similarity {
     // cosine on ~equal-norm corpora and for L2 it is exactly right, for
     // MIPS it is the usual norm-agnostic approximation and every hit is
     // still exact-verified). The SRP family is cosine GEOMETRY (sign
-    // projections estimate the angle) and the PQ ADC tail ranks by
-    // normalized-reconstruction dot — both meaningless under another
-    // metric, hence ivf-only for non-cosine artifacts.
+    // projections estimate the angle) — meaningless under any other
+    // metric. PQ is sound for cosine (normalized-reconstruction dot)
+    // AND for l2: per-subspace squared-distance lookup tables are the
+    // textbook FAISS formulation (Jégou et al. 2011) — the round-14
+    // refusal wrongly excluded it; [[pqLutL2]]/[[adcTailL2]] are the
+    // l2 ADC tail. Unnormalized MIPS ADC stays refused (no sound
+    // residual decomposition for unbounded dots).
     require(Set("cosine", "ip", "l2").contains(metric),
       s"unknown metric '$metric'")
-    require(metric == "cosine" || families == Set("ivf"),
-      s"metric '$metric' supports only families=Set(\"ivf\") — srp/pq are cosine-geometry")
+    require(metric == "cosine" || !families.contains("srp"),
+      s"metric '$metric' does not support the srp family — sign projections are cosine-geometry")
+    require(metric != "ip" || families == Set("ivf"),
+      "metric 'ip' supports only families=Set(\"ivf\") — unnormalized MIPS ADC is unsound")
     // INT8 storage: `_cells` keeps 1 byte/dim (4× less rerank-source
     // I/O than float32 embeddings, 8× less than these double fixtures)
     // plus the constant scale in the sidecar. ALL derived state —
@@ -980,9 +1031,13 @@ object Similarity {
     val corpus = cells.select(
       (Seq(col("vec_id"), col("emb"), col("nrm")) ++ meta.map(col)): _*)
     // tmp build reads the LIVE _cells lazily — every read happens inside
-    // writeAnnIndex's materializing writes, before any live table drops
+    // writeAnnIndex's materializing writes, before any live table drops.
+    // The METRIC persists across retrain too (round-15 review find: the
+    // rebuild used to omit it, silently rewriting an l2/ip artifact as
+    // cosine — latent while non-cosine artifacts had no retrain caller).
     writeAnnIndex(s, corpus, name + "_rt", numBuckets, meta, families,
-      storage = if (isI8) "i8" else "f64", quantScale = qs)
+      storage = if (isI8) "i8" else "f64", quantScale = qs,
+      metric = metricOf(s, name))
     sfxs.filter(sfx => s.catalog.tableExists(name + "_rt" + sfx)).foreach { sfx =>
       s.sql(s"DROP TABLE IF EXISTS `$name$sfx`")
       s.sql(s"ALTER TABLE `${name}_rt$sfx` RENAME TO `$name$sfx`")
@@ -1307,18 +1362,32 @@ object Similarity {
   }
 
   /** PQ top-k from the artifact: ADC-rank the `_pq` codes with map-side
-    * LUTs from the sidecar codebooks, rerank against `_cells`. Falls
-    * back to exact scoring over `_cells` when the build found the
-    * corpus too small to seed full codebooks (empty `_pq`). */
+    * LUTs from the sidecar codebooks, rerank against `_cells`. The
+    * artifact's metric picks the ADC tail — cosine ranks the
+    * normalized-reconstruction dot descending ([[adcTail]]), l2 ranks
+    * the squared-distance LUT sum ascending ([[adcTailL2]]); 'ip'
+    * artifacts never have a `_pq` (build-refused). Falls back to exact
+    * scoring over `_cells` when the build found the corpus too small
+    * to seed full codebooks (empty `_pq`). */
   def annPqIndexed(s: SparkSession, queries: DataFrame, name: String): DataFrame = {
     val (_, books) = readAnnSidecar(s, name)
     val vecs = cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm"))
-    if (books.isEmpty || books.exists(_.size != PqK)) {
-      val sims = vecs.join(broadcast(queries))
+    val metric = metricOf(s, name)
+    if (books.isEmpty || books.exists(_.size != PqK)) metric match {
+      case "l2" => l2RankedTail(vecs.join(broadcast(queries))
         .select(col("query_id"), col("vec_id"),
-          e6(cosineWithNorms(col("qe"), col("emb"), col("qn"), col("nrm"))).as("sim_e6"))
-      topKWithRank(sims)
-    } else pqTopK(s.table(name + "_pq"), vecs, queries, books)
+          e6(l2Sq(col("qe"), col("emb"))).as("d2_e6")))
+      case m =>
+        val sims = vecs.join(broadcast(queries))
+          .select(col("query_id"), col("vec_id"),
+            metricScoreE6(m, col("qe"), col("emb"), col("qn"), col("nrm")).as("sim_e6"))
+        topKWithRank(sims)
+    } else metric match {
+      case "l2" =>
+        val ql = queries.select(col("query_id"), pqLutL2(col("qe"), books).as("lut"))
+        adcTailL2(s.table(name + "_pq").join(broadcast(ql)), vecs, queries)
+      case _ => pqTopK(s.table(name + "_pq"), vecs, queries, books)
+    }
   }
 
   /** Driver gate for the persisted index (s04/d11 pattern — one row of
@@ -1340,11 +1409,22 @@ object Similarity {
     val (cents, books) = readAnnSidecar(s, name)
     if (books.isEmpty || books.exists(_.size != PqK))
       return annIvfIndexed(s, queries, name)
-    val ql = queries.select(col("query_id"), pqLut(col("qe"), books).as("lut"),
-      col("qn"), explode(nearestCells(col("qe"), cents, NProbe)).as("cell"))
-    adcTail(s.table(name + "_pq").join(broadcast(ql), Seq("cell")),
-      cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
-      queries)
+    // the artifact's metric picks the ADC tail (the annPqIndexed rule);
+    // routing is the same L2-k-means cell layout for both
+    metricOf(s, name) match {
+      case "l2" =>
+        val ql = queries.select(col("query_id"), pqLutL2(col("qe"), books).as("lut"),
+          explode(nearestCells(col("qe"), cents, NProbe)).as("cell"))
+        adcTailL2(s.table(name + "_pq").join(broadcast(ql), Seq("cell")),
+          cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
+          queries)
+      case _ =>
+        val ql = queries.select(col("query_id"), pqLut(col("qe"), books).as("lut"),
+          col("qn"), explode(nearestCells(col("qe"), cents, NProbe)).as("cell"))
+        adcTail(s.table(name + "_pq").join(broadcast(ql), Seq("cell")),
+          cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
+          queries)
+    }
   }
 
   /** FILTERED IVF-PQ top-k from the artifact — the metadata predicate
@@ -1365,13 +1445,23 @@ object Similarity {
     if (books.isEmpty || books.exists(_.size != PqK))
       return annIvfFilteredIndexed(s, queries, name)
     val pq = s.table(name + "_pq")
-    val ql = broadcast(queries.select(col("query_id"),
-      pqLut(col("qe"), books).as("lut"), col("qn"), col("qlabel"),
-      explode(nearestCells(col("qe"), cents,
-        math.min(2 * NProbe, NCentroids))).as("qcell")))
-    adcTail(pq.join(ql, pq("cell") === ql("qcell") && pq("label") === ql("qlabel")),
-      cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
-      queries)
+    val probeCells = explode(nearestCells(col("qe"), cents,
+      math.min(2 * NProbe, NCentroids))).as("qcell")
+    // metric → ADC tail, exactly as in [[annIvfPqIndexed]]
+    metricOf(s, name) match {
+      case "l2" =>
+        val ql = broadcast(queries.select(col("query_id"),
+          pqLutL2(col("qe"), books).as("lut"), col("qlabel"), probeCells))
+        adcTailL2(pq.join(ql, pq("cell") === ql("qcell") && pq("label") === ql("qlabel")),
+          cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
+          queries)
+      case _ =>
+        val ql = broadcast(queries.select(col("query_id"),
+          pqLut(col("qe"), books).as("lut"), col("qn"), col("qlabel"), probeCells))
+        adcTail(pq.join(ql, pq("cell") === ql("qcell") && pq("label") === ql("qlabel")),
+          cellsTable(s, name).select(col("vec_id"), col("emb"), col("nrm")),
+          queries)
+    }
   }
 
   /** Driver gate for filtered IVF-PQ search (the s08 pattern, through
@@ -1724,6 +1814,16 @@ object Similarity {
         ivfCandScores(cells, queries, cents, "l2", "d2_e6",
           nProbe = math.min(2 * NProbe, NCentroids))
           .filter(col("d2_e6") <= tauE6)
+      case "ip" =>
+        // inner products are unbounded in scale — the cosine-calibrated
+        // default τ is meaningless for MIPS, and no radius contract
+        // exists for it yet (round-14 ADVICE). Refuse loudly rather
+        // than return a silently-arbitrary cut.
+        require(tauE6 != RadiusTauE6,
+          "radius search over an 'ip' artifact needs an explicit tauE6 — " +
+            "inner products are unbounded, the cosine default is meaningless")
+        ivfCandScores(cells, queries, cents, "ip", "sim_e6")
+          .filter(col("sim_e6") >= tauE6)
       case m =>
         ivfCandScores(cells, queries, cents, m, "sim_e6")
           .filter(col("sim_e6") >= tauE6)
@@ -1864,24 +1964,26 @@ object Similarity {
         e6(l2Sq(col("qe"), col("emb"))).as("d2_e6")))
   }
 
-  /** Fingerprint-keyed shared L2 artifact (ivf-only — srp/pq are
+  /** Fingerprint-keyed shared L2 artifact (ivf + pq — srp alone is
     * cosine-geometry; the sharedAnnIndex completeness/liveness rules).
     * Built with the `label` meta column so the filtered matrix (s22)
-    * shares it; the completeness probe includes the column, so a
-    * label-less generation from an older session self-heals into a
-    * rebuild instead of being adopted. */
+    * shares it; the completeness probe includes the column AND the
+    * `_pq` table (added round 15 — an ivf-only generation from an
+    * older session self-heals into a rebuild instead of being
+    * adopted, exactly like a label-less one). */
   private[graft] def sharedL2AnnIndex(s: SparkSession, dir: String): String =
     sharedIndexLock.synchronized {
       val name = "graft_shared_annl2_" + java.lang.Long.toHexString(embFp(dir))
       val complete = s.catalog.tableExists(name + "_cells") &&
         s.catalog.tableExists(name + "_side") &&
+        s.catalog.tableExists(name + "_pq") &&
         s.table(name + "_cells").columns.contains("label")
       if (!complete) {
         val e = Tables.embeddings(s, dir)
           .select(col("vec_id"), toDouble(col("embedding")).as("emb"), col("label"))
           .withColumn("nrm", l2Norm(col("emb")))
         writeAnnIndex(s, e.filter(col("vec_id") >= 10), name,
-          meta = Seq("label"), families = Set("ivf"), metric = "l2")
+          meta = Seq("label"), families = Set("ivf", "pq"), metric = "l2")
       }
       name
     }
@@ -1980,6 +2082,57 @@ object Similarity {
         (col("n_hit") * 10 >= col("n_exact") * 6).as("recall_ge_60"))
   }
 
+  /** Driver gate for L2-metric PQ / IVF-PQ (round-14 verdict #2 — the
+    * FAISS-native squared-distance ADC the old non-cosine refusal
+    * wrongly excluded): both PQ tails answered from the shared l2
+    * artifact's `_pq` codes via [[pqLutL2]]/[[adcTailL2]], recall@5 ≥
+    * 0.6 each vs the hash-gated exact s19 counted on (query_id,
+    * vec_id, d2_e6) — a distance-corrupting defect cannot hide — plus
+    * the true-hit contract: every indexed hit's d2_e6 IS the exact
+    * brute-force squared distance for its pair (the s23 nTrue
+    * semi-join against the full scored surface). Whole-gate
+    * memoized. */
+  def s24L2PqGate(s: SparkSession, dir: String): DataFrame =
+    memoFamily(s, dir, "s24")(s24Body(s, dir))
+
+  private def s24Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedL2AnnIndex(s, dir)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+    // every frame below is referenced at least twice (count/recall/
+    // true-hit legs) → cache, query-scoped; Verify/Bench clearCache
+    // after (the repo rule — s23's round-14 miss included)
+    val scores = e.filter(col("vec_id") >= 10).join(broadcast(q))
+      .select(col("query_id"), col("vec_id"),
+        e6(l2Sq(col("qe"), col("emb"))).as("d2_e6")).cache()
+    val exact = memoFamily(s, dir, "s19")(s19L2TopK(s, dir))
+      .select(col("query_id"), col("vec_id"), col("d2_e6")).cache()
+    val pqIdx = annPqIndexed(s, q, name)
+      .select(col("query_id"), col("vec_id"), col("d2_e6")).cache()
+    val ivfpqIdx = annIvfPqIndexed(s, q, name)
+      .select(col("query_id"), col("vec_id"), col("d2_e6")).cache()
+    val nExact = exact.agg(count(lit(1)).as("n_exact"))
+    val hitPq = pqIdx.join(exact, Seq("query_id", "vec_id", "d2_e6"), "left_semi")
+      .agg(count(lit(1)).as("hit_pq"))
+    val hitIvfPq = ivfpqIdx.join(exact, Seq("query_id", "vec_id", "d2_e6"), "left_semi")
+      .agg(count(lit(1)).as("hit_ivfpq"))
+    val nPq = pqIdx.agg(count(lit(1)).as("n_pq"))
+    val nIvfPq = ivfpqIdx.agg(count(lit(1)).as("n_ivfpq"))
+    val truePq = pqIdx.join(scores, Seq("query_id", "vec_id", "d2_e6"), "left_semi")
+      .agg(count(lit(1)).as("true_pq"))
+    val trueIvfPq = ivfpqIdx.join(scores, Seq("query_id", "vec_id", "d2_e6"), "left_semi")
+      .agg(count(lit(1)).as("true_ivfpq"))
+    q.agg(count(lit(1)).cast("long").as("n_queries"))
+      .crossJoin(nExact).crossJoin(hitPq).crossJoin(hitIvfPq)
+      .crossJoin(nPq).crossJoin(nIvfPq).crossJoin(truePq).crossJoin(trueIvfPq)
+      .select(col("n_queries"),
+        (col("hit_pq") * 10 >= col("n_exact") * 6).as("pq_recall_ge_60"),
+        (col("hit_ivfpq") * 10 >= col("n_exact") * 6).as("ivfpq_recall_ge_60"),
+        (col("true_pq") === col("n_pq") && col("true_ivfpq") === col("n_ivfpq"))
+          .as("hits_exact_d2"))
+  }
+
   /** Fingerprint-keyed shared INNER-PRODUCT artifact (ivf-only, the
     * sharedL2AnnIndex rules). MIPS routing note: cells are still the
     * L2 k-means layout — the standard norm-agnostic approximation —
@@ -2015,11 +2168,13 @@ object Similarity {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
     val c = e.filter(col("vec_id") >= 10)
+    // `scores` (the corpus-sized brute-force surface), `exact`, and
+    // `idx` are each referenced twice (topK leg + nTrue semi-join;
+    // count + semi-join) → cache all three, query-scoped; Verify/Bench
+    // clearCache after (the repo rule; scores was the round-14 miss)
     val scores = c.join(broadcast(q))
       .select(col("query_id"), col("vec_id"),
-        e6(dot(col("qe"), col("emb"))).as("sim_e6"))
-    // both sides referenced twice (count + semi-join) → cache,
-    // query-scoped; Verify/Bench clearCache after (the repo rule)
+        e6(dot(col("qe"), col("emb"))).as("sim_e6")).cache()
     val exact = topKWithRank(scores)
       .select(col("query_id"), col("vec_id"), col("sim_e6")).cache()
     val idx = annIvfIndexed(s, q, name)
@@ -2063,6 +2218,7 @@ object Similarity {
     "s21_l2_filtered_topk" -> (s21L2FilteredTopK _),
     "s22_l2_filtered_gate" -> (s22L2FilteredGate _),
     "s23_ip_index_gate" -> (s23IpIndexGate _),
+    "s24_l2_pq_gate" -> (s24L2PqGate _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2112,6 +2268,14 @@ object Similarity {
       """SELECT CAST(count(*) AS BIGINT) AS n_queries,
         |  true AS ip_recall_ge_60,
         |  true AS hits_exact_dots
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
+    // L2-metric PQ/IVF-PQ ADC flags (the s20/s23 gate pattern): DuckDB
+    // anchors the query count and the literal-true expectations
+    "s24_l2_pq_gate" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_queries,
+        |  true AS pq_recall_ge_60,
+        |  true AS ivfpq_recall_ge_60,
+        |  true AS hits_exact_d2
         |FROM embeddings WHERE vec_id < 10""".stripMargin,
     // recall/subset flags are integer hit-count comparisons vs the
     // hash-gated exact s19 (the s04/s16 pattern); DuckDB anchors the

@@ -2034,11 +2034,16 @@ object TextAnalysis {
 
   /** COMPACT both LM count tables to one row per key — committed rows
     * net under batch 0, zero-net entries drop (the `> 0` keep condition
-    * IS the read views' filter), uncommitted debris is excised, and the
-    * journal NORMALIZES to the single batch 0 alongside (the round-10
-    * text-index lesson: a rewrite that keeps historical batch ids makes
-    * every batch look uncommitted — or here, resurrect-able). One
-    * crash-safe three-table swap. */
+    * IS the read views' filter), uncommitted debris is excised. The
+    * rewritten `_stats` KEEPS every historical committed batch_id (plus
+    * batch 0 the netted rows ride under): a pre-compaction batch_id
+    * redelivered after the compact must still hit the lmIndexBatch
+    * duplicate check or its additive counts land TWICE (round-14
+    * ADVICE). A superset journal is harmless here — heal excises only
+    * row-side batch_ids absent from `_stats`, and this direction is the
+    * OPPOSITE of the round-10 text-index trap (there the rebuilt 1-row
+    * stats made journal rows look uncommitted; here `_stats` IS the
+    * commit journal). One crash-safe three-table swap. */
   def compactLmIndex(s: SparkSession, name: String): Unit = {
     val committed = s.table(name + "_stats")
       .select(col("batch_id")).distinct()
@@ -2055,13 +2060,14 @@ object TextAnalysis {
         .select(col("g"), col("cg"), lit(0L).as("batch_id")),
       st => {
         import st.sparkSession.implicits._
-        Seq(0L).toDF("batch_id")
+        (committed + 0L).toSeq.sorted.toDF("batch_id")
       })
   }
 
   /** COMPACT the BPE word index to one row per word — committed rows
     * net under batch 0, zero-net words drop, uncommitted debris is
-    * excised, and the journal normalizes to batch 0 (the compactLmIndex
+    * excised, and the journal KEEPS historical committed batch_ids so
+    * post-compaction redeliveries still dedupe (the compactLmIndex
     * contract, one table wide). */
   def compactBpeWordIndex(s: SparkSession, name: String): Unit = {
     val committed = s.table(name + "_stats")
@@ -2074,7 +2080,7 @@ object TextAnalysis {
         .select(col("word"), col("n"), lit(0L).as("batch_id")),
       st => {
         import st.sparkSession.implicits._
-        Seq(0L).toDF("batch_id")
+        (committed + 0L).toSeq.sorted.toDF("batch_id")
       })
   }
 

@@ -543,8 +543,8 @@ class GraphSpec extends SparkSpec {
 
   test("g17: incremental after a real appendToEdgeIndex matches the post-append table fixpoint") {
     import graft.operators.Dedup
+    val name = "graft_g17_spec"
     try {
-      val name = "graft_g17_spec"
       val base = Seq((2L, 4L), (10L, 12L), (30L, 32L)).toDF("src", "dst")
       Graph.writeEdgeIndexFrom(spark, base, name)
       val pre = Dedup.clusterLabels(spark.table(name + "_edges")
@@ -557,8 +557,82 @@ class GraphSpec extends SparkSpec {
         .select(col("src").as("doc_a"), col("dst").as("doc_b"))).cache()
       val diff = incremental.exceptAll(post).count() + post.exceptAll(incremental).count()
       assert(diff == 0, s"incremental diverged from the post-append fixpoint by $diff rows")
+    } finally {
+      // cleanup in finally (round-14 ADVICE): an assert failure must not
+      // leak the tables into later tests and reruns
       Seq("_edges", "_stats").foreach(sfx =>
         spark.sql(s"DROP TABLE IF EXISTS $name$sfx"))
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("g18: crafted A/B/C delta classes — credits match a plain-Scala full recount") {
+    try {
+      // base: wedge 2-7-4 (A-witness), edge (8,10) (B-closer), chain off
+      // node 1 for degree variety; delta: (2,4) closes the A triangle,
+      // wedge (8,9)+(9,10) closes B against base (8,10), full triple
+      // {20,21,22} is a C triangle, (30,31) attaches two brand-new nodes
+      val base = Seq((2L, 7L), (4L, 7L), (8L, 10L), (1L, 2L), (1L, 8L))
+        .toDF("u", "v")
+      val delta = Seq((2L, 4L), (8L, 9L), (9L, 10L),
+        (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)).toDF("u", "v")
+      val t = Graph.triangleCore(base)
+      val got = Graph.incrementalTriangleTable((t._1, t._2), base, delta)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      // plain-Scala recount over the union (the differential-spec rule)
+      val edges = Set((2L, 7L), (4L, 7L), (8L, 10L), (1L, 2L), (1L, 8L),
+        (2L, 4L), (8L, 9L), (9L, 10L), (20L, 21L), (21L, 22L), (20L, 22L),
+        (30L, 31L))
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      def adjacent(a: Long, b: Long) =
+        edges.contains((a, b)) || edges.contains((b, a))
+      val expected = nodes.map { n =>
+        val nbrs = nodes.filter(m => m != n && adjacent(n, m)).toSeq.sorted
+        val tri = nbrs.combinations(2).count { case Seq(x, y) => adjacent(x, y) }
+        n -> (nbrs.size.toLong, tri.toLong)
+      }.toMap
+      assert(got == expected, s"got $got\nexpected $expected")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g18: incremental table == full triangle-core recompute over the union (fixture)") {
+    try {
+      val base = Graph.partEdges(spark, sf).cache()
+      val delta = Graph.cooccurDeltaEdges(spark, sf).cache()
+      assert(delta.count() > 0, "fixture delta is empty — the gate would be vacuous")
+      // delta honors the append contract by construction
+      assert(delta.join(base, Seq("u", "v"), "left_semi").count() == 0)
+      val baseCore = Graph.triangleCore(base)
+      val inc = Graph.incrementalTriangleTable((baseCore._1, baseCore._2), base, delta)
+        .cache()
+      val full = {
+        val t = Graph.triangleCore(base.unionByName(delta))
+        // the full-recompute (node, deg, tri) table, the coeffFromCore way
+        val tn = t._1.select(col("src").as("node"),
+            org.apache.spark.sql.functions.size(col("inter")).cast("long").as("c"))
+          .unionAll(t._1.select(col("dst").as("node"),
+            org.apache.spark.sql.functions.size(col("inter")).cast("long").as("c")))
+          .unionAll(t._1.select(explode(col("inter")).as("node"), lit(1L).as("c")))
+          .groupBy(col("node")).agg(sum(col("c")).as("tri"))
+        t._2.select(col("node"), col("d").as("deg"))
+          .join(tn, Seq("node"), "left")
+          .select(col("node"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      }.cache()
+      val diff = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+      assert(diff == 0, s"incremental diverged from the union recompute by $diff rows")
+      // the registered gate == the same table restricted to delta endpoints
+      val dn = delta.select(col("u").as("node"))
+        .unionByName(delta.select(col("v").as("node"))).distinct()
+      val expected = full.join(dn, Seq("node"), "left_semi")
+        .withColumn("coef_e6",
+          when(col("deg") >= 2,
+            expr("(2 * tri * 1000000) div (deg * (deg - 1))"))
+            .otherwise(lit(0L)))
+      val gotG18 = Graph.g18IncrementalTriangles(spark, sf)
+      val gDiff = gotG18.exceptAll(expected).count() +
+        expected.exceptAll(gotG18).count()
+      assert(gDiff == 0, s"g18 diverged from the restricted recompute by $gDiff rows")
+      assert(gotG18.count() > 0)
     } finally spark.catalog.clearCache()
   }
 

@@ -1023,6 +1023,94 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.catalog.clearCache() // gate body caches (harness rule)
   }
 
+  test("L2 metric PQ/IVF-PQ: squared-distance ADC recall holds, hits exact, pruned bucketed _pq plan; srp-l2 refused") {
+    import org.apache.spark.sql.functions.col
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.toDouble(col("embedding")).as("emb"))
+      .withColumn("nrm", graft.functions.VectorFunctions.l2Norm(col("emb")))
+    // srp stays cosine-geometry under l2 (the refusal is per-family now)
+    intercept[IllegalArgumentException] {
+      Similarity.writeAnnIndex(spark, e, "graft_l2pq_bad",
+        families = Set("ivf", "srp"), metric = "l2")
+    }
+    Similarity.writeAnnIndex(spark, e.filter(col("vec_id") >= 10),
+      "graft_l2pq_spec", numBuckets = 4, families = Set("ivf", "pq"),
+      metric = "l2")
+    try {
+      assert(spark.table("graft_l2pq_spec_pq").count() > 0,
+        "expected real PQ codes — the ADC path, not the small-corpus fallback")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("emb").as("qe"), col("nrm").as("qn"))
+      val exact = Similarity.s19L2TopK(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val vecs = e.select(col("vec_id"), col("emb")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      // the engine composes d² as dot(a,a) − 2·dot(a,b) + dot(b,b)
+      // (l2Sq) — mirror that tree, not Σ(a−b)², or the e6 floor differs
+      def d2e6(a: Array[Double], b: Array[Double]): Long = {
+        def dot(x: Array[Double], y: Array[Double]) = {
+          var s = 0.0; var i = 0
+          while (i < x.length) { s += x(i) * y(i); i += 1 }; s
+        }
+        math.floor((dot(a, a) - 2.0 * dot(a, b) + dot(b, b)) * 1e6 + 0.5).toLong
+      }
+      def checkRows(rows: Array[org.apache.spark.sql.Row], label: String): Unit = {
+        rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+          assert(rs.length == 5, s"$label: expected 5 ranked rows per query") }
+        rows.foreach { r =>
+          assert(r.getLong(2) == d2e6(vecs(r.getLong(0)), vecs(r.getLong(1))),
+            s"$label: hit carried a non-exact d2_e6 for ${(r.getLong(0), r.getLong(1))}") }
+        val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+        val recall = (exact & got).size.toDouble / exact.size
+        assert(recall >= 0.6, s"$label recall@5=$recall")
+      }
+      checkRows(Similarity.annPqIndexed(spark, q, "graft_l2pq_spec").collect(), "pq-l2")
+      checkRows(Similarity.annIvfPqIndexed(spark, q, "graft_l2pq_spec").collect(), "ivfpq-l2")
+      // plan pin: the l2 IVF-PQ plan answers from the cell-bucketed _pq
+      // scan whose broadcast-join leg has zero Exchange (the cosine pin)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try {
+        import org.apache.spark.sql.execution.FileSourceScanExec
+        import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+        import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        val exec = Similarity.annIvfPqIndexed(spark, q, "graft_l2pq_spec")
+          .queryExecution.executedPlan
+        val pqScans = exec.collect { case f: FileSourceScanExec
+          if f.tableIdentifier.exists(_.table.contains("graft_l2pq_spec_pq")) => f }
+        assert(pqScans.nonEmpty, s"no _pq table scan in plan:\n$exec")
+        pqScans.foreach(f => assert(f.bucketedScan, s"_pq scan not bucket-aware:\n$f"))
+        val directLegs = exec.collect { case j: BroadcastHashJoinExec => j }
+          .flatMap(_.children).filter(c =>
+            c.collect { case x: ShuffleExchangeExec => x }.isEmpty &&
+            c.collectFirst { case f: FileSourceScanExec
+              if f.tableIdentifier.exists(_.table.contains("graft_l2pq_spec_pq")) => f
+            }.isDefined)
+        assert(directLegs.nonEmpty,
+          s"no shuffle-free broadcast-join leg scans _pq:\n$exec")
+      } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // retrain preserves the metric AND the pq family (the round-15 fix:
+      // the rebuild used to omit `metric`, silently rewriting as cosine)
+      Similarity.retrainAnnIndex(spark, "graft_l2pq_spec")
+      assert(Similarity.metricOf(spark, "graft_l2pq_spec") == "l2",
+        "retrain dropped the artifact's metric")
+      assert(spark.table("graft_l2pq_spec_pq").count() > 0)
+      checkRows(Similarity.annIvfPqIndexed(spark, q, "graft_l2pq_spec").collect(),
+        "ivfpq-l2-post-retrain")
+      // the registered driver gate: recall + true-hit flags
+      val gate = Similarity.s24L2PqGate(spark, sf).collect()
+      assert(gate.length == 1)
+      assert(gate.head.getBoolean(1), "PQ-L2 recall < 0.6")
+      assert(gate.head.getBoolean(2), "IVF-PQ-L2 recall < 0.6")
+      assert(gate.head.getBoolean(3), "an L2 ADC hit carried a non-exact d2")
+    } finally {
+      Seq("_cells", "_srp", "_pq", "_side",
+        "_rt_cells", "_rt_srp", "_rt_pq", "_rt_side").foreach(sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_l2pq_spec$sfx"))
+      spark.catalog.clearCache()
+    }
+  }
+
   test("IP metric: indexed hits carry exact dot scores; non-cosine builds reject srp/pq families") {
     import org.apache.spark.sql.functions.col
     try {
@@ -1054,6 +1142,15 @@ class SimilaritySpec extends SparkSpec {
         assert(r.getLong(2) == dotE6(vecs(r.getLong(0)), vecs(r.getLong(1))),
           s"indexed ip score diverged from the exact dot for ${(r.getLong(0), r.getLong(1))}")
       }
+      // radius over an ip artifact with the cosine-calibrated DEFAULT τ
+      // is refused (round-14 ADVICE: dots are unbounded, the default is
+      // meaningless); an explicit τ answers, every hit at dot ≥ τ
+      intercept[IllegalArgumentException] {
+        Similarity.annIvfRadiusIndexed(spark, q, "graft_ipspec")
+      }
+      val rad = Similarity.annIvfRadiusIndexed(spark, q, "graft_ipspec",
+        tauE6 = 1L).collect()
+      assert(rad.nonEmpty && rad.forall(_.getLong(2) >= 1L))
       // the registered driver gate: recall + true-hit flags
       val gate = Similarity.s23IpIndexGate(spark, sf).collect()
       assert(gate.length == 1)

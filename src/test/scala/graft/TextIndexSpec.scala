@@ -207,6 +207,16 @@ class TextIndexSpec extends SparkSpec {
         spark.table("graft_bpe_rm_words"))
       cw.unpersist()
       assert(comp == full, "compaction changed the trained merges")
+      // post-compact redelivery of the PRE-compaction batch_id must
+      // still dedupe (round-14 ADVICE: the rewritten _stats keeps
+      // historical committed ids) — zero physical rows land
+      val physBefore = spark.table("graft_bpe_rm_words").count()
+      assert(!TextAnalysis.removeFromBpeWordIndex(
+        base.filter(col("doc_id") === 3L), "graft_bpe_rm", batchId = 1L,
+        numBuckets = 4),
+        "pre-compaction batch_id redelivered after compact was re-applied")
+      assert(spark.table("graft_bpe_rm_words").count() == physBefore,
+        "post-compact redelivery landed physical rows")
     } finally Seq("_words", "_stats").flatMap(x => Seq(x, x + "_tmp")).foreach(sfx =>
       spark.sql(s"DROP TABLE IF EXISTS graft_bpe_rm$sfx"))
   }
@@ -593,6 +603,16 @@ class TextIndexSpec extends SparkSpec {
         s"expected 3 netted physical rows, got ${physUni.toSeq}")
       assert(parts() < before && parts() <= 8,
         s"expected debris to collapse (<$before files, <=8 buckets), got ${parts()}")
+      // post-compact redelivery of a PRE-compaction batch_id must still
+      // dedupe (round-14 ADVICE): the rewritten _stats keeps historical
+      // committed ids, so the at-least-once contract survives compaction
+      val physBefore =
+        (spark.table(name + "_uni").count(), spark.table(name + "_big").count())
+      assert(!TextAnalysis.appendToLmIndex(d2, name, batchId = 1L),
+        "pre-compaction batch_id redelivered after compact was re-applied")
+      assert((spark.table(name + "_uni").count(),
+        spark.table(name + "_big").count()) == physBefore,
+        "post-compact redelivery landed physical rows")
       // post-compact appendability: the layout survives further batches
       TextAnalysis.appendToLmIndex(Seq((9L, "aa dd")).toDF("doc_id", "text"), name, batchId = 3L)
       val grown = rest.unionByName(Seq((9L, "aa dd")).toDF("doc_id", "text"))

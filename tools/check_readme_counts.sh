@@ -19,4 +19,11 @@ if [[ "$measured" != "$documented" ]]; then
   echo "FAIL: README documents $documented specs, suite measured $measured — reset the README number from the suite line" >&2
   exit 1
 fi
-echo "OK: README spec count ($documented) matches the measured suite total"
+# SURVEY's round-state line drifted 762 vs 764 in round 14 — guard it
+# the same way (round-14 verdict #5). The line reads "spec suite N green".
+survey=$(grep -oE 'spec suite [0-9]+ green' "$repo/SURVEY.md" | tail -1 | grep -oE '[0-9]+')
+if [[ -n "$survey" && "$survey" != "$measured" ]]; then
+  echo "FAIL: SURVEY.md round-state line documents $survey specs, suite measured $measured — reset it from the suite line" >&2
+  exit 1
+fi
+echo "OK: README spec count ($documented) matches the measured suite total${survey:+; SURVEY state line agrees}"
