@@ -45,6 +45,7 @@ object ScaleSmoke {
     if (a.contains("iknn100")) { iknn100(spark); spark.stop(); return }
     if (a.contains("icc100")) { icc100(spark); spark.stop(); return }
     if (a.contains("itr100")) { itr100(spark); spark.stop(); return }
+    if (a.contains("ilp100")) { ilp100(spark); spark.stop(); return }
     if (a.contains("lm100")) { lm100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
@@ -378,6 +379,64 @@ object ScaleSmoke {
     val (i1, r1) = results.head
     val (i4, r4) = results.last
     println(f"ITR100 scaling: 4x edges -> incremental ${i4 / i1}%.2fx, rebuild ${r4 / r1}%.2fx")
+    assert(i4 < r4 / 2,
+      f"incremental ($i4%.2f s) should beat half the rebuild (${r4 / 2}%.2f s) at 4M nodes")
+  }
+
+  /** Incremental-LPA scale smoke (g19's 100× story, the itr100 shape):
+    * 10-node path blocks (w=1) at TWO base sizes (1M / 4M nodes) with
+    * the SAME 500-edge block-bridging delta — each delta edge merges
+    * two block communities, and the 3-hop ball stays inside the touched
+    * blocks. Claims measured: (a) incremental ≡ the full 4-round
+    * bounded LPA rebuild over the union (diff 0) at both sizes, (b)
+    * the update cost tracks the touched ball plus node-sized map-side
+    * patch scans — 4× the base edges must not scale it the way it
+    * does the rebuild's per-round vote aggregations. */
+  private def ilp100(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    val m = 10L
+    val nDelta = 500L
+    def blockWe(n: Long): DataFrame = {
+      val p = spark.range(n).filter(col("id") % m < m - 1)
+        .select(col("id").as("u"), (col("id") + 1).as("v"), lit(1L).as("w"))
+      p.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(p.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    }
+    def delta(n: Long): DataFrame =
+      spark.range(nDelta).select((col("id") * (n / nDelta / m) * m).as("u"))
+        .select(col("u"), (col("u") + m).as("v"), lit(1L).as("w"))
+    def time[T](f: => T): (T, Double) = {
+      val t = System.nanoTime(); val r = f; (r, (System.nanoTime() - t) / 1e9)
+    }
+    val results = Seq(1000000L, 4000000L).map { n =>
+      val base = blockWe(n).cache()
+      val d = delta(n).cache()
+      val dBi = d.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(d.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      val unionWe = base.unionAll(dBi).cache()
+      val dn = d.select(col("u").as("node")).unionAll(d.select(col("v").as("node")))
+        .distinct()
+      // the frozen packed history a deployment holds between batches
+      val packed = Graph.packLpaRounds(Graph.lpaRoundLabels(base, 4))
+        .localCheckpoint(true)
+      val (inc, tInc) = time {
+        val (r, _) = Graph.incrementalLpaLabels(unionWe, packed, 4, dn)
+        r.write.format("noop").mode("overwrite").save(); r
+      }
+      val (reb, tReb) = time {
+        val r = Graph.lpaOn(unionWe, 4)
+        r.write.format("noop").mode("overwrite").save(); r
+      }
+      val diff = inc.exceptAll(reb).count() + reb.exceptAll(inc).count()
+      spark.catalog.clearCache()
+      println(f"ILP100 n=$n edges=${2 * (n - n / m)} delta=$nDelta " +
+        f"incremental=$tInc%.2f s rebuild=$tReb%.2f s diff_rows=$diff")
+      assert(diff == 0, s"incremental diverged from rebuild by $diff rows at n=$n")
+      (tInc, tReb)
+    }
+    val (i1, r1) = results.head
+    val (i4, r4) = results.last
+    println(f"ILP100 scaling: 4x edges -> incremental ${i4 / i1}%.2fx, rebuild ${r4 / r1}%.2fx")
     assert(i4 < r4 / 2,
       f"incremental ($i4%.2f s) should beat half the rebuild (${r4 / 2}%.2f s) at 4M nodes")
   }

@@ -1409,7 +1409,12 @@ object Graph {
     * DISTINCT orders the pair shares (the self-join emits one row per
     * shared (order, pair) after the triple distinct — bounded per order
     * like [[partEdges]]), thresholded at [[CooccurTh]]. */
-  private def weightedPartEdges(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def weightedPartEdges(s: SparkSession, dir: String): DataFrame =
+    weightedPartPairCounts(s, dir).filter(col("w") >= CooccurTh)
+
+  /** The pre-threshold (u, v, w) pair counts — shared by the base graph
+    * (w ≥ [[CooccurTh]]) and g19's delta (w = 1, sparse). */
+  private def weightedPartPairCounts(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_partkey").cast("long").as("p"))
     val a = li.select(col("l_orderkey"), col("p").as("u"))
@@ -1417,8 +1422,18 @@ object Graph {
     a.join(b, "l_orderkey").filter(col("u") < col("v"))
       .select(col("l_orderkey"), col("u"), col("v")).distinct()
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("w"))
-      .filter(col("w") >= CooccurTh)
   }
+
+  /** g19's "newly arrived" weighted edge batch, fixture-derivable so
+    * DuckDB can replay it: single-order (w = 1) pairs — BELOW the base
+    * threshold, so base ∩ delta = ∅ by construction (the append
+    * contract) — thinned by per-endpoint residues (u ≡ 1 mod 23,
+    * v ≡ 2 mod 29; a sum-modulus alone left the delta bigger than the
+    * base at sf ≥ 0.01). 9 / 149 / 1764 edges at sf0.001/0.01/0.1. */
+  private[graft] def weightedDeltaPairs(s: SparkSession, dir: String): DataFrame =
+    weightedPartPairCounts(s, dir)
+      .filter(col("w") === 1L && col("u") % 23 === 1L && col("v") % 29 === 2L)
+      .select(col("u"), col("v"), col("w"))
 
   /** The weighted co-occurrence graph persisted (g14's artifact — the
     * sharedCooccurIndex pattern with a weight column riding the same
@@ -1481,22 +1496,37 @@ object Graph {
     * frame), so the vote covers the node set each round. At 100 TB the
     * pack guard matters: ws < 2³¹ bounds per-(node, label) vote mass —
     * wider corpora scale the LABEL ID space instead (ids < 2³²). */
-  private[graft] def lpaOn(we: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def lpaOn(we: DataFrame, rounds: Int): DataFrame =
+    lpaRoundLabels(we, rounds).last
+
+  /** Every round's label frame l_1..l_rounds (each localCheckpointed) —
+    * the sufficient statistic g19's incremental update patches against:
+    * round-k labels of nodes OUTSIDE the delta's (k−1)-ball are reused
+    * verbatim, so the per-round history is exactly what a deployment
+    * freezes between batches. A labelling stable at round k short-
+    * circuits by REPLICATING the stable frame (identical to the full
+    * unroll — the update is a deterministic function of the labelling,
+    * so stability propagates). */
+  private[graft] def lpaRoundLabels(we: DataFrame, rounds: Int): Seq[DataFrame] = {
     var labels = we.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(true)
+    var out = List.empty[DataFrame]
     var k = 1
     var stable = false
-    while (k <= rounds && !stable) {
-      val next = lpaVote(we, labels)
-      val merged = labels.select(col("node"), col("label").as("_old"))
-        .join(next, Seq("node"))
-        .localCheckpoint(true)
-      stable = merged.filter(col("label") =!= col("_old")).limit(1).count() == 0
-      labels = merged.select(col("node"), col("label"))
+    while (k <= rounds) {
+      if (!stable) {
+        val next = lpaVote(we, labels)
+        val merged = labels.select(col("node"), col("label").as("_old"))
+          .join(next, Seq("node"))
+          .localCheckpoint(true)
+        stable = merged.filter(col("label") =!= col("_old")).limit(1).count() == 0
+        labels = merged.select(col("node"), col("label"))
+      }
+      out ::= labels
       k += 1
     }
-    labels
+    out.reverse
   }
 
   /** One LPA round's vote: weighted per-(node, label) sums map-combine
@@ -1516,6 +1546,158 @@ object Graph {
       .groupBy(col("node")).agg(max(col("pk")).as("mpk"))
       .select(col("node"),
         expr("4294967295 - (mpk % 4294967296)").as("label"))
+
+  // ---------------------------------------------------------------------
+  // g19 — INCREMENTAL LPA under edge appends (round-14 top ask #3; the
+  // g17/g18 frozen-base pattern on the community family). Soundness is a
+  // LOCALITY argument, not a fixpoint one — bounded-round synchronous
+  // LPA is a deterministic function of the k-hop neighborhood: l_k(n)
+  // depends only on the ball of radius k around n, so a delta edge can
+  // change l_k(n) ONLY when n lies within distance k−1 of a delta
+  // endpoint (round 1 touches the endpoints themselves; each later
+  // round grows the affected set by one hop). The update therefore
+  // recomputes votes ONLY inside the growing ball A_1 ⊆ … ⊆ A_rounds
+  // (A_1 = endpoints, A_k = A_{k−1} ∪ N_union(A_{k−1})), patching each
+  // round's neighbour labels as (frozen l_{k−1} outside A_{k−1}) ∪
+  // (recomputed l′_{k−1} inside) — outside nodes are UNCHANGED by
+  // induction, so the patched frame equals the union rebuild's l_{k−1}
+  // everywhere a vote reads it. The label-oscillation worry (round-12
+  // lesson) does not enter: both sides run the SAME bounded rounds, and
+  // the equality is exact per round, not asymptotic.
+  // ---------------------------------------------------------------------
+
+  /** The frozen per-round history PACKED into one node-sized frame
+    * (node, l1..l_rounds) — the shape that lets the incremental update
+    * restrict ALL rounds to the ball's neighbourhood in ONE scan (the
+    * first ilp100 formulation patched a separate node-sized frame per
+    * round and scaled exactly like the rebuild — 2.29× vs 2.33× under
+    * 4× edges; packing plus the one-semi-per-round reuse below got the
+    * update off the |V|-per-round axis). */
+  private[graft] def packLpaRounds(rounds: Seq[DataFrame]): DataFrame =
+    rounds.zipWithIndex
+      .map { case (f, i) => f.select(col("node"), col("label").as(s"l${i + 1}")) }
+      .reduce((a, b) => a.join(b, Seq("node")))
+
+  /** Incremental bounded-round LPA: `unionWe` is the post-append
+    * both-direction weighted edge frame, `packed` the frozen
+    * [[packLpaRounds]] history over the BASE graph, `deltaNodes` the
+    * appended batch's endpoints. Returns (complete post-delta label
+    * table ≡ `lpaOn(unionWe, rounds)`, the final affected ball
+    * A_rounds) — GraphSpec pins the equality on the fixture and on a
+    * crafted propagation chain. Scale shape: ONE broadcast-semi edge
+    * restriction per round (its dst side is that round's vote input,
+    * its SRC side is the next hop's frontier — the both-direction frame
+    * makes them the same scan), ONE scan of the packed node-sized
+    * history restricted to the ball's neighbourhood, ball-sized votes
+    * and patches throughout, and one node-sized assembly pass at the
+    * end (the g17 remap precedent — the output is node-sized, so one
+    * full pass is the floor). */
+  private[graft] def incrementalLpaLabels(unionWe: DataFrame,
+      packed: DataFrame, rounds: Int,
+      deltaNodes: DataFrame): (DataFrame, DataFrame) = {
+    // A_1 = the endpoints; each round's edge restriction yields A_{k+1}
+    var ball = deltaNodes.select(col("node")).distinct().localCheckpoint(true)
+    val edgesInByRound = (1 to rounds).map { _ =>
+      val edgesIn = unionWe
+        .join(broadcast(ball.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      // N(A_k) = the srcs of edges INTO A_k (both-direction frame) —
+      // the same restricted scan serves vote k and ball k+1
+      ball = ball.unionByName(edgesIn.select(col("src").as("node")))
+        .distinct().localCheckpoint(true)
+      edgesIn
+    }
+    // every label any vote reads lives in the FINAL ball (srcs of round
+    // k's edges ⊆ A_{k+1} ⊆ A_{rounds+1} = `ball` after the loop) — one
+    // scan of the packed history covers all rounds
+    val packedNear = packed
+      .join(broadcast(ball), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    var inc: DataFrame = null // l′_k restricted to A_k
+    var k = 1
+    while (k <= rounds) {
+      val prevLabels =
+        if (k == 1)
+          // l_0 is the identity labelling — ball-sized by construction
+          edgesInByRound.head.select(col("src").as("node")).distinct()
+            .select(col("node"), col("node").as("label"))
+        else
+          // frozen l_{k−1} near the ball, overridden inside A_{k−1};
+          // new nodes (∉ base) are delta endpoints ⊆ A_1, so the union
+          // covers every source the vote reads — all frames ball-sized
+          packedNear.select(col("node"), col(s"l${k - 1}").as("label"))
+            .join(broadcast(inc.select(col("node"))), Seq("node"), "left_anti")
+            .unionByName(inc)
+      inc = lpaVote(edgesInByRound(k - 1), prevLabels).localCheckpoint(true)
+      k += 1
+    }
+    // the single node-sized pass: frozen final labels outside A_rounds,
+    // recomputed inside (inc's node set IS A_rounds — every ball node
+    // has an in-edge in the union frame)
+    val full = packed.select(col("node"), col(s"l$rounds").as("label"))
+      .join(broadcast(inc.select(col("node"))), Seq("node"), "left_anti")
+      .unionByName(inc)
+    (full, inc.select(col("node")))
+  }
+
+  /** The frozen packed LPA history over the persisted weighted
+    * artifact — g19's base state, memoized per (session, dir, fixture
+    * fingerprint) exactly like [[sharedTriangleCore]] (bounded: one
+    * node-sized checkpointed frame; stale fingerprints evicted). */
+  private val lpaRoundsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  private[graft] def sharedLpaPacked(s: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.fixtureFingerprint(dir, "lineitem.parquet")
+    val k = (s, dir, fp)
+    Option(lpaRoundsMemo.get(k)).getOrElse(sharedGraphLock.synchronized {
+      Option(lpaRoundsMemo.get(k)).getOrElse {
+        val name = sharedWeightedCooccurIndex(s, dir)
+        val v = packLpaRounds(lpaRoundLabels(s.table(name + "_edges"), rounds = 4))
+          .localCheckpoint(true)
+        lpaRoundsMemo.keySet.removeIf(e =>
+          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        lpaRoundsMemo.put(k, v)
+        v
+      }
+    })
+  }
+
+  /** g19 — the registered incremental-LPA query: frozen base = the
+    * persisted weighted artifact's memoized per-round labels (exactly
+    * the state a deployment holds between batches), delta =
+    * [[weightedDeltaPairs]]. Output: (community, n_nodes, node_sum)
+    * over the COMPLETE post-delta labelling for every community holding
+    * at least one ball-of-radius-3 node — the communities the batch
+    * could have moved — in total community order. DuckDB recomputes the
+    * UNION graph's 4-round LPA from scratch (the g14 unroll) plus the
+    * 3-hop ball and the same restriction, so the hash gate proves
+    * incremental ≡ full recompute at every SF. GateMemo'd + amortized-
+    * marked in Bench. */
+  def g19IncrementalLpa(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir,
+      Tables.fixtureFingerprint(dir, "lineitem.parquet"), "g19")(g19Body(s, dir))
+
+  private def g19Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedWeightedCooccurIndex(s, dir)
+    val packed = sharedLpaPacked(s, dir)
+    val delta = weightedDeltaPairs(s, dir).cache()
+    val deltaBi = delta.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(delta.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    // referenced once per round (the per-round edge restriction) → cache,
+    // query-scoped; Verify/Bench clearCache after (the repo rule)
+    val unionWe = s.table(name + "_edges").unionByName(deltaBi).cache()
+    val deltaNodes = delta.select(col("u").as("node"))
+      .unionByName(delta.select(col("v").as("node"))).distinct()
+    val (updated0, ball) = incrementalLpaLabels(unionWe, packed, 4, deltaNodes)
+    val updated = updated0.cache()
+    val touched = updated.join(broadcast(ball), Seq("node"), "left_semi")
+      .select(col("label")).distinct()
+    updated.join(broadcast(touched), Seq("label"), "left_semi")
+      .groupBy(col("label").as("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+      .orderBy(col("community"))
+  }
 
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
@@ -1777,6 +1959,7 @@ object Graph {
     "g16_affinity_index_gate" -> (g16AffinityIndexGate _),
     "g17_incr_components" -> (g17IncrementalComponents _),
     "g18_incr_triangles" -> (g18IncrementalTriangles _),
+    "g19_incr_lpa" -> (g19IncrementalLpa _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -1903,6 +2086,47 @@ object Graph {
         |FROM dg g JOIN dn ON dn.node = g.node
         |LEFT JOIN tn t ON t.node = g.node
         |ORDER BY node""".stripMargin,
+    // incremental ≡ full recompute: DuckDB reruns the 4-round LPA unroll
+    // over the UNION graph (the g14 CTE chain), grows the 3-hop ball off
+    // the delta endpoints, and restricts to communities holding a ball
+    // node — the hash gate proves the locality-patched update at every SF
+    "g19_incr_lpa" -> {
+      val iters = (1 to 4).map { k =>
+        s"""s$k AS (SELECT we.dst AS node, l.label, CAST(SUM(we.w) AS BIGINT) AS ws
+           |        FROM we JOIN l${k - 1} l ON l.node = we.src GROUP BY 1, 2),
+           |l$k AS (SELECT node,
+           |          4294967295 - (MAX(ws * 4294967296 + (4294967295 - label))
+           |            % 4294967296) AS label
+           |        FROM s$k GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      val hops = (1 to 3).map { k =>
+        s"""b$k AS (SELECT DISTINCT node FROM (
+           |  SELECT we.dst AS node FROM we JOIN b${k - 1} b ON we.src = b.node
+           |  UNION ALL SELECT node FROM b${k - 1}) u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH t AS MATERIALIZED (SELECT DISTINCT a.l_orderkey AS ok,
+         |                  CAST(a.l_partkey AS BIGINT) AS u,
+         |                  CAST(b.l_partkey AS BIGINT) AS v
+         |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |           WHERE a.l_partkey < b.l_partkey),
+         |c AS MATERIALIZED (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM t
+         |  GROUP BY u, v),
+         |p AS (SELECT u, v, w FROM c WHERE w >= $CooccurTh),
+         |pd AS MATERIALIZED (SELECT u, v, w FROM c
+         |  WHERE w = 1 AND u % 23 = 1 AND v % 29 = 2),
+         |pu AS (SELECT u, v, w FROM p UNION ALL SELECT u, v, w FROM pd),
+         |we AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM pu
+         |       UNION ALL SELECT v, u, w FROM pu),
+         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM we),
+         |$iters,
+         |b0 AS (SELECT u AS node FROM pd UNION SELECT v FROM pd),
+         |$hops,
+         |tl AS (SELECT DISTINCT l.label FROM l4 l JOIN b3 ON l.node = b3.node)
+         |SELECT l.label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(l.node) AS BIGINT) AS node_sum
+         |FROM l4 l JOIN tl ON l.label = tl.label
+         |GROUP BY 1 ORDER BY community""".stripMargin
+    },
     // the oracle recomputes n_edges from the fact tables where the gate
     // reads the persisted table (both directions = 2·|pairs|) — anchoring
     // the build — and pins the equality flag at literal TRUE (t40 pattern)

@@ -636,6 +636,78 @@ class GraphSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("g19: crafted propagation — incremental LPA == bounded-round rebuild, ball excludes far components") {
+    def bi(pairs: Seq[(Long, Long, Long)]) =
+      pairs.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+        .toDF("src", "dst", "w")
+    try {
+      // base: path 1-2-3-4-5-6 (w=1) + an untouched far triangle {41,42,43}
+      val basePairs = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+        (4L, 5L, 1L), (5L, 6L, 1L),
+        (41L, 42L, 1L), (42L, 43L, 1L), (41L, 43L, 1L))
+      val baseWe = bi(basePairs)
+      val packed = Graph.packLpaRounds(Graph.lpaRoundLabels(baseWe, 4))
+      // delta: heavy hub 100 on mid-path node 3 (w=10 — flips 3's vote and
+      // the flip must PROPAGATE outward round by round), plus a brand-new
+      // two-node component {200, 201}
+      val deltaPairs = Seq((3L, 100L, 10L), (200L, 201L, 1L))
+      val unionWe = bi(basePairs ++ deltaPairs)
+      val deltaNodes = Seq(3L, 100L, 200L, 201L).toDF("node")
+      val (inc0, ball) = Graph.incrementalLpaLabels(unionWe, packed, 4, deltaNodes)
+      val inc = inc0.cache()
+      val full = Graph.lpaOn(unionWe, 4).cache()
+      val diff = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+      assert(diff == 0, s"incremental diverged from the union rebuild by $diff rows")
+      // the far triangle stayed OUTSIDE the ball — the frozen-label reuse
+      // is substantive, not a disguised full recompute
+      val ballSet = ball.collect().map(_.getLong(0)).toSet
+      assert(Set(41L, 42L, 43L).forall(n => !ballSet.contains(n)),
+        s"far component leaked into the ball: $ballSet")
+      // and the delta genuinely propagated ≥ 2 hops from its endpoints
+      val baseMap = packed.select(col("node"), col("l4").as("label"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val incMap = inc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(incMap(5L) != baseMap(5L) || incMap(6L) != baseMap(6L),
+        "delta failed to propagate beyond the endpoint's direct neighborhood")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g19: incremental LPA == full union rebuild on the fixture; registered query == restricted summary") {
+    try {
+      val basePairs = Graph.weightedPartEdges(spark, sf)
+      val baseWe = basePairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(basePairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        .cache()
+      // fresh frozen state off the fact tables — bypasses artifact AND
+      // memo (the r12 vacuous-gate rule)
+      val packed = Graph.packLpaRounds(Graph.lpaRoundLabels(baseWe, 4))
+      val delta = Graph.weightedDeltaPairs(spark, sf).cache()
+      assert(delta.count() > 0, "fixture delta is empty — the gate would be vacuous")
+      assert(delta.join(basePairs, Seq("u", "v"), "left_semi").count() == 0,
+        "delta violates the append contract (overlaps the base)")
+      val unionWe = baseWe.unionByName(
+        delta.select(col("u").as("src"), col("v").as("dst"), col("w"))
+          .unionByName(delta.select(col("v").as("src"), col("u").as("dst"), col("w"))))
+        .cache()
+      val deltaNodes = delta.select(col("u").as("node"))
+        .unionByName(delta.select(col("v").as("node"))).distinct()
+      val (inc0, ball) = Graph.incrementalLpaLabels(unionWe, packed, 4, deltaNodes)
+      val inc = inc0.cache()
+      val full = Graph.lpaOn(unionWe, 4).cache()
+      val diff = inc.exceptAll(full).count() + full.exceptAll(inc).count()
+      assert(diff == 0, s"incremental diverged from the union rebuild by $diff rows")
+      val touched = full.join(broadcast(ball), Seq("node"), "left_semi")
+        .select(col("label")).distinct()
+      val expected = full.join(broadcast(touched), Seq("label"), "left_semi")
+        .groupBy(col("label").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+      val got = Graph.g19IncrementalLpa(spark, sf)
+      val gDiff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+      assert(gDiff == 0, s"g19 diverged from the restricted rebuild summary by $gDiff rows")
+      assert(got.count() > 0)
+    } finally spark.catalog.clearCache()
+  }
+
   test("g05 gate: append==rebuild, delete==rebuild-without, compact is pure layout") {
     try {
       val rows = Graph.g05EdgeLifecycleGate(spark, sf).collect()
@@ -644,13 +716,20 @@ class GraphSpec extends SparkSpec {
       assert(rows.head.getBoolean(1), "appended index drifted from a full rebuild")
       assert(rows.head.getBoolean(2), "post-delete index drifted from rebuild-without")
       assert(rows.head.getBoolean(3), "compaction changed the edge set")
-      // layout: the gate ends with a compaction — exactly one file/bucket
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir"), "graft_g05_lc_edges")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val parts = fs.listStatus(loc)
-        .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
-      assert(parts == 8, s"expected one file per bucket after compact, got $parts")
+      // layout: the gate ends with a compaction — exactly one file/bucket.
+      // Guard on the table being non-empty: in an out-of-alphabetical
+      // targeted run, EmptyInputSpec may have rebuilt graft_g05_lc from
+      // EMPTY tables after the memoized sf body ran (empty buckets write
+      // no files — the documented <= rule), so 0 files is the empty
+      // artifact, not a compaction defect.
+      if (spark.table("graft_g05_lc_edges").count() > 0) {
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir"), "graft_g05_lc_edges")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val parts = fs.listStatus(loc)
+          .count(st => st.isFile && st.getPath.getName.startsWith("part-"))
+        assert(parts == 8, s"expected one file per bucket after compact, got $parts")
+      }
     } finally spark.catalog.clearCache()
   }
 }
