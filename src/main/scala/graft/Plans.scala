@@ -78,7 +78,11 @@ object Plans {
     "s15_radius_search" -> "radius (range) search: queries broadcast, native vector_dot cosine + e6 threshold inside WholeStageCodegen — non-matching rows die in the scan stage, only |hits| rows reach the output sort; the indexed path (s16) answers the same contract from the Bucketed: true _cells scan",
     "g17_incr_components" -> "incremental connected components: the frozen base label table remaps through a BROADCAST of the delta-sized contracted super-graph fixpoint (edge addition only merges — contraction preserves connectivity, min labels compose) — the corpus-sized edge set is never re-scanned; delta derivation is one map-combined fact-join agg; affected-component restriction is a second broadcast semi-join on the label",
     "s19_l2_topk" -> "exact L2 top-5 (the metric option's brute-force baseline): queries broadcast, native vector_dot d² composition inside WholeStageCodegen, bounded per-query heaps under the FLIPPED order (d2_e6 asc) — never a corpus-wide rank window; the indexed path (s20) answers from the bucketed L2 artifact's _cells scan",
-    "t48_lm_index_gate" -> "persisted bigram-LM gate: the corpus-sized tokenize+count train passes live in the bucketed _uni/_big artifact (built once per fixture); every t33/t34 scoring call broadcasts the re-aggregated vocabulary-sized tables (Exchange-free on the buckets) — the scoring pass is the only data-sized work left on their plans")
+    "t48_lm_index_gate" -> "persisted bigram-LM gate: the corpus-sized tokenize+count train passes live in the bucketed _uni/_big artifact (built once per fixture); every t33/t34 scoring call broadcasts the re-aggregated vocabulary-sized tables (Exchange-free on the buckets) — the scoring pass is the only data-sized work left on their plans",
+    "g18_incr_triangles" -> "incremental triangles/LCC: orientation-free A/B/C delta classes — base adjacency RESTRICTED to delta endpoints (broadcast semi, one pass, never closed), delta wedges + delta-only closure both delta-sized, per-node credits outer-merge onto the frozen memoized core (this final plan is the endpoint-restricted coef rollup over flat checkpointed relations) — the oriented-adjacency closure never re-runs",
+    "g19_incr_lpa" -> "incremental LPA: per-round vote recomputed ONLY inside the growing delta ball (each round's single broadcast-semi edge restriction serves both the vote and the next hop), frozen per-round history packed into one (node, l1..l4) frame restricted to the ball's neighbourhood in ONE scan, final labels = one node-sized patch pass (the g17 remap floor) — measured FLAT (1.04x) under 4x edges where the rebuild scales 2.44x",
+    "g20_incr_modularity" -> "incremental modularity of the maintained labelling: community-sized Δtot outer-merge (ball nodes leave with BASE strength, re-enter with UNION strength), Δintra over base edges with a CHANGED endpoint + the delta edges, Q recomputed through the same 128-bit DECIMAL div — no node-sized aggregation anywhere",
+    "s24_l2_pq_gate" -> "L2-metric PQ/IVF-PQ: per-query squared-distance LUTs broadcast into the cell-bucketed _pq codes scan (zero index-side Exchange — the cosine pin mirrored), ADC d^2 fold ranks ASCENDING through partial+final bounded heaps, exact d2_e6 rerank against _cells under the flipped order")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

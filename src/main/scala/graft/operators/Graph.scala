@@ -1699,6 +1699,188 @@ object Graph {
       .orderBy(col("community"))
   }
 
+  // ---------------------------------------------------------------------
+  // g20 — INCREMENTAL MODULARITY of the maintained labelling (g19's
+  // quality twin — together they close the round-14 "incremental
+  // community maintenance (LPA/modularity)" ask). Q's sufficient
+  // statistics are (m2, intra, per-community strengths tot_c): a delta
+  // batch moves them only through (a) the delta edges themselves and
+  // (b) nodes whose COMMUNITY changed — and changed nodes live inside
+  // g19's ball. So the update is: ball nodes leave their old community
+  // with their BASE strength and re-enter their new one with their
+  // UNION strength (unchanged nodes net exactly their delta strength),
+  // intra adjusts over base edges with a CHANGED endpoint plus the
+  // delta edges, and the community-sized tot table outer-merges. No
+  // node-sized aggregation anywhere — the scans are ball-incident
+  // restrictions of the bucketed edge table and the checkpointed
+  // node-sized frames (the g19 floor).
+  // ---------------------------------------------------------------------
+
+  /** Frozen modularity statistics of the BASE labelling: the
+    * community-sized strength table plus the (m2, intra) scalars
+    * (1-row driver read — the IVF-seed/BPE-winner precedent), memoized
+    * per fixture like [[sharedLpaPacked]]. */
+  private val modStatsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), (DataFrame, Long, Long)]()
+
+  private[graft] def sharedModularityStats(
+      s: SparkSession, dir: String): (DataFrame, Long, Long) = {
+    val fp = Tables.fixtureFingerprint(dir, "lineitem.parquet")
+    val k = (s, dir, fp)
+    Option(modStatsMemo.get(k)).getOrElse(sharedGraphLock.synchronized {
+      Option(modStatsMemo.get(k)).getOrElse {
+        val name = sharedWeightedCooccurIndex(s, dir)
+        val we = s.table(name + "_edges")
+        val labels = sharedLpaPacked(s, dir)
+          .select(col("node"), col("l4").as("label"))
+        val lw = we
+          .join(labels.select(col("node").as("_s"), col("label").as("cs")),
+            we("src") === col("_s"))
+          .join(labels.select(col("node").as("_d"), col("label").as("cd")),
+            we("dst") === col("_d"))
+          .select(we("w").as("w"), col("cs"), col("cd"))
+          .cache()
+        val tot = lw.groupBy(col("cs").as("label"))
+          .agg(sum(col("w")).as("k")).localCheckpoint(true)
+        // coalesce: an EMPTY graph sums to NULL (the EmptyInputSpec case)
+        val r = lw.agg(coalesce(sum(col("w")), lit(0L)),
+          coalesce(sum(when(col("cs") === col("cd"), col("w"))
+            .otherwise(lit(0L))), lit(0L)))
+          .collect().head
+        lw.unpersist()
+        val v = (tot, r.getLong(0), r.getLong(1))
+        modStatsMemo.keySet.removeIf(e =>
+          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        modStatsMemo.put(k, v)
+        v
+      }
+    })
+  }
+
+  /** Incremental Q over the post-delta labelling: `delta` is the
+    * canonical (u, v, w) batch, `updated`/`ball` come from
+    * [[incrementalLpaLabels]], the frozen statistics from
+    * [[sharedModularityStats]]. Provably ≡ `modularityOn(unionWe,
+    * updated)` (GraphSpec pins it on the fixture and on a crafted
+    * community-move). */
+  private[graft] def incrementalModularity(
+      baseWe: DataFrame, packed: DataFrame, delta: DataFrame,
+      updated: DataFrame, ball: DataFrame,
+      baseTot: DataFrame, baseM2: Long, baseIntra: Long): DataFrame = {
+    val d = delta.cache()
+    val deltaBi = d.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(d.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val ballB = broadcast(ball)
+    val kBase = baseWe
+      .join(ballB.select(col("node").as("src")), Seq("src"), "left_semi")
+      .groupBy(col("src").as("node")).agg(sum(col("w")).as("kb"))
+    val kDelta = deltaBi.groupBy(col("src").as("node")).agg(sum(col("w")).as("kd"))
+    val oldLab = packed.select(col("node"), col("l4").as("lold"))
+      .join(ballB, Seq("node"), "left_semi")
+    val newLab = updated.join(ballB, Seq("node"), "left_semi")
+      .select(col("node"), col("label").as("lnew"))
+    // referenced by both the Δtot legs and the changed-set — cache
+    // (query-scoped; Verify/Bench clearCache after, the repo rule)
+    val ballInfo = newLab
+      .join(oldLab, Seq("node"), "left")
+      .join(kBase, Seq("node"), "left")
+      .join(kDelta, Seq("node"), "left")
+      .select(col("node"), col("lold"), col("lnew"),
+        coalesce(col("kb"), lit(0L)).as("kb"),
+        coalesce(col("kd"), lit(0L)).as("kd"))
+      .cache()
+    val dTot = ballInfo.filter(col("lold").isNotNull)
+        .select(col("lold").as("label"), (-col("kb")).as("dk"))
+      .unionByName(ballInfo.select(col("lnew").as("label"),
+        (col("kb") + col("kd")).as("dk")))
+      .groupBy(col("label")).agg(sum(col("dk")).as("dk"))
+    val totAgg = baseTot.join(dTot, Seq("label"), "full")
+      .select((coalesce(col("k"), lit(0L)) + coalesce(col("dk"), lit(0L))).as("k"))
+      .filter(col("k") > 0L)
+      .agg(count(lit(1)).as("n_communities"),
+        sum(expr("CAST(k AS DECIMAL(38,0)) * CAST(k AS DECIMAL(38,0))"))
+          .as("sumtot2"))
+    // intra moves only through base edges with a CHANGED endpoint plus
+    // the delta edges themselves
+    val changed = ballInfo
+      .filter(col("lold").isNull || col("lold") =!= col("lnew"))
+      .select(col("node")).cache()
+    val baseHalf = baseWe.filter(col("src") < col("dst"))
+    val touched = baseHalf
+      .join(broadcast(changed.select(col("node").as("src"))), Seq("src"), "left_semi")
+      .unionByName(baseHalf
+        .join(broadcast(changed.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+        .join(broadcast(changed.select(col("node").as("src"))), Seq("src"), "left_anti"))
+      .cache()
+    val ends = touched.select(col("src").as("node"))
+      .unionByName(touched.select(col("dst").as("node")))
+      .unionByName(d.select(col("u").as("node")))
+      .unionByName(d.select(col("v").as("node"))).distinct()
+    val endsB = broadcast(ends)
+    val lo = packed.select(col("node"), col("l4").as("lo"))
+      .join(endsB, Seq("node"), "left_semi")
+    val ln = updated.join(endsB, Seq("node"), "left_semi")
+      .select(col("node"), col("label").as("ln"))
+    val dIntraBase = touched
+      .join(broadcast(lo.select(col("node").as("src"), col("lo").as("lou"))), Seq("src"))
+      .join(broadcast(lo.select(col("node").as("dst"), col("lo").as("lov"))), Seq("dst"))
+      .join(broadcast(ln.select(col("node").as("src"), col("ln").as("lnu"))), Seq("src"))
+      .join(broadcast(ln.select(col("node").as("dst"), col("ln").as("lnv"))), Seq("dst"))
+      .select((lit(2L) * col("w") *
+        (when(col("lnu") === col("lnv"), lit(1L)).otherwise(lit(0L))
+          - when(col("lou") === col("lov"), lit(1L)).otherwise(lit(0L)))).as("di"))
+    val dIntraDelta = d
+      .join(broadcast(ln.select(col("node").as("u"), col("ln").as("lnu"))), Seq("u"))
+      .join(broadcast(ln.select(col("node").as("v"), col("ln").as("lnv"))), Seq("v"))
+      .select((lit(2L) * col("w") *
+        when(col("lnu") === col("lnv"), lit(1L)).otherwise(lit(0L))).as("di"))
+    val dAgg = dIntraBase.unionByName(dIntraDelta)
+      .agg(coalesce(sum(col("di")), lit(0L)).as("dintra"))
+    val dm2 = d.agg(coalesce(sum(col("w") * 2), lit(0L)).as("dm2"))
+    dAgg.crossJoin(dm2).crossJoin(totAgg)
+      .select(col("n_communities"),
+        (lit(baseM2) + col("dm2")).as("m2"),
+        (lit(baseIntra) + col("dintra")).as("intra"),
+        col("sumtot2"))
+      .select(col("n_communities"), col("m2"), col("intra"),
+        expr("""CASE WHEN m2 > 0 THEN
+                  CAST(((CAST(intra AS DECIMAL(38,0)) * CAST(m2 AS DECIMAL(38,0))
+                         - sumtot2
+                         + CAST(m2 AS DECIMAL(38,0)) * CAST(m2 AS DECIMAL(38,0)))
+                        * 1000000000)
+                    div (CAST(m2 AS DECIMAL(38,0)) * CAST(m2 AS DECIMAL(38,0)))
+                    - 1000000000 AS BIGINT)
+                ELSE NULL END""").as("q_e9"))
+  }
+
+  /** g20 — the registered incremental-modularity query: the quality
+    * metric of the g19-maintained labelling, computed from the frozen
+    * statistics + ball-incident adjustments. Output matches g15's
+    * (n_communities, m2, intra, q_e9) row, over the UNION graph and the
+    * post-delta labelling; DuckDB recomputes the whole thing from
+    * scratch (union 4-round unroll + the g15 tail), so the hash gate
+    * proves incremental ≡ rebuild at every SF. GateMemo'd + amortized. */
+  def g20IncrementalModularity(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir,
+      Tables.fixtureFingerprint(dir, "lineitem.parquet"), "g20")(g20Body(s, dir))
+
+  private def g20Body(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedWeightedCooccurIndex(s, dir)
+    val packed = sharedLpaPacked(s, dir)
+    val (baseTot, baseM2, baseIntra) = sharedModularityStats(s, dir)
+    val delta = weightedDeltaPairs(s, dir).cache()
+    val deltaBi = delta.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(delta.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val baseWe = s.table(name + "_edges")
+    val unionWe = baseWe.unionByName(deltaBi).cache()
+    val deltaNodes = delta.select(col("u").as("node"))
+      .unionByName(delta.select(col("v").as("node"))).distinct()
+    val (updated0, ball) = incrementalLpaLabels(unionWe, packed, 4, deltaNodes)
+    val updated = updated0.cache()
+    incrementalModularity(baseWe, packed, delta, updated, ball,
+      baseTot, baseM2, baseIntra)
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -1924,6 +2106,36 @@ object Graph {
                 ELSE NULL END""").as("q_e9"))
   }
 
+  /** Shared CTE prefix for the g19/g20 oracles: the UNION weighted
+    * graph (base w ≥ threshold plus the w = 1 residue-thinned delta)
+    * with the full 4-round LPA unroll over it. MATERIALIZED on the
+    * multi-referenced CTEs (the round-12 inlining lesson). */
+  private def LpaUnionCtes: String = {
+    val iters = (1 to 4).map { k =>
+      s"""s$k AS (SELECT we.dst AS node, l.label, CAST(SUM(we.w) AS BIGINT) AS ws
+         |        FROM we JOIN l${k - 1} l ON l.node = we.src GROUP BY 1, 2),
+         |l$k AS (SELECT node,
+         |          4294967295 - (MAX(ws * 4294967296 + (4294967295 - label))
+         |            % 4294967296) AS label
+         |        FROM s$k GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS MATERIALIZED (SELECT DISTINCT a.l_orderkey AS ok,
+       |                  CAST(a.l_partkey AS BIGINT) AS u,
+       |                  CAST(b.l_partkey AS BIGINT) AS v
+       |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |           WHERE a.l_partkey < b.l_partkey),
+       |c AS MATERIALIZED (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM t
+       |  GROUP BY u, v),
+       |p AS (SELECT u, v, w FROM c WHERE w >= $CooccurTh),
+       |pd AS MATERIALIZED (SELECT u, v, w FROM c
+       |  WHERE w = 1 AND u % 23 = 1 AND v % 29 = 2),
+       |pu AS (SELECT u, v, w FROM p UNION ALL SELECT u, v, w FROM pd),
+       |we AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM pu
+       |       UNION ALL SELECT v, u, w FROM pu),
+       |l0 AS (SELECT DISTINCT src AS node, src AS label FROM we),
+       |$iters""".stripMargin
+  }
+
   /** Shared CTE prefix: the purchase graph in DuckDB terms.
     *
     * UNDIRECTED-ONLY oracle contract (round-9 ADVICE): g01's p_k CTE
@@ -1960,6 +2172,7 @@ object Graph {
     "g17_incr_components" -> (g17IncrementalComponents _),
     "g18_incr_triangles" -> (g18IncrementalTriangles _),
     "g19_incr_lpa" -> (g19IncrementalLpa _),
+    "g20_incr_modularity" -> (g20IncrementalModularity _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2091,34 +2304,12 @@ object Graph {
     // the delta endpoints, and restricts to communities holding a ball
     // node — the hash gate proves the locality-patched update at every SF
     "g19_incr_lpa" -> {
-      val iters = (1 to 4).map { k =>
-        s"""s$k AS (SELECT we.dst AS node, l.label, CAST(SUM(we.w) AS BIGINT) AS ws
-           |        FROM we JOIN l${k - 1} l ON l.node = we.src GROUP BY 1, 2),
-           |l$k AS (SELECT node,
-           |          4294967295 - (MAX(ws * 4294967296 + (4294967295 - label))
-           |            % 4294967296) AS label
-           |        FROM s$k GROUP BY node)""".stripMargin
-      }.mkString(",\n")
       val hops = (1 to 3).map { k =>
         s"""b$k AS (SELECT DISTINCT node FROM (
            |  SELECT we.dst AS node FROM we JOIN b${k - 1} b ON we.src = b.node
            |  UNION ALL SELECT node FROM b${k - 1}) u)""".stripMargin
       }.mkString(",\n")
-      s"""WITH t AS MATERIALIZED (SELECT DISTINCT a.l_orderkey AS ok,
-         |                  CAST(a.l_partkey AS BIGINT) AS u,
-         |                  CAST(b.l_partkey AS BIGINT) AS v
-         |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
-         |           WHERE a.l_partkey < b.l_partkey),
-         |c AS MATERIALIZED (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM t
-         |  GROUP BY u, v),
-         |p AS (SELECT u, v, w FROM c WHERE w >= $CooccurTh),
-         |pd AS MATERIALIZED (SELECT u, v, w FROM c
-         |  WHERE w = 1 AND u % 23 = 1 AND v % 29 = 2),
-         |pu AS (SELECT u, v, w FROM p UNION ALL SELECT u, v, w FROM pd),
-         |we AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM pu
-         |       UNION ALL SELECT v, u, w FROM pu),
-         |l0 AS (SELECT DISTINCT src AS node, src AS label FROM we),
-         |$iters,
+      s"""$LpaUnionCtes,
          |b0 AS (SELECT u AS node FROM pd UNION SELECT v FROM pd),
          |$hops,
          |tl AS (SELECT DISTINCT l.label FROM l4 l JOIN b3 ON l.node = b3.node)
@@ -2127,6 +2318,26 @@ object Graph {
          |FROM l4 l JOIN tl ON l.label = tl.label
          |GROUP BY 1 ORDER BY community""".stripMargin
     },
+    // incremental ≡ full recompute: DuckDB reruns the union-graph LPA
+    // unroll AND the whole g15 modularity tail from scratch — the
+    // frozen-stats + ball-adjustment arithmetic is proven by hash
+    "g20_incr_modularity" ->
+      s"""$LpaUnionCtes,
+         |lw AS (SELECT we.w AS w, ls.label AS cs, ld.label AS cd
+         |       FROM we JOIN l4 ls ON ls.node = we.src
+         |               JOIN l4 ld ON ld.node = we.dst),
+         |sm AS (SELECT CAST(SUM(w) AS HUGEINT) AS m2,
+         |              CAST(SUM(CASE WHEN cs = cd THEN w ELSE 0 END) AS HUGEINT) AS intra
+         |       FROM lw),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         |              CAST(SUM(k * k) AS HUGEINT) AS sumtot2
+         |       FROM (SELECT CAST(SUM(CAST(w AS HUGEINT)) AS HUGEINT) AS k
+         |             FROM lw GROUP BY cs) x)
+         |SELECT tt.n_communities, CAST(sm.m2 AS BIGINT) AS m2,
+         |  CAST(sm.intra AS BIGINT) AS intra,
+         |  CAST(((sm.intra * sm.m2 - tt.sumtot2 + sm.m2 * sm.m2) * 1000000000)
+         |       // (sm.m2 * sm.m2) - 1000000000 AS BIGINT) AS q_e9
+         |FROM sm, tt""".stripMargin,
     // the oracle recomputes n_edges from the fact tables where the gate
     // reads the persisted table (both directions = 2·|pairs|) — anchoring
     // the build — and pins the equality flag at literal TRUE (t40 pattern)

@@ -708,6 +708,80 @@ class GraphSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("g20: crafted community-move — incremental modularity == full recompute over the union") {
+    def bi(pairs: Seq[(Long, Long, Long)]) =
+      pairs.flatMap { case (u, v, w) => Seq((u, v, w), (v, u, w)) }
+        .toDF("src", "dst", "w")
+    try {
+      val basePairs = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L),
+        (4L, 5L, 1L), (5L, 6L, 1L),
+        (41L, 42L, 1L), (42L, 43L, 1L), (41L, 43L, 1L))
+      val baseWe = bi(basePairs).cache()
+      val packed = Graph.packLpaRounds(Graph.lpaRoundLabels(baseWe, 4))
+      // frozen statistics off the base labelling (the sharedModularityStats
+      // derivation, inline so the spec bypasses every memo)
+      val l4 = packed.select(col("node"), col("l4").as("label"))
+      val lw = baseWe
+        .join(l4.select(col("node").as("_s"), col("label").as("cs")),
+          col("src") === col("_s"))
+        .join(l4.select(col("node").as("_d"), col("label").as("cd")),
+          col("dst") === col("_d"))
+        .select(col("w"), col("cs"), col("cd")).cache()
+      val baseTot = lw.groupBy(col("cs").as("label")).agg(sum(col("w")).as("k"))
+      val sums = lw.agg(sum(col("w")),
+        sum(when(col("cs") === col("cd"), col("w")).otherwise(lit(0L))))
+        .collect().head
+      val deltaDf = Seq((3L, 100L, 10L), (200L, 201L, 1L)).toDF("u", "v", "w")
+      val unionWe = bi(basePairs ++ Seq((3L, 100L, 10L), (200L, 201L, 1L))).cache()
+      val deltaNodes = Seq(3L, 100L, 200L, 201L).toDF("node")
+      val (updated0, ball) = Graph.incrementalLpaLabels(unionWe, packed, 4, deltaNodes)
+      val updated = updated0.cache()
+      val got = Graph.incrementalModularity(baseWe, packed, deltaDf, updated,
+        ball, baseTot, sums.getLong(0), sums.getLong(1)).collect()
+      val expected = Graph.modularityOn(unionWe, Graph.lpaOn(unionWe, 4)).collect()
+      assert(got.toSeq == expected.toSeq,
+        s"incremental Q ${got.toSeq} != rebuild Q ${expected.toSeq}")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g20: incremental modularity == full recompute on the fixture; registered query agrees") {
+    try {
+      val basePairs = Graph.weightedPartEdges(spark, sf)
+      val baseWe = basePairs.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionByName(basePairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+        .cache()
+      val packed = Graph.packLpaRounds(Graph.lpaRoundLabels(baseWe, 4))
+      val l4 = packed.select(col("node"), col("l4").as("label"))
+      val lw = baseWe
+        .join(l4.select(col("node").as("_s"), col("label").as("cs")),
+          col("src") === col("_s"))
+        .join(l4.select(col("node").as("_d"), col("label").as("cd")),
+          col("dst") === col("_d"))
+        .select(col("w"), col("cs"), col("cd")).cache()
+      val baseTot = lw.groupBy(col("cs").as("label")).agg(sum(col("w")).as("k"))
+      val sums = lw.agg(sum(col("w")),
+        sum(when(col("cs") === col("cd"), col("w")).otherwise(lit(0L))))
+        .collect().head
+      val delta = Graph.weightedDeltaPairs(spark, sf).cache()
+      val unionWe = baseWe.unionByName(
+        delta.select(col("u").as("src"), col("v").as("dst"), col("w"))
+          .unionByName(delta.select(col("v").as("src"), col("u").as("dst"), col("w"))))
+        .cache()
+      val deltaNodes = delta.select(col("u").as("node"))
+        .unionByName(delta.select(col("v").as("node"))).distinct()
+      val (updated0, ball) = Graph.incrementalLpaLabels(unionWe, packed, 4, deltaNodes)
+      val updated = updated0.cache()
+      val got = Graph.incrementalModularity(baseWe, packed, delta, updated,
+        ball, baseTot, sums.getLong(0), sums.getLong(1)).collect()
+      val expected = Graph.modularityOn(unionWe, Graph.lpaOn(unionWe, 4)).collect()
+      assert(got.toSeq == expected.toSeq,
+        s"incremental Q ${got.toSeq} != rebuild Q ${expected.toSeq}")
+      val reg = Graph.g20IncrementalModularity(spark, sf).collect()
+      assert(reg.toSeq == expected.toSeq,
+        s"registered g20 ${reg.toSeq} != rebuild ${expected.toSeq}")
+    } finally spark.catalog.clearCache()
+  }
+
   test("g05 gate: append==rebuild, delete==rebuild-without, compact is pure layout") {
     try {
       val rows = Graph.g05EdgeLifecycleGate(spark, sf).collect()
