@@ -82,7 +82,9 @@ object Plans {
     "g18_incr_triangles" -> "incremental triangles/LCC: orientation-free A/B/C delta classes — base adjacency RESTRICTED to delta endpoints (broadcast semi, one pass, never closed), delta wedges + delta-only closure both delta-sized, per-node credits outer-merge onto the frozen memoized core (this final plan is the endpoint-restricted coef rollup over flat checkpointed relations) — the oriented-adjacency closure never re-runs",
     "g19_incr_lpa" -> "incremental LPA: per-round vote recomputed ONLY inside the growing delta ball (each round's single broadcast-semi edge restriction serves both the vote and the next hop), frozen per-round history packed into one (node, l1..l4) frame restricted to the ball's neighbourhood in ONE scan, final labels = one node-sized patch pass (the g17 remap floor) — measured FLAT (1.04x) under 4x edges where the rebuild scales 2.44x",
     "g20_incr_modularity" -> "incremental modularity of the maintained labelling: community-sized Δtot outer-merge (ball nodes leave with BASE strength, re-enter with UNION strength), Δintra over base edges with a CHANGED endpoint + the delta edges, Q recomputed through the same 128-bit DECIMAL div — no node-sized aggregation anywhere",
-    "s24_l2_pq_gate" -> "L2-metric PQ/IVF-PQ: per-query squared-distance LUTs broadcast into the cell-bucketed _pq codes scan (zero index-side Exchange — the cosine pin mirrored), ADC d^2 fold ranks ASCENDING through partial+final bounded heaps, exact d2_e6 rerank against _cells under the flipped order")
+    "s24_l2_pq_gate" -> "L2-metric PQ/IVF-PQ: per-query squared-distance LUTs broadcast into the cell-bucketed _pq codes scan (zero index-side Exchange — the cosine pin mirrored), ADC d^2 fold ranks ASCENDING through partial+final bounded heaps, exact d2_e6 rerank against _cells under the flipped order",
+    "g21_incr_bfs" -> "incremental BFS levels (the g19 locality engine at unit weights): per-round min-relax recomputed only inside the growing delta ball, frozen packed per-round distances restricted in one scan, final profile = one node-sized patch pass + the 5-row level agg — the fixture's bipartite diameter-2 saturation means the gate proves no-corruption (improvement pinned by the crafted spec; the honest regime analysis lives in isp100)",
+    "g22_incr_sssp" -> "incremental bounded-round SSSP: the same ball-patched min-relax over the weighted purchase index with a CHEAP (w=2) delta so fixture improvements are real; top-100 off the patched node-sized table — reach-coupled ball documented (rooted bounded-round distances win only where the affected cone is smaller than the reach; isp100 measures the negative regime deliberately)")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

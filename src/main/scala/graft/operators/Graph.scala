@@ -284,34 +284,60 @@ object Graph {
     * anti-join. Result rows are identical to the textbook full-relax
     * unroll (relaxing a non-improved node re-derives candidates that
     * lost a min-merge already), which is exactly what the oracle runs. */
-  private[graft] def ssspOn(we: DataFrame, rounds: Int): DataFrame = {
+  private[graft] def ssspOn(we: DataFrame, rounds: Int): DataFrame =
+    ssspRoundDists(we, rounds).last
+
+  /** Every round's full (node, dist_w) table d_1..d_rounds (each
+    * localCheckpointed) — the sufficient statistic g22's incremental
+    * update patches against (the lpaRoundLabels twin: bounded-round
+    * distances are min-over-≤k-edge-paths, so round-k values of nodes
+    * outside the delta's ball are reused verbatim). A saturated
+    * labelling short-circuits by REPLICATING the stable frame —
+    * identical to the full unroll (relaxation is a deterministic
+    * function of the previous round). */
+  private[graft] def ssspRoundDists(we: DataFrame, rounds: Int): Seq[DataFrame] = {
     val s = we.sparkSession
     val rootRow = we.agg(min(col("src"))).collect()(0)
-    if (rootRow.isNullAt(0))
-      return s.range(0).select(col("id").as("node"), col("id").as("dist_w"))
+    if (rootRow.isNullAt(0)) {
+      val empty = s.range(0).select(col("id").as("node"), col("id").as("dist_w"))
+      return Seq.fill(rounds)(empty)
+    }
     val root = rootRow.getAs[Number](0).longValue
     var dist = s.range(1)
       .select(lit(root).as("node"), lit(0L).as("dist_w"))
       .localCheckpoint(true)
     var frontier = dist
+    var out = List.empty[DataFrame]
     var k = 1
     var done = false
-    while (k <= rounds && !done) {
-      val cand = ssspRelax(we, frontier)
-      val merged = dist.join(cand, Seq("node"), "full")
-        .select(col("node"),
-          least(col("dist_w"), col("_cand")).as("_nd"),
-          (col("dist_w").isNull ||
-            (col("_cand").isNotNull && col("_cand") < col("dist_w"))).as("_imp"))
-        .select(col("node"), col("_nd").as("dist_w"), col("_imp"))
-        .localCheckpoint(true)
-      dist = merged.select(col("node"), col("dist_w"))
-      frontier = merged.filter(col("_imp")).select(col("node"), col("dist_w"))
-      if (frontier.isEmpty) done = true
+    while (k <= rounds) {
+      if (!done) {
+        val cand = ssspRelax(we, frontier)
+        val merged = dist.join(cand, Seq("node"), "full")
+          .select(col("node"),
+            least(col("dist_w"), col("_cand")).as("_nd"),
+            (col("dist_w").isNull ||
+              (col("_cand").isNotNull && col("_cand") < col("dist_w"))).as("_imp"))
+          .select(col("node"), col("_nd").as("dist_w"), col("_imp"))
+          .localCheckpoint(true)
+        dist = merged.select(col("node"), col("dist_w"))
+        frontier = merged.filter(col("_imp")).select(col("node"), col("dist_w"))
+        if (frontier.isEmpty) done = true
+      }
+      out ::= dist
       k += 1
     }
-    dist
+    out.reverse
   }
+
+  /** The per-round history packed into one frame (node, d1..d_rounds) —
+    * full OUTER joins because the reached node set GROWS per round
+    * (contrast [[packLpaRounds]]' inner joins over a fixed node set);
+    * a node unreached at round k carries NULL in d{k}. */
+  private[graft] def packSsspRounds(rounds: Seq[DataFrame]): DataFrame =
+    rounds.zipWithIndex
+      .map { case (f, i) => f.select(col("node"), col("dist_w").as(s"d${i + 1}")) }
+      .reduce((a, b) => a.join(b, Seq("node"), "full"))
 
   /** One relaxation round's candidate distances: frontier (node,
     * dist_w) joins the edge frame on src — the edge side pre-partitioned
@@ -1881,6 +1907,223 @@ object Graph {
       baseTot, baseM2, baseIntra)
   }
 
+  // ---------------------------------------------------------------------
+  // g21/g22 — INCREMENTAL BFS levels and SSSP under edge appends (the
+  // g19 locality engine on DISTANCES): bounded-round Bellman-Ford is a
+  // deterministic per-round function of the previous round over
+  // in-edges — d_k(n) = min(d_{k−1}(n), min over in-edges (m,n,w) of
+  // d_{k−1}(m) + w) — so a delta edge moves d_k(n) only inside the same
+  // growing ball A_1 ⊆ … ⊆ A_rounds (A_1 = delta endpoints), and edge
+  // ADDITION only IMPROVES distances, so a base-reached node is always
+  // union-reached (the monotonicity the patch assembly leans on). BFS
+  // is the unit-weight instance of the same engine (bounded-round
+  // unit-weight distances ARE the levels). Deltas attach between
+  // EXISTING nodes only — a new smaller node id would MOVE the root
+  // (min src) and invalidate every distance, the documented contract.
+  // ---------------------------------------------------------------------
+
+  /** Incremental bounded-round distances: `unionWe` the post-append
+    * both-direction weighted frame, `packed` the frozen
+    * [[packSsspRounds]] history over the BASE graph, `deltaNodes` the
+    * batch's endpoints. Returns (complete post-delta (node, dist_w)
+    * table ≡ `ssspOn(unionWe, rounds)`, the final ball). The
+    * incrementalLpaLabels scale shape, value-typed: one broadcast-semi
+    * edge restriction per round serving both the min-relax and the
+    * next hop, one packed-history restriction scan, ball-sized
+    * relax/patch frames, one node-sized assembly pass. */
+  private[graft] def incrementalSsspDists(unionWe: DataFrame,
+      packed: DataFrame, rounds: Int,
+      deltaNodes: DataFrame): (DataFrame, DataFrame) = {
+    var ball = deltaNodes.select(col("node")).distinct().localCheckpoint(true)
+    val edgesInByRound = (1 to rounds).map { _ =>
+      val edgesIn = unionWe
+        .join(broadcast(ball.select(col("node").as("dst"))), Seq("dst"), "left_semi")
+        .localCheckpoint(true)
+      ball = ball.unionByName(edgesIn.select(col("src").as("node")))
+        .distinct().localCheckpoint(true)
+      edgesIn
+    }
+    val packedNear = packed
+      .join(broadcast(ball), Seq("node"), "left_semi")
+      .localCheckpoint(true)
+    // the root row (d1 = 0) seeds round 1's self/neighbour terms; it can
+    // sit OUTSIDE the ball, so read it off the full packed frame (1 row)
+    val rootLab = packed.filter(col("d1") === 0L)
+      .select(col("node"), lit(0L).as("dist_w"))
+    var inc: DataFrame = null // d′_k restricted to (reached ∩ A_k)
+    var k = 1
+    while (k <= rounds) {
+      val prev =
+        if (k == 1) rootLab
+        else
+          // frozen d_{k−1} near the ball (reached rows only — NULL means
+          // unreached at that round), overridden inside A_{k−1}; a
+          // base-reached ball node is always inc-covered (monotonicity)
+          packedNear.select(col("node"), col(s"d${k - 1}").as("dist_w"))
+            .filter(col("dist_w").isNotNull)
+            .join(broadcast(inc.select(col("node"))), Seq("node"), "left_anti")
+            .unionByName(inc)
+      val cand = edgesInByRound(k - 1)
+        .join(prev.select(col("node").as("src"), col("dist_w").as("_sd")), Seq("src"))
+        .select(col("dst").as("node"), (col("_sd") + col("w")).as("_c"))
+        .groupBy(col("node")).agg(min(col("_c")).as("_cand"))
+      // self term: the patched previous-round value of the A_k node
+      val self = prev.join(
+        broadcast(edgesInByRound(k - 1).select(col("dst").as("node")).distinct()),
+        Seq("node"), "left_semi")
+      inc = self.join(cand, Seq("node"), "full")
+        .select(col("node"), least(col("dist_w"), col("_cand")).as("dist_w"))
+        .filter(col("dist_w").isNotNull)
+        .localCheckpoint(true)
+      k += 1
+    }
+    val full = packed.select(col("node"), col(s"d$rounds").as("dist_w"))
+      .filter(col("dist_w").isNotNull)
+      .join(broadcast(inc.select(col("node"))), Seq("node"), "left_anti")
+      .unionByName(inc)
+    (full, ball)
+  }
+
+  /** g21/g22's "newly arrived" purchase batch, fixture-derivable so
+    * DuckDB can replay it: customer c ≡ 1 (mod 3) pairs with supplier
+    * ((c·7) mod max_suppkey) + 1 — a deterministic non-purchasing
+    * assignment — restricted to endpoints PRESENT in the base graph
+    * (the existing-nodes contract: a new smaller id would move the
+    * BFS/SSSP root) and anti-joined against real purchase pairs
+    * (append-disjoint by construction). Node ids (2c, 2s+1). */
+  private[graft] def purchaseDeltaPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = purchaseNodePairs(s, dir).cache()
+    val sMaxRow = Tables.supplier(s, dir)
+      .agg(max(col("s_suppkey").cast("long"))).collect()(0)
+    if (sMaxRow.isNullAt(0)) // empty fixture (EmptyInputSpec): no delta
+      return s.range(0).select(col("id").as("a"), col("id").as("b"))
+    val sMax = sMaxRow.getLong(0)
+    val cand = Tables.customer(s, dir)
+      .select(col("c_custkey").cast("long").as("c"))
+      .filter(col("c") % 3 === 1)
+      .select((col("c") * 2).as("a"),
+        ((col("c") * 7) % sMax + 1).cast("long").as("sk"))
+      .select(col("a"), (col("sk") * 2 + 1).as("b"))
+    cand
+      .join(base.select(col("a")).distinct(), Seq("a"), "left_semi")
+      .join(base.select(col("b")).distinct(), Seq("b"), "left_semi")
+      .join(base, Seq("a", "b"), "left_anti")
+      .select(col("a"), col("b"))
+  }
+
+  /** The DISTINCT (customer-node, supplier-node) purchase pairs — the
+    * canonical half of [[purchaseEdges]], shared by the delta's
+    * anti-join and node-universe restrictions. */
+  private def purchaseNodePairs(s: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .select((col("o_custkey").cast("long") * 2).as("a"),
+        (col("l_suppkey").cast("long") * 2 + 1).as("b"))
+      .distinct()
+  }
+
+  /** Frozen packed per-round histories for the two distance queries,
+    * memoized per fixture (the sharedLpaPacked pattern): unit weights
+    * over the persisted purchase index for BFS, the weighted index for
+    * SSSP. */
+  private val distRoundsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String, Long), DataFrame]()
+
+  private def sharedDistPacked(s: SparkSession, dir: String, kind: String,
+      build: => DataFrame): DataFrame = {
+    val fp = graphFp(dir)
+    val k = (s, dir, kind, fp)
+    Option(distRoundsMemo.get(k)).getOrElse(sharedGraphLock.synchronized {
+      Option(distRoundsMemo.get(k)).getOrElse {
+        val v = build.localCheckpoint(true)
+        distRoundsMemo.keySet.removeIf(e =>
+          (e._1 eq s) && e._2 == dir && e._3 == kind && e._4 != fp)
+        distRoundsMemo.put(k, v)
+        v
+      }
+    })
+  }
+
+  private[graft] def sharedBfsPacked(s: SparkSession, dir: String): DataFrame =
+    sharedDistPacked(s, dir, "bfs", {
+      val bi = s.table(sharedEdgeIndex(s, dir) + "_edges")
+        .select(col("src"), col("dst"), lit(1L).as("w"))
+      packSsspRounds(ssspRoundDists(bi, rounds = 4))
+    })
+
+  private[graft] def sharedSsspPacked(s: SparkSession, dir: String): DataFrame =
+    sharedDistPacked(s, dir, "sssp", {
+      val we = s.table(sharedWeightedEdgeIndex(s, dir) + "_edges")
+      packSsspRounds(ssspRoundDists(we, rounds = 4))
+    })
+
+  /** g21 — incremental BFS level profile: frozen base = the packed
+    * unit-weight distance history over the persisted purchase index
+    * (bounded-round unit distances ARE the g02 levels), delta =
+    * [[purchaseDeltaPairs]] at weight 1. Output: the COMPLETE post-
+    * delta 5-row level profile (dist, n_nodes, node_sum — the g02
+    * contract over the union graph; edge addition re-levels improved
+    * nodes, so the whole profile is the natural unit). DuckDB reruns
+    * the g02 reach unroll over the union graph — hash proves
+    * incremental ≡ rebuild at every SF. GateMemo'd + amortized. */
+  def g21IncrementalBfs(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir, graphFp(dir), "g21")(g21Body(s, dir))
+
+  private def g21Body(s: SparkSession, dir: String): DataFrame = {
+    val packed = sharedBfsPacked(s, dir)
+    val delta = purchaseDeltaPairs(s, dir).cache()
+    val deltaBi = delta.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(delta.select(col("b").as("src"), col("a").as("dst")))
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+    val unionBi = s.table(sharedEdgeIndex(s, dir) + "_edges")
+      .select(col("src"), col("dst"), lit(1L).as("w"))
+      .unionByName(deltaBi).cache()
+    val deltaNodes = delta.select(col("a").as("node"))
+      .unionByName(delta.select(col("b").as("node"))).distinct()
+    val (dist, _) = incrementalSsspDists(unionBi, packed, 4, deltaNodes)
+    val s0 = dist.sparkSession
+    s0.range(5L).select(col("id").as("dist"))
+      .join(dist.groupBy(col("dist_w").as("dist"))
+          .agg(count(lit(1)).cast("long").as("n_nodes"),
+            sum(col("node")).as("node_sum")),
+        Seq("dist"), "left")
+      .select(col("dist"),
+        coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+        coalesce(col("node_sum"), lit(0L)).as("node_sum"))
+      .orderBy(col("dist"))
+  }
+
+  /** g22 — incremental SSSP: frozen base = the packed weighted distance
+    * history over the persisted weighted index, delta =
+    * [[purchaseDeltaPairs]] at weight 2 — the batch's weight is the
+    * caller's parameter, and a CHEAP new link is what keeps the gate's
+    * improvement path hot: base edge weights run ~5·10⁵–10⁶ (the
+    * weightedEdges count formula), so w = 2 re-routes real distances
+    * at every SF where the count-1 weight (1000001) improved nothing
+    * (the first formulation's vacuity, caught by the base-vs-union
+    * diff check). Output:
+    * the g07 contract (top-100 by (dist_w, node)) over the union graph
+    * and the patched distances. DuckDB reruns the g07 full-relax
+    * unroll over the union — hash proves incremental ≡ rebuild at
+    * every SF. GateMemo'd + amortized. */
+  def g22IncrementalSssp(s: SparkSession, dir: String): DataFrame =
+    GateMemo.cached(s, dir, graphFp(dir), "g22")(g22Body(s, dir))
+
+  private def g22Body(s: SparkSession, dir: String): DataFrame = {
+    val packed = sharedSsspPacked(s, dir)
+    val delta = purchaseDeltaPairs(s, dir).cache()
+    val deltaBi = delta.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(delta.select(col("b").as("src"), col("a").as("dst")))
+      .select(col("src"), col("dst"), lit(2L).as("w"))
+    val unionWe = s.table(sharedWeightedEdgeIndex(s, dir) + "_edges")
+      .unionByName(deltaBi).cache()
+    val deltaNodes = delta.select(col("a").as("node"))
+      .unionByName(delta.select(col("b").as("node"))).distinct()
+    val (dist, _) = incrementalSsspDists(unionWe, packed, 4, deltaNodes)
+    dist.orderBy(col("dist_w"), col("node")).limit(100)
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -2106,6 +2349,25 @@ object Graph {
                 ELSE NULL END""").as("q_e9"))
   }
 
+  /** Shared CTE fragment for the g21/g22 oracles: the distinct purchase
+    * pairs plus the deterministic non-purchasing delta assignment
+    * (existing-nodes restriction + NOT EXISTS — the Spark
+    * [[purchaseDeltaPairs]] mirror, node-for-node). */
+  private val PurchaseDeltaCtes =
+    """pbase AS MATERIALIZED (
+      |  SELECT DISTINCT CAST(o_custkey AS BIGINT)*2 AS a,
+      |                  CAST(l_suppkey AS BIGINT)*2+1 AS b
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |smax AS (SELECT MAX(CAST(s_suppkey AS BIGINT)) AS m FROM supplier),
+      |pd AS MATERIALIZED (
+      |  SELECT cand.a, cand.b FROM (
+      |    SELECT CAST(c_custkey AS BIGINT)*2 AS a,
+      |           (((CAST(c_custkey AS BIGINT) * 7) % (SELECT m FROM smax)) + 1)*2+1 AS b
+      |    FROM customer WHERE c_custkey % 3 = 1) cand
+      |  WHERE cand.a IN (SELECT a FROM pbase) AND cand.b IN (SELECT b FROM pbase)
+      |    AND NOT EXISTS (SELECT 1 FROM pbase
+      |                    WHERE pbase.a = cand.a AND pbase.b = cand.b))""".stripMargin
+
   /** Shared CTE prefix for the g19/g20 oracles: the UNION weighted
     * graph (base w ≥ threshold plus the w = 1 residue-thinned delta)
     * with the full 4-round LPA unroll over it. MATERIALIZED on the
@@ -2173,6 +2435,8 @@ object Graph {
     "g18_incr_triangles" -> (g18IncrementalTriangles _),
     "g19_incr_lpa" -> (g19IncrementalLpa _),
     "g20_incr_modularity" -> (g20IncrementalModularity _),
+    "g21_incr_bfs" -> (g21IncrementalBfs _),
+    "g22_incr_sssp" -> (g22IncrementalSssp _),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -2317,6 +2581,55 @@ object Graph {
          |  CAST(SUM(l.node) AS BIGINT) AS node_sum
          |FROM l4 l JOIN tl ON l.label = tl.label
          |GROUP BY 1 ORDER BY community""".stripMargin
+    },
+    // incremental ≡ full recompute: DuckDB reruns the g02 reach unroll
+    // over the UNION purchase graph from scratch
+    "g21_incr_bfs" -> {
+      val reaches = (1 to 4).map { k =>
+        s"""r$k AS (SELECT DISTINCT node FROM (
+           |  SELECT bi.dst AS node FROM bi JOIN r${k - 1} r ON bi.src = r.node
+           |  UNION ALL SELECT node FROM r${k - 1}) u)""".stripMargin
+      }.mkString(",\n")
+      val levels = (1 to 4).map { k =>
+        s"""SELECT CAST($k AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           |  COALESCE(CAST(SUM(node) AS BIGINT), 0) AS node_sum
+           |FROM (SELECT node FROM r$k EXCEPT SELECT node FROM r${k - 1}) f""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $PurchaseDeltaCtes,
+         |pu AS (SELECT a, b FROM pbase UNION ALL SELECT a, b FROM pd),
+         |bi AS MATERIALIZED (SELECT a AS src, b AS dst FROM pu
+         |  UNION ALL SELECT b, a FROM pu),
+         |r0 AS (SELECT MIN(src) AS node FROM bi),
+         |$reaches
+         |SELECT * FROM (
+         |SELECT CAST(0 AS BIGINT) AS dist, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  COALESCE(CAST(SUM(node) AS BIGINT), 0) AS node_sum FROM r0
+         |UNION ALL
+         |$levels) l ORDER BY dist""".stripMargin
+    },
+    // incremental ≡ full recompute: DuckDB reruns the g07 full-relax
+    // unroll over the UNION weighted purchase graph from scratch
+    "g22_incr_sssp" -> {
+      val relaxes = (1 to 4).map { k =>
+        s"""d$k AS (SELECT node, MIN(dist_w) AS dist_w FROM (
+           |  SELECT node, dist_w FROM d${k - 1}
+           |  UNION ALL
+           |  SELECT e.dst AS node, d.dist_w + e.w AS dist_w
+           |  FROM d${k - 1} d JOIN we e ON e.src = d.node) u GROUP BY node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $PurchaseDeltaCtes,
+         |pw AS (SELECT CAST(o_custkey AS BIGINT)*2 AS a,
+         |              CAST(l_suppkey AS BIGINT)*2+1 AS b,
+         |              1 + (1000000 // CAST(COUNT(*) AS BIGINT)) AS w
+         |       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |       GROUP BY 1, 2),
+         |puw AS (SELECT a, b, w FROM pw
+         |  UNION ALL SELECT a, b, CAST(2 AS BIGINT) FROM pd),
+         |we AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM puw
+         |  UNION ALL SELECT b, a, w FROM puw),
+         |d0 AS (SELECT MIN(src) AS node, CAST(0 AS BIGINT) AS dist_w FROM we),
+         |$relaxes
+         |SELECT node, dist_w FROM d4 ORDER BY dist_w, node LIMIT 100""".stripMargin
     },
     // incremental ≡ full recompute: DuckDB reruns the union-graph LPA
     // unroll AND the whole g15 modularity tail from scratch — the
