@@ -121,6 +121,7 @@ object Bench {
     "g13_edge_ingest_gate", "g16_affinity_index_gate",
     "g17_incr_components", "g18_incr_triangles", "g19_incr_lpa",
     "g20_incr_modularity", "g21_incr_bfs", "g22_incr_sssp",
+    "g23_harmonic_centrality",
     "s04_ann_recall_gate", "s07_ann_index_gate", "s14_ann_ingest_gate",
     "s16_radius_index_gate", "s18_filtered_radius_gate",
     "s20_l2_index_gate", "s22_l2_filtered_gate", "s23_ip_index_gate",

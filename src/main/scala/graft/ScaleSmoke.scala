@@ -47,6 +47,7 @@ object ScaleSmoke {
     if (a.contains("itr100")) { itr100(spark); spark.stop(); return }
     if (a.contains("ilp100")) { ilp100(spark); spark.stop(); return }
     if (a.contains("isp100")) { isp100(spark); spark.stop(); return }
+    if (a.contains("ct100")) { ct100(spark); spark.stop(); return }
     if (a.contains("lm100")) { lm100(spark); spark.stop(); return }
     val base = "/root/testdata/sf0.1"
     val out = "/tmp/sf1x"
@@ -1047,6 +1048,49 @@ object ScaleSmoke {
     * cannot drift), and reports wall seconds per scale: the cost axis is
     * the edge-side join, which reuses the one cached repartition across
     * all five iterations (only node-sized frames shuffle per round). */
+  /** ct100 — the g23/g24 centrality engine under 4× edge growth on the
+    * gr100 random digraph: the forward pass is frontier-bound (the
+    * bfsLevelsOn argument with a seed dimension), the backward pass
+    * joins only LEVEL SLICES against the src-partitioned edges — both
+    * should move far less than 4× when edges quadruple at held
+    * out-degree, because the reached set saturates and level-slice
+    * sizes are node-bound. Structural asserts (seed rows, σ ≥ 1,
+    * positive descending stress) stand in for the fixture oracle,
+    * which pins exactness at the test SFs. */
+  private def ct100(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    def run(v: Long, eOut: Int): (Long, Double, Double) = {
+      val bi = spark.range(v).toDF("id")
+        .select(col("id").as("src"),
+          explode(transform(sequence(lit(0), lit(eOut - 1)),
+            i => pmod(xxhash64(col("id"), i), lit(v)))).as("dst"))
+        .repartition(col("src")).sortWithinPartitions(col("src")).cache()
+      val seeds = (0L until 8L).toSeq
+      val t0 = System.nanoTime()
+      val acc = Graph.msBfsCounts(bi, seeds, 3)
+      val nAcc = acc.count()
+      val tFwd = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val st = Graph.stressOn(bi, acc, 3).collect()
+      val tBack = (System.nanoTime() - t1) / 1e9
+      assert(nAcc >= 8L, s"forward pass lost the seed rows ($nAcc)")
+      val badSigma = acc.filter(col("sigma") < 1).count()
+      assert(badSigma == 0L, s"$badSigma rows with sigma < 1")
+      assert(st.length <= 100 && st.forall(_.getLong(1) > 0),
+        "stress output not positive-bounded")
+      val ord = st.map(r => (-r.getLong(1), r.getLong(0)))
+      assert(ord.sameElements(ord.sorted), "stress output not a total order")
+      bi.unpersist()
+      (nAcc, tFwd, tBack)
+    }
+    run(10000L, 4)                        // soak JVM/codegen warmup
+    val (n1, f1, b1) = run(125000L, 8)    // 1M edges
+    val (n4, f4, b4) = run(500000L, 8)    // 4M edges
+    println(f"CT100 centrality 1M_edges fwd=$f1%.1f s back=$b1%.1f s (acc=$n1) " +
+      f"4M_edges fwd=$f4%.1f s back=$b4%.1f s (acc=$n4) " +
+      f"fwd_ratio=${f4 / f1}%.1f x back_ratio=${b4 / b1}%.1f x for 4x edges")
+  }
+
   private def gr100(spark: SparkSession): Unit = {
     import graft.operators.Graph
     def run(v: Long, eOut: Int): (Long, Double) = {

@@ -2124,6 +2124,198 @@ object Graph {
     dist.orderBy(col("dist_w"), col("node")).limit(100)
   }
 
+  // ----- g23/g24 — seed-set centrality over the co-occurrence graph ----
+
+  /** Bounded rounds for the centrality family. Three levels saturate
+    * the co-occurrence graph's small-world reach at every SF (level
+    * histograms: sf0.001 tops out at 2, sf0.01 at 3; sf0.1 still adds
+    * ~159k nodes at level 3) while keeping the DuckDB unroll's widest
+    * frontier round off the oracle's critical path. */
+  private val CentralityRounds = 3
+
+  /** Seed count for g23/g24 — the k smallest node ids in the edge set,
+    * the deterministic pivot-set rule g09 uses for teleport seeds. */
+  private val CentralitySeeds = 8
+
+  /** The k smallest node ids off a both-directions edge frame (src
+    * covers every node). Driver-bounded by construction — k rows (the
+    * IVF-seed/BPE-winner precedent). */
+  private def seedNodes(bi: DataFrame, k: Int): Seq[Long] =
+    bi.select(col("src").as("node")).distinct()
+      .orderBy(col("node")).limit(k)
+      .collect().toSeq.map(_.getLong(0))
+
+  /** Multi-source bounded-round BFS with SHORTEST-PATH COUNTS — the
+    * level-synchronous Brandes forward pass (Brandes 2001, "A faster
+    * algorithm for betweenness centrality", §4) from a literal seed
+    * set: one (seed, node, dist, sigma) row per first visit, where
+    * sigma = the exact number of shortest seed→node paths. Because
+    * expansion is level-synchronous, EVERY distance-(k−1) predecessor
+    * of a node first visited at distance k sits in the same frontier,
+    * so the map-side-combined `sum(sigma)` over the frontier⋈edges
+    * candidates is exactly σ(v) = Σ_{u∈pred} σ(u) — no second pass.
+    * Scale shape = [[bfsLevelsOn]] with a seed column: per round only
+    * the frontier joins the edge frame on src (the bucketed artifact
+    * scan IS the partitioning — zero edge-side Exchange), candidates
+    * aggregate and anti-join node-sized frames keyed (seed, node), and
+    * each round localCheckpoints so the next anti-join sees flat local
+    * relations. An empty frontier short-circuits. Work is
+    * O(seeds · |E|) worst case — the documented price of a k-seed
+    * sample, never |V|·|E|. */
+  private[graft] def msBfsCounts(bi: DataFrame, seeds: Seq[Long],
+      rounds: Int): DataFrame = {
+    val s = bi.sparkSession
+    if (seeds.isEmpty)
+      return s.range(0).select(col("id").as("seed"), col("id").as("node"),
+        col("id").as("dist"), col("id").as("sigma"))
+    var acc = seeds.map(sd => s.range(1).select(lit(sd).as("seed"),
+        lit(sd).as("node"), lit(0L).as("dist"), lit(1L).as("sigma")))
+      .reduce(_ unionAll _).localCheckpoint(true)
+    var frontier = acc
+    var k = 1
+    var done = false
+    while (k <= rounds && !done) {
+      val fresh = msBfsRound(bi, frontier).join(acc, Seq("seed", "node"), "left_anti")
+        .select(col("seed"), col("node"), lit(k.toLong).as("dist"),
+          col("sigma"))
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else { acc = acc.union(fresh); frontier = fresh }
+      k += 1
+    }
+    acc
+  }
+
+  /** One forward expansion: frontier (seed, node, σ) joins the edge
+    * frame on src (the bucketed artifact scan IS the partitioning —
+    * never re-shuffled; the frontier side moves), candidate σ sums
+    * map-side-combine on (seed, node). Exposed for PlanShapeSpec's
+    * round pin, exactly like [[bfsHop]]. */
+  private[graft] def msBfsRound(bi: DataFrame,
+      frontier: DataFrame): DataFrame =
+    bi.join(frontier, bi("src") === frontier("node"))
+      .select(frontier("seed").as("seed"), bi("dst").as("node"),
+        frontier("sigma").as("sigma"))
+      .groupBy(col("seed"), col("node"))
+      .agg(sum(col("sigma")).as("sigma"))
+
+  /** Memoized forward pass shared by g23/g24 (the sharedTriangleCore
+    * pattern, same eviction + lock discipline): both centralities
+    * consume the SAME (seed, node, dist, σ) surface, and a production
+    * deployment would compute the seed-BFS once and serve every
+    * centrality off it. acc is a union of per-round localCheckpoints
+    * already; one more checkpoint flattens it for the memo. */
+  private val centralityAccMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, Long), DataFrame]()
+
+  private[graft] def sharedCentralityAcc(s: SparkSession,
+      dir: String): DataFrame = {
+    val fp = Tables.fixtureFingerprint(dir, "lineitem.parquet")
+    val k = (s, dir, fp)
+    Option(centralityAccMemo.get(k)).getOrElse(sharedGraphLock.synchronized {
+      Option(centralityAccMemo.get(k)).getOrElse {
+        val bi = s.table(sharedCooccurIndex(s, dir) + "_edges")
+        val v = msBfsCounts(bi, seedNodes(bi, CentralitySeeds),
+          CentralityRounds).localCheckpoint(true)
+        centralityAccMemo.keySet.removeIf(e =>
+          (e._1 eq s) && e._2 == dir && e._3 != fp)
+        centralityAccMemo.put(k, v)
+        v
+      }
+    })
+  }
+
+  /** g23 — HARMONIC CENTRALITY profile over the part co-occurrence
+    * graph (Boldi & Vigna 2014, "Axioms for centrality" — the
+    * closeness variant that is sum-of-reciprocals, so disconnected
+    * nodes contribute 0 instead of breaking the mean): per node,
+    * h12 = Σ_seeds 12/d(seed, node) over the bounded-round distances,
+    * held EXACT by scaling with lcm(1..3)·2 = 12 — `12 div d` is an
+    * integer for every reachable d, so the float rule is structural.
+    * Output is the PROFILE (h12, n_nodes, node_sum), the g02 level-
+    * histogram idiom — a top-k listing is tie-dominated on a
+    * small-world graph where most nodes sit within distance 2 of
+    * every seed, while the profile summarizes all reached nodes in
+    * ≤ 15 rows at every SF. Serves [[sharedCentralityAcc]] — the
+    * rollup is the only per-call work, so g23 carries the bench
+    * amortized marker (the g03 componentSummary precedent). */
+  def g23HarmonicCentrality(s: SparkSession, dir: String): DataFrame = {
+    val acc = sharedCentralityAcc(s, dir)
+    acc.filter(col("dist") >= 1)
+      .groupBy(col("node"))
+      .agg(sum(expr("12 div dist")).as("h12"))
+      .groupBy(col("h12"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(col("node")).as("node_sum"))
+      .orderBy(col("h12"))
+  }
+
+  /** g24 — STRESS CENTRALITY (Shimbel 1953): the number of bounded-
+    * round shortest seed→target paths passing through each node as an
+    * INTERIOR vertex — betweenness's integer-exact sibling (betweenness
+    * divides each term by σ(s,t); stress keeps the raw count, which is
+    * what makes a bit-exact cross-engine gate possible — no rational
+    * arithmetic anywhere). Per seed, stress(v) = σ(v)·g(v), where the
+    * forward pass supplies σ ([[msBfsCounts]]) and the backward pass
+    * accumulates the CONTINUATION count g(v) = Σ_{u ∈ DAG-succ(v)}
+    * (g(u) + 1) level by level from the deepest round (Brandes'
+    * dependency recurrence with the σ-ratio replaced by path counting
+    * — every term stays BIGINT). The backward join reads the SAME
+    * src-bucketed artifact: a DAG successor u of v at level k+1
+    * reaches v through the REVERSED edge (u, v), which the
+    * both-directions table already holds src-keyed — zero edge-side
+    * Exchange in both passes. Output: top-100 nodes by (stress desc,
+    * node), stress > 0 — all-BIGINT, total order. The forward pass is
+    * [[sharedCentralityAcc]]; the backward pass is honest per-call
+    * compute (the g01/g02 artifact-served rule — NOT amortized). */
+  def g24StressCentrality(s: SparkSession, dir: String): DataFrame = {
+    val bi = s.table(sharedCooccurIndex(s, dir) + "_edges")
+    stressOn(bi, sharedCentralityAcc(s, dir), CentralityRounds)
+  }
+
+  /** The backward continuation-count pass + the σ·g rollup — exposed
+    * for the differential spec. `acc` is [[msBfsCounts]]'s output (a
+    * union of checkpointed flat relations, cheap to re-filter per
+    * level). Deepest-level nodes have g = 0 by the bounded-round
+    * contract (no successors inside the horizon). */
+  private[graft] def stressOn(bi: DataFrame, acc: DataFrame,
+      rounds: Int): DataFrame = {
+    val s = bi.sparkSession
+    def level(k: Int) = acc.filter(col("dist") === k.toLong)
+    var gPrev = level(rounds)
+      .select(col("seed"), col("node"), lit(0L).as("g"))
+    var gs = List.empty[DataFrame]
+    var k = rounds - 1
+    while (k >= 1) {
+      val cand = bi.join(gPrev, bi("src") === gPrev("node"))
+        .select(gPrev("seed").as("seed"), bi("dst").as("node"),
+          (gPrev("g") + lit(1L)).as("t"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum(col("t")).as("g"))
+      val gk = cand
+        .join(level(k).select(col("seed"), col("node")),
+          Seq("seed", "node"), "left_semi")
+        .localCheckpoint(true)
+      gs = gk :: gs
+      gPrev = level(k).select(col("seed"), col("node"))
+        .join(gk, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"),
+          coalesce(col("g"), lit(0L)).as("g"))
+        .localCheckpoint(true)
+      k -= 1
+    }
+    val gg = gs.reduceOption(_ unionAll _).getOrElse(
+      s.range(0).select(col("id").as("seed"), col("id").as("node"),
+        col("id").as("g")))
+    acc.filter(col("dist") >= 1)
+      .join(gg, Seq("seed", "node"), "left")
+      .select(col("node"),
+        (col("sigma") * coalesce(col("g"), lit(0L))).as("t"))
+      .groupBy(col("node")).agg(sum(col("t")).as("stress"))
+      .filter(col("stress") > 0)
+      .orderBy(col("stress").desc, col("node")).limit(100)
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -2437,7 +2629,39 @@ object Graph {
     "g20_incr_modularity" -> (g20IncrementalModularity _),
     "g21_incr_bfs" -> (g21IncrementalBfs _),
     "g22_incr_sssp" -> (g22IncrementalSssp _),
+    "g23_harmonic_centrality" -> (g23HarmonicCentrality _),
+    "g24_stress_centrality" -> (g24StressCentrality _),
   )
+
+  /** Shared CTE prefix for the g23/g24 oracles: the co-occurrence
+    * graph, the 8-seed set, and the level-synchronous forward unroll
+    * with path counts — [[msBfsCounts]] round for round (candidate
+    * σ-sums off the previous frontier, first-visit NOT EXISTS, union
+    * into the accumulator). MATERIALIZED on every multi-referenced
+    * CTE (the round-12 inlining lesson). */
+  private def CentralityFwdCtes: String = {
+    val fwd = (1 to CentralityRounds).map { k =>
+      s"""c$k AS (SELECT f.seed, bi.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${k - 1} f JOIN bi ON bi.src = f.node GROUP BY 1, 2),
+         |f$k AS MATERIALIZED (SELECT c.seed, c.node, CAST($k AS BIGINT) AS dist, c.sigma
+         |  FROM c$k c
+         |  WHERE NOT EXISTS (SELECT 1 FROM a${k - 1} a
+         |                    WHERE a.seed = c.seed AND a.node = c.node)),
+         |a$k AS MATERIALIZED (SELECT * FROM a${k - 1} UNION ALL SELECT * FROM f$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+       |        CAST(b.l_partkey AS BIGINT) AS v
+       |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+       |  WHERE a.l_partkey < b.l_partkey),
+       |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+       |  UNION ALL SELECT v, u FROM e),
+       |seeds AS (SELECT node FROM (SELECT u AS node FROM e UNION SELECT v FROM e) x
+       |  ORDER BY node LIMIT $CentralitySeeds),
+       |a0 AS (SELECT node AS seed, node, CAST(0 AS BIGINT) AS dist,
+       |         CAST(1 AS BIGINT) AS sigma FROM seeds),
+       |f0 AS (SELECT * FROM a0),
+       |$fwd""".stripMargin
+  }
 
   val oracleSql: Map[String, String] = Map(
     "g01_pagerank" -> {
@@ -2782,6 +3006,45 @@ object Graph {
     // oracle states the semantics, not the scale shape): on u<v
     // canonical edges each triangle {a<b<c} matches exactly one
     // (e1,e2,e3) assignment
+    // the forward unroll mirrors msBfsCounts round for round; the
+    // profile tail mirrors g23's double groupBy node-for-node
+    "g23_harmonic_centrality" ->
+      s"""$CentralityFwdCtes
+         |SELECT h12, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |  CAST(SUM(node) AS BIGINT) AS node_sum FROM (
+         |  SELECT node, CAST(SUM(12 // dist) AS BIGINT) AS h12
+         |  FROM a$CentralityRounds WHERE dist >= 1 GROUP BY node) x
+         |GROUP BY h12 ORDER BY h12""".stripMargin,
+    // backward continuation counts level by level (deepest g = 0),
+    // then the σ·g rollup — stressOn node-for-node
+    "g24_stress_centrality" -> {
+      val back = (CentralityRounds - 1 to 1 by -1).map { k =>
+        val upper =
+          if (k + 1 == CentralityRounds)
+            s"""l${k + 1} AS (SELECT seed, node, CAST(0 AS BIGINT) AS g
+               |  FROM f${k + 1})""".stripMargin
+          else
+            s"""l${k + 1} AS (SELECT f.seed, f.node, COALESCE(g${k + 1}.g, 0) AS g
+               |  FROM f${k + 1} f LEFT JOIN g${k + 1}
+               |    ON g${k + 1}.seed = f.seed AND g${k + 1}.node = f.node)""".stripMargin
+        s"""$upper,
+           |c${k}b AS (SELECT l.seed, bi.dst AS node, CAST(SUM(l.g + 1) AS BIGINT) AS g
+           |  FROM l${k + 1} l JOIN bi ON bi.src = l.node GROUP BY 1, 2),
+           |g$k AS MATERIALIZED (SELECT c.seed, c.node, c.g FROM c${k}b c
+           |  JOIN f$k f ON f.seed = c.seed AND f.node = c.node)""".stripMargin
+      }.mkString(",\n")
+      val ggUnion = (1 until CentralityRounds)
+        .map(k => s"SELECT * FROM g$k").mkString(" UNION ALL ")
+      s"""$CentralityFwdCtes,
+         |$back,
+         |gg AS ($ggUnion)
+         |SELECT a.node, CAST(SUM(a.sigma * COALESCE(gg.g, 0)) AS BIGINT) AS stress
+         |FROM a$CentralityRounds a
+         |LEFT JOIN gg ON gg.seed = a.seed AND gg.node = a.node
+         |WHERE a.dist >= 1 GROUP BY a.node
+         |HAVING SUM(a.sigma * COALESCE(gg.g, 0)) > 0
+         |ORDER BY stress DESC, a.node LIMIT 100""".stripMargin
+    },
     "g10_triangles" ->
       """WITH e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
         |                           CAST(b.l_partkey AS BIGINT) AS v

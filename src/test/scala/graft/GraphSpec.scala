@@ -891,4 +891,99 @@ class GraphSpec extends SparkSpec {
       }
     } finally spark.catalog.clearCache()
   }
+
+  /** Plain-Scala reference for the g23/g24 engine: level-synchronous
+    * multi-source BFS with path counts, then the backward continuation
+    * recurrence g(v) = Σ_{u ∈ DAG-succ(v)} (g(u) + 1) — the t28
+    * double-implementation pattern. Returns ((seed, node) → (dist,
+    * sigma), node → stress). */
+  private def refCentrality(bi: Seq[(Long, Long)], seeds: Seq[Long],
+      rounds: Int): (Map[(Long, Long), (Long, Long)], Map[Long, Long]) = {
+    val adj = bi.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var acc = seeds.map(s => (s, s) -> (0L, 1L)).toMap
+    var frontier = acc
+    for (k <- 1 to rounds if frontier.nonEmpty) {
+      val cand = frontier.toSeq
+        .flatMap { case ((sd, n), (_, sg)) =>
+          adj.getOrElse(n, Nil).map(m => (sd, m) -> sg) }
+        .groupBy(_._1).map { case (kk, vs) => kk -> vs.map(_._2).sum }
+        .filter { case (kk, _) => !acc.contains(kk) }
+      frontier = cand.map { case (kk, sg) => kk -> (k.toLong, sg) }
+      acc = acc ++ frontier
+    }
+    var g = Map.empty[(Long, Long), Long]
+    for (k <- (rounds - 1) to 1 by -1) {
+      val contrib = acc.toSeq
+        .collect { case ((sd, u), (d, _)) if d == k + 1 => (sd, u) }
+        .flatMap { case (sd, u) =>
+          val gu = g.getOrElse((sd, u), 0L)
+          adj.getOrElse(u, Nil).map(v => (sd, v) -> (gu + 1L)) }
+        .groupBy(_._1).map { case (kk, vs) => kk -> vs.map(_._2).sum }
+        .filter { case ((sd, v), _) => acc.get((sd, v)).exists(_._1 == k) }
+      g = g ++ contrib
+    }
+    val stress = acc.toSeq
+      .collect { case ((sd, n), (d, sg)) if d >= 1 =>
+        n -> sg * g.getOrElse((sd, n), 0L) }
+      .groupBy(_._1).map { case (n, vs) => n -> vs.map(_._2).sum }
+      .filter(_._2 > 0)
+    (acc, stress)
+  }
+
+  test("g23/g24 engine: msBfsCounts sigma and stressOn match the reference (diamond, deep tail, disconnected)") {
+    // diamond 1-2-4 / 1-3-4 (sigma(4) = 2 from seed 1), tail 4-5-6 (6
+    // beyond the 3-round horizon from seed 1), pair 10-11 unreachable
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L),
+      (5L, 6L), (10L, 11L))
+    val biSeq = und ++ und.map { case (a, b) => (b, a) }
+    val bi = biSeq.toDF("src", "dst")
+    val seeds = Seq(1L, 2L)
+    val (refAcc, refStress) = refCentrality(biSeq, seeds, 3)
+    try {
+      val acc = Graph.msBfsCounts(bi, seeds, 3)
+      val gotAcc = acc.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(gotAcc == refAcc)
+      // hand-pinned diamond sigma and horizon cut
+      assert(gotAcc((1L, 4L)) == (2L, 2L), "two shortest 1->4 paths")
+      assert(!gotAcc.contains((1L, 6L)), "node 6 is beyond seed 1's horizon")
+      assert(!gotAcc.contains((1L, 10L)), "disconnected pair leaked in")
+      val gotStress = Graph.stressOn(bi, acc, 3).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotStress == refStress)
+      // hand-computed: seed 1 routes 2 paths through 4 to 5 (g = 1,
+      // sigma = 2); seed 2 routes 3 continuations through 4 (1->3 via
+      // inner, 5 and 5->6 via tail) — total stress(4) = 2 + 3 = 5
+      assert(gotStress(4L) == 5L)
+      // harmonic profile arithmetic (the g23 rollup) on the same acc:
+      // h12 per node over seeds {1, 2} at dists {1,2,3} -> 12/6/4
+      val prof = acc.filter(col("dist") >= 1)
+        .groupBy(col("node"))
+        .agg(sum(expr("12 div dist")).as("h12"))
+        .groupBy(col("h12"))
+        .agg(count(lit(1)).cast("long").as("n_nodes"),
+          sum(col("node")).as("node_sum"))
+        .orderBy(col("h12"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(prof.toSeq == Seq((4L, 1L, 6L), (10L, 1L, 5L),
+        (12L, 2L, 3L), (18L, 2L, 7L)))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g23/g24 fixture: profile partitions the reached set; stress is a positive total order") {
+    try {
+      val prof = Graph.g23HarmonicCentrality(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(prof.nonEmpty)
+      assert(prof.map(_._1).toSeq == prof.map(_._1).sorted.toSeq)
+      assert(prof.map(_._1).distinct.length == prof.length)
+      assert(prof.forall(_._2 > 0), "empty profile bucket emitted")
+      val st = Graph.g24StressCentrality(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(st.length == 100)
+      assert(st.forall(_._2 > 0))
+      assert(st.toSeq == st.toSeq.sortBy { case (n, v) => (-v, n) })
+    } finally spark.catalog.clearCache()
+  }
 }

@@ -632,6 +632,49 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g23/g24: the centrality expansion reads the bucketed co-occurrence edges with zero edge-side Exchange") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // one forward round exactly as msBfsCounts runs it (the loop
+      // checkpoints each round, so the final df's plan can't show
+      // them) — over the persisted co-occurrence table
+      val name = graft.operators.Graph.sharedCooccurIndex(spark, sf)
+      val bi = spark.table(name + "_edges")
+      val frontier = Seq((0L, 0L, 1L)).toDF("seed", "node", "sigma")
+      val p = graft.operators.Graph.msBfsRound(bi, frontier)
+        .queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      val scans = p.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "dst") => f
+      }
+      assert(scans.nonEmpty, "no edge-table scan in the plan:\n" + p)
+      scans.foreach(f => assert(f.bucketedScan,
+        s"edge scan not bucket-aware (the bucketed layout IS the repartition):\n$f"))
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case f: FileSourceScanExec => f.output.exists(_.name == "dst")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      p.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"co-occurrence edge rows cross an Exchange:\n$e"))
+      // the σ-sum must map-side-combine (partial HashAggregate below
+      // the (seed, node) exchange) — a SortAggregate would sort the
+      // whole candidate stream per round
+      assert(!str.contains("SortAggregate"),
+        "σ aggregation fell back to SortAggregate:\n" + str)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("g10: edge-iterator triangles — no wedge materialization, every data join an equi-join") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "false")
