@@ -86,7 +86,8 @@ object Plans {
     "g21_incr_bfs" -> "incremental BFS levels (the g19 locality engine at unit weights): per-round min-relax recomputed only inside the growing delta ball, frozen packed per-round distances restricted in one scan, final profile = one node-sized patch pass + the 5-row level agg — the fixture's bipartite diameter-2 saturation means the gate proves no-corruption (improvement pinned by the crafted spec; the honest regime analysis lives in isp100)",
     "g22_incr_sssp" -> "incremental bounded-round SSSP: the same ball-patched min-relax over the weighted purchase index with a CHEAP (w=2) delta so fixture improvements are real; top-100 off the patched node-sized table — reach-coupled ball documented (rooted bounded-round distances win only where the affected cone is smaller than the reach; isp100 measures the negative regime deliberately)",
     "g23_harmonic_centrality" -> "harmonic centrality profile: the memoized 8-seed level-synchronous forward pass (frontier joins the bucketed co-occurrence scan on src — zero edge-side Exchange, pinned; σ sums map-side-combine on (seed, node)), h12 = Σ 12 div d held integer-exact, profile rollup = two node-sized HashAggregates",
-    "g24_stress_centrality" -> "stress centrality (integer-exact betweenness sibling): σ off the shared forward pass, backward continuation counts g(v) = Σ (g(u)+1) level by level through REVERSED edges of the same src-bucketed table (zero edge-side Exchange in both passes), σ·g rollup to a top-100 total order — no rational arithmetic anywhere")
+    "g24_stress_centrality" -> "stress centrality (integer-exact betweenness sibling): σ off the shared forward pass, backward continuation counts g(v) = Σ (g(u)+1) level by level through REVERSED edges of the same src-bucketed table (zero edge-side Exchange in both passes), σ·g rollup to a top-100 total order — no rational arithmetic anywhere",
+    "g25_katz_centrality" -> "Katz centrality, truncated-series integer-exact: 4 node-sized walk-count rounds x_k = A·x_{k-1} over the bucketed co-occurrence scan (zero edge-side Exchange — the katzRound pin), katz_e = Σ 8^(4−k)·x_k as one union+HashAggregate — walks not paths, so no frontier/visited machinery at all")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

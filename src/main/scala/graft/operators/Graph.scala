@@ -2316,6 +2316,53 @@ object Graph {
       .orderBy(col("stress").desc, col("node")).limit(100)
   }
 
+  /** Attenuation for g25 as an exact rational: α = 1/KatzAlphaInv per
+    * hop, so Σ α^k·walks_k scaled by KatzAlphaInv^KatzRounds is the
+    * all-integer katz_e = Σ KatzAlphaInv^(R−k)·walks_k. 1/8 sits below
+    * 1/λ_max on every test graph's scale (λ_max ≤ max degree ~120 means
+    * the TRUNCATED series is what's well-defined — the bounded-round
+    * contract, same as every iterative op here). */
+  private val KatzAlphaInv = 8L
+  private val KatzRounds = 4
+
+  /** One walk-count step: x_k(v) = Σ_{(u,v)∈E} x_{k−1}(u) — the
+    * msBfsRound join shape without the seed dimension (node-sized x
+    * moves, the bucketed edge scan never re-shuffles). Exposed for
+    * PlanShapeSpec's pin. */
+  private[graft] def katzRound(bi: DataFrame, x: DataFrame): DataFrame =
+    bi.join(x, bi("src") === x("node"))
+      .select(bi("dst").as("node"), x("x").as("x"))
+      .groupBy(col("node")).agg(sum(col("x")).as("x"))
+
+  /** g25 — KATZ CENTRALITY (Katz 1953), bounded-round and
+    * integer-exact: katz_e(v) = Σ_{k=1..4} 8^(4−k) · walks_k(v), the
+    * truncated Σ α^k·(number of length-k walks ending at v) series at
+    * α = 1/8 scaled by 8⁴ — WALK counts (A^k · 1), not path counts, so
+    * each round is one node-sized join+sum over the bucketed
+    * co-occurrence artifact with no frontier machinery and no visited
+    * set. Where g01's PageRank normalizes by out-degree (a stochastic
+    * walk), Katz counts raw walks with geometric attenuation — the
+    * other classic spectral centrality, and the bounded truncation is
+    * what makes it exactly mirrorable (the full series needs
+    * α < 1/λ_max and a fixpoint; every engine here runs bounded
+    * rounds). Output: top-100 by (katz_e desc, node) — all-BIGINT,
+    * total order. Honest per-call compute (4 node-sized rounds). */
+  def g25KatzCentrality(s: SparkSession, dir: String): DataFrame = {
+    val bi = s.table(sharedCooccurIndex(s, dir) + "_edges")
+    var x = bi.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L).as("x"))
+      .localCheckpoint(true)
+    var weighted = List.empty[DataFrame]
+    for (k <- 1 to KatzRounds) {
+      x = katzRound(bi, x).localCheckpoint(true)
+      val w = math.pow(KatzAlphaInv.toDouble, (KatzRounds - k).toDouble).toLong
+      weighted = x.select(col("node"), (col("x") * lit(w)).as("t")) :: weighted
+    }
+    weighted.reduce(_ unionAll _)
+      .groupBy(col("node")).agg(sum(col("t")).as("katz_e"))
+      .orderBy(col("katz_e").desc, col("node")).limit(100)
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -2631,6 +2678,7 @@ object Graph {
     "g22_incr_sssp" -> (g22IncrementalSssp _),
     "g23_harmonic_centrality" -> (g23HarmonicCentrality _),
     "g24_stress_centrality" -> (g24StressCentrality _),
+    "g25_katz_centrality" -> (g25KatzCentrality _),
   )
 
   /** Shared CTE prefix for the g23/g24 oracles: the co-occurrence
@@ -3044,6 +3092,28 @@ object Graph {
          |WHERE a.dist >= 1 GROUP BY a.node
          |HAVING SUM(a.sigma * COALESCE(gg.g, 0)) > 0
          |ORDER BY stress DESC, a.node LIMIT 100""".stripMargin
+    },
+    // one x_k CTE per walk round (the Spark loop body node-for-node),
+    // geometric weights as literals
+    "g25_katz_centrality" -> {
+      val rounds = (1 to KatzRounds).map { k =>
+        s"""x$k AS (SELECT bi.dst AS node, CAST(SUM(x.x) AS BIGINT) AS x
+           |  FROM bi JOIN x${k - 1} x ON bi.src = x.node GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      val terms = (1 to KatzRounds).map { k =>
+        val w = math.pow(KatzAlphaInv.toDouble, (KatzRounds - k).toDouble).toLong
+        s"SELECT node, x * $w AS t FROM x$k"
+      }.mkString(" UNION ALL ")
+      s"""WITH e AS MATERIALIZED (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+         |        CAST(b.l_partkey AS BIGINT) AS v
+         |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |  WHERE a.l_partkey < b.l_partkey),
+         |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         |x0 AS (SELECT DISTINCT src AS node, CAST(1 AS BIGINT) AS x FROM bi),
+         |$rounds
+         |SELECT node, CAST(SUM(t) AS BIGINT) AS katz_e FROM ($terms) z
+         |GROUP BY node ORDER BY katz_e DESC, node LIMIT 100""".stripMargin
     },
     "g10_triangles" ->
       """WITH e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,

@@ -971,6 +971,38 @@ class GraphSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("g25 engine: bounded-round Katz matches plain-Scala walk counts with geometric weights") {
+    // walks, not paths: revisits COUNT (contrast msBfsCounts' first-visit)
+    val biSeq = (undirected ++ undirected.map { case (a, b) => (b, a) })
+    val adj = biSeq.groupBy(_._1).map { case (n, es) => n -> es.map(_._2) }
+    var x: Map[Long, Long] = adj.keys.map(_ -> 1L).toMap
+    var expect = Map.empty[Long, Long].withDefaultValue(0L)
+    for (k <- 1 to 4) {
+      x = x.toSeq.flatMap { case (u, c) => adj(u).map(_ -> c) }
+        .groupBy(_._1).map { case (v, vs) => v -> vs.map(_._2).sum }
+      val w = math.pow(8.0, (4 - k).toDouble).toLong
+      x.foreach { case (v, c) => expect = expect.updated(v, expect(v) + w * c) }
+    }
+    try {
+      // route through the registered query's arithmetic but over the
+      // small graph: replicate g25's loop on a local frame
+      var xf = biSeq.toDF("src", "dst").select(col("src").as("node")).distinct()
+        .select(col("node"), lit(1L).as("x")).localCheckpoint(true)
+      var terms = List.empty[org.apache.spark.sql.DataFrame]
+      for (k <- 1 to 4) {
+        xf = Graph.katzRound(biSeq.toDF("src", "dst"), xf).localCheckpoint(true)
+        val w = math.pow(8.0, (4 - k).toDouble).toLong
+        terms = xf.select(col("node"), (col("x") * lit(w)).as("t")) :: terms
+      }
+      val got = terms.reduce(_ unionAll _)
+        .groupBy(col("node")).agg(sum(col("t")).as("katz_e"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect.toMap, s"got $got expected $expect")
+      // hand-pin the hub: node 3 (degree 4) dominates walk counts
+      assert(got.maxBy(v => (v._2, -v._1))._1 == 3L)
+    } finally spark.catalog.clearCache()
+  }
+
   test("g23/g24 fixture: profile partitions the reached set; stress is a positive total order") {
     try {
       val prof = Graph.g23HarmonicCentrality(spark, sf).collect()

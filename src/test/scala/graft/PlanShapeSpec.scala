@@ -669,6 +669,22 @@ class PlanShapeSpec extends SparkSpec {
       // whole candidate stream per round
       assert(!str.contains("SortAggregate"),
         "σ aggregation fell back to SortAggregate:\n" + str)
+      // g25's walk-count round is the same join shape without the seed
+      // dimension — same pins
+      val xf = Seq((0L, 1L)).toDF("node", "x")
+      val pk = graft.operators.Graph.katzRound(bi, xf)
+        .queryExecution.executedPlan
+      val kScans = pk.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "dst") => f
+      }
+      assert(kScans.nonEmpty, "no edge-table scan in the katz plan:\n" + pk)
+      kScans.foreach(f => assert(f.bucketedScan,
+        s"katz edge scan not bucket-aware:\n$f"))
+      pk.collect { case e: ShuffleExchangeExec => e }.foreach(e =>
+        assert(!e.children.exists(edgeScanBelow),
+          s"katz round re-shuffles the edge set:\n$e"))
+      assert(!pk.toString.contains("SortAggregate"),
+        "katz walk sum fell back to SortAggregate:\n" + pk)
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", "true")
       spark.catalog.clearCache()
