@@ -87,7 +87,9 @@ object Plans {
     "g22_incr_sssp" -> "incremental bounded-round SSSP: the same ball-patched min-relax over the weighted purchase index with a CHEAP (w=2) delta so fixture improvements are real; top-100 off the patched node-sized table — reach-coupled ball documented (rooted bounded-round distances win only where the affected cone is smaller than the reach; isp100 measures the negative regime deliberately)",
     "g23_harmonic_centrality" -> "harmonic centrality profile: the memoized 8-seed level-synchronous forward pass (frontier joins the bucketed co-occurrence scan on src — zero edge-side Exchange, pinned; σ sums map-side-combine on (seed, node)), h12 = Σ 12 div d held integer-exact, profile rollup = two node-sized HashAggregates",
     "g24_stress_centrality" -> "stress centrality (integer-exact betweenness sibling): σ off the shared forward pass, backward continuation counts g(v) = Σ (g(u)+1) level by level through REVERSED edges of the same src-bucketed table (zero edge-side Exchange in both passes), σ·g rollup to a top-100 total order — no rational arithmetic anywhere",
-    "g25_katz_centrality" -> "Katz centrality, truncated-series integer-exact: 4 node-sized walk-count rounds x_k = A·x_{k-1} over the bucketed co-occurrence scan (zero edge-side Exchange — the katzRound pin), katz_e = Σ 8^(4−k)·x_k as one union+HashAggregate — walks not paths, so no frontier/visited machinery at all")
+    "g25_katz_centrality" -> "Katz centrality, truncated-series integer-exact: 4 node-sized walk-count rounds x_k = A·x_{k-1} over the bucketed co-occurrence scan (zero edge-side Exchange — the katzRound pin), katz_e = Σ 8^(4−k)·x_k as one union+HashAggregate — walks not paths, so no frontier/visited machinery at all",
+    "g26_hits" -> "HITS hubs/authorities, bounded-round raw-integer counts (normalization only rescales within a round — top-k identical, arithmetic BIGINT-mirrorable): both alternations are katzRound joins over the persisted purchase table's even-src and odd-src halves (filter preserves the bucketed HashPartitioning — the g06 precedent, twice), top-50 each side",
+    "g27_assortativity" -> "degree assortativity (Newman r) as ONE exact 128-bit rational: integer sums over directed edges in DECIMAL(38,0), e9-scaled through the g15 offset-nonneg div; degrees Exchange-free off the bucketed scan, one edge-sized dst re-key — the documented price of pairing both endpoint degrees")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

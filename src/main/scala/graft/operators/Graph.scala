@@ -2363,6 +2363,84 @@ object Graph {
       .orderBy(col("katz_e").desc, col("node")).limit(100)
   }
 
+  /** Bounded rounds for g26 — two full hub↔authority alternations keep
+    * every raw count inside BIGINT on the purchase digraph (score ≤
+    * outdeg·indeg² ≈ 10⁷ at sf0.1) while already separating hubs by
+    * their neighbours' neighbourhoods, not just degree. */
+  private val HitsRounds = 2
+
+  /** g26 — HITS hubs & authorities (Kleinberg 1999), bounded-round and
+    * integer-exact: the truncated mutual-reinforcement recurrence
+    * auth_k = Aᵀ·hub_{k−1}, hub_k = A·auth_k over the customer →
+    * supplier purchase digraph, with RAW integer counts instead of the
+    * usual L2 normalization — normalization only rescales within a
+    * round, so bounded-round top-k ranking is identical and the
+    * arithmetic stays BIGINT-mirrorable (the g25 truncation argument).
+    * On this bipartite digraph hubs are customers and authorities
+    * suppliers — the two sides genuinely rank by DIFFERENT structure
+    * (a hub buys from well-bought suppliers; an authority is bought by
+    * broad buyers), which is exactly what degree or Katz cannot
+    * separate. Both directions of every pair sit src-bucketed in the
+    * persisted purchase table, so BOTH alternations are [[katzRound]]
+    * joins with zero edge-side Exchange: Aᵀ·hub reads the even-src
+    * (customer → supplier) half, A·auth reads the odd-src half — the
+    * g06 filter-preserves-partitioning precedent, twice. Output:
+    * top-50 hubs ∪ top-50 authorities, (kind, node, score) — all
+    * integer/string, total order. Honest per-call compute. */
+  def g26HitsCentrality(s: SparkSession, dir: String): DataFrame = {
+    val t = s.table(sharedEdgeIndex(s, dir) + "_edges")
+    val fwd = t.filter(col("src") % 2 === 0)
+    val rev = t.filter(col("src") % 2 === 1)
+    var hub = fwd.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(1L).as("x")).localCheckpoint(true)
+    var auth = hub.limit(0)
+    for (_ <- 1 to HitsRounds) {
+      auth = katzRound(fwd, hub).localCheckpoint(true)
+      hub = katzRound(rev, auth).localCheckpoint(true)
+    }
+    def top(df: DataFrame, kind: String) = df
+      .orderBy(col("x").desc, col("node")).limit(50)
+      .select(lit(kind).as("kind"), col("node"), col("x").as("score"))
+    top(hub, "hub").unionAll(top(auth, "auth"))
+      .orderBy(col("kind"), col("score").desc, col("node"))
+  }
+
+  /** g27 — DEGREE ASSORTATIVITY (Newman 2002, "Assortative mixing in
+    * networks"): the Pearson correlation of endpoint degrees over
+    * every directed edge of the co-occurrence graph, r = (M·Σjk −
+    * (Σj)²) / (M·Σj² − (Σj)²) — the sums run over both directions so
+    * the j/k marginals coincide and the undirected formula collapses
+    * to one pass. Every sum is an integer; the products overflow
+    * BIGINT at sf0.1 (M·Σjk ≈ 10¹⁹), so the tail runs in
+    * DECIMAL(38,0) with the scaled division through the g15
+    * offset-nonneg trick (|r| ≤ 1 ⇒ num + den ≥ 0, making Spark's
+    * truncating div ≡ DuckDB's flooring HUGEINT //). Degrees come off
+    * the bucketed scan Exchange-free; the dk side re-keys edge rows on
+    * dst — ONE edge-sized shuffle for a 1-row statistic, the
+    * documented price (a per-edge pairing of both endpoint degrees
+    * cannot ride a single partitioning). NULL when the graph is empty
+    * or degree-regular (zero variance). */
+  def g27Assortativity(s: SparkSession, dir: String): DataFrame = {
+    val bi = s.table(sharedCooccurIndex(s, dir) + "_edges")
+    val deg = bi.groupBy(col("src")).agg(count(lit(1)).as("d")).cache()
+    bi.join(deg.select(col("src"), col("d").as("dj")), Seq("src"))
+      .join(deg.select(col("src").as("dst"), col("d").as("dk")), Seq("dst"))
+      .agg(count(lit(1)).as("m0"),
+        sum(col("dj").cast("decimal(38,0)") * col("dk")).as("sjk"),
+        sum(col("dj").cast("decimal(38,0)")).as("sj"),
+        sum(col("dj").cast("decimal(38,0)") * col("dj")).as("sj2"))
+      .select(col("m0").cast("long").as("m_directed"),
+        expr("""CASE WHEN m0 > 0
+                  AND CAST(m0 AS DECIMAL(38,0)) * sj2 - sj * sj > 0
+                THEN CAST(
+                  ((CAST(m0 AS DECIMAL(38,0)) * sjk - sj * sj)
+                   + (CAST(m0 AS DECIMAL(38,0)) * sj2 - sj * sj))
+                  * 1000000000
+                  div (CAST(m0 AS DECIMAL(38,0)) * sj2 - sj * sj)
+                  - 1000000000 AS BIGINT)
+                ELSE NULL END""").as("r_e9"))
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -2679,6 +2757,8 @@ object Graph {
     "g23_harmonic_centrality" -> (g23HarmonicCentrality _),
     "g24_stress_centrality" -> (g24StressCentrality _),
     "g25_katz_centrality" -> (g25KatzCentrality _),
+    "g26_hits" -> (g26HitsCentrality _),
+    "g27_assortativity" -> (g27Assortativity _),
   )
 
   /** Shared CTE prefix for the g23/g24 oracles: the co-occurrence
@@ -3115,6 +3195,53 @@ object Graph {
          |SELECT node, CAST(SUM(t) AS BIGINT) AS katz_e FROM ($terms) z
          |GROUP BY node ORDER BY katz_e DESC, node LIMIT 100""".stripMargin
     },
+    // two unrolled hub/auth alternations over the distinct purchase
+    // pairs — the Spark loop node-for-node (a_k sums over in-edges,
+    // h_k over out-edges); top-50 each side, kind literal
+    "g26_hits" -> {
+      val rounds = (1 to HitsRounds).map { k =>
+        s"""a$k AS (SELECT e.b AS node, CAST(SUM(h.x) AS BIGINT) AS x
+           |  FROM e JOIN h${k - 1} h ON e.a = h.node GROUP BY 1),
+           |h$k AS (SELECT e.a AS node, CAST(SUM(a.x) AS BIGINT) AS x
+           |  FROM e JOIN a$k a ON e.b = a.node GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(o_custkey AS BIGINT)*2 AS a,
+         |                  CAST(l_suppkey AS BIGINT)*2+1 AS b
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT DISTINCT a AS node, CAST(1 AS BIGINT) AS x FROM e),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT 'hub' AS kind, node, x AS score FROM h$HitsRounds
+         |  ORDER BY x DESC, node LIMIT 50) h
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'auth' AS kind, node, x AS score FROM a$HitsRounds
+         |  ORDER BY x DESC, node LIMIT 50) a
+         |ORDER BY kind, score DESC, node""".stripMargin
+    },
+    // degree-Pearson over directed co-occurrence edges; HUGEINT
+    // products mirror Spark's DECIMAL(38,0), // mirrors div through
+    // the offset-nonneg form (g15 precedent)
+    "g27_assortativity" ->
+      """WITH e AS MATERIALIZED (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
+        |        CAST(b.l_partkey AS BIGINT) AS v
+        |  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+        |  WHERE a.l_partkey < b.l_partkey),
+        |bi AS MATERIALIZED (SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |deg AS MATERIALIZED (SELECT src AS node, CAST(COUNT(*) AS HUGEINT) AS d
+        |  FROM bi GROUP BY 1),
+        |sums AS (SELECT CAST(COUNT(*) AS HUGEINT) AS m0,
+        |    SUM(dj.d * dk.d) AS sjk, SUM(dj.d) AS sj, SUM(dj.d * dj.d) AS sj2
+        |  FROM bi JOIN deg dj ON dj.node = bi.src
+        |          JOIN deg dk ON dk.node = bi.dst)
+        |SELECT CAST(m0 AS BIGINT) AS m_directed,
+        |  CASE WHEN m0 > 0 AND m0 * sj2 - sj * sj > 0
+        |  THEN CAST(((m0 * sjk - sj * sj) + (m0 * sj2 - sj * sj)) * 1000000000
+        |         // (m0 * sj2 - sj * sj) - 1000000000 AS BIGINT)
+        |  ELSE NULL END AS r_e9
+        |FROM sums""".stripMargin,
     "g10_triangles" ->
       """WITH e AS (SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS u,
         |                           CAST(b.l_partkey AS BIGINT) AS v

@@ -1003,6 +1003,113 @@ class GraphSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("g26 engine: bounded-round HITS matches plain-Scala mutual reinforcement on a crafted digraph") {
+    // customers 0,2,4 -> suppliers 1,3,5: 0 and 2 share degree 2, but
+    // 0 buys from the two well-bought suppliers (1,3) while 2's basket
+    // includes the single-buyer supplier 5 — HITS must rank
+    // hub(0) > hub(2) > hub(4), which raw degree cannot
+    val fwd = Seq((0L, 1L), (0L, 3L), (2L, 3L), (2L, 5L), (4L, 1L))
+    var hub: Map[Long, Long] = fwd.map(_._1).distinct.map(_ -> 1L).toMap
+    var auth = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      auth = fwd.groupBy(_._2).map { case (s, es) =>
+        s -> es.map(e => hub(e._1)).sum }
+      hub = fwd.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(e => auth(e._2)).sum }
+    }
+    try {
+      val bi = (fwd ++ fwd.map { case (a, b) => (b, a) }).toDF("src", "dst")
+      val fwdDf = bi.filter($"src" % 2 === 0)
+      val revDf = bi.filter($"src" % 2 === 1)
+      var h = fwdDf.select($"src".as("node")).distinct()
+        .select($"node", lit(1L).as("x")).localCheckpoint(true)
+      var a = h.limit(0)
+      for (_ <- 1 to 2) {
+        a = Graph.katzRound(fwdDf, h).localCheckpoint(true)
+        h = Graph.katzRound(revDf, a).localCheckpoint(true)
+      }
+      val gotH = h.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val gotA = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotH == hub, s"hubs: got $gotH expected $hub")
+      assert(gotA == auth, s"auths: got $gotA expected $auth")
+      assert(gotH(0L) > gotH(2L) && gotH(2L) > gotH(4L),
+        "mutual reinforcement failed to separate equal-degree hubs")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g27 engine: assortativity matches an exact BigInt Pearson on crafted graphs") {
+    // star (hubs connect to leaves only -> strongly disassortative) and
+    // a near-regular graph; reference in exact BigInt, e9-scaled with
+    // the same floor-div-by-offset arithmetic
+    def ref(und: Seq[(Long, Long)]): (Long, Option[Long]) = {
+      val bi = und ++ und.map { case (a, b) => (b, a) }
+      val deg = bi.groupBy(_._1).map { case (n, es) => n -> BigInt(es.size) }
+      val m = BigInt(bi.size)
+      val sjk = bi.map { case (u, v) => deg(u) * deg(v) }.sum
+      val sj = bi.map { case (u, _) => deg(u) }.sum
+      val sj2 = bi.map { case (u, _) => deg(u) * deg(u) }.sum
+      val num = m * sjk - sj * sj
+      val den = m * sj2 - sj * sj
+      val r = if (m > 0 && den > 0)
+        Some((((num + den) * BigInt(1000000000)) / den - BigInt(1000000000)).toLong)
+      else None
+      (m.toLong, r)
+    }
+    def run(und: Seq[(Long, Long)]): (Long, Option[Long]) = {
+      val bi = (und ++ und.map { case (a, b) => (b, a) }).toDF("src", "dst")
+      val deg = bi.groupBy($"src").agg(count(lit(1)).as("d")).cache()
+      val row = bi
+        .join(deg.select($"src", $"d".as("dj")), Seq("src"))
+        .join(deg.select($"src".as("dst"), $"d".as("dk")), Seq("dst"))
+        .agg(count(lit(1)).as("m0"),
+          sum($"dj".cast("decimal(38,0)") * $"dk").as("sjk"),
+          sum($"dj".cast("decimal(38,0)")).as("sj"),
+          sum($"dj".cast("decimal(38,0)") * $"dj").as("sj2"))
+        .select($"m0".cast("long"),
+          expr("""CASE WHEN m0 > 0
+                    AND CAST(m0 AS DECIMAL(38,0)) * sj2 - sj * sj > 0
+                  THEN CAST(
+                    ((CAST(m0 AS DECIMAL(38,0)) * sjk - sj * sj)
+                     + (CAST(m0 AS DECIMAL(38,0)) * sj2 - sj * sj))
+                    * 1000000000
+                    div (CAST(m0 AS DECIMAL(38,0)) * sj2 - sj * sj)
+                    - 1000000000 AS BIGINT)
+                  ELSE NULL END"""))
+        .collect().head
+      (row.getLong(0), if (row.isNullAt(1)) None else Some(row.getLong(1)))
+    }
+    val star = (1L to 6L).map(i => (0L, i))
+    val mixed = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val triangle = Seq((1L, 2L), (2L, 3L), (1L, 3L)) // regular -> zero variance
+    try {
+      for (g <- Seq(star, mixed, triangle)) {
+        val e = ref(g); val got = run(g)
+        assert(got == e, s"graph $g: got $got expected $e")
+      }
+      assert(ref(star)._2.get == -1000000000L,
+        "star must be exactly maximally disassortative (r = -1)")
+      assert(ref(triangle)._2.isEmpty, "regular graph must yield NULL")
+    } finally spark.catalog.clearCache()
+  }
+
+  test("g26/g27 fixture: hubs separate beyond degree ties at sf > 0.001; r_e9 within [-1e9, 1e9]") {
+    try {
+      val rows = Graph.g26HitsCentrality(spark, sf).collect()
+      val kinds = rows.map(_.getString(0)).distinct.sorted
+      assert(kinds.sameElements(Array("auth", "hub")))
+      val within = rows.groupBy(_.getString(0)).forall { case (_, rs) =>
+        val s = rs.map(r => (-r.getLong(2), r.getLong(1)))
+        s.sameElements(s.sorted)
+      }
+      assert(within, "per-kind (score desc, node) order broken")
+      val a = Graph.g27Assortativity(spark, sf).collect()
+      assert(a.length == 1 && a.head.getLong(0) > 0)
+      assert(!a.head.isNullAt(1) &&
+        math.abs(a.head.getLong(1)) <= 1000000000L,
+        "fixture assortativity outside [-1, 1] or NULL")
+    } finally spark.catalog.clearCache()
+  }
+
   test("g23/g24 fixture: profile partitions the reached set; stress is a positive total order") {
     try {
       val prof = Graph.g23HarmonicCentrality(spark, sf).collect()
