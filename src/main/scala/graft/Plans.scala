@@ -89,7 +89,8 @@ object Plans {
     "g24_stress_centrality" -> "stress centrality (integer-exact betweenness sibling): σ off the shared forward pass, backward continuation counts g(v) = Σ (g(u)+1) level by level through REVERSED edges of the same src-bucketed table (zero edge-side Exchange in both passes), σ·g rollup to a top-100 total order — no rational arithmetic anywhere",
     "g25_katz_centrality" -> "Katz centrality, truncated-series integer-exact: 4 node-sized walk-count rounds x_k = A·x_{k-1} over the bucketed co-occurrence scan (zero edge-side Exchange — the katzRound pin), katz_e = Σ 8^(4−k)·x_k as one union+HashAggregate — walks not paths, so no frontier/visited machinery at all",
     "g26_hits" -> "HITS hubs/authorities, bounded-round raw-integer counts (normalization only rescales within a round — top-k identical, arithmetic BIGINT-mirrorable): both alternations are katzRound joins over the persisted purchase table's even-src and odd-src halves (filter preserves the bucketed HashPartitioning — the g06 precedent, twice), top-50 each side",
-    "g27_assortativity" -> "degree assortativity (Newman r) as ONE exact 128-bit rational: integer sums over directed edges in DECIMAL(38,0), e9-scaled through the g15 offset-nonneg div; degrees Exchange-free off the bucketed scan, one edge-sized dst re-key — the documented price of pairing both endpoint degrees")
+    "g27_assortativity" -> "degree assortativity (Newman r) as ONE exact 128-bit rational: integer sums over directed edges in DECIMAL(38,0), e9-scaled through the g15 offset-nonneg div; degrees Exchange-free off the bucketed scan, one edge-sized dst re-key — the documented price of pairing both endpoint degrees",
+    "q101_change_point" -> "CUSUM change-point (mean-shift MLE) per event type: D_k = n·cum − k·tot all-BIGINT (the mean never materialized), cum/k/tot/n riding ONE same-spec WindowExec, per-type argmax via the TopKPerKey bounded heap — never a second rank window or a single reducer")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()

@@ -765,6 +765,47 @@ object Relational {
       .orderBy("s_nationkey")
   }
 
+  /** q101 — CUSUM CHANGE-POINT detection per event type (Page 1954 /
+    * the single-mean-shift MLE): over each type's daily cent-total
+    * series x_1..x_n, the shift statistic D_k = n·Σ_{i≤k}x_i − k·Σx —
+    * the cumulative deviation from the global mean held EXACT by
+    * n-scaling instead of dividing (n·(cum − k·mean) with the mean
+    * never materialized), so the whole test is BIGINT and the argmax
+    * k* = argmax|D_k| is the classic most-likely change point with
+    * shift_sign = +1 for an upward level shift (D < 0: the prefix ran
+    * BELOW the eventual mean). The k < n filter drops the vacuous
+    * "shift after the last day" row. Scale: one shuffle on the real
+    * group key; cum/k/tot/n are FOUR frames over ONE (partitionBy,
+    * orderBy) spec — a single WindowExec (the round-6 same-spec rule;
+    * whole-partition totals ride unbounded frames of the SAME ordered
+    * spec, never a second orderBy-less window) — and the per-type
+    * argmax is relations.topKPerKey's bounded heap, not a second
+    * window. Output (event_type, day DATE, d_abs, shift_sign), total
+    * order. */
+  def q101ChangePoint(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).as("v"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val whole = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val c = d
+      .select(col("event_type"), col("day"),
+        sum(col("v")).over(run).as("cum"),
+        row_number().over(w).cast("long").as("k"),
+        sum(col("v")).over(whole).as("tot"),
+        count(lit(1)).over(whole).cast("long").as("n"))
+      .filter(col("k") < col("n"))
+      .select(col("event_type"), col("day"),
+        (col("n") * col("cum") - col("k") * col("tot")).as("dk"))
+      .select(col("event_type"), col("day"), abs(col("dk")).as("d_abs"),
+        when(col("dk") < 0, lit(1L)).otherwise(lit(-1L)).as("shift_sign"))
+    org.apache.spark.sql.graft.relations
+      .topKPerKey(c, Seq("event_type"),
+        Seq(("d_abs", false), ("day", true)), 1)
+      .orderBy(col("event_type"))
+  }
+
   /** Time-series gap-fill + forward fill (LOCF): per-user daily purchase
     * totals, missing days materialized via sequence()/explode over each
     * user's [first, last] day span, then last-observation-carried-forward
@@ -2064,6 +2105,7 @@ object Relational {
     "q98_cont_quartiles_by_key" -> (q98ContQuartilesByKey _),
     "q99_weighted_by_key" -> (q99WeightedByKey _),
     "q100_winsorized_by_key" -> (q100WinsorizedByKey _),
+    "q101_change_point" -> (q101ChangePoint _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2720,6 +2762,26 @@ object Relational {
         |FROM dev JOIN mad ON dev.nation = mad.nation
         |         JOIN med ON dev.nation = med.nation
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // CUSUM D_k = n*cum - k*tot all BIGINT; the shift sign and the
+    // (d_abs desc, day) argmax mirror the Spark tail node-for-node
+    "q101_change_point" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS cum,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS k,
+        |    CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS tot,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM d),
+        |c AS (SELECT event_type, day, n * cum - k * tot AS dk
+        |      FROM s WHERE k < n)
+        |SELECT event_type, day, ABS(dk) AS d_abs,
+        |  CAST(CASE WHEN dk < 0 THEN 1 ELSE -1 END AS BIGINT) AS shift_sign
+        |FROM (SELECT *, ROW_NUMBER() OVER (
+        |        PARTITION BY event_type ORDER BY ABS(dk) DESC, day) AS r
+        |      FROM c) x
+        |WHERE r = 1 ORDER BY event_type""".stripMargin,
     // per-key winsorization: quantile_disc matches the ceil(p*n) rank
     // rule at ANY fraction (q85 precedent); fences/clip/sum all BIGINT
     "q100_winsorized_by_key" ->

@@ -126,6 +126,19 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache() // dev's cache is query-scoped
   }
 
+  test("q101: CUSUM change point — one WindowExec, bounded-heap argmax, group-key exchanges") {
+    val p = plan(Relational.q101ChangePoint(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "per-type CUSUM serialized through one reducer:\n" + p)
+    assert(p.contains("hashpartitioning(event_type"),
+      "shuffles must key on the group column:\n" + p)
+    // cum/k/tot/n ride ONE (partitionBy, orderBy) spec; the per-type
+    // argmax is the TopKPerKey heap, not a second rank window
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert(p.contains("TopKPerKey"),
+      "argmax must plan the bounded heap, not a window:\n" + p)
+  }
+
   test("q97: per-key equi-depth bins — group-key exchanges, one WindowExec, no single reducer") {
     val p = plan(Relational.q97EquidepthByKey(spark, sf))
     assert(!p.contains("SinglePartition"),

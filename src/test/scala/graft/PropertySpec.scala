@@ -34,6 +34,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("q101 CUSUM core: planted mean shifts detected at the exact day, signs and D values exact") {
+    // three crafted daily series: an upward step after day 3, a downward
+    // step after day 2, and a constant (D_k == 0 everywhere -> earliest
+    // day, sign -1 by the dk >= 0 branch)
+    val series = Map(
+      "up" -> Seq(10L, 10L, 10L, 50L, 50L, 50L),
+      "down" -> Seq(90L, 90L, 20L, 20L, 20L, 20L),
+      "flat" -> Seq(30L, 30L, 30L, 30L, 30L, 30L))
+    def ref(xs: Seq[Long]): (Int, Long, Long) = {
+      val n = xs.size.toLong
+      val tot = xs.sum
+      val ds = xs.inits.toSeq.reverse.tail.zipWithIndex.collect {
+        case (prefix, i) if i + 1 < n =>
+          (i + 1, n * prefix.sum - (i + 1) * tot)
+      }
+      val (k, dk) = ds.minBy { case (k0, d) => (-math.abs(d), k0) }
+      (k, math.abs(dk), if (dk < 0) 1L else -1L)
+    }
+    val expect = series.map { case (t, xs) =>
+      val (k, dAbs, sign) = ref(xs)
+      t -> (java.sql.Date.valueOf(f"2024-02-$k%02d"), dAbs, sign)
+    }
+    val rows = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.map { case (v, i) =>
+        (t, java.sql.Date.valueOf(f"2024-02-${i + 1}%02d"), v) }
+    }
+    // the q101 tail on a local frame: same windows, same topKPerKey
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"event_type").orderBy($"day")
+    val run = w.rowsBetween(Long.MinValue, 0)
+    val whole = w.rowsBetween(Long.MinValue, Long.MaxValue)
+    val c = rows.toDF("event_type", "day", "v")
+      .select($"event_type", $"day",
+        sum($"v").over(run).as("cum"),
+        row_number().over(w).cast("long").as("k"),
+        sum($"v").over(whole).as("tot"),
+        count(lit(1)).over(whole).cast("long").as("n"))
+      .filter($"k" < $"n")
+      .select($"event_type", $"day",
+        ($"n" * $"cum" - $"k" * $"tot").as("dk"))
+      .select($"event_type", $"day", abs($"dk").as("d_abs"),
+        when($"dk" < 0, lit(1L)).otherwise(lit(-1L)).as("shift_sign"))
+    val got = org.apache.spark.sql.graft.relations
+      .topKPerKey(c, Seq("event_type"), Seq(("d_abs", false), ("day", true)), 1)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDate(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expect, s"got $got expected $expect")
+    // hand-pin the planted shifts: up-series flips after day 3 (sign +1),
+    // down-series after day 2 (sign -1)
+    assert(got("up")._1.toString == "2024-02-03" && got("up")._3 == 1L)
+    assert(got("down")._1.toString == "2024-02-02" && got("down")._3 == -1L)
+    assert(got("flat")._2 == 0L)
+  }
+
   test("minhash collision fraction estimates jaccard for random overlap levels") {
     val base = (1 to 120).map(i => s"w$i")
     val overlaps = Seq(20, 60, 100)
