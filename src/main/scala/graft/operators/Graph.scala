@@ -2441,6 +2441,73 @@ object Graph {
                 ELSE NULL END""").as("r_e9"))
   }
 
+  /** Hub cap for g28's wedge enumeration: centers with degree above
+    * this generate NO candidate wedges. This is simultaneously the
+    * SCALE bound (wedge volume ≤ cap·|E| — linear in the graph instead
+    * of Σ deg², the d01 bucket-cap trade applied to link prediction)
+    * and the standard signal argument: a common neighbor that is
+    * adjacent to everything is uninformative evidence for any one
+    * pair. One constant, two mirrors (Spark + generated oracle). */
+  private val LinkHubCap = 64L
+
+  /** Minimum common-neighbor evidence for a g28 candidate: 1 — the
+    * wedge existence itself. The thresholded co-occurrence graph THINS
+    * with SF (max cn over non-edges measured 17/2/1 at
+    * sf0.001/0.01/0.1 — the fixture's communities shrink to ≤ 6
+    * nodes), so any higher cut empties the sf0.1 answer; the ranking,
+    * not the cut, carries the evidence ordering. */
+  private val LinkMinCn = 1L
+
+  /** g28 — LINK PREDICTION over the weighted part co-occurrence graph
+    * (common-neighbors + Jaccard, the classic unsupervised scores —
+    * Liben-Nowell & Kleinberg 2003): score every NON-adjacent pair that
+    * shares ≥ [[LinkMinCn]] neighbors by cn and jaccard_e6 =
+    * cn·10⁶ div (deg_u + deg_v − cn) — all-BIGINT, nonneg domain so
+    * div ≡ DuckDB `//`. Candidates come from WEDGE enumeration (the
+    * only way to surface pairs that are NOT yet edges — the g10
+    * closure shortcut doesn't apply, it scores existing edges): the
+    * self-join of the persisted src-bucketed edge table on its bucket
+    * key, so BOTH sides, the degree agg, and the center-cap semi-join
+    * inherit HashPartitioning(src) — the wedge join itself is
+    * Exchange-free (pinned). Hub centers are excluded by
+    * [[LinkHubCap]], bounding the wedge frame to cap·|E| rows; the
+    * (u, v) shuffles that follow carry only that bounded frame, plus
+    * ONE edge-sized (u, v) re-key for the non-edge anti-join (the g27
+    * documented-re-key precedent; pinned at ≤ 1). deg_u/deg_v are FULL
+    * degrees (cn ≤ min deg still holds — every wedge center is a real
+    * common neighbor). Top-100 by the total order (jaccard_e6 desc,
+    * cn desc, u, v) through TakeOrderedAndProject — never a global
+    * sort. */
+  def g28LinkPrediction(s: SparkSession, dir: String): DataFrame = {
+    val name = sharedWeightedCooccurIndex(s, dir)
+    linkPredictionOn(s.table(name + "_edges").select(col("src"), col("dst")))
+  }
+
+  /** The link-prediction core over an arbitrary both-direction edge
+    * frame (src, dst) — exposed for the differential spec. */
+  private[graft] def linkPredictionOn(we: DataFrame): DataFrame = {
+    // referenced 3× (cap filter + both degree joins) — query-scoped
+    // cache, the g27 precedent; harnesses clearCache() after
+    val deg = we.groupBy(col("src")).agg(count(lit(1)).as("deg")).cache()
+    val okc = deg.filter(col("deg") <= LinkHubCap).select(col("src"))
+    val ew = we.join(okc, Seq("src"))
+    val cn = ew.select(col("src").as("c"), col("dst").as("u"))
+      .join(ew.select(col("src").as("c"), col("dst").as("v")), Seq("c"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("cn"))
+      .filter(col("cn") >= LinkMinCn)
+    val cand = cn.join(
+      we.select(col("src").as("u"), col("dst").as("v")),
+      Seq("u", "v"), "left_anti")
+    cand
+      .join(deg.select(col("src").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("src").as("v"), col("deg").as("deg_v")), Seq("v"))
+      .select(col("u"), col("v"), col("cn"),
+        expr("(cn * 1000000) div (deg_u + deg_v - cn)").as("jaccard_e6"))
+      .orderBy(col("jaccard_e6").desc, col("cn").desc, col("u"), col("v"))
+      .limit(100)
+  }
+
   /** Suppliers 0 and 1 as node ids — the g05 deletion set (one constant,
     * two mirrors: the Spark frame and the generated oracle NOT IN). */
   private val LifecycleDeleted = Seq(1L, 3L)
@@ -2759,6 +2826,7 @@ object Graph {
     "g25_katz_centrality" -> (g25KatzCentrality _),
     "g26_hits" -> (g26HitsCentrality _),
     "g27_assortativity" -> (g27Assortativity _),
+    "g28_link_prediction" -> (g28LinkPrediction _),
   )
 
   /** Shared CTE prefix for the g23/g24 oracles: the co-occurrence
@@ -3312,6 +3380,34 @@ object Graph {
          |SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
          |  CAST(SUM(node) AS BIGINT) AS node_sum
          |FROM l4 GROUP BY label ORDER BY community""".stripMargin,
+    // wedge-enumerated common neighbors over the same w >= CooccurTh
+    // graph; MATERIALIZED on the multi-referenced we/deg (round-12
+    // inlining lesson); all divisions on the nonneg domain
+    "g28_link_prediction" ->
+      s"""WITH t AS (SELECT DISTINCT a.l_orderkey AS ok,
+         |                  CAST(a.l_partkey AS BIGINT) AS u,
+         |                  CAST(b.l_partkey AS BIGINT) AS v
+         |           FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+         |           WHERE a.l_partkey < b.l_partkey),
+         |p AS MATERIALIZED (SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM t
+         |      GROUP BY u, v HAVING COUNT(*) >= $CooccurTh),
+         |we AS MATERIALIZED (SELECT u AS src, v AS dst FROM p
+         |       UNION ALL SELECT v, u FROM p),
+         |deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg
+         |       FROM we GROUP BY 1),
+         |ctr AS (SELECT src FROM deg WHERE deg <= $LinkHubCap),
+         |wg AS (SELECT e1.dst AS u, e2.dst AS v, CAST(COUNT(*) AS BIGINT) AS cn
+         |       FROM we e1 JOIN we e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |       JOIN ctr ON ctr.src = e1.src
+         |       GROUP BY 1, 2 HAVING COUNT(*) >= $LinkMinCn),
+         |ne AS (SELECT wg.u, wg.v, wg.cn FROM wg WHERE NOT EXISTS
+         |       (SELECT 1 FROM p WHERE p.u = wg.u AND p.v = wg.v))
+         |SELECT ne.u, ne.v, ne.cn,
+         |  CAST((ne.cn * 1000000) // (du.deg + dv.deg - ne.cn) AS BIGINT)
+         |    AS jaccard_e6
+         |FROM ne JOIN deg du ON du.src = ne.u
+         |        JOIN deg dv ON dv.src = ne.v
+         |ORDER BY jaccard_e6 DESC, cn DESC, u, v LIMIT 100""".stripMargin,
     // modularity in exact 128-bit integers (the t37 HUGEINT ↔
     // DECIMAL(38,0) parity pattern): Q = (intra·2m − Σ tot_c²)/(2m)²
     // folded through the nonneg-offset floor ((num + D)·10⁹ // D − 10⁹

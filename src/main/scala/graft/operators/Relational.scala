@@ -806,6 +806,47 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q102 — MANN-KENDALL monotone-trend test per event type (Mann 1945
+    * / Kendall 1975 — the standard nonparametric trend statistic,
+    * q101's complement: CUSUM locates a level SHIFT, S detects a
+    * monotone DRIFT): over each type's daily cent-total series,
+    * S = Σ_{i<j} sign(x_j − x_i) — pure BIGINT, no distributional
+    * assumption, ties contribute 0 (tau-a). The normalized
+    * tau_e6 = 2S·10⁶ ⁄ n(n−1) is held exact through the offset-nonneg
+    * IntegralDivide (S can be negative and Spark div truncates while
+    * DuckDB `//` floors — the g15 rule; 2|S| ≤ n(n−1) makes
+    * 2S·10⁶ + n(n−1)·10⁶ ≥ 0). Scale: the pairwise self-join runs over
+    * the DAILY AGGREGATE, whose size is bounded by the calendar × type
+    * count, not the event count — the corpus-sized work is the one
+    * map-side-combined daily agg; the pair frame shuffles on the real
+    * group key. Types with a single day have no pairs and drop out
+    * (the inner join — documented). Output (event_type, n_days,
+    * s_stat, tau_e6, trend), total order on the unique event_type. */
+  def q102MannKendall(s: SparkSession, dir: String): DataFrame =
+    mannKendallOn(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).as("v")))
+
+  /** The Mann-Kendall core over an arbitrary (event_type, day, v BIGINT)
+    * daily frame — exposed for the differential spec. */
+  private[graft] def mannKendallOn(d: DataFrame): DataFrame = {
+    val a = d.select(col("event_type"), col("day").as("di"), col("v").as("vi"))
+    val b = d.select(col("event_type"), col("day").as("dj"), col("v").as("vj"))
+    val sSum = a.join(b, "event_type").filter(col("di") < col("dj"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("vj") > col("vi"), 1L)
+        .when(col("vj") < col("vi"), -1L).otherwise(0L)).as("s_stat"))
+    val nDays = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"))
+    nDays.join(sSum, "event_type")
+      .select(col("event_type"), col("n_days"), col("s_stat"),
+        expr("""(2*s_stat*1000000 + n_days*(n_days-1)*1000000)
+                 div (n_days*(n_days-1)) - 1000000""").as("tau_e6"),
+        when(col("s_stat") > 0, 1L).when(col("s_stat") < 0, -1L)
+          .otherwise(0L).as("trend"))
+      .orderBy(col("event_type"))
+  }
+
   /** Time-series gap-fill + forward fill (LOCF): per-user daily purchase
     * totals, missing days materialized via sequence()/explode over each
     * user's [first, last] day span, then last-observation-carried-forward
@@ -2106,6 +2147,7 @@ object Relational {
     "q99_weighted_by_key" -> (q99WeightedByKey _),
     "q100_winsorized_by_key" -> (q100WinsorizedByKey _),
     "q101_change_point" -> (q101ChangePoint _),
+    "q102_mann_kendall" -> (q102MannKendall _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2762,6 +2804,26 @@ object Relational {
         |FROM dev JOIN mad ON dev.nation = mad.nation
         |         JOIN med ON dev.nation = med.nation
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Mann-Kendall S over the daily series; tau via the offset-nonneg
+    // // so DuckDB floor ≡ Spark truncate on the shifted dividend
+    "q102_mann_kendall" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type,
+        |    CAST(SUM(CASE WHEN b.v > a.v THEN 1
+        |                  WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM d a JOIN d b ON a.event_type = b.event_type AND a.day < b.day
+        |  GROUP BY 1),
+        |c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        |      FROM d GROUP BY 1)
+        |SELECT c.event_type, c.n_days, p.s_stat,
+        |  CAST((2*p.s_stat*1000000 + c.n_days*(c.n_days-1)*1000000)
+        |       // (c.n_days*(c.n_days-1)) - 1000000 AS BIGINT) AS tau_e6,
+        |  CAST(CASE WHEN p.s_stat > 0 THEN 1
+        |            WHEN p.s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
+        |FROM c JOIN p ON c.event_type = p.event_type
+        |ORDER BY 1""".stripMargin,
     // CUSUM D_k = n*cum - k*tot all BIGINT; the shift sign and the
     // (d_abs desc, day) argmax mirror the Spark tail node-for-node
     "q101_change_point" ->

@@ -2487,6 +2487,51 @@ object TextAnalysis {
         === 0).as("all_roundtrip"))
   }
 
+  /** t51 — PMI COLLOCATION extraction (Church & Hanks 1990, public):
+    * adjacent word pairs scored by the pointwise-mutual-information
+    * LIFT n_pair·N ⁄ (c1·c2) — the association ratio whose log is PMI;
+    * ranking by the ratio IS ranking by PMI (log is monotone), so the
+    * log never materializes and the whole query stays integer:
+    * lift_e6 = (n_pair·N·10⁶) div (c1·c2) with the numerator staged in
+    * DECIMAL(38,0) (n_pair ≤ N makes the product N²·10⁶ — past BIGINT
+    * at corpus scale; the g27 overflow rule) and the IntegralDivide
+    * landing back in BIGINT ↔ DuckDB HUGEINT `//` (the t37 parity
+    * pattern; all values nonnegative, so truncate ≡ floor). Min-count
+    * n_pair ≥ 5 is the standard sparse-pair cut (PMI explodes on
+    * hapax pairs). Scale: two map-side-combined hash aggs over one
+    * corpus scan each, then VOCABULARY-sized frames only — the unigram
+    * joins shuffle on the word key (a 100 TB corpus vocabulary
+    * outgrows a broadcast, the t10 rule) and N rides as a broadcast
+    * 1-row cross join. Fixture caveat: 31 distinct words (the
+    * documented vocabulary degeneracy) — the scale axis is vocab, the
+    * b100 smoke's axis. Output (w1, w2, n_pair, lift_e6), total order
+    * on (lift_e6 desc, w1, w2) — (w1, w2) is unique by the groupBy. */
+  def t51PmiCollocations(s: SparkSession, dir: String): DataFrame =
+    pmiCollocationsOn(Tables.documents(s, dir).select(col("text")))
+
+  /** The PMI core over an arbitrary one-column (text) frame — exposed
+    * for the differential spec. */
+  private[graft] def pmiCollocationsOn(docs: DataFrame): DataFrame = {
+    val t = docs.select(tokens(col("text")).as("toks"))
+    val uc = t.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = uc.agg(sum(col("c")).cast("long").as("n_tok"))
+    val pairs = t.select(explode(shingles(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= 5)
+      .select(split(col("bigram"), " ").as("ws"), col("n_pair"))
+      .select(element_at(col("ws"), 1).as("w1"),
+        element_at(col("ws"), 2).as("w2"), col("n_pair"))
+    pairs
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        expr("""(CAST(n_pair AS DECIMAL(38,0)) * n_tok * 1000000)
+                 div (CAST(c1 AS DECIMAL(38,0)) * c2)""").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t01_dedup_exact" -> (t01DedupExact _),
     "t02_token_count" -> (t02TokenCount _),
@@ -2538,6 +2583,7 @@ object TextAnalysis {
     "t48_lm_index_gate" -> (t48LmIndexGate _),
     "t49_lm_ingest_gate" -> (t49LmIngestGate _),
     "t50_bpe_ingest_gate" -> (t50BpeIngestGate _),
+    "t51_pmi_collocations" -> (t51PmiCollocations _),
   )
 
   /** The driver-registered face of [[t12Bm25Indexed]]: the rounded
@@ -2839,6 +2885,31 @@ object TextAnalysis {
   private val esList = EsStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
 
   val oracleSql: Map[String, String] = Map(
+    // PMI lift held integer: HUGEINT numerator mirrors the Spark
+    // DECIMAL(38,0) staging; `//` ≡ div on the nonneg domain (t37)
+    "t51_pmi_collocations" ->
+      """WITH t AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |    x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(toks) AS w FROM t) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_tok FROM uc),
+        |p AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_pair
+        |      FROM (SELECT unnest(CASE WHEN len(toks) >= 2
+        |        THEN list_transform(range(1, CAST(len(toks) AS INTEGER)),
+        |               i -> toks[i] || ' ' || toks[i+1])
+        |        ELSE [] END) AS bigram FROM t)
+        |      GROUP BY 1 HAVING count(*) >= 5),
+        |sp AS (SELECT string_split(bigram, ' ')[1] AS w1,
+        |              string_split(bigram, ' ')[2] AS w2, n_pair FROM p)
+        |SELECT sp.w1, sp.w2, sp.n_pair,
+        |  CAST((CAST(sp.n_pair AS HUGEINT) * n.n_tok * 1000000)
+        |       // (CAST(c1.c AS HUGEINT) * c2.c) AS BIGINT) AS lift_e6
+        |FROM sp JOIN uc c1 ON sp.w1 = c1.w
+        |        JOIN uc c2 ON sp.w2 = c2.w
+        |        CROSS JOIN n
+        |ORDER BY lift_e6 DESC, sp.w1, sp.w2""".stripMargin,
     "t01_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,

@@ -1110,6 +1110,71 @@ class GraphSpec extends SparkSpec {
     } finally spark.catalog.clearCache()
   }
 
+  test("g28 engine: link prediction matches a plain-Scala reference; hub cap and non-edge filter pinned") {
+    // reference: capped-center wedge counts over distinct both-direction
+    // adjacency, non-edges only, integer jaccard, the exact output order
+    def ref(und: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val bi = (und ++ und.map { case (a, b) => (b, a) }).distinct
+      val adj = bi.groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+      val deg = adj.map { case (n, s) => n -> s.size.toLong }
+      val edges = bi.toSet
+      val cands = for {
+        (_, nbrs) <- adj.toSeq if nbrs.size <= 64
+        u <- nbrs.toSeq; v <- nbrs.toSeq if u < v
+      } yield (u, v)
+      cands.groupBy(identity).toSeq
+        .map { case ((u, v), ws) => (u, v, ws.size.toLong) }
+        .filter { case (u, v, _) => !edges((u, v)) }
+        .map { case (u, v, cn) =>
+          (u, v, cn, cn * 1000000L / (deg(u) + deg(v) - cn)) }
+        .sortBy { case (u, v, cn, j) => (-j, -cn, u, v) }
+        .take(100)
+    }
+    def run(und: Seq[(Long, Long)]): Seq[(Long, Long, Long, Long)] = {
+      val bi = (und ++ und.map { case (a, b) => (b, a) }).toDF("src", "dst")
+      try Graph.linkPredictionOn(bi).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+      finally spark.catalog.clearCache()
+    }
+    val path = Seq((1L, 2L), (2L, 3L))
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L))
+    val triPendant = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L))
+    val bigStar = (1L to 65L).map(i => (0L, i))   // center OVER the cap
+    val okStar = (1L to 64L).map(i => (0L, i))    // center AT the cap
+    val mesh = for {
+      i <- 1L to 30L; j <- (i + 1) to 30L if (i * 7 + j * 11) % 5 == 0
+    } yield (i, j)
+    for (g <- Seq(path, square, triPendant, bigStar, okStar, mesh))
+      assert(run(g) == ref(g), s"graph head ${g.take(4)}...")
+    // hand-pins: the path predicts its endpoints at jaccard 1; the
+    // square predicts exactly its diagonals (cn = 2); the pendant is
+    // predicted into the triangle while the real edge (2,3) never
+    // surfaces; the over-cap star generates NOTHING (its only wedge
+    // center is excluded) while the at-cap star ranks 64·63/2 pairs
+    assert(run(path) == Seq((1L, 3L, 1L, 1000000L)))
+    assert(run(square).toSet ==
+      Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+    assert(run(triPendant).map(t => (t._1, t._2)).toSet ==
+      Set((2L, 4L), (3L, 4L)))
+    assert(run(bigStar).isEmpty)
+    assert(run(okStar).length == 100)
+  }
+
+  test("g28 fixture: predicted pairs are genuine non-edges with real common neighbors") {
+    try {
+      val rows = Graph.g28LinkPrediction(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(rows.nonEmpty)
+      assert(rows.forall { case (u, v, cn, j) => u < v && cn >= 1 && j > 0 })
+      assert(rows.toSeq == rows.toSeq.sortBy { case (u, v, cn, j) => (-j, -cn, u, v) })
+      // no predicted pair may be an existing thresholded edge
+      val es = Graph.weightedPartEdges(spark, sf)
+        .select($"u", $"v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.forall { case (u, v, _, _) => !es((u, v)) })
+    } finally spark.catalog.clearCache()
+  }
+
   test("g23/g24 fixture: profile partitions the reached set; stress is a positive total order") {
     try {
       val prof = Graph.g23HarmonicCentrality(spark, sf).collect()

@@ -704,6 +704,52 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("g28: wedge join is Exchange-free on the bucketed edges; one documented (u,v) re-key; bounded top-k") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = graft.operators.Graph.g28LinkPrediction(spark, sf)
+        .queryExecution.executedPlan
+      val str = p.toString
+      assert(!str.contains("BroadcastNestedLoopJoin") &&
+        !str.contains("CartesianProduct"), str)
+      val scans = p.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "dst") => f
+      }
+      assert(scans.nonEmpty, "no edge-table scan in the plan:\n" + p)
+      // both wedge legs ride the bucket layout; the ONE anti-join leg
+      // re-keyed to (u, v) rightly has its bucketed scan
+      // planner-disabled (bucketing on src buys nothing under a (u, v)
+      // re-key), so at most one non-bucketed edge scan is allowed
+      assert(scans.count(_.bucketedScan) >= 2,
+        s"wedge-side edge scans not bucket-aware (the bucketed layout IS the repartition):\n$str")
+      assert(scans.count(!_.bucketedScan) <= 1,
+        s"more than the one documented (u,v)-re-keyed edge scan:\n$str")
+      def edgeScanBelow(n: SparkPlan): Boolean = n match {
+        case f: FileSourceScanExec => f.output.exists(_.name == "dst")
+        case _: BaseAggregateExec => false
+        case other => other.children.exists(edgeScanBelow)
+      }
+      // the wedge self-join and the cap semi-join ride the bucket
+      // partitioning; the ONLY edge rows allowed across an Exchange are
+      // the single documented (u, v) re-key feeding the non-edge
+      // anti-join
+      val edgeExchanges = p.collect {
+        case e: ShuffleExchangeExec if e.children.exists(edgeScanBelow) => e
+      }
+      assert(edgeExchanges.size <= 1,
+        s"more than the one documented edge re-key:\n$str")
+      // never a global sort: the bounded top-100 plans the heap
+      assert(str.contains("TakeOrderedAndProject"),
+        "top-100 planned a global Sort instead of TakeOrderedAndProject:\n" + str)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("g10: edge-iterator triangles — no wedge materialization, every data join an equi-join") {
     import spark.implicits._
     spark.conf.set("spark.sql.adaptive.enabled", "false")

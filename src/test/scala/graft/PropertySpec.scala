@@ -89,6 +89,40 @@ class PropertySpec extends SparkSpec {
     assert(got("flat")._2 == 0L)
   }
 
+  test("q102 Mann-Kendall core: planted trends exact; floor-div tau parity on negative S") {
+    // monotone up -> S = n(n-1)/2, tau = +1e6; monotone down mirrors;
+    // constant -> all ties, S = 0; sawtooth exercises the non-divisible
+    // tau (floorDiv, the offset-nonneg contract)
+    val series = Map(
+      "up"   -> Seq(1L, 2L, 3L, 4L, 5L, 6L),
+      "down" -> Seq(6L, 5L, 4L, 3L, 2L, 1L),
+      "flat" -> Seq(7L, 7L, 7L, 7L),
+      "saw"  -> Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L))
+    def ref(xs: Seq[Long]): (Long, Long, Long, Long) = {
+      val n = xs.size.toLong
+      val sStat = (for {
+        i <- xs.indices; j <- i + 1 until xs.size
+      } yield math.signum(xs(j) - xs(i))).sum
+      val nn1 = n * (n - 1)
+      val tau = Math.floorDiv(2 * sStat * 1000000L + nn1 * 1000000L, nn1) - 1000000L
+      (n, sStat, tau, math.signum(sStat))
+    }
+    val rows = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.map { case (v, i) =>
+        (t, java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), v) }
+    }
+    val got = graft.operators.Relational
+      .mannKendallOn(rows.toDF("event_type", "day", "v"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    val expect = series.map { case (t, xs) => t -> ref(xs) }
+    assert(got == expect, s"got $got expected $expect")
+    assert(got("up") == ((6L, 15L, 1000000L, 1L)))
+    assert(got("down") == ((6L, -15L, -1000000L, -1L)))
+    assert(got("flat")._2 == 0L && got("flat")._4 == 0L)
+  }
+
   test("minhash collision fraction estimates jaccard for random overlap levels") {
     val base = (1 to 120).map(i => s"w$i")
     val overlaps = Seq(20, 60, 100)

@@ -470,4 +470,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(expected.nonEmpty && got.sameElements(expected),
       s"got=${got.toSeq} expected=${expected.toSeq}")
   }
+
+  test("t51 PMI core: lift matches a plain-BigInt reference; min-count cut and ordering pinned") {
+    // crafted corpus: "a b" saturates (count 6), "b c" sits at the cut
+    // (exactly 5), "c d" misses it (4) — the >= 5 gate separates them
+    val docs = Seq(
+      "a b a b a b a b a b a b",
+      "b c b c b c b c b c",
+      "c d c d c d c d",
+      "e e e e e e e e e e")
+    def ref(texts: Seq[String]): Seq[(String, String, Long, Long)] = {
+      val toks = texts.map(_.split("\\s+").filter(_.nonEmpty).toSeq)
+      val uni = toks.flatten.groupBy(identity)
+        .map { case (w, xs) => w -> xs.size.toLong }
+      val n = uni.values.sum
+      toks.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+        .groupBy(identity).toSeq
+        .map { case (p, xs) => p -> xs.size.toLong }
+        .filter(_._2 >= 5)
+        .map { case ((w1, w2), c) =>
+          (w1, w2, c,
+            (BigInt(c) * n * 1000000 / (BigInt(uni(w1)) * uni(w2))).toLong) }
+        .sortBy { case (w1, w2, _, l) => (-l, w1, w2) }
+    }
+    val got = graft.operators.TextAnalysis
+      .pmiCollocationsOn(docs.toDF("text"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val expect = ref(docs)
+    assert(got == expect, s"got $got expected $expect")
+    // the cut: "c d" (4 occurrences) is out, "b c" (exactly 5) is in
+    assert(got.exists(t => t._1 == "b" && t._2 == "c" && t._3 == 5L))
+    assert(!got.exists(t => t._1 == "c" && t._2 == "d"))
+    // self-collocation survives: "e e" count 9 with c(e) = 10
+    assert(got.exists(t => t._1 == "e" && t._2 == "e" && t._3 == 9L))
+  }
 }
