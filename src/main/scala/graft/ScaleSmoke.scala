@@ -40,6 +40,7 @@ object ScaleSmoke {
     if (a.contains("fz100")) { fz100(spark); spark.stop(); return }
     if (a.contains("tr100")) { tr100(spark); spark.stop(); return }
     if (a.contains("lp100")) { lp100(spark); spark.stop(); return }
+    if (a.contains("lk100")) { lk100(spark); spark.stop(); return }
     if (a.contains("knn100")) { knn100(spark); spark.stop(); return }
     if (a.contains("rs100")) { rs100(spark); spark.stop(); return }
     if (a.contains("iknn100")) { iknn100(spark); spark.stop(); return }
@@ -1617,5 +1618,64 @@ object ScaleSmoke {
       f"ratio=${s4 / s1}%.1f x for 4x edges (avg degree held)")
     assert(s4 / s1 < 8.0,
       f"4x edges cost ${s4 / s1}%.1f x — super-linear blowup in the LPA core")
+  }
+
+  /** lk100: link-prediction (g28) scale smoke. The wedge frame is the
+    * cost axis — Σ_{deg(c) ≤ cap} deg(c)² over centers, ≤ cap·2E by the
+    * hub cap — so with average degree TRULY held (V ∝ E, unlike the
+    * tr100 V ∝ √E protocol where degree doubles) the enumeration is
+    * linear in E. Two measurements: (a) 4× edges at constant degree →
+    * near-linear time; (b) a planted 200k-degree mega-hub costs only
+    * its leaves' +1 degree (every node gains the hub as a neighbor)
+    * because the cap excludes it as a wedge center — WITHOUT the cap
+    * it alone would contribute 2·10¹⁰ wedges (200k²/2), ~300× the
+    * graph's entire wedge volume. Correctness is the g28 oracle's
+    * job; this smokes the SHAPE. */
+  private def lk100(spark: SparkSession): Unit = {
+    import graft.operators.Graph
+    def gen(nEdges: Long): DataFrame = {
+      val v = math.max(64L, nEdges / 16L) // avg degree 2E/V = 32, constant
+      val p = spark.range(nEdges * 2) // oversample: self-loops and dups drop
+        .select(pmod(xxhash64(col("id")), lit(v)).as("a"),
+          pmod(xxhash64(col("id") + 1000000007L), lit(v)).as("b"))
+        .filter(col("a") =!= col("b"))
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .distinct()
+      p.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(p.select(col("v").as("src"), col("u").as("dst")))
+        .repartition(col("src")).sortWithinPartitions(col("src")).cache()
+    }
+    def time[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    def run(bi: DataFrame): (Long, Double) = {
+      val (rows, secs) = time(Graph.linkPredictionOn(bi).collect())
+      spark.catalog.clearCache()
+      (rows.length.toLong, secs)
+    }
+    run(gen(200000L)) // soak warmup
+    val (n1, s1) = run(gen(500000L))
+    val (n4, s4) = run(gen(2000000L))
+    println(f"LK100 E=500k top=$n1 ${s1}%.1f s; E=2M top=$n4 ${s4}%.1f s; " +
+      f"ratio=${s4 / s1}%.1f x for 4x edges (avg degree held at 32)")
+    assert(s4 / s1 < 8.0,
+      f"4x edges cost ${s4 / s1}%.1f x — super-linear blowup in the wedge frame")
+    // the mega-hub: one node adjacent to 200k of the 2M-graph's nodes.
+    // Its 2·10^10 potential wedges never exist — the cap drops it as a
+    // center; only its leaves' +1 degree moves the needle.
+    val base = gen(2000000L)
+    val hubId = 10000000L
+    val hub = spark.range(200000L).select(lit(hubId).as("src"), col("id").as("dst"))
+    val withHub = base
+      .unionAll(hub.select(col("src"), col("dst")))
+      .unionAll(hub.select(col("dst").as("src"), col("src").as("dst")))
+    val (_, sBase) = run(base)
+    val (_, sHub) = run(withHub)
+    println(f"LK100 hub: base ${sBase}%.1f s, +200k-degree hub ${sHub}%.1f s " +
+      f"(${sHub / sBase}%.2fx) — the cap is the wedge-volume guard")
+    assert(sHub < 3.0 * sBase,
+      f"mega-hub inflated the run ${sHub / sBase}%.1f x — the hub cap is not binding")
   }
 }
