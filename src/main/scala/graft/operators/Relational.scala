@@ -847,6 +847,66 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** q103 — AUTOCORRELATION (ACF, lags 1–3) per event type: the serial
+    * statistic the time-series family still lacked (q58 smooths, q101
+    * locates a level shift, q102 detects a drift; r_k measures MEMORY/
+    * periodicity). Standard biased estimator r_k = Σ_{t≤n−k}
+    * (x_t−x̄)(x_{t+k}−x̄) ⁄ Σ_t (x_t−x̄)², held EXACT by n-scaling both
+    * sides by n² (the mean never materializes): num_k = Σ (n·x_t − S)
+    * (n·x_{t+k} − S), den = Σ (n·x_t − S)² — products staged in
+    * DECIMAL(38,0) (n·x ~ 10¹² makes the square ~10²⁴, past BIGINT —
+    * the g27 overflow rule) ↔ DuckDB HUGEINT. |num| ≤ den by
+    * Cauchy-Schwarz (truncated sums are sub-vectors), so the
+    * offset-nonneg IntegralDivide (num·10⁶ + den·10⁶) div den − 10⁶
+    * keeps Spark truncate ≡ DuckDB floor on the possibly-negative num
+    * (the g15 rule). r_e6 is NULL when den = 0 (constant series) or
+    * the lag has no pairs. Scale: the corpus-sized work is the one
+    * map-side-combined daily agg; all three leads ride ONE WindowExec
+    * (same (partitionBy, orderBy) spec — the round-6 rule, pinned),
+    * the (n, S) dim is type-cardinality-bounded and broadcast, and
+    * the final agg shuffles on the real event_type key. Output
+    * (event_type, lag_k, n_pairs, r_e6), total order (event_type,
+    * lag_k). */
+  def q103Autocorrelation(s: SparkSession, dir: String): DataFrame =
+    acfOn(Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(expr("CAST(FLOOR(value * 100 + 0.5) AS BIGINT)")).as("v")))
+
+  /** The ACF core over an arbitrary (event_type, day, v BIGINT) daily
+    * frame — exposed for the differential spec. */
+  private[graft] def acfOn(d: DataFrame): DataFrame = {
+    val st = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val wd = d.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("n"), col("sv"), col("v"),
+        lead(col("v"), 1).over(w).as("l1"),
+        lead(col("v"), 2).over(w).as("l2"),
+        lead(col("v"), 3).over(w).as("l3"))
+    def numK(c: String): Column =
+      sum(when(col(c).isNotNull,
+        expr(s"CAST(n*v - sv AS DECIMAL(38,0)) * (n*$c - sv)")))
+    val a = wd.groupBy(col("event_type")).agg(
+      sum(expr("CAST(n*v - sv AS DECIMAL(38,0)) * (n*v - sv)")).as("den"),
+      numK("l1").as("num1"), count(col("l1")).as("p1"),
+      numK("l2").as("num2"), count(col("l2")).as("p2"),
+      numK("l3").as("num3"), count(col("l3")).as("p3"))
+    // unpivot via ONE stack generator over the type-sized agg row — a
+    // per-lag union would replan the corpus pass (window + aggs +
+    // scans) once PER BRANCH, tripling the work (caught by the pin)
+    def rExpr(k: Int): String =
+      s"""CASE WHEN den > 0 AND p$k > 0
+          THEN CAST((num$k*1000000 + den*1000000) div den - 1000000
+                    AS BIGINT) END"""
+    a.select(col("event_type"), expr(
+        s"""stack(3,
+            CAST(1 AS BIGINT), p1, ${rExpr(1)},
+            CAST(2 AS BIGINT), p2, ${rExpr(2)},
+            CAST(3 AS BIGINT), p3, ${rExpr(3)}) AS (lag_k, n_pairs, r_e6)"""))
+      .select(col("event_type"), col("lag_k"), col("n_pairs"), col("r_e6"))
+      .orderBy(col("event_type"), col("lag_k"))
+  }
+
   /** Time-series gap-fill + forward fill (LOCF): per-user daily purchase
     * totals, missing days materialized via sequence()/explode over each
     * user's [first, last] day span, then last-observation-carried-forward
@@ -2148,6 +2208,7 @@ object Relational {
     "q100_winsorized_by_key" -> (q100WinsorizedByKey _),
     "q101_change_point" -> (q101ChangePoint _),
     "q102_mann_kendall" -> (q102MannKendall _),
+    "q103_autocorrelation" -> (q103Autocorrelation _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2824,6 +2885,46 @@ object Relational {
         |            WHEN p.s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
         |FROM c JOIN p ON c.event_type = p.event_type
         |ORDER BY 1""".stripMargin,
+    // ACF via n-scaling (the mean never materializes): num/den staged
+    // in HUGEINT mirroring the Spark DECIMAL(38,0); |num| <= den by
+    // Cauchy-Schwarz keeps the offset-nonneg dividend nonneg, so
+    // // ≡ div on the possibly-negative num
+    "q103_autocorrelation" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |      CAST(SUM(v) AS BIGINT) AS sv FROM d GROUP BY 1),
+        |w AS (SELECT d.event_type, d.v, s.n, s.sv,
+        |    lead(v, 1) OVER (PARTITION BY d.event_type ORDER BY day) AS l1,
+        |    lead(v, 2) OVER (PARTITION BY d.event_type ORDER BY day) AS l2,
+        |    lead(v, 3) OVER (PARTITION BY d.event_type ORDER BY day) AS l3
+        |  FROM d JOIN s ON d.event_type = s.event_type),
+        |a AS (SELECT event_type,
+        |    SUM(CAST(n*v - sv AS HUGEINT) * (n*v - sv)) AS den,
+        |    SUM(CASE WHEN l1 IS NOT NULL
+        |        THEN CAST(n*v - sv AS HUGEINT) * (n*l1 - sv) END) AS num1,
+        |    CAST(COUNT(l1) AS BIGINT) AS p1,
+        |    SUM(CASE WHEN l2 IS NOT NULL
+        |        THEN CAST(n*v - sv AS HUGEINT) * (n*l2 - sv) END) AS num2,
+        |    CAST(COUNT(l2) AS BIGINT) AS p2,
+        |    SUM(CASE WHEN l3 IS NOT NULL
+        |        THEN CAST(n*v - sv AS HUGEINT) * (n*l3 - sv) END) AS num3,
+        |    CAST(COUNT(l3) AS BIGINT) AS p3
+        |  FROM w GROUP BY 1)
+        |SELECT event_type, lag_k, n_pairs, r_e6 FROM (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag_k, p1 AS n_pairs,
+        |    CASE WHEN den > 0 AND p1 > 0 THEN CAST((num1*1000000
+        |      + den*1000000) // den - 1000000 AS BIGINT) END AS r_e6 FROM a
+        |  UNION ALL
+        |  SELECT event_type, CAST(2 AS BIGINT), p2,
+        |    CASE WHEN den > 0 AND p2 > 0 THEN CAST((num2*1000000
+        |      + den*1000000) // den - 1000000 AS BIGINT) END FROM a
+        |  UNION ALL
+        |  SELECT event_type, CAST(3 AS BIGINT), p3,
+        |    CASE WHEN den > 0 AND p3 > 0 THEN CAST((num3*1000000
+        |      + den*1000000) // den - 1000000 AS BIGINT) END FROM a)
+        |ORDER BY event_type, lag_k""".stripMargin,
     // CUSUM D_k = n*cum - k*tot all BIGINT; the shift sign and the
     // (d_abs desc, day) argmax mirror the Spark tail node-for-node
     "q101_change_point" ->

@@ -139,6 +139,19 @@ class PlanShapeSpec extends SparkSpec {
       "argmax must plan the bounded heap, not a window:\n" + p)
   }
 
+  test("q103: autocorrelation — all three leads in ONE WindowExec, group-key exchanges, no single reducer") {
+    val p = plan(Relational.q103Autocorrelation(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "per-type ACF serialized through one reducer:\n" + p)
+    assert(p.contains("hashpartitioning(event_type"),
+      "shuffles must key on the group column:\n" + p)
+    // l1/l2/l3 share one (partitionBy, orderBy) spec → ONE WindowExec
+    // (the round-6 same-spec rule); the (n, S) dim joins broadcast
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+    assert(p.contains("BroadcastHashJoin"),
+      "the type-cardinality-bounded (n, S) dim must broadcast:\n" + p)
+  }
+
   test("q97: per-key equi-depth bins — group-key exchanges, one WindowExec, no single reducer") {
     val p = plan(Relational.q97EquidepthByKey(spark, sf))
     assert(!p.contains("SinglePartition"),

@@ -123,6 +123,53 @@ class PropertySpec extends SparkSpec {
     assert(got("flat")._2 == 0L && got("flat")._4 == 0L)
   }
 
+  test("q103 ACF core: planted series match a BigInt reference; period-2 and flat-series edge cases pinned") {
+    // alternating -> strongly negative r1 / positive r2; ramp -> positive
+    // r1; flat -> den = 0, all NULL; two -> lags 2/3 have no pairs
+    val series = Map(
+      "alt"  -> Seq(5L, 1L, 5L, 1L, 5L, 1L, 5L, 1L),
+      "ramp" -> Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L),
+      "flat" -> Seq(4L, 4L, 4L, 4L),
+      "two"  -> Seq(3L, 9L),
+      "saw"  -> Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L))
+    def ref(xs: Seq[Long]): Seq[(Long, Long, Option[Long])] = {
+      val n = xs.size
+      val sv = xs.sum
+      val a = xs.map(x => BigInt(n) * x - sv)
+      val den = a.map(x => x * x).sum
+      (1 to 3).map { k =>
+        val p = math.max(0, n - k)
+        val num = (0 until p).map(t => a(t) * a(t + k)).sum
+        // dividend nonneg by Cauchy-Schwarz -> BigInt truncate == floor
+        val r = if (den > 0 && p > 0)
+          Some(((num * 1000000 + den * 1000000) / den - 1000000).toLong)
+        else None
+        (k.toLong, p.toLong, r)
+      }
+    }
+    val rows = series.toSeq.flatMap { case (t, xs) =>
+      xs.zipWithIndex.map { case (v, i) =>
+        (t, java.sql.Date.valueOf(f"2024-03-${i + 1}%02d"), v) }
+    }
+    val got = graft.operators.Relational
+      .acfOn(rows.toDF("event_type", "day", "v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val expect = series.flatMap { case (t, xs) =>
+      ref(xs).map { case (k, p, r) => (t, k) -> (p, r) } }
+    assert(got == expect, s"got $got expected $expect")
+    // hand-pins: the period-2 series anticorrelates at lag 1 and
+    // correlates at lag 2; the flat series is NULL at every lag; the
+    // 2-point series has pairs only at lag 1
+    assert(got(("alt", 1L))._2.get < -800000L)
+    assert(got(("alt", 2L))._2.get > 600000L)
+    assert(Seq(1L, 2L, 3L).forall(k => got(("flat", k))._2.isEmpty))
+    assert(got(("two", 2L)) == ((0L, None)) && got(("two", 3L)) == ((0L, None)))
+    assert(got(("ramp", 1L))._2.get > 500000L)
+  }
+
   test("minhash collision fraction estimates jaccard for random overlap levels") {
     val base = (1 to 120).map(i => s"w$i")
     val overlaps = Seq(20, 60, 100)
