@@ -93,6 +93,7 @@ object Plans {
     "q101_change_point" -> "CUSUM change-point (mean-shift MLE) per event type: D_k = n·cum − k·tot all-BIGINT (the mean never materialized), cum/k/tot/n riding ONE same-spec WindowExec, per-type argmax via the TopKPerKey bounded heap — never a second rank window or a single reducer",
     "q102_mann_kendall" -> "Mann-Kendall monotone-trend test per event type: S = Σ sign(x_j − x_i) over the DAILY aggregate (the pairwise self-join is calendar-bounded, never event-sized; the corpus-sized work is one map-side-combined daily agg), tau_e6 through the offset-nonneg IntegralDivide — pure BIGINT end to end",
     "q103_autocorrelation" -> "exact ACF lags 1–3 per event type: n-scaled num/den in DECIMAL(38,0) (the mean never materializes, Cauchy-Schwarz keeps the offset div sound), all three leads in ONE same-spec WindowExec, the unpivot one stack generator over the type-sized agg row — never a per-lag union replanning the corpus pass",
+    "q104_concentration" -> "per-nation Gini + HHI in exact integers: rank·rev and rev² staged in DECIMAL(38,0), the rank window on the REAL nation key (never a single reducer), the corpus-sized work one map-side-combined per-supplier agg — rearrangement inequality keeps the Gini dividend nonneg so div ≡ //",
     "t51_pmi_collocations" -> "PMI collocation extraction: bigram/unigram counts as two map-side-combined aggs over one corpus scan each, then VOCABULARY-sized frames only — unigram joins shuffle on the word key (never broadcast: a 100 TB vocabulary outgrows it), N as a broadcast 1-row cross join, lift_e6 staged in DECIMAL(38,0)",
     "g28_link_prediction" -> "link prediction (common-neighbors + Jaccard): wedge self-join of the src-bucketed edge table on its bucket key — both sides, the degree agg, and the hub-cap semi-join Exchange-free (pinned); deg > 64 centers excluded bounding wedges to cap·|E|; one documented (u,v) re-key for the non-edge anti-join; top-100 via TakeOrderedAndProject")
 

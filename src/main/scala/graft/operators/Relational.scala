@@ -907,6 +907,54 @@ object Relational {
       .orderBy(col("event_type"), col("lag_k"))
   }
 
+  /** q104 — MARKET CONCENTRATION per nation: the inequality statistics
+    * the aggregate family still lacked — Gini coefficient (Gini 1912,
+    * via the rank formulation G = (2·Σ i·x_(i) − (n+1)·Σx) ⁄ (n·Σx))
+    * and the Herfindahl–Hirschman index (HHI = Σ (x_i/S)² = Σx²/S²)
+    * over per-supplier revenue, the fixture's genuinely tailed
+    * distribution (the q98/q99 input frame). Both held EXACT in
+    * integers: rank·rev and rev² staged in DECIMAL(38,0) (rev ~ 10¹³
+    * cents at 100 TB squares past BIGINT — the g27 rule) ↔ DuckDB
+    * HUGEINT; the Gini numerator 2T − (n+1)S ≥ 0 by the rearrangement
+    * inequality (ranks ascend with values), so div ≡ `//` on the
+    * nonneg domain. Rank ties break on the supplier key — a total
+    * order both engines reproduce, and tied revenues contribute
+    * identically to T regardless of tie order. Scale: the corpus-sized
+    * work is the map-side-combined per-supplier agg; the rank window
+    * partitions on the REAL nation key and the final agg shuffles on
+    * it — one group-key partitioning end-to-end (the q96 discipline).
+    * NULL stats when a nation's revenue sum is 0. Output (nation,
+    * n_suppliers, gini_e6, hhi_e6), total order on the unique
+    * nation. */
+  def q104Concentration(s: SparkSession, dir: String): DataFrame =
+    concentrationOn(Tables.lineitem(s, dir)
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_suppkey"), col("s_nationkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long")).as("rev"))
+      .select(col("s_nationkey").cast("long").as("nation"),
+        col("l_suppkey").cast("long").as("sk"), col("rev")))
+
+  /** The concentration core over an arbitrary (nation, sk, rev BIGINT)
+    * frame — exposed for the differential spec. */
+  private[graft] def concentrationOn(j: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("nation")).orderBy(col("rev"), col("sk"))
+    val r = j.select(col("nation"), col("rev"),
+      row_number().over(w).cast("long").as("rk"))
+    val a = r.groupBy(col("nation")).agg(
+      count(lit(1)).as("n"), sum(col("rev")).as("s"),
+      sum(expr("CAST(rk AS DECIMAL(38,0)) * rev")).as("t"),
+      sum(expr("CAST(rev AS DECIMAL(38,0)) * rev")).as("q"))
+    a.select(col("nation"), col("n").as("n_suppliers"),
+      expr("""CASE WHEN s > 0 THEN CAST(
+                ((2*t - CAST(n+1 AS DECIMAL(38,0))*s) * 1000000)
+                div (CAST(n AS DECIMAL(38,0))*s) AS BIGINT) END""")
+        .as("gini_e6"),
+      expr("""CASE WHEN s > 0 THEN CAST(
+                (q * 1000000) div (CAST(s AS DECIMAL(38,0))*s) AS BIGINT)
+              END""").as("hhi_e6"))
+      .orderBy(col("nation"))
+  }
+
   /** Time-series gap-fill + forward fill (LOCF): per-user daily purchase
     * totals, missing days materialized via sequence()/explode over each
     * user's [first, last] day span, then last-observation-carried-forward
@@ -2209,6 +2257,7 @@ object Relational {
     "q101_change_point" -> (q101ChangePoint _),
     "q102_mann_kendall" -> (q102MannKendall _),
     "q103_autocorrelation" -> (q103Autocorrelation _),
+    "q104_concentration" -> (q104Concentration _),
     "q86_corr_matrix"     -> (q86CorrMatrix _),
     "q87_range_frames"    -> (q87RangeFrames _),
   )
@@ -2885,6 +2934,32 @@ object Relational {
         |            WHEN p.s_stat < 0 THEN -1 ELSE 0 END AS BIGINT) AS trend
         |FROM c JOIN p ON c.event_type = p.event_type
         |ORDER BY 1""".stripMargin,
+    // Gini via the rank formulation + HHI, both in HUGEINT mirroring
+    // the Spark DECIMAL(38,0); the rearrangement inequality keeps the
+    // Gini numerator nonneg so // ≡ div; rank ties break on the
+    // supplier key (total order, tied revenues contribute identically)
+    "q104_concentration" ->
+      """WITH rev AS (SELECT CAST(s.s_nationkey AS BIGINT) AS nation,
+        |    CAST(l.l_suppkey AS BIGINT) AS sk,
+        |    CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT))
+        |         AS BIGINT) AS rev
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT nation, rev,
+        |    CAST(row_number() OVER (PARTITION BY nation ORDER BY rev, sk)
+        |         AS BIGINT) AS rk FROM rev),
+        |a AS (SELECT nation, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(rev) AS BIGINT) AS s,
+        |    SUM(CAST(rk AS HUGEINT) * rev) AS t,
+        |    SUM(CAST(rev AS HUGEINT) * rev) AS q
+        |  FROM w GROUP BY 1)
+        |SELECT nation, n AS n_suppliers,
+        |  CASE WHEN s > 0 THEN CAST(
+        |    ((2*t - CAST(n+1 AS HUGEINT)*s) * 1000000)
+        |    // (CAST(n AS HUGEINT)*s) AS BIGINT) END AS gini_e6,
+        |  CASE WHEN s > 0 THEN CAST(
+        |    (q * 1000000) // (CAST(s AS HUGEINT)*s) AS BIGINT) END AS hhi_e6
+        |FROM a ORDER BY nation""".stripMargin,
     // ACF via n-scaling (the mean never materializes): num/den staged
     // in HUGEINT mirroring the Spark DECIMAL(38,0); |num| <= den by
     // Cauchy-Schwarz keeps the offset-nonneg dividend nonneg, so

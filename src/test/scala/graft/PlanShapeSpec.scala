@@ -152,6 +152,16 @@ class PlanShapeSpec extends SparkSpec {
       "the type-cardinality-bounded (n, S) dim must broadcast:\n" + p)
   }
 
+  test("q104: concentration — one rank WindowExec on the real nation key, no single reducer") {
+    val p = plan(Relational.q104Concentration(spark, sf))
+    assert(!p.contains("SinglePartition"),
+      "per-nation Gini/HHI serialized through one reducer:\n" + p)
+    assert(p.contains("hashpartitioning(nation"),
+      "shuffles must key on the group column:\n" + p)
+    // the rank window and the moment agg share one per-nation spec
+    assert("\\bWindow\\b".r.findAllIn(p).size == 1, p)
+  }
+
   test("q97: per-key equi-depth bins — group-key exchanges, one WindowExec, no single reducer") {
     val p = plan(Relational.q97EquidepthByKey(spark, sf))
     assert(!p.contains("SinglePartition"),

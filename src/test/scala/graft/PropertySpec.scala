@@ -170,6 +170,44 @@ class PropertySpec extends SparkSpec {
     assert(got(("ramp", 1L))._2.get > 500000L)
   }
 
+  test("q104 concentration core: Gini/HHI match a BigInt reference; equal-split and monopoly poles pinned") {
+    // equal -> gini 0, hhi = 1e6/n; monopoly-ish -> gini near (n-1)/n,
+    // hhi near 1e6; skew exercises the rank formulation on real ties
+    val groups = Map(
+      "eq"   -> Seq(7L, 7L, 7L, 7L),
+      "mono" -> Seq(1L, 1L, 1L, 9997L),
+      "skew" -> Seq(10L, 10L, 20L, 40L, 80L, 160L),
+      "one"  -> Seq(42L),
+      "zero" -> Seq(0L, 0L))
+    def ref(xs: Seq[Long]): (Long, Option[Long], Option[Long]) = {
+      val n = xs.size
+      val s = BigInt(xs.sum)
+      val sorted = xs.sorted
+      val t = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+      val q = xs.map(x => BigInt(x) * x).sum
+      if (s > 0)
+        (n.toLong,
+          Some((((2 * t - (n + 1) * s) * 1000000) / (n * s)).toLong),
+          Some(((q * 1000000) / (s * s)).toLong))
+      else (n.toLong, None, None)
+    }
+    val rows = groups.toSeq.flatMap { case (g, xs) =>
+      xs.zipWithIndex.map { case (v, i) => (g, i.toLong, v) } }
+    val got = graft.operators.Relational
+      .concentrationOn(rows.toDF("nation", "sk", "rev"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val expect = groups.map { case (g, xs) => g -> ref(xs) }
+    assert(got == expect, s"got $got expected $expect")
+    assert(got("eq") == ((4L, Some(0L), Some(250000L))))
+    assert(got("mono")._2.get > 700000L && got("mono")._3.get > 990000L)
+    assert(got("one") == ((1L, Some(0L), Some(1000000L))))
+    assert(got("zero") == ((2L, None, None)))
+  }
+
   test("minhash collision fraction estimates jaccard for random overlap levels") {
     val base = (1 to 120).map(i => s"w$i")
     val overlaps = Seq(20, 60, 100)
