@@ -2277,7 +2277,16 @@ object Graph {
     * for the differential spec. `acc` is [[msBfsCounts]]'s output (a
     * union of checkpointed flat relations, cheap to re-filter per
     * level). Deepest-level nodes have g = 0 by the bounded-round
-    * contract (no successors inside the horizon). */
+    * contract (no successors inside the horizon).
+    *
+    * One blocking job per level: the level-k frame is level(k)
+    * LEFT-joined to the candidate sums with coalesce-0 — that single
+    * frame serves BOTH as the next round's gPrev AND as the level's
+    * rollup rows (the r15 rewrite; the old shape checkpointed a
+    * semi-joined gk and a separately-joined gPrev — two jobs per level
+    * computing the same rows twice). Zero-g rows riding into the
+    * rollup contribute σ·0 = 0, and levels partition (seed, node), so
+    * the union stays key-unique — results identical by construction. */
   private[graft] def stressOn(bi: DataFrame, acc: DataFrame,
       rounds: Int): DataFrame = {
     val s = bi.sparkSession
@@ -2292,16 +2301,12 @@ object Graph {
           (gPrev("g") + lit(1L)).as("t"))
         .groupBy(col("seed"), col("node"))
         .agg(sum(col("t")).as("g"))
-      val gk = cand
-        .join(level(k).select(col("seed"), col("node")),
-          Seq("seed", "node"), "left_semi")
-        .localCheckpoint(true)
-      gs = gk :: gs
       gPrev = level(k).select(col("seed"), col("node"))
-        .join(gk, Seq("seed", "node"), "left")
+        .join(cand, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
           coalesce(col("g"), lit(0L)).as("g"))
         .localCheckpoint(true)
+      gs = gPrev :: gs
       k -= 1
     }
     val gg = gs.reduceOption(_ unionAll _).getOrElse(

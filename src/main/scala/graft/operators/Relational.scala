@@ -1597,8 +1597,16 @@ object Relational {
     * DISTINCT aggregates means no Expand, and the single global group
     * allocates each 16 KB buffer once (the q84 lesson's trap was sketch
     * buffers riding a multi-distinct Expand's per-group allocation).
+    * The exact shape (r15) runs ONE single-distinct pass per column
+    * cross-joined onto the base-stats agg — the q33 split applied to
+    * the global profile: the old combined agg planned an Expand of
+    * scan bytes × (N+1) through the partial agg, while each per-column
+    * pass scans one parquet column and shuffles only its map-side-
+    * distinct values (guide §2.3). The cost threshold now guards the
+    * N-extra-scans cost rather than an Expand, but the 100 TB swap
+    * logic is unchanged: above it, sketches in one pass win.
     * Output schema is identical either way (BIGINT n_distinct);
-    * PlanShapeSpec pins Expand-below / no-Expand-above. */
+    * PlanShapeSpec pins no-Expand + split-below / one-agg-above. */
   private[graft] def dataProfile(df: DataFrame, profiled: Seq[String]): DataFrame = {
     val expandBytes =
       BigInt(df.queryExecution.optimizedPlan.stats.sizeInBytes.toString) *
@@ -1606,14 +1614,19 @@ object Relational {
     val exact = expandBytes <= profileMaxExpandBytes(df.sparkSession)
     val aggs = profiled.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        (if (exact) countDistinct(col(c)).cast("long")
-         else approx_count_distinct(col(c), 0.01).cast("long"))
-          .as(s"${c}__distinct"),
-        min(col(c)).cast("long").as(s"${c}__min"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
+        (if (exact) Seq.empty
+         else Seq(approx_count_distinct(col(c), 0.01).cast("long")
+           .as(s"${c}__distinct"))) ++
+      Seq(min(col(c)).cast("long").as(s"${c}__min"),
         max(col(c)).cast("long").as(s"${c}__max"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val base = df.agg(aggs.head, aggs.tail: _*)
+    val one =
+      if (!exact) base
+      else profiled.map(c => df.agg(countDistinct(col(c)).cast("long")
+          .as(s"${c}__distinct")))
+        .foldLeft(base)(_ crossJoin _)
     val rows = profiled.map { c =>
       struct(lit(c).as("column_name"),
         col(s"${c}__n").as("n"), col(s"${c}__nulls").as("n_null"),
@@ -1698,10 +1711,21 @@ object Relational {
     // (~16 KB apiece) — 197 s at sf0.1; split, the HLL pass is one
     // group with four sketches total and the exact pass carries only
     // count buffers through the Expand — ~3 s)
-    val exactAggs = cols.map(c => countDistinct(col(c)).cast("long").as(s"${c}__exact"))
+    // r15: the exact side goes ALL the way down the q33 ladder — one
+    // single-distinct pass PER COLUMN (1-row results cross-joined)
+    // instead of one 4-distinct agg. The multi-distinct agg still
+    // planned an Expand (scan bytes × 5 through the partial agg, count
+    // buffers per (gid, value) group); per-column passes each scan ONE
+    // parquet column and two-phase-aggregate its values — A/B measured
+    // ~1.9× on the exact side at sf0.1, and the Expand multiplier is
+    // exactly what 100 TB cannot afford (guide §2.3: shuffle fewer
+    // bytes; the per-column pass shuffles map-side-distinct values
+    // only). Results identical: exact counts are exact either way.
     val approxAggs = cols.map(c =>
       approx_count_distinct(col(c), 0.01).cast("long").as(s"${c}__est"))
-    val one = li.agg(exactAggs.head, exactAggs.tail: _*)
+    val one = cols.map(c =>
+        li.agg(countDistinct(col(c)).cast("long").as(s"${c}__exact")))
+      .reduce(_ crossJoin _)
       .crossJoin(li.agg(approxAggs.head, approxAggs.tail: _*))
     val rows = cols.map { c =>
       struct(lit(c).as("column_name"),

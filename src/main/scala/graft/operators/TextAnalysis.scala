@@ -404,11 +404,15 @@ object TextAnalysis {
     * float surface. */
   def t34CurationPipeline(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // r15: the gate needs EXISTENCE, not counts — rlike stops at the
+    // first match where regexp_count scans every row to the end four
+    // times, and && short-circuits the later patterns entirely once
+    // one hits (guide §1.2 per-task work; "Σcounts === 0" ⟺ no
+    // pattern matches, null text drops either way, so the kept set —
+    // and every downstream result — is bit-identical)
     val piiOk = docs.filter(
-        call_function("regexp_count", col("text"), lit(EmailRe)) +
-        call_function("regexp_count", col("text"), lit(Ipv4Re)) +
-        call_function("regexp_count", col("text"), lit(PhoneRe)) +
-        call_function("regexp_count", col("text"), lit(BlockRe)) === 0)
+        !(col("text").rlike(EmailRe) || col("text").rlike(Ipv4Re) ||
+          col("text").rlike(PhoneRe) || col("text").rlike(BlockRe)))
       .select(col("doc_id"), col("source"), col("text"),
         size(tokens(col("text"))).cast("long").as("n_toks"))
     // cached: this subtree (4 regex gates + the coverage join) is read
@@ -481,11 +485,10 @@ object TextAnalysis {
     if (rows.nonEmpty) in.addData(rows)
     val name = "t35_gate_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val kept = in.toDF().toDF("doc_id", "source", "text")
+      // existence test, not counts — the t34 rlike short-circuit (r15)
       .filter(
-        call_function("regexp_count", col("text"), lit(EmailRe)) +
-        call_function("regexp_count", col("text"), lit(Ipv4Re)) +
-        call_function("regexp_count", col("text"), lit(PhoneRe)) +
-        call_function("regexp_count", col("text"), lit(BlockRe)) === 0)
+        !(col("text").rlike(EmailRe) || col("text").rlike(Ipv4Re) ||
+          col("text").rlike(PhoneRe) || col("text").rlike(BlockRe)))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"))
     val q = kept.writeStream

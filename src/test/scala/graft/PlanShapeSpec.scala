@@ -206,13 +206,18 @@ class PlanShapeSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
-  test("q82 profile swap: exact distinct (Expand) below the cost threshold, HLL (no Expand) above") {
+  test("q82 profile swap: exact split distinct passes below the cost threshold, HLL (one agg) above") {
     import org.apache.spark.sql.functions.col
-    // below threshold (the driver-gate SFs): exact countDistinct — the
-    // plan carries the documented Expand and no HLL sketches
+    // below threshold (the driver-gate SFs): exact countDistinct as
+    // per-column single-distinct passes (the r15 q33-split — NO Expand
+    // anywhere: the old combined agg multiplied scan bytes ×(N+1)
+    // through the partial agg) and no HLL sketches
     val exact = Relational.q82DataProfile(spark, sf)
     val pe = plan(exact)
-    assert(pe.contains("Expand"), "exact profile lost its Expand:\n" + pe)
+    assert(!pe.contains("Expand"),
+      "exact profile regressed to a multi-distinct Expand:\n" + pe)
+    assert("count\\(distinct ".r.findAllIn(pe.toLowerCase).size >= 5,
+      "exact profile lost its per-column distinct passes:\n" + pe)
     assert(!pe.toLowerCase.contains("approx_count_distinct"), pe)
     // above threshold: same entry point, HLL sketches, NO Expand — the
     // only shape that survives 100x (q33/q84 lesson)
