@@ -124,6 +124,302 @@ object ABProbe {
         }
         Seq("old_2jobs" -> (() => oldShape),
           "new_1job" -> (() => Graph.g24StressCentrality(spark, sfDir)))
+      case "grounds" =>
+        // eager per-round localCheckpoint (pre-r15) vs the lazy one-job
+        // collapse now in Graph for g09/g25/g26/g24 — all interleaved
+        // in one JVM so the ratios survive host weather
+        import graft.operators.Graph
+        val E12 = 1000000000000L
+        def oldG09 = {
+          val name = Graph.sharedWeightedEdgeIndex(spark, sfDir)
+          val we = spark.table(name + "_edges")
+          val seeds = we.filter(col("src") % 2 === 0)
+            .select(col("src").as("node")).distinct()
+            .orderBy(col("node")).limit(3)
+          val wd = we.groupBy(col("src")).agg(sum(col("w")).as("tw")).cache()
+          val sd = seeds.select(col("node")).distinct()
+            .withColumn("_seed", lit(1L)).cache()
+          val ns = sd.count()
+          val base = (15L * E12) / (100L * ns)
+          val nodes = wd.select(col("src").as("node"))
+          def withBase(inSums: DataFrame): DataFrame = nodes
+            .join(inSums, Seq("node"), "left")
+            .join(broadcast(sd), Seq("node"), "left")
+            .select(col("node"),
+              (when(col("_seed").isNotNull, lit(base)).otherwise(lit(0L))
+                + coalesce(col("in_sum"), lit(0L))).cast("long").as("rank_e12"))
+          var ranks = nodes.join(broadcast(sd), Seq("node"), "left")
+            .select(col("node"),
+              when(col("_seed").isNotNull, lit(E12 / ns)).otherwise(lit(0L))
+                .as("rank_e12"))
+            .localCheckpoint(true)
+          for (_ <- 1 to 5)
+            ranks = withBase(Graph.pprInSums(we, wd, ranks)).localCheckpoint(true)
+          ranks.orderBy(col("rank_e12").desc, col("node")).limit(100)
+        }
+        def oldG25 = {
+          val bi = spark.table(Graph.sharedCooccurIndex(spark, sfDir) + "_edges")
+          var x = bi.select(col("src").as("node")).distinct()
+            .select(col("node"), lit(1L).as("x"))
+            .localCheckpoint(true)
+          var weighted = List.empty[DataFrame]
+          for (k <- 1 to 4) {
+            x = Graph.katzRound(bi, x).localCheckpoint(true)
+            val w = math.pow(8.0, (4 - k).toDouble).toLong
+            weighted = x.select(col("node"), (col("x") * lit(w)).as("t")) :: weighted
+          }
+          weighted.reduce(_ unionAll _)
+            .groupBy(col("node")).agg(sum(col("t")).as("katz_e"))
+            .orderBy(col("katz_e").desc, col("node")).limit(100)
+        }
+        def oldG26 = {
+          val t = spark.table(Graph.sharedEdgeIndex(spark, sfDir) + "_edges")
+          val fwd = t.filter(col("src") % 2 === 0)
+          val rev = t.filter(col("src") % 2 === 1)
+          var hub = fwd.select(col("src").as("node")).distinct()
+            .select(col("node"), lit(1L).as("x")).localCheckpoint(true)
+          var auth = hub.limit(0)
+          for (_ <- 1 to 2) {
+            auth = Graph.katzRound(fwd, hub).localCheckpoint(true)
+            hub = Graph.katzRound(rev, auth).localCheckpoint(true)
+          }
+          def top(df: DataFrame, kind: String) = df
+            .orderBy(col("x").desc, col("node")).limit(50)
+            .select(lit(kind).as("kind"), col("node"), col("x").as("score"))
+          top(hub, "hub").unionAll(top(auth, "auth"))
+            .orderBy(col("kind"), col("score").desc, col("node"))
+        }
+        def oldG24 = {
+          val bi = spark.table(Graph.sharedCooccurIndex(spark, sfDir) + "_edges")
+          val acc = Graph.sharedCentralityAcc(spark, sfDir)
+          val rounds = 3
+          def level(k: Int) = acc.filter(col("dist") === k.toLong)
+          var gPrev = level(rounds)
+            .select(col("seed"), col("node"), lit(0L).as("g"))
+          var gs = List.empty[DataFrame]
+          var k = rounds - 1
+          while (k >= 1) {
+            val cand = bi.join(gPrev, bi("src") === gPrev("node"))
+              .select(gPrev("seed").as("seed"), bi("dst").as("node"),
+                (gPrev("g") + lit(1L)).as("t"))
+              .groupBy(col("seed"), col("node"))
+              .agg(sum(col("t")).as("g"))
+            gPrev = level(k).select(col("seed"), col("node"))
+              .join(cand, Seq("seed", "node"), "left")
+              .select(col("seed"), col("node"),
+                coalesce(col("g"), lit(0L)).as("g"))
+              .localCheckpoint(true)
+            gs = gPrev :: gs
+            k -= 1
+          }
+          val gg = gs.reduce(_ unionAll _)
+          acc.filter(col("dist") >= 1)
+            .join(gg, Seq("seed", "node"), "left")
+            .select(col("node"),
+              (col("sigma") * coalesce(col("g"), lit(0L))).as("t"))
+            .groupBy(col("node")).agg(sum(col("t")).as("stress"))
+            .filter(col("stress") > 0)
+            .orderBy(col("stress").desc, col("node")).limit(100)
+        }
+        Seq(
+          "old_g09" -> (() => oldG09),
+          "new_g09" -> (() => Graph.g09PersonalizedPageRank(spark, sfDir)),
+          "old_g25" -> (() => oldG25),
+          "new_g25" -> (() => Graph.g25KatzCentrality(spark, sfDir)),
+          "old_g26" -> (() => oldG26),
+          "new_g26" -> (() => Graph.g26HitsCentrality(spark, sfDir)),
+          "old_g24" -> (() => oldG24),
+          "new_g24" -> (() => Graph.g24StressCentrality(spark, sfDir)))
+      case "batch3" =>
+        // g06 eager-checkpoint vs lazy-cache rounds; t30/t34 single
+        // staged tokenize pass vs the re-tokenizing shapes
+        import graft.operators.{Graph, TextAnalysis}
+        import graft.functions.TextFunctions.{tokens, shingles}
+        val E12 = 1000000000000L
+        def oldG06 = {
+          val de = spark.table(Graph.sharedEdgeIndex(spark, sfDir) + "_edges")
+            .filter(col("src") % 2 === 0)
+          val outCnt = de.groupBy(col("src")).agg(count(lit(1)).as("od"))
+          val deg = de.select(col("src").as("node"))
+            .union(de.select(col("dst").as("node"))).distinct()
+            .join(outCnt.select(col("src").as("node"), col("od")), Seq("node"), "left")
+            .select(col("node"), coalesce(col("od"), lit(0L)).as("outdeg"))
+            .cache()
+          val n = deg.count()
+          val base = (15L * E12) / (100L * n)
+          var ranks = deg.select(col("node"), lit(E12 / n).as("rank_e12"))
+            .localCheckpoint(true)
+          for (_ <- 1 to 5) {
+            val inSums = Graph.directedInSums(de, deg, ranks)
+            val dang = ranks.alias("r")
+              .join(deg.filter(col("outdeg") === 0).alias("d"),
+                col("r.node") === col("d.node"))
+              .agg(expr(s"(85 * coalesce(sum(r.rank_e12), 0)) div (100 * $n)")
+                .as("dang"))
+            ranks = deg.select(col("node"))
+              .join(inSums, Seq("node"), "left")
+              .crossJoin(broadcast(dang))
+              .select(col("node"),
+                (lit(base) + coalesce(col("in_sum"), lit(0L)) + col("dang"))
+                  .cast("long").as("rank_e12"))
+              .localCheckpoint(true)
+          }
+          ranks.orderBy(col("rank_e12").desc, col("node")).limit(100)
+        }
+        def oldDup3(docs: DataFrame) = {
+          val g3 = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+            .select(col("doc_id"), posexplode(shingles(col("toks"), 3)))
+            .toDF("doc_id", "start", "g")
+            .cache()
+          val dup3 = g3.groupBy(col("doc_id"), col("g"))
+            .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+            .select(col("doc_id"), col("g"))
+          g3.join(dup3, Seq("doc_id", "g"), "left_semi")
+            .select(col("doc_id"),
+              explode(sequence(col("start"), col("start") + 2)).as("p"))
+            .distinct()
+            .groupBy(col("doc_id")).agg(count(lit(1)).as("cov"))
+        }
+        def oldT30 = {
+          val docs = Tables.documents(spark, sfDir)
+          val base = docs
+            .select(col("doc_id"), tokens(col("text")).as("toks"),
+              length(col("text")).cast("long").as("n_chars"))
+            .withColumn("n_words", size(col("toks")).cast("long"))
+          val g2 = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
+            .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
+          val top2 = g2
+            .withColumn("k", concat(
+              lpad((lit(99999999L) - least(col("n"), lit(99999999L))).cast("string"), 8, "0"),
+              col("g")))
+            .groupBy(col("doc_id")).agg(min(col("k")).as("k"))
+            .select(col("doc_id"),
+              expr("substring(k, 9)").as("top2_gram"),
+              (lit(99999999L) - expr("CAST(substring(k, 1, 8) AS BIGINT)")).as("top2_n"))
+          val cov = oldDup3(docs)
+          base.select(col("doc_id"), col("n_words"), col("n_chars"))
+            .join(top2, Seq("doc_id"), "left")
+            .join(cov, Seq("doc_id"), "left")
+            .select(col("doc_id"), col("n_words"),
+              coalesce(col("top2_gram"), lit("")).as("top2_gram"),
+              coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+              when(col("top2_n").isNotNull && col("n_chars") > 0,
+                expr("(length(top2_gram) * top2_n * 1000000) div n_chars"))
+                .otherwise(lit(0L)).as("top2_char_frac_e6"),
+              when(col("n_words") > 0,
+                expr("(coalesce(cov, 0) * 1000000) div n_words"))
+                .otherwise(lit(0L)).as("dup3_cov_frac_e6"))
+            .orderBy("doc_id")
+        }
+        val EmailReL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val Ipv4ReL = """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"""
+        val PhoneReL = """\b\d{3}-\d{3}-\d{4}\b"""
+        val BlockReL = """\b(customer|dup)\b"""
+        def piiGate = Tables.documents(spark, sfDir).filter(
+          !(col("text").rlike(EmailReL) || col("text").rlike(Ipv4ReL) ||
+            col("text").rlike(PhoneReL) || col("text").rlike(BlockReL)))
+        def oldT34g = {
+          val piiOk = piiGate
+            .select(col("doc_id"), col("source"), col("text"),
+              size(tokens(col("text"))).cast("long").as("n_toks"))
+          piiOk
+            .join(oldDup3(piiOk.select(col("doc_id"), col("text"))), Seq("doc_id"), "left")
+            .filter(coalesce(col("cov"), lit(0L)) * 2 < col("n_toks"))
+            .drop("cov")
+        }
+        def newT34g = {
+          val piiOk = piiGate
+            .select(col("doc_id"), col("source"), col("text"),
+              tokens(col("text")).as("toks"))
+            .withColumn("n_toks", size(col("toks")).cast("long"))
+            .cache()
+          piiOk
+            .join(TextAnalysis.dup3CoverageToks(piiOk.select(col("doc_id"), col("toks"))),
+              Seq("doc_id"), "left")
+            .filter(coalesce(col("cov"), lit(0L)) * 2 < col("n_toks"))
+            .drop("cov", "toks")
+        }
+        Seq(
+          "old_g06" -> (() => oldG06),
+          "new_g06" -> (() => Graph.g06PageRankDirected(spark, sfDir)),
+          "old_t30" -> (() => oldT30),
+          "new_t30" -> (() => TextAnalysis.t30GopherRepetition(spark, sfDir)),
+          "old_t34g" -> (() => oldT34g),
+          "new_t34g" -> (() => newT34g))
+      case "lpa" =>
+        // pre-r15 lpaOn (eager per-round checkpoint + stability count)
+        // vs the lazy one-job unroll now in Graph, through g14 and g15
+        import graft.operators.Graph
+        def oldLpaOn(we: DataFrame) = Graph.lpaRoundLabels(we, 4).last
+        def oldG14 = {
+          val we = spark.table(
+            Graph.sharedWeightedCooccurIndex(spark, sfDir) + "_edges")
+          oldLpaOn(we)
+            .groupBy(col("label").as("community"))
+            .agg(count(lit(1)).as("n_nodes"), sum(col("node")).as("node_sum"))
+            .orderBy(col("community"))
+        }
+        def oldG15 = {
+          val we = spark.table(
+            Graph.sharedWeightedCooccurIndex(spark, sfDir) + "_edges")
+          Graph.modularityOn(we, oldLpaOn(we))
+        }
+        Seq(
+          "old_g14" -> (() => oldG14),
+          "new_g14" -> (() => Graph.g14LpaCommunities(spark, sfDir)),
+          "old_g15" -> (() => oldG15),
+          "new_g15" -> (() => Graph.g15Modularity(spark, sfDir)))
+      case "textcache" =>
+        // t39/t51 staged-tokenize caches vs the re-tokenizing shapes
+        import graft.operators.TextAnalysis
+        import graft.functions.TextFunctions.{tokens, shingles}
+        def t39Leg(staged: Boolean) = {
+          val corpusT0 = Tables.documents(spark, sfDir).filter(col("doc_id") >= 10)
+            .select(col("doc_id"), tokens(col("text")).as("toks"))
+          val corpusT = if (staged) corpusT0.cache() else corpusT0
+          val qTerms = Tables.documents(spark, sfDir).filter(col("doc_id") < 10)
+            .select(col("doc_id").as("query_id"),
+              explode(array_distinct(tokens(col("text")))).as("term"))
+          val n = corpusT.select(count(lit(1)).cast("double").as("nd"),
+            avg(size(col("toks")).cast("double")).as("avgdl"))
+          val tf0 = corpusT.select(col("doc_id"), explode(col("toks")).as("term"))
+            .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+          val tf = if (staged) tf0.cache() else tf0
+          val c = tf.groupBy(col("doc_id"), col("term"))
+            .agg(count(lit(1)).cast("double").as("c"))
+          val dlen = corpusT.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
+          val dfT = tf.distinct().groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+          broadcast(qTerms).join(c, Seq("term"))
+            .join(dlen, "doc_id").join(broadcast(dfT), "term")
+            .crossJoin(broadcast(n))
+            .select(col("query_id"), col("doc_id"),
+              col("c") * col("dl") * col("nd") * col("df") * col("avgdl"))
+        }
+        def oldT51 = {
+          val t = Tables.documents(spark, sfDir).select(tokens(col("text")).as("toks"))
+          val uc = t.select(explode(col("toks")).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("c"))
+          val n = uc.agg(sum(col("c")).cast("long").as("n_tok"))
+          val pairs = t.select(explode(shingles(col("toks"), 2)).as("bigram"))
+            .groupBy(col("bigram")).agg(count(lit(1)).as("n_pair"))
+            .filter(col("n_pair") >= 5)
+            .select(split(col("bigram"), " ").as("ws"), col("n_pair"))
+            .select(element_at(col("ws"), 1).as("w1"),
+              element_at(col("ws"), 2).as("w2"), col("n_pair"))
+          pairs
+            .join(uc.select(col("w").as("w1"), col("c").as("c1")), "w1")
+            .join(uc.select(col("w").as("w2"), col("c").as("c2")), "w2")
+            .crossJoin(broadcast(n))
+            .select(col("w1"), col("w2"), col("n_pair"),
+              expr("""(CAST(n_pair AS DECIMAL(38,0)) * n_tok * 1000000)
+                       div (CAST(c1 AS DECIMAL(38,0)) * c2)""").as("lift_e6"))
+            .orderBy(col("lift_e6").desc, col("w1"), col("w2"))
+        }
+        Seq(
+          "old_t39leg" -> (() => t39Leg(staged = false)),
+          "new_t39leg" -> (() => t39Leg(staged = true)),
+          "old_t51" -> (() => oldT51),
+          "new_t51" -> (() => TextAnalysis.t51PmiCollocations(spark, sfDir)))
       case other => sys.error(s"unknown experiment $other")
     }
 

@@ -181,7 +181,14 @@ object Graph {
     * in-degree-0 nodes keep base + dangling share. Ranks are
     * localCheckpointed per iteration: the dangling branch references
     * rankₖ a second time, and without truncation the lazy tree doubles
-    * per iteration (2⁵ re-analysis by round 5). */
+    * per iteration (2⁵ re-analysis by round 5). The r15 lazy-cache
+    * collapse that won on g09/g24/g25/g26 was MEASURED A CATASTROPHIC
+    * REGRESSION here (interleaved A/B: 5.5 s → 29-112 s): each round's
+    * dangling BroadcastExchange executes the previous round's cache
+    * build on the broadcast thread pool, racing the main plan's read of
+    * the same unbuilt InMemoryRelation — rounds recompute instead of
+    * reusing. Keep the eager checkpoint wherever a 1-row broadcast
+    * derives from the iterated frame itself. */
   private[graft] def pageRankDirectedOn(de: DataFrame, iters: Int): DataFrame = {
     val s = de.sparkSession
     val outCnt = de.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -805,14 +812,18 @@ object Graph {
       .select(col("node"),
         (when(col("_seed").isNotNull, lit(base)).otherwise(lit(0L))
           + coalesce(col("in_sum"), lit(0L))).cast("long").as("rank_e12"))
+    // Every round's output feeds exactly ONE consumer (the next round's
+    // in-sums), so the whole unroll composes into ONE lazy plan — the
+    // g01 pageRankOn shape. The pre-r15 per-round localCheckpoint(true)
+    // cost one blocking job per round for nothing (no double reference,
+    // no lineage doubling): 6 jobs → 1 (OPTIMIZATION_r15.md).
     var ranks = nodes
       .join(broadcast(sd), Seq("node"), "left")
       .select(col("node"),
         when(col("_seed").isNotNull, lit(E12 / ns)).otherwise(lit(0L))
           .as("rank_e12"))
-      .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      ranks = withBase(pprInSums(we, wd, ranks)).localCheckpoint(true)
+      ranks = withBase(pprInSums(we, wd, ranks))
     }
     ranks
   }
@@ -1513,17 +1524,33 @@ object Graph {
     * sum followed by the packed-BIGINT per-node max; the edge side
     * (cached frame or bucketed table, pre-partitioned on src) never
     * re-shuffles — each round moves only node-sized label frames and
-    * the (node, label)-bounded vote frame. Rounds are
-    * localCheckpointed (the clusterLabels pattern) and an already-
-    * stable labelling short-circuits (the update is a deterministic
-    * function of the labelling, so stability at round k implies
-    * stability at every later round — identical rows to the full
-    * unroll the oracle runs). Every node has an in-edge (both-direction
-    * frame), so the vote covers the node set each round. At 100 TB the
-    * pack guard matters: ws < 2³¹ bounds per-(node, label) vote mass —
-    * wider corpora scale the LABEL ID space instead (ids < 2³²). */
-  private[graft] def lpaOn(we: DataFrame, rounds: Int): DataFrame =
-    lpaRoundLabels(we, rounds).last
+    * the (node, label)-bounded vote frame. Every node has an in-edge
+    * (both-direction frame), so the vote covers the node set each
+    * round. At 100 TB the pack guard matters: ws < 2³¹ bounds
+    * per-(node, label) vote mass — wider corpora scale the LABEL ID
+    * space instead (ids < 2³²).
+    *
+    * r15: the unroll is LAZY — each round's labels feed exactly one
+    * consumer (the next vote), so the whole chain composes into ONE
+    * job (the g09/g25 collapse; the pre-r15 shape paid a checkpoint
+    * job + a stability-count action per round). The short-circuit this
+    * drops was a pure performance device: a stable labelling
+    * reproduces itself under the vote (the update is a deterministic
+    * function of the labelling), so recomputing a stable round yields
+    * identical rows — results unchanged by construction. The returned
+    * frame is PURE LAZY — single-consumer callers (g14's rollup)
+    * execute the whole chain as one job; a caller referencing it more
+    * than once must flatten it eagerly first (g15 localCheckpoints —
+    * a lazy cache read from two legs of one plan races its own build,
+    * the measured g06 trap). [[lpaRoundLabels]] keeps the eager
+    * per-round shape — g19's incremental patching needs every round's
+    * frame materialized and the stability flag. */
+  private[graft] def lpaOn(we: DataFrame, rounds: Int): DataFrame = {
+    var labels = we.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+    for (_ <- 1 to rounds) labels = lpaVote(we, labels)
+    labels
+  }
 
   /** Every round's label frame l_1..l_rounds (each localCheckpointed) —
     * the sufficient statistic g19's incremental update patches against:
@@ -2279,14 +2306,17 @@ object Graph {
     * level). Deepest-level nodes have g = 0 by the bounded-round
     * contract (no successors inside the horizon).
     *
-    * One blocking job per level: the level-k frame is level(k)
-    * LEFT-joined to the candidate sums with coalesce-0 — that single
-    * frame serves BOTH as the next round's gPrev AND as the level's
-    * rollup rows (the r15 rewrite; the old shape checkpointed a
-    * semi-joined gk and a separately-joined gPrev — two jobs per level
-    * computing the same rows twice). Zero-g rows riding into the
-    * rollup contribute σ·0 = 0, and levels partition (seed, node), so
-    * the union stays key-unique — results identical by construction. */
+    * The level-k frame is level(k) LEFT-joined to the candidate sums
+    * with coalesce-0 — that single frame serves BOTH as the next
+    * round's gPrev AND as the level's rollup rows (the r15 rewrite;
+    * the old shape checkpointed a semi-joined gk and a
+    * separately-joined gPrev — two jobs per level computing the same
+    * rows twice). Zero-g rows riding into the rollup contribute
+    * σ·0 = 0, and levels partition (seed, node), so the union stays
+    * key-unique — results identical by construction. Each level is a
+    * lazy .cache() (double-referenced: next level + rollup), so the
+    * whole backward pass + rollup is ONE job — the second r15 cut
+    * (eager per-level localCheckpoint paid a blocking job per level). */
   private[graft] def stressOn(bi: DataFrame, acc: DataFrame,
       rounds: Int): DataFrame = {
     val s = bi.sparkSession
@@ -2305,7 +2335,7 @@ object Graph {
         .join(cand, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"),
           coalesce(col("g"), lit(0L)).as("g"))
-        .localCheckpoint(true)
+        .cache()
       gs = gPrev :: gs
       k -= 1
     }
@@ -2354,12 +2384,17 @@ object Graph {
     * total order. Honest per-call compute (4 node-sized rounds). */
   def g25KatzCentrality(s: SparkSession, dir: String): DataFrame = {
     val bi = s.table(sharedCooccurIndex(s, dir) + "_edges")
+    // x_k is referenced TWICE (the next round + its weighted rollup
+    // leg), so each round is a lazy .cache() — the final union/agg/sort
+    // is then ONE job that fills the caches as it goes, where the
+    // pre-r15 eager localCheckpoint(true) paid one blocking job per
+    // round (6 jobs → 1; OPTIMIZATION_r15.md). x_0 has one consumer —
+    // no persistence needed at all.
     var x = bi.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1L).as("x"))
-      .localCheckpoint(true)
     var weighted = List.empty[DataFrame]
     for (k <- 1 to KatzRounds) {
-      x = katzRound(bi, x).localCheckpoint(true)
+      x = katzRound(bi, x).cache()
       val w = math.pow(KatzAlphaInv.toDouble, (KatzRounds - k).toDouble).toLong
       weighted = x.select(col("node"), (col("x") * lit(w)).as("t")) :: weighted
     }
@@ -2396,12 +2431,16 @@ object Graph {
     val t = s.table(sharedEdgeIndex(s, dir) + "_edges")
     val fwd = t.filter(col("src") % 2 === 0)
     val rev = t.filter(col("src") % 2 === 1)
+    // Same lazy-rounds collapse as g25 (OPTIMIZATION_r15.md): each
+    // alternation's output feeds the next round and (for the last
+    // round) the top-50 legs — lazy .cache() per round turns 5 blocking
+    // checkpoint jobs into one final job filling the caches.
     var hub = fwd.select(col("src").as("node")).distinct()
-      .select(col("node"), lit(1L).as("x")).localCheckpoint(true)
+      .select(col("node"), lit(1L).as("x"))
     var auth = hub.limit(0)
     for (_ <- 1 to HitsRounds) {
-      auth = katzRound(fwd, hub).localCheckpoint(true)
-      hub = katzRound(rev, auth).localCheckpoint(true)
+      auth = katzRound(fwd, hub).cache()
+      hub = katzRound(rev, auth).cache()
     }
     def top(df: DataFrame, kind: String) = df
       .orderBy(col("x").desc, col("node")).limit(50)
@@ -2697,7 +2736,12 @@ object Graph {
   def g15Modularity(s: SparkSession, dir: String): DataFrame = {
     val name = sharedWeightedCooccurIndex(s, dir)
     val we = s.table(name + "_edges")
-    modularityOn(we, lpaOn(we, rounds = 4))
+    // ONE eager flatten of the lazy 4-round unroll (2 jobs total where
+    // the pre-r15 shape paid a checkpoint + stability count per round):
+    // modularityOn joins the labels twice, and a lazy frame read from
+    // two legs of one plan races its own materialization (the g06/g15
+    // A/B trap — measured 2.3 → 3.8 s when this was a cache())
+    modularityOn(we, lpaOn(we, rounds = 4).localCheckpoint(true))
   }
 
   /** The modularity core over an arbitrary both-direction weighted edge

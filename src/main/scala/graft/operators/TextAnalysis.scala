@@ -156,10 +156,15 @@ object TextAnalysis {
     * (the fixture corpus has live 3-gram coverage but no adversarial
     * overlap shapes). */
   private[graft] def gopherRepetition(docs: DataFrame): DataFrame = {
+    // ONE cached tokenize pass serves all three legs (r15): the base
+    // stats, the 2-gram argmax explode, and dup3Coverage's 3-gram legs
+    // each re-ran tokens() over the corpus before (3 tokenize scans →
+    // 1; query-scoped cache, harnesses clearCache after)
     val base = docs
       .select(col("doc_id"), tokens(col("text")).as("toks"),
         length(col("text")).cast("long").as("n_chars"))
       .withColumn("n_words", size(col("toks")).cast("long"))
+      .cache()
     val g2 = base.select(col("doc_id"), explode(shingles(col("toks"), 2)).as("g"))
       .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("n"))
     // order-invariant argmax as a SINGLE SORTABLE STRING: min over
@@ -183,7 +188,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         expr("substring(k, 9)").as("top2_gram"),
         (lit(99999999L) - expr("CAST(substring(k, 1, 8) AS BIGINT)")).as("top2_n"))
-    val cov = dup3Coverage(docs)
+    val cov = dup3CoverageToks(base.select(col("doc_id"), col("toks")))
     base.select(col("doc_id"), col("n_words"), col("n_chars"))
       .join(top2, Seq("doc_id"), "left")
       .join(cov, Seq("doc_id"), "left")
@@ -204,14 +209,21 @@ object TextAnalysis {
     * [[t34CurationPipeline]]'s repetition gate. Count + semi-join
     * re-scan, linear in tokens. Docs with zero duplicated 3-grams have
     * no row (callers left-join + coalesce). */
-  private[graft] def dup3Coverage(docs: DataFrame): DataFrame = {
+  private[graft] def dup3Coverage(docs: DataFrame): DataFrame =
     // stage toks as an attribute: shingles() references it repeatedly
     // and an inlined tokens(text) would re-tokenize per reference (the
     // t03/t04 staging lesson — measured 4-5× on this leg)
+    dup3CoverageToks(
+      docs.select(col("doc_id"), tokens(col("text")).as("toks")))
+
+  /** [[dup3Coverage]] over an already-tokenized (doc_id, toks) frame —
+    * the r15 entry point letting t30/t34 share ONE tokenize pass with
+    * their other legs instead of re-tokenizing the corpus here. */
+  private[graft] def dup3CoverageToks(tdocs: DataFrame): DataFrame = {
     // cached: referenced by both the ≥2 count and the coverage re-scan —
-    // without it each reference re-tokenizes and re-explodes the corpus
+    // without it each reference re-explodes the corpus
     // (query-scoped; Verify/Bench clearCache after)
-    val g3 = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val g3 = tdocs
       .select(col("doc_id"), posexplode(shingles(col("toks"), 3)))
       .toDF("doc_id", "start", "g")
       .cache()
@@ -410,19 +422,27 @@ object TextAnalysis {
     // one hits (guide §1.2 per-task work; "Σcounts === 0" ⟺ no
     // pattern matches, null text drops either way, so the kept set —
     // and every downstream result — is bit-identical)
+    // cached WITH the staged toks (r15): the regex gate + tokenize ran
+    // TWICE before — once as repOk's left side, once re-derived inside
+    // dup3Coverage's input — and dup3Coverage re-tokenized on top. One
+    // gated+tokenized pass now serves both consumers (query-scoped
+    // cache; Verify/Bench clearCache after).
     val piiOk = docs.filter(
         !(col("text").rlike(EmailRe) || col("text").rlike(Ipv4Re) ||
           col("text").rlike(PhoneRe) || col("text").rlike(BlockRe)))
       .select(col("doc_id"), col("source"), col("text"),
-        size(tokens(col("text"))).cast("long").as("n_toks"))
+        tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")).cast("long"))
+      .cache()
     // cached: this subtree (4 regex gates + the coverage join) is read
     // three times below — as the survivor frame, as lmScore's scoring
     // set, and as its doc universe (query-scoped; Verify/Bench
     // clearCache after)
     val repOk = piiOk
-      .join(dup3Coverage(piiOk.select(col("doc_id"), col("text"))), Seq("doc_id"), "left")
+      .join(dup3CoverageToks(piiOk.select(col("doc_id"), col("toks"))),
+        Seq("doc_id"), "left")
       .filter(coalesce(col("cov"), lit(0L)) * 2 < col("n_toks"))
-      .drop("cov")
+      .drop("cov", "toks")
       .cache()
     // cached like repOk: the distributed-CDF median pass executes the
     // scoring subtree eagerly at build time; the survivor filter reads
@@ -2325,13 +2345,20 @@ object TextAnalysis {
     * by a window over the ≤ 20·q surviving rows — bit-equal because
     * (score desc, doc_id) is a total order. */
   private[graft] def t39TextLegInline(s: SparkSession, dir: String): DataFrame = {
+    // cached (r15): the tokenized corpus feeds FOUR consumers below —
+    // the (nd, avgdl) stats agg, the tf explode (itself read twice:
+    // per-doc counts + df), and dlen — each re-ran the scan + tokens()
+    // before (query-scoped; Verify/Bench clearCache after)
     val corpusT = Tables.documents(s, dir).filter(col("doc_id") >= 10)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .cache()
     val qTerms = t39QueryTerms(s, dir)
     val n = corpusT.select(count(lit(1)).cast("double").as("nd"),
       avg(size(col("toks")).cast("double")).as("avgdl"))
+    // cached: read by both the per-(doc, term) counts and the df agg
     val tf = corpusT.select(col("doc_id"), explode(col("toks")).as("term"))
       .join(broadcast(qTerms.select(col("term")).distinct()), Seq("term"), "left_semi")
+      .cache()
     val c = tf.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("c"))
     val dlen = corpusT.select(col("doc_id"), size(col("toks")).cast("double").as("dl"))
@@ -2515,6 +2542,12 @@ object TextAnalysis {
   /** The PMI core over an arbitrary one-column (text) frame — exposed
     * for the differential spec. */
   private[graft] def pmiCollocationsOn(docs: DataFrame): DataFrame = {
+    // NOT cache-staged (r15, measured): uc's three references are the
+    // IDENTICAL agg subtree inside ONE final plan — ReuseExchange
+    // already dedupes them, so caches only add build overhead
+    // (interleaved A/B: 1.33 s → 1.42 s WITH caches; contrast t39,
+    // where the corpus subtree feeds non-identical consumers and
+    // staging measured 1.25× the other way).
     val t = docs.select(tokens(col("text")).as("toks"))
     val uc = t.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
