@@ -420,6 +420,19 @@ object ABProbe {
           "new_t39leg" -> (() => t39Leg(staged = true)),
           "old_t51" -> (() => oldT51),
           "new_t51" -> (() => TextAnalysis.t51PmiCollocations(spark, sfDir)))
+      case "d09cache" =>
+        // cached converted-embedding frame vs per-job re-conversion
+        import graft.operators.Dedup
+        import graft.functions.VectorFunctions
+        def oldD09 = {
+          val e = Tables.embeddings(spark, sfDir)
+            .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
+            .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+          Dedup.ivfNearDupPairs(e, 32, 4, 0.4).orderBy("vec_a", "vec_b")
+        }
+        Seq(
+          "old_d09" -> (() => oldD09),
+          "new_d09" -> (() => Dedup.d09EmbedNearDupIvf(spark, sfDir)))
       case other => sys.error(s"unknown experiment $other")
     }
 

@@ -266,8 +266,14 @@ object Bench {
     // COMPACT summary that fits any tail window: total, counts, receipt
     // verdicts only. BENCH_LATEST.json (written above) remains the full
     // per-query artifact.
-    val verdictsJson = receipts.toSeq.sortBy(_._1)
-      .map { case (k, (_, v, _)) => "\"" + k + "\":\"" + v + "\"" }
+    // verdicts as CLASS COUNTS, not a per-query map: a loud-host pass
+    // fires 30-40 receipts and a per-query verdict map grows past 2 KB
+    // — back into tail-clipping territory. Class counts bound the line
+    // to a few hundred bytes regardless of host weather (r15); the
+    // per-query verdicts live in BENCH_LATEST.json's `receipts`.
+    val verdictsJson = receipts.toSeq.map(_._2._2)
+      .groupBy(identity).toSeq.sortBy(_._1)
+      .map { case (v, xs) => "\"" + v + "\":" + xs.size }
       .mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":$total,"unit":"sec","n":${adjusted.size},"receipts_n":${receipts.size},"verdicts":$verdictsJson$degradedField,"sf":"$sfDir"}"""
     println(compact)

@@ -296,9 +296,17 @@ object Dedup {
     * the exact pairs and asserts every emitted pair is a true positive
     * (precision 1.0 by construction: the verify is exact). */
   def d09EmbedNearDupIvf(s: SparkSession, dir: String): DataFrame = {
+    // cached (r15): the converted (emb, nrm) frame is read by FOUR
+    // sequential jobs (seed collect, two Lloyd refine collects, the
+    // candidate+verify query — which itself references it three times:
+    // idx/va/vb) — each re-ran the scan + toDouble + l2Norm before.
+    // The refine collects build the cache BEFORE the final plan's
+    // concurrent legs read it, so the unbuilt-cache race (the g06/g15
+    // lesson) cannot bite. Query-scoped; Verify/Bench clearCache after.
     val e = Tables.embeddings(s, dir)
       .select(col("vec_id"), VectorFunctions.toDouble(col("embedding")).as("emb"))
       .withColumn("nrm", VectorFunctions.l2Norm(col("emb")))
+      .cache()
     ivfNearDupPairs(e, DupCells, DupProbe, 0.4).orderBy("vec_a", "vec_b")
   }
 
