@@ -267,6 +267,29 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("lazy lpaOn ≡ eager lpaRoundLabels.last on stabilizing AND oscillating graphs (r15 internals pin)") {
+    // r15 made lpaOn a lazy unroll WITHOUT the per-round stability
+    // short-circuit lpaRoundLabels keeps; the equivalence argument is
+    // that a stable labelling reproduces itself under the vote. Pin it
+    // on a graph that STABILIZES before round 4 (disjoint triangles —
+    // the short-circuit path in the eager twin genuinely fires) and on
+    // the oscillator (it never fires), across both code paths.
+    val stable = biW(Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (7L, 8L, 5L), (7L, 9L, 5L), (8L, 9L, 5L)))
+    val oscillator = biW(Seq((1L, 2L, 7L)))
+    for (g <- Seq(stable, oscillator)) {
+      val we = g.toDF("src", "dst", "w")
+      val lazyLabels = Graph.lpaOn(we, rounds = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val eagerLabels = Graph.lpaRoundLabels(we, rounds = 4).last
+        .select("node", "label")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(lazyLabels == eagerLabels,
+        s"graph $g: lazy $lazyLabels eager $eagerLabels")
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("modularityOn matches an exact BigInt reference (bridged triangles, star, single triangle)") {
     import spark.implicits._
     def refQ(we: Seq[(Long, Long, Long)],
