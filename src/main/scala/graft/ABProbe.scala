@@ -433,6 +433,190 @@ object ABProbe {
         Seq(
           "old_d09" -> (() => oldD09),
           "new_d09" -> (() => Dedup.d09EmbedNearDupIvf(spark, sfDir)))
+      case "q84hll" =>
+        // the HLL++ sketch agg at rsd 0.01 carries 1639 Long buffer
+        // slots PER COLUMN (6556 aggregate attributes in one operator —
+        // the 438 KB before-plan); DataSketches hll_sketch_agg(lgK=14)
+        // keeps ONE binary buffer per column at the same ~0.8% accuracy
+        val cols84 = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber")
+        def li84 = Tables.lineitem(spark, sfDir)
+        def oldHll = li84.agg(
+          approx_count_distinct(col(cols84.head), 0.01).cast("long").as("a"),
+          cols84.tail.map(c =>
+            approx_count_distinct(col(c), 0.01).cast("long").as(s"${c}__est")): _*)
+        def newHll = li84.agg(
+          hll_sketch_estimate(hll_sketch_agg(col(cols84.head), lit(14))).as("a"),
+          cols84.tail.map(c =>
+            hll_sketch_estimate(hll_sketch_agg(col(c), lit(14))).as(s"${c}__est")): _*)
+        Seq("old_hllpp" -> (() => oldHll), "new_datasketch" -> (() => newHll))
+      case "mediamicro" =>
+        // pure-JVM component timing for the media codecs (no Spark):
+        // where does a media row's time actually go?
+        import graft.operators.Multimodal
+        val ids = (0L until 2000L).map(_ * 3) // png ids
+        val jids = ids.map(_ + 1)             // jpeg ids
+        def bench(label: String)(f: => Unit): Unit = {
+          f // warm
+          val t0 = System.nanoTime(); f
+          println(f"MICRO $label ${(System.nanoTime() - t0) / 1e6}%.1f ms")
+        }
+        bench("encode_png")(ids.foreach(Multimodal.encodeImage("png", _)))
+        bench("encode_jpeg")(jids.foreach(Multimodal.encodeImage("jpeg", _)))
+        val pngs = ids.map(Multimodal.encodeImage("png", _))
+        val jpgs = jids.map(Multimodal.encodeImage("jpeg", _))
+        bench("decode_png_imageio")(pngs.foreach(b =>
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
+        bench("decode_jpeg_imageio")(jpgs.foreach(b =>
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))))
+        // reused reader per format
+        def reusedReader(fmt: String, payloads: Seq[Array[Byte]]): Unit = {
+          val r = javax.imageio.ImageIO.getImageReadersByFormatName(fmt).next()
+          payloads.foreach { b =>
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(b))
+            r.setInput(iis, true, true)
+            r.read(0)
+            iis.close()
+          }
+          r.dispose()
+        }
+        bench("decode_png_reused")(reusedReader("png", pngs))
+        bench("decode_jpeg_reused")(reusedReader("jpeg", jpgs))
+        val imgs = pngs.map(b =>
+          javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b)))
+        println("decoded type: " + imgs.head.getType) // 5 = TYPE_3BYTE_BGR
+        bench("pixels_getRGB")(imgs.foreach { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          var s = 0L; var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+                114L * (rgb & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          if (s == -1) println("")
+        })
+        bench("pixels_bulkRGB")(imgs.foreach { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val buf = img.getRGB(0, 0, w, h, null, 0, w)
+          var s = 0L; var i = 0
+          while (i < buf.length) {
+            val rgb = buf(i)
+            s += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)
+            i += 1
+          }
+          if (s == -1) println("")
+        })
+        bench("pixels_raster")(imgs.foreach { img =>
+          val d = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          var s = 0L; var i = 0
+          while (i < d.length) {
+            val b = d(i) & 0xFF; val g = d(i + 1) & 0xFF; val r = d(i + 2) & 0xFF
+            s += 299L * r + 587L * g + 114L * b
+            i += 3
+          }
+          if (s == -1) println("")
+        })
+        // encode via REUSED writer + raster bulk fill: must be
+        // byte-identical to ImageIO.write of the setRGB-built image
+        def encodeReused(fmt: String, idsIn: Seq[Long]): Seq[Array[Byte]] = {
+          val w = javax.imageio.ImageIO.getImageWritersByFormatName(fmt).next()
+          val out = idsIn.map { id =>
+            val (iw, ih) = Multimodal.imageDims(id)
+            val img = new java.awt.image.BufferedImage(iw, ih,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val data = img.getRaster.getDataBuffer
+              .asInstanceOf[java.awt.image.DataBufferInt].getData
+            var y = 0
+            while (y < ih) {
+              var x = 0
+              while (x < iw) {
+                var m = id * 2654435761L + (x >> 2) * 40503L + (y >> 2) * 65537L
+                m ^= m >>> 33; m *= 0xff51afd7ed558ccdL; m ^= m >>> 33
+                data(y * iw + x) = (m & 0xFFFFFF).toInt
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            w.setOutput(ios)
+            w.write(null, new javax.imageio.IIOImage(img, null, null), null)
+            ios.close()
+            bos.toByteArray
+          }
+          w.dispose()
+          out
+        }
+        var pngReused: Seq[Array[Byte]] = null
+        var jpgReused: Seq[Array[Byte]] = null
+        bench("encode_png_reused") { pngReused = encodeReused("png", ids) }
+        bench("encode_jpeg_reused") { jpgReused = encodeReused("jpeg", jids) }
+        val pngSame = pngs.zip(pngReused).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) }
+        val jpgSame = jpgs.zip(jpgReused).forall { case (a, b) =>
+          java.util.Arrays.equals(a, b) }
+        println(s"BYTE-IDENTICAL png=$pngSame jpeg=$jpgSame")
+        spark.stop(); return
+      case "g06dang" =>
+        // r16: the pre-edit shape — eager localCheckpoint per round with
+        // the dangling mass as a 1-row broadcast — vs the registered
+        // collect-literal + lazy-cache rounds
+        import graft.operators.Graph
+        val E12v = 1000000000000L
+        def de06 = spark.table(Graph.sharedEdgeIndex(spark, sfDir) + "_edges")
+          .filter(col("src") % 2 === 0)
+        def oldShape = {
+          val de = de06
+          val outCnt = de.groupBy(col("src")).agg(count(lit(1)).as("od"))
+          val deg = de.select(col("src").as("node"))
+            .union(de.select(col("dst").as("node"))).distinct()
+            .join(outCnt.select(col("src").as("node"), col("od")), Seq("node"), "left")
+            .select(col("node"), coalesce(col("od"), lit(0L)).as("outdeg"))
+            .cache()
+          val n = deg.count()
+          val base = (15L * E12v) / (100L * n)
+          var ranks = deg.select(col("node"), lit(E12v / n).as("rank_e12"))
+            .localCheckpoint(true)
+          for (_ <- 1 to 5) {
+            val inSums = Graph.directedInSums(de, deg, ranks)
+            val dang = ranks.alias("r")
+              .join(deg.filter(col("outdeg") === 0).alias("d"),
+                col("r.node") === col("d.node"))
+              .agg(expr(s"(85 * coalesce(sum(r.rank_e12), 0)) div (100 * $n)")
+                .as("dang"))
+            ranks = deg.select(col("node"))
+              .join(inSums, Seq("node"), "left")
+              .crossJoin(broadcast(dang))
+              .select(col("node"),
+                (lit(base) + coalesce(col("in_sum"), lit(0L)) + col("dang"))
+                  .cast("long").as("rank_e12"))
+              .localCheckpoint(true)
+          }
+          ranks.orderBy(col("rank_e12").desc, col("node")).limit(100)
+        }
+        Seq("old_ckpt_bcast" -> (() => oldShape),
+          "new_collect_lit" -> (() => Graph.g06PageRankDirected(spark, sfDir)))
+      case sc if sc.startsWith("sortcache:") =>
+        // r16 batch A: the registered query now stages its pre-sort frame
+        // in a query-scoped cache (range-sample double-compute guard).
+        // "uncached" clears the CacheManager entry BEFORE execution, so
+        // the same plan runs without substitution — byte-identical to the
+        // pre-edit shape. Interleaved in one JVM (the r11 rule).
+        val q = sc.stripPrefix("sortcache:")
+        Seq(
+          "new_cached" -> (() => SparkEntry.queries(q)(spark, sfDir)),
+          "old_uncached" -> (() => {
+            val df = SparkEntry.queries(q)(spark, sfDir)
+            spark.catalog.clearCache()
+            df
+          }))
       case other => sys.error(s"unknown experiment $other")
     }
 

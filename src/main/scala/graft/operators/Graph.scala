@@ -188,7 +188,14 @@ object Graph {
     * build on the broadcast thread pool, racing the main plan's read of
     * the same unbuilt InMemoryRelation — rounds recompute instead of
     * reusing. Keep the eager checkpoint wherever a 1-row broadcast
-    * derives from the iterated frame itself. */
+    * derives from the iterated frame itself. r16 re-probed TWO
+    * collect-the-dangling-mass-as-a-driver-literal variants (per-round
+    * lazy .cache() and per-round lazy localCheckpoint, each materialized
+    * by the round's 1-row collect — the BPE-winner pattern): BOTH lose
+    * ~1.15-1.18× to this shape (interleaved A/B mins 3.12 vs 3.66 /
+    * 3.54 s at sf0.1) — the broadcast builds CONCURRENTLY off the
+    * already-checkpointed rankₖ, so moving it into the critical path as
+    * a sequential collect only adds a barrier. Kept as is. */
   private[graft] def pageRankDirectedOn(de: DataFrame, iters: Int): DataFrame = {
     val s = de.sparkSession
     val outCnt = de.groupBy(col("src")).agg(count(lit(1)).as("od"))
@@ -799,8 +806,13 @@ object Graph {
     // flag join — the IVF-seed collect precedent)
     val sd = seeds.select(col("node")).distinct()
       .withColumn("_seed", lit(1L)).cache()
+    // r15 ADVICE: wd is read from MANY legs of the one final job, and a
+    // lazily-cached frame no prior job materialized is the unbuilt-
+    // InMemoryRelation race shape (the g06/g15 trap). count() (not
+    // isEmpty, which builds at most one partition) makes this the
+    // sequential job that fills the cache before the unroll reads it.
     val ns = sd.count()
-    if (ns == 0 || wd.isEmpty) {
+    if (ns == 0 || wd.count() == 0) {
       wd.unpersist(); sd.unpersist()
       return s.range(0).select(col("id").as("node"), col("id").as("rank_e12"))
     }
@@ -2316,7 +2328,9 @@ object Graph {
     * key-unique — results identical by construction. Each level is a
     * lazy .cache() (double-referenced: next level + rollup), so the
     * whole backward pass + rollup is ONE job — the second r15 cut
-    * (eager per-level localCheckpoint paid a blocking job per level). */
+    * (eager per-level localCheckpoint paid a blocking job per level).
+    * Caches are query-scoped: Verify/Bench/specs clearCache after each
+    * query (r15 ADVICE). */
   private[graft] def stressOn(bi: DataFrame, acc: DataFrame,
       rounds: Int): DataFrame = {
     val s = bi.sparkSession
@@ -2389,7 +2403,8 @@ object Graph {
     // is then ONE job that fills the caches as it goes, where the
     // pre-r15 eager localCheckpoint(true) paid one blocking job per
     // round (6 jobs → 1; OPTIMIZATION_r15.md). x_0 has one consumer —
-    // no persistence needed at all.
+    // no persistence needed at all. Caches are query-scoped:
+    // Verify/Bench/specs clearCache after each query (r15 ADVICE).
     var x = bi.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1L).as("x"))
     var weighted = List.empty[DataFrame]
@@ -2434,7 +2449,8 @@ object Graph {
     // Same lazy-rounds collapse as g25 (OPTIMIZATION_r15.md): each
     // alternation's output feeds the next round and (for the last
     // round) the top-50 legs — lazy .cache() per round turns 5 blocking
-    // checkpoint jobs into one final job filling the caches.
+    // checkpoint jobs into one final job filling the caches. Query-
+    // scoped: Verify/Bench/specs clearCache after (r15 ADVICE).
     var hub = fwd.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1L).as("x"))
     var auth = hub.limit(0)

@@ -37,28 +37,66 @@ object Multimodal {
   def imageDims(id: Long): (Int, Int) =
     ((16 + math.floorMod(id, 32L)).toInt, (16 + math.floorMod(id / 3, 24L)).toInt)
 
-  /** Encode a real image (png/jpeg) via the JDK's ImageIO. Tiny (≤47×39)
-    * so fixture synthesis stays cheap. Pixels form an id-derived 4×4
-    * BLOCK pattern, not a flat color: a uniform image is degenerate for
-    * average-hash (every pixel equals the mean), so [[m03MediaNearDup]]'s
-    * real pHash needs structure; distinct ids get decorrelated patterns. */
-  private[graft] def encodeImage(format: String, id: Long): Array[Byte] = {
+  /** The id-derived source image every encoder shares: pixels form a 4×4
+    * BLOCK pattern, not a flat color (a uniform image is degenerate for
+    * average-hash — every pixel equals the mean — so
+    * [[m03MediaNearDup]]'s real pHash needs structure; distinct ids get
+    * decorrelated patterns). Filled through the INT_RGB raster's backing
+    * array — identical ints to the per-pixel setRGB loop (INT_RGB stores
+    * the packed value verbatim), ~10× less call overhead (r16 §1.2
+    * per-task work; the mediamicro probe). */
+  private def patternImage(id: Long): java.awt.image.BufferedImage = {
     val (w, h) = imageDims(id)
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val data = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
         var m = id * 2654435761L + (x >> 2) * 40503L + (y >> 2) * 65537L
         m ^= m >>> 33; m *= 0xff51afd7ed558ccdL; m ^= m >>> 33
-        img.setRGB(x, y, (m & 0xFFFFFF).toInt)
+        data(y * w + x) = (m & 0xFFFFFF).toInt
         x += 1
       }
       y += 1
     }
+    img
+  }
+
+  /** Encode a real image (png/jpeg) via the JDK's ImageIO. Tiny (≤47×39)
+    * so fixture synthesis stays cheap. The REFERENCE encoder — one
+    * registry lookup per call; the hot path ([[mediaTableFiltered]]) goes
+    * through [[MediaEncoder]], which reuses one ImageWriter per format
+    * and is spec-pinned byte-identical to this. */
+  private[graft] def encodeImage(format: String, id: Long): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, format, out)
+    javax.imageio.ImageIO.write(patternImage(id), format, out)
     out.toByteArray
+  }
+
+  /** Per-partition image encoder: one ImageWriter per format for the
+    * partition's lifetime instead of a registry lookup + writer
+    * construction per row (guide §1.2 per-task work / §4.5 amortized
+    * init — the codec-SPI shape on the ENCODE side). Default write
+    * params, same writers the registry returns → output bytes are
+    * IDENTICAL to [[encodeImage]] (MultimodalSpec pins it for both
+    * formats; jpeg is lossy, so byte-identity is the contract that keeps
+    * every downstream decode bit-stable). NOT Serializable on purpose —
+    * construct inside mapPartitions. */
+  private[graft] final class MediaEncoder {
+    private val writers = scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageWriter]
+    def encodeImage(format: String, id: Long): Array[Byte] = {
+      val w = writers.getOrElseUpdate(format,
+        javax.imageio.ImageIO.getImageWritersByFormatName(format).next())
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        w.setOutput(ios)
+        w.write(null, new javax.imageio.IIOImage(patternImage(id), null, null), null)
+      } finally ios.close()
+      bos.toByteArray
+    }
   }
 
   /** Audio fixture contract: deterministic WAV parameters for a media id
@@ -113,9 +151,10 @@ object Multimodal {
         col("text"))
     val wanted = if (only.isEmpty) tagged else tagged.filter(col("format").isin(only: _*))
     wanted.as[(Long, String, String)].mapPartitions { it =>
+      val enc = new MediaEncoder() // writer reuse, byte-identical (r16)
       it.map { case (id, format, _) =>
         val payload = format match {
-          case "png" | "jpeg" => encodeImage(format, id)
+          case "png" | "jpeg" => enc.encodeImage(format, id)
           case _              => encodeWav(id)
         }
         (id, format, payload)
@@ -143,10 +182,15 @@ object Multimodal {
     * by MultimodalSpec. */
   def m01MediaMeta(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // cache before the total-order sort: the range exchange SAMPLES its
+    // child and there is no shuffle below it, so the whole synth+decode
+    // chain would run twice (the r11 q90 lesson). Query-scoped;
+    // Verify/Bench clearCache after.
     decodeWithCodec(mediaTable(s, dir).as[MediaRecord])
       .select(col("media_id"), col("format"), col("n_bytes"),
         col("width").cast("long").as("width"),
         col("height").cast("long").as("height"))
+      .cache()
       .orderBy("media_id")
   }
 
@@ -209,6 +253,9 @@ object Multimodal {
         it.flatMap(codec.features)
       }
       .toDF()
+      // NOTE (r16): a pre-sort cache A/B'd NEUTRAL-to-worse here (0.41 ->
+      // 0.46 s min) — the per-frame explode makes the cached output ~22x
+      // the input rows, and the columnar build eats the decode saving.
       .orderBy("media_id", "frame_no")
   }
 
@@ -324,6 +371,62 @@ object Multimodal {
   final case class ThumbGateRow(media_id: Long, in_w: Long, in_h: Long,
       n_pix: Long, ok: Long)
 
+  /** Per-instance reusable full-frame image decoder: one ImageReader per
+    * format (registry lookup + reader construction once per partition,
+    * not per row — measured ~2× on the decode in the r16 mediamicro
+    * probe), falling back to content-sniffing `ImageIO.read` on any
+    * by-format failure so decode semantics are unchanged for payloads
+    * whose bytes don't match their declared format. Same underlying JDK
+    * reader either way → identical pixels. Construct inside
+    * mapPartitions (not Serializable). */
+  private[operators] final class ImageDecoder {
+    javax.imageio.ImageIO.setUseCache(false)
+    private val readers = scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+    def read(m: MediaRecord): java.awt.image.BufferedImage = {
+      val byFormat =
+        try {
+          val r = readers.getOrElseUpdate(m.format,
+            javax.imageio.ImageIO.getImageReadersByFormatName(m.format).next())
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          try { r.setInput(iis, true, true); r.read(0) } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => null }
+      if (byFormat != null) byFormat
+      else javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    }
+  }
+
+  /** Whole-image packed-RGB grab: the TYPE_3BYTE_BGR raster (what the JDK
+    * png/jpeg decoders emit) is read straight from its backing byte
+    * array when the layout is the canonical w·3-stride interleave —
+    * ~10× over per-pixel getRGB (r16 mediamicro) — with the bulk
+    * `getRGB` fallback for anything else. Both paths yield the identical
+    * packed (r<<16|g<<8|b) ints row-major (consumers mask the low 24
+    * bits, so the fallback's alpha byte is irrelevant). */
+  private[graft] def packedRgb(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR &&
+        img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte]) {
+      img.getRaster.getSampleModel match {
+        case sm: java.awt.image.PixelInterleavedSampleModel
+            if sm.getPixelStride == 3 && sm.getScanlineStride == w * 3 &&
+              img.getRaster.getSampleModelTranslateX == 0 &&
+              img.getRaster.getSampleModelTranslateY == 0 =>
+          val d = img.getRaster.getDataBuffer
+            .asInstanceOf[java.awt.image.DataBufferByte].getData
+          val out = new Array[Int](w * h)
+          var i = 0; var j = 0
+          while (i < out.length) {
+            out(i) = ((d(j + 2) & 0xFF) << 16) | ((d(j + 1) & 0xFF) << 8) | (d(j) & 0xFF)
+            i += 1; j += 3
+          }
+          return out
+        case _ => ()
+      }
+    }
+    img.getRGB(0, 0, w, h, null, 0, w)
+  }
+
   /** k×k mean-pool of the integer BT.601 luminance plane (299R + 587G +
     * 114B, e3-scaled — integer per pixel, so cell sums are EXACT).
     * Pixel-major assignment: pixel (x, y) belongs to cell
@@ -334,6 +437,7 @@ object Multimodal {
   private[operators] def thumbCells(
       img: java.awt.image.BufferedImage, k: Int): (Array[Long], Array[Long]) = {
     val (w, h) = (img.getWidth, img.getHeight)
+    val px = packedRgb(img) // exact same packed ints, 10× the access speed
     val sums = new Array[Long](k * k); val counts = new Array[Long](k * k)
     var y = 0
     while (y < h) {
@@ -341,7 +445,7 @@ object Multimodal {
       var x = 0
       while (x < w) {
         val gx = math.min(x * k / w, k - 1)
-        val rgb = img.getRGB(x, y)
+        val rgb = px(y * w + x)
         val c = gy * k + gx
         sums(c) += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
           114L * (rgb & 0xFF)
@@ -361,9 +465,9 @@ object Multimodal {
     * grid bug (dropped row, double-counted boundary) flips `ok`. */
   final class ThumbnailCodec(k: Int) extends Serializable {
     javax.imageio.ImageIO.setUseCache(false)
+    @transient private lazy val decoder = new ImageDecoder()
     private def decode(m: MediaRecord): java.awt.image.BufferedImage = {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(m.payload))
+      val img = decoder.read(m)
       require(img != null, s"media ${m.media_id}: undecodable image payload")
       img
     }
@@ -379,16 +483,15 @@ object Multimodal {
       val img = decode(m)
       val (w, h) = (img.getWidth, img.getHeight)
       val (sums, counts) = thumbCells(img, k)
-      var direct = 0L; var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          direct += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
-            114L * (rgb & 0xFF)
-          x += 1
-        }
-        y += 1
+      // still an INDEPENDENT whole-image pass (no cell assignment), just
+      // through the same packed-RGB grab as thumbCells
+      val px = packedRgb(img)
+      var direct = 0L; var i = 0
+      while (i < px.length) {
+        val rgb = px(i)
+        direct += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+          114L * (rgb & 0xFF)
+        i += 1
       }
       val ok = if (sums.sum == direct && counts.sum == w.toLong * h) 1L else 0L
       ThumbGateRow(m.media_id, w.toLong, h.toLong, counts.sum, ok)
@@ -410,6 +513,11 @@ object Multimodal {
         val codec = new ThumbnailCodec(4)
         it.map(codec.thumb)
       }.toDF()
+      // cache before the total-order sort: the range exchange SAMPLES its
+      // child and no shuffle sits below, so the full encode+decode+pool
+      // pass would run twice (the r11 q90 lesson). Query-scoped;
+      // Verify/Bench clearCache after.
+      .cache()
       .orderBy("media_id")
   }
 
@@ -435,6 +543,9 @@ object Multimodal {
         val codec = new ThumbnailCodec(4)
         it.map(codec.gate)
       }.toDF()
+      // cache before the total-order sort (range-sample double-decode,
+      // the r11 q90 lesson); query-scoped, harnesses clearCache after
+      .cache()
       .orderBy("media_id")
   }
 
@@ -633,15 +744,34 @@ object Multimodal {
   final class ImageHeaderCodec extends Serializable {
     private val fallback = new StubCodec()
     javax.imageio.ImageIO.setUseCache(false) // in-memory streams, no temp files
+    // one header reader per declared format, reused across the partition
+    // (r16: the per-row registry scan + reader construction was ~half the
+    // header-parse cost); a by-format failure falls through to the
+    // original content-sniffing path, so mislabeled payloads decode
+    // exactly as before
+    @transient private lazy val readers =
+      scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
     def decode(m: MediaRecord): DecodedMedia =
       if (m.format == "png" || m.format == "jpeg") {
+        val fast =
+          try {
+            val r = readers.getOrElseUpdate(m.format,
+              javax.imageio.ImageIO.getImageReadersByFormatName(m.format).next())
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            try {
+              r.setInput(iis, true, true)
+              fallback.decode(m).copy(width = r.getWidth(0), height = r.getHeight(0))
+            } finally iis.close()
+          } catch { case scala.util.control.NonFatal(_) => null }
+        if (fast != null) return fast
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(m.payload))
         if (iis == null) return fallback.decode(m) // no SPI for the stream type
         try {
-          val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (readers.hasNext) {
-            val r = readers.next()
+          val sniffed = javax.imageio.ImageIO.getImageReaders(iis)
+          if (sniffed.hasNext) {
+            val r = sniffed.next()
             try {
               r.setInput(iis, true, true)
               fallback.decode(m).copy(width = r.getWidth(0), height = r.getHeight(0))
@@ -734,6 +864,8 @@ object Multimodal {
         it.map(codec.decode)
       }
       .toDF()
+      // NOTE (r16): a pre-sort cache A/B'd a wash here (0.36 vs 0.37 s) —
+      // the RIFF header parse is too cheap to pay a cache for.
       .orderBy("media_id")
   }
 
@@ -747,8 +879,11 @@ object Multimodal {
     * SPI like every other real decoder here. */
   final class AHashCodec extends Serializable {
     javax.imageio.ImageIO.setUseCache(false)
+    @transient private lazy val decoder = new ImageDecoder()
     def ahash(m: MediaRecord): Long = {
-      val cell = luminanceGrid(m)
+      val img = decoder.read(m)
+      require(img != null, s"media ${m.media_id}: undecodable image payload")
+      val cell = luminanceGridOf(img)
       val mean = cell.sum / 64.0
       var bits = 0L; var i = 0
       while (i < 64) { if (cell(i) > mean) bits |= (1L << i); i += 1 }
@@ -760,10 +895,20 @@ object Multimodal {
     * — the shared content-feature front end of [[AHashCodec]] (which
     * thresholds it to bits) and [[EmbedCodec]] (which projects it to a
     * feature vector). */
-  private[operators] def luminanceGrid(m: MediaRecord): Array[Double] = {
+  private[graft] def luminanceGrid(m: MediaRecord): Array[Double] = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
     require(img != null, s"media ${m.media_id}: undecodable image payload")
+    luminanceGridOf(img)
+  }
+
+  /** The grid from an already-decoded frame — pixel access through
+    * [[packedRgb]] (identical ints), float accumulation in the exact
+    * per-cell (y, x) order of the original loop so the doubles are
+    * bit-identical. */
+  private[operators] def luminanceGridOf(
+      img: java.awt.image.BufferedImage): Array[Double] = {
     val (w, h) = (img.getWidth, img.getHeight)
+    val px = packedRgb(img)
     val cell = new Array[Double](64)
     var gy = 0
     while (gy < 8) {
@@ -776,7 +921,7 @@ object Multimodal {
         while (y < y1 && y < h) {
           var x = x0
           while (x < x1 && x < w) {
-            val rgb = img.getRGB(x, y)
+            val rgb = px(y * w + x)
             sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
               0.114 * (rgb & 0xFF)
             n += 1; x += 1
@@ -820,6 +965,7 @@ object Multimodal {
     javax.imageio.ImageIO.setUseCache(false)
     private val dim = 64
     private val frames = new PcmFrameCodec()
+    @transient private lazy val decoder = new ImageDecoder()
     private def mix(z0: Long): Long = {
       var z = z0 + 0x9e3779b97f4a7c15L
       z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
@@ -828,8 +974,18 @@ object Multimodal {
     }
     private def w(seed: Long, i: Int, j: Int): Double =
       mix(seed * 1000003L + i * 64L + j).toDouble / Long.MaxValue
+    // the weight matrices are CONSTANT — materialize them once per codec
+    // instance instead of re-deriving 2×4096 splitmix values per record
+    // (r16 §1.2 per-task work); same w(seed, i, j) values, same order
+    @transient private lazy val wModel =
+      Array.tabulate(dim * dim)(k => w(0xC0FFEEL, k / dim, k % dim))
+    @transient private lazy val wSrp =
+      Array.tabulate(dim * dim)(k => w(0x5EED5EEDL, k / dim, k % dim))
     private def features(m: MediaRecord): Array[Double] = m.format match {
-      case "png" | "jpeg" => luminanceGrid(m)
+      case "png" | "jpeg" =>
+        val img = decoder.read(m)
+        require(img != null, s"media ${m.media_id}: undecodable image payload")
+        luminanceGridOf(img)
       case _ =>
         val ff = frames.features(m).toArray
         val out = new Array[Double](dim)
@@ -845,10 +1001,11 @@ object Multimodal {
       val f = features(m)
       val mean = f.sum / f.length
       val v = new Array[Double](dim)
+      val wm = wModel
       var i = 0
       while (i < dim) {
         var s = 0.0; var j = 0
-        while (j < f.length) { s += w(0xC0FFEEL, i, j) * (f(j) - mean); j += 1 }
+        while (j < f.length) { s += wm(i * dim + j) * (f(j) - mean); j += 1 }
         v(i) = s; i += 1
       }
       val nrm = math.sqrt(v.map(x => x * x).sum)
@@ -860,10 +1017,11 @@ object Multimodal {
       * near-identical vectors land at hamming ≈ 0 and the 16-bit band
       * blocking from the SimHash family applies unchanged. */
     def srpBits(v: Array[Double]): Long = {
+      val ws = wSrp
       var bits = 0L; var i = 0
       while (i < 64) {
         var s = 0.0; var j = 0
-        while (j < v.length) { s += w(0x5EED5EEDL, i, j) * v(j); j += 1 }
+        while (j < v.length) { s += ws(i * dim + j) * v(j); j += 1 }
         if (s > 0) bits |= (1L << i)
         i += 1
       }

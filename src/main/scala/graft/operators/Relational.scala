@@ -148,6 +148,11 @@ object Relational {
       "l_shipdate").map(col)
     val w = Window.partitionBy(col("l_orderkey")).orderBy(tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // NOTE (r16): a pre-sort cache was A/B-measured a ~1.15x REGRESSION
+    // here (0.86 -> 0.99 s interleaved) — the range-sample re-run of the
+    // window above the reused hash-exchange output is CHEAPER than the
+    // columnar cache build+read. The q90 cache-before-range-sort fix
+    // pays only above expensive NARROW chains (decode/regex/tokenize).
     Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"),
         round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
@@ -1039,6 +1044,9 @@ object Relational {
         FROM graft_q55_orders WHERE o_custkey = c.c_custkey
         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
       ORDER BY c.c_custkey, t.rn""")
+    // NOTE (r16): a pre-sort cache was A/B-measured a ~1.17x REGRESSION
+    // here (0.58 -> 0.68 s interleaved) — same verdict as q09: the
+    // decorrelated window re-run is cheaper than the cache build.
   }
 
   /** argmax/argmin aggregation (max_by/min_by) with a STRUCT ordering

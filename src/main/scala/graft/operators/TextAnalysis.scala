@@ -38,6 +38,12 @@ object TextAnalysis {
         size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
         bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_calc"))
+      // cache before the total-order sort: the range exchange SAMPLES its
+      // child and no shuffle sits below, so the map-only tokenize chain
+      // would run twice (the r11 q90 lesson). Query-scoped;
+      // Verify/Bench clearCache after. Same note for every map-only →
+      // ORDER BY query below (t03–t07, t21, t24, t31).
+      .cache()
       .orderBy("doc_id")
 
   /** Quality gates: punctuation ratio, stopword ratio, composite score.
@@ -55,6 +61,7 @@ object TextAnalysis {
         round4(col("sr")).as("stop_ratio"),
         round4(qualityScoreFromParts(col("text"), col("pr"), col("sr"), col("mtl")))
           .as("quality"))
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   /** Stopword-profile language identification — tokens staged once, and
@@ -73,6 +80,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         langIdFromRatios(col("text"),
           col("r_en"), col("r_de"), col("r_fr"), col("r_es")).as("lang_pred"))
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   /** Winnowing fingerprint, staged tokens → shingles → hashes → fp so
@@ -84,6 +92,7 @@ object TextAnalysis {
       .select(col("doc_id"), tokenHashes(tokens(col("text"))).as("th"))
       .select(col("doc_id"), shingleHashesNative(col("th"), 3).as("hs"))
       .select(col("doc_id"), fingerprintFromHashes(col("hs")).as("fp"))
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -103,6 +112,7 @@ object TextAnalysis {
         call_function("regexp_count", col("dirty"), lit(EmailRe)).cast("long").as("n_emails"),
         regexp_replace(regexp_replace(col("dirty"), UrlRe, "<URL>"), EmailRe, "<EMAIL>")
           .as("scrubbed"))
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   /** Within-document repetition (Gopher-style quality rule — public
@@ -118,6 +128,7 @@ object TextAnalysis {
           round4(lit(1.0) - size(array_distinct(col("sgl"))).cast("double") /
             size(col("sgl")).cast("double")))
           .otherwise(lit(0.0)).as("rep_ratio"))
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   /** The two Gopher repetition signals t07's distinct-ratio misses
@@ -286,6 +297,7 @@ object TextAnalysis {
           lit(1L)).otherwise(lit(0L)))
       .select(col("doc_id"), col("n_email"), col("n_ipv4"), col("n_phone"),
         col("n_blocked"), col("keep"), col("red_text"))
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   /** Temperature-scaled source mixing — the α = 0.5 source-balancing
@@ -2893,6 +2905,7 @@ object TextAnalysis {
         lit(QBias) + lit(QwPunct) * col("pr_e4") + lit(QwStop) * col("sr_e4") +
           lit(QwMtl) * col("mtl_e4") + lit(QwTok) * least(col("n_tokens"), lit(500L)))
       .withColumn("pass", col("logit_e8") >= 0L)
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   /** Oracle companion for rows-only t05 (round-4 pattern): per doc, the
@@ -2913,6 +2926,7 @@ object TextAnalysis {
         when(col("n_shingles") > 0,
           col("nm") >= 1 && col("nm") <= greatest(col("n_shingles") - 3, lit(1L)))
           .otherwise(col("nm") === 0).as("fp_in_bounds"))
+      .cache() // range-sample double-compute guard (see t02)
       .orderBy("doc_id")
 
   private val enList = EnStopwords.map(w => s"'$w'").mkString("[", ", ", "]")

@@ -311,5 +311,92 @@ class MultimodalSpec extends SparkSpec {
     // every fixture image (png AND lossy jpeg) must tile exactly
     val gate = Multimodal.m06ThumbGate(spark, sf).collect()
     assert(gate.nonEmpty && gate.forall(_.getLong(4) == 1L))
+    spark.catalog.clearCache() // m06ThumbGate registers a query-scoped cache
+  }
+
+  test("r16 codec internals: reused-writer encode, packedRgb, grid, and embed weights are bit-identical to the reference paths") {
+    import Multimodal.MediaRecord
+    val ids = 0L until 60L
+    // 1. MediaEncoder (reused ImageWriter per format) must emit the EXACT
+    //    bytes of the reference per-call encodeImage — jpeg is lossy, so
+    //    byte-identity is what keeps every decoded pixel downstream stable
+    val enc = new Multimodal.MediaEncoder()
+    for (id <- ids; fmt <- Seq("png", "jpeg"))
+      assert(java.util.Arrays.equals(
+        enc.encodeImage(fmt, id), Multimodal.encodeImage(fmt, id)),
+        s"MediaEncoder bytes differ for $fmt id=$id")
+    // 2. packedRgb's raster fast path == per-pixel getRGB (mod alpha) on
+    //    decoded png AND jpeg frames (TYPE_3BYTE_BGR), plus an INT_RGB
+    //    image that exercises the bulk-getRGB fallback
+    def checkPacked(img: java.awt.image.BufferedImage): Unit = {
+      val (w, h) = (img.getWidth, img.getHeight)
+      val px = Multimodal.packedRgb(img)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xFFFFFF) == (img.getRGB(x, y) & 0xFFFFFF),
+          s"packedRgb mismatch at ($x,$y) type=${img.getType}")
+    }
+    for (fmt <- Seq("png", "jpeg")) {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeImage(fmt, 11L)))
+      assert(img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      checkPacked(img)
+    }
+    checkPacked(new java.awt.image.BufferedImage(5, 3,
+      java.awt.image.BufferedImage.TYPE_INT_RGB))
+    // 3. luminanceGrid (now packedRgb-backed) must equal a per-pixel
+    //    getRGB re-derivation EXACTLY (same float accumulation order)
+    val m = MediaRecord(23L, "jpeg", Multimodal.encodeImage("jpeg", 23L))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.payload))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val ref = new Array[Double](64)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val x0 = gx * w / 8; val x1 = math.max((gx + 1) * w / 8, x0 + 1)
+      val y0 = gy * h / 8; val y1 = math.max((gy + 1) * h / 8, y0 + 1)
+      var sum = 0.0; var n = 0
+      var y = y0
+      while (y < y1 && y < h) {
+        var x = x0
+        while (x < x1 && x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += 0.299 * ((rgb >> 16) & 0xFF) + 0.587 * ((rgb >> 8) & 0xFF) +
+            0.114 * (rgb & 0xFF)
+          n += 1; x += 1
+        }
+        y += 1
+      }
+      ref(gy * 8 + gx) = if (n > 0) sum / n else 0.0
+    }
+    assert(Multimodal.luminanceGrid(m).toSeq == ref.toSeq,
+      "luminanceGrid doubles drifted from the per-pixel reference")
+    // 4. EmbedCodec's precomputed weight matrices: embed/srp must equal an
+    //    independent per-call w(seed, i, j) re-derivation
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z ^= z >>> 30; z *= 0xbf58476d1ce4e5b9L
+      z ^= z >>> 27; z *= 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def wRef(seed: Long, i: Int, j: Int): Double =
+      mix(seed * 1000003L + i * 64L + j).toDouble / Long.MaxValue
+    val codec = new Multimodal.EmbedCodec()
+    val f = Multimodal.luminanceGrid(m)
+    val mean = f.sum / f.length
+    val vRef = new Array[Double](64)
+    for (i <- 0 until 64) {
+      var s = 0.0; var j = 0
+      while (j < f.length) { s += wRef(0xC0FFEEL, i, j) * (f(j) - mean); j += 1 }
+      vRef(i) = s
+    }
+    val nrm = math.sqrt(vRef.map(x => x * x).sum)
+    for (i <- 0 until 64) vRef(i) /= nrm
+    val got = codec.embed(m)
+    assert(got.toSeq == vRef.toSeq, "embed drifted from the per-call weight reference")
+    var bitsRef = 0L
+    for (i <- 0 until 64) {
+      var s = 0.0; var j = 0
+      while (j < got.length) { s += wRef(0x5EED5EEDL, i, j) * got(j); j += 1 }
+      if (s > 0) bitsRef |= (1L << i)
+    }
+    assert(codec.srpBits(got) == bitsRef, "srpBits drifted from the per-call weight reference")
   }
 }

@@ -347,15 +347,25 @@ class PlanShapeSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val exec = TextAnalysis.t31PiiRedact(spark, sf).queryExecution.executedPlan
-      val p = exec.toString
+      // r16: the query stages its map-only chain in a query-scoped cache
+      // before the total-order sort (range-sample double-compute guard) —
+      // walk into the cached plan so the pin still sees the real scan
+      val inner = exec.collect {
+        case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          s.relation.cachedPlan
+      }
+      val p = exec.toString + inner.map(_.toString).mkString("\n")
       // column pruning: the scan reads only doc_id + text
       assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
         "scan should prune to doc_id + text:\n" + p)
-      val exchanges = exec.collect {
+      val exchanges = (exec +: inner).flatMap(_.collect {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
-      }
+      })
       assert(exchanges.size == 1, s"expected only the output-sort exchange:\n$p")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.catalog.clearCache() // the builder registers a query-scoped cache
+    }
   }
 
   test("t39: both retrieval legs cut through the bounded-heap operator, not corpus windows") {
