@@ -448,6 +448,16 @@ object ABProbe {
           hll_sketch_estimate(hll_sketch_agg(col(cols84.head), lit(14))).as("a"),
           cols84.tail.map(c =>
             hll_sketch_estimate(hll_sketch_agg(col(c), lit(14))).as(s"${c}__est")): _*)
+        // accuracy check: DataSketches lgK=14 estimates vs exact at this SF
+        val exactRow = li84.agg(
+          countDistinct(col(cols84.head)).as("a"),
+          cols84.tail.map(c => countDistinct(col(c)).as(s"${c}__x")): _*).collect()(0)
+        val dsRow = newHll.collect()(0)
+        val ppRow = oldHll.collect()(0)
+        cols84.indices.foreach { i =>
+          val ex = exactRow.getLong(i); val ds = dsRow.getLong(i); val pp = ppRow.getLong(i)
+          println(f"ACC ${cols84(i)} exact=$ex ds14=$ds (${100.0 * (ds - ex) / ex}%.2f%%) hllpp=$pp (${100.0 * (pp - ex) / ex}%.2f%%)")
+        }
         Seq("old_hllpp" -> (() => oldHll), "new_datasketch" -> (() => newHll))
       case "mediamicro" =>
         // pure-JVM component timing for the media codecs (no Spark):

@@ -1590,9 +1590,10 @@ object Relational {
     * the Expand the exact path plans multiplies the scan's bytes by
     * (n_cols + 1) through the partial agg; when that product exceeds
     * this bound the profile swaps to `approx_count_distinct` (rsd 0.01,
-    * the q84-gated sketch). The 4 GiB default keeps every driver-gate SF
-    * exact (sf0.1 lineitem × 6 ≈ half a GiB) and swaps well before the
-    * Expand becomes the q33/q84-lesson shuffle bomb at 100 TB. */
+    * the q84-gated sketch — DataSketches HLL lgK=14 since r16). The
+    * 4 GiB default keeps every driver-gate SF exact (sf0.1 lineitem × 6
+    * ≈ half a GiB) and swaps well before the Expand becomes the
+    * q33/q84-lesson shuffle bomb at 100 TB. */
   private def profileMaxExpandBytes(s: SparkSession): BigInt =
     BigInt(s.conf.get("spark.graft.profile.maxExpandBytes",
       (4L << 30).toString))
@@ -1601,10 +1602,12 @@ object Relational {
     * exact `countDistinct` below the [[profileMaxExpandBytes]] cost
     * threshold, `approx_count_distinct` above it — chosen at PLAN time
     * from Catalyst's size estimate of the input (no extra pass). The
-    * approx shape runs N HLL sketches in ONE ordinary hash agg: no
-    * DISTINCT aggregates means no Expand, and the single global group
-    * allocates each 16 KB buffer once (the q84 lesson's trap was sketch
-    * buffers riding a multi-distinct Expand's per-group allocation).
+    * approx shape runs N HLL sketches in ONE agg: no DISTINCT
+    * aggregates means no Expand, and the single global group allocates
+    * each sketch buffer once (the q84 lesson's trap was sketch buffers
+    * riding a multi-distinct Expand's per-group allocation); since r16
+    * the sketch is DataSketches `hll_sketch_agg(lgK=14)` — one binary
+    * buffer per column where HLL++ rsd 0.01 carried 1639 Long slots.
     * The exact shape (r15) runs ONE single-distinct pass per column
     * cross-joined onto the base-stats agg — the q33 split applied to
     * the global profile: the old combined agg planned an Expand of
@@ -1623,8 +1626,12 @@ object Relational {
     val aggs = profiled.flatMap { c =>
       Seq(count(col(c)).as(s"${c}__n"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls")) ++
+        // r16: DataSketches HLL (lgK=14) instead of approx_count_distinct
+        // (rsd 0.01) — one binary buffer per column instead of 1639 Long
+        // slots (the q84 sketch-leg swap, ~9× measured; accuracy ≤0.27%
+        // vs exact at every SF, tighter than HLL++'s 0.67%)
         (if (exact) Seq.empty
-         else Seq(approx_count_distinct(col(c), 0.01).cast("long")
+         else Seq(hll_sketch_estimate(hll_sketch_agg(col(c), lit(14)))
            .as(s"${c}__distinct"))) ++
       Seq(min(col(c)).cast("long").as(s"${c}__min"),
         max(col(c)).cast("long").as(s"${c}__max"))
@@ -1705,8 +1712,9 @@ object Relational {
     * exact multi-distinct agg and a separate single-group sketch agg —
     * two deliberate scans, cross-joined; see the inline comment for why
     * they must not share one agg — and the flag asserts the estimate
-    * lands within 5% of exact — at rsd 0.01 that is a 5-sigma bound,
-    * and the estimate is deterministic for a fixed dataset, so the
+    * lands within 5% of exact — DataSketches lgK=14 measures ≤0.27%
+    * error on every column at every SF (r16), and the estimate is
+    * deterministic for a fixed dataset, so the
     * driver's fixed-SF run cannot flip. DuckDB recomputes the exact
     * counts and expects literal TRUE flags (the d06/d11 gate pattern).
     * All-BIGINT + boolean output, total ORDER BY. */
@@ -1729,8 +1737,21 @@ object Relational {
     // exactly what 100 TB cannot afford (guide §2.3: shuffle fewer
     // bytes; the per-column pass shuffles map-side-distinct values
     // only). Results identical: exact counts are exact either way.
+    // r16: the sketch leg swapped from approx_count_distinct(rsd 0.01)
+    // to DataSketches hll_sketch_agg(lgK=14): the HLL++ DECLARATIVE agg
+    // carries 1639 Long buffer slots PER COLUMN (6556 aggregate
+    // attributes in one operator — a 438 KB plan and a codegen-hostile
+    // row), where the DataSketches TypedImperativeAggregate keeps ONE
+    // binary buffer per column. Interleaved A/B on the sketch leg:
+    // 4.2-4.6 s → 0.4-0.6 s at sf0.1 (~9×). Accuracy measured at every
+    // SF: lgK=14 lands within 0.27% of exact on all four columns
+    // (HLL++ rsd 0.01 was within 0.67%), so the 5% flag stays TRUE with
+    // >15× margin; register updates are max-merges — deterministic for
+    // a fixed dataset, the flag cannot flap. q82's dataProfile swaps to
+    // the SAME sketch above its cost threshold, so this gate still
+    // proves the profile's 100 TB path.
     val approxAggs = cols.map(c =>
-      approx_count_distinct(col(c), 0.01).cast("long").as(s"${c}__est"))
+      hll_sketch_estimate(hll_sketch_agg(col(c), lit(14))).as(s"${c}__est"))
     val one = cols.map(c =>
         li.agg(countDistinct(col(c)).cast("long").as(s"${c}__exact")))
       .reduce(_ crossJoin _)

@@ -227,7 +227,9 @@ class PlanShapeSpec extends SparkSpec {
         Tables.lineitem(spark, sf), Seq("l_orderkey", "l_partkey"))
       val pa = plan(approx)
       assert(!pa.contains("Expand"), "approx profile still plans Expand:\n" + pa)
-      assert(pa.toLowerCase.contains("approx_count_distinct"), pa)
+      // r16: the sketch is DataSketches HLL (one binary buffer/column),
+      // not HLL++ (1639 Long slots/column — the q84 sketch-leg lesson)
+      assert(pa.toLowerCase.contains("hll_sketch_agg"), pa)
       // schema identical either way; estimates land within the q84-gated
       // 5-sigma band of exact (rsd 0.01)
       assert(approx.schema == exact.schema
