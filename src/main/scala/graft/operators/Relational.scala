@@ -222,6 +222,9 @@ object Relational {
           .otherwise("LO").as("disc_band"),
         round2(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")))
           .as("charge"))
+      // NOTE (r16): pre-sort cache A/B-measured a ~1.7x REGRESSION here
+      // (0.82 -> 1.36 s interleaved min) — cheap per-row arithmetic over
+      // lineitem re-runs faster than the columnar cache builds.
       .orderBy("l_orderkey", "l_linenumber")
 
   /** ROLLUP grouping sets with explicit null ordering. */
@@ -350,6 +353,8 @@ object Relational {
         ceil(col("l_extendedprice")).cast("long").as("ceil_price"),
         floor(col("l_extendedprice")).cast("long").as("floor_price"),
         abs(col("l_discount") - 0.05).as("abs_disc"))
+      // NOTE (r16): pre-sort cache A/B-measured a ~1.5x REGRESSION here
+      // (0.83 -> 1.29 s interleaved min) — same verdict as q16.
       .orderBy("l_orderkey", "l_linenumber")
 
   /** Array aggregation: ordered list of line numbers per order, emitted
@@ -394,6 +399,11 @@ object Relational {
       .select(col("event_id"),
         size(map_keys(col("m"))).cast("long").as("n_keys"),
         element_at(col("m"), "k").cast("long").as("k"))
+      // staged against the range sampler's double-compute (r16 batch A
+      // rule: expensive per row — from_json — and narrow output;
+      // A/B 1.07/1.17 -> 0.81/0.82 s, ~1.35x. Query-scoped;
+      // Verify/Bench/specs clearCache after.)
+      .cache()
       .orderBy("event_id")
 
   /** Pivot: event counts per user spread across event-type columns.
@@ -1703,6 +1713,11 @@ object Relational {
       SELECT pk AS p_partkey, depth, path_cents
       FROM anc WHERE cur <= 1
       ORDER BY p_partkey""")
+    // NOTE (r16): a pre-sort cache was A/B-measured a ~2x REGRESSION
+    // here (3.14 -> 6.43 s interleaved min): UnionLoopExec materializes
+    // every step internally (executeAndCacheAndCount), so the range
+    // sampler re-reads cached step results — the extra InMemoryRelation
+    // only adds a second full materialization.
   }
 
   /** Oracle gate for q82's documented scale path: the 100 TB profile
