@@ -613,6 +613,32 @@ object ABProbe {
         }
         Seq("old_ckpt_bcast" -> (() => oldShape),
           "new_collect_lit" -> (() => Graph.g06PageRankDirected(spark, sfDir)))
+      case "t34argmax" =>
+        // t34's keep-first dedup: min(struct(doc_id, source, n_toks))
+        // over groupBy(text) plans a SortAggregate (struct buffers are
+        // not hash-aggregable) that sorts the survivor stream; the
+        // alternative is min(doc_id) (HashAggregate, doc_id unique so
+        // the struct tie-fields never decide) + a join back on doc_id
+        // to fetch (source, n_toks).
+        def docs34 = Tables.documents(spark, sfDir)
+          .select(col("doc_id"), col("source"), col("text"),
+            size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+        def keptStruct = docs34
+          .groupBy(col("text"))
+          .agg(min(struct(col("doc_id"), col("source"), col("n_toks"))).as("r"))
+          .select(col("r.source").as("source"), col("r.n_toks").as("n_toks"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+        def keptJoin = {
+          val d = docs34
+          val keep = d.groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+            .select(col("doc_id"))
+          d.select(col("doc_id"), col("source"), col("n_toks"))
+            .join(keep, Seq("doc_id"), "left_semi")
+            .groupBy(col("source"))
+            .agg(count(lit(1)).as("n_kept"), sum(col("n_toks")).as("kept_tokens"))
+        }
+        Seq("old_struct" -> (() => keptStruct), "new_join" -> (() => keptJoin))
       case sc if sc.startsWith("sortcache:") =>
         // r16 batch A: the registered query now stages its pre-sort frame
         // in a query-scoped cache (range-sample double-compute guard).
